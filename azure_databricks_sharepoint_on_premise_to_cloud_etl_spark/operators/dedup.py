@@ -1,0 +1,279 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's own dedup surface (``distinct`` /
+``dropDuplicates``, P10 — code/ukg_open_census.py:693,727), this module
+adds the document-dedup family a 100 TB corpus pipeline needs: exact
+(hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.  All hashing
+uses ``portable_hash64`` (md5-based) so every stage is reproducible in
+DuckDB for oracle checks; production can swap ``xxhash64`` for speed
+without changing plan shape.
+
+Scale design:
+- exact dedup: one hash-aggregate shuffle on a 60-bit digest, not the
+  full text;
+- MinHash/LSH: per-doc signatures are computed narrow (no shuffle,
+  higher-order functions only); the only shuffle is the band-bucket
+  self-join whose keys are (band_id, band_hash) — skew-safe because a
+  bucket's size is bounded by collision probability, and AQE splits
+  stragglers;
+- n-gram Jaccard: exact verification is reserved for LSH candidate
+  pairs at scale (explode-join on raw shingles is quadratic in
+  bucket size; use ``jaccard_verify_pairs`` after LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import char_shingles, portable_hash64, word_tokens
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Dedup normalization: lower, collapse whitespace, trim."""
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text digest: one row per
+    distinct content with the canonical (min) id and duplicate count.
+
+    The groupBy key is the 60-bit digest (+ length as a cheap
+    anti-collision check), so the shuffle moves ~16 bytes/doc, not the
+    document text.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        portable_hash64(normalized_text(text_col)).alias("content_hash"),
+        F.length(normalized_text(text_col)).alias("content_len"),
+    )
+    return keyed.groupBy("content_hash", "content_len").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one (min-id) row per distinct normalized text."""
+    groups = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(groups, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures over character k-gram shingles.
+
+    For hash seed i, ``sig[i] = min over shingles of H(i, shingle)``
+    with H = portable md5-based 60-bit hash.  Entirely narrow: shingling
+    and the per-seed minima are higher-order functions evaluated inside
+    the row, no shuffle, no UDF.
+    """
+    shingled = df.select(
+        F.col(id_col), char_shingles(text_col, k).alias("__shingles")
+    )
+
+    # NB: the lambda must take exactly one parameter — Spark passes the
+    # element index to two-parameter HOF lambdas, which would silently
+    # corrupt the seed.
+    def seeded_hasher(seed: int):
+        prefix = f"{seed}:"
+
+        def h(s):
+            return F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 15), 16, 10
+            ).cast("long")
+
+        return h
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("__shingles"), seeded_hasher(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any full band are candidate
+    duplicates.  Returns distinct (id_a < id_b) pairs.
+
+    The self-join is keyed on (band_id, band_key): only same-bucket
+    docs ever meet, which is what makes this subquadratic at corpus
+    scale.
+    """
+    rows = num_hashes // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Shape: explode distinct shingles -> self-join on shingle ->
+    count co-occurrences -> jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    Quadratic within a shingle's posting list — at 100 TB run this on
+    LSH candidates only (``jaccard_verify_pairs``); exposed directly for
+    corpus-scale-bounded inputs and oracle checks.
+    """
+    shingled = df.select(
+        F.col(id_col), char_shingles(text_col, k).alias("__sh")
+    ).withColumn("__size", F.size("__sh"))
+    posting = shingled.select(
+        id_col, "__size", F.explode("__sh").alias("shingle")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__size").alias("size_a"),
+            F.col("b.__size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs: join the two
+    shingle sets onto each (id_a, id_b) pair and compute overlap with
+    array intersection — work proportional to candidate count, not
+    corpus squared."""
+    sh = df.select(
+        F.col(id_col), char_shingles(text_col, k).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint over word tokens (``bits``-bit, default 32).
+
+    Per doc: hash each distinct token; bit i of the fingerprint is 1
+    when the majority of token-hashes have bit i set.  Built from
+    higher-order functions (transform/aggregate/filter) — narrow, no
+    UDF, reproducible in the DuckDB oracle via the same md5 hash.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(word_tokens(text_col)).alias("__toks")
+    )
+    hashed = toks.withColumn(
+        "__hashes",
+        F.transform(
+            "__toks",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ),
+    )
+    n = F.size("__hashes")
+
+    def bit_test(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bit_votes = [
+        (F.size(F.filter("__hashes", bit_test(1 << i))) * 2 > n).cast("long")
+        * F.lit(1 << i)
+        for i in range(bits)
+    ]
+    fingerprint = sum(bit_votes[1:], bit_votes[0])
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; see
+    similarity.py for the LSH-bucketed scale path)."""
+    from .similarity import cosine_sim
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"), "inner")
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,118 @@
+"""Interval / time semantics (SURVEY.md sections 2.3 P7-P8, 2.4 J7,
+2.9 T5-T6).
+
+The reference's flagship join classifies census timestamps against
+schedule-zone intervals (equi key on location + range predicate on the
+timestamp, code/ukg_open_census_old.py:694-696) and labels rows
+ACTUAL when inside the interval, PLAN otherwise
+(code/ukg_open_census.py:729-730).  The 7-day rolling-window plan
+projection is a Python double loop in the reference
+(code/ukg_open_census.py:153-156) — here a fully in-plane
+``explode(sequence(...))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rolling_window_expand(
+    df: DataFrame,
+    window_days: int,
+    date_cols: list[str],
+    offset_col: str = "day_offset",
+) -> DataFrame:
+    """Replicate each row for day offsets 0..window_days, shifting every
+    column in ``date_cols`` by the offset (T5).
+
+    ``rows_out == rows_in * (window_days + 1)`` exactly (the reference's
+    ``range(rolling_window + 1)``, code/ukg_open_census.py:153-156).
+    Runs narrow (no shuffle): explode is a flatMap over each partition.
+    """
+    out = df.withColumn(
+        offset_col, F.explode(F.sequence(F.lit(0), F.lit(window_days)))
+    )
+    for c in date_cols:
+        out = out.withColumn(
+            c, F.col(c) + F.col(offset_col) * F.expr("INTERVAL 1 DAY")
+        )
+    return out
+
+
+def interval_containment_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Event-in-window join (J7): equi-join on ``on`` plus range
+    predicate ``start <= ts <= end``.
+
+    Catalyst plans the equi part as a hash join and evaluates the range
+    as a post-join filter — the interval side (zones) is dimension-sized
+    in the reference, so it broadcasts; only the fact side streams.
+    """
+    cond = [events[c] == intervals[c] for c in on]
+    cond.append(events[ts_col].between(intervals[start_col], intervals[end_col]))
+    dupes = [c for c in on]
+    joined = events.join(F.broadcast(intervals), cond, how)
+    for c in dupes:
+        joined = joined.drop(intervals[c])
+    return joined
+
+
+def actual_plan_label(
+    ts: Column, start: Column, end: Column, label_col_values: tuple[str, str] = ("ACTUAL", "PLAN")
+) -> Column:
+    """T6 classification: in-interval rows are ACTUAL, future rows PLAN
+    (code/ukg_open_census.py:729-730)."""
+    actual, plan = label_col_values
+    return F.when((ts >= start) & (ts <= end), F.lit(actual)).otherwise(F.lit(plan))
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling-interval aggregate via ``F.window`` (the streaming-ready
+    formulation of T6; identical semantics under readStream +
+    withWatermark). Emits ``window_start``/``window_end`` columns."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "INTERVAL 30 MINUTE",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap``.
+
+    Classic lag + conditional cumulative-sum; one shuffle on the key.
+    (Streaming analog: ``F.session_window`` — see streaming/.)
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("__new", new_session).withColumn(
+        session_col, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("__new")

@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All native column expressions (regex + higher-order functions) — the
+hot path stays in codegen; nothing here shuffles except the caller's
+own aggregations.  Every operator is DuckDB-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable_hash64, word_tokens
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID.  Deliberately small and public-knowledge; at
+# production scale you'd ship fastText lid.176 via a pandas UDF — the
+# plumbing is identical, only the scorer changes (see multimodal.py for
+# the stub pattern).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(F.array_distinct(tokens), marker_arr))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: score = count of distinct stopword markers
+    present; argmax over languages, ties broken by language code order,
+    'und' (undetermined) when nothing matches.
+
+    For zh (no whitespace tokens) the marker hit test also runs on
+    characters via ``contains``.
+    """
+    toks = word_tokens(text_col)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        if lang == "zh":
+            hits = [F.when(F.col(text_col).contains(m), 1).otherwise(0) for m in markers]
+            score = sum(hits[1:], hits[0])
+        else:
+            score = _marker_hits(toks, markers)
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # argmax by (score, lang): array_max on structs compares fields in
+    # order, so put score first; lang ascending would win ties wrongly
+    # reversed — invert by sorting desc on lang? Keep deterministic:
+    # max on (score, reversed-rank) — here lang string max = later code
+    # wins ties; pin with explicit priority index instead.
+    prioritized = [
+        F.struct(
+            s.getField("score").alias("score"),
+            F.lit(-i).alias("prio"),  # earlier language wins ties
+            s.getField("lang").alias("lang"),
+        )
+        for i, s in enumerate(scores)
+    ]
+    best = F.array_max(F.array(*prioritized))
+    pred = F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+    return df.withColumn(out_col, pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1]:
+
+    - ``n_tokens``, ``avg_token_len``
+    - ``punct_ratio``: punctuation chars / chars
+    - ``stopword_ratio``: english stopword tokens / tokens
+    - ``quality``: mean of three clamped signals (length, stopword
+      presence, low punctuation) — the C4/Gopher-style cheap filter.
+    """
+    toks = word_tokens(text_col)
+    n_tokens = F.size(toks)
+    text_len = F.length(text_col)
+    avg_tok = F.when(n_tokens > 0, text_len / n_tokens).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.when(text_len > 0, punct / text_len).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    len_signal = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    stop_signal = F.least(stop_ratio * 5.0, F.lit(1.0))
+    punct_signal = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
+    quality = (len_signal + stop_signal + punct_signal) / 3.0
+    return df.select(
+        *df.columns,
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate: count of
+    maximal runs matching word-piece-like units (letters / digits /
+    single punctuation), the standard pre-tokenizer regex shape."""
+    ws = F.size(word_tokens(text_col))
+    bpe_ish = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '([a-z]+|[0-9]|[^a-z0-9\\\\s])', 1)")
+    )
+    return df.select(
+        *df.columns,
+        ws.alias("ws_tokens"),
+        bpe_ish.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: full-content 60-bit digest
+    (exact-dup key) and a winnowing-style min-hash over character
+    8-gram digests (robust to small edits) — both portable md5-based."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    from ..functions import char_shingles
+
+    gram_hashes = F.transform(
+        char_shingles(text_col, 8),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    return df.select(
+        *df.columns,
+        portable_hash64(norm).alias("content_fp"),
+        F.array_min(gram_hashes).alias("min_gram_fp"),
+    )

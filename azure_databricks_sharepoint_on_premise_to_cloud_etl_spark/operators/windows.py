@@ -1,0 +1,70 @@
+"""Window-function operators (SURVEY.md section 2.6).
+
+W1/W2: top-1-per-group via row_number (the reference's pattern,
+code/ukg_open_census_old.py:140-142, :175-177).
+W3: next-row lookup — the reference implements this as an 18-line
+boundary-equality self-join (code/ukg_open_census_old.py:716-735);
+``F.lead`` over a window is the idiomatic one-pass replacement: one
+shuffle on the partition key instead of a self-join's two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top1_per_group(
+    df: DataFrame, partition_cols: list[str], order_col: str, latest: bool = True
+) -> DataFrame:
+    """One row per group: latest (W1) or earliest (W2) by ``order_col``.
+
+    Ties broken deterministically by the remaining columns so results
+    are oracle-stable.  Single shuffle on ``partition_cols``.
+    """
+    ordering = [
+        F.col(order_col).desc() if latest else F.col(order_col).asc(),
+        *[F.col(c) for c in df.columns if c != order_col and c not in partition_cols],
+    ]
+    w = Window.partitionBy(*partition_cols).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_next(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_cols: dict[str, str],
+) -> DataFrame:
+    """Attach next-row values per group (W3/J6).
+
+    ``value_cols`` maps source column -> new column name, e.g.
+    ``{"startTime": "next_zone_dttm"}``.  Replaces the reference's
+    as-of self-join (code/ukg_open_census_old.py:716-735).  Pass a
+    unique ``order_cols`` suffix (e.g. an id) for deterministic output
+    under timestamp ties.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    out = df
+    for src, dst in value_cols.items():
+        out = out.withColumn(dst, F.lead(src).over(w))
+    return out
+
+
+def rank_topk_per_group(
+    df: DataFrame, partition_cols: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group (generalized W1; also the inner loop of the
+    similarity-search operators). Deterministic given a total order."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,1051 @@
+"""Named query catalog — the driver-facing coverage surface.
+
+Each entry implements one (or a cluster of) SURVEY.md section-2
+operators against the driver testdata tables and has a DuckDB oracle
+producing byte-identical results (column names aliased identically on
+both sides; doubles rounded in-query so cross-engine float summation
+order can't flip the hash).
+
+Conventions:
+- every callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+- purely relational queries whose SQL is dialect-shared run the SAME
+  text through Spark SQL and DuckDB (zero drift risk);
+- operator-library queries exercise the DataFrame-API implementations
+  in ``operators/`` and carry a hand-derived oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import filename_embedded_ts, portable_hash64
+from .operators import dedup, hierarchy, intervals, similarity, snapshots, text, windows
+from .sources.registry import load_table, register_temp_views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Shared-dialect SQL (run verbatim in Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+# Flagship: the census-count query (code/ukg_open_census.py:331-352)
+# re-targeted at the star schema — dimension flag filter + latest
+# snapshot via scalar subquery (J8), cast-key inner join (J2),
+# high-watermark filter (T1), derived-key max join (J3/A3), group-by
+# count (A2), distinct-projection CTEs (A4/P10).
+FLAGSHIP_SQL = """
+WITH dep AS (
+    SELECT DISTINCT c_custkey, c_mktsegment, c_nationkey
+    FROM customer
+    WHERE upper(c_mktsegment) = 'BUILDING'
+      AND c_nationkey <= (SELECT max(n_nationkey) FROM nation WHERE n_regionkey <= 1)
+),
+fact AS (
+    SELECT DISTINCT o.o_orderkey, o.o_custkey, o.o_orderpriority, o.o_orderdate,
+                    d.c_nationkey
+    FROM orders o
+    INNER JOIN dep d ON CAST(o.o_custkey AS INT) = CAST(d.c_custkey AS INT)
+    WHERE o.o_orderdate > (SELECT max(l_shipdate) FROM lineitem
+                           WHERE l_shipdate < TIMESTAMP '1998-01-01')
+),
+ltst AS (
+    SELECT max(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS max_pri FROM fact
+)
+SELECT f.c_nationkey, f.o_orderdate AS run_tsp, count(f.o_orderkey) AS census_cnt
+FROM fact f
+JOIN ltst ON CAST(substr(f.o_orderpriority, 1, 1) AS BIGINT) = ltst.max_pri
+GROUP BY f.c_nationkey, f.o_orderdate
+"""
+
+
+def q_flagship_census_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(FLAGSHIP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators (SURVEY 2.3-2.5, 2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 group-by aggregate (TPC-H Q1 shape): hash aggregate with
+    map-side partial aggregation; single shuffle on the 2 group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P6/P8/P9 + F2: conjunctive filters on an upper-cased
+    column, derived/cast columns, CASE WHEN labeling.  All predicates
+    push to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .filter(F.upper(F.col("o_orderpriority")) != "5-LOW")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            # round(.,3): the exact decimal product has 3 decimals, so no
+            # cross-engine rounding-boundary exists (SURVEY 7.5 risk 5)
+            F.round(F.col("o_totalprice") * 1.1, 3).alias("taxed_price"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("pri_digit"),
+            F.when(F.col("o_totalprice") > 200000, F.lit("BIG"))
+            .otherwise(F.lit("SMALL"))
+            .alias("size_class"),
+        )
+    )
+
+
+ORACLE_FILTER_PROJECT = """
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       round(o_totalprice * 1.1, 3) AS taxed_price,
+       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri_digit,
+       CASE WHEN o_totalprice > 200000 THEN 'BIG' ELSE 'SMALL' END AS size_class
+FROM orders
+WHERE o_orderstatus = 'O' AND upper(o_orderpriority) <> '5-LOW'
+  AND o_totalprice IS NOT NULL
+"""
+
+
+def q_top1_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest row per group via row_number window; deterministic
+    orderkey tie-break."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    return windows.top1_per_group(o, ["o_custkey"], "o_orderdate", latest=True)
+
+
+ORACLE_TOP1 = """
+SELECT o_custkey, o_orderdate, o_orderkey FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+    FROM orders) t
+WHERE rn = 1
+"""
+
+
+def q_next_event_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: next-row lookup via lead() — replaces the reference's as-of
+    self-join (J6). One shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    led = windows.with_next(e, ["user_id"], ["ts", "event_id"], {"ts": "next_ts"})
+    return led.filter(F.col("user_id") < 20)
+
+
+ORACLE_LEAD = """
+SELECT user_id, ts, event_id,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_ts
+FROM events
+QUALIFY user_id < 20
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/T2: processed-ledger anti-join (distributed replacement of
+    the reference's Python set difference)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    no_orders = snapshots.unprocessed_only(c, o, "c_custkey")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: membership semi-join (the reference's collect-to-list
+    qualifier filter, kept in-plane)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    members = snapshots.member_only(c, big, "c_custkey")
+    return members.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+ORACLE_SEMI = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+GROUP BY c_nationkey
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/P10: unionByName + distinct (the reference's positional
+    union-then-distinct, standardized on by-name resolution)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 7000).select("c_custkey", "c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_nationkey")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_UNION = """
+SELECT c_nationkey, count(*) AS n_customers FROM (
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 7000
+    UNION
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) t GROUP BY c_nationkey
+"""
+
+
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/J8: high-watermark incremental gate as a broadcast one-row
+    join (no driver round-trip)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wm_src = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    fresh = snapshots.high_watermark_filter(li, "l_shipdate", wm_src, "o_orderdate")
+    return fresh.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_WATERMARK = """
+SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY l_returnflag
+"""
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/T3/M5: RUN_ID-versioned latest-snapshot read. run_id derived
+    as year(o_orderdate) to emulate the reference's versioned appends."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "run_id", F.year("o_orderdate").cast("long")
+    )
+    latest = snapshots.latest_snapshot(o, "run_id")
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_LATEST_SNAPSHOT = """
+SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+def q_latest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/A3/F2: latest-batch-only selection on a derived batch key
+    (the ltst_file CTE pattern, code/ukg_open_census.py:344-349)."""
+    o = load_table(spark, sf_dir, "orders")
+    latest = snapshots.latest_batch_only(
+        o, F.date_trunc("month", F.col("o_orderdate"))
+    )
+    return latest.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+ORACLE_LATEST_BATCH = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE date_trunc('month', o_orderdate) =
+      (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy / intervals / time (SURVEY 2.4 J4-J7, 2.9)
+# ---------------------------------------------------------------------------
+
+
+def _location_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize 6-level location paths from the star schema (the
+    reference's Org/Region/Facility/CostCenter/Unit/Dept shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "c_custkey",
+            F.concat_ws(
+                "/",
+                F.lit("org"),
+                F.col("r_name"),
+                F.col("n_name"),
+                F.col("c_mktsegment"),
+                F.concat(F.lit("u"), (F.col("c_custkey") % 7).cast("string")),
+                F.concat(F.lit("d"), (F.col("c_custkey") % 3).cast("string")),
+            ).alias("location"),
+        )
+    )
+
+
+_LOC_SQL = """
+    SELECT c_custkey,
+           concat_ws('/', 'org', r_name, n_name, c_mktsegment,
+                     concat('u', CAST(c_custkey % 7 AS VARCHAR)),
+                     concat('d', CAST(c_custkey % 3 AS VARCHAR))) AS location
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_hierarchical_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/U1/U2: exact -> prefix-5 -> prefix-4 fallback join, union of
+    all levels then distinct, with native prefix expressions in the
+    join keys (no UDF — codegen + hash-partitionable)."""
+    facts = _location_facts(spark, sf_dir)
+    exact = facts.filter(F.col("c_custkey") % 11 == 0).select(
+        F.col("location").alias("zone_loc"), F.lit("exact").alias("zone_lvl")
+    )
+    from .functions import prefix_path
+
+    lvl5 = (
+        facts.filter(F.col("c_custkey") % 5 == 0)
+        .select(prefix_path("location", 5).alias("zone_loc"))
+        .distinct()
+        .withColumn("zone_lvl", F.lit("lvl5"))
+    )
+    lvl4 = (
+        facts.filter(F.col("c_custkey") % 2 == 0)
+        .select(prefix_path("location", 4).alias("zone_loc"))
+        .distinct()
+        .withColumn("zone_lvl", F.lit("lvl4"))
+    )
+    dims = exact.unionByName(lvl5).unionByName(lvl4)
+    joined = hierarchy.hierarchical_fallback_join(
+        facts, dims, "location", "zone_loc", levels=(4, 5)
+    )
+    return joined.groupBy("zone_lvl").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("c_custkey")).alias("n_custs"),
+    )
+
+
+ORACLE_HIERARCHICAL = f"""
+WITH facts AS ({_LOC_SQL}),
+dims AS (
+    SELECT location AS zone_loc, 'exact' AS zone_lvl FROM facts WHERE c_custkey % 11 = 0
+    UNION ALL
+    SELECT DISTINCT array_to_string((string_split(location, '/'))[1:5], '/') AS zone_loc,
+           'lvl5' AS zone_lvl
+    FROM facts WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT DISTINCT array_to_string((string_split(location, '/'))[1:4], '/') AS zone_loc,
+           'lvl4' AS zone_lvl
+    FROM facts WHERE c_custkey % 2 = 0
+),
+matched AS (
+    SELECT DISTINCT c_custkey, location, zone_lvl FROM (
+        SELECT f.c_custkey, f.location, d.zone_lvl
+        FROM facts f JOIN dims d ON f.location = d.zone_loc
+        UNION ALL
+        SELECT f.c_custkey, f.location, d.zone_lvl FROM facts f
+        JOIN dims d ON array_to_string((string_split(f.location, '/'))[1:4], '/') = d.zone_loc
+        UNION ALL
+        SELECT f.c_custkey, f.location, d.zone_lvl FROM facts f
+        JOIN dims d ON array_to_string((string_split(f.location, '/'))[1:5], '/') = d.zone_loc
+    ) u
+)
+SELECT zone_lvl, count(*) AS n_rows, count(DISTINCT c_custkey) AS n_custs
+FROM matched GROUP BY zone_lvl
+"""
+
+
+def q_rolling_window_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: 7-day rolling-window plan projection as
+    explode(sequence(0..7)) — in-plane replacement for the reference's
+    Python double loop (code/ukg_open_census.py:153-156)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.groupBy("event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("eff_dt")
+    )
+    expanded = intervals.rolling_window_expand(base, 7, ["eff_dt"])
+    return expanded.select("event_type", "day_offset", "eff_dt")
+
+
+ORACLE_ROLLING = """
+WITH base AS (
+    SELECT event_type, date_trunc('day', min(ts)) AS eff_dt FROM events GROUP BY event_type
+)
+SELECT event_type, off AS day_offset, eff_dt + to_days(CAST(off AS INT)) AS eff_dt
+FROM base, unnest(range(0, 8)) AS t(off)
+"""
+
+
+def _event_zones(e: DataFrame) -> DataFrame:
+    """Derive schedule-zone-like daily intervals from events: one zone
+    per (event_type, day) spanning 08:00-20:00."""
+    return (
+        e.select("event_type", F.date_trunc("day", F.col("ts")).alias("zone_day"))
+        .distinct()
+        .withColumn("start_tm", F.col("zone_day") + F.expr("INTERVAL 8 HOURS"))
+        .withColumn("end_tm", F.col("zone_day") + F.expr("INTERVAL 20 HOURS"))
+    )
+
+
+_ZONES_SQL = """
+    SELECT DISTINCT event_type, date_trunc('day', ts) AS zone_day,
+           date_trunc('day', ts) + INTERVAL 8 HOUR AS start_tm,
+           date_trunc('day', ts) + INTERVAL 20 HOUR AS end_tm
+    FROM events
+"""
+
+
+def q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/P7: event-in-interval join — equi key (event_type) +
+    range predicate, zone side broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    zones = _event_zones(e)
+    joined = intervals.interval_containment_join(
+        e, zones, ["event_type"], "ts", "start_tm", "end_tm"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_zone"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH zones AS ({_ZONES_SQL})
+SELECT e.event_type, count(*) AS n_in_zone, round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN zones z ON e.event_type = z.event_type
+            AND e.ts BETWEEN z.start_tm AND z.end_tm
+GROUP BY e.event_type
+"""
+
+
+def q_actual_plan_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/P8: ACTUAL/PLAN interval classification
+    (code/ukg_open_census.py:729-730): same-day zone join, label by
+    containment."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "zone_day", F.date_trunc("day", F.col("ts"))
+    )
+    zones = _event_zones(load_table(spark, sf_dir, "events"))
+    j = e.join(F.broadcast(zones), ["event_type", "zone_day"], "inner")
+    labeled = j.withColumn(
+        "label",
+        intervals.actual_plan_label(F.col("ts"), F.col("start_tm"), F.col("end_tm")),
+    )
+    return labeled.groupBy("event_type", "label").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+ORACLE_ACTUAL_PLAN = f"""
+WITH zones AS ({_ZONES_SQL})
+SELECT e.event_type,
+       CASE WHEN e.ts >= z.start_tm AND e.ts <= z.end_tm
+            THEN 'ACTUAL' ELSE 'PLAN' END AS label,
+       count(*) AS n_events
+FROM events e
+JOIN zones z ON e.event_type = z.event_type
+            AND date_trunc('day', e.ts) = z.zone_day
+GROUP BY 1, 2
+"""
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 streaming-ready formulation: tumbling 1-hour window aggregate
+    via F.window (identical under readStream + withWatermark)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = intervals.tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return agg.select("event_type", "window_start", "n_events", "sum_value")
+
+
+ORACLE_TUMBLING = """
+SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum), 30-minute gap;
+    output session/event counts per user."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    s = intervals.sessionize(e, "ts", ["user_id"], gap="INTERVAL 30 MINUTE")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+s AS (
+    SELECT user_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON / nested normalization (SURVEY 2.1 S4, 2.8 F14/F15)
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: schema-declared JSON parsing (from_json, never inference)
+    of the events.props document column."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("props_struct", F.from_json(F.col("props"), "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("props_struct").getField("k")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/F15 + S4 normalization round-trip: nest lineitems into
+    array<struct> per order (the master/child document shape of
+    code/ukg_wrkload_dtl.py:142-177), then explode + struct-field
+    access back to flat rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("items")
+    )
+    exploded = nested.select(
+        "l_orderkey", F.explode("items").alias("it")
+    ).select(
+        "l_orderkey",
+        F.col("it").getField("l_quantity").alias("qty"),
+        F.col("it").getField("l_extendedprice").alias("price"),
+    )
+    return exploded.filter(F.col("qty") > 25).groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_big_items"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_NESTED = """
+SELECT l_orderkey, count(*) AS n_big_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_quantity > 25 GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (extension operators)
+# ---------------------------------------------------------------------------
+
+_DUCK_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def _duck_hash(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of functions.portable_hash64 (md5 60-bit)."""
+    inner = f"concat('{seed}:', {expr})" if seed is not None else expr
+    return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on a 60-bit content digest —
+    the shuffle moves digests, not documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d)
+
+
+ORACLE_EXACT_DEDUP = f"""
+SELECT {_duck_hash(_DUCK_NORM, 0)} AS content_hash,
+       length({_DUCK_NORM}) AS content_len,
+       min(doc_id) AS canonical_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1, 2
+"""
+
+_MINHASH_K = 5
+_MINHASH_N = 16
+_MINHASH_BANDS = 4
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates: narrow signature
+    computation (higher-order functions), one equi-keyed self-join on
+    (band_id, band_key)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+
+
+def _minhash_oracle() -> str:
+    shingle = (
+        f"list_distinct([substr(t, CAST(i AS INT), {_MINHASH_K}) "
+        f"for i in range(1, greatest(length(t) - {_MINHASH_K - 1}, 1) + 1)])"
+    )
+    sig_cols = ",\n       ".join(
+        f"list_min([{_duck_hash('s', seed)} for s in shingles]) AS sig_{seed}"
+        for seed in range(_MINHASH_N)
+    )
+    rows = _MINHASH_N // _MINHASH_BANDS
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws('_', {cols}) AS band_key FROM sig".format(
+            b=b, cols=", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents),
+sh AS (SELECT doc_id, {shingle} AS shingles FROM norm),
+sig AS (SELECT doc_id, {sig_cols} FROM sh),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard pairs >= 0.6 (inverted-index
+    explode-join shape; at 100 TB this runs on LSH candidates only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, k=5, threshold=0.6)
+
+
+ORACLE_JACCARD = f"""
+WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([substr(t, CAST(i AS INT), 5)
+                             for i in range(1, greatest(length(t) - 4, 1) + 1)]) AS s
+       FROM norm)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+_SIMHASH_BITS = 32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints over distinct word tokens — narrow,
+    UDF-free, portable-hash based."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=_SIMHASH_BITS)
+
+
+def _simhash_oracle() -> str:
+    toks = "list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))"
+    hashes = f"[{_duck_hash('t')} for t in {toks}]"
+    bit_terms = "\n     + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x & {1 << b}) <> 0)) > len(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hashes} AS hs FROM documents)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.9)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, threshold=0.9)
+
+
+_DUCK_COSINE = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+ORACLE_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DUCK_COSINE.format(a="a.embedding", b="b.embedding")}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DUCK_COSINE.format(a="a.embedding", b="b.embedding")} >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors: broadcast probes,
+    stream the corpus once, window top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.brute_force_topk(e, probes, k=10)
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
+                FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT p.probe_id, e.vec_id,
+           round({_DUCK_COSINE.format(a="e.embedding", b="p.pv")}, 6) AS cosine
+    FROM embeddings e CROSS JOIN probes p
+)
+SELECT probe_id, vec_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored) t
+WHERE rn <= 10
+"""
+
+_LSH_PLANES = 4
+_LSH_DIM = 64
+_LSH_SEED = 42
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing; probes only
+    meet same-bucket vectors (equi-join, never a cross product)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        e, probes, k=10, dim=_LSH_DIM, num_planes=_LSH_PLANES, seed=_LSH_SEED
+    )
+
+
+def _lsh_oracle() -> str:
+    planes = similarity.make_planes(_LSH_DIM, _LSH_PLANES, _LSH_SEED)
+    def bucket(vec: str) -> str:
+        bits = []
+        for i, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({vec}, {arr}), "
+                f"z -> CAST(z[1] AS DOUBLE) * z[2]))"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, embedding AS pv, {bucket('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT p.probe_id, c.vec_id,
+           round({_DUCK_COSINE.format(a="c.embedding", b="p.pv")}, 6) AS cosine
+    FROM c JOIN probes p ON c.bucket = p.bucket
+)
+SELECT probe_id, vec_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored) t
+WHERE rn <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID; output is the (true lang, predicted
+    lang) confusion matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = text.language_id(d)
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _langid_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    score_exprs = []
+    langs = sorted(text.LANG_MARKERS)
+    for lang in langs:
+        markers = text.LANG_MARKERS[lang]
+        if lang == "zh":
+            parts = " + ".join(
+                f"(CASE WHEN contains(text, '{m}') THEN 1 ELSE 0 END)" for m in markers
+            )
+        else:
+            parts = " + ".join(
+                f"(CASE WHEN list_contains(tk, '{m}') THEN 1 ELSE 0 END)"
+                for m in markers
+            )
+        score_exprs.append(f"({parts}) AS score_{lang}")
+    # priority: earlier language in sorted order wins ties
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{other}" for other in langs[i + 1 :]]
+        prior = [f"score_{lang} > score_{other}" for other in langs[:i]]
+        all_conds = prior + conds
+        cond = " AND ".join(all_conds) if all_conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE WHEN " + " AND ".join(
+        f"score_{lang} = 0" for lang in langs
+    ) + " THEN 'und' " + " ".join(cases) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, text, {toks} AS tk FROM documents),
+scores AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM toks)
+SELECT lang, {case_sql} AS lang_pred, count(*) AS n_docs
+FROM scores GROUP BY 1, 2
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.quality_score(d).drop("text")
+
+
+def _quality_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    stop_list = "[" + ", ".join(f"'{m}'" for m in text.LANG_MARKERS["en"]) + "]"
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, {toks} AS tk,
+           length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+           length(text) AS text_len
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           CASE WHEN len(tk) > 0 THEN CAST(text_len AS DOUBLE) / len(tk) ELSE 0.0 END AS avg_token_len_raw,
+           CASE WHEN text_len > 0 THEN CAST(punct AS DOUBLE) / text_len ELSE 0.0 END AS punct_ratio_raw,
+           CASE WHEN len(tk) > 0
+                THEN CAST(len(list_filter(tk, x -> list_contains({stop_list}, x))) AS DOUBLE) / len(tk)
+                ELSE 0.0 END AS stop_ratio_raw
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       round(avg_token_len_raw, 6) AS avg_token_len,
+       round(punct_ratio_raw, 6) AS punct_ratio,
+       round(stop_ratio_raw, 6) AS stopword_ratio,
+       round((least(n_tokens / 50.0, 1.0)
+              + least(stop_ratio_raw * 5.0, 1.0)
+              + (1.0 - least(punct_ratio_raw * 10.0, 1.0))) / 3.0, 6) AS quality
+FROM feat
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.token_counts(d).drop("text")
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]|[^a-z0-9\\s])', 1)) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digest + min-8-gram fingerprint per document."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.fingerprint(d).drop("text")
+
+
+def _fingerprint_oracle() -> str:
+    shingles8 = (
+        "[substr(t, CAST(i AS INT), 8) "
+        "for i in range(1, greatest(length(t) - 7, 1) + 1)]"
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents)
+SELECT doc_id,
+       {_duck_hash('t', 0)} AS content_fp,
+       list_min([{_duck_hash('s')} for s in list_distinct({shingles8})]) AS min_gram_fp
+FROM norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batched metadata extract)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: encode text to a binary payload
+    column, extract typed metadata via Arrow-batched mapInPandas (the
+    decode step itself is a deterministic stub — see
+    operators/multimodal.py)."""
+    from .operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    with_blob = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return multimodal.extract_meta(with_blob, "payload", id_col="doc_id")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 AS fake_width,
+       (octet_length(encode(text)) * 7) % 480 AS fake_height,
+       3 AS channels
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "flagship_census_count": q_flagship_census_count,
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "top1_latest_order": q_top1_latest_order,
+    "next_event_lead": q_next_event_lead,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "union_distinct": q_union_distinct,
+    "watermark_filter": q_watermark_filter,
+    "latest_snapshot": q_latest_snapshot,
+    "latest_batch": q_latest_batch,
+    "hierarchical_fallback": q_hierarchical_fallback,
+    "rolling_window_expand": q_rolling_window_expand,
+    "interval_containment": q_interval_containment,
+    "actual_plan_label": q_actual_plan_label,
+    "tumbling_window": q_tumbling_window,
+    "sessionize": q_sessionize,
+    "json_extract": q_json_extract,
+    "nested_explode": q_nested_explode,
+    "exact_dedup": q_exact_dedup,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "embedding_near_dup": q_embedding_near_dup,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_lsh": q_cosine_topk_lsh,
+    "language_id": q_language_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "flagship_census_count": FLAGSHIP_SQL,
+        "pricing_summary": ORACLE_PRICING,
+        "filter_project": ORACLE_FILTER_PROJECT,
+        "top1_latest_order": ORACLE_TOP1,
+        "next_event_lead": ORACLE_LEAD,
+        "anti_join": ORACLE_ANTI,
+        "semi_join": ORACLE_SEMI,
+        "union_distinct": ORACLE_UNION,
+        "watermark_filter": ORACLE_WATERMARK,
+        "latest_snapshot": ORACLE_LATEST_SNAPSHOT,
+        "latest_batch": ORACLE_LATEST_BATCH,
+        "hierarchical_fallback": ORACLE_HIERARCHICAL,
+        "rolling_window_expand": ORACLE_ROLLING,
+        "interval_containment": ORACLE_CONTAINMENT,
+        "actual_plan_label": ORACLE_ACTUAL_PLAN,
+        "tumbling_window": ORACLE_TUMBLING,
+        "sessionize": ORACLE_SESSIONIZE,
+        "json_extract": ORACLE_JSON,
+        "nested_explode": ORACLE_NESTED,
+        "exact_dedup": ORACLE_EXACT_DEDUP,
+        "minhash_lsh_pairs": _minhash_oracle(),
+        "ngram_jaccard": ORACLE_JACCARD,
+        "simhash": _simhash_oracle(),
+        "embedding_near_dup": ORACLE_NEAR_DUP,
+        "cosine_topk": ORACLE_COSINE_TOPK,
+        "cosine_topk_lsh": _lsh_oracle(),
+        "language_id": _langid_oracle(),
+        "quality_score": _quality_oracle(),
+        "token_count": ORACLE_TOKEN_COUNT,
+        "fingerprint": _fingerprint_oracle(),
+        "multimodal_meta": ORACLE_MULTIMODAL,
+    }

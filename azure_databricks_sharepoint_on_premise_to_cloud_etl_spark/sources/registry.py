@@ -1,0 +1,59 @@
+"""Table registry over the driver-provided parquet testdata.
+
+Replaces the reference's metastore table scans (S3:
+``spark.read.format("delta").table("ukg.ukg_dept_bus_strctr")``,
+code/ukg_open_census.py:55) with a thin parquet-directory registry.
+Tables load lazily; filters/projections push down to the parquet scan
+(Catalyst handles PushedFilters / ReadSchema — verified in tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table (S3 analog). Lazy; no action triggered.
+
+    The events table stores parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a long
+    of nanos, converted here to a microsecond TimestampType (floor
+    division — matches DuckDB's ns->us truncation).  The conf is set at
+    runtime so the engine works under ANY caller-provided SparkSession
+    (the driver builds its own), not just sessions from session.py.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every testdata table into a dict keyed by name."""
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` queries can
+    reference them by bare name (mirrors the reference's metastore
+    usage, e.g. code/ukg_open_census.py:334-349)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
