@@ -63,6 +63,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(groups, id_col, "left_semi")
 
 
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h+b stays < 2^62 (no BIGINT overflow in any engine)
+
+
+def minhash_perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal-hash
+    permutations, identical across engines."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -72,33 +87,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over character k-gram shingles.
 
-    For hash seed i, ``sig[i] = min over shingles of H(i, shingle)``
-    with H = portable md5-based 60-bit hash.  Entirely narrow: shingling
-    and the per-seed minima are higher-order functions evaluated inside
-    the row, no shuffle, no UDF.
+    Each shingle is hashed ONCE with the portable md5 digest (the only
+    expensive op), reduced mod 2^31-1; the ``num_hashes`` signature
+    slots are cheap universal-hash permutations ``(a_i*h + b_i) mod p``
+    of that base value — integer arithmetic inside codegen, so cost is
+    ~1 md5/shingle regardless of signature width.  Entirely narrow:
+    no shuffle, no UDF.
+
+    NB: HOF lambdas here take exactly one parameter — Spark passes the
+    element index to two-parameter lambdas, which would corrupt seeds.
     """
-    shingled = df.select(
-        F.col(id_col), char_shingles(text_col, k).alias("__shingles")
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            char_shingles(text_col, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        ).alias("__base"),
     )
 
-    # NB: the lambda must take exactly one parameter — Spark passes the
-    # element index to two-parameter HOF lambdas, which would silently
-    # corrupt the seed.
-    def seeded_hasher(seed: int):
-        prefix = f"{seed}:"
-
-        def h(s):
-            return F.conv(
-                F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 15), 16, 10
-            ).cast("long")
-
-        return h
+    def permuted(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
     sig_cols = [
-        F.array_min(F.transform(F.col("__shingles"), seeded_hasher(i))).alias(f"sig_{i}")
-        for i in range(num_hashes)
+        F.array_min(F.transform(F.col("__base"), permuted(a, b))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
     ]
-    return shingled.select(F.col(id_col), *sig_cols)
+    return base.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(

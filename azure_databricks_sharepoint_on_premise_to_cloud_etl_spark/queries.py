@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .functions import filename_embedded_ts, portable_hash64
 from .operators import dedup, hierarchy, intervals, similarity, snapshots, text, windows
-from .sources.registry import load_table, register_temp_views
+from .sources.registry import load_table, rebalance, register_temp_views
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -62,7 +62,7 @@ GROUP BY f.c_nationkey, f.o_orderdate
 
 
 def q_flagship_census_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, ("customer", "nation", "orders", "lineitem"))
     return spark.sql(FLAGSHIP_SQL)
 
 
@@ -653,7 +653,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates: narrow signature
     computation (higher-order functions), one equi-keyed self-join on
     (band_id, band_key)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
     return dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
 
@@ -663,9 +663,11 @@ def _minhash_oracle() -> str:
         f"list_distinct([substr(t, CAST(i AS INT), {_MINHASH_K}) "
         f"for i in range(1, greatest(length(t) - {_MINHASH_K - 1}, 1) + 1)])"
     )
+    p = dedup.MINHASH_P
+    base = f"[{_duck_hash('s')} % {p} for s in shingles]"
     sig_cols = ",\n       ".join(
-        f"list_min([{_duck_hash('s', seed)} for s in shingles]) AS sig_{seed}"
-        for seed in range(_MINHASH_N)
+        f"list_min([({a} * h + {b}) % {p} for h in hs]) AS sig_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_perm_params(_MINHASH_N))
     )
     rows = _MINHASH_N // _MINHASH_BANDS
     bands = "\nUNION ALL\n".join(
@@ -677,7 +679,8 @@ def _minhash_oracle() -> str:
     return f"""
 WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents),
 sh AS (SELECT doc_id, {shingle} AS shingles FROM norm),
-sig AS (SELECT doc_id, {sig_cols} FROM sh),
+basehash AS (SELECT doc_id, {base} AS hs FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM basehash),
 banded AS ({bands})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
@@ -688,7 +691,7 @@ FROM banded a JOIN banded b
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-5-gram Jaccard pairs >= 0.6 (inverted-index
     explode-join shape; at 100 TB this runs on LSH candidates only)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(d, k=5, threshold=0.6)
 
 

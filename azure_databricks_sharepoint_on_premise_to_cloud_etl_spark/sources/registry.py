@@ -46,14 +46,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow compute-heavy stage across all cores.
+
+    At production scale input splits provide parallelism for free; the
+    small test fixtures arrive as ONE parquet file -> one partition, so
+    per-row-expensive operators (hashing, shingling, vector math) would
+    run single-threaded.  Repartition only when under-parallelized —
+    a no-op shuffle is never added to an already-wide input.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan every testdata table into a dict keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 
 
-def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all tables as temp views so ``spark.sql`` queries can
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Register tables as temp views so ``spark.sql`` queries can
     reference them by bare name (mirrors the reference's metastore
-    usage, e.g. code/ukg_open_census.py:334-349)."""
-    for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(name)
+    usage, e.g. code/ukg_open_census.py:334-349).  Pass the subset a
+    query actually touches — registration reads parquet footers."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

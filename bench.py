@@ -1,0 +1,94 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + lightweight touch of every
+row via a no-op aggregation on the collected count) so lazy plans can't
+game the timing.  A warmup action first amortizes JVM/codegen startup
+out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship pipeline shape plus one representative of
+# every operator family that matters at scale.  Quadratic all-pairs ops
+# (ngram_jaccard, embedding_near_dup) are excluded — their scale path
+# is LSH, which IS benchmarked (minhash_lsh_pairs, cosine_topk_lsh).
+BENCH_QUERIES = [
+    "flagship_census_count",
+    "pricing_summary",
+    "filter_project",
+    "top1_latest_order",
+    "anti_join",
+    "watermark_filter",
+    "latest_snapshot",
+    "hierarchical_fallback",
+    "interval_containment",
+    "tumbling_window",
+    "sessionize",
+    "json_extract",
+    "nested_explode",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "language_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.session import get_spark
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the biggest table once (JVM + codegen + FS cache)
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall seconds at sf",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
