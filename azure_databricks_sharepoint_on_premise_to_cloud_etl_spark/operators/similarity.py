@@ -119,19 +119,23 @@ def lsh_topk(
 
     The corpus->bucket map is computed once (narrow); the probe-corpus
     meet is an equi-join on bucket id — shuffle keyed and broadcastable,
-    never a cross join.  Recall is tuned by ``num_planes`` (fewer planes
-    = bigger buckets = higher recall, more compute); multi-probe (flip
-    one bit) is the standard extension when recall at high num_planes
-    matters.
+    never a cross join.  Recall tuning: ``num_planes`` (fewer planes =
+    bigger buckets = higher recall, more compute) and multi-probe —
+    each probe also visits every bucket one hyperplane-flip away, the
+    standard rescue for neighbors split by a plane boundary.
     """
     from .windows import rank_topk_per_group
 
     planes = make_planes(dim, num_planes, seed)
     c = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    home = hyperplane_bucket(F.col(vec_col), planes)
+    probe_buckets = F.array(
+        home, *[home.bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+    )
     p = probes.select(
         F.col(probe_id_col),
         F.col(vec_col).alias("__probe_vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        F.explode(probe_buckets).alias("__bucket"),
     )
     scored = c.join(F.broadcast(p), "__bucket").select(
         F.col(probe_id_col),

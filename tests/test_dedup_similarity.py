@@ -1,0 +1,127 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "The  quick brown fox jumps over the lazy dog"),  # ws/case dup
+            (4, "a completely different document about spark engines"),
+            (5, "the quick brown fox leaps over the lazy dog"),  # near dup
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_exact_dedup_normalization(spark):
+    out = dedup.exact_dedup(_docs(spark))
+    # 1,2,3 collapse (case/whitespace-insensitive); canonical = min id
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    sigs = dedup.minhash_signatures(_docs(spark))
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # exact dups always collide
+    assert (1, 5) in got  # near dup shares bands
+    assert (1, 4) not in got  # unrelated docs don't
+
+
+def test_jaccard_verify_filters_candidates(spark):
+    docs = _docs(spark)
+    sigs = dedup.minhash_signatures(docs)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    verified = dedup.jaccard_verify_pairs(cands, docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 5) in got and got[(1, 5)] >= 0.5
+
+
+def test_ngram_jaccard_direct_matches_verify(spark):
+    docs = _docs(spark)
+    direct = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in direct.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(2, 3)] == 1.0
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
+    assert out[1] == out[2]  # identical docs -> identical fingerprint
+    ham_near = bin(out[1] ^ out[5]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far  # near dup closer than unrelated doc
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # near 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_brute_force_topk_ordering(spark):
+    corpus = _vecs(spark)
+    probes = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(corpus, probes, k=3)
+    ranked = [r["vec_id"] for r in out.orderBy(F.desc("cosine")).collect()]
+    assert ranked == [1, 2, 3]  # self, near, orthogonal; opposite excluded by k
+
+
+def test_embedding_near_dup_pairs_threshold(spark):
+    pairs = dedup.embedding_near_dup_pairs(_vecs(spark), threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, tmp_path):
+    # on the real embeddings fixture: LSH top-10 must recall most of
+    # the exact top-10 (same-bucket probes; 4 planes -> 16 buckets)
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(e, probes, k=10)
+    approx = similarity.lsh_topk(e, probes, k=10)
+    ex = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3  # LSH is approximate; buckets shrink recall
+    # the probe itself is always in its own bucket
+    assert all((p, p) in ap for p in range(3))
+
+
+def test_multimodal_meta_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "héllo")], "doc_id LONG, text STRING"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = {r["doc_id"]: r for r in multimodal.extract_meta(df, "payload").collect()}
+    assert out[1]["n_bytes"] == 5
+    assert out[2]["n_bytes"] == 6  # é is 2 bytes in utf-8
+    assert out[1]["channels"] == 3
+
+
+def test_multimodal_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"\x89PNG")

@@ -1,0 +1,159 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import (
+    batching,
+    hierarchy,
+    intervals,
+    snapshots,
+    windows,
+)
+
+
+def test_latest_snapshot(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (2, "e")], "run_id LONG, v STRING"
+    )
+    out = snapshots.latest_snapshot(df)
+    assert sorted(r["v"] for r in out.collect()) == ["c", "d", "e"]
+
+
+def test_high_watermark_filter(spark):
+    data = spark.createDataFrame(
+        [(dt.datetime(2023, 1, i),) for i in range(1, 6)], "ts TIMESTAMP"
+    )
+    wm = spark.createDataFrame([(dt.datetime(2023, 1, 3),)], "done TIMESTAMP")
+    out = snapshots.high_watermark_filter(data, "ts", wm, "done")
+    assert out.count() == 2  # strictly newer: Jan 4, Jan 5
+
+
+def test_unprocessed_only_anti_join(spark):
+    new = spark.createDataFrame([("f1",), ("f2",), ("f3",)], "file_nm STRING")
+    ledger = spark.createDataFrame([("f2",)], "file_nm STRING")
+    out = snapshots.unprocessed_only(new, ledger, "file_nm")
+    assert sorted(r["file_nm"] for r in out.collect()) == ["f1", "f3"]
+
+
+def test_latest_batch_only(spark):
+    df = spark.createDataFrame(
+        [("RWBFILE_230412120000.csv", 1), ("RWBFILE_230412150000.csv", 2),
+         ("RWBFILE_230412150000.csv", 3)],
+        "file_nm STRING, v INT",
+    )
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.functions import (
+        filename_embedded_ts,
+    )
+
+    out = snapshots.latest_batch_only(df, filename_embedded_ts("file_nm"))
+    assert sorted(r["v"] for r in out.collect()) == [2, 3]
+
+
+def test_top1_per_group_latest_and_earliest(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("b", 2, "z")], "g STRING, t INT, v STRING"
+    )
+    latest = windows.top1_per_group(df, ["g"], "t", latest=True)
+    assert {(r["g"], r["v"]) for r in latest.collect()} == {("a", "y"), ("b", "z")}
+    earliest = windows.top1_per_group(df, ["g"], "t", latest=False)
+    assert {(r["g"], r["v"]) for r in earliest.collect()} == {("a", "x"), ("b", "z")}
+
+
+def test_with_next_lead(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "g STRING, t INT"
+    )
+    out = windows.with_next(df, ["g"], ["t"], {"t": "next_t"}).collect()
+    vals = {(r["g"], r["t"]): r["next_t"] for r in out}
+    assert vals[("a", 1)] == 2
+    assert vals[("a", 2)] is None
+    assert vals[("b", 5)] is None
+
+
+def test_rolling_window_expand_row_count(spark):
+    # rows_out == rows_in * (w+1) (SURVEY section 5 property)
+    df = spark.createDataFrame(
+        [(dt.datetime(2023, 4, 12),), (dt.datetime(2023, 4, 13),)], "d TIMESTAMP"
+    )
+    out = intervals.rolling_window_expand(df, 7, ["d"])
+    assert out.count() == 2 * 8
+    # offsets shift the date by exactly offset days
+    r = out.filter(F.col("day_offset") == 3).orderBy("d").first()
+    assert r["d"] == dt.datetime(2023, 4, 15)
+
+
+def test_hierarchical_fallback_join_levels(spark):
+    facts = spark.createDataFrame(
+        [("c1", "org/e/ny/cc1/u1/d1"), ("c2", "org/e/ny/cc2/u9/d9")],
+        "k STRING, loc STRING",
+    )
+    dims = spark.createDataFrame(
+        [("org/e/ny/cc1/u1/d1", "exact"), ("org/e/ny/cc2", "lvl4")],
+        "zone STRING, lvl STRING",
+    )
+    out = hierarchy.hierarchical_fallback_join(facts, dims, "loc", "zone")
+    got = {(r["k"], r["lvl"]) for r in out.collect()}
+    # c1 matches at exact level; c2 only via its 4-segment prefix
+    assert got == {("c1", "exact"), ("c2", "lvl4")}
+
+
+def test_fallback_join_exploded_equivalent(spark):
+    facts = spark.createDataFrame(
+        [("c1", "org/e/ny/cc1/u1/d1"), ("c2", "org/e/ny/cc2/u9/d9")],
+        "k STRING, loc STRING",
+    )
+    dims = spark.createDataFrame(
+        [("org/e/ny/cc1/u1/d1", "exact"), ("org/e/ny/cc2", "lvl4")],
+        "zone STRING, lvl STRING",
+    )
+    a = hierarchy.hierarchical_fallback_join(facts, dims, "loc", "zone")
+    b = hierarchy.fallback_join_exploded(facts, dims, "loc", "zone")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_interval_containment_join(spark):
+    events = spark.createDataFrame(
+        [("a", dt.datetime(2023, 1, 1, 9)), ("a", dt.datetime(2023, 1, 1, 22))],
+        "k STRING, ts TIMESTAMP",
+    )
+    zones = spark.createDataFrame(
+        [("a", dt.datetime(2023, 1, 1, 8), dt.datetime(2023, 1, 1, 20))],
+        "k STRING, s TIMESTAMP, e TIMESTAMP",
+    )
+    out = intervals.interval_containment_join(events, zones, ["k"], "ts", "s", "e")
+    assert out.count() == 1
+
+
+def test_sessionize_gap(spark):
+    base = dt.datetime(2023, 1, 1, 0, 0)
+    rows = [(1, base), (1, base + dt.timedelta(minutes=10)),
+            (1, base + dt.timedelta(hours=2)), (2, base)]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = intervals.sessionize(df, "ts", ["user_id"])
+    per_user = (
+        out.groupBy("user_id").agg(F.max("session_id").alias("n")).collect()
+    )
+    got = {r["user_id"]: r["n"] for r in per_user}
+    assert got == {1: 2, 2: 1}
+
+
+def test_generate_batches():
+    assert batching.generate_batches([1, 2, 3, 4, 5], 2) == [[1, 2], [3, 4], [5]]
+
+
+def test_run_batched_with_retry_shrink_to_one():
+    # batch [3,4] fails as a pair; element retry isolates the poison item
+    calls = []
+
+    def action(batch):
+        calls.append(list(batch))
+        if 4 in batch:
+            raise RuntimeError("poison")
+
+    report = batching.run_batched_with_retry([1, 2, 3, 4], action, batch_size=2)
+    assert report.succeeded == [1, 2, 3]
+    assert [x for x, _ in report.failed] == [4]
+    # shrink-to-1 retried 3 and 4 individually after [3,4] failed
+    assert [3] in calls and [4] in calls

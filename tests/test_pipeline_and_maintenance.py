@@ -1,0 +1,143 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import maintenance
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.plans import census
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sinks import writers
+
+NOW = dt.datetime(2023, 4, 12, 15, 30, tzinfo=dt.timezone.utc)
+
+
+def _mapping(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, "Yes", "org/e/ny/cc1/u1/d1"),
+            (1, 11, "no", "org/e/ny/cc2/u2/d2"),
+            (2, 10, "YES", "org/e/ny/cc1/u1/d1"),
+            (2, 12, "yes", "org/e/ny/cc3/u3/d3"),
+        ],
+        "run_id LONG, epic_dept_id LONG, frcst_yn STRING, dept_bus_strctr STRING",
+    )
+
+
+def _census(spark):
+    rows = [
+        ("101", "10", "RWBFILE_230412150000.csv", dt.datetime(2023, 4, 12, 15, 0)),
+        ("102", "10", "RWBFILE_230412150000.csv", dt.datetime(2023, 4, 12, 15, 0)),
+        ("103", "12", "RWBFILE_230412150000.csv", dt.datetime(2023, 4, 12, 15, 0)),
+        # older file: dropped by latest-batch selection
+        ("104", "10", "RWBFILE_230412120000.csv", dt.datetime(2023, 4, 12, 12, 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "pat_enc_csn_id STRING, encntr_dept_id STRING, file_nm STRING, run_tsp TIMESTAMP"
+    )
+
+
+def _zones(spark):
+    return spark.createDataFrame(
+        [
+            (dt.date(2023, 4, 12), dt.date(2024, 1, 1), "org/e/ny/cc1/u1/d1",
+             "Days", "07:00:00", "19:00:00"),
+            # overnight zone at prefix-4 level
+            (dt.date(2023, 4, 12), dt.date(2024, 1, 1), "org/e/ny/cc3",
+             "Nights", "19:00:00", "07:00:00"),
+        ],
+        "effective_date DATE, expiration_date DATE, location STRING, "
+        "zone_name STRING, start_time STRING, end_time STRING",
+    )
+
+
+def test_census_counts_snapshot_and_latest_batch(spark):
+    counts = census.census_counts(spark, _census(spark), _mapping(spark), None)
+    got = {(r["dept_bus_strctr"], r["census_cnt"]) for r in counts.collect()}
+    # run_id=2 snapshot: depts 10,12 forecast-enabled; latest file only
+    assert got == {("org/e/ny/cc1/u1/d1", 2), ("org/e/ny/cc3/u3/d3", 1)}
+
+
+def test_census_counts_watermark_gate(spark):
+    posted = spark.createDataFrame(
+        [(dt.datetime(2023, 4, 12, 15, 0),)], "census_dttm TIMESTAMP"
+    )
+    counts = census.census_counts(spark, _census(spark), _mapping(spark), posted)
+    assert counts.count() == 0  # nothing strictly newer than the watermark
+
+
+def test_plan_zones_overnight_and_rowcount(spark):
+    planned = census.plan_zones(_zones(spark), rolling_window=7)
+    assert planned.count() == 2 * 8
+    assert planned.filter(F.col("end_tm") < F.col("start_tm")).count() == 0
+
+
+def test_full_pipeline_with_post_and_audit(spark, tmp_path):
+    audit_path = str(tmp_path / "audit")
+    posts = []
+
+    def transport(url, body):
+        posts.append(body)
+        return 201, "created"
+
+    run = census.run_census_pipeline(
+        spark,
+        _census(spark),
+        _mapping(spark),
+        _zones(spark),
+        posted=None,
+        post_url="http://ukg/api",
+        transport=transport,
+        audit_path=audit_path,
+        run_id=writers.make_run_id(NOW),
+        now=NOW,
+    )
+    rows = run.labeled.collect()
+    # cc1 dept matches exact-level zone, cc3 dept matches prefix-4 zone
+    assert {r["zone_name"] for r in rows} == {"Days", "Nights"}
+    # 15:00 is inside 07-19 Days -> ACTUAL; for future-day replicas -> PLAN
+    labels = {(r["zone_name"], r["day_offset"], r["actual"]) for r in rows}
+    assert ("Days", 0, "ACTUAL") in labels
+    assert ("Days", 1, "PLAN") in labels
+    assert run.post_result is not None and run.post_result.report.ok
+    assert spark.read.parquet(audit_path).count() == len(rows)
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for i in range(5):
+        spark.createDataFrame([(i,)], "v INT").write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    maintenance.compact(spark, path)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after < before
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_retention_delete(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    old = NOW - dt.timedelta(days=100)
+    writers.append_versioned(
+        spark.createDataFrame([(1,)], "v INT"), path,
+        run_id=writers.make_run_id(old), now=old,
+    )
+    writers.append_versioned(
+        spark.createDataFrame([(2,)], "v INT"), path,
+        run_id=writers.make_run_id(NOW), now=NOW,
+    )
+    kept = maintenance.retention_delete(
+        spark, path, retention_days=30, now=NOW
+    )
+    assert kept == 1
+    assert spark.read.parquet(path).first()["v"] == 2
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
