@@ -715,7 +715,7 @@ _SIMHASH_BITS = 32
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints over distinct word tokens — narrow,
     UDF-free, portable-hash based."""
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     return dedup.simhash(d, bits=_SIMHASH_BITS)
 
 
@@ -842,7 +842,7 @@ WHERE rn <= 10
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID; output is the (true lang, predicted
     lang) confusion matrix."""
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     pred = text.language_id(d)
     return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -965,7 +965,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py)."""
     from .operators import multimodal
 
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     with_blob = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )

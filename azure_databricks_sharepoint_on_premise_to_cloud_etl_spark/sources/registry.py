@@ -52,12 +52,18 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     At production scale input splits provide parallelism for free; the
     small test fixtures arrive as ONE parquet file -> one partition, so
     per-row-expensive operators (hashing, shingling, vector math) would
-    run single-threaded.  Repartition only when under-parallelized —
-    a no-op shuffle is never added to an already-wide input.
+    run single-threaded.  Repartition only when under-parallelized.
+    The check uses inputFiles() (a metadata lookup, ~free) rather than
+    df.rdd.getNumPartitions(), which forces RDD conversion and costs
+    ~1s of plan translation per call.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = target  # non-file-scan plans: assume wide enough
+    if width < target:
         return df.repartition(target)
     return df
 
