@@ -60,13 +60,17 @@ def fallback_join_exploded(
     fact_path_col: str,
     dim_path_col: str,
     levels: tuple[int, ...] = (4, 5),
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Same semantics as :func:`hierarchical_fallback_join` as ONE join:
     explode each fact into its candidate keys (exact + each prefix),
     equi-join once on the candidate key, distinct.
 
-    Preferred at scale when the dim side is too large to broadcast —
-    one shuffle keyed on the composite instead of N join passes.
+    One pass over facts instead of N join passes.  ``broadcast_dims``
+    (default: zone tables are dimension-sized) pins the broadcast-hash
+    strategy — dims built from aggregates have no stats, and Catalyst
+    would otherwise fall back to a sort-merge join; pass False for a
+    genuinely large dim side to get the shuffle join.
     """
     cands = F.array_distinct(
         F.array(
@@ -76,6 +80,8 @@ def fallback_join_exploded(
     )
     exploded = facts.withColumn("__cand", F.explode(cands))
     d = dims.withColumnRenamed(dim_path_col, "__cand")
+    if broadcast_dims:
+        d = F.broadcast(d)
     return exploded.join(d, "__cand", "inner").drop("__cand").distinct()
 
 

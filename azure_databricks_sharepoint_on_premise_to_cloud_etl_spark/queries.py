@@ -346,10 +346,13 @@ _LOC_SQL = """
 
 
 def q_hierarchical_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4/U1/U2: exact -> prefix-5 -> prefix-4 fallback join, union of
-    all levels then distinct, with native prefix expressions in the
-    join keys (no UDF — codegen + hash-partitionable)."""
-    facts = _location_facts(spark, sf_dir)
+    """J4/U1/U2: exact -> prefix-5 -> prefix-4 fallback join with
+    native prefix expressions in the join keys (no UDF — codegen +
+    hash-partitionable).  Uses the single-pass exploded-key form
+    (one scan of facts, one join) — proven row-equivalent to the
+    union-of-3-joins form in tests/test_operators.py; facts cached
+    since the dim levels derive from it 3 ways."""
+    facts = _location_facts(spark, sf_dir).cache()
     exact = facts.filter(F.col("c_custkey") % 11 == 0).select(
         F.col("location").alias("zone_loc"), F.lit("exact").alias("zone_lvl")
     )
@@ -368,7 +371,7 @@ def q_hierarchical_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zone_lvl", F.lit("lvl4"))
     )
     dims = exact.unionByName(lvl5).unionByName(lvl4)
-    joined = hierarchy.hierarchical_fallback_join(
+    joined = hierarchy.fallback_join_exploded(
         facts, dims, "location", "zone_loc", levels=(4, 5)
     )
     return joined.groupBy("zone_lvl").agg(

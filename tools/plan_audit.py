@@ -1,0 +1,56 @@
+"""Physical-plan audit: flag optimizer anti-patterns in every query.
+
+Checks each queries() entry's formatted plan for:
+- BatchEvalPython (row-at-a-time Python UDF — forbidden in hot paths)
+- CartesianProduct (unkeyed all-pairs join)
+- SortMergeJoin (at fixture scale everything should broadcast;
+  informational — SMJ is correct when both sides are large)
+- scan/exchange counts (re-computation smells)
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.session import get_spark
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, fn in q.QUERIES.items():
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        flags = []
+        if re.search(r"BatchEvalPython", plan):
+            flags.append("ROW-PYTHON-UDF")
+        if re.search(r"CartesianProduct", plan):
+            flags.append("CARTESIAN")
+        if re.search(r"SortMergeJoin", plan):
+            flags.append("sort-merge-join(info)")
+        scans = len(re.findall(r"Scan parquet", plan))
+        if scans > 16:
+            flags.append(f"many-scans({scans})")
+        status = "FLAG" if flags else "ok"
+        if flags:
+            bad += 1
+        print(f"{status} {name}: scans={scans} {' '.join(flags)}")
+    print(f"\n{bad} queries flagged" if bad else "\nplan audit clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
