@@ -1,0 +1,70 @@
+"""Skew mitigation and co-location utilities (SURVEY section 4 /
+build-plan scale notes).
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime
+skew; these helpers cover the two cases AQE can't:
+
+- **salted aggregation**: a groupBy whose key distribution is so hot
+  that even one key's partial aggregate overwhelms a task.  Two-phase:
+  salt the key with a small random suffix, partially aggregate on
+  (key, salt), then finish on key.  Correct for any reassociatable
+  aggregate (count/sum/min/max).
+- **bucketed co-located join**: pre-shuffle both tables into the same
+  bucket layout so repeated joins on the key are exchange-free
+  (the metastore analog of the reference's normalized master/child
+  tables always joining on the same keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (partial_agg_expr, final_agg_expr),
+    e.g. ``{"n": (F.count(F.lit(1)), F.sum("n")), "mx": (F.max("v"),
+    F.max("mx"))}``.  The salt spreads one hot key over
+    ``salt_buckets`` tasks in phase 1; phase 2 reduces the (at most)
+    ``salt_buckets`` partial rows per key.
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist with a bucket layout so future equi-joins/aggregations
+    on ``bucket_cols`` skip the exchange entirely (verified by the
+    absence of Exchange in the join plan — tests/test_skew.py)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key —
+    plans as a zero-shuffle sort-merge join."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

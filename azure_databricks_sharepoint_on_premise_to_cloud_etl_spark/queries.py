@@ -1394,3 +1394,58 @@ _EXTENSION_ORACLES = {
     "asof_boundary_join": ORACLE_ASOF,
     "bigram_freq": ORACLE_BIGRAM,
 }
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T6 as REAL Structured Streaming: readStream over the events
+    parquet, watermarked tumbling-window counts, drained with
+    Trigger.AvailableNow into a memory sink, returned as the final
+    batch result.  Same oracle as the batch tumbling_window query —
+    the two formulations must agree exactly."""
+    import os
+    import tempfile
+
+    from .streaming import incremental
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    raw = spark.readStream.schema(schema).parquet(
+        _stream_dir_for(sf_dir, "events")
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("event_type"),
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_tumbling_ckpt_")
+    incremental.run_to_memory_sink(agg, "stream_tumbling_out", ckpt)
+    return spark.table("stream_tumbling_out")
+
+
+def _stream_dir_for(sf_dir: str, table: str) -> str:
+    """The streaming file source requires a DIRECTORY; expose the
+    single-file fixture through a temp dir of symlinks."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"stream_src_{table}_")
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    os.symlink(src, os.path.join(d, f"{table}.parquet"))
+    return d
+
+
+QUERIES["streaming_tumbling"] = q_streaming_tumbling
+_EXTENSION_ORACLES["streaming_tumbling"] = ORACLE_TUMBLING
