@@ -1449,3 +1449,135 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
 
 QUERIES["streaming_tumbling"] = q_streaming_tumbling
 _EXTENSION_ORACLES["streaming_tumbling"] = ORACLE_TUMBLING
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash signatures -> LSH
+    candidate pairs -> connected components (iterative min-label
+    propagation, operators/graph.py).  Output: one row per document
+    with its duplicate-cluster id (min doc_id in the cluster).
+
+    The oracle computes the same components with a DuckDB RECURSIVE
+    CTE over the identical candidate-pair set — an iterative Spark
+    algorithm checked against a recursive SQL fixpoint.
+    """
+    from .operators.graph import connected_components
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+    return connected_components(pairs, d.select("doc_id"))
+
+
+def _components_oracle() -> str:
+    pairs = _minhash_oracle().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach (src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id,
+             coalesce((SELECT min(dst) FROM reach WHERE src = d.doc_id),
+                      d.doc_id)) AS component
+FROM documents d
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (beyond the reference's
+    aggregate surface; Spark `percentile` == DuckDB `quantile_cont`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus, DataFrame-native: token explode ->
+    per-doc term frequency -> document-frequency join -> idf weight;
+    returns terms with tfidf >= 0.02 per document (doc_id < 200).
+
+    Two hash aggregates + one broadcast join; no UDFs, no ML-lib
+    dependency — the plan a 100 TB corpus needs (df table is
+    vocabulary-sized -> broadcast)."""
+    from .functions import word_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; one cheap job (document count is metadata-stable)
+    toks = d.select("doc_id", F.explode(word_tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(doc_len), "doc_id")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") / F.col("doc_len"))
+                * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    return scored.filter((F.col("tfidf") >= 0.02) & (F.col("doc_id") < 200)).select(
+        "doc_id", "term", "tf", "tfidf"
+    )
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+doc_len AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+df_tbl AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT t.doc_id, t.term, t.tf,
+       round((CAST(t.tf AS DOUBLE) / dl.doc_len)
+             * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+FROM tf t JOIN df_tbl d USING (term) JOIN doc_len dl USING (doc_id), n
+WHERE round((CAST(t.tf AS DOUBLE) / dl.doc_len)
+            * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) >= 0.02
+  AND t.doc_id < 200
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_components": q_dedup_components,
+        "percentiles": q_percentiles,
+        "tfidf_top_terms": q_tfidf_top_terms,
+    }
+)
+_EXTENSION_ORACLES.update(
+    {
+        "dedup_components": _components_oracle(),
+        "percentiles": ORACLE_PERCENTILES,
+        "tfidf_top_terms": ORACLE_TFIDF,
+    }
+)
