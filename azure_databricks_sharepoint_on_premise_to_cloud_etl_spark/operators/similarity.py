@@ -186,3 +186,95 @@ def brute_force_topk_pandas(
 
     schema = f"probe_id long, {id_col} long, cosine double"
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+
+
+def centroid_scores(vec: Column, centroids: DataFrame, id_col: str, vec_col: str):
+    """(internal) list of (centroid_id, cosine) structs for a vector —
+    centroids collected once (they are k rows) and inlined as literals
+    so assignment is a pure expression, broadcast-free."""
+    rows = centroids.select(id_col, vec_col).collect()
+    entries = []
+    for r in rows:
+        arr = F.array(*[F.lit(float(x)) for x in r[vec_col]])
+        entries.append(
+            F.struct(
+                F.round(cosine_sim(vec, arr), 6).alias("score"),
+                F.lit(r[id_col]).alias("cid"),
+            )
+        )
+    return entries
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "ivf_bucket",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF-flat posting
+    list).  Ties break to the lower centroid id via the struct
+    comparison (score first, then -cid)."""
+    entries = centroid_scores(F.col(vec_col), centroids, id_col, vec_col)
+    keyed = [
+        F.struct(
+            e.getField("score").alias("score"),
+            (-e.getField("cid")).alias("neg_cid"),
+            e.getField("cid").alias("cid"),
+        )
+        for e in entries
+    ]
+    best = F.array_max(F.array(*keyed))
+    return df.withColumn(bucket_col, best.getField("cid"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF-flat ANN with deterministic sampled centroids: the first
+    ``n_centroids`` corpus vectors (by id) act as centroids; each
+    corpus vector joins its nearest centroid's posting list; probes
+    scan their ``nprobe`` nearest lists.
+
+    Scale shape: assignment is narrow (centroids inlined as literals);
+    the probe-corpus meet is an equi-join on the centroid id — the same
+    join geometry as a production IVF index over k-means centroids
+    (swap the centroid source; the plan is unchanged).
+    """
+    from .windows import rank_topk_per_group
+
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    c = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    entries = centroid_scores(F.col(vec_col), centroids, id_col, vec_col)
+    keyed = [
+        F.struct(
+            e.getField("score").alias("score"),
+            (-e.getField("cid")).alias("neg_cid"),
+            e.getField("cid").alias("cid"),
+        )
+        for e in entries
+    ]
+    top_lists = F.slice(F.reverse(F.array_sort(F.array(*keyed))), 1, nprobe)
+    p = probes.select(
+        F.col(probe_id_col),
+        F.col(vec_col).alias("__probe_vec"),
+        F.explode(F.transform(top_lists, lambda s: s.getField("cid"))).alias(
+            "ivf_bucket"
+        ),
+    )
+    scored = c.join(F.broadcast(p), "ivf_bucket").select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), F.col("__probe_vec")), 6).alias("cosine"),
+    )
+    return rank_topk_per_group(
+        scored, [probe_id_col], [F.col("cosine").desc(), F.col(id_col).asc()], k
+    )

@@ -1581,3 +1581,84 @@ _EXTENSION_ORACLES.update(
         "tfidf_top_terms": ORACLE_TFIDF,
     }
 )
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic sampled centroids (first 16 corpus
+    vectors), nearest-centroid posting lists, probes scan their 4
+    nearest lists.  Same join geometry as a k-means IVF index — the
+    centroid source is swappable without changing the plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.ivf_topk(e, probes, k=10, nprobe=4, n_centroids=16)
+
+
+def _ivf_oracle() -> str:
+    cos_ec = _DUCK_COSINE.format(a="e.embedding", b="c.cv")
+    cos_sc = _DUCK_COSINE.format(a="c2.embedding", b="p.pv")
+    return f"""
+WITH centroids AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+assign AS (
+    SELECT e.vec_id, c.cid, round({cos_ec}, 6) AS score,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+),
+corpus_assign AS (SELECT vec_id, cid AS ivf_bucket FROM assign WHERE rn = 1),
+probe_lists AS (
+    SELECT vec_id AS probe_id, cid AS ivf_bucket FROM assign
+    WHERE rn <= 4 AND vec_id < 5
+),
+scored AS (
+    SELECT pl.probe_id, c2.vec_id, round({cos_sc}, 6) AS cosine
+    FROM probe_lists pl
+    JOIN corpus_assign ca ON ca.ivf_bucket = pl.ivf_bucket
+    JOIN embeddings c2 ON c2.vec_id = ca.vec_id
+    JOIN (SELECT vec_id, embedding AS pv FROM embeddings) p ON p.vec_id = pl.probe_id
+)
+SELECT probe_id, vec_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored) t
+WHERE rn <= 10
+"""
+
+
+def q_time_reanchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (code/ukg_open_census_old.py:105-106): re-anchor timestamps
+    to the hour boundary as a formatted string, the reference's
+    '{date} HH:00:00' reshaping — plus parse back to timestamp."""
+    e = load_table(spark, sf_dir, "events")
+    anchored = e.select(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:00:00").alias("hour_str"),
+    ).withColumn("hour_ts", F.to_timestamp("hour_str"))
+    return anchored.groupBy("event_type", "hour_str", "hour_ts").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+ORACLE_TIME_REANCHOR = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d %H:00:00') AS hour_str,
+       CAST(strftime(ts, '%Y-%m-%d %H:00:00') AS TIMESTAMP) AS hour_ts,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update(
+    {
+        "cosine_topk_ivf": q_cosine_topk_ivf,
+        "time_reanchor": q_time_reanchor,
+    }
+)
+_EXTENSION_ORACLES.update(
+    {
+        "cosine_topk_ivf": _ivf_oracle(),
+        "time_reanchor": ORACLE_TIME_REANCHOR,
+    }
+)
