@@ -41,9 +41,13 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # localCheckpoint each generation: iterative plans otherwise embed
+    # every previous iteration's joins, so analysis/codegen memory and
+    # plan size grow without bound (the classic iterative-Spark trap —
+    # this is what blew the heap at sf0.1 before truncation).
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         # neighbor's current label, min-reduced per node
         neighbor_min = (
@@ -59,8 +63,8 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

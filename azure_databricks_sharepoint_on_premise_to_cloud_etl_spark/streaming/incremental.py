@@ -106,3 +106,27 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def drain_foreach_batch_to_parquet(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_path: str,
+    output_mode: str = "update",
+) -> None:
+    """AvailableNow drain through foreachBatch into parquet — unlike
+    the memory sink, foreachBatch supports checkpoint RECOVERY, so
+    stateful queries can resume the same checkpoint across drains
+    (how a production incremental job runs)."""
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.awaitTermination()

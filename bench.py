@@ -47,6 +47,17 @@ BENCH_QUERIES = [
     "token_count",
     "fingerprint",
     "multimodal_meta",
+    "join_3way",
+    "rollup_agg",
+    "percentiles",
+    "running_sum",
+    "asof_boundary_join",
+    "bigram_freq",
+    "tfidf_top_terms",
+    "dedup_components",
+    "cosine_topk_ivf",
+    "time_reanchor",
+    "scalar_functions",
 ]
 
 
