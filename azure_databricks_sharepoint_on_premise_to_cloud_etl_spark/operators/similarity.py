@@ -188,21 +188,35 @@ def brute_force_topk_pandas(
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
 
 
-def centroid_scores(vec: Column, centroids: DataFrame, id_col: str, vec_col: str):
-    """(internal) list of (centroid_id, cosine) structs for a vector —
-    centroids collected once (they are k rows) and inlined as literals
-    so assignment is a pure expression, broadcast-free."""
-    rows = centroids.select(id_col, vec_col).collect()
-    entries = []
-    for r in rows:
-        arr = F.array(*[F.lit(float(x)) for x in r[vec_col]])
-        entries.append(
-            F.struct(
-                F.round(cosine_sim(vec, arr), 6).alias("score"),
-                F.lit(r[id_col]).alias("cid"),
-            )
-        )
-    return entries
+def centroid_assignments(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_n: int = 1,
+) -> DataFrame:
+    """(internal) nearest-``top_n`` centroids per vector: broadcast the
+    k centroid rows, score one cosine per (vector, centroid) pair, rank
+    with a window.  One cosine expression in codegen regardless of k —
+    inlining k cosines as literals compiles k copies of the dot product
+    and is measurably slower.  Ties break to the lower centroid id.
+    Returns (id_col, ivf_bucket, rank)."""
+    from .windows import rank_topk_per_group
+
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col("__cid").alias("ivf_bucket"),
+        F.round(cosine_sim(F.col(vec_col), F.col("__cvec")), 6).alias("__score"),
+    )
+    return rank_topk_per_group(
+        scored,
+        [id_col],
+        [F.col("__score").desc(), F.col("ivf_bucket").asc()],
+        top_n,
+    ).drop("__score")
 
 
 def ivf_assign(
@@ -213,19 +227,11 @@ def ivf_assign(
     bucket_col: str = "ivf_bucket",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF-flat posting
-    list).  Ties break to the lower centroid id via the struct
-    comparison (score first, then -cid)."""
-    entries = centroid_scores(F.col(vec_col), centroids, id_col, vec_col)
-    keyed = [
-        F.struct(
-            e.getField("score").alias("score"),
-            (-e.getField("cid")).alias("neg_cid"),
-            e.getField("cid").alias("cid"),
-        )
-        for e in entries
-    ]
-    best = F.array_max(F.array(*keyed))
-    return df.withColumn(bucket_col, best.getField("cid"))
+    list)."""
+    assigned = centroid_assignments(df, centroids, id_col, vec_col, top_n=1)
+    if bucket_col != "ivf_bucket":
+        assigned = assigned.withColumnRenamed("ivf_bucket", bucket_col)
+    return df.join(assigned, id_col)
 
 
 def ivf_topk(
@@ -253,23 +259,13 @@ def ivf_topk(
     centroids = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
     c = ivf_assign(corpus, centroids, id_col, vec_col)
 
-    entries = centroid_scores(F.col(vec_col), centroids, id_col, vec_col)
-    keyed = [
-        F.struct(
-            e.getField("score").alias("score"),
-            (-e.getField("cid")).alias("neg_cid"),
-            e.getField("cid").alias("cid"),
-        )
-        for e in entries
-    ]
-    top_lists = F.slice(F.reverse(F.array_sort(F.array(*keyed))), 1, nprobe)
-    p = probes.select(
-        F.col(probe_id_col),
-        F.col(vec_col).alias("__probe_vec"),
-        F.explode(F.transform(top_lists, lambda s: s.getField("cid"))).alias(
-            "ivf_bucket"
-        ),
+    probe_lists = centroid_assignments(
+        probes, centroids.withColumnRenamed(id_col, probe_id_col),
+        probe_id_col, vec_col, top_n=nprobe,
     )
+    p = probes.select(
+        F.col(probe_id_col), F.col(vec_col).alias("__probe_vec")
+    ).join(probe_lists, probe_id_col)
     scored = c.join(F.broadcast(p), "ivf_bucket").select(
         F.col(probe_id_col),
         F.col(id_col),
