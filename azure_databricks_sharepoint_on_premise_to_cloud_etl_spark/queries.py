@@ -1693,3 +1693,27 @@ _EXTENSION_ORACLES.update(
         "time_reanchor": ORACLE_TIME_REANCHOR,
     }
 )
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct-value collection as a sorted array aggregate (the
+    in-plane form of the reference's distinct-collect,
+    code/ukg_open_census.py:823) plus count_distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_AGG_COLLECT = """
+SELECT o_orderstatus,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["agg_collect"] = q_agg_collect
+_EXTENSION_ORACLES["agg_collect"] = ORACLE_AGG_COLLECT
