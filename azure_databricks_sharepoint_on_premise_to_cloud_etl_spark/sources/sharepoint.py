@@ -60,21 +60,47 @@ def write_last_modified(
     ).write.mode("overwrite").parquet(_control_path(control_dir, key))
 
 
+def check_modified(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    control_dir: str,
+    key: str,
+) -> RemoteFile | None:
+    """T4 gate, check side only: fetch and return the file when its
+    mtime is newer than the persisted watermark, else None (skip the
+    pipeline — the reference's early-exit,
+    code/download_from_sharepoint.py:104-124).  Does NOT advance the
+    watermark — call :func:`commit_last_modified` after the ingest
+    succeeds, so a failed ingest is retried on the next run instead of
+    being skipped forever."""
+    remote = fetcher()
+    prev = read_last_modified(spark, control_dir, key)
+    if prev is not None and remote.last_modified <= prev:
+        return None
+    return remote
+
+
+def commit_last_modified(
+    spark: SparkSession, control_dir: str, key: str, remote: RemoteFile
+) -> None:
+    """Advance the change-gate watermark — only after downstream
+    persistence succeeded (same ordering discipline as the
+    POST-success-gated audit, R6)."""
+    write_last_modified(spark, control_dir, key, remote.last_modified)
+
+
 def fetch_if_modified(
     spark: SparkSession,
     fetcher: Fetcher,
     control_dir: str,
     key: str,
 ) -> RemoteFile | None:
-    """T4 gate: fetch only when the remote mtime is newer than the
-    persisted watermark; update the watermark on ingest.  Returns None
-    (skip the pipeline) when unchanged — the reference's early-exit
-    (code/download_from_sharepoint.py:104-124)."""
-    remote = fetcher()
-    prev = read_last_modified(spark, control_dir, key)
-    if prev is not None and remote.last_modified <= prev:
-        return None
-    write_last_modified(spark, control_dir, key, remote.last_modified)
+    """Check + eager commit in one call — for pipelines whose ingest
+    cannot fail after the gate.  Prefer check_modified/commit_last_modified
+    when anything between the gate and persistence can raise."""
+    remote = check_modified(spark, fetcher, control_dir, key)
+    if remote is not None:
+        commit_last_modified(spark, control_dir, key, remote)
     return remote
 
 

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.snapshots import (
+    latest_snapshot,
+)
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.plans import mapping
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.sharepoint import (
+    RemoteFile,
+)
+
+CSV_V1 = (
+    b"EPIC_DEPT_ID,DEPT_BUS_STRCTR,FRCST_YN,MWOD_YES_NO,STF_MATRX_YES_NO\n"
+    b"10,org/e/ny/cc1/u1/d1,Yes,yes,YES\n"
+    b",org/e/ny/cc2/u2/d2,No,no,NO\n"          # NULL key -> dropped
+    b"12,,Yes,yes,NO\n"                         # NULL key -> dropped
+    b"13,org/e/ny/cc3/u3/d3,no,yes,YES\n"
+)
+CSV_V2 = (
+    b"EPIC_DEPT_ID,DEPT_BUS_STRCTR,FRCST_YN,MWOD_YES_NO,STF_MATRX_YES_NO\n"
+    b"10,org/e/ny/cc1/u1/d1,Yes,yes,YES\n"
+)
+
+
+def test_refresh_mapping_full_cycle(spark, tmp_path):
+    control = str(tmp_path / "control")
+    table = str(tmp_path / "mapping")
+    t1 = dt.datetime(2023, 4, 12, 14, 30)
+    t2 = t1 + dt.timedelta(days=1)
+    state = {"content": CSV_V1, "mtime": t1}
+
+    def fetcher():
+        return RemoteFile(content=state["content"], last_modified=state["mtime"])
+
+    now1 = dt.datetime(2023, 4, 12, 14, 35, tzinfo=dt.timezone.utc)
+    out = mapping.refresh_mapping(spark, fetcher, control, table, now=now1)
+    assert out is not None
+    persisted = spark.read.parquet(table)
+    assert persisted.count() == 2  # null-key rows dropped
+    assert {r["epic_dept_id"] for r in persisted.collect()} == {10, 13}
+
+    # unchanged source: the whole pipeline skips (T4)
+    assert mapping.refresh_mapping(spark, fetcher, control, table, now=now1) is None
+
+    # modified source: re-ingest appends a new RUN_ID version
+    state.update(content=CSV_V2, mtime=t2)
+    now2 = dt.datetime(2023, 4, 13, 14, 35, tzinfo=dt.timezone.utc)
+    assert mapping.refresh_mapping(spark, fetcher, control, table, now=now2) is not None
+    all_rows = spark.read.parquet(table)
+    assert all_rows.count() == 3
+    latest = latest_snapshot(all_rows, "run_id")
+    assert latest.count() == 1  # latest snapshot sees only v2
+    assert latest.first()["epic_dept_id"] == 10
