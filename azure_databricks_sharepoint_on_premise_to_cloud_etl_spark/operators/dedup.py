@@ -281,12 +281,23 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force; see
     similarity.py for the LSH-bucketed scale path)."""
-    from .similarity import cosine_sim
+    from .similarity import dot, l2_norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # precompute each vector's norm BEFORE the pair join — computed
+    # once per vector instead of once per pair (3x less arithmetic on
+    # the quadratic path)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"), "inner")
-    sim = cosine_sim(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(sim, 6))
         .filter(F.col("cosine") >= threshold)

@@ -768,9 +768,11 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.9)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(e, threshold=0.9)
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the
+    fixture embeddings are random, so realistic near-dup thresholds
+    like 0.95 would make the check vacuous)."""
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return dedup.embedding_near_dup_pairs(e, threshold=0.4)
 
 
 _DUCK_COSINE = (
@@ -784,7 +786,7 @@ ORACLE_NEAR_DUP = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_DUCK_COSINE.format(a="a.embedding", b="b.embedding")}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_DUCK_COSINE.format(a="a.embedding", b="b.embedding")} >= 0.9
+WHERE round({_DUCK_COSINE.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
 """
 
 
@@ -1717,3 +1719,70 @@ FROM orders GROUP BY o_orderstatus
 
 QUERIES["agg_collect"] = q_agg_collect
 _EXTENSION_ORACLES["agg_collect"] = ORACLE_AGG_COLLECT
+
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity ESTIMATION: for each LSH candidate pair, the
+    fraction of agreeing signature slots estimates the Jaccard
+    similarity (the property that makes MinHash a sketch, not just a
+    bucketing trick).  Output joins the estimate per pair."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(_MINHASH_N)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(_MINHASH_N)],
+    )
+    agree = sum(
+        [
+            (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+            for i in range(1, _MINHASH_N)
+        ],
+        (F.col("a_0") == F.col("b_0")).cast("int"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(_MINHASH_N)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    pairs = _minhash_oracle().strip()
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(_MINHASH_N)
+    )
+    # reuse the minhash oracle's CTE chain, then join signatures back on
+    body = pairs.replace(
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
+    )
+    return f"""
+WITH pairs AS ({body})
+SELECT p.id_a, p.id_b,
+       round(({agree}) / {float(_MINHASH_N)}, 6) AS est_jaccard
+FROM pairs p
+JOIN ({_minhash_sig_sql()}) sa ON sa.doc_id = p.id_a
+JOIN ({_minhash_sig_sql()}) sb ON sb.doc_id = p.id_b
+"""
+
+
+def _minhash_sig_sql() -> str:
+    """The signature-computation CTE chain as a standalone subquery."""
+    full = _minhash_oracle()
+    # everything up to (excluding) the banded CTE, closed as a select
+    head = full.split(",\nbanded AS")[0]
+    return head.replace("WITH ", "WITH ", 1) + "\nSELECT * FROM sig"
+
+
+QUERIES["minhash_jaccard_estimate"] = q_minhash_jaccard_estimate
+_EXTENSION_ORACLES["minhash_jaccard_estimate"] = _minhash_estimate_oracle()
