@@ -210,8 +210,12 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9/T2: processed-ledger anti-join (distributed replacement of
     the reference's Python set difference)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    # ledger scoped to one year: an unscoped ledger matches every
+    # customer at this SF and the check would be vacuous (0 rows)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     no_orders = snapshots.unprocessed_only(c, o, "c_custkey")
     return no_orders.groupBy("c_mktsegment").agg(
@@ -223,7 +227,8 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANTI = """
 SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND year(o.o_orderdate) = 1995)
 GROUP BY c_mktsegment
 """
 
