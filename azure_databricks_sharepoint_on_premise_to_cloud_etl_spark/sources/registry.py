@@ -38,6 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (the driver builds its own), not just sessions from session.py.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone for every consumer of these tables: the
+    # caller may hand us a session without session.py's UTC default,
+    # and a non-UTC session shifts every collected timestamp relative
+    # to the (timezone-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

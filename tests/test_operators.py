@@ -157,3 +157,13 @@ def test_run_batched_with_retry_shrink_to_one():
     assert [x for x, _ in report.failed] == [4]
     # shrink-to-1 retried 3 and 4 individually after [3,4] failed
     assert [3] in calls and [4] in calls
+
+
+def test_union_by_name_resists_column_reorder(spark):
+    """SURVEY 7.5 risk 6: the reference's positional union silently
+    mismatches columns after withColumn chains; the engine standard is
+    unionByName, which must resolve by name regardless of order."""
+    a = spark.createDataFrame([(1, "x")], "id INT, v STRING")
+    b = spark.createDataFrame([("y", 2)], "v STRING, id INT")
+    out = a.unionByName(b).collect()
+    assert {(r["id"], r["v"]) for r in out} == {(1, "x"), (2, "y")}
