@@ -78,7 +78,8 @@ def fetch_distributed(
 ) -> DataFrame:
     """Scale path: qualifiers stay a DataFrame; each partition issues
     its own batched POSTs via mapInPandas and yields raw documents.
-    The transport must be picklable (module-level function)."""
+    The transport must survive cloudpickle: a closure, or a function
+    defined in a module importable on the workers."""
     import pandas as pd
 
     keys = list(select_keys)
