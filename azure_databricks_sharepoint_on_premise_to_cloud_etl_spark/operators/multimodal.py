@@ -51,6 +51,72 @@ def extract_meta(
     return df.select(id_col, payload_col).mapInPandas(run, schema=META_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, payload binary, out_width long, out_height long"
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: real Arrow binary-column
+    batch shape, deterministic fake kernel (truncate/pad bytes to a
+    size derived from the target box).  Swap the kernel for
+    PIL.Image.resize in production — schema and plan are unchanged."""
+    import pandas as pd
+
+    w, h = target
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            fake_len = w * h // 64  # deterministic stand-in for encoded size
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": [
+                        bytes(p)[:fake_len].ljust(fake_len, b"\0")
+                        for p in pdf[payload_col]
+                    ],
+                    "out_width": w,
+                    "out_height": h,
+                }
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one payload row fans out to
+    multiple frame rows (the 1->N batch shape ffmpeg sampling
+    produces).  Deterministic fake kernel: every ``every_n_bytes``
+    slice of the payload is a 'frame'."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     """Real decode entry point — not implementable in this container
     (no PIL/opencv). Raises by design; see module docstring."""

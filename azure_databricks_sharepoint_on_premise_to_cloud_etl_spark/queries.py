@@ -1791,3 +1791,47 @@ def _minhash_sig_sql() -> str:
 
 QUERIES["minhash_jaccard_estimate"] = q_minhash_jaccard_estimate
 _EXTENSION_ORACLES["minhash_jaccard_estimate"] = _minhash_estimate_oracle()
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: near-dup clusters (MinHash -> LSH ->
+    connected components) joined with quality scores; keep the
+    highest-quality document per cluster.  The realistic 100 TB dedup
+    output: one survivor per duplicate group, quality-ranked rather
+    than min-id."""
+    from .operators.graph import connected_components
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+    comps = connected_components(pairs, d.select("doc_id"))
+    scored = text.quality_score(d.select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    joined = comps.join(scored, "doc_id")
+    best = windows.rank_topk_per_group(
+        joined,
+        ["component"],
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        1,
+    )
+    return best.select("component", F.col("doc_id").alias("kept_doc_id"), "quality")
+
+
+def _keep_best_oracle() -> str:
+    comps = _components_oracle().strip()
+    quality = _quality_oracle().strip()
+    return f"""
+WITH comps AS ({comps}),
+q AS ({quality})
+SELECT component, doc_id AS kept_doc_id, quality FROM (
+    SELECT c.component, c.doc_id, q.quality,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+    FROM comps c JOIN q ON q.doc_id = c.doc_id
+) t WHERE rn = 1
+"""
+
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+_EXTENSION_ORACLES["dedup_keep_best"] = _keep_best_oracle()

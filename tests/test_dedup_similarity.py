@@ -125,3 +125,22 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\x89PNG")
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 100)], "doc_id LONG, text STRING"
+    ).select("doc_id", F2.encode("text", "utf-8").alias("payload"))
+    resized = {r["doc_id"]: r for r in multimodal.resize_images(df, "payload").collect()}
+    assert len(resized[1]["payload"]) == 224 * 224 // 64
+    assert resized[1]["out_width"] == 224
+    frames = multimodal.sample_frames(df, "payload", every_n_bytes=64, max_frames=8)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 4  # 300 bytes // 64 = 4 frames
+    assert len(by_doc[2]) == 1
+    assert all(len(r["frame"]) <= 64 for r in rows)
