@@ -8,9 +8,15 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# defensive: the engine package sits next to this file; make the import
+# work regardless of the caller's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as _q
 

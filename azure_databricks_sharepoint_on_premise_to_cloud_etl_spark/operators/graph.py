@@ -55,23 +55,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the previous label through the propagation frame so the
+        # convergence check is a filter over the checkpointed result,
+        # not an extra join per iteration
+        new_full = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
+                F.col("component").alias("prev_component"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(
+            F.col("component") != F.col("prev_component")
+        ).count()
+        labels = new_full.select("node", "component")
         if changed == 0:
             break
     sym.unpersist()

@@ -93,9 +93,10 @@ def main() -> int:
         dh = table_digest(dcols, drows)
         ok_hash = sh == dh
         status = "OK" if (ok_count and ok_cols and ok_hash) else "FAIL"
+        vacuous = " [WARN: 0 rows — vacuous check]" if not srows else ""
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_cols} "
-            f"hash {sh}/{dh} ({spark_s:.1f}s)"
+            f"hash {sh}/{dh} ({spark_s:.1f}s){vacuous}"
         )
         if status == "FAIL":
             failures.append(name)
