@@ -68,6 +68,11 @@ def append_versioned(
     out = with_audit_columns(df, run_id, user, now)
     writer = out.write.mode("append")
     if merge_schema:
+        # On Delta this write option performs the schema merge
+        # (code/ukg_open_census.py:763).  Plain parquet has no table
+        # schema to merge INTO — evolution happens at READ time instead
+        # (read_table(..., merge_schema=True)); the option is set for
+        # Delta-compatible deployments and harmless otherwise.
         writer = writer.option("mergeSchema", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -93,8 +98,16 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_table(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read a table; ``merge_schema=True`` is REQUIRED for tables whose
+    appends evolved the schema (K2) — a plain parquet read samples one
+    footer and may miss late-added columns depending on file order."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:

@@ -224,3 +224,20 @@ def test_notify_capturing_mailer():
     assert len(mailer.sent) == 2
     assert "expiring" in mailer.sent[0].subject
     assert "1 failure" in mailer.sent[1].subject
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """K2 on parquet: evolved appends need mergeSchema at READ time;
+    the merged read sees the union schema with NULLs backfilled."""
+    path = str(tmp_path / "evolving")
+    writers.append_versioned(
+        spark.createDataFrame([(1,)], "a INT"), path, run_id=1, now=NOW
+    )
+    writers.append_versioned(
+        spark.createDataFrame([(2, "x")], "a INT, b STRING"), path,
+        run_id=2, now=NOW, merge_schema=True,
+    )
+    merged = writers.read_table(spark, path, merge_schema=True)
+    assert {"a", "b"} <= set(merged.columns)
+    rows = {r["a"]: r["b"] for r in merged.collect()}
+    assert rows == {1: None, 2: "x"}
