@@ -82,33 +82,37 @@ def main() -> None:
     # worker pool spin-up for Arrow UDFs); we warm each query once and
     # time the second execution, which measures the plan itself.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = q.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        cold = time.time() - t0
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(
-            f"# {name}: warm {timings[name]}s (cold {cold:.2f}s, {n} rows)",
-            file=sys.stderr,
-        )
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            cold = time.time() - t0
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+            print(
+                f"# {name}: warm {timings[name]}s (cold {cold:.2f}s, {n} rows)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # one broken query must not zero the record
+            errors[name] = str(e).split("\n")[0][:200]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite steady-state wall seconds at sf",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline-suite steady-state wall seconds at sf",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
