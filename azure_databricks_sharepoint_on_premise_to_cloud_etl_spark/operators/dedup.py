@@ -273,6 +273,59 @@ def simhash(
     return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs by the pigeonhole principle: split the
+    fingerprint into ``max_hamming + 1`` blocks — two fingerprints
+    within ``max_hamming`` bits MUST agree on at least one whole block,
+    so candidates come from equi-joins on (block_id, block_value) and
+    only candidates pay the exact hamming check (bit_count of xor).
+
+    Same scale shape as MinHash banding: the only shuffle is keyed on
+    block values; the quadratic check never runs corpus-wide.
+    """
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block_id"),
+                F.shiftright(F.col(sim_col), b * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                .alias("block_val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = fingerprints.select(
+        F.col(id_col), F.col(sim_col), F.explode(blocks).alias("b")
+    ).select(id_col, sim_col, "b.block_id", "b.block_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1835,3 +1835,37 @@ SELECT component, doc_id AS kept_doc_id, quality FROM (
 
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
 _EXTENSION_ORACLES["dedup_keep_best"] = _keep_best_oracle()
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 2 over 32 bits) via the
+    pigeonhole block-join — candidates only from shared blocks, exact
+    hamming via bit_count on the survivors."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    fp = dedup.simhash(d, bits=_SIMHASH_BITS)
+    return dedup.simhash_candidate_pairs(fp, bits=_SIMHASH_BITS, max_hamming=2)
+
+
+def _simhash_pairs_oracle() -> str:
+    sim = _simhash_oracle().strip()
+    n_blocks, bits = 3, _SIMHASH_BITS
+    block_bits = bits // n_blocks  # 10 bits per block, 3 blocks (30 bits used)
+    blocks = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS block_id, "
+        f"(simhash >> {b * block_bits}) & {(1 << block_bits) - 1} AS block_val FROM fp"
+        for b in range(n_blocks)
+    )
+    return f"""
+WITH fp AS ({sim}),
+banded AS ({blocks})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.block_id = b.block_id AND a.block_val = b.block_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+QUERIES["simhash_near_pairs"] = q_simhash_near_pairs
+_EXTENSION_ORACLES["simhash_near_pairs"] = _simhash_pairs_oracle()

@@ -144,3 +144,22 @@ def test_resize_and_frame_sample_plumbing(spark):
     assert len(by_doc[1]) == 4  # 300 bytes // 64 = 4 frames
     assert len(by_doc[2]) == 1
     assert all(len(r["frame"]) <= 64 for r in rows)
+
+
+def test_simhash_candidate_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole guarantee: every pair within max_hamming must be
+    found (no false negatives); false positives are filtered by the
+    exact bit_count check."""
+    fp = dedup.simhash(_docs(spark))
+    found = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(fp, max_hamming=6).collect()
+    }
+    sims = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    brute = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for a in sims
+        for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 6
+    }
+    assert found == brute
