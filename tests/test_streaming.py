@@ -73,3 +73,46 @@ def test_session_windows_stream(spark, tmp_path):
     assert len(rows) == 2  # two sessions (3h gap splits)
     counts = sorted(r["n_events"] for r in rows)
     assert counts == [1, 2]
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Real watermark semantics (T1's streaming twin): after batch 1
+    advances event time, a batch-2 row older than the watermark is
+    DROPPED from the aggregation instead of updating its window."""
+    src = str(tmp_path / "wm_events")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    t = dt.datetime(2024, 1, 1, 10, 0)
+
+    def write(rows, mode):
+        spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, event_type STRING"
+        ).write.mode(mode).parquet(src)
+
+    def drain():
+        stream = incremental.stream_from_files(
+            spark, src, "event_id LONG, ts TIMESTAMP, event_type STRING"
+        )
+        agg = incremental.windowed_counts(stream, late_threshold="10 minutes")
+        incremental.drain_foreach_batch_to_parquet(agg, ckpt, out)
+        return spark.read.parquet(out).collect()
+
+    write([(1, t, "click"), (2, t + dt.timedelta(hours=3), "click")], "overwrite")
+    drain()  # watermark advances to ~12:50
+
+    # batch 2: one fresh row and one hopelessly late row (09:30)
+    write(
+        [(3, t + dt.timedelta(hours=3, minutes=5), "click"),
+         (4, t - dt.timedelta(minutes=30), "click")],
+        "append",
+    )
+    rows = drain()
+    by_window = {}
+    for r in rows:
+        key = (r["window_start"].hour, r["event_type"])
+        by_window[key] = max(by_window.get(key, 0), r["n_events"])
+    assert by_window[(13, "click")] == 2   # fresh row updated its window
+    # the 09:00 window was emitted once (n=1) in batch 1 and NEVER
+    # updated by the late row — still 1
+    assert by_window[(10, "click")] == 1
+    assert (9, "click") not in by_window or by_window[(9, "click")] == 0
