@@ -45,6 +45,12 @@ def high_watermark_filter(
 
     The watermark side reduces to one row, broadcast to the filter —
     no driver round-trip, works identically at 100 TB.
+
+    NB: an EMPTY watermark table yields a NULL watermark and therefore
+    zero output rows — identical to the reference's scalar-subquery
+    semantics (``ts > NULL`` is never true).  First-run bootstrap must
+    seed the watermark table (as the reference's DDL inserts do) or
+    skip the gate.
     """
     wm = watermark_df.agg(F.expr(f"max({watermark_expr})").alias("__wm"))
     return (

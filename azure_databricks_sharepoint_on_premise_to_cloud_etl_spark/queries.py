@@ -21,7 +21,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import filename_embedded_ts, portable_hash64
 from .operators import dedup, hierarchy, intervals, similarity, snapshots, text, windows
 from .sources.registry import load_table, rebalance, register_temp_views
 
