@@ -36,9 +36,13 @@ def last_path_segment(col: Column | str, sep: str = "/") -> Column:
 
 def filename_embedded_ts(col: Column | str, pos: int = 9, length: int = 12) -> Column:
     """Timestamp digits embedded in a filename, as a long (F2:
-    ``cast(substr(file_nm, 9, 12) as long)``, code/ukg_open_census.py:345,349)."""
+    ``cast(substr(file_nm, 9, 12) as long)``, code/ukg_open_census.py:345,349).
+
+    try_cast: a renamed/short filename yields NULL (and so never wins a
+    max-batch selection) instead of crashing the job under ANSI mode.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.substring(c, pos, length).cast("long")
+    return F.substring(c, pos, length).try_cast("long")
 
 
 def portable_hash64(col: Column | str, seed: int = 0) -> Column:

@@ -92,16 +92,20 @@ def census_counts(
         .select("epic_dept_id", "dept_bus_strctr")
         .distinct()
     )
+    # try_cast on the join key: bronze deliberately keeps
+    # encntr_dept_id a raw string; a malformed id must fall out of the
+    # join as NULL, not crash the run under ANSI mode
     joined = census.join(
         F.broadcast(dep),
-        census["encntr_dept_id"].cast("int") == dep["epic_dept_id"].cast("int"),
+        census["encntr_dept_id"].try_cast("int")
+        == dep["epic_dept_id"].try_cast("int"),
         "inner",
     )
     if posted is not None:
         joined = high_watermark_filter(joined, "run_tsp", posted, "census_dttm")
-    latest = latest_batch_only(
-        joined, F.substring("file_nm", 9, 12).cast("long")
-    )
+    from ..functions import filename_embedded_ts
+
+    latest = latest_batch_only(joined, filename_embedded_ts("file_nm"))
     return latest.groupBy("dept_bus_strctr", "run_tsp").agg(
         F.count("pat_enc_csn_id").alias("census_cnt")
     )

@@ -41,6 +41,7 @@ def refresh_mapping(
     table_path: str,
     now: _dt.datetime | None = None,
     required_cols: tuple[str, ...] = ("epic_dept_id", "dept_bus_strctr"),
+    probe=None,
 ) -> DataFrame | None:
     """Refresh the mapping table from the remote workbook.
 
@@ -51,7 +52,7 @@ def refresh_mapping(
     are ANSI-safe (`try_cast`); the append is RUN_ID-versioned so
     readers use ``latest_snapshot``.
     """
-    remote = check_modified(spark, fetcher, control_dir, "mapping")
+    remote = check_modified(spark, fetcher, control_dir, "mapping", probe=probe)
     if remote is None:
         return None
     raw = excel_bytes_to_df(spark, remote.content)

@@ -64,14 +64,16 @@ def ingest_workload(
     run_id: int,
     now: _dt.datetime | None = None,
     batch_size: int = 1,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "BatchReport"]:
     """Fetch + normalize + persist the workload master/child pair.
 
-    Backfill (R5) = widen ``date_start``/``date_end``; failed batches
-    are skipped by the source (R3) and surface as missing qualifiers
-    in the output, as in the reference.
+    Backfill (R5) = widen ``date_start``/``date_end``.  Failed batches
+    retry element-by-element (R2); persistent failures come back in
+    the report (R3) so the caller can alert (sinks/notify.py) — the
+    persisted run is still written, but the gap is VISIBLE, unlike a
+    silent skip.
     """
-    docs = fetch_documents(
+    docs, report = fetch_documents(
         url, transport, WORKLOAD_SELECT_KEYS, qualifiers, date_start, date_end,
         batch_size=batch_size,
     )
@@ -79,7 +81,7 @@ def ingest_workload(
     master, child = normalize_workload(doc_df)
     append_versioned(master, master_path, run_id=run_id, now=now)
     append_versioned(child, child_path, run_id=run_id, now=now)
-    return master, child
+    return master, child, report
 
 
 def ingest_staffing(

@@ -1765,13 +1765,8 @@ def _minhash_estimate_oracle() -> str:
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(_MINHASH_N)
     )
-    # reuse the minhash oracle's CTE chain, then join signatures back on
-    body = pairs.replace(
-        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
-        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b",
-    )
     return f"""
-WITH pairs AS ({body})
+WITH pairs AS ({pairs})
 SELECT p.id_a, p.id_b,
        round(({agree}) / {float(_MINHASH_N)}, 6) AS est_jaccard
 FROM pairs p

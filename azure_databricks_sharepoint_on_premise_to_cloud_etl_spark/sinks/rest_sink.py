@@ -28,11 +28,14 @@ Transport = Callable[[str, str], tuple[int, str]]
 @dataclass
 class PostResult:
     report: BatchReport
-    responses: list[tuple[int, str]]
+    responses: list[tuple[int, str]]  # includes pre-retry failures
 
     @property
-    def all_2xx(self) -> bool:
-        return all(200 <= s < 300 for s, _ in self.responses)
+    def ok(self) -> bool:
+        """Every row ultimately succeeded (retries count as success).
+        NB: ``responses`` keeps pre-retry failure bodies for logging —
+        don't derive success from it."""
+        return self.report.ok
 
 
 def post_rows(

@@ -52,17 +52,29 @@ def fetch_documents(
     date_start: str,
     date_end: str,
     batch_size: int = 1,
-) -> list[str]:
-    """Driver-side batched fetch (S5): one document string per
-    qualifier batch; non-2xx batches are skipped (R3 semantics live in
-    the caller's retry wrapper when wanted)."""
+    error_batch_size: int = 1,
+) -> tuple[list[str], "BatchReport"]:
+    """Driver-side batched fetch (S5) with the reference's full
+    reliability semantics: a failed batch re-tries element-by-element
+    (R2 shrink-to-1) and persistent failures land in the returned
+    report (R3 skip-and-LOG) — never silently dropped, so callers can
+    alert/retry the missing qualifiers instead of persisting partial
+    data that looks complete."""
+    from ..operators.batching import run_batched_with_retry
+
     docs: list[str] = []
-    for batch in generate_batches(list(qualifiers), batch_size):
+
+    def action(batch: list[str]) -> None:
         body = build_qbe_body(select_keys, batch, date_start, date_end)
         status, text = transport(url, body)
-        if 200 <= status < 300:
-            docs.append(text)
-    return docs
+        if not 200 <= status < 300:
+            raise RuntimeError(f"POST {url} -> {status}: {text[:200]}")
+        docs.append(text)
+
+    report = run_batched_with_retry(
+        list(qualifiers), action, batch_size, error_batch_size
+    )
+    return docs, report
 
 
 def fetch_distributed(
@@ -87,9 +99,19 @@ def fetch_distributed(
     def run(batches):
         for pdf in batches:
             quals = list(pdf[qualifier_col])
-            docs = fetch_documents(
+            docs, report = fetch_documents(
                 url, transport, keys, quals, date_start, date_end, batch_size
             )
-            yield pd.DataFrame({"raw": docs})
+            yield pd.DataFrame(
+                {
+                    "raw": docs + [None] * len(report.failed),
+                    "failed_qualifier": [None] * len(docs)
+                    + [q for q, _ in report.failed],
+                }
+            )
 
-    return qualifiers_df.select(qualifier_col).mapInPandas(run, schema="raw STRING")
+    # failed qualifiers surface as rows with raw IS NULL so the caller
+    # can split successes from a failure ledger with one filter
+    return qualifiers_df.select(qualifier_col).mapInPandas(
+        run, schema="raw STRING, failed_qualifier STRING"
+    )

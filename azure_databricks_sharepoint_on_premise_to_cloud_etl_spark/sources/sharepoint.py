@@ -35,6 +35,19 @@ class RemoteFile:
 # fetcher() -> RemoteFile; production: Graph OAuth + download URL
 Fetcher = Callable[[], RemoteFile]
 
+# probe() -> last-modified timestamp ONLY (Graph item metadata, no
+# download) — lets the gate skip the payload transfer entirely
+MtimeProbe = Callable[[], _dt.datetime]
+
+
+def _naive_utc(ts: _dt.datetime) -> _dt.datetime:
+    """Normalize to tz-naive UTC: Graph returns tz-aware ('...Z')
+    datetimes while Spark hands back tz-naive ones from the control
+    table; comparing the two raises TypeError."""
+    if ts.tzinfo is not None:
+        return ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return ts
+
 
 def _control_path(control_dir: str, key: str) -> str:
     return os.path.join(control_dir, f"last_modified_{key}")
@@ -65,17 +78,24 @@ def check_modified(
     fetcher: Fetcher,
     control_dir: str,
     key: str,
+    probe: MtimeProbe | None = None,
 ) -> RemoteFile | None:
-    """T4 gate, check side only: fetch and return the file when its
-    mtime is newer than the persisted watermark, else None (skip the
-    pipeline — the reference's early-exit,
-    code/download_from_sharepoint.py:104-124).  Does NOT advance the
-    watermark — call :func:`commit_last_modified` after the ingest
-    succeeds, so a failed ingest is retried on the next run instead of
-    being skipped forever."""
-    remote = fetcher()
+    """T4 gate, check side only: return the file when its mtime is
+    newer than the persisted watermark, else None (skip the pipeline —
+    the reference's early-exit, code/download_from_sharepoint.py:104-124).
+
+    With a ``probe`` (a metadata-only mtime lookup), an unchanged file
+    skips the payload download entirely — the reference checked
+    lastModifiedDateTime before downloading for exactly this reason.
+    Does NOT advance the watermark — call :func:`commit_last_modified`
+    after the ingest succeeds, so a failed ingest is retried on the
+    next run instead of being skipped forever."""
     prev = read_last_modified(spark, control_dir, key)
-    if prev is not None and remote.last_modified <= prev:
+    if probe is not None and prev is not None:
+        if _naive_utc(probe()) <= _naive_utc(prev):
+            return None
+    remote = fetcher()
+    if prev is not None and _naive_utc(remote.last_modified) <= _naive_utc(prev):
         return None
     return remote
 
@@ -86,7 +106,9 @@ def commit_last_modified(
     """Advance the change-gate watermark — only after downstream
     persistence succeeded (same ordering discipline as the
     POST-success-gated audit, R6)."""
-    write_last_modified(spark, control_dir, key, remote.last_modified)
+    write_last_modified(
+        spark, control_dir, key, _naive_utc(remote.last_modified)
+    )
 
 
 def fetch_if_modified(

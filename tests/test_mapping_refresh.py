@@ -52,3 +52,33 @@ def test_refresh_mapping_full_cycle(spark, tmp_path):
     latest = latest_snapshot(all_rows, "run_id")
     assert latest.count() == 1  # latest snapshot sees only v2
     assert latest.first()["epic_dept_id"] == 10
+
+
+def test_change_gate_tz_aware_mtime_and_probe(spark, tmp_path):
+    """Graph returns tz-AWARE mtimes; the control table round-trips
+    tz-naive — the gate must compare them without TypeError.  A
+    metadata probe must skip the download entirely when unchanged."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources import (
+        sharepoint,
+    )
+
+    control = str(tmp_path / "control")
+    aware = dt.datetime(2023, 4, 12, 10, 0, tzinfo=dt.timezone.utc)
+    downloads = []
+
+    def fetcher():
+        downloads.append(1)
+        return sharepoint.RemoteFile(b"EPIC_DEPT_ID,DEPT_BUS_STRCTR\n1,a\n", aware)
+
+    first = sharepoint.check_modified(spark, fetcher, control, "m")
+    assert first is not None
+    sharepoint.commit_last_modified(spark, control, "m", first)
+    # second check with tz-aware mtime: no TypeError, correctly skipped
+    assert sharepoint.check_modified(spark, fetcher, control, "m") is None
+    # with a probe, the skip happens WITHOUT a download
+    n_before = len(downloads)
+    assert (
+        sharepoint.check_modified(spark, fetcher, control, "m", probe=lambda: aware)
+        is None
+    )
+    assert len(downloads) == n_before  # fetcher never called

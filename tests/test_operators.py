@@ -167,3 +167,19 @@ def test_union_by_name_resists_column_reorder(spark):
     b = spark.createDataFrame([("y", 2)], "v STRING, id INT")
     out = a.unionByName(b).collect()
     assert {(r["id"], r["v"]) for r in out} == {(1, "x"), (2, "y")}
+
+
+def test_connected_components_long_chain(spark):
+    """A 25-node chain: plain propagation needs 24 rounds; pointer
+    jumping must converge well inside the iteration bound and label the
+    whole chain with the min id."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(25)], "doc_id LONG")
+    out = connected_components(edges, nodes)
+    assert {r["component"] for r in out.collect()} == {0}

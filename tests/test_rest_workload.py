@@ -56,12 +56,16 @@ def test_fetch_documents_batching_and_skip():
             return 500, "boom"
         return 200, json.dumps(_workload_doc(1, quals[0]))
 
-    docs = rest_source.fetch_documents(
+    docs, report = rest_source.fetch_documents(
         "http://x", transport, ["K1"], ["a", "bad", "c"], "2023-04-01", "2023-04-02",
         batch_size=1,
     )
-    assert len(calls) == 3      # one POST per qualifier batch (batch_size=1)
-    assert len(docs) == 2       # failed batch skipped (R3), not raised
+    # one POST per qualifier batch plus the shrink-to-1 retry of "bad"
+    assert len(calls) == 4
+    assert len(docs) == 2
+    # R3: the failure is RECORDED, never silently dropped
+    assert [q for q, _ in report.failed] == ["bad"]
+    assert report.succeeded == ["a", "c"]
 
 
 def test_valid_qualifiers_latest_snapshot(spark):
@@ -82,11 +86,12 @@ def test_ingest_workload_end_to_end(spark, tmp_path):
 
     master_path = str(tmp_path / "master")
     child_path = str(tmp_path / "child")
-    master, child = workload.ingest_workload(
+    master, child, report = workload.ingest_workload(
         spark, "http://x", transport, ["org/a", "org/b"],
         "2023-04-01", "2023-04-12", master_path, child_path,
         run_id=writers.make_run_id(NOW), now=NOW,
     )
+    assert report.ok
     m = spark.read.parquet(master_path)
     assert m.count() == 2
     assert {r["org_qlfr"] for r in m.collect()} == {"org/a", "org/b"}
