@@ -587,11 +587,13 @@ WITH g AS (
 ),
 s AS (
     SELECT user_id,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
     FROM g
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM s GROUP BY user_id
 """
 
@@ -614,7 +616,8 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        count(*) AS n_events
 FROM events GROUP BY event_type
 """
@@ -1707,7 +1710,9 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     code/ukg_open_census.py:823) plus count_distinct."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
         F.count_distinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
@@ -1715,7 +1720,8 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AGG_COLLECT = """
 SELECT o_orderstatus,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+           AS priorities,
        count(DISTINCT o_orderpriority) AS n_priorities,
        count(*) AS n_orders
 FROM orders GROUP BY o_orderstatus

@@ -89,10 +89,35 @@ def main() -> int:
             continue
         ok_count = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
+        # Driver-parity guard: the driver's pandas canonicalizer renders
+        # int64 and float differently (150 vs 150.0) and crashes on list
+        # cells.  Flag any column whose Python type class differs between
+        # engines, or any unhashable cell, even when the 12-sig-digit
+        # hash below happens to agree.
+        type_drift = []
+        if srows and drows and ok_cols:
+            sidx = {c: i for i, c in enumerate(scols)}
+            didx = {c: i for i, c in enumerate(dcols)}
+            for c in scols:
+                sv = next((r[sidx[c]] for r in srows if r[sidx[c]] is not None), None)
+                dv = next((r[didx[c]] for r in drows if r[didx[c]] is not None), None)
+                if sv is None or dv is None:
+                    continue
+                if isinstance(sv, (list, dict)) or isinstance(dv, (list, dict)):
+                    type_drift.append(f"{c}: unhashable cell type")
+                elif isinstance(sv, bool) != isinstance(dv, bool) or (
+                    isinstance(sv, int) != isinstance(dv, int)
+                    and {type(sv), type(dv)} <= {int, float}
+                ):
+                    type_drift.append(
+                        f"{c}: spark {type(sv).__name__} vs duck {type(dv).__name__}"
+                    )
         sh = table_digest(scols, srows)
         dh = table_digest(dcols, drows)
         ok_hash = sh == dh
-        status = "OK" if (ok_count and ok_cols and ok_hash) else "FAIL"
+        status = "OK" if (ok_count and ok_cols and ok_hash and not type_drift) else "FAIL"
+        if type_drift:
+            print(f"TYPE-DRIFT {name}: {type_drift}")
         vacuous = " [WARN: 0 rows — vacuous check]" if not srows else ""
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_cols} "
