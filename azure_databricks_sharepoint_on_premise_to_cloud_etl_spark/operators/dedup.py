@@ -326,14 +326,86 @@ def simhash_candidate_pairs(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the 100 TB
+    shape).
+
+    Geometry: each vector is hashed once into a ``num_planes``-bit
+    random-hyperplane bucket (narrow, codegen), then exploded to its
+    home bucket plus every 1-bit-flip neighbor; candidates are the
+    DISTINCT (id_a < id_b) pairs meeting in a bucket — an equi-join on
+    the bucket id, never an all-pairs theta join.  Only candidates pay
+    the exact cosine (vectors joined back by id, norms precomputed once
+    per side).  Symmetric 1-flip probing covers every pair whose
+    fingerprints differ by <= 2 bits; recall for tighter thresholds is
+    tuned with fewer planes or multiple independent plane sets (OR over
+    tables, same plan shape per table).
+
+    Candidate discovery shuffles (id, bucket) ints only — vector
+    payloads move once, keyed by id, for the verify join.
+    """
+    from .similarity import dot, hyperplane_bucket, l2_norm, make_planes
+
+    planes = make_planes(dim, num_planes, seed)
+    home = hyperplane_bucket(F.col(vec_col), planes)
+    probe_buckets = F.array(
+        home, *[home.bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+    )
+    banded = df.select(
+        F.col(id_col), F.explode(probe_buckets).alias("__bucket")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force; see
-    similarity.py for the LSH-bucketed scale path)."""
+    """Embedding-cosine near-duplicate pairs (brute force — O(n^2)
+    theta join; the small-input recall oracle for
+    :func:`embedding_near_dup_pairs_lsh`, never the corpus-scale
+    path)."""
     from .similarity import dot, l2_norm
 
     # precompute each vector's norm BEFORE the pair join — computed

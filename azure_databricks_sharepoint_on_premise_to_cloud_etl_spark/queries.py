@@ -774,12 +774,29 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
 """
 
 
+_NEARDUP_PLANES = 6
+_NEARDUP_DIM = 64
+_NEARDUP_SEED = 42
+_NEARDUP_THRESHOLD = 0.4  # fixture embeddings are random; realistic
+# near-dup thresholds like 0.95 would make the check vacuous
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the
-    fixture embeddings are random, so realistic near-dup thresholds
-    like 0.95 would make the check vacuous)."""
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH
+    candidate buckets + exact-cosine verification — the scale-safe
+    shape (equi-join on bucket id; no all-pairs theta join).  The
+    DuckDB oracle mirrors the same bucketing, so the check verifies
+    the candidate geometry AND the cosine arithmetic; recall vs brute
+    force is pinned separately in tests against
+    ``embedding_near_dup_pairs``."""
     e = rebalance(load_table(spark, sf_dir, "embeddings"))
-    return dedup.embedding_near_dup_pairs(e, threshold=0.4)
+    return dedup.embedding_near_dup_pairs_lsh(
+        e,
+        threshold=_NEARDUP_THRESHOLD,
+        dim=_NEARDUP_DIM,
+        num_planes=_NEARDUP_PLANES,
+        seed=_NEARDUP_SEED,
+    )
 
 
 _DUCK_COSINE = (
@@ -789,12 +806,39 @@ _DUCK_COSINE = (
     "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
 )
 
-ORACLE_NEAR_DUP = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+
+def _near_dup_oracle() -> str:
+    planes = similarity.make_planes(_NEARDUP_DIM, _NEARDUP_PLANES, _NEARDUP_SEED)
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            f"z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = "(" + " + ".join(bits) + ")"
+    probes = ", ".join(
+        ["home"] + [f"xor(home, {1 << i})" for i in range(_NEARDUP_PLANES)]
+    )
+    return f"""
+WITH f AS (SELECT vec_id, {bucket} AS home FROM embeddings),
+pb AS (SELECT vec_id, unnest([{probes}]) AS bucket FROM f),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM pb a JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
        round({_DUCK_COSINE.format(a="a.embedding", b="b.embedding")}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round({_DUCK_COSINE.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round({_DUCK_COSINE.format(a="a.embedding", b="b.embedding")}, 6)
+      >= {_NEARDUP_THRESHOLD}
 """
+
+
+ORACLE_NEAR_DUP = _near_dup_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,38 @@ def test_embedding_near_dup_pairs_threshold(spark):
     assert got == {(1, 2)}
 
 
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    # the LSH path returns a subset of the brute-force pairs (exact
+    # cosine verify means precision is 1.0) with useful recall, and its
+    # plan must contain no all-pairs theta join
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = dedup.embedding_near_dup_pairs(e, threshold=0.4)
+    approx = dedup.embedding_near_dup_pairs_lsh(e, threshold=0.4, num_planes=6)
+    ex = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    ap = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert ap <= ex  # never a false positive
+    if ex:
+        assert len(ap) / len(ex) >= 0.3  # worst-case (random) vectors
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # any BNLJ in this plan would be the id_a<id_b theta join
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_lsh_finds_true_near_dups(spark):
+    # near-identical vectors (tiny angle) land in the same bucket with
+    # overwhelming probability — the realistic near-dup regime
+    pairs = dedup.embedding_near_dup_pairs_lsh(
+        _vecs(spark), threshold=0.95, dim=4, num_planes=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, tmp_path):
     # on the real embeddings fixture: LSH top-10 must recall most of
     # the exact top-10 (same-bucket probes; 4 planes -> 16 buckets)

@@ -39,13 +39,35 @@ def main() -> int:
             flags.append("ROW-PYTHON-UDF")
         if re.search(r"CartesianProduct", plan):
             flags.append("CARTESIAN")
+        # A BNLJ that is NOT an explicit Cross means Spark found no equi
+        # key for a conditional join (e.g. id_a < id_b).  Against a
+        # one-row broadcast (scalar-subquery gates like the watermark
+        # filter) that is the correct scale shape; against a real table
+        # it is an all-pairs scan that cannot survive corpus scale.
+        # Distinguish by build-side shape: a one-row build is an
+        # ungrouped HashAggregate feeding the broadcast exchange.
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        theta = re.findall(
+            r"BroadcastNestedLoopJoin Build(?:Left|Right), (?!Cross)\w+", simple
+        )
+        if theta:
+            onerow = re.search(
+                r"BroadcastExchange IdentityBroadcastMode[\s\S]{0,400}?"
+                r"HashAggregate\(keys=\[\]",
+                simple,
+            )
+            if onerow:
+                flags.append("theta-bnlj-scalar(info)")
+            else:
+                flags.append("THETA-BNLJ")
         if re.search(r"SortMergeJoin", plan):
             flags.append("sort-merge-join(info)")
         scans = len(re.findall(r"Scan parquet", plan))
         if scans > 16:
             flags.append(f"many-scans({scans})")
-        status = "FLAG" if flags else "ok"
-        if flags:
+        hard = [f for f in flags if "(info)" not in f]
+        status = "FLAG" if hard else "ok"
+        if hard:
             bad += 1
         print(f"{status} {name}: scans={scans} {' '.join(flags)}")
     print(f"\n{bad} queries flagged" if bad else "\nplan audit clean")
