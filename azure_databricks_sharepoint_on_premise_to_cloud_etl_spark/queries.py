@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup, hierarchy, intervals, similarity, snapshots, text, windows
@@ -730,25 +730,41 @@ FROM banded a JOIN banded b
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-5-gram Jaccard pairs >= 0.6 (inverted-index
-    explode-join shape; at 100 TB this runs on LSH candidates only)."""
+    """Exact character-5-gram Jaccard pairs >= 0.6, verified on
+    MinHash-LSH candidates — the 100 TB shape: exact set intersection
+    runs per candidate pair (work proportional to candidate count),
+    never as a corpus-wide posting-list self-join.  The oracle mirrors
+    the same candidate set; direct-vs-verified equivalence on bounded
+    inputs is pinned in tests against ``ngram_jaccard_pairs``."""
     d = rebalance(load_table(spark, sf_dir, "documents"))
-    return dedup.ngram_jaccard_pairs(d, k=5, threshold=0.6)
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return dedup.jaccard_verify_pairs(cand, d, k=5, threshold=0.6)
 
 
-ORACLE_JACCARD = f"""
-WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents),
+def _jaccard_oracle() -> str:
+    cand = _minhash_oracle().strip()
+    return f"""
+WITH cand AS ({cand}),
+norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents),
 sh AS (SELECT doc_id,
               list_distinct([substr(t, CAST(i AS INT), 5)
                              for i in range(1, greatest(length(t) - 4, 1) + 1)]) AS s
        FROM norm)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT c.id_a, c.id_b,
        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM cand c
+JOIN sh a ON a.doc_id = c.id_a
+JOIN sh b ON b.doc_id = c.id_b
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
 """
+
+
+ORACLE_JACCARD = _jaccard_oracle()
 
 _SIMHASH_BITS = 32
 
@@ -1602,25 +1618,29 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc term frequency -> document-frequency join -> idf weight;
     returns terms with tfidf >= 0.02 per document (doc_id < 200).
 
-    Two hash aggregates + one broadcast join; no UDFs, no ML-lib
-    dependency — the plan a 100 TB corpus needs (df table is
-    vocabulary-sized -> broadcast)."""
+    Scale shape: the vocabulary-sized df table broadcasts; doc_len is a
+    window sum over doc_id (one shuffle of tf, reused by the broadcast
+    join — NEVER a broadcast of a one-row-per-document table, which
+    would be corpus-cardinality); n_docs rides in-plane as a one-row
+    broadcast aggregate, no driver round-trip."""
     from .functions import word_tokens
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; one cheap job (document count is metadata-stable)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = d.select("doc_id", F.explode(word_tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    with_len = tf.withColumn(
+        "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
     scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .join(F.broadcast(doc_len), "doc_id")
+        with_len.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
             F.round(
                 (F.col("tf") / F.col("doc_len"))
-                * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
                 6,
             ),
         )
