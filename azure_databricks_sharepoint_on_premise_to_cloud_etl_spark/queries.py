@@ -672,7 +672,7 @@ def _duck_hash(expr: str, seed: int | None = None) -> str:
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-groupBy on a 60-bit content digest —
     the shuffle moves digests, not documents."""
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     return dedup.exact_dedup_groups(d)
 
 
@@ -987,7 +987,7 @@ FROM scores GROUP BY 1, 2
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return text.quality_score(d).drop("text")
 
 
@@ -1024,7 +1024,7 @@ FROM feat
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts per document."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return text.token_counts(d).drop("text")
 
 
@@ -1038,7 +1038,7 @@ FROM documents
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content digest + min-8-gram fingerprint per document."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return text.fingerprint(d).drop("text")
 
 
@@ -1431,7 +1431,7 @@ def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + one hash aggregate."""
     from .functions import word_tokens
 
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     toks = d.select(word_tokens("text").alias("tk"))
     bigrams = toks.select(
         F.explode(
@@ -1625,7 +1625,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast aggregate, no driver round-trip."""
     from .functions import word_tokens
 
-    d = load_table(spark, sf_dir, "documents")
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = d.select("doc_id", F.explode(word_tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count + lightweight touch of every
-row via a no-op aggregation on the collected count) so lazy plans can't
-game the timing.  A warmup action first amortizes JVM/codegen startup
-out of per-query numbers.
+Each query is materialized through ``sum(xxhash64(every column))`` —
+a count() alone would let Catalyst prune unreferenced projection
+columns, timing map-only queries as little more than scan+count; the
+hash aggregate forces every output expression to actually evaluate
+while still returning a single row to the driver.  A warmup action
+first amortizes JVM/codegen startup out of per-query numbers.
 """
 
 from __future__ import annotations
@@ -81,16 +83,28 @@ def main() -> None:
     # noise at production scale (whole-stage-codegen compilation, Python
     # worker pool spin-up for Arrow UDFs); we warm each query once and
     # time the second execution, which measures the plan itself.
+    from pyspark.sql import functions as F
+
+    def materialize(df) -> int:
+        """Force every output column to evaluate (xxhash64 over all
+        columns defeats count()'s column pruning); one row returns."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: ANSI mode makes a long sum overflow
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()[0]
+        return row["n"]
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = q.QUERIES[name]
         try:
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            materialize(fn(spark, sf_dir))
             cold = time.time() - t0
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            n = materialize(fn(spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
             print(
                 f"# {name}: warm {timings[name]}s (cold {cold:.2f}s, {n} rows)",
@@ -113,6 +127,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # dedup_components runs MinHash+LSH before the CC loop; subtracting
+    # the separately-timed LSH query isolates CC itself so regressions
+    # there aren't masked by shared upstream cost
+    if "dedup_components" in timings and "minhash_lsh_pairs" in timings:
+        record["derived"] = {
+            "dedup_components_cc_only": round(
+                max(timings["dedup_components"] - timings["minhash_lsh_pairs"], 0.0),
+                3,
+            )
+        }
     if errors:
         record["errors"] = errors
     print(json.dumps(record))
