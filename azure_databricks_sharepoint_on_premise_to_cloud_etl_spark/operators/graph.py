@@ -9,18 +9,50 @@ chain depth every round, giving O(log diameter) convergence, the
 property that makes web-scale CC tractable (the simplified form of the
 large-star/small-star algorithm).
 
-Scale notes: each iteration is two keyed shuffles (neighbor join +
-jump join) and a convergence count; data never leaves the cluster.
-Every generation is eagerly localCheckpointed (iterative plans
-otherwise embed all prior joins and exhaust driver/executor memory)
-and the PREVIOUS generation's blocks are unpersisted, bounding storage
-at two label-table copies.
+Scale notes: each iteration is two keyed joins and a convergence
+count; data never leaves the cluster.  The edge table and every label
+generation are hash-partitioned on their join keys once, so the
+per-round joins reuse partitioning instead of re-shuffling both sides.
+Every generation is eagerly checkpointed (iterative plans otherwise
+embed all prior joins and exhaust driver/executor memory):
+
+- default (``checkpoint_dir=None``): ``localCheckpoint`` — fastest,
+  but blocks live on executors only, so a lost executor kills the job;
+  fine for tests and on-demand clusters, wrong for preemptible fleets;
+- ``checkpoint_dir=...``: reliable ``checkpoint`` to that path —
+  generations survive executor loss (set
+  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or clean
+  the directory afterwards).
+
+The PREVIOUS generation's storage is released each round by
+unpersisting the checkpointed RDD itself (reaching through the
+``LogicalRDD`` plan node — a plain ``DataFrame.unpersist()`` only
+clears cache-manager entries and is a no-op for checkpoints), bounding
+local-mode storage at two label-table copies for real.  Release
+happens strictly AFTER the next generation is eagerly materialized:
+unpersisting a localCheckpoint's blocks is unrecoverable by design.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint-ed DataFrame's blocks NOW.
+
+    ``df.unpersist()`` does not do this — localCheckpoint persists the
+    underlying RDD outside the cache manager, and its blocks are
+    otherwise only freed when the JVM RDD object is GC'd.  Reach the
+    RDD through the analyzed ``LogicalRDD`` node and unpersist it
+    directly.  Best-effort: on any reflection surprise we fall back to
+    GC-based cleanup (correct, just lazier).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -30,28 +62,51 @@ def connected_components(
     dst_col: str = "id_b",
     node_col: str = "doc_id",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
     ``edges`` are undirected pairs; ``nodes`` is the full vertex set
     (isolated nodes label themselves).  Returns (node_col, component).
+    ``checkpoint_dir`` selects reliable checkpoints (see module
+    docstring) — default localCheckpoint.
     Raises RuntimeError if ``max_iterations`` rounds don't converge —
     with pointer jumping that bound covers diameters ~2^25, so hitting
     it means something is genuinely wrong; silent wrong components
     (split dup-clusters) are never returned.
     """
-    # symmetrize once; cache — reused every iteration
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def release(df: DataFrame) -> None:
+        # reliable checkpoint files are reclaimed by Spark's cleaner /
+        # the caller; only local blocks need manual release
+        if checkpoint_dir is None:
+            _release_local_checkpoint(df)
+
+    # symmetrize once; hash-partition on the join key and cache so the
+    # per-round neighbor join reuses this layout instead of re-shuffling
+    # the (static) edge table every iteration
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
+        .repartition("b")
         .cache()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint(eager=True)
+    labels = snapshot(
+        nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("component")
+        ).repartition("node")
+    )
     converged = False
     for _ in range(max_iterations):
         # 1. propagate: min label among self and neighbors
@@ -74,7 +129,7 @@ def connected_components(
         parents = propagated.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
-        new_full = (
+        new_full = snapshot(
             propagated.join(
                 parents, propagated["component"] == parents["p_node"], "left"
             )
@@ -86,14 +141,20 @@ def connected_components(
                     F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # NB: no explicit repartition here — AQE right-sizes the
+            # join shuffles each round, and forcing node-partitioning
+            # costs an extra exchange per round (measured slower at
+            # every scale where the label table fits a shuffle)
         )
-        changed = new_full.filter(
+        # convergence needs existence, not cardinality: isEmpty() scans
+        # until the first changed row instead of counting all 32
+        # partitions' worth
+        stable = new_full.filter(
             F.col("component") != F.col("prev_component")
-        ).count()
-        labels.unpersist()  # free the previous generation's blocks
+        ).isEmpty()
+        release(labels)  # new_full is materialized; prev gen never read again
         labels = new_full
-        if changed == 0:
+        if stable:
             converged = True
             break
     sym.unpersist()
