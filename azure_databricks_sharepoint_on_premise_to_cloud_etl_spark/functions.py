@@ -62,6 +62,16 @@ def portable_hash64(col: Column | str, seed: int = 0) -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
 
 
+def fast_hash64(col: Column | str, seed: int = 0) -> Column:
+    """Engine-native 64-bit hash (``xxhash64``) — the production fast
+    path for MinHash/SimHash when cross-engine oracle parity is not
+    required (~3x cheaper than the md5-based :func:`portable_hash64`).
+    Same call shape so operators can switch on a ``portable`` flag.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c, F.lit(seed))
+
+
 def overnight_corrected_end(start: Column, end: Column) -> Column:
     """Overnight-shift fix: if an interval's end precedes its start the
     zone wraps midnight, so push the end one day forward (P8/F6,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import char_shingles, portable_hash64, word_tokens
+from ..functions import char_shingles, fast_hash64, portable_hash64, word_tokens
 
 
 def normalized_text(col: str = "text") -> F.Column:
@@ -84,26 +84,38 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 5,
     num_hashes: int = 16,
+    portable: bool = True,
 ) -> DataFrame:
     """MinHash signatures over character k-gram shingles.
 
-    Each shingle is hashed ONCE with the portable md5 digest (the only
-    expensive op), reduced mod 2^31-1; the ``num_hashes`` signature
-    slots are cheap universal-hash permutations ``(a_i*h + b_i) mod p``
-    of that base value — integer arithmetic inside codegen, so cost is
-    ~1 md5/shingle regardless of signature width.  Entirely narrow:
-    no shuffle, no UDF.
+    Each shingle is hashed ONCE (the only expensive op), reduced mod
+    2^31-1; the ``num_hashes`` signature slots are cheap universal-hash
+    permutations ``(a_i*h + b_i) mod p`` of that base value — integer
+    arithmetic inside codegen, so cost is ~1 hash/shingle regardless of
+    signature width.  Entirely narrow: no shuffle, no UDF.
+
+    ``portable=True`` (default) uses the md5-based hash the DuckDB
+    oracle can reproduce; ``portable=False`` switches to engine-native
+    ``xxhash64`` — same plan shape, measurably cheaper, for production
+    runs where no cross-engine check is needed (``pmod`` keeps the
+    signed xxhash64 in [0, p)).
 
     NB: HOF lambdas here take exactly one parameter — Spark passes the
     element index to two-parameter lambdas, which would corrupt seeds.
     """
+    if portable:
+        def shingle_hash(s):
+            return (
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % MINHASH_P
+            )
+    else:
+        def shingle_hash(s):
+            return F.pmod(F.xxhash64(s), F.lit(MINHASH_P))
+
     base = df.select(
         F.col(id_col),
-        F.transform(
-            char_shingles(text_col, k),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-            % MINHASH_P,
-        ).alias("__base"),
+        F.transform(char_shingles(text_col, k), shingle_hash).alias("__base"),
     )
 
     def permuted(a: int, b: int):
@@ -241,24 +253,29 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
+    portable: bool = True,
 ) -> DataFrame:
     """SimHash fingerprint over word tokens (``bits``-bit, default 32).
 
     Per doc: hash each distinct token; bit i of the fingerprint is 1
     when the majority of token-hashes have bit i set.  Built from
     higher-order functions (transform/aggregate/filter) — narrow, no
-    UDF, reproducible in the DuckDB oracle via the same md5 hash.
+    UDF.  ``portable=True`` hashes with the md5 digest the DuckDB
+    oracle reproduces; ``portable=False`` uses engine-native
+    ``xxhash64`` masked to the low 60 bits (so ``1 << i`` bit tests
+    behave identically on the non-negative value).
     """
+    if portable:
+        def token_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        def token_hash(t):
+            return F.xxhash64(t).bitwiseAND(F.lit((1 << 60) - 1))
+
     toks = df.select(
         F.col(id_col), F.array_distinct(word_tokens(text_col)).alias("__toks")
     )
-    hashed = toks.withColumn(
-        "__hashes",
-        F.transform(
-            "__toks",
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-        ),
-    )
+    hashed = toks.withColumn("__hashes", F.transform("__toks", token_hash))
     n = F.size("__hashes")
 
     def bit_test(mask: int):

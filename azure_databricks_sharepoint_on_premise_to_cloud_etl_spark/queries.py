@@ -699,6 +699,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
 
 
+def q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production fast path of ``minhash_lsh_pairs``: identical plan
+    shape with engine-native xxhash64 instead of the oracle-portable
+    md5 hash.  No SQL oracle by design (xxhash64 is not reproducible in
+    DuckDB) — the driver records a rows-only check; candidate quality
+    is pinned in tests (both hash families recover planted near-dups)."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(
+        d, k=_MINHASH_K, num_hashes=_MINHASH_N, portable=False
+    )
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
+
+
 def _minhash_oracle() -> str:
     shingle = (
         f"list_distinct([substr(t, CAST(i AS INT), {_MINHASH_K}) "
@@ -1111,6 +1124,7 @@ QUERIES: dict[str, QueryFn] = {
     "nested_explode": q_nested_explode,
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "nested_explode",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_fast",
     "simhash",
     "cosine_topk",
     "cosine_topk_lsh",

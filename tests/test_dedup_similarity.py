@@ -37,6 +37,27 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert (1, 4) not in got  # unrelated docs don't
 
 
+def test_minhash_fast_path_recovers_near_dups(spark):
+    # portable=False (xxhash64) produces different signatures but must
+    # still recover the planted near-dup pair through LSH banding
+    docs = _docs(spark)
+    sigs = dedup.minhash_signatures(docs, num_hashes=16, portable=False)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_simhash_fast_path_close_fingerprints(spark):
+    # near-identical docs must have near-identical xxhash64 simhashes
+    docs = _docs(spark)
+    fps = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash(docs, portable=False).collect()}
+    assert all(v >= 0 for v in fps.values())  # masked to low 60 bits
+    assert fps[1] == fps[2]  # identical docs -> identical fingerprint
+    ham = bin(fps[1] ^ fps[5]).count("1")
+    assert ham <= 8  # 32 voted bits, docs differ by one token
+
+
 def test_jaccard_verify_filters_candidates(spark):
     docs = _docs(spark)
     sigs = dedup.minhash_signatures(docs)
