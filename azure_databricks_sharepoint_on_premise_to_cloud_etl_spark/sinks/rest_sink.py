@@ -18,6 +18,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.batching import BatchReport, run_batched_with_retry
 
@@ -77,3 +78,83 @@ def post_then_audit(
     if result.report.ok:
         write_audit(df)
     return result
+
+
+def post_rows_distributed(
+    df: DataFrame,
+    url: str,
+    transport: Transport,
+    batch_size: int = 100,
+    error_batch_size: int = 1,
+) -> DataFrame:
+    """Volume path for K5: every partition serializes its own rows to
+    JSON batches and POSTs executor-side (mapInPandas fan-out — the
+    driver never holds the data), with the same R2 shrink-to-1 retry
+    and R3 skip-and-log ledger as the driver-side sink.
+
+    Returns a LEDGER DataFrame, one row per partition summary
+    (``n_posted``, NULL failure fields) plus one row per persistently
+    failed source row (``failed_row`` = its JSON, ``error`` = last
+    transport error) — the same successes-plus-failure-ledger shape as
+    ``sources.rest_source.fetch_distributed``.
+
+    The ledger is eagerly localCheckpointed before returning: POSTing
+    is a side effect, so the action must run exactly once — callers may
+    filter/count the returned ledger freely without re-POSTing.
+    ``transport`` must survive cloudpickle (a module-level function or
+    closure) and be idempotent, since Spark may retry a failed task.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            if not rows:
+                continue
+
+            def action(batch: list[dict]) -> None:
+                status, body = transport(url, json.dumps(batch, default=str))
+                if not 200 <= status < 300:
+                    raise RuntimeError(f"POST {url} -> {status}: {body[:200]}")
+
+            report = run_batched_with_retry(
+                rows, action, batch_size, error_batch_size
+            )
+            yield pd.DataFrame(
+                {
+                    "n_posted": [len(report.succeeded)],
+                    "failed_row": [None],
+                    "error": [None],
+                }
+            )
+            if report.failed:
+                yield pd.DataFrame(
+                    {
+                        "n_posted": [0] * len(report.failed),
+                        "failed_row": [
+                            json.dumps(r, default=str) for r, _ in report.failed
+                        ],
+                        "error": [e for _, e in report.failed],
+                    }
+                )
+
+    ledger = df.mapInPandas(
+        run, schema="n_posted LONG, failed_row STRING, error STRING"
+    )
+    return ledger.localCheckpoint(eager=True)
+
+
+def post_then_audit_distributed(
+    df: DataFrame,
+    url: str,
+    transport: Transport,
+    write_audit: Callable[[DataFrame], None],
+    batch_size: int = 100,
+) -> DataFrame:
+    """R6 success-gated persistence at volume: distributed POST first;
+    the audit write runs only when the ledger shows zero persistent
+    failures.  Returns the ledger so callers can alert on failures."""
+    ledger = post_rows_distributed(df, url, transport, batch_size)
+    if ledger.filter(F.col("failed_row").isNotNull()).isEmpty():
+        write_audit(df)
+    return ledger

@@ -183,6 +183,68 @@ def test_post_success_gated_audit(spark, tmp_path):
     assert not res.report.ok and wrote == []
 
 
+def test_post_distributed_ledger_and_audit_gate(spark, tmp_path):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sinks.rest_sink import (
+        post_rows_distributed,
+        post_then_audit_distributed,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "v INT").repartition(4)
+    postdir = tmp_path / "posts"
+    postdir.mkdir()
+    pd_str = str(postdir)
+
+    # partition-local fake transport: executors run in separate Python
+    # worker processes, so evidence goes to disk, not a closure list
+    def disk_transport(url, body):
+        import json as j
+        import os as o
+        import uuid
+
+        rows = j.loads(body)
+        if any(r["v"] == 13 for r in rows) and len(rows) > 1:
+            return 500, "batch poison"
+        if any(r["v"] == 7 for r in rows):
+            return 500, "permanent failure"  # fails even alone
+        with open(o.path.join(pd_str, uuid.uuid4().hex), "w") as f:
+            f.write(body)
+        return 200, "ok"
+
+    ledger = post_rows_distributed(df, "http://x", disk_transport, batch_size=5)
+    rows = ledger.collect()
+    posted = sum(r["n_posted"] for r in rows)
+    failed = [r for r in rows if r["failed_row"] is not None]
+    assert posted == 19  # everything except the permanent failure
+    assert len(failed) == 1 and '"v": 7' in failed[0]["failed_row"]
+    assert "permanent failure" in failed[0]["error"]
+    # poison row 13 succeeded alone after shrink-to-1 (it's in a file)
+    import json as j
+
+    posted_vs = {
+        r["v"]
+        for p in postdir.iterdir()
+        for r in j.loads(p.read_text())
+    }
+    assert 13 in posted_vs and 7 not in posted_vs
+    # re-reading the ledger must NOT re-POST (eager checkpoint)
+    n_files = len(list(postdir.iterdir()))
+    assert ledger.filter(ledger.failed_row.isNotNull()).count() == 1
+    assert len(list(postdir.iterdir())) == n_files
+
+    # R6 gate: audit only when ledger is failure-free
+    wrote = []
+    post_then_audit_distributed(
+        df, "http://x", disk_transport, lambda d: wrote.append(1), batch_size=5
+    )
+    assert wrote == []  # v=7 still fails
+
+    ok_df = df.filter(df.v != 7)
+    post_then_audit_distributed(
+        ok_df, "http://x", disk_transport, lambda d: wrote.append(1), batch_size=5
+    )
+    assert wrote == [1]
+
+
 def test_post_retry_shrink_to_one(spark):
     df = spark.createDataFrame([(i,) for i in range(4)], "v INT")
     seen_sizes = []
