@@ -130,3 +130,30 @@ def drain_foreach_batch_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def start_foreach_batch_to_parquet(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_path: str,
+    output_mode: str = "update",
+):
+    """Continuous (default-trigger) variant of
+    :func:`drain_foreach_batch_to_parquet` — REQUIRED for stateful
+    streams that arm processing-time timeouts: once timers are
+    registered, ``Trigger.AvailableNow`` never terminates (it keeps
+    scheduling empty micro-batches for the timeout machinery,
+    verified empirically on Spark 4), so bounded drains are the wrong
+    shape.  Returns the running query; the caller owns its lifecycle
+    (``q.stop()``)."""
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        stream_df.writeStream.trigger(processingTime="200 milliseconds")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .start()
+    )
