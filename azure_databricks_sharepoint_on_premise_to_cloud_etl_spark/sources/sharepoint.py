@@ -131,16 +131,28 @@ def excel_bytes_to_df(
 ) -> DataFrame:
     """Excel -> DataFrame via pandas on the driver (S6 — the workbook
     is control-plane-sized; code/download_from_sharepoint.py:133-141
-    does pd.read_excel the same way).  Falls back to CSV parsing when
-    no Excel engine is installed (this container has none)."""
+    does pd.read_excel the same way).  Falls back to CSV parsing ONLY
+    when the payload is not actually an Excel workbook (sniffed by
+    magic bytes) or no Excel engine is installed (this container has
+    none); a corrupt/truncated real workbook re-raises instead of being
+    silently mis-parsed as one-garbage-column CSV."""
     import io
 
     import pandas as pd
 
+    # xlsx = zip container (PK\x03\x04); legacy xls = OLE2 compound doc
+    is_excel_payload = content[:4] == b"PK\x03\x04" or content[:8] == (
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    )
     try:
         pdf = pd.read_excel(io.BytesIO(content))
-    except (ImportError, ValueError):
-        # no Excel engine installed, or the payload is already CSV
+    except ImportError:
+        if is_excel_payload:
+            raise  # a real workbook needs a real engine — don't guess CSV
+        pdf = pd.read_csv(io.BytesIO(content))
+    except ValueError:
+        if is_excel_payload:
+            raise  # corrupt/truncated workbook — surface, don't mis-parse
         pdf = pd.read_csv(io.BytesIO(content))
     return (
         spark.createDataFrame(pdf, schema=schema)

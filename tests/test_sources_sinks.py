@@ -183,6 +183,22 @@ def test_post_success_gated_audit(spark, tmp_path):
     assert not res.report.ok and wrote == []
 
 
+def test_excel_magic_bytes_never_misparse_as_csv(spark):
+    """A payload with Excel magic bytes must never silently fall back
+    to the CSV parser (which would yield one garbage column): it raises
+    whatever pd.read_excel raised (no engine / corrupt workbook)."""
+    import pytest
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources import sharepoint
+
+    fake_xlsx = b"PK\x03\x04" + b"\x00" * 64  # zip magic, truncated junk
+    with pytest.raises((ImportError, ValueError, Exception)):
+        sharepoint.excel_bytes_to_df(spark, fake_xlsx)
+    # plain CSV bytes still parse through the fallback
+    df = sharepoint.excel_bytes_to_df(spark, b"a,b\n1,2\n")
+    assert df.columns == ["a", "b"] and df.count() == 1
+
+
 def test_post_distributed_ledger_and_audit_gate(spark, tmp_path):
     from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sinks.rest_sink import (
         post_rows_distributed,
