@@ -1,0 +1,130 @@
+"""Sampling and sequence-packing operators for training-data pipelines.
+
+Beyond the reference's operator surface: the three selection steps a
+100 TB LLM corpus pipeline runs after dedup/quality scoring —
+
+- ``stable_sample``: deterministic hash-gated sampling (data mixing
+  that is reproducible across runs, engines, and repartitioning; no
+  RNG state, no shuffle — a narrow filter Catalyst pushes into the
+  scan);
+- ``stratified_sample``: per-stratum fractions (e.g. per language) as
+  one inlined CASE expression — still a narrow filter, never a join;
+- ``pack_sequences``: concat-and-chunk sequence packing (documents
+  laid end-to-end per shard, chunk boundaries every ``budget`` tokens
+  — the standard pretraining layout).  Windows are per-SHARD: a global
+  orderBy window would funnel the corpus through one partition, so the
+  shard column is part of the contract and shards parallelize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import fast_hash64, portable_hash64
+
+# hash-gate denominator: fractions are granular to 1e-6
+_GATE = 1_000_000
+
+
+def _sample_gate(key: Column, salt: int, portable: bool) -> Column:
+    h = (
+        portable_hash64(key, seed=salt)
+        if portable
+        else fast_hash64(key, seed=salt)
+    )
+    return F.pmod(h, F.lit(_GATE))
+
+
+def stable_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Keep a row iff ``hash(key, salt) mod 1e6 < fraction * 1e6``.
+
+    Content-stable: the same keys survive every run, on any engine and
+    any partitioning — the property random sampling lacks and data
+    mixing requires (re-runs must not churn the training set).
+    ``salt`` decorrelates independent sampling stages over the same
+    keys.  Plan: a narrow filter (no shuffle, pushdown-eligible).
+    ``portable=True`` uses the md5 gate the DuckDB oracle reproduces;
+    ``portable=False`` the cheaper xxhash64.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    key = F.col(key_col).cast("string")
+    return df.filter(
+        _sample_gate(key, salt, portable) < F.lit(int(fraction * _GATE))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-stratum stable sampling (e.g. per-language mixing weights).
+
+    ``fractions`` maps stratum value -> keep fraction; unlisted strata
+    get ``default_fraction``.  The per-stratum threshold is one inlined
+    CASE expression, so the whole gate stays a narrow filter — never a
+    join against a weights table.
+    """
+    for v in fractions.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+    threshold: Column = F.lit(int(default_fraction * _GATE))
+    for value, frac in sorted(fractions.items()):
+        threshold = (
+            F.when(F.col(strata_col) == F.lit(value), F.lit(int(frac * _GATE)))
+            .otherwise(threshold)
+        )
+    key = F.col(key_col).cast("string")
+    return df.filter(_sample_gate(key, salt, portable) < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are laid end-to-end in deterministic ``order_col`` order; a
+    training sequence boundary falls every ``budget`` tokens.  Adds
+
+    - ``pack_offset``: the document's start offset in the shard's
+      concatenated token stream,
+    - ``pack_id``: the sequence (chunk) its first token lands in,
+    - ``pack_pos``: the offset within that sequence.
+
+    A document may straddle a boundary — that is the concat-and-chunk
+    contract (the tokenizer-side chunker splits it); consumers needing
+    no-straddle packing filter ``pack_pos + tokens <= budget`` and
+    re-pack the remainder.
+
+    Scale shape: the window is PER SHARD (partitionBy + orderBy), so
+    shards pack in parallel; a global orderBy window would sort the
+    corpus through a single partition and is deliberately not offered.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    return (
+        df.withColumn("pack_offset", offset)
+        .withColumn("pack_id", F.floor(F.col("pack_offset") / budget))
+        .withColumn("pack_pos", F.col("pack_offset") % budget)
+    )

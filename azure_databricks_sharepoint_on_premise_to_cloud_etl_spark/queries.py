@@ -21,7 +21,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, hierarchy, intervals, similarity, snapshots, text, windows
+from .operators import (
+    dedup,
+    hierarchy,
+    intervals,
+    sampling,
+    similarity,
+    snapshots,
+    text,
+    windows,
+)
 from .sources.registry import load_table, rebalance, register_temp_views
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1819,6 +1828,154 @@ FROM orders GROUP BY o_orderstatus
 
 QUERIES["agg_collect"] = q_agg_collect
 _EXTENSION_ORACLES["agg_collect"] = ORACLE_AGG_COLLECT
+
+
+# ---------------------------------------------------------------------------
+# Corpus selection: stable sampling, stratified mixing, sequence packing,
+# quantile quality filtering (training-data pipeline surface beyond the
+# reference; operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_SALT = 7
+_SAMPLE_FRACTION = 0.2
+_STRATA_FRACTIONS = {"en": 0.5, "es": 0.1}
+_STRATA_DEFAULT = 0.05
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+
+def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated 20% sample: the same doc_ids survive
+    every run on every engine — reproducible data mixing, expressed as
+    a narrow pushdown-eligible filter (no RNG, no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.stable_sample(
+        d, fraction=_SAMPLE_FRACTION, key_col="doc_id", salt=_SAMPLE_SALT
+    )
+    return s.select("doc_id", "lang")
+
+
+ORACLE_STABLE_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_duck_hash("CAST(doc_id AS VARCHAR)", _SAMPLE_SALT)} % 1000000
+      < {int(_SAMPLE_FRACTION * 1_000_000)}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing weights (en 50%, es 10%, rest 5%) as one
+    inlined CASE threshold over the stable-sample gate — still a narrow
+    filter, never a join against a weights table."""
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        d,
+        fractions=_STRATA_FRACTIONS,
+        strata_col="lang",
+        key_col="doc_id",
+        default_fraction=_STRATA_DEFAULT,
+        salt=_SAMPLE_SALT,
+    )
+    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(f * 1_000_000)}"
+        for v, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT lang, count(*) AS n_sampled FROM documents
+WHERE {_duck_hash("CAST(doc_id AS VARCHAR)", _SAMPLE_SALT)} % 1000000
+      < (CASE {cases} ELSE {int(_STRATA_DEFAULT * 1_000_000)} END)
+GROUP BY lang
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs laid end-to-end per
+    shard (doc_id mod 8) in doc_id order, chunk boundary every 2048
+    whitespace tokens.  Per-shard windows parallelize — a global
+    orderBy window would single-partition the corpus and is
+    deliberately not used."""
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(word_tokens("text")).alias("tokens"),
+    )
+    packed = sampling.pack_sequences(
+        t, token_col="tokens", budget=_PACK_BUDGET, shard_col="shard"
+    )
+    return packed.select(
+        "doc_id", "shard", "tokens", "pack_offset", "pack_id", "pack_pos"
+    )
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+    SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, shard, tokens,
+           CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens
+                AS BIGINT) AS pack_offset
+    FROM t
+)
+SELECT doc_id, shard, tokens, pack_offset,
+       CAST(floor(pack_offset / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       pack_offset % {_PACK_BUDGET} AS pack_pos
+FROM o
+"""
+
+
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents above the corpus P75 quality score: the exact
+    percentile rides in-plane as a one-row broadcast aggregate (never a
+    driver round-trip); at 100 TB swap percentile for percentile_approx
+    — same plan shape, sketch-mergeable."""
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    scored = text.quality_score(d).select("doc_id", "quality")
+    thr = scored.agg(
+        F.round(F.expr("percentile(quality, 0.75)"), 6).alias("q75")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("q75"))
+        .select("doc_id", "quality")
+    )
+
+
+def _quality_quantile_oracle() -> str:
+    quality = _quality_oracle().strip()
+    return f"""
+WITH s AS (SELECT doc_id, quality FROM ({quality})),
+thr AS (SELECT round(quantile_cont(quality, 0.75), 6) AS q75 FROM s)
+SELECT s.doc_id, s.quality FROM s, thr WHERE s.quality >= thr.q75
+"""
+
+
+QUERIES.update(
+    {
+        "stable_sample": q_stable_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "quality_quantile_filter": q_quality_quantile_filter,
+    }
+)
+_EXTENSION_ORACLES.update(
+    {
+        "stable_sample": ORACLE_STABLE_SAMPLE,
+        "stratified_sample": _stratified_oracle(),
+        "pack_sequences": ORACLE_PACK,
+        "quality_quantile_filter": _quality_quantile_oracle(),
+    }
+)
 
 
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,6 +11,31 @@ The Graph client here is PLUGGABLE (tests inject a fake returning
 bytes + a timestamp; production wires msal/requests — not available in
 this container).  The change gate and Excel->DataFrame conversion are
 real and tested.
+
+Production wiring recipe (mirrors code/download_from_sharepoint.py:35-69
+using only the public MS Graph REST surface; every step is a plain
+HTTPS GET/POST, so a ~30-line ``Fetcher``/``MtimeProbe`` closes the
+gap mechanically):
+
+1. token: POST https://login.microsoftonline.com/{tenant}/oauth2/v2.0/token
+   with grant_type=client_credentials, client_id, client_secret,
+   scope=https://graph.microsoft.com/.default -> access_token (bearer
+   header for every call below).
+2. site id: GET /v1.0/sites/{hostname}:/sites/{site-path}
+   -> json["id"].
+3. drive + folder walk: GET /v1.0/sites/{site_id}/drives to find the
+   document library's drive id, then
+   GET /v1.0/drives/{drive_id}/root:/{folder/path}:/children.
+4. item metadata (the ``MtimeProbe``):
+   GET /v1.0/drives/{drive_id}/items/{item_id}
+   -> json["lastModifiedDateTime"]  (ISO-8601, 'Z' suffix — the
+   change gate normalizes tz-aware vs naive, see ``_naive_utc``).
+5. content (the ``Fetcher``):
+   GET /v1.0/drives/{drive_id}/items/{item_id}/content
+   -> bytes, wrapped as ``RemoteFile(content, last_modified)``.
+
+Order matters for cost: run the probe FIRST (``check_modified`` with
+``probe=``) so an unchanged file never pays the content download.
 """
 
 from __future__ import annotations

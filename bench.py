@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "cosine_topk_ivf",
     "time_reanchor",
     "scalar_functions",
+    "stable_sample",
+    "stratified_sample",
+    "pack_sequences",
+    "quality_quantile_filter",
 ]
 
 
