@@ -131,6 +131,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "note": (
+            "since r2: materialized via bit_xor(xxhash64(*cols)) — r1's "
+            "count() let Catalyst prune projection expressions, so r1 "
+            "map-only timings understate true cost; suite also gained "
+            "5 queries (fast-hash LSH + 4 corpus-selection ops)"
+        ),
     }
     # dedup_components runs MinHash+LSH before the CC loop; subtracting
     # the separately-timed LSH query isolates CC itself so regressions
