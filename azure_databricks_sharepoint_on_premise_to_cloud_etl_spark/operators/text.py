@@ -118,6 +118,76 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repeated_ngram_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word n-grams
+    that are duplicates of an earlier n-gram in the same document
+    (high ratio = boilerplate/spam loops).  Narrow higher-order
+    expression — token array -> n-gram array via transform over
+    offsets -> 1 - distinct/total; no shuffle, no UDF.
+    """
+    toks = word_tokens(text_col)
+    n_toks = F.size(toks)
+    # n-grams: join tokens i..i+n-1 for i in [0, len-n]
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_toks - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        n_toks >= n, 1.0 - distinct / total
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        *df.columns,
+        n_toks.alias("n_tokens"),
+        F.round(ratio, 6).alias(f"rep_{n}gram_ratio"),
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents sharing any
+    character ``k``-gram with an evaluation set (the standard
+    n-gram-overlap decontamination test).
+
+    Scale shape: the eval side reduces to DISTINCT gram digests (tiny —
+    benchmarks are MBs against a 100 TB corpus) and BROADCASTS; the
+    corpus explodes to (doc_id, gram_digest) and LEFT SEMI joins, so
+    the only wide exchange is the corpus-side explode feeding a
+    broadcast semi-join — no shuffle of corpus text, ever.  Returns
+    (id_col, contaminated) for every corpus document.
+    """
+    from ..functions import char_shingles, portable_hash64
+
+    eval_grams = (
+        eval_set.select(
+            F.explode(char_shingles(text_col, k)).alias("__g")
+        )
+        .select(portable_hash64(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, k)).alias("__g"),
+    ).select(id_col, portable_hash64(F.col("__g")).alias("__gh"))
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "__gh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        id_col, F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: full-content 60-bit digest
     (exact-dup key) and a winnowing-style min-hash over character

@@ -1960,12 +1960,74 @@ SELECT s.doc_id, s.quality FROM s, thr WHERE s.quality >= thr.q75
 """
 
 
+_REP_N = 3
+_CONTAM_K = 8
+_CONTAM_EVAL_IDS = 10
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of word 3-grams that
+    repeat within the document — narrow HOF expression, no shuffle."""
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return text.repeated_ngram_ratio(d, n=_REP_N).drop("text")
+
+
+def _repetition_oracle() -> str:
+    tk = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    n = _REP_N
+    grams = (
+        f"[array_to_string(list_slice(tk, i, i + {n - 1}), ' ') "
+        f"for i in range(1, greatest(len(tk) - {n}, 0) + 2)]"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {tk} AS tk FROM documents),
+g AS (SELECT doc_id, len(tk) AS n_tokens, {grams} AS grams FROM t)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens >= {n}
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / len(grams), 6)
+            ELSE 0.0 END AS rep_{n}gram_ratio
+FROM g
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any
+    character 8-gram with the eval set (docs 0-9 stand in for a
+    benchmark).  Eval grams reduce to distinct digests and broadcast;
+    corpus text never shuffles."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") < _CONTAM_EVAL_IDS)
+    return text.contamination_flags(d, ev, k=_CONTAM_K)
+
+
+def _contamination_oracle() -> str:
+    sh = (
+        f"list_distinct([substr(t, CAST(i AS INT), {_CONTAM_K}) "
+        f"for i in range(1, greatest(length(t) - {_CONTAM_K - 1}, 1) + 1)])"
+    )
+    gh = _duck_hash("g")
+    return f"""
+WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents),
+sh AS (SELECT doc_id, {sh} AS grams FROM norm),
+eg AS (SELECT DISTINCT {gh} AS ghash
+       FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id < {_CONTAM_EVAL_IDS})),
+cg AS (SELECT doc_id, {gh} AS ghash
+       FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+hits AS (SELECT DISTINCT doc_id FROM cg WHERE ghash IN (SELECT ghash FROM eg))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 QUERIES.update(
     {
         "stable_sample": q_stable_sample,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "quality_quantile_filter": q_quality_quantile_filter,
+        "repetition_ratio": q_repetition_ratio,
+        "contamination": q_contamination,
     }
 )
 _EXTENSION_ORACLES.update(
@@ -1974,6 +2036,8 @@ _EXTENSION_ORACLES.update(
         "stratified_sample": _stratified_oracle(),
         "pack_sequences": ORACLE_PACK,
         "quality_quantile_filter": _quality_quantile_oracle(),
+        "repetition_ratio": _repetition_oracle(),
+        "contamination": _contamination_oracle(),
     }
 )
 

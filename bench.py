@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pack_sequences",
     "quality_quantile_filter",
+    "repetition_ratio",
+    "contamination",
 ]
 
 

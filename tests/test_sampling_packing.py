@@ -70,6 +70,48 @@ def test_pack_sequences_contract(spark):
             offset += r["tokens"]
 
 
+def test_repeated_ngram_ratio_signals(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),     # maximal repetition
+            (2, "one two three four five six seven"), # no repetition
+            (3, "a b"),                               # shorter than n
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in text.repeated_ngram_ratio(docs, n=3).collect()}
+    assert out[1]["rep_3gram_ratio"] == 0.75  # 4 grams, 1 distinct
+    assert out[2]["rep_3gram_ratio"] == 0.0
+    assert out[3]["rep_3gram_ratio"] == 0.0  # gated, not NaN
+
+
+def test_contamination_flags(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import text
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different piece of writing here today"),
+            (3, "quick brown fox jumps over"),  # overlaps eval gram
+        ],
+        "doc_id LONG, text STRING",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox is a benchmark sentence")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r["contaminated"]
+           for r in text.contamination_flags(corpus, eval_set, k=8).collect()}
+    assert out[1] is True and out[3] is True
+    assert out[2] is False
+    # the plan must broadcast the eval grams, never shuffle corpus text
+    plan = text.contamination_flags(corpus, eval_set, k=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_pack_sequences_rejects_bad_budget(spark):
     import pytest
 
