@@ -137,7 +137,7 @@ def main() -> None:
             "since r2: materialized via bit_xor(xxhash64(*cols)) — r1's "
             "count() let Catalyst prune projection expressions, so r1 "
             "map-only timings understate true cost; suite also gained "
-            "5 queries (fast-hash LSH + 4 corpus-selection ops)"
+            "7 queries (fast-hash LSH + 6 corpus-selection/hygiene ops)"
         ),
     }
     # dedup_components runs MinHash+LSH before the CC loop; subtracting
