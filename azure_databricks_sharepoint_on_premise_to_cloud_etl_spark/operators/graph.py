@@ -10,8 +10,13 @@ property that makes web-scale CC tractable (the simplified form of the
 large-star/small-star algorithm).
 
 Scale notes: each iteration is two keyed joins and a convergence
-count; data never leaves the cluster.  The edge table and every label
-generation are hash-partitioned on their join keys once, so the
+count; data never leaves the cluster.  The iteration frontier is the
+EDGE-ENDPOINT set only — after LSH candidate generation the endpoints
+are a small fraction of the corpus, and nodes outside any pair are
+trivially their own component, re-attached by one left join at the
+end; carrying the full node set per round would shuffle the
+non-duplicate majority every iteration.  The edge table and every
+label generation are hash-partitioned on their join keys once, so the
 per-round joins reuse partitioning instead of re-shuffling both sides.
 Every generation is eagerly checkpointed (iterative plans otherwise
 embed all prior joins and exhaust driver/executor memory):
@@ -20,9 +25,9 @@ embed all prior joins and exhaust driver/executor memory):
   but blocks live on executors only, so a lost executor kills the job;
   fine for tests and on-demand clusters, wrong for preemptible fleets;
 - ``checkpoint_dir=...``: reliable ``checkpoint`` to that path —
-  generations survive executor loss (set
-  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or clean
-  the directory afterwards).
+  generations survive executor loss; the superseded generation's files
+  are deleted as soon as the next one is materialized, and the
+  SparkContext's previous checkpoint dir is restored on exit.
 
 The PREVIOUS generation's storage is released each round by
 unpersisting the checkpointed RDD itself (reaching through the
@@ -37,6 +42,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _delete_reliable_checkpoint(df: DataFrame) -> None:
+    """Delete a reliable-checkpointed DataFrame's files NOW.
+
+    Spark's ReferenceTracking cleaner removes checkpoint files only on
+    JVM GC of the RDD object and only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set; an
+    iterative algorithm that checkpoints every round would otherwise
+    grow storage linearly with iteration count.  Best-effort: on any
+    reflection surprise the files are left for the cleaner/caller.
+    """
+    try:
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+        opt = jrdd.getCheckpointFile()
+        if not opt.isDefined():
+            return
+        sc = df.sparkSession.sparkContext
+        path = sc._jvm.org.apache.hadoop.fs.Path(opt.get())
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    except Exception:
+        pass
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -76,7 +104,12 @@ def connected_components(
     (split dup-clusters) are never returned.
     """
     spark = edges.sparkSession
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
+        # save/restore: setCheckpointDir mutates global SparkContext
+        # state that would otherwise leak past this call
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def snapshot(df: DataFrame) -> DataFrame:
@@ -85,10 +118,14 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     def release(df: DataFrame) -> None:
-        # reliable checkpoint files are reclaimed by Spark's cleaner /
-        # the caller; only local blocks need manual release
         if checkpoint_dir is None:
             _release_local_checkpoint(df)
+        else:
+            # delete the superseded generation's checkpoint files NOW:
+            # Spark's reference-tracking cleaner only reclaims them on
+            # JVM GC (and only with cleanCheckpoints=true), so a long
+            # CC run otherwise accumulates one generation per round
+            _delete_reliable_checkpoint(df)
 
     # symmetrize once; hash-partition on the join key and cache so the
     # per-round neighbor join reuses this layout instead of re-shuffling
@@ -102,9 +139,17 @@ def connected_components(
         .repartition("b")
         .cache()
     )
+    # Iterate ONLY over edge endpoints: after LSH, candidate pairs
+    # touch a small fraction of the corpus, while every node outside
+    # any pair is trivially its own component.  Carrying the full node
+    # set through every round (as r2 did) shuffles the non-duplicate
+    # majority — usually >90% of the corpus — per iteration for no
+    # information; isolated nodes are re-attached once at the end with
+    # coalesce(component, node).
+    endpoints = sym.select("a").distinct()
     labels = snapshot(
-        nodes.select(
-            F.col(node_col).alias("node"), F.col(node_col).alias("component")
+        endpoints.select(
+            F.col("a").alias("node"), F.col("a").alias("component")
         ).repartition("node")
     )
     converged = False
@@ -163,4 +208,13 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             "iterations — graph larger/stranger than the safety bound"
         )
-    return labels.select(F.col("node").alias(node_col), "component")
+    if prev_ckpt_dir is not None:
+        spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+    # re-attach isolated nodes: anything outside the edge set is its
+    # own component (one left join, no per-round cost)
+    return nodes.select(F.col(node_col)).join(
+        labels.withColumnRenamed("node", node_col), node_col, "left"
+    ).select(
+        node_col,
+        F.coalesce(F.col("component"), F.col(node_col)).alias("component"),
+    )

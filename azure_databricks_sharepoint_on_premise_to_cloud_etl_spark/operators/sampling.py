@@ -128,3 +128,59 @@ def pack_sequences(
         .withColumn("pack_id", F.floor(F.col("pack_offset") / budget))
         .withColumn("pack_pos", F.col("pack_offset") % budget)
     )
+
+
+def pack_sequences_nostraddle(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy NO-straddle packing: documents never split across packs.
+
+    Within each shard, in ``order_col`` order, a document opens a new
+    pack whenever it would not fit in the remaining budget
+    (``pos > 0 and pos + tokens > budget``); a document longer than the
+    whole budget gets a pack to itself.  Adds ``ns_pack_id`` and
+    ``ns_pack_pos``.
+
+    The recurrence resets the running position at data-dependent
+    points, which no window frame can express — this is inherently a
+    sequential scan per shard, implemented as one Arrow-batched
+    ``applyInPandas`` over the shard groups.  Scale shape: parallelism
+    = shard count, so shards are sized to executor memory (hash the key
+    into enough shards); each group streams through pandas once,
+    O(rows) with no Python per-row boxing on the Spark side.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    # copy before add(): StructType.add mutates in place, and mutating
+    # df.schema desynchronizes the DataFrame from its plan
+    out_schema = (
+        StructType(list(df.schema.fields))
+        .add("ns_pack_id", "long")
+        .add("ns_pack_pos", "long")
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        pack_id = 0
+        pos = 0
+        ids = []
+        poss = []
+        for t in pdf[token_col].astype("int64"):
+            if pos > 0 and pos + t > budget:
+                pack_id += 1
+                pos = 0
+            ids.append(pack_id)
+            poss.append(pos)
+            pos += int(t)
+        pdf["ns_pack_id"] = pd.Series(ids, dtype="int64")
+        pdf["ns_pack_pos"] = pd.Series(poss, dtype="int64")
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)

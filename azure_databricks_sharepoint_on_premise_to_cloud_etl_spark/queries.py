@@ -192,19 +192,34 @@ WHERE o_orderstatus = 'O' AND upper(o_orderpriority) <> '5-LOW'
 
 
 def q_top1_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: latest row per group via row_number window; deterministic
-    orderkey tie-break."""
+    """W1 + W2: latest AND earliest row per group via row_number
+    windows, labeled by ``which``; deterministic orderkey tie-break.
+    (One driver row covers both extremum directions — the two windows
+    share the o_custkey partitioning, so AQE plans a single exchange.)"""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderkey"
     )
-    return windows.top1_per_group(o, ["o_custkey"], "o_orderdate", latest=True)
+    latest = windows.top1_per_group(
+        o, ["o_custkey"], "o_orderdate", latest=True
+    ).withColumn("which", F.lit("latest"))
+    earliest = windows.top1_per_group(
+        o, ["o_custkey"], "o_orderdate", latest=False
+    ).withColumn("which", F.lit("earliest"))
+    return latest.unionByName(earliest)
 
 
 ORACLE_TOP1 = """
-SELECT o_custkey, o_orderdate, o_orderkey FROM (
+SELECT o_custkey, o_orderdate, o_orderkey, 'latest' AS which FROM (
     SELECT o_custkey, o_orderdate, o_orderkey,
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+    FROM orders) t
+WHERE rn = 1
+UNION ALL
+SELECT o_custkey, o_orderdate, o_orderkey, 'earliest' AS which FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
     FROM orders) t
 WHERE rn = 1
 """
@@ -507,26 +522,80 @@ _ZONES_SQL = """
 
 
 def q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7/P7: event-in-interval join — equi key (event_type) +
-    range predicate, zone side broadcast."""
+    """J7/P7 + P8/T6 in one driver row, two formulations cross-checking
+    each other:
+
+    - ``rangejoin``: event-in-interval join — equi key (event_type) +
+      range predicate in the join condition, zone side broadcast
+      (operators/intervals.interval_containment_join).
+    - ``case``: the reference's equi-join on (event_type, day) + CASE
+      WHEN containment label (ACTUAL/PLAN,
+      code/ukg_open_census.py:729-730).
+
+    The rangejoin rows must equal the case/ACTUAL rows — a built-in
+    consistency check the oracle reproduces formulation-for-
+    formulation."""
     e = load_table(spark, sf_dir, "events")
     zones = _event_zones(e)
-    joined = intervals.interval_containment_join(
-        e, zones, ["event_type"], "ts", "start_tm", "end_tm"
+    rj = (
+        intervals.interval_containment_join(
+            e, zones, ["event_type"], "ts", "start_tm", "end_tm"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit("rangejoin").alias("method"),
+            "event_type",
+            F.lit("ACTUAL").alias("label"),
+            "n_events",
+            "sum_value",
+        )
     )
-    return joined.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_in_zone"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+    ed = e.withColumn("zone_day", F.date_trunc("day", F.col("ts")))
+    labeled = (
+        ed.join(F.broadcast(zones), ["event_type", "zone_day"], "inner")
+        .withColumn(
+            "label",
+            intervals.actual_plan_label(
+                F.col("ts"), F.col("start_tm"), F.col("end_tm")
+            ),
+        )
+        .groupBy("event_type", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit("case").alias("method"),
+            "event_type",
+            "label",
+            "n_events",
+            "sum_value",
+        )
     )
+    return rj.unionByName(labeled)
 
 
 ORACLE_CONTAINMENT = f"""
 WITH zones AS ({_ZONES_SQL})
-SELECT e.event_type, count(*) AS n_in_zone, round(sum(e.value), 2) AS sum_value
+SELECT 'rangejoin' AS method, e.event_type, 'ACTUAL' AS label,
+       count(*) AS n_events, round(sum(e.value), 2) AS sum_value
 FROM events e
 JOIN zones z ON e.event_type = z.event_type
             AND e.ts BETWEEN z.start_tm AND z.end_tm
 GROUP BY e.event_type
+UNION ALL
+SELECT 'case' AS method, e.event_type,
+       CASE WHEN e.ts >= z.start_tm AND e.ts <= z.end_tm
+            THEN 'ACTUAL' ELSE 'PLAN' END AS label,
+       count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN zones z ON e.event_type = z.event_type
+            AND date_trunc('day', e.ts) = z.zone_day
+GROUP BY 1, 2, 3
 """
 
 
@@ -563,7 +632,11 @@ GROUP BY 1, 2
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 streaming-ready formulation: tumbling 1-hour window aggregate
-    via F.window (identical under readStream + withWatermark)."""
+    via F.window (identical under readStream + withWatermark), plus the
+    F5 hour re-anchoring surface (code/ukg_open_census_old.py:105-106):
+    window start reshaped to the reference's '{date} HH:00:00' string
+    and parsed back to a timestamp — one driver row covers the window
+    bucketing and the date_format/to_timestamp round-trip."""
     e = load_table(spark, sf_dir, "events")
     agg = intervals.tumbling_window_agg(
         e,
@@ -575,14 +648,25 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         ],
     )
-    return agg.select("event_type", "window_start", "n_events", "sum_value")
+    return agg.select(
+        "event_type",
+        "window_start",
+        F.date_format(F.col("window_start"), "yyyy-MM-dd HH:00:00").alias(
+            "hour_str"
+        ),
+        "n_events",
+        "sum_value",
+    ).withColumn("hour_ts", F.to_timestamp("hour_str"))
 
 
 ORACLE_TUMBLING = """
 SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00:00') AS hour_str,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       CAST(strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00:00')
+            AS TIMESTAMP) AS hour_ts
 FROM events
-GROUP BY 1, 2
+GROUP BY 1, 2, 3, 6
 """
 
 
@@ -1123,6 +1207,13 @@ FROM documents
 # Catalog
 # ---------------------------------------------------------------------------
 
+# The driver's correctness gate captures at most 50 rows; the registry
+# is kept at EXACTLY 50 oracle-bearing entries so every operator gets a
+# verdict.  Bench-only and folded variants (fast-hash LSH, simhash
+# signatures, the solo earliest/drop_na/running_sum/time_reanchor/
+# actual_plan_label/streaming forms) live in AUX_QUERIES below —
+# pytest-verified against the same DuckDB oracles, just not burning a
+# driver slot.
 QUERIES: dict[str, QueryFn] = {
     "flagship_census_count": q_flagship_census_count,
     "pricing_summary": q_pricing_summary,
@@ -1138,19 +1229,15 @@ QUERIES: dict[str, QueryFn] = {
     "hierarchical_fallback": q_hierarchical_fallback,
     "rolling_window_expand": q_rolling_window_expand,
     "interval_containment": q_interval_containment,
-    "actual_plan_label": q_actual_plan_label,
     "tumbling_window": q_tumbling_window,
     "sessionize": q_sessionize,
     "json_extract": q_json_extract,
     "nested_explode": q_nested_explode,
     "exact_dedup": q_exact_dedup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
     "ngram_jaccard": q_ngram_jaccard,
-    "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk": q_cosine_topk,
-    "cosine_topk_lsh": q_cosine_topk_lsh,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1175,7 +1262,6 @@ def oracles() -> dict[str, str]:
         "hierarchical_fallback": ORACLE_HIERARCHICAL,
         "rolling_window_expand": ORACLE_ROLLING,
         "interval_containment": ORACLE_CONTAINMENT,
-        "actual_plan_label": ORACLE_ACTUAL_PLAN,
         "tumbling_window": ORACLE_TUMBLING,
         "sessionize": ORACLE_SESSIONIZE,
         "json_extract": ORACLE_JSON,
@@ -1183,10 +1269,8 @@ def oracles() -> dict[str, str]:
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "minhash_lsh_pairs": _minhash_oracle(),
         "ngram_jaccard": ORACLE_JACCARD,
-        "simhash": _simhash_oracle(),
         "embedding_near_dup": ORACLE_NEAR_DUP,
         "cosine_topk": ORACLE_COSINE_TOPK,
-        "cosine_topk_lsh": _lsh_oracle(),
         "language_id": _langid_oracle(),
         "quality_score": _quality_oracle(),
         "token_count": ORACLE_TOKEN_COUNT,
@@ -1333,9 +1417,13 @@ SELECT set_op, c_nationkey, count(*) AS n_customers FROM u GROUP BY 1, 2
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-family sampler (SURVEY 2.8): split/element_at, substring+cast,
     date arithmetic, upper, coalesce, abs, conditional — one projection
-    exercising the scalar surface end-to-end."""
+    exercising the scalar surface end-to-end.  Also carries P5: two
+    nullif-derived nullable columns dropped with a multi-column
+    ``na.drop`` (the reference's drop_na loop,
+    code/ukg_dept_bus_strctr.py:36-39) — 'F'-status and '5-LOW'
+    orders genuinely fall out."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    return o.select(
+    projected = o.select(
         "o_orderkey",
         F.element_at(F.split(F.col("o_orderpriority"), "-"), -1).alias("pri_word"),
         F.substring("o_orderpriority", 1, 1).cast("long").alias("pri_digit"),
@@ -1349,7 +1437,10 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("o_totalprice") * -1).alias("abs_price"),
         F.length("o_orderpriority").alias("pri_len"),
         F.concat_ws("_", "o_orderstatus", "o_orderpriority").alias("combined"),
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("open_status"),
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("real_pri"),
     )
+    return projected.na.drop(subset=["open_status", "real_pri"])
 
 
 ORACLE_SCALAR_FUNCTIONS = """
@@ -1363,8 +1454,12 @@ SELECT o_orderkey,
        coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_fallback,
        abs(o_totalprice * -1) AS abs_price,
        length(o_orderpriority) AS pri_len,
-       concat_ws('_', o_orderstatus, o_orderpriority) AS combined
+       concat_ws('_', o_orderstatus, o_orderpriority) AS combined,
+       nullif(o_orderstatus, 'F') AS open_status,
+       nullif(o_orderpriority, '5-LOW') AS real_pri
 FROM orders WHERE o_orderkey % 100 = 0
+  AND nullif(o_orderstatus, 'F') IS NOT NULL
+  AND nullif(o_orderpriority, '5-LOW') IS NOT NULL
 """
 
 
@@ -1506,12 +1601,9 @@ QUERIES.update(
     {
         "join_3way": q_join_3way,
         "coalesce_fallback": q_coalesce_fallback,
-        "earliest_per_group": q_earliest_per_group,
-        "drop_na": q_drop_na,
         "except_intersect": q_except_intersect,
         "scalar_functions": q_scalar_functions,
         "rollup_agg": q_rollup_agg,
-        "running_sum": q_running_sum,
         "asof_boundary_join": q_asof_boundary_join,
         "bigram_freq": q_bigram_freq,
     }
@@ -1520,12 +1612,9 @@ QUERIES.update(
 _EXTENSION_ORACLES = {
     "join_3way": ORACLE_JOIN_3WAY,
     "coalesce_fallback": ORACLE_COALESCE,
-    "earliest_per_group": ORACLE_EARLIEST,
-    "drop_na": ORACLE_DROP_NA,
     "except_intersect": ORACLE_EXCEPT_INTERSECT,
     "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
     "rollup_agg": ORACLE_ROLLUP,
-    "running_sum": ORACLE_RUNNING_SUM,
     "asof_boundary_join": ORACLE_ASOF,
     "bigram_freq": ORACLE_BIGRAM,
 }
@@ -1582,8 +1671,9 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
     return d
 
 
-QUERIES["streaming_tumbling"] = q_streaming_tumbling
-_EXTENSION_ORACLES["streaming_tumbling"] = ORACLE_TUMBLING
+# streaming_tumbling is pytest-verified (AUX below) rather than a
+# driver row: it shares its oracle with the batch tumbling_window
+# entry, and the registry is capped at the driver's 50-row capture.
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,14 +1717,28 @@ FROM documents d
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (beyond the reference's
-    aggregate surface; Spark `percentile` == DuckDB `quantile_cont`)."""
+    """Exact interpolated percentiles per group (== DuckDB
+    ``quantile_cont``), computed via the histogram formulation
+    (operators/stats.py) instead of the built-in ``percentile``
+    aggregate: the built-in is a TypedImperativeAggregate whose per-row
+    object-buffer updates cost ~10x a codegen hash aggregate (r2 bench:
+    2.2s vs ~0.5s here at sf0.1); the histogram shuffles distinct
+    values, not rows, and stays inside whole-stage codegen."""
+    from .operators import stats
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    qty = stats.group_percentiles_exact(
+        li, ["l_returnflag"], "l_quantity", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
+    )
+    price = stats.group_percentiles_exact(
+        li, ["l_returnflag"], "l_extendedprice", {"p90_price": 0.9}
+    )
+    return qty.join(F.broadcast(price), "l_returnflag").select(
+        "l_returnflag",
+        F.round("q25", 6).alias("q25"),
+        F.round("q50", 6).alias("q50"),
+        F.round("q75", 6).alias("q75"),
+        F.round("p90_price", 6).alias("p90_price"),
     )
 
 
@@ -1644,6 +1748,37 @@ SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 6) AS q50,
        round(quantile_cont(l_quantity, 0.75), 6) AS q75,
        round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` — a mergeable
+    Greenwald-Khanna sketch with map-side partial combine and rank
+    error <= rows/accuracy, no per-group sort anywhere.  At accuracy
+    1e6 the sketch never compresses below the fixture row counts, so
+    its answer is rank-EXACT here and oracle-checkable against DuckDB
+    ``quantile_disc`` (both pick the observed value at the target
+    rank); production runs dial accuracy down to trade memory for
+    bounded rank error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 1_000_000
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr(f"approx_percentile(l_quantity, 0.25, {acc})"), 6).alias("q25"),
+        F.round(F.expr(f"approx_percentile(l_quantity, 0.5, {acc})"), 6).alias("q50"),
+        F.round(F.expr(f"approx_percentile(l_quantity, 0.75, {acc})"), 6).alias("q75"),
+        F.round(F.expr(f"approx_percentile(l_extendedprice, 0.9, {acc})"), 6).alias(
+            "p90_price"
+        ),
+    )
+
+
+ORACLE_PERCENTILES_APPROX = """
+SELECT l_returnflag,
+       round(quantile_disc(l_quantity, 0.25), 6) AS q25,
+       round(quantile_disc(l_quantity, 0.5), 6) AS q50,
+       round(quantile_disc(l_quantity, 0.75), 6) AS q75,
+       round(quantile_disc(l_extendedprice, 0.9), 6) AS p90_price
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1710,6 +1845,7 @@ QUERIES.update(
     {
         "dedup_components": q_dedup_components,
         "percentiles": q_percentiles,
+        "percentiles_approx": q_percentiles_approx,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 )
@@ -1717,6 +1853,7 @@ _EXTENSION_ORACLES.update(
     {
         "dedup_components": _components_oracle(),
         "percentiles": ORACLE_PERCENTILES,
+        "percentiles_approx": ORACLE_PERCENTILES_APPROX,
         "tfidf_top_terms": ORACLE_TFIDF,
     }
 )
@@ -1765,6 +1902,34 @@ WHERE rn <= 10
 """
 
 
+def q_cosine_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN scale paths in one driver row, labeled by ``method``:
+    random-hyperplane LSH bucketing (probes meet only same/adjacent-
+    bucket vectors) and IVF-flat posting lists (probes scan their 4
+    nearest centroid lists).  Each is an equi-join on a bucket id —
+    never a cross product; the brute-force twin (cosine_topk) is the
+    recall oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    lsh = similarity.lsh_topk(
+        e, probes, k=10, dim=_LSH_DIM, num_planes=_LSH_PLANES, seed=_LSH_SEED
+    ).withColumn("method", F.lit("lsh"))
+    ivf = similarity.ivf_topk(
+        e, probes, k=10, nprobe=4, n_centroids=16
+    ).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+def _ann_oracle() -> str:
+    return f"""
+SELECT 'lsh' AS method, * FROM ({_lsh_oracle()})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({_ivf_oracle()})
+"""
+
+
 def q_time_reanchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 (code/ukg_open_census_old.py:105-106): re-anchor timestamps
     to the hour boundary as a formatted string, the reference's
@@ -1789,18 +1954,8 @@ GROUP BY 1, 2, 3
 """
 
 
-QUERIES.update(
-    {
-        "cosine_topk_ivf": q_cosine_topk_ivf,
-        "time_reanchor": q_time_reanchor,
-    }
-)
-_EXTENSION_ORACLES.update(
-    {
-        "cosine_topk_ivf": _ivf_oracle(),
-        "time_reanchor": ORACLE_TIME_REANCHOR,
-    }
-)
+QUERIES["cosine_topk_ann"] = q_cosine_topk_ann
+_EXTENSION_ORACLES["cosine_topk_ann"] = _ann_oracle()
 
 
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1892,11 +2047,20 @@ GROUP BY lang
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing: docs laid end-to-end per
-    shard (doc_id mod 8) in doc_id order, chunk boundary every 2048
-    whitespace tokens.  Per-shard windows parallelize — a global
-    orderBy window would single-partition the corpus and is
-    deliberately not used."""
+    """Sequence packing, BOTH contracts in one driver row: docs laid
+    end-to-end per shard (doc_id mod 8) in doc_id order —
+
+    - concat-and-chunk (straddle allowed): window cumulative sum,
+      boundary every 2048 whitespace tokens (pack_offset/pack_id/
+      pack_pos);
+    - greedy no-straddle: a doc that would cross the boundary opens a
+      new pack (ns_pack_id/ns_pack_pos) — a data-dependent reset no
+      window frame expresses, run as applyInPandas per shard and
+      checked against a DuckDB RECURSIVE-CTE walk of the same
+      recurrence.
+
+    Per-shard processing parallelizes both; a global orderBy window
+    would single-partition the corpus and is deliberately not used."""
     from .functions import word_tokens
 
     d = rebalance(load_table(spark, sf_dir, "documents"))
@@ -1908,13 +2072,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = sampling.pack_sequences(
         t, token_col="tokens", budget=_PACK_BUDGET, shard_col="shard"
     )
-    return packed.select(
-        "doc_id", "shard", "tokens", "pack_offset", "pack_id", "pack_pos"
+    ns = sampling.pack_sequences_nostraddle(
+        packed, token_col="tokens", budget=_PACK_BUDGET, shard_col="shard"
+    )
+    return ns.select(
+        "doc_id", "shard", "tokens", "pack_offset", "pack_id", "pack_pos",
+        "ns_pack_id", "ns_pack_pos",
     )
 
 
 ORACLE_PACK = f"""
-WITH t AS (
+WITH RECURSIVE t AS (
     SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
            len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                            x -> x <> '')) AS tokens
@@ -1924,25 +2092,47 @@ o AS (
     SELECT doc_id, shard, tokens,
            CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) - tokens
-                AS BIGINT) AS pack_offset
+                AS BIGINT) AS pack_offset,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
     FROM t
+),
+walk (shard, rn, doc_id, ns_pack_id, ns_pack_pos, nxt) AS (
+    SELECT shard, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(tokens AS BIGINT)
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.shard, o.rn, o.doc_id,
+           CASE WHEN w.nxt > 0 AND w.nxt + o.tokens > {_PACK_BUDGET}
+                THEN w.ns_pack_id + 1 ELSE w.ns_pack_id END,
+           CASE WHEN w.nxt > 0 AND w.nxt + o.tokens > {_PACK_BUDGET}
+                THEN 0 ELSE w.nxt END,
+           CASE WHEN w.nxt > 0 AND w.nxt + o.tokens > {_PACK_BUDGET}
+                THEN CAST(o.tokens AS BIGINT) ELSE w.nxt + o.tokens END
+    FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1
 )
-SELECT doc_id, shard, tokens, pack_offset,
-       CAST(floor(pack_offset / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
-       pack_offset % {_PACK_BUDGET} AS pack_pos
-FROM o
+SELECT o.doc_id, o.shard, o.tokens, o.pack_offset,
+       CAST(floor(o.pack_offset / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       o.pack_offset % {_PACK_BUDGET} AS pack_pos,
+       w.ns_pack_id, w.ns_pack_pos
+FROM o JOIN walk w ON w.shard = o.shard AND w.rn = o.rn
 """
 
 
 def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep documents above the corpus P75 quality score: the exact
-    percentile rides in-plane as a one-row broadcast aggregate (never a
-    driver round-trip); at 100 TB swap percentile for percentile_approx
-    — same plan shape, sketch-mergeable."""
+    """Keep documents above the corpus P75 quality score.  The
+    threshold is an ``approx_percentile`` SKETCH aggregate — the actual
+    100 TB shape (mergeable, map-side partial, no per-group sort) —
+    riding in-plane as a one-row broadcast (never a driver
+    round-trip).  At accuracy 1e6 the sketch is rank-exact below 1M
+    docs, so the driver oracle checks it against DuckDB
+    ``quantile_disc`` exactly; production dials accuracy down for
+    memory at a bounded rank error of rows/accuracy."""
     d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     scored = text.quality_score(d).select("doc_id", "quality")
     thr = scored.agg(
-        F.round(F.expr("percentile(quality, 0.75)"), 6).alias("q75")
+        F.round(
+            F.expr("approx_percentile(quality, 0.75, 1000000)"), 6
+        ).alias("q75")
     )
     return (
         scored.crossJoin(F.broadcast(thr))
@@ -1955,7 +2145,7 @@ def _quality_quantile_oracle() -> str:
     quality = _quality_oracle().strip()
     return f"""
 WITH s AS (SELECT doc_id, quality FROM ({quality})),
-thr AS (SELECT round(quantile_cont(quality, 0.75), 6) AS q75 FROM s)
+thr AS (SELECT round(quantile_disc(quality, 0.75), 6) AS q75 FROM s)
 SELECT s.doc_id, s.quality FROM s, thr WHERE s.quality >= thr.q75
 """
 
@@ -2180,3 +2370,67 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 
 QUERIES["simhash_near_pairs"] = q_simhash_near_pairs
 _EXTENSION_ORACLES["simhash_near_pairs"] = _simhash_pairs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# AUX registry: oracle-verified forms that do NOT occupy one of the
+# driver's 50 correctness slots.  Their coverage is folded into a
+# registry entry (see each note) or they are bench-only variants; the
+# pytest suite (tests/test_aux_queries.py) runs every AUX entry against
+# its DuckDB oracle with the same digest the driver uses, so they keep
+# a hard correctness signal.
+# ---------------------------------------------------------------------------
+
+# streaming_tumbling emits the pre-reanchor tumbling schema; keep its
+# oracle in the original 4-column form
+ORACLE_TUMBLING_BASE = """
+SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+AUX_QUERIES: dict[str, QueryFn] = {
+    # folded into top1_latest_order (which='earliest')
+    "earliest_per_group": q_earliest_per_group,
+    # folded into scalar_functions (open_status/real_pri + na.drop)
+    "drop_na": q_drop_na,
+    # frame-spec surface; sessionize's cumulative sum is the same
+    # rowsBetween window in a green driver row
+    "running_sum": q_running_sum,
+    # folded into tumbling_window (hour_str/hour_ts columns)
+    "time_reanchor": q_time_reanchor,
+    # folded into interval_containment (method='case')
+    "actual_plan_label": q_actual_plan_label,
+    # same oracle as tumbling_window's bucketing; real readStream path
+    "streaming_tumbling": q_streaming_tumbling,
+    # signature computation is transitively verified by
+    # simhash_near_pairs (pairs+hamming require correct signatures)
+    "simhash": q_simhash,
+    # folded into cosine_topk_ann (method='lsh'/'ivf')
+    "cosine_topk_lsh": q_cosine_topk_lsh,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
+    # bench-only fast-hash variant: deliberately oracle-less (DuckDB
+    # has no xxhash64); plan shape identical to minhash_lsh_pairs
+    "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
+}
+
+AUX_ORACLES: dict[str, str] = {
+    "earliest_per_group": ORACLE_EARLIEST,
+    "drop_na": ORACLE_DROP_NA,
+    "running_sum": ORACLE_RUNNING_SUM,
+    "time_reanchor": ORACLE_TIME_REANCHOR,
+    "actual_plan_label": ORACLE_ACTUAL_PLAN,
+    "streaming_tumbling": ORACLE_TUMBLING_BASE,
+    "simhash": _simhash_oracle(),
+    "cosine_topk_lsh": _lsh_oracle(),
+    "cosine_topk_ivf": _ivf_oracle(),
+}
+
+# Contract guards: the driver records at most 50 rows and every row
+# must have an oracle — a regression here silently un-verifies queries.
+assert len(QUERIES) == 50, f"registry must stay at 50 entries, got {len(QUERIES)}"
+assert set(oracles()) == set(QUERIES), (
+    "every registry entry needs an oracle twin: "
+    f"{set(oracles()) ^ set(QUERIES)}"
+)

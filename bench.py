@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "join_3way",
     "rollup_agg",
     "percentiles",
+    "percentiles_approx",
     "running_sum",
     "asof_boundary_join",
     "bigram_freq",
@@ -105,7 +106,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = q.QUERIES[name]
+        # bench-only / folded variants (fast hash, solo LSH/IVF,
+        # running_sum, time_reanchor, simhash) live in AUX_QUERIES
+        fn = q.QUERIES.get(name) or q.AUX_QUERIES[name]
         try:
             t0 = time.time()
             materialize(fn(spark, sf_dir))
@@ -134,10 +137,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "note": (
-            "since r2: materialized via bit_xor(xxhash64(*cols)) — r1's "
-            "count() let Catalyst prune projection expressions, so r1 "
-            "map-only timings understate true cost; suite also gained "
-            "7 queries (fast-hash LSH + 6 corpus-selection/hygiene ops)"
+            "since r3: percentiles is histogram-exact (was built-in "
+            "percentile), percentiles_approx added; tumbling_window/"
+            "top1_latest_order/interval_containment/scalar_functions/"
+            "pack_sequences absorbed their folded twins (reanchor cols, "
+            "earliest direction, CASE-label form, na.drop cols, "
+            "no-straddle packing) so they do strictly more work than "
+            "their r2 baseline rows — see BASELINE.md mapping"
         ),
     }
     # dedup_components runs MinHash+LSH before the CC loop; subtracting

@@ -1,0 +1,96 @@
+"""Hard correctness signal for the AUX registry (queries.AUX_QUERIES):
+oracle-verified forms folded out of the driver's 50-slot capture.
+
+Each AUX entry runs on Spark and its DuckDB oracle twin on the same
+parquet fixtures, compared with the driver's own digest discipline
+(row count, column names, order-insensitive normalized value hash) —
+the same gate tools/verify_local.py applies to the main registry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _normalize(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _digest(cols: list[str], rows: list[tuple]) -> tuple[int, list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(_normalize(r[i]) for i in order) for r in rows
+    )
+    return len(rows), lines
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(q.AUX_ORACLES))
+def test_aux_query_matches_oracle(spark, duck, name):
+    sdf = q.AUX_QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(q.AUX_ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    sn, slines = _digest(scols, srows)
+    dn, dlines = _digest(dcols, drows)
+    assert sn == dn, f"{name}: row count {sn} != {dn}"
+    assert sn > 0, f"{name}: vacuous (0 rows)"
+    assert slines == dlines, f"{name}: value mismatch"
+
+
+def test_fast_hash_lsh_plan_matches_portable(spark):
+    """minhash_lsh_pairs_fast is deliberately oracle-less (DuckDB has
+    no xxhash64); pin that it is non-vacuous and structurally sane:
+    symmetric-free (id_a < id_b), no self-pairs."""
+    out = q.AUX_QUERIES["minhash_lsh_pairs_fast"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "fast-hash LSH returned no candidate pairs"
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_aux_covers_everything_not_in_registry():
+    """Every query function in the module is reachable through either
+    the driver registry or AUX — nothing silently unverified."""
+    import inspect
+
+    public_queries = {
+        n for n, _ in inspect.getmembers(q, inspect.isfunction)
+        if n.startswith("q_")
+    }
+    registered = {fn.__name__ for fn in q.QUERIES.values()} | {
+        fn.__name__ for fn in q.AUX_QUERIES.values()
+    }
+    missing = public_queries - registered
+    assert not missing, f"query functions not in QUERIES or AUX_QUERIES: {missing}"
