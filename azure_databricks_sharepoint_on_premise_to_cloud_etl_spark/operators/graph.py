@@ -9,15 +9,22 @@ chain depth every round, giving O(log diameter) convergence, the
 property that makes web-scale CC tractable (the simplified form of the
 large-star/small-star algorithm).
 
-Scale notes: each iteration is two keyed joins and a convergence
-count; data never leaves the cluster.  The iteration frontier is the
-EDGE-ENDPOINT set only — after LSH candidate generation the endpoints
-are a small fraction of the corpus, and nodes outside any pair are
-trivially their own component, re-attached by one left join at the
-end; carrying the full node set per round would shuffle the
-non-duplicate majority every iteration.  The edge table and every
-label generation are hash-partitioned on their join keys once, so the
-per-round joins reuse partitioning instead of re-shuffling both sides.
+Scale notes: the iteration is DELTA (frontier-shrinking).  Labels
+only ever decrease, so a neighbor's min can only drop because some
+neighbor's label dropped LAST round — propagating from the full label
+table every round (as rounds ≤3 did) recomputes mins that cannot have
+changed.  Each round therefore joins the edge table against only the
+CHANGED labels (the frontier): converged subgraphs stop paying the
+per-round joins entirely, and the frontier shrinks geometrically.
+Because the frontier is small after round 1, AQE turns every
+per-round join into a broadcast join — the static, cached edge table
+is never re-shuffled, and the standing label table is only ever
+scanned (merge of the round's updates), never shuffled.  The
+iteration runs over EDGE-ENDPOINTS only — after LSH candidate
+generation the endpoints are a small fraction of the corpus, and
+nodes outside any pair are trivially their own component, re-attached
+by one left join at the end; carrying the full node set per round
+would shuffle the non-duplicate majority every iteration.
 Every generation is eagerly checkpointed (iterative plans otherwise
 embed all prior joins and exhaust driver/executor memory):
 
@@ -83,6 +90,37 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _strip_inherited_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a checkpointed DataFrame so it stops inheriting the
+    pre-checkpoint plan's size-in-bytes ESTIMATE.
+
+    ``Dataset.checkpoint``/``localCheckpoint`` return a ``LogicalRDD``
+    that carries the ORIGINAL plan's estimated statistics across the
+    checkpoint.  Catalyst's size-only estimator multiplies child sizes
+    at every join, so an iterative algorithm whose round references the
+    previous generation k times compounds the estimate by ~k× PER
+    ROUND — the BigInteger holding sizeInBytes grows to millions of
+    bits within a dozen rounds and the driver ends up spending minutes
+    in Karatsuba/Toom-Cook multiplication while planning (observed:
+    150 s for a 12th-round plan over 5 000 rows, with zero jobs
+    running).  Rebuilding the DataFrame from the already-materialized
+    row RDD drops the inherited estimate; the session default is used
+    instead, and AQE still picks broadcast strategies from ACTUAL
+    runtime sizes.  Best-effort: on any internal-API surprise the
+    original frame is returned (correct, but a long iteration may hit
+    the planner stall this guards against).
+    """
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return type(df)(new_jdf, spark)
+    except Exception:
+        return df
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -97,7 +135,10 @@ def connected_components(
     ``edges`` are undirected pairs; ``nodes`` is the full vertex set
     (isolated nodes label themselves).  Returns (node_col, component).
     ``checkpoint_dir`` selects reliable checkpoints (see module
-    docstring) — default localCheckpoint.
+    docstring) — default localCheckpoint.  If a checkpoint dir was
+    already set on the SparkContext it is restored on exit (success or
+    raise); if none was set, the caller's dir remains set afterwards —
+    SparkContext has no public way to UNset it.
     Raises RuntimeError if ``max_iterations`` rounds don't converge —
     with pointer jumping that bound covers diameters ~2^25, so hitting
     it means something is genuinely wrong; silent wrong components
@@ -114,10 +155,20 @@ def connected_components(
 
     def snapshot(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            ckpt = df.checkpoint(eager=True)
+        else:
+            ckpt = df.localCheckpoint(eager=True)
+        # strip the inherited size estimate (see _strip_inherited_stats:
+        # without this, join-multiplied estimates compound per round and
+        # the driver stalls for minutes in BigInteger math while
+        # planning round ~10+).  Keep the real checkpointed frame on the
+        # wrapper so release() can still reach the persisted RDD.
+        out = _strip_inherited_stats(ckpt)
+        out._ckpt_handle = ckpt
+        return out
 
     def release(df: DataFrame) -> None:
+        df = getattr(df, "_ckpt_handle", df)
         if checkpoint_dir is None:
             _release_local_checkpoint(df)
         else:
@@ -127,89 +178,121 @@ def connected_components(
             # CC run otherwise accumulates one generation per round
             _delete_reliable_checkpoint(df)
 
-    # symmetrize once; hash-partition on the join key and cache so the
-    # per-round neighbor join reuses this layout instead of re-shuffling
-    # the (static) edge table every iteration
+    # symmetrize once and cache; no explicit partitioning — the
+    # per-round join broadcasts the (small) frontier against this
+    # cached layout, so sym's distribution is irrelevant and a forced
+    # repartition would only add a setup shuffle
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .repartition("b")
         .cache()
     )
-    # Iterate ONLY over edge endpoints: after LSH, candidate pairs
-    # touch a small fraction of the corpus, while every node outside
-    # any pair is trivially its own component.  Carrying the full node
-    # set through every round (as r2 did) shuffles the non-duplicate
-    # majority — usually >90% of the corpus — per iteration for no
-    # information; isolated nodes are re-attached once at the end with
-    # coalesce(component, node).
-    endpoints = sym.select("a").distinct()
-    labels = snapshot(
-        endpoints.select(
-            F.col("a").alias("node"), F.col("a").alias("component")
-        ).repartition("node")
-    )
-    converged = False
-    for _ in range(max_iterations):
-        # 1. propagate: min label among self and neighbors
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["a"], "left"
-        ).select(
-            "node",
-            F.col("component").alias("prev_component"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
-        # 2. pointer jump: adopt my label's label (halves chain depth,
-        #    turning O(diameter) propagation into O(log diameter))
-        parents = propagated.select(
-            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-        )
-        new_full = snapshot(
-            propagated.join(
-                parents, propagated["component"] == parents["p_node"], "left"
-            )
+    try:
+        # Iterate ONLY over edge endpoints: after LSH, candidate pairs
+        # touch a small fraction of the corpus, while every node outside
+        # any pair is trivially its own component.  Carrying the full
+        # node set through every round (as r2 did) shuffles the
+        # non-duplicate majority — usually >90% of the corpus — per
+        # iteration for no information; isolated nodes are re-attached
+        # once at the end with coalesce(component, node).
+        # The standing label table carries a ``changed`` flag instead
+        # of a separate frontier table: one checkpointed generation per
+        # round (same action count as the full-table formulation — one
+        # eager snapshot + one isEmpty — but the expensive per-round
+        # work is frontier-sized).  The seed FUSES round 0: starting
+        # every endpoint at least(self, min neighbor) is exactly the
+        # state after a self-label round (whose parent-delivery is a
+        # provable no-op: every component is still its own node), so
+        # one groupBy replaces the endpoint-distinct shuffle AND the
+        # first — most expensive, frontier=everything — iteration.
+        labels = snapshot(
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
             .select(
-                "node",
-                "prev_component",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("p_comp"), F.col("component")),
-                ).alias("component"),
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("mb")).alias("component"),
+                (F.col("mb") < F.col("a")).alias("changed"),
             )
-            # NB: no explicit repartition here — AQE right-sizes the
-            # join shuffles each round, and forcing node-partitioning
-            # costs an extra exchange per round (measured slower at
-            # every scale where the label table fits a shuffle)
         )
-        # convergence needs existence, not cardinality: isEmpty() scans
-        # until the first changed row instead of counting all 32
-        # partitions' worth
-        stable = new_full.filter(
-            F.col("component") != F.col("prev_component")
-        ).isEmpty()
-        release(labels)  # new_full is materialized; prev gen never read again
-        labels = new_full
-        if stable:
-            converged = True
-            break
-    sym.unpersist()
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations — graph larger/stranger than the safety bound"
-        )
-    if prev_ckpt_dir is not None:
-        spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+        converged = False
+        for _ in range(max_iterations):
+            # 1. delta propagate: labels only decrease, so a node's
+            #    neighbor-min can only drop via a neighbor whose label
+            #    changed LAST round — every older label was already
+            #    delivered the round after it was set.  Joining sym
+            #    against the (small) frontier filter instead of the
+            #    full label table is the whole point: AQE broadcasts
+            #    the frontier, the cached edge table is never
+            #    re-shuffled, and the groupBy aggregates only
+            #    frontier-incident rows.
+            frontier = labels.filter("changed").select(
+                F.col("node").alias("b_n"), F.col("component").alias("b_comp")
+            )
+            delta_min = (
+                sym.join(frontier, sym["b"] == F.col("b_n"))
+                .groupBy("a")
+                .agg(F.min("b_comp").alias("nbr_min"))
+            )
+            # 2. parent delivery (delayed pointer jumping): a frontier
+            #    node also notifies its LABEL-children — every node
+            #    whose current component IS that frontier node adopts
+            #    the frontier node's new, lower label.  Without this, a
+            #    chain head's improvement reaches the tail at one
+            #    edge-hop per round (O(diameter)); with it, label
+            #    chains compress a round after they form, restoring
+            #    the O(log diameter) behavior of full-table pointer
+            #    jumping at broadcast-join cost.  (An in-round jump on
+            #    the update set was measured slower: two extra joins
+            #    per round cost more than the ~1 round they save; so
+            #    was a 2-hop chase.)
+            par = labels.filter("changed").select(
+                F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+            )
+            # 3. merge: ONE scan of the standing table with two
+            #    broadcast left joins (delta_min and par are
+            #    frontier-sized) — the standing table is never
+            #    shuffled.  Strictly-lower IS the changed flag; ties
+            #    produce no update, which is what terminates the loop.
+            merged = labels.join(
+                delta_min, labels["node"] == delta_min["a"], "left"
+            ).join(par, labels["component"] == F.col("p_node"), "left")
+            nc = F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+                F.coalesce(F.col("p_comp"), F.col("component")),
+            )
+            new_labels = snapshot(
+                merged.select(
+                    "node",
+                    nc.alias("component"),
+                    (nc < F.col("component")).alias("changed"),
+                )
+            )
+            # convergence = empty frontier: nothing changed, so nothing
+            # can change next round either.  A narrow filter scan over
+            # the just-materialized generation, stopping at the first
+            # changed row.
+            stable = new_labels.filter("changed").isEmpty()
+            release(labels)  # new generation is materialized; prev never read again
+            labels = new_labels
+            if stable:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations — graph larger/stranger than the safety bound"
+            )
+    finally:
+        sym.unpersist()
+        if prev_ckpt_dir is not None:
+            # restored on every exit path, including the convergence
+            # raise; an originally-UNSET dir cannot be restored (no
+            # public unset API) — documented above
+            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
     # re-attach isolated nodes: anything outside the edge set is its
     # own component (one left join, no per-round cost)
     return nodes.select(F.col(node_col)).join(
