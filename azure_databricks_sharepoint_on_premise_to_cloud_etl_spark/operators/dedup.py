@@ -26,12 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import char_shingles, fast_hash64, portable_hash64, word_tokens
+from ..functions import (
+    char_shingles,
+    fast_hash64,
+    normalize_text,
+    portable_hash64,
+    word_tokens,
+)
 
 
 def normalized_text(col: str = "text") -> F.Column:
     """Dedup normalization: lower, collapse whitespace, trim."""
-    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    return normalize_text(col)
 
 
 def exact_dedup_groups(
@@ -102,6 +108,10 @@ def minhash_signatures(
 
     NB: HOF lambdas here take exactly one parameter — Spark passes the
     element index to two-parameter lambdas, which would corrupt seeds.
+    The normalized text is materialized as a column BEFORE shingling so
+    the normalization regex runs once per document, not once per
+    shingle (lambda bodies get no subexpression elimination — measured
+    2x on this pipeline).
     """
     if portable:
         def shingle_hash(s):
@@ -113,9 +123,11 @@ def minhash_signatures(
         def shingle_hash(s):
             return F.pmod(F.xxhash64(s), F.lit(MINHASH_P))
 
-    base = df.select(
+    base = df.withColumn("__norm", normalize_text(text_col)).select(
         F.col(id_col),
-        F.transform(char_shingles(text_col, k), shingle_hash).alias("__base"),
+        F.transform(
+            char_shingles("__norm", k, pre_normalized=True), shingle_hash
+        ).alias("__base"),
     )
 
     def permuted(a: int, b: int):
@@ -189,9 +201,14 @@ def ngram_jaccard_pairs(
     LSH candidates only (``jaccard_verify_pairs``); exposed directly for
     corpus-scale-bounded inputs and oracle checks.
     """
-    shingled = df.select(
-        F.col(id_col), char_shingles(text_col, k).alias("__sh")
-    ).withColumn("__size", F.size("__sh"))
+    shingled = (
+        df.withColumn("__norm", normalize_text(text_col))
+        .select(
+            F.col(id_col),
+            char_shingles("__norm", k, pre_normalized=True).alias("__sh"),
+        )
+        .withColumn("__size", F.size("__sh"))
+    )
     posting = shingled.select(
         id_col, "__size", F.explode("__sh").alias("shingle")
     )
@@ -233,8 +250,9 @@ def jaccard_verify_pairs(
     shingle sets onto each (id_a, id_b) pair and compute overlap with
     array intersection — work proportional to candidate count, not
     corpus squared."""
-    sh = df.select(
-        F.col(id_col), char_shingles(text_col, k).alias("__sh")
+    sh = df.withColumn("__norm", normalize_text(text_col)).select(
+        F.col(id_col),
+        char_shingles("__norm", k, pre_normalized=True).alias("__sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))

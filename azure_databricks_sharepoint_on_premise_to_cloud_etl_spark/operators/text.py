@@ -125,9 +125,13 @@ def repeated_ngram_ratio(
     that are duplicates of an earlier n-gram in the same document
     (high ratio = boilerplate/spam loops).  Narrow higher-order
     expression — token array -> n-gram array via transform over
-    offsets -> 1 - distinct/total; no shuffle, no UDF.
+    offsets -> 1 - distinct/total; no shuffle, no UDF.  The token
+    array is materialized before the n-gram transform so the
+    tokenization split runs once per document, not once per n-gram
+    (captured expressions re-evaluate per lambda element).
     """
-    toks = word_tokens(text_col)
+    out_cols = df.columns
+    toks = F.col("__toks")
     n_toks = F.size(toks)
     # n-grams: join tokens i..i+n-1 for i in [0, len-n]
     grams = F.transform(
@@ -139,8 +143,8 @@ def repeated_ngram_ratio(
     ratio = F.when(
         n_toks >= n, 1.0 - distinct / total
     ).otherwise(F.lit(0.0))
-    return df.select(
-        *df.columns,
+    return df.withColumn("__toks", word_tokens(text_col)).select(
+        *out_cols,
         n_toks.alias("n_tokens"),
         F.round(ratio, 6).alias(f"rep_{n}gram_ratio"),
     )
@@ -164,19 +168,28 @@ def contamination_flags(
     broadcast semi-join — no shuffle of corpus text, ever.  Returns
     (id_col, contaminated) for every corpus document.
     """
-    from ..functions import char_shingles, portable_hash64
+    from ..functions import char_shingles, normalize_text, portable_hash64
 
     eval_grams = (
-        eval_set.select(
-            F.explode(char_shingles(text_col, k)).alias("__g")
+        eval_set.withColumn("__norm", normalize_text(text_col))
+        .select(
+            F.explode(char_shingles("__norm", k, pre_normalized=True)).alias(
+                "__g"
+            )
         )
         .select(portable_hash64(F.col("__g")).alias("__gh"))
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(char_shingles(text_col, k)).alias("__g"),
-    ).select(id_col, portable_hash64(F.col("__g")).alias("__gh"))
+    corpus_grams = (
+        corpus.withColumn("__norm", normalize_text(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(char_shingles("__norm", k, pre_normalized=True)).alias(
+                "__g"
+            ),
+        )
+        .select(id_col, portable_hash64(F.col("__g")).alias("__gh"))
+    )
     hits = (
         corpus_grams.join(F.broadcast(eval_grams), "__gh", "left_semi")
         .select(id_col)
@@ -191,16 +204,21 @@ def contamination_flags(
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: full-content 60-bit digest
     (exact-dup key) and a winnowing-style min-hash over character
-    8-gram digests (robust to small edits) — both portable md5-based."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    from ..functions import char_shingles
+    8-gram digests (robust to small edits) — both portable md5-based.
 
+    The normalized text is materialized once and shared by both
+    fingerprints; shingling a pre-normalized attribute keeps the
+    normalization regex at once per document instead of once per gram
+    (HOF lambdas re-evaluate captured expressions per element)."""
+    from ..functions import char_shingles, normalize_text
+
+    out_cols = df.columns
     gram_hashes = F.transform(
-        char_shingles(text_col, 8),
+        char_shingles("__norm", 8, pre_normalized=True),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    return df.select(
-        *df.columns,
-        portable_hash64(norm).alias("content_fp"),
+    return df.withColumn("__norm", normalize_text(text_col)).select(
+        *out_cols,
+        portable_hash64(F.col("__norm")).alias("content_fp"),
         F.array_min(gram_hashes).alias("min_gram_fp"),
     )
