@@ -1788,23 +1788,29 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc term frequency -> document-frequency join -> idf weight;
     returns terms with tfidf >= 0.02 per document (doc_id < 200).
 
-    Scale shape: the vocabulary-sized df table broadcasts; doc_len is a
-    window sum over doc_id (one shuffle of tf, reused by the broadcast
-    join — NEVER a broadcast of a one-row-per-document table, which
-    would be corpus-cardinality); n_docs rides in-plane as a one-row
+    Scale shape: the vocabulary-sized df table broadcasts; doc_len is
+    the token-array size computed NARROWLY before the explode (it
+    equals the window sum of tf over doc_id that r3 paid a whole extra
+    doc_id exchange for) and rides through the tf groupBy as a
+    per-document-constant key; n_docs rides in-plane as a one-row
     broadcast aggregate, no driver round-trip."""
     from .functions import word_tokens
 
     d = rebalance(load_table(spark, sf_dir, "documents"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    toks = d.select("doc_id", F.explode(word_tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    with_len = tf.withColumn(
-        "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
+    tf = (
+        d.withColumn("__toks", word_tokens("text"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("doc_len"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        with_len.join(F.broadcast(df_tbl), "term")
+        tf.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
