@@ -7,7 +7,10 @@ Checks each queries() entry's formatted plan for:
   informational — SMJ is correct when both sides are large)
 - scan/exchange counts (re-computation smells)
 
-Usage: python tools/plan_audit.py [sf_dir]
+``audit_flags`` is the importable core; ``tests/test_plan_audit.py``
+runs it over every registered query so a row-UDF or cartesian product
+can never land unnoticed.  CLI usage:
+``python tools/plan_audit.py [sf_dir]``.
 """
 
 from __future__ import annotations
@@ -20,6 +23,53 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def audit_flags(df) -> tuple[list[str], int]:
+    """Return (flags, parquet_scan_count) for one DataFrame's physical
+    plan.  Flags ending in ``(info)`` are informational; anything else
+    is a hard anti-pattern.
+    """
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    flags: list[str] = []
+    if re.search(r"BatchEvalPython", plan):
+        flags.append("ROW-PYTHON-UDF")
+    if re.search(r"CartesianProduct", plan):
+        flags.append("CARTESIAN")
+    # A BNLJ that is NOT an explicit Cross means Spark found no equi
+    # key for a conditional join (e.g. id_a < id_b).  Against a
+    # one-row broadcast (scalar-subquery gates like the watermark
+    # filter) that is the correct scale shape; against a real table
+    # it is an all-pairs scan that cannot survive corpus scale.
+    # Distinguish by build-side shape: a one-row build is an
+    # ungrouped HashAggregate feeding the broadcast exchange.
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    theta = re.findall(
+        r"BroadcastNestedLoopJoin Build(?:Left|Right), (?!Cross)\w+", simple
+    )
+    if theta:
+        onerow = re.search(
+            r"BroadcastExchange IdentityBroadcastMode[\s\S]{0,400}?"
+            r"HashAggregate\(keys=\[\]",
+            simple,
+        )
+        if onerow:
+            flags.append("theta-bnlj-scalar(info)")
+        else:
+            flags.append("THETA-BNLJ")
+    if re.search(r"SortMergeJoin", plan):
+        flags.append("sort-merge-join(info)")
+    scans = len(re.findall(r"Scan parquet", plan))
+    if scans > 16:
+        flags.append(f"many-scans({scans})")
+    return flags, scans
+
+
+def hard_flags(flags: list[str]) -> list[str]:
+    return [f for f in flags if "(info)" not in f]
+
+
 def main() -> int:
     from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.session import get_spark
     from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
@@ -29,43 +79,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     bad = 0
     for name, fn in q.QUERIES.items():
-        df = fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        flags = []
-        if re.search(r"BatchEvalPython", plan):
-            flags.append("ROW-PYTHON-UDF")
-        if re.search(r"CartesianProduct", plan):
-            flags.append("CARTESIAN")
-        # A BNLJ that is NOT an explicit Cross means Spark found no equi
-        # key for a conditional join (e.g. id_a < id_b).  Against a
-        # one-row broadcast (scalar-subquery gates like the watermark
-        # filter) that is the correct scale shape; against a real table
-        # it is an all-pairs scan that cannot survive corpus scale.
-        # Distinguish by build-side shape: a one-row build is an
-        # ungrouped HashAggregate feeding the broadcast exchange.
-        simple = df._jdf.queryExecution().executedPlan().toString()
-        theta = re.findall(
-            r"BroadcastNestedLoopJoin Build(?:Left|Right), (?!Cross)\w+", simple
-        )
-        if theta:
-            onerow = re.search(
-                r"BroadcastExchange IdentityBroadcastMode[\s\S]{0,400}?"
-                r"HashAggregate\(keys=\[\]",
-                simple,
-            )
-            if onerow:
-                flags.append("theta-bnlj-scalar(info)")
-            else:
-                flags.append("THETA-BNLJ")
-        if re.search(r"SortMergeJoin", plan):
-            flags.append("sort-merge-join(info)")
-        scans = len(re.findall(r"Scan parquet", plan))
-        if scans > 16:
-            flags.append(f"many-scans({scans})")
-        hard = [f for f in flags if "(info)" not in f]
+        flags, scans = audit_flags(fn(spark, sf_dir))
+        hard = hard_flags(flags)
         status = "FLAG" if hard else "ok"
         if hard:
             bad += 1
