@@ -1629,17 +1629,31 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from .sources.registry import decode_event_ts
     from .streaming import incremental
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
-    raw = spark.readStream.schema(schema).parquet(
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Sniff the fixture's physical ts type via a batch schema read —
+    # the stream schema must match whatever the parquet actually
+    # stores (timestamp[us] today; INT64 nanos under nanosAsLong for
+    # older fixtures).  The decode then goes through the SAME
+    # conditional as the batch registry, so both formulations agree
+    # by construction instead of by hard-coded assumption.
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = spark.readStream.schema(raw_schema).parquet(
         _stream_dir_for(sf_dir, "events")
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = decode_event_ts(raw)
+    # Watermarks require TIMESTAMP (LTZ); the fixture surfaces as
+    # TIMESTAMP_NTZ.  With the session timezone pinned UTC the cast is
+    # wall-clock identity; the window bound is cast back to NTZ below
+    # so output values match the batch tumbling_window oracle exactly.
+    ts_was_ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
@@ -1649,7 +1663,11 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("event_type"),
-            F.col("w.start").alias("window_start"),
+            (
+                F.col("w.start").cast("timestamp_ntz")
+                if ts_was_ntz
+                else F.col("w.start")
+            ).alias("window_start"),
             "n_events",
             "sum_value",
         )

@@ -44,7 +44,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # to the (timezone-naive) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = decode_event_ts(df)
+    return df
+
+
+def decode_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType regardless
+    of the fixture's physical parquet type.  Under
+    ``nanosAsLong=true`` a TIMESTAMP(NANOS) column surfaces as a long
+    of nanos (converted here via floor division, matching DuckDB's
+    ns->us truncation); a TIMESTAMP(MICROS) column arrives as a real
+    timestamp and passes through untouched.  Both the batch registry
+    and the streaming queries MUST route through this one conditional
+    — a hard-coded decode silently shifts epochs when the fixture's
+    dtype changes (the round-4 streaming_tumbling bug)."""
+    if dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -94,3 +94,31 @@ def test_aux_covers_everything_not_in_registry():
     }
     missing = public_queries - registered
     assert not missing, f"query functions not in QUERIES or AUX_QUERIES: {missing}"
+
+
+def test_events_fixture_ts_dtype_pinned(spark):
+    """Pin the events fixture's physical ts type AND the decode
+    contract.  The round-4 streaming_tumbling bug was a hard-coded
+    INT64-nanos decode silently shifting every event to 1970 when the
+    fixture moved to timestamp[us].  If this test fails, the fixture's
+    dtype changed again: verify sources/registry.decode_event_ts still
+    covers the new physical type before touching anything else."""
+    import pyarrow.parquet as pq
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table
+
+    phys = pq.read_schema(f"{SF_DIR}/events.parquet").field("ts").type
+    assert str(phys) in ("timestamp[us]", "timestamp[ns]", "int64"), (
+        f"events.ts physical type changed to {phys}; "
+        "update decode_event_ts and this pin together"
+    )
+    # Whatever the physical type, the decoded column must be a real
+    # timestamp in the fixture's era (2024+), never the 1970 epoch.
+    ev = load_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+    from pyspark.sql import functions as F
+
+    years = ev.select(F.year("ts").alias("y")).agg(
+        F.min("y").alias("lo"), F.max("y").alias("hi")
+    ).collect()[0]
+    assert years["lo"] >= 2000, f"decoded ts collapsed to epoch: {years}"
