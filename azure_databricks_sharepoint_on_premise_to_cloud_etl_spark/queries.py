@@ -93,7 +93,15 @@ GROUP BY f.c_nationkey, f.o_orderdate
 """
 
 
-_flagship_fact_cache: DataFrame | None = None
+# Previous invocation's cached fact, keyed PER SparkSession (weak keys:
+# a stopped/collected session drops its entry rather than pinning the
+# JVM-side DataFrame forever).  A module-global slot here would make
+# two concurrent sessions in one process unpersist each other's cache.
+import weakref
+
+_flagship_fact_cache: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def q_flagship_census_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,16 +111,17 @@ def q_flagship_census_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference lacked exactly this reuse point (SURVEY section 4,
     'caching absent').  The previous invocation's cached fact is
     unpersisted before re-caching so repeated calls in one long-lived
-    session don't leak cache entries."""
-    global _flagship_fact_cache
+    session don't leak cache entries; the holder is keyed by session
+    so concurrent sessions never cross-unpersist."""
     register_temp_views(spark, sf_dir, ("customer", "nation", "orders", "lineitem"))
-    if _flagship_fact_cache is not None:
+    prev = _flagship_fact_cache.pop(spark, None)
+    if prev is not None:
         try:
-            _flagship_fact_cache.unpersist()
+            prev.unpersist()
         except Exception:
             pass  # e.g. its SparkSession is already stopped
     fact = spark.sql(_FLAGSHIP_FACT_SQL).cache()
-    _flagship_fact_cache = fact
+    _flagship_fact_cache[spark] = fact
     fact.createOrReplaceTempView("__census_fact")
     return spark.sql(_FLAGSHIP_FINAL_SQL)
 

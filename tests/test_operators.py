@@ -228,3 +228,32 @@ def test_connected_components_releases_generations(spark):
     # a 41-node chain runs ~6 pointer-jump rounds; without release the
     # delta would be one RDD per round
     assert after - before <= 1
+
+
+def test_flagship_cache_is_session_scoped(spark):
+    """Two live sessions sharing one SparkContext must not
+    cross-unpersist each other's cached census fact (the r3/r4
+    module-global bug): after session B runs the flagship, session A's
+    cached fact must still be materialized."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    a_rows = sorted(map(tuple, q.q_flagship_census_count(spark, sf).collect()))
+    fact_a = q._flagship_fact_cache[spark]
+    assert fact_a.storageLevel.useMemory
+
+    s2 = spark.newSession()
+    try:
+        b_rows = sorted(map(tuple, q.q_flagship_census_count(s2, sf).collect()))
+        assert b_rows == a_rows
+        # the holder keeps one entry per session...
+        assert q._flagship_fact_cache[spark] is fact_a
+        assert q._flagship_fact_cache[s2] is not fact_a
+        # ...and B's run did not unpersist A's fact
+        assert fact_a.storageLevel.useMemory, (
+            "session B's flagship run unpersisted session A's cached fact"
+        )
+    finally:
+        fact_b = q._flagship_fact_cache.pop(s2, None)
+        if fact_b is not None:
+            fact_b.unpersist()
