@@ -295,9 +295,37 @@ def connected_components(
             spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
     # re-attach isolated nodes: anything outside the edge set is its
     # own component (one left join, no per-round cost)
-    return nodes.select(F.col(node_col)).join(
+    result = nodes.select(F.col(node_col)).join(
         labels.withColumnRenamed("node", node_col), node_col, "left"
     ).select(
         node_col,
         F.coalesce(F.col("component"), F.col(node_col)).alias("component"),
     )
+    # The result plan reads the FINAL checkpointed generation, which
+    # stays persisted until the JVM GCs it — a long-lived session
+    # calling connected_components repeatedly accumulates one
+    # generation per call.  Hand the caller an explicit release hook:
+    # consume the result (collect/write), then release_components(df).
+    result._cc_final_generation = labels
+    result._cc_checkpoint_dir = checkpoint_dir
+    return result
+
+
+def release_components(result: DataFrame) -> bool:
+    """Free the final label generation backing a ``connected_components``
+    result.  Call AFTER the result has been fully consumed (collected
+    or written) — the plan still references the checkpoint, so a
+    released result cannot be re-computed.  Returns True if a
+    generation was attached and released; False (no-op) for DataFrames
+    that didn't come from ``connected_components`` or were already
+    released — safe to call unconditionally in cleanup paths."""
+    gen = getattr(result, "_cc_final_generation", None)
+    if gen is None:
+        return False
+    handle = getattr(gen, "_ckpt_handle", gen)
+    if getattr(result, "_cc_checkpoint_dir", None) is None:
+        _release_local_checkpoint(handle)
+    else:
+        _delete_reliable_checkpoint(handle)
+    result._cc_final_generation = None
+    return True

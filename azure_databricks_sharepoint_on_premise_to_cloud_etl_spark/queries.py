@@ -1712,6 +1712,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same components with a DuckDB RECURSIVE
     CTE over the identical candidate-pair set — an iterative Spark
     algorithm checked against a recursive SQL fixpoint.
+
+    The result is backed by the CC iteration's final checkpoint
+    generation; long-lived sessions calling this repeatedly should
+    ``graph.release_components(df)`` after consuming each result.
     """
     from .operators.graph import connected_components
 
@@ -2349,7 +2353,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("quality").desc(), F.col("doc_id").asc()],
         1,
     )
-    return best.select("component", F.col("doc_id").alias("kept_doc_id"), "quality")
+    out = best.select("component", F.col("doc_id").alias("kept_doc_id"), "quality")
+    # propagate the CC release hook to the query's output frame so
+    # graph.release_components(result) frees the final generation
+    out._cc_final_generation = comps._cc_final_generation
+    out._cc_checkpoint_dir = comps._cc_checkpoint_dir
+    return out
 
 
 def _keep_best_oracle() -> str:

@@ -257,3 +257,32 @@ def test_flagship_cache_is_session_scoped(spark):
         fact_b = q._flagship_fact_cache.pop(s2, None)
         if fact_b is not None:
             fact_b.unpersist()
+
+
+def test_release_components_bounds_repeated_calls(spark):
+    """A long-lived session calling connected_components repeatedly
+    must not accumulate one final-generation RDD per call: with the
+    explicit release hook, persisted-RDD count stays flat."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        connected_components,
+        release_components,
+    )
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(21)], "doc_id LONG")
+
+    counts = []
+    for _ in range(3):
+        out = connected_components(edges, nodes)
+        assert {r["component"] for r in out.collect()} == {0}
+        assert release_components(out) is True
+        assert release_components(out) is False  # idempotent no-op
+        counts.append(len(sc._jsc.sc().getRDDStorageInfo()))
+    # after each release, storage returns to the same level — no
+    # per-call growth (the un-released form grows by 1 per call)
+    assert counts[2] <= counts[0]
+    # a frame that never came from connected_components: safe no-op
+    assert release_components(edges) is False
