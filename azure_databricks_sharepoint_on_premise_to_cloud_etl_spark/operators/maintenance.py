@@ -95,3 +95,53 @@ def create_table_ddl(
     spark.sql(
         f"CREATE TABLE {name} ({schema_sql}) USING parquet LOCATION '{location}'"
     )
+
+
+# ---------------------------------------------------------------------------
+# Optional Delta Lake mode (M1-M3/M5 native forms)
+# ---------------------------------------------------------------------------
+
+#: The one-line Delta SQL each parquet-rewrite above replaces on a
+#: Delta-enabled deployment (reference: code/ukg_tbl_optmztn.py:14-85).
+DELTA_FORMS = {
+    "compact": "OPTIMIZE {table}",
+    "retention_delete": (
+        "DELETE FROM {table} WHERE {ts_col} < TIMESTAMP '{cutoff}'"
+    ),
+    "vacuum": "VACUUM {table} RETAIN {retain_hours} HOURS",
+    "time_travel": "SELECT * FROM {table} VERSION AS OF {version}",
+}
+
+
+def delta_enabled(spark: SparkSession) -> bool:
+    """True when Delta Lake is actually usable in this session: the
+    ``delta`` package imports AND the session was built with the Delta
+    SQL extension + catalog.  The test container ships neither (no
+    network, no delta-spark wheel), so parquet-rewrite maintenance is
+    the default; on Databricks/OSS-Delta both conditions hold and
+    ``run_delta_maintenance`` switches to the native forms."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        return False
+    return "io.delta.sql.DeltaSparkSessionExtension" in ext
+
+
+def run_delta_maintenance(spark: SparkSession, op: str, **params):
+    """Execute the native Delta form of a maintenance op (see
+    ``DELTA_FORMS``).  Raises RuntimeError with a clear message when
+    Delta is unavailable rather than failing deep inside the parser —
+    callers fall back to the parquet-rewrite implementations above."""
+    if op not in DELTA_FORMS:
+        raise KeyError(f"unknown delta maintenance op: {op}")
+    if not delta_enabled(spark):
+        raise RuntimeError(
+            "Delta Lake is not available in this session; use the "
+            "parquet-rewrite maintenance operators (compact/"
+            "retention_delete/vacuum) instead"
+        )
+    return spark.sql(DELTA_FORMS[op].format(**params))

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import maintenance
@@ -141,3 +143,53 @@ def test_entry_contract(spark):
     qs, oracles = m.queries(), m.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_delta_mode_gates_cleanly(spark):
+    """The container has no delta-spark: the probe must say so and the
+    native-form runner must fail fast with a clear message instead of
+    a parser error.  (On a Delta-enabled deployment the same probe
+    flips and DELTA_FORMS run natively — covered by the skipif twin.)"""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import maintenance as m
+
+    assert m.delta_enabled(spark) is False
+    with pytest.raises(RuntimeError, match="Delta Lake is not available"):
+        m.run_delta_maintenance(spark, "compact", table="t")
+    with pytest.raises(KeyError):
+        m.run_delta_maintenance(spark, "no_such_op")
+
+
+
+def test_delta_native_forms_execute():
+    """Runs ONLY where delta-spark is installed (not this container):
+    builds a Delta session and exercises OPTIMIZE/DELETE/VACUUM/
+    VERSION AS OF through run_delta_maintenance."""
+    delta = pytest.importorskip("delta")
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import maintenance as m
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    )
+    s = delta.configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        assert m.delta_enabled(s) is True
+        s.sql("CREATE TABLE __delta_probe (x INT, ts TIMESTAMP) USING delta")
+        s.sql("INSERT INTO __delta_probe VALUES (1, TIMESTAMP '2020-01-01')")
+        m.run_delta_maintenance(s, "compact", table="__delta_probe")
+        m.run_delta_maintenance(
+            s, "retention_delete", table="__delta_probe",
+            ts_col="ts", cutoff="2021-01-01 00:00:00",
+        )
+        assert (
+            m.run_delta_maintenance(
+                s, "time_travel", table="__delta_probe", version=0
+            ).count() >= 0
+        )
+    finally:
+        s.sql("DROP TABLE IF EXISTS __delta_probe")
