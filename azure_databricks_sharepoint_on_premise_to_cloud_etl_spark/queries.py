@@ -2118,6 +2118,49 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-attribution variant of pack_sequences: ONLY the native
+    window-cumsum concat-and-chunk stage, no applyInPandas
+    no-straddle pass.  Exists so BENCH can report the JVM-native and
+    Arrow-Python packing costs separately instead of one fused row
+    (the no-straddle delta = pack_sequences − pack_sequences_native)."""
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(word_tokens("text")).alias("tokens"),
+    )
+    packed = sampling.pack_sequences(
+        t, token_col="tokens", budget=_PACK_BUDGET, shard_col="shard"
+    )
+    return packed.select(
+        "doc_id", "shard", "tokens", "pack_offset", "pack_id", "pack_pos"
+    )
+
+
+ORACLE_PACK_NATIVE = f"""
+WITH t AS (
+    SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, shard, tokens,
+           CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens
+                AS BIGINT) AS pack_offset
+    FROM t
+)
+SELECT doc_id, shard, tokens, pack_offset,
+       CAST(floor(pack_offset / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       pack_offset % {_PACK_BUDGET} AS pack_pos
+FROM o
+"""
+
+
 ORACLE_PACK = f"""
 WITH RECURSIVE t AS (
     SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
@@ -2455,6 +2498,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # bench-only fast-hash variant: deliberately oracle-less (DuckDB
     # has no xxhash64); plan shape identical to minhash_lsh_pairs
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
+    # bench-attribution variant: the window-cumsum stage alone, so
+    # BENCH can split the fused pack_sequences row per variant
+    "pack_sequences_native": q_pack_sequences_native,
 }
 
 AUX_ORACLES: dict[str, str] = {
@@ -2467,6 +2513,7 @@ AUX_ORACLES: dict[str, str] = {
     "simhash": _simhash_oracle(),
     "cosine_topk_lsh": _lsh_oracle(),
     "cosine_topk_ivf": _ivf_oracle(),
+    "pack_sequences_native": ORACLE_PACK_NATIVE,
 }
 
 # Contract guards: the driver records at most 50 rows and every row

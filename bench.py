@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "stable_sample",
     "stratified_sample",
     "pack_sequences",
+    "pack_sequences_native",
     "quality_quantile_filter",
     "repetition_ratio",
     "contamination",
@@ -103,7 +104,28 @@ def main() -> None:
         ).collect()[0]
         return row["n"]
 
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import release_components
+
+    # Median-of-REPS warm timing: round 4 showed untouched queries
+    # swinging up to 2.1× between rounds with a single warm run — the
+    # shared-session bench's noise floor was unknown.  Three warm reps
+    # give a median that absorbs one bad run, and the recorded
+    # per-query spread IS the noise floor a cross-round comparison
+    # must clear before calling something a regression.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Queries measured with multi-run warmup slopes or episodic slow
+    # reps (probe: cosine_topk_lsh in a fresh session ran
+    # 7.3/2.3/1.6/1.2/1.2/1.1/1.1 — steady state takes ~3 executions;
+    # dedup_components swings ±0.7s with suite position).  Extra reps
+    # let the median converge past the slope.
+    volatile_reps = {
+        "cosine_topk_lsh": max(reps, 5),
+        "cosine_topk_ivf": max(reps, 5),
+        "dedup_components": max(reps, 5),
+        "multimodal_meta": max(reps, 5),
+    }
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         # bench-only / folded variants (fast hash, solo LSH/IVF,
@@ -111,13 +133,24 @@ def main() -> None:
         fn = q.QUERIES.get(name) or q.AUX_QUERIES[name]
         try:
             t0 = time.time()
-            materialize(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            materialize(df)
             cold = time.time() - t0
-            t0 = time.time()
-            n = materialize(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            release_components(df)  # free CC final generation (no-op otherwise)
+            runs: list[float] = []
+            n = 0
+            for _ in range(volatile_reps.get(name, reps)):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = materialize(df)
+                runs.append(time.time() - t0)
+                release_components(df)
+            runs.sort()
+            timings[name] = round(runs[len(runs) // 2], 3)
+            spread[name] = round(runs[-1] - runs[0], 3)
             print(
-                f"# {name}: warm {timings[name]}s (cold {cold:.2f}s, {n} rows)",
+                f"# {name}: warm median {timings[name]}s "
+                f"(spread {spread[name]}s, cold {cold:.2f}s, {n} rows)",
                 file=sys.stderr,
             )
         except Exception as e:  # one broken query must not zero the record
@@ -129,12 +162,20 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    total = round(sum(timings.values()), 3)
+    # pack_sequences_native is a bench-attribution row, not new work:
+    # exclude it from the suite total so `value` stays comparable to
+    # the r2-r4 capture (same 42-query basis)
+    total = round(
+        sum(v for k, v in timings.items() if k != "pack_sequences_native"), 3
+    )
     record = {
         "metric": "headline-suite steady-state wall seconds at sf",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
+        "stat": "median",
+        "noise_spread_sec": spread,
         "sf": sf,
         "note": (
             "since r3: percentiles is histogram-exact (was built-in "
@@ -149,13 +190,21 @@ def main() -> None:
     # dedup_components runs MinHash+LSH before the CC loop; subtracting
     # the separately-timed LSH query isolates CC itself so regressions
     # there aren't masked by shared upstream cost
+    derived: dict[str, float] = {}
     if "dedup_components" in timings and "minhash_lsh_pairs" in timings:
-        record["derived"] = {
-            "dedup_components_cc_only": round(
-                max(timings["dedup_components"] - timings["minhash_lsh_pairs"], 0.0),
-                3,
-            )
-        }
+        derived["dedup_components_cc_only"] = round(
+            max(timings["dedup_components"] - timings["minhash_lsh_pairs"], 0.0),
+            3,
+        )
+    # per-variant packing attribution: the fused driver row minus the
+    # native-only stage isolates the applyInPandas no-straddle cost
+    if "pack_sequences" in timings and "pack_sequences_native" in timings:
+        derived["pack_sequences_nostraddle_only"] = round(
+            max(timings["pack_sequences"] - timings["pack_sequences_native"], 0.0),
+            3,
+        )
+    if derived:
+        record["derived"] = derived
     if errors:
         record["errors"] = errors
     print(json.dumps(record))

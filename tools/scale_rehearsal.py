@@ -1,0 +1,185 @@
+"""Measured scaling exponents for the heavy operator family.
+
+SCALE.md argues the bucketed dedup/similarity paths are near-linear;
+until round 5 the largest observed point was sf0.1.  This tool
+synthesizes larger document/embedding fixtures by replicating the real
+sf0.1 tables with offset ids and a deterministic per-replica text
+perturbation (so replicas are NEAR-duplicates — they land in the same
+LSH buckets with slightly different shingles, the adversarial shape
+for dedup cost), runs the heavy queries at each scale, and fits the
+per-step scaling exponent alpha = log(t2/t1) / log(n2/n1).
+
+Near-linear (alpha ~ 1) validates the 100 TB story; alpha >= 1.5 on
+any step means a bucketed path is quietly quadratic and SCALE.md's
+argument is wrong.
+
+Fixtures are written OUTSIDE the repo (default /tmp/spark_graft_scale)
+and are never committed; non-scaled tables are symlinked from the base
+fixture so every registry table resolves.
+
+Usage: python tools/scale_rehearsal.py [--base /root/testdata/sf0.1]
+       [--factors 3,10] [--out SCALE_SF1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEAVY = [
+    "minhash_lsh_pairs",
+    "contamination",
+    "pack_sequences",
+    "dedup_components",
+]
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_fixture(base: str, factor: int, root: str) -> str:
+    """Replicate documents/embeddings ``factor``x with offset ids and
+    perturbed text; symlink everything else from ``base``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(root, f"x{factor}")
+    if os.path.exists(os.path.join(out_dir, "__complete")):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(base, "documents.parquet"))
+    n = docs.num_rows
+    cols = {c: docs.column(c).to_pylist() for c in docs.column_names}
+    big = {c: [] for c in docs.column_names}
+    for r in range(factor):
+        for c, vals in cols.items():
+            if c == "doc_id":
+                big[c].extend(v + r * n for v in vals)
+            elif c == "text" and r > 0:
+                # deterministic near-dup perturbation: one replica
+                # token appended — same LSH buckets, different shingles
+                big[c].extend(f"{v} rep{r}" for v in vals)
+            else:
+                big[c].extend(vals)
+    pq.write_table(
+        pa.table(big, schema=docs.schema), os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = pq.read_table(os.path.join(base, "embeddings.parquet"))
+    m = emb.num_rows
+    ecols = {c: emb.column(c).to_pylist() for c in emb.column_names}
+    ebig = {c: [] for c in emb.column_names}
+    id_col = "emb_id" if "emb_id" in ecols else emb.column_names[0]
+    for r in range(factor):
+        for c, vals in ecols.items():
+            if c == id_col:
+                ebig[c].extend(v + r * m for v in vals)
+            else:
+                ebig[c].extend(vals)
+    pq.write_table(
+        pa.table(ebig, schema=emb.schema), os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    for t in ALL_TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, f"{t}.parquet"), dst)
+    open(os.path.join(out_dir, "__complete"), "w").close()
+    return out_dir
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--factors", default="3,10")
+    ap.add_argument("--out", default="/root/repo/SCALE_SF1.json")
+    ap.add_argument("--root", default="/tmp/spark_graft_scale")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        release_components,
+    )
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.session import get_spark
+
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df) -> int:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        ).collect()[0]
+        return row["n"]
+
+    points: list[tuple[int, str]] = [(1, args.base)]
+    for f in factors:
+        print(f"# building x{f} fixture...", file=sys.stderr)
+        points.append((f, build_fixture(args.base, f, args.root)))
+
+    results: dict[str, dict] = {name: {"times": {}, "rows": {}} for name in HEAVY}
+    for factor, sf_dir in points:
+        for name in HEAVY:
+            fn = q.QUERIES.get(name) or q.AUX_QUERIES[name]
+            # cold warm-up, then one timed run (these are long; the
+            # signal is the cross-scale RATIO, not the absolute value)
+            df = fn(spark, sf_dir)
+            materialize(df)
+            release_components(df)
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            rows = materialize(df)
+            dt = time.time() - t0
+            release_components(df)
+            spark.catalog.clearCache()
+            results[name]["times"][factor] = round(dt, 3)
+            results[name]["rows"][factor] = rows
+            print(
+                f"# x{factor} {name}: {dt:.2f}s ({rows} rows)", file=sys.stderr
+            )
+
+    record: dict[str, dict] = {}
+    for name in HEAVY:
+        times = results[name]["times"]
+        exps = {}
+        fs = sorted(times)
+        for a, b in zip(fs, fs[1:]):
+            if times[a] > 0:
+                exps[f"x{a}->x{b}"] = round(
+                    math.log(times[b] / times[a]) / math.log(b / a), 3
+                )
+        record[name] = {
+            "seconds_by_factor": {f"x{f}": t for f, t in times.items()},
+            "rows_by_factor": {f"x{f}": r for f, r in results[name]["rows"].items()},
+            "scaling_exponent": exps,
+        }
+    record["_meta"] = {
+        "base": args.base,
+        "factors": factors,
+        "note": (
+            "factor-f fixture = sf0.1 documents/embeddings replicated f "
+            "times with offset ids and near-dup text perturbation; "
+            "alpha = log(t2/t1)/log(n2/n1) per step; ~1 linear, >=1.5 "
+            "superlinear"
+        ),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v.get("scaling_exponent") for k, v in record.items() if k != "_meta"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
