@@ -2475,6 +2475,169 @@ FROM events
 GROUP BY 1, 2
 """
 
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (perplexity proxy): fit the
+    corpus unigram distribution, score each document by its mean token
+    log-probability.  Low scores = rare-token-heavy documents (OCR
+    garbage, boilerplate codes) — the classic cheap LM-quality filter
+    a training pipeline runs before an expensive model-based one.
+
+    Scale shape: the raw token stream collapses to per-doc term
+    frequencies FIRST (tf carries one row per distinct term per doc —
+    typically 3-10x smaller than the stream), so the vocabulary
+    groupBy, the broadcast join-back, and the per-doc aggregation all
+    shuffle tf-sized data, never raw tokens; the score is the
+    tf-weighted mean (identical to the per-token mean).  Vocabulary
+    frequencies broadcast; the total-token count rides as a one-row
+    broadcast.  At production scale tf is the natural materialization
+    point (write once, feed lm-score + tfidf + vocab stats); here it
+    is recomputed — two narrow corpus scans, no corpus-sized shuffle."""
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.withColumn("__toks", word_tokens("text"))
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freqs = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = freqs.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(F.broadcast(freqs), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("tf"),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+
+
+ORACLE_LM_SCORE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+freqs AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT sum(cnt) AS total FROM freqs)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(CAST(f.cnt AS DOUBLE) / total.total)), 6) AS lm_score
+FROM toks t JOIN freqs f USING (term), total
+GROUP BY t.doc_id
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffling for training order: every doc
+    gets a pseudorandom-but-reproducible position from a salted md5 of
+    its id — re-running the pipeline yields the identical epoch order
+    (no ``rand()``, which would break exactly-once reprocessing).
+
+    Scale shape: the hash is narrow; position is a row_number within
+    one of 256 hash-prefix shards (partitioned window — a single
+    global ORDER BY would serialize the corpus through one task).
+    Training readers consume shards in (shard, shuffle_pos) order;
+    shard boundaries are also natural file-split boundaries at 100 TB."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))).alias(
+            "skey"
+        ),
+    ).withColumn("shard", F.substring("skey", 1, 2))
+    w = Window.partitionBy("shard").orderBy("skey")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("shuffle_pos"),
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = """
+WITH keyed AS (
+    SELECT doc_id, md5(doc_id::VARCHAR || ':epoch0') AS skey
+    FROM documents
+)
+SELECT doc_id, substr(skey, 1, 2) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(skey, 1, 2)
+                               ORDER BY skey) AS INT) AS shuffle_pos
+FROM keyed
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design statistic: what fraction of all corpus tokens
+    the top-K most frequent types cover (K = 10/100/1000), plus vocab
+    size and total token count.  High top-1k coverage means a small
+    vocab suffices; low means long-tail-heavy text.
+
+    Scale shape: the corpus reduces to a VOCABULARY-sized frequency
+    table before any ranking; the rank window is global but runs over
+    vocab rows (~1e5-1e7 at 100 TB corpus scale — one executor's
+    work), never over the corpus.  Output is a single row via
+    conditional aggregation — no theta join against the K list."""
+    from pyspark.sql import Window
+
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    freqs = (
+        d.withColumn("__toks", word_tokens("text"))
+        .select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = freqs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        ),
+    )
+    total = F.sum("cnt")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        total.alias("total_tokens"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("cnt")).otherwise(0)) / total, 6
+        ).alias("coverage_top10"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 100, F.col("cnt")).otherwise(0)) / total, 6
+        ).alias("coverage_top100"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 1000, F.col("cnt")).otherwise(0)) / total,
+            6,
+        ).alias("coverage_top1000"),
+    )
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+freqs AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+    FROM freqs
+)
+SELECT count(*) AS vocab_size, sum(cnt) AS total_tokens,
+       round(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6) AS coverage_top10,
+       round(sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6) AS coverage_top100,
+       round(sum(CASE WHEN rk <= 1000 THEN cnt ELSE 0 END) / CAST(sum(cnt) AS DOUBLE), 6) AS coverage_top1000
+FROM ranked
+"""
+
+
 AUX_QUERIES: dict[str, QueryFn] = {
     # folded into top1_latest_order (which='earliest')
     "earliest_per_group": q_earliest_per_group,
@@ -2501,6 +2664,11 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # bench-attribution variant: the window-cumsum stage alone, so
     # BENCH can split the fused pack_sequences row per variant
     "pack_sequences_native": q_pack_sequences_native,
+    # round-5 training-pipeline additions (post-50-cap, so AUX-housed;
+    # full oracle parity via tools/aux_correctness.py)
+    "unigram_lm_score": q_unigram_lm_score,
+    "corpus_shuffle": q_corpus_shuffle,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 AUX_ORACLES: dict[str, str] = {
@@ -2514,6 +2682,9 @@ AUX_ORACLES: dict[str, str] = {
     "cosine_topk_lsh": _lsh_oracle(),
     "cosine_topk_ivf": _ivf_oracle(),
     "pack_sequences_native": ORACLE_PACK_NATIVE,
+    "unigram_lm_score": ORACLE_LM_SCORE,
+    "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
 }
 
 # Contract guards: the driver records at most 50 rows and every row

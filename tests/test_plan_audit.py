@@ -27,8 +27,12 @@ SF_DIR_AUDIT = "/root/testdata/sf0.01"
 def test_every_query_plan_is_clean(spark):
     from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
 
+    audited = dict(q.QUERIES)
+    audited.update(
+        {n: f for n, f in q.AUX_QUERIES.items() if not n.startswith("streaming_")}
+    )
     failures = {}
-    for name, fn in q.QUERIES.items():
+    for name, fn in audited.items():
         flags, _scans = audit_flags(fn(spark, SF_DIR_AUDIT))
         hard = hard_flags(flags)
         if hard:

@@ -78,7 +78,13 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     bad = 0
-    for name, fn in q.QUERIES.items():
+    # AUX queries are part of the audited surface too — all but the
+    # Structured-Streaming entry, whose plan can't be built batch-side
+    audited = dict(q.QUERIES)
+    audited.update(
+        {n: f for n, f in q.AUX_QUERIES.items() if not n.startswith("streaming_")}
+    )
+    for name, fn in audited.items():
         flags, scans = audit_flags(fn(spark, sf_dir))
         hard = hard_flags(flags)
         status = "FLAG" if hard else "ok"
