@@ -184,3 +184,55 @@ def pack_sequences_nostraddle(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+
+
+def target_mix(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Down-sample each group to hit TARGET mix proportions.
+
+    ``weights`` maps group value -> desired share of the output
+    (unlisted groups are dropped).  Per-group keep-rate is derived
+    from the observed counts — ``rate_g = min(1, w_g * N / n_g)`` —
+    so over-represented groups are thinned toward the target and
+    groups at-or-under their share pass through whole (capping at 1:
+    this operator never replicates rows; true up-sampling is the
+    training loader's job).  The gate is the stable hash of
+    ``stable_sample``, so re-runs keep the identical rows.
+
+    Scale shape: counts are a group-cardinality-sized aggregate, the
+    rate table broadcasts, and the gate is a narrow filter — the
+    corpus shuffles zero times.
+    """
+    hash_fn = portable_hash64 if portable else fast_hash64
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
+    total = counts.agg(F.sum("__n_g").alias("__n"))
+    w = None
+    for val, share in weights.items():
+        w = (
+            F.when(F.col(group_col) == val, F.lit(float(share)))
+            if w is None
+            else w.when(F.col(group_col) == val, F.lit(float(share)))
+        )
+    w = w.otherwise(F.lit(None))
+    # least() IGNORES nulls in both Spark and DuckDB (least(1.0, NULL)
+    # = 1.0), so cap only after the null gate or unlisted groups would
+    # silently pass whole instead of dropping
+    raw = w * F.col("__n") / F.col("__n_g")
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            F.when(raw.isNotNull(), F.least(F.lit(1.0), raw)).alias("__rate"),
+        )
+        .filter(F.col("__rate").isNotNull())
+    )
+    gate = F.pmod(hash_fn(key_col, salt), F.lit(1_000_000))
+    return df.join(F.broadcast(rates), group_col).filter(
+        gate < F.col("__rate") * 1_000_000
+    )

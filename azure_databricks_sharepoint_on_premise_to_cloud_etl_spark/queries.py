@@ -2638,6 +2638,88 @@ FROM ranked
 """
 
 
+_MIX_WEIGHTS = {"en": 0.40, "zh": 0.25, "de": 0.15, "es": 0.10, "fr": 0.10}
+_MIX_SALT = 7
+
+
+def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing toward target language proportions: each language's
+    keep-rate derives from its OBSERVED count (rate = min(1, w*N/n_g)),
+    thinning over-represented groups to the target shares — the
+    re-weighting step every pretraining mix runs after filtering.
+    Deterministic hash gate (same rows survive every run); counts are
+    group-cardinality-sized, rates broadcast, the corpus never
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.target_mix(
+        d, group_col="lang", weights=_MIX_WEIGHTS, key_col="doc_id",
+        salt=_MIX_SALT,
+    )
+    return out.select("doc_id", "lang", F.round("__rate", 6).alias("keep_rate"))
+
+
+def _target_mix_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{v}' THEN {s}" for v, s in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+),
+total AS (SELECT sum(n_g) AS n FROM counts),
+rates AS (
+    SELECT lang,
+           least(1.0, (CASE lang {case} ELSE NULL END) * total.n / n_g)
+               AS rate
+    FROM counts, total
+    WHERE CASE lang {case} ELSE NULL END IS NOT NULL
+)
+SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
+FROM documents d JOIN rates r USING (lang)
+WHERE {_duck_hash("CAST(doc_id AS VARCHAR)", _MIX_SALT)} % 1000000
+      < r.rate * 1000000
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sliding form: 1-hour windows advancing every 30 minutes —
+    each event lands in exactly two windows.  Spark's ``F.window``
+    with a slide explodes the membership natively (whole-stage
+    codegen, no UDF); the oracle reproduces it as an unnest of the
+    two epoch-aligned bucket starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (
+    SELECT event_type, value,
+           unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                   time_bucket(INTERVAL 30 MINUTE, ts)
+                       - INTERVAL 30 MINUTE]) AS window_start
+    FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 AUX_QUERIES: dict[str, QueryFn] = {
     # folded into top1_latest_order (which='earliest')
     "earliest_per_group": q_earliest_per_group,
@@ -2669,6 +2751,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "unigram_lm_score": q_unigram_lm_score,
     "corpus_shuffle": q_corpus_shuffle,
     "vocab_coverage": q_vocab_coverage,
+    "target_mix": q_target_mix,
+    "sliding_window": q_sliding_window,
 }
 
 AUX_ORACLES: dict[str, str] = {
@@ -2685,6 +2769,8 @@ AUX_ORACLES: dict[str, str] = {
     "unigram_lm_score": ORACLE_LM_SCORE,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "target_mix": _target_mix_oracle(),
+    "sliding_window": ORACLE_SLIDING,
 }
 
 # Contract guards: the driver records at most 50 rows and every row

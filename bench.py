@@ -207,6 +207,30 @@ def main() -> None:
         record["derived"] = derived
     if errors:
         record["errors"] = errors
+
+    # Regenerate the AUX correctness artifact every bench run (the
+    # driver runs bench per round, so AUX_CORRECTNESS.json stays
+    # fresh without a separate CI hook).  Fresh subprocess: the aux
+    # harness builds its own session; its stdout goes to stderr so
+    # this script's one-JSON-line stdout contract holds.  Best-effort
+    # — a broken aux query shows up in the artifact, not as a bench
+    # failure.  Skippable for quick local timing loops.
+    if os.environ.get("SPARK_GRAFT_SKIP_AUX") != "1":
+        import subprocess
+
+        try:
+            aux = subprocess.run(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools", "aux_correctness.py",
+                ), os.environ.get("SPARK_GRAFT_AUX_SF_DIR", "/root/testdata/sf0.01")],
+                capture_output=True, text=True, timeout=1200,
+            )
+            tail = (aux.stdout or "").strip().splitlines()
+            record["aux_correctness"] = tail[-1] if tail else f"rc={aux.returncode}"
+        except Exception as e:  # noqa: BLE001
+            record["aux_correctness"] = f"failed to run: {e}"
+
     print(json.dumps(record))
 
 

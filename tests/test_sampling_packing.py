@@ -119,3 +119,40 @@ def test_pack_sequences_rejects_bad_budget(spark):
         sampling.pack_sequences(_docs(spark), "tokens", 0, "lang")
     with pytest.raises(ValueError):
         sampling.stable_sample(_docs(spark), 1.5)
+
+
+def test_target_mix_rates_and_determinism(spark):
+    """rate_g = min(1, w_g*N/n_g): over-represented groups thin toward
+    the target share, at-or-under groups pass whole (never replicated),
+    unlisted groups drop, and the hash gate keeps identical rows on
+    re-run."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import target_mix
+
+    rows = (
+        [(i, "big") for i in range(800)]
+        + [(i + 800, "small") for i in range(100)]
+        + [(i + 900, "drop") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = target_mix(
+        df, "lang", {"big": 0.5, "small": 0.5}, key_col="doc_id", salt=3
+    )
+    got = out.select("doc_id", "lang", "__rate").collect()
+    by_lang = {}
+    rates = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        rates[r["lang"]] = r["__rate"]
+    assert set(by_lang) == {"big", "small"}          # unlisted dropped
+    assert rates["small"] == 1.0                     # under target: capped, kept whole
+    assert len(by_lang["small"]) == 100
+    assert abs(rates["big"] - 0.5 * 1000 / 800) < 1e-12
+    # thinned roughly to rate (hash gate is uniform-ish, not exact)
+    assert 0.45 * 800 < len(by_lang["big"]) < 0.80 * 800
+    again = {
+        r["doc_id"]
+        for r in target_mix(
+            df, "lang", {"big": 0.5, "small": 0.5}, key_col="doc_id", salt=3
+        ).collect()
+    }
+    assert again == by_lang["big"] | by_lang["small"]  # stable re-run
