@@ -1686,21 +1686,76 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_tumbling_out")
 
 
-def _stream_dir_for(sf_dir: str, table: str) -> str:
+def _stream_dir_for(sf_dir: str, table: str, copies: int = 1) -> str:
     """The streaming file source requires a DIRECTORY; expose the
-    single-file fixture through a temp dir of symlinks."""
+    single-file fixture through a temp dir of symlinks.  ``copies > 1``
+    links the same file multiple times — injected duplicate input for
+    exactly-once / dedup tests."""
     import os
     import tempfile
 
     d = tempfile.mkdtemp(prefix=f"stream_src_{table}_")
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
-    os.symlink(src, os.path.join(d, f"{table}.parquet"))
+    for i in range(copies):
+        os.symlink(src, os.path.join(d, f"{table}_{i}.parquet"))
     return d
 
 
 # streaming_tumbling is pytest-verified (AUX below) rather than a
 # driver row: it shares its oracle with the batch tumbling_window
 # entry, and the registry is capped at the driver's 50-row capture.
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 exactly-once as STREAM-STATE dedup: the events fixture is
+    linked TWICE into the stream directory (every row arrives as a
+    duplicate), ``dropDuplicates(event_id)`` collapses the copies in
+    streaming state, and the drained result folds to per-type counts
+    batch-side.  The oracle is the plain batch aggregate over the
+    single-copy events table — green only if the stream dedup removed
+    exactly the injected duplicates, no more, no less.
+
+    Scale shape: dedup state is hash-partitioned by event_id across
+    executors; the batch-side fold runs on the drained (already
+    deduped) output.  Production streams bound the state with
+    ``dropDuplicatesWithinWatermark``; the AvailableNow drain here is
+    finite so unbounded-state semantics are exact."""
+    import os
+    import tempfile
+
+    from .sources.registry import decode_event_ts
+    from .streaming import incremental
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = spark.readStream.schema(raw_schema).parquet(
+        _stream_dir_for(sf_dir, "events", copies=2)
+    )
+    deduped = decode_event_ts(raw).select(
+        "event_id", "event_type", "value"
+    ).dropDuplicates(["event_id"])
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    incremental.run_to_memory_sink(
+        deduped, "stream_dedup_out", ckpt, output_mode="append"
+    )
+    return (
+        spark.table("stream_dedup_out")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2753,6 +2808,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "target_mix": q_target_mix,
     "sliding_window": q_sliding_window,
+    # real streaming-state dedup against duplicated input; batch oracle
+    "streaming_dedup": q_streaming_dedup,
 }
 
 AUX_ORACLES: dict[str, str] = {
@@ -2771,6 +2828,7 @@ AUX_ORACLES: dict[str, str] = {
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "target_mix": _target_mix_oracle(),
     "sliding_window": ORACLE_SLIDING,
+    "streaming_dedup": ORACLE_STREAM_DEDUP,
 }
 
 # Contract guards: the driver records at most 50 rows and every row
