@@ -222,3 +222,39 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         portable_hash64(F.col("__norm")).alias("content_fp"),
         F.array_min(gram_hashes).alias("min_gram_fp"),
     )
+
+
+#: PII patterns restricted to syntax Java regex and RE2 share, so the
+#: DuckDB oracle evaluates the IDENTICAL expressions (no lookarounds,
+#: no backreferences — which RE2 rejects anyway).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """Mask email / phone / SSN-shaped spans and count each kind.
+
+    Adds ``redacted`` (the masked text) and one ``n_<kind>`` column
+    per pattern.  Order matters: counts come from the ORIGINAL text,
+    and longer patterns redact first (an SSN also matches the phone
+    shape — redacting phones first would corrupt the SSN count a
+    consumer reads next to the redacted text).
+
+    Scale shape: pure narrow ``regexp_replace`` / ``regexp_count``
+    expressions — whole-stage codegen, zero shuffles, pushdown
+    unaffected.  This is the cheap pattern pass every corpus gets;
+    ML-based NER redaction is a downstream (model-serving) concern,
+    not an engine operator."""
+    c = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    red = c
+    for kind in ("ssn", "email", "phone"):  # longest/most-specific first
+        red = F.regexp_replace(red, PII_PATTERNS[kind], replacement)
+    return out.withColumn("redacted", red)

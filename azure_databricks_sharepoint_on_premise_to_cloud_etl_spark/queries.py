@@ -1758,6 +1758,56 @@ GROUP BY event_type
 """
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sliding form as REAL Structured Streaming: watermarked
+    1-hour windows advancing every 30 minutes, drained with
+    AvailableNow.  Shares its oracle with the batch sliding_window
+    query — the two formulations must agree exactly (the same
+    invariant streaming_tumbling pins for tumbling windows)."""
+    import os
+    import tempfile
+
+    from .sources.registry import decode_event_ts
+    from .streaming import incremental
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = spark.readStream.schema(raw_schema).parquet(
+        _stream_dir_for(sf_dir, "events")
+    )
+    events = decode_event_ts(raw)
+    ts_was_ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            (
+                F.col("w.start").cast("timestamp_ntz")
+                if ts_was_ntz
+                else F.col("w.start")
+            ).alias("window_start"),
+            F.col("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_sliding_ckpt_")
+    incremental.run_to_memory_sink(agg, "stream_sliding_out", ckpt)
+    return spark.table("stream_sliding_out")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: MinHash signatures -> LSH
     candidate pairs -> connected components (iterative min-label
@@ -2775,6 +2825,40 @@ GROUP BY 1, 2
 """
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern redaction over the corpus: mask email/phone/SSN
+    shapes, count each kind from the original text.  Narrow codegen
+    expressions only — see operators/text.py:redact_pii.  The fixture
+    corpus contains no PII, so the oracle check here proves the two
+    regex engines agree on NO-match behavior over real text (no
+    spurious redactions); the positive-match semantics are pinned by
+    the synthetic-row unit test."""
+    d = load_table(spark, sf_dir, "documents")
+    out = text.redact_pii(d.select("doc_id", "text"))
+    return out.select("doc_id", "n_email", "n_phone", "n_ssn", "redacted")
+
+
+def _pii_oracle() -> str:
+    from .operators.text import PII_PATTERNS
+
+    em, ph, ssn = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["phone"],
+        PII_PATTERNS["ssn"],
+    )
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{em}')) AS n_email,
+       len(regexp_extract_all(text, '{ph}')) AS n_phone,
+       len(regexp_extract_all(text, '{ssn}')) AS n_ssn,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{ssn}', '[PII]', 'g'),
+           '{em}', '[PII]', 'g'),
+           '{ph}', '[PII]', 'g') AS redacted
+FROM documents
+"""
+
+
 AUX_QUERIES: dict[str, QueryFn] = {
     # folded into top1_latest_order (which='earliest')
     "earliest_per_group": q_earliest_per_group,
@@ -2808,8 +2892,11 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": q_vocab_coverage,
     "target_mix": q_target_mix,
     "sliding_window": q_sliding_window,
+    "pii_redaction": q_pii_redaction,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
+    # sliding-window stream; same oracle as the batch sliding_window
+    "streaming_sliding": q_streaming_sliding,
 }
 
 AUX_ORACLES: dict[str, str] = {
@@ -2828,7 +2915,9 @@ AUX_ORACLES: dict[str, str] = {
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "target_mix": _target_mix_oracle(),
     "sliding_window": ORACLE_SLIDING,
+    "pii_redaction": _pii_oracle(),
     "streaming_dedup": ORACLE_STREAM_DEDUP,
+    "streaming_sliding": ORACLE_SLIDING,
 }
 
 # Contract guards: the driver records at most 50 rows and every row

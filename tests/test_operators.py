@@ -286,3 +286,32 @@ def test_release_components_bounds_repeated_calls(spark):
     assert counts[2] <= counts[0]
     # a frame that never came from connected_components: safe no-op
     assert release_components(edges) is False
+
+
+def test_redact_pii_positive_matches(spark):
+    """Synthetic PII rows: each pattern kind is counted from the
+    original text and masked in the redacted text; SSNs are not
+    double-counted as phones after redaction ordering; clean text
+    passes through untouched."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk for details"),
+        (2, "call +1-555-123-4567 or 555 123 4567 today"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "plain text with no private data"),
+        (5, "mix: a@b.io and 987-65-4321 together"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ssn"]) == (1, 0, 0)
+    assert "[PII]" in got[1]["redacted"] and "example" not in got[1]["redacted"]
+    assert got[2]["n_phone"] == 2 and got[2]["n_email"] == 0
+    assert "4567" not in got[2]["redacted"]
+    assert got[3]["n_ssn"] == 1
+    assert "123-45-6789" not in got[3]["redacted"]
+    assert got[4]["redacted"] == rows[3][1]  # untouched
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ssn"]) == (0, 0, 0)
+    assert got[5]["n_email"] == 1 and got[5]["n_ssn"] == 1
+    assert got[5]["redacted"].count("[PII]") == 2
