@@ -274,3 +274,68 @@ def ivf_topk(
     return rank_topk_per_group(
         scored, [probe_id_col], [F.col("cosine").desc(), F.col(id_col).asc()], k
     )
+
+
+def kmeans_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd iteration: assign every vector to its
+    nearest centroid (broadcast cosine ranking, same geometry as
+    ``ivf_assign``), then recompute each centroid as the element-wise
+    mean of its members.  Output is EXPLODED — (ivf_bucket, pos,
+    c_mean) — because per-dimension rows are both the distributed
+    idiom (no array-sum aggregate exists JVM-side) and digest-friendly
+    for the DuckDB oracle (list cells hash unreliably).
+
+    Scale shape: the mean is a hash aggregate over (bucket, dim) keys
+    — the shuffle carries N*dim compact numeric rows with map-side
+    partial aggregation, never whole vectors to one place; iterating
+    k-means = repeating this step on the re-collected (vocab-sized)
+    centroid table, the standard IVF training loop."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    return (
+        assigned.select(
+            "ivf_bucket", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        .groupBy("ivf_bucket", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c_mean"))
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector (the vector-store
+    compression pass): scale = max|x| / 127, q_i = floor(x_i/scale +
+    0.5).  ``floor(x + 0.5)`` instead of ``round`` deliberately —
+    Spark rounds HALF_UP, DuckDB half-even, and floor is the one
+    formulation both engines (and a deserializer in any language)
+    compute bit-identically.  Zero vectors quantize to zeros (guarded
+    division).  Returns integer summary stats (exact, FP-free) plus
+    the rounded scale; the quantized array itself stays an expression
+    a writer can materialize.
+
+    Scale shape: pure narrow HOF expressions — no shuffle, no UDF."""
+    vec = F.col(vec_col)
+    scale = F.nullif(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(0.0),
+    )
+    with_scale = df.select(id_col, vec_col).withColumn("__scale", scale)
+    q = F.transform(
+        vec,
+        lambda x: F.coalesce(
+            F.floor(x / F.col("__scale") + F.lit(0.5)), F.lit(0)
+        ).cast("long"),
+    )
+    return with_scale.select(
+        id_col,
+        F.round(F.coalesce(F.col("__scale"), F.lit(0.0)), 6).alias("q_scale"),
+        F.size(vec).alias("n_dims"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )

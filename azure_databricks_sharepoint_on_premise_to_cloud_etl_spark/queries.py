@@ -2859,6 +2859,75 @@ FROM documents
 """
 
 
+def q_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) step refining the IVF centroids: assign all
+    vectors to the 16 deterministic seed centroids, recompute each as
+    its members' element-wise mean.  The training half of the IVF
+    index whose query half is ``cosine_topk_ivf``; iterate by feeding
+    the re-collected centroid table back in."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16)
+    return similarity.kmeans_step(e, cents)
+
+
+def _ivf_refine_oracle() -> str:
+    cos_ec = _DUCK_COSINE.format(a="e.embedding", b="c.cv")
+    return f"""
+WITH centroids AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+assign AS (
+    SELECT e.vec_id, c.cid, round({cos_ec}, 6) AS score,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+),
+members AS (
+    SELECT a.vec_id, a.cid AS ivf_bucket FROM assign a WHERE rn = 1
+),
+vals AS (
+    SELECT m.ivf_bucket,
+           generate_subscripts(e.embedding, 1) - 1 AS pos,
+           unnest(e.embedding) AS val
+    FROM members m JOIN embeddings e USING (vec_id)
+)
+SELECT ivf_bucket, pos, round(avg(val), 6) AS c_mean
+FROM vals GROUP BY ivf_bucket, pos
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization summary per vector — the
+    vector-store compression pass; integer stats are exact so the
+    digest comparison is FP-free (see similarity.quantize_embeddings
+    for the floor-based cross-engine rounding contract)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e)
+
+
+ORACLE_QUANTIZE = """
+WITH scaled AS (
+    SELECT vec_id, embedding,
+           -- CAST to DOUBLE first: list_max over a FLOAT list stays
+           -- FLOAT in DuckDB, and a float-precision scale both shifts
+           -- rounding artifacts into q_scale and can flip a boundary
+           -- quantization step vs Spark's double-precision scale
+           nullif(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                       AS DOUBLE) / 127.0, 0.0) AS s
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, s,
+           len(embedding) AS n_dims,
+           list_transform(embedding,
+                          x -> CAST(coalesce(floor(x / s + 0.5), 0) AS BIGINT))
+               AS qv
+    FROM scaled
+)
+SELECT vec_id, round(coalesce(s, 0.0), 6) AS q_scale, n_dims,
+       list_sum(qv) AS q_sum, list_min(qv) AS q_min, list_max(qv) AS q_max
+FROM q
+"""
+
+
 AUX_QUERIES: dict[str, QueryFn] = {
     # folded into top1_latest_order (which='earliest')
     "earliest_per_group": q_earliest_per_group,
@@ -2893,6 +2962,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "target_mix": q_target_mix,
     "sliding_window": q_sliding_window,
     "pii_redaction": q_pii_redaction,
+    "ivf_refine": q_ivf_refine,
+    "embedding_quantize": q_embedding_quantize,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
@@ -2916,6 +2987,8 @@ AUX_ORACLES: dict[str, str] = {
     "target_mix": _target_mix_oracle(),
     "sliding_window": ORACLE_SLIDING,
     "pii_redaction": _pii_oracle(),
+    "ivf_refine": _ivf_refine_oracle(),
+    "embedding_quantize": ORACLE_QUANTIZE,
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
 }
