@@ -209,7 +209,6 @@ def target_mix(
     rate table broadcasts, and the gate is a narrow filter — the
     corpus shuffles zero times.
     """
-    hash_fn = portable_hash64 if portable else fast_hash64
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
     total = counts.agg(F.sum("__n_g").alias("__n"))
     w = None
@@ -232,7 +231,11 @@ def target_mix(
         )
         .filter(F.col("__rate").isNotNull())
     )
-    gate = F.pmod(hash_fn(key_col, salt), F.lit(1_000_000))
+    # the SAME gate as stable_sample (string-cast key through
+    # _sample_gate) so gates nest/correlate across both operators; the
+    # threshold is floored to an integer so the comparison never rides
+    # on the last bit of a double (the oracle floors identically)
+    gate = _sample_gate(F.col(key_col).cast("string"), salt, portable)
     return df.join(F.broadcast(rates), group_col).filter(
-        gate < F.col("__rate") * 1_000_000
+        gate < F.floor(F.col("__rate") * _GATE)
     )

@@ -93,15 +93,42 @@ GROUP BY f.c_nationkey, f.o_orderdate
 """
 
 
-# Previous invocation's cached fact, keyed PER SparkSession (weak keys:
-# a stopped/collected session drops its entry rather than pinning the
-# JVM-side DataFrame forever).  A module-global slot here would make
-# two concurrent sessions in one process unpersist each other's cache.
+# Previous invocation's cached fact, keyed PER SparkSession.  A
+# module-global slot here would make two concurrent sessions in one
+# process unpersist each other's cache.  The VALUE is the JVM
+# DataFrame handle, not the Python DataFrame: a PySpark DataFrame
+# strongly references its session (df._session), so storing it in a
+# WeakKeyDictionary keyed by that session would create a value->key
+# cycle pinning every entry.  Caveat, measured: PySpark 4.1 pins every
+# SparkSession internally (a bare newSession() is never collected even
+# after del + gc.collect()), so the weak machinery and the
+# per-generation finalize below are best-effort backstops — a process
+# that churns sessions must call release_flagship_cache(session)
+# explicitly (mirroring graph.release_components), or the JVM-side
+# cached fact lives until the SparkContext stops.
 import weakref
 
-_flagship_fact_cache: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
-    weakref.WeakKeyDictionary()
-)
+_flagship_fact_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _unpersist_jdf(jdf) -> None:
+    try:
+        jdf.unpersist(False)
+    except Exception:
+        pass  # e.g. its SparkContext is already stopped
+
+
+def release_flagship_cache(spark: SparkSession) -> bool:
+    """Free the cached census fact held for ``spark``.  Call when a
+    session is done with flagship queries (long-lived multi-session
+    processes especially — PySpark pins session objects, so GC alone
+    never reclaims the JVM-side cache).  Idempotent; returns True if
+    an entry was released."""
+    prev = _flagship_fact_cache.pop(spark, None)
+    if prev is None:
+        return False
+    _unpersist_jdf(prev)
+    return True
 
 
 def q_flagship_census_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,16 +139,15 @@ def q_flagship_census_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     'caching absent').  The previous invocation's cached fact is
     unpersisted before re-caching so repeated calls in one long-lived
     session don't leak cache entries; the holder is keyed by session
-    so concurrent sessions never cross-unpersist."""
+    so concurrent sessions never cross-unpersist, and a finalizer
+    unpersists the last generation when its session is collected."""
     register_temp_views(spark, sf_dir, ("customer", "nation", "orders", "lineitem"))
     prev = _flagship_fact_cache.pop(spark, None)
     if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # e.g. its SparkSession is already stopped
+        _unpersist_jdf(prev)
     fact = spark.sql(_FLAGSHIP_FACT_SQL).cache()
-    _flagship_fact_cache[spark] = fact
+    _flagship_fact_cache[spark] = fact._jdf
+    weakref.finalize(spark, _unpersist_jdf, fact._jdf)
     fact.createOrReplaceTempView("__census_fact")
     return spark.sql(_FLAGSHIP_FINAL_SQL)
 
@@ -1635,32 +1661,15 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow into a memory sink, returned as the final
     batch result.  Same oracle as the batch tumbling_window query —
     the two formulations must agree exactly."""
-    import os
     import tempfile
 
-    from .sources.registry import decode_event_ts
     from .streaming import incremental
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Sniff the fixture's physical ts type via a batch schema read —
-    # the stream schema must match whatever the parquet actually
-    # stores (timestamp[us] today; INT64 nanos under nanosAsLong for
-    # older fixtures).  The decode then goes through the SAME
-    # conditional as the batch registry, so both formulations agree
-    # by construction instead of by hard-coded assumption.
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    raw = spark.readStream.schema(raw_schema).parquet(
-        _stream_dir_for(sf_dir, "events")
-    )
-    events = decode_event_ts(raw)
+    events, ts_was_ntz = _stream_events(spark, sf_dir)
     # Watermarks require TIMESTAMP (LTZ); the fixture surfaces as
     # TIMESTAMP_NTZ.  With the session timezone pinned UTC the cast is
     # wall-clock identity; the window bound is cast back to NTZ below
     # so output values match the batch tumbling_window oracle exactly.
-    ts_was_ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
@@ -1684,6 +1693,33 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_tumbling_ckpt_")
     incremental.run_to_memory_sink(agg, "stream_tumbling_out", ckpt)
     return spark.table("stream_tumbling_out")
+
+
+def _stream_events(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> tuple[DataFrame, bool]:
+    """Shared preamble for every events streaming query: pin the
+    session confs, sniff the fixture's physical schema via a batch
+    read, build the file-source stream, and decode ``ts`` through the
+    registry's dtype conditional.  ONE implementation on purpose —
+    the round-4 bug was a hard-coded decode drifting from the batch
+    path, and three hand-synced copies would re-create that hazard.
+    Returns (events, ts_was_ntz); callers that watermark must cast
+    ts -> TIMESTAMP and cast window bounds back when ts_was_ntz."""
+    import os
+
+    from .sources.registry import decode_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = spark.readStream.schema(raw_schema).parquet(
+        _stream_dir_for(sf_dir, "events", copies=copies)
+    )
+    events = decode_event_ts(raw)
+    return events, dict(events.dtypes).get("ts") == "timestamp_ntz"
 
 
 def _stream_dir_for(sf_dir: str, table: str, copies: int = 1) -> str:
@@ -1720,21 +1756,12 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped) output.  Production streams bound the state with
     ``dropDuplicatesWithinWatermark``; the AvailableNow drain here is
     finite so unbounded-state semantics are exact."""
-    import os
     import tempfile
 
-    from .sources.registry import decode_event_ts
     from .streaming import incremental
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    raw = spark.readStream.schema(raw_schema).parquet(
-        _stream_dir_for(sf_dir, "events", copies=2)
-    )
-    deduped = decode_event_ts(raw).select(
+    events, _ = _stream_events(spark, sf_dir, copies=2)
+    deduped = events.select(
         "event_id", "event_type", "value"
     ).dropDuplicates(["event_id"])
     ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
@@ -1764,22 +1791,11 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow.  Shares its oracle with the batch sliding_window
     query — the two formulations must agree exactly (the same
     invariant streaming_tumbling pins for tumbling windows)."""
-    import os
     import tempfile
 
-    from .sources.registry import decode_event_ts
     from .streaming import incremental
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    ).schema
-    raw = spark.readStream.schema(raw_schema).parquet(
-        _stream_dir_for(sf_dir, "events")
-    )
-    events = decode_event_ts(raw)
-    ts_was_ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    events, ts_was_ntz = _stream_events(spark, sf_dir)
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
@@ -2764,9 +2780,15 @@ def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _target_mix_oracle() -> str:
+    # CAST the weight CASE to DOUBLE: DuckDB would otherwise run the
+    # whole rate computation in exact DECIMAL while Spark uses doubles,
+    # and a boundary hash value could then land on different sides of
+    # the threshold in the two engines.  The floor()ed integer
+    # threshold mirrors the operator for the same reason.
     case = " ".join(
         f"WHEN '{v}' THEN {s}" for v, s in _MIX_WEIGHTS.items()
     )
+    w = f"CAST(CASE lang {case} ELSE NULL END AS DOUBLE)"
     return f"""
 WITH counts AS (
     SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
@@ -2774,15 +2796,14 @@ WITH counts AS (
 total AS (SELECT sum(n_g) AS n FROM counts),
 rates AS (
     SELECT lang,
-           least(1.0, (CASE lang {case} ELSE NULL END) * total.n / n_g)
-               AS rate
+           least(CAST(1.0 AS DOUBLE), {w} * total.n / n_g) AS rate
     FROM counts, total
-    WHERE CASE lang {case} ELSE NULL END IS NOT NULL
+    WHERE {w} IS NOT NULL
 )
 SELECT d.doc_id, d.lang, round(r.rate, 6) AS keep_rate
 FROM documents d JOIN rates r USING (lang)
 WHERE {_duck_hash("CAST(doc_id AS VARCHAR)", _MIX_SALT)} % 1000000
-      < r.rate * 1000000
+      < CAST(floor(r.rate * 1000000) AS BIGINT)
 """
 
 

@@ -218,6 +218,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_AUX") != "1":
         import subprocess
 
+        # nothing below uses the bench session — stop it before the
+        # subprocess builds its own JVM so two full SparkContexts never
+        # coexist (double memory footprint on constrained hosts)
+        spark.stop()
+
         try:
             aux = subprocess.run(
                 [sys.executable, os.path.join(

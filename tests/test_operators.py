@@ -239,8 +239,8 @@ def test_flagship_cache_is_session_scoped(spark):
 
     sf = "/root/testdata/sf0.001"
     a_rows = sorted(map(tuple, q.q_flagship_census_count(spark, sf).collect()))
-    fact_a = q._flagship_fact_cache[spark]
-    assert fact_a.storageLevel.useMemory
+    fact_a = q._flagship_fact_cache[spark]  # JVM DataFrame handle
+    assert fact_a.storageLevel().useMemory()
 
     s2 = spark.newSession()
     try:
@@ -250,13 +250,17 @@ def test_flagship_cache_is_session_scoped(spark):
         assert q._flagship_fact_cache[spark] is fact_a
         assert q._flagship_fact_cache[s2] is not fact_a
         # ...and B's run did not unpersist A's fact
-        assert fact_a.storageLevel.useMemory, (
+        assert fact_a.storageLevel().useMemory(), (
             "session B's flagship run unpersisted session A's cached fact"
         )
+        # explicit release is the cleanup contract (PySpark pins
+        # session objects, so GC alone never frees an abandoned
+        # session's cache): idempotent, and it actually unpersists
+        assert q.release_flagship_cache(s2) is True
+        assert q.release_flagship_cache(s2) is False
+        assert not q._flagship_fact_cache.get(s2)
     finally:
-        fact_b = q._flagship_fact_cache.pop(s2, None)
-        if fact_b is not None:
-            fact_b.unpersist()
+        q.release_flagship_cache(s2)
 
 
 def test_release_components_bounds_repeated_calls(spark):

@@ -78,7 +78,8 @@ def build_fixture(base: str, factor: int, root: str) -> str:
     m = emb.num_rows
     ecols = {c: emb.column(c).to_pylist() for c in emb.column_names}
     ebig = {c: [] for c in emb.column_names}
-    id_col = "emb_id" if "emb_id" in ecols else emb.column_names[0]
+    id_col = "vec_id"
+    assert id_col in ecols, f"embeddings schema changed: {emb.column_names}"
     for r in range(factor):
         for c, vals in ecols.items():
             if c == id_col:
