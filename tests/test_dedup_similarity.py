@@ -216,3 +216,78 @@ def test_simhash_candidate_pairs_complete_vs_bruteforce(spark):
         if a < b and bin(sims[a] ^ sims[b]).count("1") <= 6
     }
     assert found == brute
+
+
+def test_kmeans_step_monotone_improvement(spark):
+    """Lloyd's algorithm property: re-assigning to refined centroids
+    never increases total assignment cost.  Two steps from the
+    deterministic seeds must not get worse (and the refined centroids
+    must cover every seed bucket dimension)."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import (
+        cosine_sim,
+        kmeans_step,
+    )
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8)
+
+    def cost(centroids_df):
+        c = centroids_df.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        scored = e.crossJoin(F.broadcast(c)).select(
+            "vec_id", cosine_sim(F.col("embedding"), F.col("cvec")).alias("s")
+        )
+        best = scored.groupBy("vec_id").agg(F.max("s").alias("best"))
+        return best.agg(F.sum("best")).collect()[0][0]
+
+    refined_rows = kmeans_step(e, seeds).collect()
+    by_bucket = {}
+    for r in refined_rows:
+        by_bucket.setdefault(r["ivf_bucket"], {})[r["pos"]] = r["c_mean"]
+    dim = e.select(F.size("embedding")).first()[0]
+    assert all(len(v) == dim for v in by_bucket.values())
+    refined = spark.createDataFrame(
+        [
+            (cid, [float(v[p]) for p in range(dim)])
+            for cid, v in by_bucket.items()
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    c0, c1 = cost(seeds), cost(refined)
+    assert c1 >= c0 - 1e-6, f"refinement worsened assignment cost: {c0} -> {c1}"
+    assert not math.isnan(c1)
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """Symmetric int8 quantization invariants on synthetic vectors:
+    q in [-127, 127], dequantization error <= scale/2 per element,
+    and a zero vector quantizes to zeros with scale 0."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.0015]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+
+    for vid, vec in rows:
+        r = got[vid]
+        assert r["n_dims"] == 4
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        if all(x == 0.0 for x in vec):
+            assert r["q_scale"] == 0.0 and r["q_sum"] == 0
+            continue
+        import math as m
+
+        scale = max(abs(x) for x in vec) / 127.0
+        qs = [m.floor(x / scale + 0.5) for x in vec]
+        assert sum(qs) == r["q_sum"]
+        assert max(abs(q * scale - x) for q, x in zip(qs, vec)) <= scale / 2 + 1e-9
