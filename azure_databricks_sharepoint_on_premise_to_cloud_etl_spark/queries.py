@@ -2949,6 +2949,85 @@ FROM q
 """
 
 
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document's token
+    stream into 64-token chunks advancing 48 tokens (16-token overlap)
+    — the context-window prep step for pretraining/RAG corpora.  A doc
+    shorter than one chunk yields exactly one (whole-doc) chunk; the
+    final chunk is the ragged tail.
+
+    Scale shape: all native HOFs — tokenize once, ``sequence`` builds
+    the per-doc chunk index, ``explode`` multiplies rows by ~n/stride,
+    ``slice`` cuts each chunk.  Narrow end to end: no shuffle, no UDF;
+    chunk rows inherit the scan's partitioning."""
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        word_tokens("text").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    # number of chunks = 1 + floor(max(n - LEN, 0) / STRIDE), but any
+    # non-empty tail past the last full window adds one more ragged
+    # chunk: ceil semantics via (n - LEN + STRIDE - 1) div STRIDE
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.lit(1)
+        + F.floor(
+            (F.col("__n") - F.lit(_CHUNK_LEN) + F.lit(_CHUNK_STRIDE) - 1)
+            / F.lit(_CHUNK_STRIDE)
+        ),
+    ).cast("int")
+    exploded = t.select(
+        "doc_id",
+        "__toks",
+        "__n",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(_CHUNK_STRIDE)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("chunk_start"),
+        F.least(
+            F.lit(_CHUNK_LEN), F.col("__n") - start
+        ).alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), start + F.lit(1), F.lit(_CHUNK_LEN))
+        ).alias("chunk_text"),
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+idx AS (
+    SELECT doc_id, toks, n,
+           unnest(range(0, CAST(greatest(1,
+               1 + floor((n - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1)
+                         / {_CHUNK_STRIDE})) AS BIGINT))) AS chunk_id
+    FROM sized
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       chunk_id * {_CHUNK_STRIDE} AS chunk_start,
+       least({_CHUNK_LEN}, n - chunk_id * {_CHUNK_STRIDE}) AS chunk_len,
+       array_to_string(
+           toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}],
+           ' ') AS chunk_text
+FROM idx
+"""
+
+
 AUX_QUERIES: dict[str, QueryFn] = {
     # folded into top1_latest_order (which='earliest')
     "earliest_per_group": q_earliest_per_group,
@@ -2985,6 +3064,7 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "pii_redaction": q_pii_redaction,
     "ivf_refine": q_ivf_refine,
     "embedding_quantize": q_embedding_quantize,
+    "doc_chunks": q_doc_chunks,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
@@ -3010,6 +3090,7 @@ AUX_ORACLES: dict[str, str] = {
     "pii_redaction": _pii_oracle(),
     "ivf_refine": _ivf_refine_oracle(),
     "embedding_quantize": ORACLE_QUANTIZE,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
 }

@@ -156,3 +156,48 @@ def test_target_mix_rates_and_determinism(spark):
         ).collect()
     }
     assert again == by_lang["big"] | by_lang["small"]  # stable re-run
+
+
+def test_doc_chunks_boundaries(spark, tmp_path):
+    """Chunk-count arithmetic at the boundaries: exactly one window,
+    one-past-a-window (ragged tail), shorter than a window, and empty
+    text (still one zero-length chunk, so no document vanishes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    docs = {
+        1: " ".join(f"w{i}" for i in range(64)),    # exactly one window
+        2: " ".join(f"w{i}" for i in range(65)),    # 64 + ragged tail of 17
+        3: " ".join(f"w{i}" for i in range(10)),    # sub-window doc
+        4: "",                                       # empty
+        5: " ".join(f"w{i}" for i in range(160)),   # 3 chunks: 0,48,96
+    }
+    tbl = pa.table(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [len(v) for v in docs.values()],
+        }
+    )
+    d = str(tmp_path / "fixture")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+    rows = q.q_doc_chunks(spark, d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_len"] == 64
+    two = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["chunk_len"] for r in two] == [64, 17]
+    assert two[1]["chunk_start"] == 48
+    assert two[1]["chunk_text"].startswith("w48 ")
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 10
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_len"] == 0
+    assert [r["chunk_start"] for r in sorted(by_doc[5], key=lambda r: r["chunk_id"])] == [0, 48, 96]
