@@ -37,6 +37,10 @@ HEAVY = [
     "contamination",
     "pack_sequences",
     "dedup_components",
+    # round-5 curation additions with corpus-proportional work
+    "unigram_lm_score",
+    "doc_chunks",
+    "tfidf_top_terms",
 ]
 
 ALL_TABLES = (
