@@ -463,3 +463,79 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space by nearest-centroid
+    assignment, then mark every vector that has a LOWER-id neighbor in
+    the SAME cluster with cosine >= ``threshold`` as a semantic
+    duplicate — one representative (the lowest id of each near-dup
+    chain head) survives.  Extends the syntactic dedup family
+    (reference's distinct/dropDuplicates, code/ukg_open_census.py:693)
+    to meaning-level duplicates that share no tokens.
+
+    Scale shape — the paper's core trick, preserved: the quadratic
+    pair term is confined to WITHIN-cluster pairs (k clusters cut
+    candidate pairs by ~k vs the corpus-wide join), assignment is a
+    broadcast of the k centroid rows (narrow, one cosine expression in
+    codegen), and the pair meet is an equi-join on the cluster id —
+    AQE splits a skewed cluster's stragglers.  Nothing corpus-wide is
+    ever theta-joined.
+
+    Returns (id_col, cluster, kept) for EVERY input vector, so the
+    output is a stable full-corpus labeling rather than a
+    nondeterministically-sized survivor set.
+    """
+    from .similarity import cosine_sim, dot, l2_norm
+    from .windows import rank_topk_per_group
+
+    # assignment carries the vector through the ranking window instead
+    # of joining back to df afterwards (ivf_assign's shape) — the
+    # assignment subtree is referenced three times below, and each
+    # join-back would double its scan count
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__cid").alias("cluster"),
+        F.round(cosine_sim(F.col(vec_col), F.col("__cvec")), 6).alias("__score"),
+    )
+    assigned = rank_topk_per_group(
+        scored, [id_col], [F.col("__score").desc(), F.col("cluster").asc()], 1
+    ).drop("__score")
+    # norms precomputed per vector, not per pair (same trick as
+    # embedding_near_dup_pairs)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster").alias("__ca"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster").alias("__cb"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_b") < F.col("id_a")))
+        .filter(F.round(sim, 6) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col,
+        "cluster",
+        F.col("__dup").isNull().alias("kept"),
+    )

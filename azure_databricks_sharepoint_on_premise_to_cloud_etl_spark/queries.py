@@ -3028,6 +3028,47 @@ FROM idx
 """
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.35  # fixture embeddings are random; realistic
+# corpora use ~0.95+, which only shrinks the within-cluster pair sets
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): nearest-
+    centroid clustering over the embedding space (first-K deterministic
+    centroids, the same swappable-source geometry as cosine_topk_ivf),
+    then within-cluster cosine pairs mark higher-id near-dups as
+    dropped.  Output is a full-corpus (vec_id, cluster, kept)
+    labeling."""
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    centroids = e.filter(F.col("vec_id") < _SEMDEDUP_K).select("vec_id", "embedding")
+    return dedup.semantic_dedup(e, centroids, threshold=_SEMDEDUP_THRESHOLD)
+
+
+def _semantic_dedup_oracle() -> str:
+    cos_ec = _DUCK_COSINE.format(a="e.embedding", b="c.cv")
+    cos_ab = _DUCK_COSINE.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH centroids AS (SELECT vec_id AS cid, embedding AS cv
+                   FROM embeddings WHERE vec_id < {_SEMDEDUP_K}),
+assign AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_ec}, 6) DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+),
+clustered AS (SELECT vec_id, embedding, cid AS cluster FROM assign WHERE rn = 1),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM clustered a JOIN clustered b
+      ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+    WHERE round({cos_ab}, 6) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT c.vec_id, c.cluster, (d.vec_id IS NULL) AS kept
+FROM clustered c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
 AUX_QUERIES: dict[str, QueryFn] = {
     # folded into top1_latest_order (which='earliest')
     "earliest_per_group": q_earliest_per_group,
@@ -3065,6 +3106,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "ivf_refine": q_ivf_refine,
     "embedding_quantize": q_embedding_quantize,
     "doc_chunks": q_doc_chunks,
+    # SemDeDup: cluster-then-dedup-within-cluster over embeddings
+    "semantic_dedup": q_semantic_dedup,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
@@ -3091,6 +3134,7 @@ AUX_ORACLES: dict[str, str] = {
     "ivf_refine": _ivf_refine_oracle(),
     "embedding_quantize": ORACLE_QUANTIZE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "semantic_dedup": _semantic_dedup_oracle(),
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
 }

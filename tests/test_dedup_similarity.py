@@ -291,3 +291,34 @@ def test_quantize_embeddings_error_bound(spark):
         qs = [m.floor(x / scale + 0.5) for x in vec]
         assert sum(qs) == r["q_sum"]
         assert max(abs(q * scale - x) for q, x in zip(qs, vec)) <= scale / 2 + 1e-9
+
+
+def test_semantic_dedup_plants_and_properties(spark):
+    # two well-separated cluster directions plus planted near-dups:
+    # id 10 duplicates id 0 (same direction), id 11 duplicates id 1
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (11, [0.01, 0.99, 0.0, 0.0]),   # near-dup of 1
+        (12, [0.7, 0.0, 0.71, 0.0]),    # same cluster as 0, not a dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    centroids = df.filter(F.col("vec_id") < 2)
+    out = dedup.semantic_dedup(df, centroids, threshold=0.95).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # full-corpus labeling: every input appears exactly once
+    assert sorted(by_id) == [0, 1, 10, 11, 12]
+    # planted near-dups dropped, their lower-id originals kept
+    assert by_id[0]["kept"] and not by_id[10]["kept"]
+    assert by_id[1]["kept"] and not by_id[11]["kept"]
+    # same-cluster but sub-threshold vector survives
+    assert by_id[12]["kept"]
+    # dup pairs land in the same cluster as their original
+    assert by_id[10]["cluster"] == by_id[0]["cluster"]
+    assert by_id[11]["cluster"] == by_id[1]["cluster"]
+    # the lowest id of every cluster is always kept (chain-head rule)
+    for cl in {r["cluster"] for r in out}:
+        members = [r for r in out if r["cluster"] == cl]
+        head = min(r["vec_id"] for r in members)
+        assert by_id[head]["kept"]
