@@ -239,3 +239,66 @@ def target_mix(
     return df.join(F.broadcast(rates), group_col).filter(
         gate < F.floor(F.col("__rate") * _GATE)
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the mean unigram
+    log-likelihood ratio between a TARGET domain (the rows where
+    ``is_target``) and the RAW corpus — the cheap feature-space
+    importance weight that data-selection pipelines rank on before
+    sampling.  Add-one smoothing over the raw vocabulary keeps
+    target-absent terms finite.
+
+    Scale shape (same discipline as ``q_unigram_lm_score``): the token
+    stream collapses to per-doc term frequencies first, so every
+    shuffle is tf-sized or vocab-sized, never raw-token-sized; BOTH
+    language models ride one vocab-sized aggregate (conditional sums
+    over the same groupBy — not two passes), vocabulary frequencies
+    and the totals broadcast; the per-doc score is a tf-weighted mean.
+
+    Returns (id_col, n_tokens, dsir_score) for every document with at
+    least one token.
+    """
+    from ..functions import word_tokens
+
+    tf = (
+        docs.select(
+            F.col(id_col),
+            is_target.cast("int").alias("__tgt"),
+            F.explode(word_tokens(text_col)).alias("term"),
+        )
+        .groupBy(id_col, "__tgt", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freqs = tf.groupBy("term").agg(
+        F.sum("tf").alias("cnt_raw"),
+        F.sum(F.col("tf") * F.col("__tgt")).alias("cnt_tgt"),
+    )
+    totals = freqs.agg(
+        F.sum("cnt_raw").alias("total_raw"),
+        F.sum("cnt_tgt").alias("total_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    # log( ((cnt_tgt+1)/(total_tgt+V)) / ((cnt_raw+1)/(total_raw+V)) )
+    ratio = (
+        (F.col("cnt_tgt") + F.lit(1.0))
+        * (F.col("total_raw") + F.col("vocab"))
+        / ((F.col("cnt_raw") + F.lit(1.0)) * (F.col("total_tgt") + F.col("vocab")))
+    )
+    return (
+        tf.join(F.broadcast(freqs), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(ratio)) / F.sum("tf"), 6
+            ).alias("dsir_score"),
+        )
+    )

@@ -3028,6 +3028,63 @@ FROM idx
 """
 
 
+_DSIR_QUANTILE = 0.8
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): importance-score
+    every document by the unigram log-likelihood ratio between the
+    English target domain and the raw corpus, then keep the top
+    quintile via the sketch-threshold pattern (approx_percentile
+    rides in-plane as a one-row broadcast, rank-exact at this
+    accuracy).  Output is the full-corpus labeling."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    scored = sampling.dsir_score(d, F.col("lang") == F.lit("en"))
+    thr = scored.agg(
+        F.round(
+            F.expr(
+                f"approx_percentile(dsir_score, {_DSIR_QUANTILE}, 1000000)"
+            ),
+            6,
+        ).alias("__thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "dsir_score",
+        (F.col("dsir_score") >= F.col("__thr")).alias("selected"),
+    )
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+    SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, tgt, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+freqs AS (SELECT term, sum(tf) AS cnt_raw, sum(tf * tgt) AS cnt_tgt
+          FROM tf GROUP BY term),
+totals AS (SELECT sum(cnt_raw) AS total_raw, sum(cnt_tgt) AS total_tgt,
+                  count(*) AS vocab
+           FROM freqs),
+scored AS (
+    SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+           round(sum(tf.tf * ln(
+               (f.cnt_tgt + 1.0) * (t.total_raw + t.vocab)
+               / ((f.cnt_raw + 1.0) * (t.total_tgt + t.vocab))
+           )) / sum(tf.tf), 6) AS dsir_score
+    FROM tf JOIN freqs f USING (term), totals t
+    GROUP BY tf.doc_id
+),
+thr AS (SELECT round(quantile_disc(dsir_score, {_DSIR_QUANTILE}), 6) AS q
+        FROM scored)
+SELECT s.doc_id, s.n_tokens, s.dsir_score, (s.dsir_score >= thr.q) AS selected
+FROM scored s, thr
+"""
+
+
 _SEMDEDUP_K = 8
 _SEMDEDUP_THRESHOLD = 0.35  # fixture embeddings are random; realistic
 # corpora use ~0.95+, which only shrinks the within-cluster pair sets
@@ -3108,6 +3165,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "doc_chunks": q_doc_chunks,
     # SemDeDup: cluster-then-dedup-within-cluster over embeddings
     "semantic_dedup": q_semantic_dedup,
+    # DSIR: unigram log-likelihood-ratio importance selection
+    "dsir_select": q_dsir_select,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
@@ -3135,6 +3194,7 @@ AUX_ORACLES: dict[str, str] = {
     "embedding_quantize": ORACLE_QUANTIZE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "semantic_dedup": _semantic_dedup_oracle(),
+    "dsir_select": ORACLE_DSIR,
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
 }

@@ -201,3 +201,34 @@ def test_doc_chunks_boundaries(spark, tmp_path):
     assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 10
     assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_len"] == 0
     assert [r["chunk_start"] for r in sorted(by_doc[5], key=lambda r: r["chunk_id"])] == [0, 48, 96]
+
+
+def test_dsir_score_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import dsir_score
+
+    # target domain speaks "alpha beta"; raw background speaks "x y z"
+    rows = [
+        (1, "alpha beta alpha beta", "tgt"),
+        (2, "alpha beta beta alpha", "tgt"),
+        (3, "x y z x y z", "raw"),
+        (4, "x z y x z y", "raw"),
+        (5, "alpha beta alpha beta", "raw"),  # raw doc that LOOKS target
+        (6, "x y z q q q", "raw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, dom STRING")
+    out = dsir_score(df, F.col("dom") == F.lit("tgt")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # every doc labeled, token counts exact
+    assert sorted(by_id) == [1, 2, 3, 4, 5, 6]
+    assert by_id[1]["n_tokens"] == 4 and by_id[3]["n_tokens"] == 6
+    # target-vocabulary docs outscore background docs — including the
+    # raw doc whose TEXT matches the target domain (feature-space
+    # scoring, not label lookup)
+    assert by_id[5]["dsir_score"] > by_id[3]["dsir_score"]
+    for t in (1, 2, 5):
+        for r in (3, 4, 6):
+            assert by_id[t]["dsir_score"] > by_id[r]["dsir_score"]
+    # docs with identical bags of words score identically
+    assert by_id[1]["dsir_score"] == by_id[2]["dsir_score"] == by_id[5]["dsir_score"]
