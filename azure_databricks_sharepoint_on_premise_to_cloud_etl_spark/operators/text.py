@@ -258,3 +258,78 @@ def redact_pii(
     for kind in ("ssn", "email", "phone"):  # longest/most-specific first
         red = F.regexp_replace(red, PII_PATTERNS[kind], replacement)
     return out.withColumn("redacted", red)
+
+
+def remove_repeated_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document repeated n-gram removal — the MassiveText /
+    RefinedWeb boilerplate scrub: any word ``n``-gram occurring in at
+    least ``min_docs`` DISTINCT documents is boilerplate (nav bars,
+    license headers, templated footers), and every token it covers is
+    struck from every document.
+
+    Scale shape: per-doc gram digests are a narrow HOF pass (tokens
+    never leave their partition as strings); the only corpus-wide
+    exchange is the (doc, digest)-distinct + digest-count aggregate —
+    8-byte digests with map-side partial aggregation, the same budget
+    as exact_dedup.  The heavy set (boilerplate is corpus-rare by
+    definition) and the hit positions broadcast back; the final strike
+    pass is again narrow (two-arg HOF lambdas receive the token INDEX,
+    so coverage is an exists-check against the doc's own start list —
+    no explode of surviving text).  Documents shorter than ``n``
+    tokens pass through unchanged.
+
+    Returns (id_col, n_tokens, n_removed, cleaned_text) for every
+    document.
+    """
+    toks = word_tokens(text_col)
+    gram_digest = lambda i: portable_hash64(  # noqa: E731
+        F.array_join(F.slice(F.col("__toks"), i + 1, n), " ")
+    )
+    with_grams = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__grams",
+        F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n), gram_digest
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    gram_rows = with_grams.select(
+        id_col, F.posexplode("__grams").alias("pos", "__gh")
+    )
+    heavy = (
+        gram_rows.select(id_col, "__gh")
+        .distinct()
+        .groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    starts = (
+        gram_rows.join(F.broadcast(heavy), "__gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    covered = lambda j: F.exists(  # noqa: E731
+        F.col("__starts"), lambda s: (s <= j) & (j < s + n)
+    )
+    kept = F.filter(F.col("__toks"), lambda x, j: ~covered(j))
+    return (
+        with_grams.join(F.broadcast(starts), id_col, "left")
+        .withColumn(
+            "__starts",
+            F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+        )
+        .select(
+            id_col,
+            F.size("__toks").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept)).alias("n_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )

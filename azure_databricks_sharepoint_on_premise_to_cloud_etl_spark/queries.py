@@ -3028,6 +3028,62 @@ FROM idx
 """
 
 
+_SCRUB_N = 5
+_SCRUB_MIN_DOCS = 3
+
+
+def q_repeated_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram removal (MassiveText/RefinedWeb
+    boilerplate scrub): word 5-grams occurring in >= 3 distinct
+    documents are struck from every document.  The corpus-wide
+    exchange carries 8-byte gram digests only; the strike pass is
+    narrow index-aware HOFs."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.remove_repeated_ngrams(
+        d, n=_SCRUB_N, min_docs=_SCRUB_MIN_DOCS
+    )
+
+
+def _repeated_ngram_oracle() -> str:
+    n = _SCRUB_N
+    digest = _duck_hash(f"array_to_string(t[i+1:i+{n}], ' ')", 0)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, CAST(i AS INT) AS pos, {digest} AS gh
+    FROM toks, unnest(range(0, greatest(0, len(t) - {n - 1}))) AS u(i)
+),
+heavy AS (
+    SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM grams)
+    GROUP BY gh HAVING count(*) >= {_SCRUB_MIN_DOCS}
+),
+starts AS (
+    SELECT doc_id, list(DISTINCT pos) AS ss
+    FROM grams WHERE gh IN (SELECT gh FROM heavy)
+    GROUP BY doc_id
+),
+joined AS (
+    SELECT toks.doc_id, t, coalesce(ss, CAST([] AS INT[])) AS ss
+    FROM toks LEFT JOIN starts ON toks.doc_id = starts.doc_id
+),
+struck AS (
+    SELECT doc_id, t,
+           list_filter(t, (x, i) ->
+               len(list_filter(ss, s -> s <= i - 1 AND i - 1 < s + {n})) = 0
+           ) AS kept
+    FROM joined
+)
+SELECT doc_id, len(t) AS n_tokens, len(t) - len(kept) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM struck
+"""
+
+
 _DSIR_QUANTILE = 0.8
 
 
@@ -3167,6 +3223,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     # DSIR: unigram log-likelihood-ratio importance selection
     "dsir_select": q_dsir_select,
+    # MassiveText/RefinedWeb boilerplate scrub
+    "repeated_ngram_removal": q_repeated_ngram_removal,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
@@ -3195,6 +3253,7 @@ AUX_ORACLES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "semantic_dedup": _semantic_dedup_oracle(),
     "dsir_select": ORACLE_DSIR,
+    "repeated_ngram_removal": _repeated_ngram_oracle(),
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
 }

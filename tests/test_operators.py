@@ -319,3 +319,30 @@ def test_redact_pii_positive_matches(spark):
     assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ssn"]) == (0, 0, 0)
     assert got[5]["n_email"] == 1 and got[5]["n_ssn"] == 1
     assert got[5]["redacted"].count("[PII]") == 2
+
+
+def test_remove_repeated_ngrams_strikes_boilerplate(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import remove_repeated_ngrams
+
+    boiler = "all rights reserved contact us"  # the planted 5-gram
+    rows = [
+        (1, f"intro words {boiler} outro"),
+        (2, f"{boiler} second doc body here"),
+        (3, f"third doc body {boiler}"),
+        (4, "independent document with enough tokens here"),
+        (5, "tiny doc"),  # shorter than n — passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in remove_repeated_ngrams(df, n=5, min_docs=3).collect()}
+    # every doc labeled; boilerplate struck from all three carriers
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    assert out[1]["cleaned_text"] == "intro words outro"
+    assert out[2]["cleaned_text"] == "second doc body here"
+    assert out[3]["cleaned_text"] == "third doc body"
+    assert all(out[i]["n_removed"] == 5 for i in (1, 2, 3))
+    # non-carriers untouched, short docs pass through unchanged
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"].startswith("independent")
+    assert out[5]["n_removed"] == 0 and out[5]["cleaned_text"] == "tiny doc"
+    # min_docs=4 demotes the gram below the threshold: nothing removed
+    out4 = remove_repeated_ngrams(df, n=5, min_docs=4).collect()
+    assert sum(r["n_removed"] for r in out4) == 0
