@@ -333,3 +333,77 @@ def remove_repeated_ngrams(
             F.array_join(kept, " ").alias("cleaned_text"),
         )
     )
+
+
+def bpe_merge_step(
+    vocab: DataFrame,
+    word_col: str = "word",
+    count_col: str = "wc",
+    symbols_col: str = "symbols",
+) -> DataFrame:
+    """One distributed BPE training iteration (Sennrich et al. 2016):
+    count adjacent symbol pairs across the vocabulary weighted by word
+    frequency, pick the most frequent pair (ties break lexicographic),
+    and merge it in every word — the inner loop of byte-pair-encoding
+    tokenizer training, the same step-operator contract as
+    ``similarity.kmeans_step`` (iterate by re-feeding the output).
+
+    ``symbols`` is the space-separated symbol sequence of each word
+    (initialize with :func:`bpe_init_symbols`).  The merge application
+    is engine-portable string algebra: double the separators, then one
+    literal left-to-right ``replace`` of `` a  b `` with `` ab `` —
+    non-overlapping left-to-right replacement is exactly BPE's merge
+    order, and every true symbol boundary keeps its own space so no
+    false substring match exists.
+
+    Scale shape: everything downstream of the corpus word-count
+    collapse is vocabulary-sized; pair counting explodes to (pairs x
+    vocab) compact rows with map-side partial aggregation, and the
+    winning pair rides back as a one-row broadcast (in-plane, no
+    driver round-trip).  Returns (word, wc, symbols, merged_pair) with
+    the merge applied.
+    """
+    s = F.split(F.col(symbols_col), " ")
+    pairs = vocab.select(
+        F.col(count_col),
+        F.explode(
+            F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(s) - 2),
+                    lambda i: F.struct(
+                        F.element_at(s, i + 1).alias("a"),
+                        F.element_at(s, i + 2).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("__p"),
+    )
+    best = (
+        pairs.groupBy(F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+        .agg(F.sum(count_col).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("__a").asc(), F.col("__b").asc())
+        .limit(1)
+    )
+    padded = F.concat(
+        F.lit(" "), F.replace(F.col(symbols_col), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    merged = F.replace(
+        padded,
+        F.concat(F.lit(" "), F.col("__a"), F.lit("  "), F.col("__b"), F.lit(" ")),
+        F.concat(F.lit(" "), F.col("__a"), F.col("__b"), F.lit(" ")),
+    )
+    return vocab.crossJoin(F.broadcast(best)).select(
+        word_col,
+        count_col,
+        F.trim(F.regexp_replace(merged, r"\s+", " ")).alias(symbols_col),
+        F.concat(F.col("__a"), F.lit(" "), F.col("__b")).alias("merged_pair"),
+    )
+
+
+def bpe_init_symbols(word: Column | str) -> Column:
+    """Initial BPE state: the word as a space-separated character
+    sequence (no end-of-word marker — add one upstream if the
+    tokenizer calls for it)."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.trim(F.regexp_replace(c, r"(.)", r"$1 "))

@@ -3028,6 +3028,54 @@ FROM idx
 """
 
 
+def q_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration over the corpus (Sennrich
+    et al. 2016): corpus word counts -> char-initialized symbol
+    sequences -> most-frequent adjacent pair merged everywhere.  The
+    step-operator twin of ivf_refine: iterate by re-feeding the
+    output."""
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(word_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    init = vocab.withColumn("symbols", text.bpe_init_symbols("word"))
+    return text.bpe_merge_step(init)
+
+
+ORACLE_BPE_STEP = r"""
+WITH words AS (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+),
+vocab AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+init AS (SELECT word, wc,
+                trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS symbols
+         FROM vocab),
+split_syms AS (SELECT word, wc, string_split(symbols, ' ') AS s FROM init),
+pairs AS (
+    SELECT i.wc, i.s[CAST(j AS INT) + 1] AS a, i.s[CAST(j AS INT) + 2] AS b
+    FROM split_syms i, unnest(range(0, greatest(0, len(i.s) - 1))) AS u(j)
+),
+best AS (
+    SELECT a, b FROM (SELECT a, b, sum(wc) AS n FROM pairs GROUP BY a, b)
+    ORDER BY n DESC, a ASC, b ASC LIMIT 1
+)
+SELECT i.word, i.wc,
+       trim(regexp_replace(
+           replace(' ' || replace(i.symbols, ' ', '  ') || ' ',
+                   ' ' || best.a || '  ' || best.b || ' ',
+                   ' ' || best.a || best.b || ' '),
+           '\s+', ' ', 'g')) AS symbols,
+       best.a || ' ' || best.b AS merged_pair
+FROM init i, best
+"""
+
+
 _SCRUB_N = 5
 _SCRUB_MIN_DOCS = 3
 
@@ -3225,6 +3273,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "dsir_select": q_dsir_select,
     # MassiveText/RefinedWeb boilerplate scrub
     "repeated_ngram_removal": q_repeated_ngram_removal,
+    # BPE tokenizer-training step (iterate by re-feeding output)
+    "bpe_step": q_bpe_step,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
@@ -3254,6 +3304,7 @@ AUX_ORACLES: dict[str, str] = {
     "semantic_dedup": _semantic_dedup_oracle(),
     "dsir_select": ORACLE_DSIR,
     "repeated_ngram_removal": _repeated_ngram_oracle(),
+    "bpe_step": ORACLE_BPE_STEP,
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
 }

@@ -346,3 +346,34 @@ def test_remove_repeated_ngrams_strikes_boilerplate(spark):
     # min_docs=4 demotes the gram below the threshold: nothing removed
     out4 = remove_repeated_ngrams(df, n=5, min_docs=4).collect()
     assert sum(r["n_removed"] for r in out4) == 0
+
+
+def test_bpe_merge_step_classic_and_overlap(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import (
+        bpe_init_symbols,
+        bpe_merge_step,
+    )
+
+    # Sennrich et al. worked example: ('e','s') wins with count 9
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word STRING, wc LONG",
+    )
+    init = vocab.withColumn("symbols", bpe_init_symbols("word"))
+    step1 = bpe_merge_step(init)
+    r1 = {r["word"]: r for r in step1.collect()}
+    assert all(r["merged_pair"] == "e s" for r in r1.values())
+    assert r1["newest"]["symbols"] == "n e w es t"
+    assert r1["widest"]["symbols"] == "w i d es t"
+    assert r1["low"]["symbols"] == "l o w"        # untouched
+    assert r1["lower"]["symbols"] == "l o w e r"  # 'e' not followed by 's'
+    # step contract: re-feed the output for iteration 2 → ('es','t')
+    r2 = {r["word"]: r for r in bpe_merge_step(step1.drop("merged_pair")).collect()}
+    assert all(r["merged_pair"] == "es t" for r in r2.values())
+    assert r2["newest"]["symbols"] == "n e w est"
+
+    # left-to-right non-overlapping merge order (BPE canonical)
+    solo = spark.createDataFrame([("aaaa", 1)], "word STRING, wc LONG")
+    out = bpe_merge_step(solo.withColumn("symbols", bpe_init_symbols("word"))).collect()
+    assert out[0]["merged_pair"] == "a a"
+    assert out[0]["symbols"] == "aa aa"
