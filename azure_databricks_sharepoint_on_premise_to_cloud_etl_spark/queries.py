@@ -1824,6 +1824,53 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_sliding_out")
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the fourth Structured Streaming surface
+    (after tumbling/sliding aggregation and stream-state dedup): the
+    events stream joins the static customer dimension INSIDE the
+    streaming plan (per-micro-batch broadcast of the dim, the
+    standard streaming-enrichment shape), drains with AvailableNow,
+    and folds to per-(segment, type) totals batch-side.  The oracle
+    is the plain batch join+aggregate — green only if every streamed
+    row met exactly one dim row.
+
+    Scale shape: the static side is a broadcast dimension (re-read
+    per micro-batch, refreshable without restarting the stream); the
+    stream side stays append-mode stateless, so no streaming state
+    grows at all."""
+    import tempfile
+
+    from .streaming import incremental
+
+    events, _ = _stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = events.select("event_id", "user_id", "event_type", "value").join(
+        F.broadcast(cust), "user_id"
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_enrich_ckpt_")
+    incremental.run_to_memory_sink(
+        enriched, "stream_enrich_out", ckpt, output_mode="append"
+    )
+    return (
+        spark.table("stream_enrich_out")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: MinHash signatures -> LSH
     candidate pairs -> connected components (iterative min-label
@@ -3279,6 +3326,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
     "streaming_sliding": q_streaming_sliding,
+    # stream-static broadcast enrichment join; batch join oracle
+    "streaming_enrich": q_streaming_enrich,
 }
 
 AUX_ORACLES: dict[str, str] = {
@@ -3307,6 +3356,7 @@ AUX_ORACLES: dict[str, str] = {
     "bpe_step": ORACLE_BPE_STEP,
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
+    "streaming_enrich": ORACLE_STREAM_ENRICH,
 }
 
 # Contract guards: the driver records at most 50 rows and every row
