@@ -302,3 +302,62 @@ def dsir_score(
             ).alias("dsir_score"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    splits: tuple[tuple[str, int], ...] = (("train", 98), ("val", 1), ("test", 1)),
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket the portable
+    hash of ``key`` into ``sum(weights)`` slots and label by cumulative
+    ranges.  A narrow expression — reproducible across runs, engines,
+    and repartitioning (the same contract as ``stable_sample``), so a
+    corpus re-run lands every row in the same split.
+
+    Pass a CLUSTER id (e.g. the near-dup component from
+    ``graph.connected_components``) as ``key`` to make the split
+    leakage-safe: all near-duplicates of a document travel to the same
+    split, so no eval example has a training-set twin.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    total = sum(w for _, w in splits)
+    slot = F.pmod(portable_hash64(k.cast("string"), seed=salt), F.lit(total))
+    expr = None
+    lo = 0
+    for name, w in splits:
+        cond = slot < F.lit(lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+) -> DataFrame:
+    """Per-domain quota capping (the web-curation guard against one
+    host dominating the corpus): keep at most ``cap`` documents per
+    domain, chosen in stable pseudo-random order (portable hash of the
+    id, id tie-break) so the survivors are a deterministic uniform
+    sample of each domain rather than its first rows.
+
+    Scale shape: one rank window partitioned by domain.  A mega-domain
+    serializes through its partition's sort; production bounds that by
+    pre-thinning with ``stable_sample`` at rate ~``2*cap/est_count``
+    (a narrow hash gate) before the exact window — same output, sort
+    input bounded near the cap.  Returns surviving rows plus
+    ``domain_rank``.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__h", portable_hash64(F.col(id_col).cast("string")))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+        .drop("__h")
+    )

@@ -3075,6 +3075,62 @@ FROM idx
 """
 
 
+_CAP_PER_DOMAIN = 15
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: at most 15 docs per source, chosen in
+    stable hash order — the anti-domination guard of web-scale
+    curation pipelines."""
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    return sampling.cap_per_domain(d, cap=_CAP_PER_DOMAIN)
+
+
+def _domain_cap_oracle() -> str:
+    h = _duck_hash("CAST(doc_id AS VARCHAR)", 0)
+    return f"""
+SELECT doc_id, source, domain_rank FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {h} ASC, doc_id ASC) AS domain_rank
+    FROM documents) t
+WHERE domain_rank <= {_CAP_PER_DOMAIN}
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign by the portable hash
+    of each document's near-dup CLUSTER id (minhash-LSH + connected
+    components), so every near-duplicate family travels to one split
+    and no eval doc has a training twin.  Splits 90/5/5 here so the
+    val/test buckets are non-trivial at fixture scale."""
+    from .operators.graph import connected_components
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    comps = connected_components(pairs, d.select("doc_id"))
+    return sampling.hash_split(
+        comps, "component", splits=(("train", 90), ("val", 5), ("test", 5))
+    )
+
+
+def _leakage_split_oracle() -> str:
+    comps = _components_oracle().strip()
+    h = _duck_hash("CAST(component AS VARCHAR)", 0)
+    return f"""
+SELECT doc_id, component,
+       CASE WHEN {h} % 100 < 90 THEN 'train'
+            WHEN {h} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM ({comps})
+"""
+
+
 def q_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE tokenizer-training iteration over the corpus (Sennrich
     et al. 2016): corpus word counts -> char-initialized symbol
@@ -3322,6 +3378,10 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "repeated_ngram_removal": q_repeated_ngram_removal,
     # BPE tokenizer-training step (iterate by re-feeding output)
     "bpe_step": q_bpe_step,
+    # per-domain quota capping in stable hash order
+    "domain_cap": q_domain_cap,
+    # near-dup-cluster-keyed train/val/test assignment
+    "leakage_safe_split": q_leakage_safe_split,
     # real streaming-state dedup against duplicated input; batch oracle
     "streaming_dedup": q_streaming_dedup,
     # sliding-window stream; same oracle as the batch sliding_window
@@ -3354,6 +3414,8 @@ AUX_ORACLES: dict[str, str] = {
     "dsir_select": ORACLE_DSIR,
     "repeated_ngram_removal": _repeated_ngram_oracle(),
     "bpe_step": ORACLE_BPE_STEP,
+    "domain_cap": _domain_cap_oracle(),
+    "leakage_safe_split": _leakage_split_oracle(),
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
     "streaming_enrich": ORACLE_STREAM_ENRICH,

@@ -232,3 +232,49 @@ def test_dsir_score_prefers_target_like_docs(spark):
             assert by_id[t]["dsir_score"] > by_id[r]["dsir_score"]
     # docs with identical bags of words score identically
     assert by_id[1]["dsir_score"] == by_id[2]["dsir_score"] == by_id[5]["dsir_score"]
+
+
+def test_hash_split_leakage_safety_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import hash_split
+
+    rows = [(i, i // 3) for i in range(300)]  # 3-doc near-dup clusters
+    df = spark.createDataFrame(rows, "doc_id LONG, component LONG")
+    out = hash_split(df, "component", splits=(("train", 90), ("val", 5), ("test", 5)))
+    got = out.collect()
+    # every member of a cluster lands in the same split — no leakage
+    by_comp = {}
+    for r in got:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # all three splits materialize and train dominates
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for r in got:
+        counts[r["split"]] += 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert counts["val"] > 0 and counts["test"] > 0
+    # deterministic across invocations
+    again = {r["doc_id"]: r["split"] for r in hash_split(
+        df, "component", splits=(("train", 90), ("val", 5), ("test", 5))).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in got)
+
+
+def test_cap_per_domain_quota_and_stability(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import cap_per_domain
+
+    rows = [(i, f"d{i % 3}") for i in range(60)]  # 3 domains x 20 docs
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = cap_per_domain(df, cap=7).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    assert set(per) == {"d0", "d1", "d2"}
+    for members in per.values():
+        assert len(members) == 7
+        assert sorted(r["domain_rank"] for r in members) == list(range(1, 8))
+    # survivors are hash-chosen, not the first rows of each domain
+    d0_ids = sorted(r["doc_id"] for r in per["d0"])
+    assert d0_ids != [0, 3, 6, 9, 12, 15, 18]
+    # a cap above the domain size keeps everything
+    assert cap_per_domain(df, cap=100).count() == 60
