@@ -278,11 +278,16 @@ def remove_repeated_ngrams(
     exchange is the (doc, digest)-distinct + digest-count aggregate —
     8-byte digests with map-side partial aggregation, the same budget
     as exact_dedup.  The heavy set (boilerplate is corpus-rare by
-    definition) and the hit positions broadcast back; the final strike
-    pass is again narrow (two-arg HOF lambdas receive the token INDEX,
-    so coverage is an exists-check against the doc's own start list —
-    no explode of surviving text).  Documents shorter than ``n``
-    tokens pass through unchanged.
+    definition) broadcasts back; the hit-position table joins on the
+    doc id WITHOUT a broadcast hint — AQE broadcasts it when
+    boilerplate is rare (the normal case) but falls back to a shuffle
+    join on a pathological all-boilerplate corpus instead of blowing
+    the driver (measured on the 10x all-near-dup rehearsal fixture,
+    where every gram is heavy).  The final strike pass is narrow
+    (two-arg HOF lambdas receive the token INDEX, so coverage is an
+    exists-check against the doc's own start list — no explode of
+    surviving text; O(|starts|) per token, bounded by doc length).
+    Documents shorter than ``n`` tokens pass through unchanged.
 
     Returns (id_col, n_tokens, n_removed, cleaned_text) for every
     document.
@@ -321,7 +326,7 @@ def remove_repeated_ngrams(
     )
     kept = F.filter(F.col("__toks"), lambda x, j: ~covered(j))
     return (
-        with_grams.join(F.broadcast(starts), id_col, "left")
+        with_grams.join(starts, id_col, "left")
         .withColumn(
             "__starts",
             F.coalesce(F.col("__starts"), F.array().cast("array<int>")),

@@ -41,6 +41,14 @@ HEAVY = [
     "unigram_lm_score",
     "doc_chunks",
     "tfidf_top_terms",
+    "dsir_select",
+    "repeated_ngram_removal",
+    "bpe_step",
+    # semantic_dedup is deliberately excluded: with the oracle-pinned
+    # k=8 centroids its within-cluster pair cost is quadratic in
+    # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
+    # fixed-k rehearsal would measure the paper's known quadratic,
+    # not a plan defect)
 ]
 
 ALL_TABLES = (
