@@ -366,7 +366,12 @@ def bpe_merge_step(
     vocab) compact rows with map-side partial aggregation, and the
     winning pair rides back as a one-row broadcast (in-plane, no
     driver round-trip).  Returns (word, wc, symbols, merged_pair) with
-    the merge applied.
+    the merge applied.  TERMINAL CONTRACT: when no adjacent pair
+    exists anywhere (every word is a single symbol — training is
+    complete), the winning-pair side is empty and the result is an
+    EMPTY DataFrame; the training loop treats that as its stop
+    signal, exactly like textbook BPE stopping when the pair heap
+    drains.
     """
     s = F.split(F.col(symbols_col), " ")
     pairs = vocab.select(

@@ -99,3 +99,86 @@ def test_rolling_window_rowcount_property(spark, w):
     )
     out = rolling_window_expand(df, w, ["d"])
     assert out.count() == 5 * (w + 1)
+
+
+# ---- BPE merge step vs a pure-python reference (few examples) ----
+
+
+def _bpe_reference_step(vocab: dict[str, int]) -> tuple[tuple[str, str], dict[str, str]]:
+    """Textbook BPE iteration over {symbols_str: count}: returns the
+    winning pair and each input's merged symbol string."""
+    counts: dict[tuple[str, str], int] = {}
+    for symbols, wc in vocab.items():
+        s = symbols.split(" ")
+        for a, b in zip(s, s[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + wc
+    if not counts:
+        return ("", ""), {k: k for k in vocab}
+    best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    out = {}
+    for symbols in vocab:
+        s = symbols.split(" ")
+        merged, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                merged.append(s[i] + s[i + 1])
+                i += 2
+            else:
+                merged.append(s[i])
+                i += 1
+        out[symbols] = " ".join(merged)
+    return best, out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_merge_step_matches_reference(spark, words):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import (
+        bpe_init_symbols,
+        bpe_merge_step,
+    )
+
+    df = spark.createDataFrame(words, "word STRING, wc LONG").withColumn(
+        "symbols", bpe_init_symbols("word")
+    )
+    got = {r["word"]: r for r in bpe_merge_step(df).collect()}
+    if all(len(w) < 2 for w, _ in words):
+        # terminal contract: no adjacent pair anywhere -> empty result
+        # (the training loop's stop signal)
+        assert got == {}
+        return
+    init = {w: " ".join(w) for w, _ in words}
+    ref_pair, ref_merged = _bpe_reference_step(
+        {init[w]: wc for w, wc in words}
+    )
+    for w, wc in words:
+        assert got[w]["merged_pair"] == f"{ref_pair[0]} {ref_pair[1]}"
+        assert got[w]["symbols"] == ref_merged[init[w]], (w, ref_pair)
+
+
+# ---- hash_split: total, deterministic, weight-shaped ----
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=1, max_value=10))
+def test_hash_split_is_total_and_respects_zero_free_weights(spark, scale):
+    from pyspark.sql import functions as F
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 40 * scale).select(F.col("id").alias("k"))
+    out = hash_split(df, "k", splits=(("a", 3), ("b", 1)), salt=7).collect()
+    # every row gets exactly one label from the declared set
+    assert len(out) == 40 * scale
+    labels = {r["split"] for r in out}
+    assert labels <= {"a", "b"} and "a" in labels
