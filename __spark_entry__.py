@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The registry is capped at the driver's 50-row capture; 29 further
+The registry is capped at the driver's 50-row capture; 30 further
 oracle-verified queries (streaming forms and the round-5 corpus-
 curation family) live in ``queries.AUX_QUERIES``/``AUX_ORACLES`` and
 are gated to the same digest discipline by

@@ -2439,10 +2439,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_flags(d, ev, k=_CONTAM_K)
 
 
-def _contamination_oracle() -> str:
+def _contamination_oracle(k: int = _CONTAM_K) -> str:
     sh = (
-        f"list_distinct([substr(t, CAST(i AS INT), {_CONTAM_K}) "
-        f"for i in range(1, greatest(length(t) - {_CONTAM_K - 1}, 1) + 1)])"
+        f"list_distinct([substr(t, CAST(i AS INT), {k}) "
+        f"for i in range(1, greatest(length(t) - {k - 1}, 1) + 1)])"
     )
     gh = _duck_hash("g")
     return f"""
@@ -3075,6 +3075,72 @@ FROM idx
 """
 
 
+_PIPE_CONTAM_K = 24  # ~4-5 word overlap: discriminative on the
+# small-vocab fixture, where the standalone op's 8-char window (kept
+# for its own oracle row) flags every document
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline the individual
+    operators exist for, composed as ONE lazy plan: exact dedup
+    (min-id canonical per normalized digest) -> language filter ->
+    median quality gate (in-plane sketch threshold over the filtered
+    pool) -> benchmark decontamination (24-char-gram overlap vs eval
+    docs 0-9).  Survivors out, with their quality scores.
+
+    Every stage keeps its operator's scale shape (digest-only dedup
+    shuffle, narrow quality features, broadcast eval-gram semi-join),
+    and Catalyst fuses the stages — no materialization boundaries
+    between them."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    kept = dedup.exact_dedup(d)
+    en = kept.filter(F.col("lang") == F.lit("en"))
+    scored = text.quality_score(en.select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    thr = scored.agg(
+        F.round(
+            F.expr("approx_percentile(quality, 0.5, 1000000)"), 6
+        ).alias("__thr")
+    )
+    gated = scored.crossJoin(F.broadcast(thr)).filter(
+        F.col("quality") >= F.col("__thr")
+    )
+    flags = text.contamination_flags(
+        d, d.filter(F.col("doc_id") < _CONTAM_EVAL_IDS), k=_PIPE_CONTAM_K
+    )
+    return (
+        gated.join(flags, "doc_id")
+        .filter(~F.col("contaminated"))
+        .select("doc_id", "quality")
+    )
+
+
+def _curation_pipeline_oracle() -> str:
+    quality = _quality_oracle().strip()
+    contam = _contamination_oracle(k=_PIPE_CONTAM_K).strip()
+    return f"""
+WITH canon AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY {_duck_hash(_DUCK_NORM, 0)}, length({_DUCK_NORM})
+),
+en AS (
+    SELECT d.doc_id FROM documents d
+    JOIN canon c ON d.doc_id = c.doc_id
+    WHERE d.lang = 'en'
+),
+q AS (SELECT doc_id, quality FROM ({quality}) s
+      WHERE doc_id IN (SELECT doc_id FROM en)),
+thr AS (SELECT round(quantile_disc(quality, 0.5), 6) AS t FROM q),
+contam AS ({contam})
+SELECT q.doc_id, q.quality
+FROM q, thr
+JOIN contam ON contam.doc_id = q.doc_id
+WHERE q.quality >= thr.t AND NOT contam.contaminated
+"""
+
+
 _CAP_PER_DOMAIN = 15
 
 
@@ -3378,6 +3444,8 @@ AUX_QUERIES: dict[str, QueryFn] = {
     "repeated_ngram_removal": q_repeated_ngram_removal,
     # BPE tokenizer-training step (iterate by re-feeding output)
     "bpe_step": q_bpe_step,
+    # the full curation pipeline as one composed lazy plan
+    "curation_pipeline": q_curation_pipeline,
     # per-domain quota capping in stable hash order
     "domain_cap": q_domain_cap,
     # near-dup-cluster-keyed train/val/test assignment
@@ -3414,6 +3482,7 @@ AUX_ORACLES: dict[str, str] = {
     "dsir_select": ORACLE_DSIR,
     "repeated_ngram_removal": _repeated_ngram_oracle(),
     "bpe_step": ORACLE_BPE_STEP,
+    "curation_pipeline": _curation_pipeline_oracle(),
     "domain_cap": _domain_cap_oracle(),
     "leakage_safe_split": _leakage_split_oracle(),
     "streaming_dedup": ORACLE_STREAM_DEDUP,
