@@ -193,3 +193,53 @@ def test_delta_native_forms_execute():
         )
     finally:
         s.sql("DROP TABLE IF EXISTS __delta_probe")
+
+
+def test_curation_pipeline_each_stage_acts(spark, tmp_path):
+    """Planted corpus where every stage must strike exactly one doc:
+    an exact dup, a non-English doc, a low-quality doc, and a
+    contaminated doc — the survivor set pins stage composition."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    good = ("the and is in to of it for on as this that with you "
+            "are be have from one all words " * 3).strip()
+    eval_text = "benchmark answer key alpha beta gamma delta " * 8
+    rows = [
+        # doc_ids < 10 are the pipeline's eval set
+        (0, eval_text, "en", "s", len(eval_text)),
+        # survivors
+        (10, good + " extra tail one", "en", "s", 1),
+        (11, good + " extra tail two", "en", "s", 1),
+        # struck by exact dedup (duplicate of 10 modulo whitespace)
+        (12, "  " + good + "   extra tail one ", "en", "s", 1),
+        # struck by language filter
+        (13, good + " langue cible", "fr", "s", 1),
+        # struck by quality gate (no stopwords, heavy punctuation)
+        (14, "@@@ ### $$$ %%% ^^^ &&& *** ((( )))", "en", "s", 1),
+        # struck by decontamination (contains a 24-char eval gram)
+        (15, good + " benchmark answer key alpha beta", "en", "s", 1),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "fixture")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+    survivors = {r["doc_id"] for r in q.q_curation_pipeline(spark, d).collect()}
+    # 12 deduped, 13 language-filtered, 14 quality-gated, 15
+    # decontaminated; 10 and 11 survive (eval doc 0 survives iff its
+    # own quality clears the median — don't pin it)
+    assert {10, 11} <= survivors
+    assert survivors.isdisjoint({12, 13, 14, 15})
