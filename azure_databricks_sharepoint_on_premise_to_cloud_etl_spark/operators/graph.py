@@ -312,20 +312,33 @@ def connected_components(
 
 
 def release_components(result: DataFrame) -> bool:
-    """Free the final label generation backing a ``connected_components``
-    result.  Call AFTER the result has been fully consumed (collected
-    or written) — the plan still references the checkpoint, so a
-    released result cannot be re-computed.  Returns True if a
-    generation was attached and released; False (no-op) for DataFrames
-    that didn't come from ``connected_components`` or were already
-    released — safe to call unconditionally in cleanup paths."""
+    """Free executor-side state backing a consumed result DataFrame:
+    the final label generation of a ``connected_components`` result
+    AND/OR any persisted intermediates an operator attached as
+    ``result._persisted_intermediates`` (e.g. the tokenized corpus
+    ``text.remove_repeated_ngrams`` caches between its two passes).
+    Call AFTER the result has been fully consumed (collected or
+    written) — the plan still references this state, so a released
+    result cannot be re-computed.  Returns True if anything was
+    released; False (no-op) for DataFrames carrying neither — safe to
+    call unconditionally in cleanup paths."""
+    released = False
     gen = getattr(result, "_cc_final_generation", None)
-    if gen is None:
-        return False
-    handle = getattr(gen, "_ckpt_handle", gen)
-    if getattr(result, "_cc_checkpoint_dir", None) is None:
-        _release_local_checkpoint(handle)
-    else:
-        _delete_reliable_checkpoint(handle)
-    result._cc_final_generation = None
-    return True
+    if gen is not None:
+        handle = getattr(gen, "_ckpt_handle", gen)
+        if getattr(result, "_cc_checkpoint_dir", None) is None:
+            _release_local_checkpoint(handle)
+        else:
+            _delete_reliable_checkpoint(handle)
+        result._cc_final_generation = None
+        released = True
+    extras = getattr(result, "_persisted_intermediates", None)
+    if extras:
+        for df in extras:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing left to free
+        result._persisted_intermediates = None
+        released = True
+    return released

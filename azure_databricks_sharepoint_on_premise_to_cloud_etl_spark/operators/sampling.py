@@ -347,10 +347,15 @@ def cap_per_domain(
 
     Scale shape: one rank window partitioned by domain.  A mega-domain
     serializes through its partition's sort; production bounds that by
-    pre-thinning with ``stable_sample`` at rate ~``2*cap/est_count``
-    (a narrow hash gate) before the exact window — same output, sort
-    input bounded near the cap.  Returns surviving rows plus
-    ``domain_rank``.
+    pre-thinning before the exact window.  To keep the survivor set
+    IDENTICAL, the pre-filter must be order-consistent with the
+    ranking key: keep rows with ``__h`` below (an upper bound on) the
+    domain's cap-th smallest hash — e.g. ``approx_percentile(__h,
+    (2*cap)/est_count)`` per domain — never ``stable_sample``'s
+    ``pmod(hash, 1e6)`` gate, which is uncorrelated with the raw-hash
+    ascending order and would evict true top-``cap`` rows (changing
+    the survivors to merely an equal-sized uniform sample).  Returns
+    surviving rows plus ``domain_rank``.
     """
     w = Window.partitionBy(domain_col).orderBy(
         F.col("__h").asc(), F.col(id_col).asc()

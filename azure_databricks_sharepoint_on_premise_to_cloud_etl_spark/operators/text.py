@@ -240,10 +240,12 @@ def redact_pii(
     """Mask email / phone / SSN-shaped spans and count each kind.
 
     Adds ``redacted`` (the masked text) and one ``n_<kind>`` column
-    per pattern.  Order matters: counts come from the ORIGINAL text,
-    and longer patterns redact first (an SSN also matches the phone
-    shape — redacting phones first would corrupt the SSN count a
-    consumer reads next to the redacted text).
+    per pattern.  All ``n_<kind>`` counts are computed from the
+    ORIGINAL text before any replacement, so replacement order can
+    never affect them; the fixed ssn→email→phone replacement order
+    only pins WHICH pattern's replacement wins when two patterns'
+    spans overlap in the redacted text (kept deterministic so the
+    oracle SQL reproduces it exactly).
 
     Scale shape: pure narrow ``regexp_replace`` / ``regexp_count``
     expressions — whole-stage codegen, zero shuffles, pushdown
@@ -273,30 +275,41 @@ def remove_repeated_ngrams(
     license headers, templated footers), and every token it covers is
     struck from every document.
 
-    Scale shape: per-doc gram digests are a narrow HOF pass (tokens
-    never leave their partition as strings); the only corpus-wide
-    exchange is the (doc, digest)-distinct + digest-count aggregate —
-    8-byte digests with map-side partial aggregation, the same budget
-    as exact_dedup.  The heavy set (boilerplate is corpus-rare by
-    definition) broadcasts back; the hit-position table joins on the
-    doc id WITHOUT a broadcast hint — AQE broadcasts it when
-    boilerplate is rare (the normal case) but falls back to a shuffle
-    join on a pathological all-boilerplate corpus instead of blowing
-    the driver (measured on the 10x all-near-dup rehearsal fixture,
-    where every gram is heavy).  The final strike pass is narrow
-    (two-arg HOF lambdas receive the token INDEX, so coverage is an
-    exists-check against the doc's own start list — no explode of
-    surviving text; O(|starts|) per token, bounded by doc length).
-    Documents shorter than ``n`` tokens pass through unchanged.
+    Scale shape: the corpus is TOKENIZED ONCE into a persisted
+    (MEMORY_AND_DISK, spillable) token table that both the gram-digest
+    pass and the final strike pass read — re-tokenizing per pass would
+    double the dominant linear term; call
+    ``graph.release_components(result)`` after consuming the result to
+    free it (persisting token arrays costs roughly one corpus copy of
+    executor storage, traded for one full tokenization pass).  The
+    only corpus-wide exchange is the (doc, digest)-distinct +
+    digest-count aggregate — 8-byte digests with map-side partial
+    aggregation, the same budget as exact_dedup.  NEITHER join back is
+    broadcast-hinted: boilerplate is corpus-rare by definition, so AQE
+    broadcasts the heavy set and the hit-position table in the normal
+    case, but a pathological all-boilerplate corpus (every gram heavy,
+    the 10x all-near-dup rehearsal fixture) degrades to shuffle joins
+    instead of OOMing the driver with a forced corpus-scale broadcast.
+    The final strike pass is narrow and LINEAR: the doc's sorted hit
+    starts are merged into disjoint cover intervals (one O(|starts|)
+    fold — fixed gram width means overlapping windows coalesce), and
+    the survivors are the gap slices between intervals
+    (O(|tokens| + |starts|) per doc, vs the O(|tokens| x |starts|)
+    per-token exists-probe this replaced).  Documents shorter than
+    ``n`` tokens pass through unchanged.
 
     Returns (id_col, n_tokens, n_removed, cleaned_text) for every
     document.
     """
-    toks = word_tokens(text_col)
+    from pyspark import StorageLevel
+
+    toked = docs.select(
+        F.col(id_col), word_tokens(text_col).alias("__toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     gram_digest = lambda i: portable_hash64(  # noqa: E731
         F.array_join(F.slice(F.col("__toks"), i + 1, n), " ")
     )
-    with_grams = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
+    gram_rows = toked.withColumn(
         "__grams",
         F.when(
             F.size("__toks") >= n,
@@ -304,10 +317,7 @@ def remove_repeated_ngrams(
                 F.sequence(F.lit(0), F.size("__toks") - n), gram_digest
             ),
         ).otherwise(F.array().cast("array<long>")),
-    )
-    gram_rows = with_grams.select(
-        id_col, F.posexplode("__grams").alias("pos", "__gh")
-    )
+    ).select(id_col, F.posexplode("__grams").alias("pos", "__gh"))
     heavy = (
         gram_rows.select(id_col, "__gh")
         .distinct()
@@ -317,20 +327,59 @@ def remove_repeated_ngrams(
         .select("__gh")
     )
     starts = (
-        gram_rows.join(F.broadcast(heavy), "__gh", "left_semi")
+        gram_rows.join(heavy, "__gh", "left_semi")
         .groupBy(id_col)
-        .agg(F.collect_set("pos").alias("__starts"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
     )
-    covered = lambda j: F.exists(  # noqa: E731
-        F.col("__starts"), lambda s: (s <= j) & (j < s + n)
+    # Fold the ascending starts into disjoint [b, e) cover intervals.
+    # Fixed width n means an overlapping start s (s < last.e) always
+    # extends the open interval to s + n; a gap starts a new one.
+    iv_type = "array<struct<b:int,e:int>>"
+    intervals = F.aggregate(
+        F.col("__starts"),
+        F.array().cast(iv_type),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s < F.element_at(acc, -1).getField("e")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).getField("b").alias("b"),
+                        (s + n).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(s.alias("b"), (s + n).alias("e"))))
+        ),
     )
-    kept = F.filter(F.col("__toks"), lambda x, j: ~covered(j))
-    return (
-        with_grams.join(starts, id_col, "left")
+    # Survivors = the gap slices between intervals: [0, b1), [e1, b2),
+    # ..., [e_last, len).  slice() with zero length is an empty array,
+    # so back-to-back intervals cost nothing.
+    ivs = F.col("__ivs")
+    gap_b = F.concat(
+        F.array(F.lit(0)), F.transform(ivs, lambda it: it.getField("e"))
+    )
+    gap_e = F.concat(
+        F.transform(ivs, lambda it: it.getField("b")),
+        F.array(F.size("__toks")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_b,
+            gap_e,
+            lambda a, b: F.slice(
+                F.col("__toks"), a + 1, F.greatest(b - a, F.lit(0))
+            ),
+        )
+    )
+    result = (
+        toked.join(starts, id_col, "left")
         .withColumn(
             "__starts",
             F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
         )
+        .withColumn("__ivs", intervals)
         .select(
             id_col,
             F.size("__toks").alias("n_tokens"),
@@ -338,6 +387,8 @@ def remove_repeated_ngrams(
             F.array_join(kept, " ").alias("cleaned_text"),
         )
     )
+    result._persisted_intermediates = [toked]
+    return result
 
 
 def bpe_merge_step(

@@ -108,6 +108,12 @@ GROUP BY f.c_nationkey, f.o_orderdate
 # cached fact lives until the SparkContext stops.
 import weakref
 
+# session -> one-element mutable holder [current jdf or None].  The
+# session's SINGLE finalizer closes over the holder, not any jdf, so
+# re-caching re-points the holder instead of stacking a new finalizer
+# (and a strong jdf reference) per flagship call — a long-lived
+# session that re-runs the flagship keeps exactly one finalizer and
+# only the CURRENT generation's JVM handle alive.
 _flagship_fact_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -118,16 +124,25 @@ def _unpersist_jdf(jdf) -> None:
         pass  # e.g. its SparkContext is already stopped
 
 
+def _unpersist_holder(holder: list) -> None:
+    jdf, holder[0] = holder[0], None
+    if jdf is not None:
+        _unpersist_jdf(jdf)
+
+
 def release_flagship_cache(spark: SparkSession) -> bool:
     """Free the cached census fact held for ``spark``.  Call when a
     session is done with flagship queries (long-lived multi-session
     processes especially — PySpark pins session objects, so GC alone
     never reclaims the JVM-side cache).  Idempotent; returns True if
-    an entry was released."""
-    prev = _flagship_fact_cache.pop(spark, None)
-    if prev is None:
+    an entry was released.  The holder stays registered (its finalizer
+    is already armed on the session) — it is simply emptied, so a
+    later flagship call re-fills it without arming a second
+    finalizer."""
+    holder = _flagship_fact_cache.get(spark)
+    if holder is None or holder[0] is None:
         return False
-    _unpersist_jdf(prev)
+    _unpersist_holder(holder)
     return True
 
 
@@ -142,12 +157,17 @@ def q_flagship_census_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     so concurrent sessions never cross-unpersist, and a finalizer
     unpersists the last generation when its session is collected."""
     register_temp_views(spark, sf_dir, ("customer", "nation", "orders", "lineitem"))
-    prev = _flagship_fact_cache.pop(spark, None)
-    if prev is not None:
-        _unpersist_jdf(prev)
+    holder = _flagship_fact_cache.get(spark)
+    if holder is None:
+        holder = [None]
+        _flagship_fact_cache[spark] = holder
+        # the ONLY finalize registration for this session — later
+        # generations re-point holder[0] rather than re-registering
+        weakref.finalize(spark, _unpersist_holder, holder)
+    elif holder[0] is not None:
+        _unpersist_jdf(holder[0])
     fact = spark.sql(_FLAGSHIP_FACT_SQL).cache()
-    _flagship_fact_cache[spark] = fact._jdf
-    weakref.finalize(spark, _unpersist_jdf, fact._jdf)
+    holder[0] = fact._jdf
     fact.createOrReplaceTempView("__census_fact")
     return spark.sql(_FLAGSHIP_FINAL_SQL)
 

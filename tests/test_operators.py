@@ -239,7 +239,8 @@ def test_flagship_cache_is_session_scoped(spark):
 
     sf = "/root/testdata/sf0.001"
     a_rows = sorted(map(tuple, q.q_flagship_census_count(spark, sf).collect()))
-    fact_a = q._flagship_fact_cache[spark]  # JVM DataFrame handle
+    holder_a = q._flagship_fact_cache[spark]  # [current JVM DataFrame handle]
+    fact_a = holder_a[0]
     assert fact_a.storageLevel().useMemory()
 
     s2 = spark.newSession()
@@ -247,20 +248,51 @@ def test_flagship_cache_is_session_scoped(spark):
         b_rows = sorted(map(tuple, q.q_flagship_census_count(s2, sf).collect()))
         assert b_rows == a_rows
         # the holder keeps one entry per session...
-        assert q._flagship_fact_cache[spark] is fact_a
-        assert q._flagship_fact_cache[s2] is not fact_a
+        assert q._flagship_fact_cache[spark] is holder_a
+        assert holder_a[0] is fact_a
+        assert q._flagship_fact_cache[s2][0] is not fact_a
         # ...and B's run did not unpersist A's fact
         assert fact_a.storageLevel().useMemory(), (
             "session B's flagship run unpersisted session A's cached fact"
         )
+        # re-running the flagship in one session re-points the SAME
+        # holder (the one armed finalizer follows it) instead of
+        # stacking a generation-pinning finalizer per call.  The
+        # second run reads a DIFFERENT sf_dir so its fact plan is
+        # distinct — Spark's CacheManager is plan-keyed, so a
+        # same-plan re-cache would mask the unpersist check.
+        holder_b = q._flagship_fact_cache[s2]
+        fact_b1 = holder_b[0]
+        q.q_flagship_census_count(s2, "/root/testdata/sf0.01").collect()
+        assert q._flagship_fact_cache[s2] is holder_b
+        assert holder_b[0] is not fact_b1
+        assert not fact_b1.storageLevel().useMemory(), (
+            "re-cache must unpersist the superseded generation"
+        )
         # explicit release is the cleanup contract (PySpark pins
         # session objects, so GC alone never frees an abandoned
         # session's cache): idempotent, and it actually unpersists
+        fact_b2 = holder_b[0]
         assert q.release_flagship_cache(s2) is True
         assert q.release_flagship_cache(s2) is False
-        assert not q._flagship_fact_cache.get(s2)
+        assert holder_b[0] is None
+        assert not fact_b2.storageLevel().useMemory()
+        # CAVEAT this test documents: Spark's CacheManager lives in
+        # sharedState (one per SparkContext) and is PLAN-keyed, so
+        # A's sf0.001 fact and B's first sf0.001 fact were one shared
+        # entry — B's re-cache above necessarily dropped A's
+        # materialization along with its own superseded generation.
+        # Session scoping guarantees holder bookkeeping never crosses
+        # sessions (the r3/r4 bug) and that results stay CORRECT; it
+        # cannot give two sessions private cache entries for an
+        # identical plan.  A recomputes and still answers right:
+        a_again = sorted(
+            map(tuple, q.q_flagship_census_count(spark, sf).collect())
+        )
+        assert a_again == a_rows
     finally:
         q.release_flagship_cache(s2)
+        q.release_flagship_cache(spark)
 
 
 def test_release_components_bounds_repeated_calls(spark):
