@@ -862,9 +862,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production fast path of ``minhash_lsh_pairs``: identical plan
     shape with engine-native xxhash64 instead of the oracle-portable
-    md5 hash.  No SQL oracle by design (xxhash64 is not reproducible in
-    DuckDB) — the driver records a rows-only check; candidate quality
-    is pinned in tests (both hash families recover planted near-dups)."""
+    md5 hash.  Oracle-verified in the AUX harness since round 6: a
+    pure-python XXH64 twin of Spark's string xxhash64
+    (tools/xxh64_oracle.py) registers as a DuckDB UDF, so the fast
+    pipeline gets the same full value-hash check as the portable one;
+    candidate quality (both hash families recover planted near-dups)
+    stays pinned in tests."""
     d = rebalance(load_table(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(
         d, k=_MINHASH_K, num_hashes=_MINHASH_N, portable=False
@@ -872,13 +875,21 @@ def q_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS)
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(base_hash: str | None = None) -> str:
+    """DuckDB twin of the MinHash+LSH pipeline.  ``base_hash`` is the
+    per-shingle hash expression over variable ``s``; default is the
+    portable md5 hash.  The fast path passes a ``spark_xxhash64(s)``
+    form — that UDF exists only on connections that ran
+    ``tools.xxh64_oracle.register`` (the AUX harness does), which is
+    why the fast oracle lives in AUX rather than the driver registry."""
     shingle = (
         f"list_distinct([substr(t, CAST(i AS INT), {_MINHASH_K}) "
         f"for i in range(1, greatest(length(t) - {_MINHASH_K - 1}, 1) + 1)])"
     )
     p = dedup.MINHASH_P
-    base = f"[{_duck_hash('s')} % {p} for s in shingles]"
+    if base_hash is None:
+        base_hash = f"{_duck_hash('s')} % {p}"
+    base = f"[{base_hash} for s in shingles]"
     sig_cols = ",\n       ".join(
         f"list_min([({a} * h + {b}) % {p} for h in hs]) AS sig_{i}"
         for i, (a, b) in enumerate(dedup.minhash_perm_params(_MINHASH_N))
@@ -3508,6 +3519,14 @@ AUX_ORACLES: dict[str, str] = {
     "streaming_dedup": ORACLE_STREAM_DEDUP,
     "streaming_sliding": ORACLE_SLIDING,
     "streaming_enrich": ORACLE_STREAM_ENRICH,
+    # requires tools.xxh64_oracle.register(con) on the DuckDB
+    # connection (the AUX harness does this) — a pure-python XXH64
+    # reproducing Spark's xxhash64 on strings, closing the one
+    # rows-only row of rounds 4-5
+    "minhash_lsh_pairs_fast": _minhash_oracle(
+        f"((spark_xxhash64(s) % {dedup.MINHASH_P}) + {dedup.MINHASH_P})"
+        f" % {dedup.MINHASH_P}"
+    ),
 }
 
 # Contract guards: the driver records at most 50 rows and every row

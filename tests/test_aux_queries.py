@@ -45,7 +45,14 @@ def _digest(cols: list[str], rows: list[tuple]) -> tuple[int, list[str]]:
 
 @pytest.fixture(scope="module")
 def duck():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from xxh64_oracle import register as register_xxh64
+
     con = duckdb.connect()
+    # the fast-MinHash oracle calls spark_xxhash64 (tools/xxh64_oracle)
+    register_xxh64(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     yield con
@@ -71,9 +78,10 @@ def test_aux_query_matches_oracle(spark, duck, name):
 
 
 def test_fast_hash_lsh_plan_matches_portable(spark):
-    """minhash_lsh_pairs_fast is deliberately oracle-less (DuckDB has
-    no xxhash64); pin that it is non-vacuous and structurally sane:
-    symmetric-free (id_a < id_b), no self-pairs."""
+    """Structural sanity for the fast-hash LSH path (full value parity
+    is covered by the parametrized oracle test via the spark_xxhash64
+    DuckDB UDF since round 6): non-vacuous, symmetric-free
+    (id_a < id_b), no self-pairs."""
     out = q.AUX_QUERIES["minhash_lsh_pairs_fast"](spark, SF_DIR)
     rows = out.collect()
     assert rows, "fast-hash LSH returned no candidate pairs"
@@ -122,3 +130,27 @@ def test_events_fixture_ts_dtype_pinned(spark):
         F.min("y").alias("lo"), F.max("y").alias("hi")
     ).collect()[0]
     assert years["lo"] >= 2000, f"decoded ts collapsed to epoch: {years}"
+
+
+def test_xxh64_twin_matches_spark(spark):
+    """The DuckDB-side spark_xxhash64 UDF (tools/xxh64_oracle) must be
+    bit-exact with Spark's F.xxhash64 on strings — the fast-MinHash
+    oracle is only as good as this twin.  Covers every length-class
+    branch of the algorithm (empty, <4, 4-7, 8-31, >=32 bytes),
+    multibyte UTF-8, and null."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from xxh64_oracle import spark_xxhash64
+
+    from pyspark.sql import functions as F
+
+    cases = ["", "a", "abc", "abcd", "abcdefg", "y" * 8, "z" * 31,
+             "w" * 32, "w" * 33, "long " * 50, "üñïçødé ẞtring", "中文字符"]
+    df = spark.createDataFrame([(t,) for t in cases], ["s"]).select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    got = {r["s"]: r["h"] for r in df.collect()}
+    for t in cases:
+        assert got[t] == spark_xxhash64(t), f"mismatch on {t!r}"
+    assert spark_xxhash64(None) is None

@@ -38,6 +38,11 @@ def main() -> int:
     spark = get_spark("aux-correctness")
 
     con = duckdb.connect()
+    # Spark-compatible xxhash64 for the fast-MinHash oracle (DuckDB
+    # has no native xxhash64; see tools/xxh64_oracle.py)
+    from xxh64_oracle import register as register_xxh64
+
+    register_xxh64(con)
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"

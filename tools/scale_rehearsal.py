@@ -1,13 +1,25 @@
-"""Measured scaling exponents for the heavy operator family.
+"""Measured scaling exponents for the heavy operator family AND the
+relational SURVEY core.
 
 SCALE.md argues the bucketed dedup/similarity paths are near-linear;
-until round 5 the largest observed point was sf0.1.  This tool
-synthesizes larger document/embedding fixtures by replicating the real
-sf0.1 tables with offset ids and a deterministic per-replica text
-perturbation (so replicas are NEAR-duplicates — they land in the same
-LSH buckets with slightly different shingles, the adversarial shape
-for dedup cost), runs the heavy queries at each scale, and fits the
-per-step scaling exponent alpha = log(t2/t1) / log(n2/n1).
+until round 5 the largest observed point was sf0.1, and until round 6
+the relational half of the engine (flagship join shapes) had no
+measured point above sf0.1 at all.  This tool synthesizes larger
+fixtures by replicating the real sf0.1 tables with offset ids:
+
+- documents/embeddings get a deterministic per-replica text
+  perturbation (replicas are NEAR-duplicates — same LSH buckets,
+  different shingles, the adversarial shape for dedup cost);
+- customer/orders/lineitem/events are replicated as self-consistent
+  sub-universes: every key column is offset by replica x (domain max
+  + 1) CONSISTENTLY across tables (o_custkey moves with c_custkey,
+  l_orderkey with o_orderkey), so each replica joins exactly like the
+  base data while the tiny dims (nation/region/part/supplier) stay
+  shared — fact tables grow, dimension tables don't, which is how a
+  real warehouse scales.
+
+It then runs the heavy queries at each scale and fits the per-step
+scaling exponent alpha = log(t2/t1) / log(n2/n1).
 
 Near-linear (alpha ~ 1) validates the 100 TB story; alpha >= 1.5 on
 any step means a bucketed path is quietly quadratic and SCALE.md's
@@ -44,6 +56,14 @@ HEAVY = [
     "dsir_select",
     "repeated_ngram_removal",
     "bpe_step",
+    # round-6: the composed end-to-end pipeline (the 100 TB user
+    # journey) and the relational SURVEY core — the reference's own
+    # query shapes, previously argued-not-measured above sf0.1
+    "curation_pipeline",
+    "flagship_census_count",
+    "hierarchical_fallback",
+    "interval_containment",
+    "join_3way",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
@@ -57,16 +77,71 @@ ALL_TABLES = (
 ).split()
 
 
+def _replicate_keyed(tbl, factor: int, offsets: dict):
+    """Concat ``factor`` copies of ``tbl``; replica r adds
+    ``r * offsets[col]`` to each listed key column (vectorized — no
+    python-list hop for the 6M-row x10 lineitem)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = [tbl]
+    for r in range(1, factor):
+        t = tbl
+        for col, off in offsets.items():
+            i = t.schema.get_field_index(col)
+            shifted = pc.add(t.column(col), pa.scalar(r * off, t.schema.field(col).type))
+            t = t.set_column(i, t.schema.field(col), shifted)
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
 def build_fixture(base: str, factor: int, root: str) -> str:
     """Replicate documents/embeddings ``factor``x with offset ids and
-    perturbed text; symlink everything else from ``base``."""
+    perturbed text, and customer/orders/lineitem/events as
+    self-consistent key-offset sub-universes; symlink everything else
+    from ``base``."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     out_dir = os.path.join(root, f"x{factor}")
     if os.path.exists(os.path.join(out_dir, "__complete")):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+
+    # Relational core: one offset per KEY DOMAIN, shared by every
+    # column in that domain so replica joins line up exactly like the
+    # base data (an orders row's o_custkey lands on the same replica's
+    # customer row).
+    cust = pq.read_table(os.path.join(base, "customer.parquet"))
+    ords = pq.read_table(os.path.join(base, "orders.parquet"))
+    li = pq.read_table(os.path.join(base, "lineitem.parquet"))
+    ev = pq.read_table(os.path.join(base, "events.parquet"))
+    CUST = pc.max(cust.column("c_custkey")).as_py() + 1
+    ORD = pc.max(ords.column("o_orderkey")).as_py() + 1
+    EVT = pc.max(ev.column("event_id")).as_py() + 1
+    USR = pc.max(ev.column("user_id")).as_py() + 1
+    pq.write_table(
+        _replicate_keyed(cust, factor, {"c_custkey": CUST}),
+        os.path.join(out_dir, "customer.parquet"),
+    )
+    pq.write_table(
+        _replicate_keyed(ords, factor, {"o_orderkey": ORD, "o_custkey": CUST}),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+    # l_partkey/l_suppkey stay untouched: part/supplier are symlinked
+    # dims, exactly the shared-dimension shape of a scaled warehouse
+    pq.write_table(
+        _replicate_keyed(li, factor, {"l_orderkey": ORD}),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+    # events keep their timestamps (zones derived per (type, day) stay
+    # dimension-sized — the realistic shape); ids offset so rows are
+    # distinct
+    pq.write_table(
+        _replicate_keyed(ev, factor, {"event_id": EVT, "user_id": USR}),
+        os.path.join(out_dir, "events.parquet"),
+    )
 
     docs = pq.read_table(os.path.join(base, "documents.parquet"))
     n = docs.num_rows
@@ -183,7 +258,9 @@ def main() -> int:
         "factors": factors,
         "note": (
             "factor-f fixture = sf0.1 documents/embeddings replicated f "
-            "times with offset ids and near-dup text perturbation; "
+            "times with offset ids and near-dup text perturbation, plus "
+            "customer/orders/lineitem/events replicated f times as "
+            "self-consistent key-offset sub-universes over shared dims; "
             "alpha = log(t2/t1)/log(n2/n1) per step; ~1 linear, >=1.5 "
             "superlinear"
         ),
