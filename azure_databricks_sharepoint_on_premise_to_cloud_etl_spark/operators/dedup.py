@@ -140,6 +140,33 @@ def minhash_signatures(
     return base.select(F.col(id_col), *sig_cols)
 
 
+def lsh_band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Explode a signature frame into its (id, band_id, band_key) LSH
+    bucket table — the join key both the self-join
+    (``lsh_candidate_pairs``) and the cross-corpus incremental form
+    (``incremental_dedup``) bucket on."""
+    rows = num_hashes // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_entries).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -154,21 +181,7 @@ def lsh_candidate_pairs(
     docs ever meet, which is what makes this subquadratic at corpus
     scale.
     """
-    rows = num_hashes // bands
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "_", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(
-        F.col(id_col), F.explode(band_entries).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    banded = lsh_band_table(signatures, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -538,4 +551,114 @@ def semantic_dedup(
         id_col,
         "cluster",
         F.col("__dup").isNull().alias("kept"),
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Dedupe a NEW batch against an existing REFERENCE corpus — the
+    production mode of corpus dedup: the reference is already clean,
+    only the incoming increment needs checking, and nothing in the
+    reference is ever re-deduped or rewritten.
+
+    Returns one row per NEW document: ``(id, status, match_id)`` with
+    ``status`` ∈ {'exact_dup', 'near_dup', 'novel'} and ``match_id``
+    the smallest matching reference id (NULL for novel).  Precedence:
+    an exact content match wins over a near match.
+
+    Scale shape (the reason this is an operator and not "union then
+    re-dedup"):
+    - the reference side reduces to two narrow artifacts — its
+      content-digest table (16 bytes/doc) and its LSH band table —
+      both computable once and persistable/bucketed by key, so a
+      daily 1 TB increment joins against 100 TB of corpus without
+      touching corpus text;
+    - exact pass: equi-join on (content_hash, content_len), digests
+      only;
+    - near pass: new-band ⋈ ref-band on (band_id, band_key) — the
+      same subquadratic bucket geometry as ``lsh_candidate_pairs``,
+      but cross-frame, so candidate count scales with the increment,
+      not the corpus;
+    - exact-Jaccard verification runs per candidate pair
+      (``jaccard_verify_pairs`` geometry) and only text for candidate
+      ids is fetched.
+    """
+    new_digests = new_df.select(
+        F.col(id_col).alias("new_id"),
+        portable_hash64(normalized_text(text_col)).alias("content_hash"),
+        F.length(normalized_text(text_col)).alias("content_len"),
+    )
+    ref_digests = ref_df.select(
+        F.col(id_col).alias("ref_id"),
+        portable_hash64(normalized_text(text_col)).alias("content_hash"),
+        F.length(normalized_text(text_col)).alias("content_len"),
+    )
+    exact = (
+        new_digests.join(ref_digests, ["content_hash", "content_len"])
+        .groupBy("new_id")
+        .agg(F.min("ref_id").alias("exact_match"))
+    )
+
+    new_bands = lsh_band_table(
+        minhash_signatures(
+            new_df, id_col, text_col, k, num_hashes, portable=portable
+        ),
+        id_col,
+        num_hashes,
+        bands,
+    ).select(F.col(id_col).alias("new_id"), "band_id", "band_key")
+    ref_bands = lsh_band_table(
+        minhash_signatures(
+            ref_df, id_col, text_col, k, num_hashes, portable=portable
+        ),
+        id_col,
+        num_hashes,
+        bands,
+    ).select(F.col(id_col).alias("ref_id"), "band_id", "band_key")
+    candidates = (
+        new_bands.join(ref_bands, ["band_id", "band_key"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    # exact-Jaccard verification confined to candidates: shingle sets
+    # are joined onto the (bounded) candidate list, never self-joined
+    sh_new = new_df.withColumn("__norm", normalize_text(text_col)).select(
+        F.col(id_col).alias("new_id"),
+        char_shingles("__norm", k, pre_normalized=True).alias("sh_n"),
+    )
+    sh_ref = ref_df.withColumn("__norm", normalize_text(text_col)).select(
+        F.col(id_col).alias("ref_id"),
+        char_shingles("__norm", k, pre_normalized=True).alias("sh_r"),
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_r"))
+    union = F.size("sh_n") + F.size("sh_r") - inter
+    near = (
+        candidates.join(sh_new, "new_id")
+        .join(sh_ref, "ref_id")
+        .filter(F.round(inter / union, 6) >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("ref_id").alias("near_match"))
+    )
+
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
     )

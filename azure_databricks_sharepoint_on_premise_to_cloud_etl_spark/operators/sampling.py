@@ -366,3 +366,46 @@ def cap_per_domain(
         .filter(F.col("domain_rank") <= cap)
         .drop("__h")
     )
+
+
+def token_budget_epochs(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    domain_col: str = "source",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Epoch-mixing plan for a fixed training-token budget: give every
+    domain an equal share of ``budget`` and express it as a repeat
+    factor (epochs) over that domain's available tokens, capped at
+    ``max_epochs`` so small domains are not repeated into memorization
+    (the Llama/Dolma-style mixture recipe).
+
+    Returns one row per domain: available ``tokens``, the uniform
+    ``target_tokens`` share, ``epochs`` (capped, 4 dp) and
+    ``planned_tokens`` = round(epochs * tokens).  Downstream, a
+    sampler materializes ``floor(epochs)`` full passes plus a
+    ``stable_sample`` of the fractional remainder — so the plan stays
+    a tiny per-domain table, never a corpus rewrite.
+
+    Scale shape: one partial-aggregated groupBy on the domain key plus
+    a single-row broadcast of the domain count; arithmetic only after
+    collapse to |domains| rows.
+    """
+    per = df.groupBy(domain_col).agg(F.sum(token_col).alias("tokens"))
+    n_dom = per.select(F.count(F.lit(1)).alias("__nd"))
+    out = per.crossJoin(F.broadcast(n_dom)).select(
+        F.col(domain_col),
+        "tokens",
+        F.round(F.lit(budget) / F.col("__nd"), 4).alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(budget) / F.col("__nd") / F.col("tokens"),
+                F.lit(max_epochs),
+            ),
+            4,
+        ).alias("epochs"),
+    )
+    return out.withColumn(
+        "planned_tokens", F.round(F.col("epochs") * F.col("tokens"), 2)
+    )

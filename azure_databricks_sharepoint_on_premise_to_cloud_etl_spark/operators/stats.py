@@ -81,3 +81,46 @@ def group_percentiles_exact(
         frac = F.max(k - F.floor(k))
         aggs.append((lo_val + frac * (hi_val - lo_val)).alias(name))
     return hist.groupBy(*group_cols).agg(*aggs)
+
+
+def mad_filter(
+    df: DataFrame,
+    value_col: str,
+    n_sigmas: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier filter by Median Absolute Deviation: keep rows
+    with ``|x - median(x)| <= n_sigmas * 1.4826 * MAD`` (1.4826 scales
+    MAD to the stddev of a normal distribution), the standard
+    length/score outlier gate that, unlike mean±k·stddev, is not
+    itself dragged by the outliers it is removing.
+
+    Adds ``robust_z`` (rounded, 6 dp) to the surviving rows.
+
+    Scale shape: two tiny scalar aggregates (median, then MAD of the
+    broadcast median) cross-joined back as single-row broadcasts — the
+    corpus itself is scanned narrow and never shuffled.  Exact
+    ``percentile`` is interpolation-identical to DuckDB
+    ``quantile_cont``; over integer-valued columns every intermediate
+    (median, deviations, MAD) is an exact half-integer, so the filter
+    boundary cannot drift across engines.  At extreme scale swap the
+    two medians for ``approx_percentile`` (mergeable sketch), same
+    shape.
+    """
+    med = df.select(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.crossJoin(F.broadcast(med)).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.select(F.expr("percentile(__dev, 0.5)").alias("__mad"))
+    scaled = dev.crossJoin(F.broadcast(mad))
+    keep = F.col("__dev") <= F.lit(n_sigmas) * F.lit(consistency) * F.col("__mad")
+    robust_z = F.when(
+        F.col("__mad") > 0, F.col("__dev") / (F.lit(consistency) * F.col("__mad"))
+    ).otherwise(F.lit(0.0))
+    return (
+        scaled.filter(keep)
+        .withColumn("robust_z", F.round(robust_z, 6))
+        .drop("__med", "__dev", "__mad")
+    )

@@ -68,3 +68,44 @@ def rank_topk_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    partition_col: str,
+    ts_col: str,
+    value_col: str,
+    trailing_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-RANGE window aggregate: for every event, the sum
+    and count of ``value_col`` over the partition's events whose
+    timestamp falls in ``[ts - trailing_seconds, ts]`` — a VALUE-based
+    frame (``RANGE BETWEEN``), not a row-count frame, so irregular
+    event spacing and timestamp ties are handled by time semantics
+    (equal-timestamp peers are all in-frame on every engine).
+
+    Adds ``trail_sum`` (6 dp) and ``trail_n``.
+
+    Scale shape: one shuffle on the partition key, then a sorted
+    streaming frame per partition — Spark evaluates the bounded RANGE
+    frame with a sliding pointer, O(rows) per partition.  Hot
+    partition keys are the skew risk, same mitigation as any window:
+    pre-bucket by (key, coarse time) if one key dominates.
+    """
+    # INTERVAL range frame via SQL expression: the DataFrame
+    # rangeBetween API takes only long offsets, and every long-based
+    # encoding of a timestamp loses something (cast-to-long truncates
+    # sub-second parts and widens the frame; unix_micros rejects
+    # TIMESTAMP_NTZ and a cast through TIMESTAMP drags session-
+    # timezone semantics in).  The interval frame is timezone-free,
+    # microsecond-exact, and identical in Spark and ANSI/DuckDB.
+    frame = (
+        f"OVER (PARTITION BY {partition_col} ORDER BY {ts_col} "
+        f"RANGE BETWEEN INTERVAL {trailing_seconds} SECOND PRECEDING "
+        f"AND CURRENT ROW)"
+    )
+    return df.selectExpr(
+        "*",
+        f"round(sum({value_col}) {frame}, 6) AS trail_sum",
+        f"count(1) {frame} AS trail_n",
+    )

@@ -3536,3 +3536,395 @@ assert set(oracles()) == set(QUERIES), (
     "every registry entry needs an oracle twin: "
     f"{set(oracles()) ^ set(QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions (AUX-housed: the driver registry is capped at 50)
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT_MOD = 4  # doc_id % 4 == 0 -> "new batch", else "reference corpus"
+_INC_THRESHOLD = 0.5
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup — the production dedup mode: a
+    new batch (here ``doc_id % 4 == 0``) checked against an existing
+    reference corpus (the rest) by exact digest + MinHash-LSH banding
+    + exact-Jaccard verification, without ever re-deduping or
+    rewriting the reference.  Candidate count scales with the
+    increment, not the corpus."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    new_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+    ref_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+    return dedup.incremental_dedup(
+        new_df,
+        ref_df,
+        k=_MINHASH_K,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_INC_THRESHOLD,
+    )
+
+
+def _incremental_oracle() -> str:
+    """DuckDB twin of incremental_dedup: same sig/band pipeline as
+    _minhash_oracle, but candidates are new-vs-ref cross-frame."""
+    shingle = (
+        f"list_distinct([substr(t, CAST(i AS INT), {_MINHASH_K}) "
+        f"for i in range(1, greatest(length(t) - {_MINHASH_K - 1}, 1) + 1)])"
+    )
+    p = dedup.MINHASH_P
+    base = f"[{_duck_hash('s')} % {p} for s in shingles]"
+    sig_cols = ",\n       ".join(
+        f"list_min([({a} * h + {b}) % {p} for h in hs]) AS sig_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_perm_params(_MINHASH_N))
+    )
+    rows = _MINHASH_N // _MINHASH_BANDS
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws('_', {cols}) AS band_key FROM sig".format(
+            b=b, cols=", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    m = _INC_SPLIT_MOD
+    jac = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / (len(a.shingles) + len(b.shingles)"
+        " - len(list_intersect(a.shingles, b.shingles)))"
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents),
+sh AS (SELECT doc_id, {shingle} AS shingles FROM norm),
+basehash AS (SELECT doc_id, {base} AS hs FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM basehash),
+banded AS ({bands}),
+dig AS (SELECT doc_id, {_duck_hash(_DUCK_NORM, 0)} AS h, length({_DUCK_NORM}) AS l
+        FROM documents),
+exact AS (
+    SELECT n.doc_id AS new_id, min(r.doc_id) AS exact_match
+    FROM dig n JOIN dig r ON n.h = r.h AND n.l = r.l
+    WHERE n.doc_id % {m} = 0 AND r.doc_id % {m} <> 0
+    GROUP BY 1
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+    FROM banded n JOIN banded r
+      ON n.band_id = r.band_id AND n.band_key = r.band_key
+    WHERE n.doc_id % {m} = 0 AND r.doc_id % {m} <> 0
+),
+near AS (
+    SELECT c.new_id, min(c.ref_id) AS near_match
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.new_id
+    JOIN sh b ON b.doc_id = c.ref_id
+    WHERE round({jac}, 6) >= {_INC_THRESHOLD}
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       coalesce(e.exact_match, nr.near_match) AS match_id
+FROM documents d
+LEFT JOIN exact e ON e.new_id = d.doc_id
+LEFT JOIN near nr ON nr.new_id = d.doc_id
+WHERE d.doc_id % {m} = 0
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (O-family rollup surface beyond rollup_agg):
+    all four grouping-set combinations of (returnflag, linestatus) in
+    one pass, with GROUPING flags disambiguating data-NULLs from
+    subtotal-NULLs.  One shuffle; subtotals are computed by Spark's
+    Expand + single hash aggregate (rows x 4 expansion happens after
+    column pruning, so only the two group keys and the two agg inputs
+    are expanded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-to-wide (P-family reshape): order totals per year spread
+    across one column per order status.  The value list is pinned
+    explicitly — at scale an unpinned pivot runs a blocking distinct
+    over the pivot column first AND risks schema drift between runs;
+    pinning keeps it a single groupBy with conditional aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.withColumn("oy", F.year("o_orderdate"))
+        .groupBy("oy")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return wide.select(
+        "oy",
+        F.col("O").alias("tp_o"),
+        F.col("F").alias("tp_f"),
+        F.col("P").alias("tp_p"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT year(o_orderdate) AS oy,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS tp_o,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS tp_f,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS tp_p
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_trailing_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame window per user over the event
+    stream: value-based frame (timestamp interval), not a row-count
+    frame — W-family surface the rows-frame queries (running_sum,
+    sessionize) don't cover."""
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = windows.trailing_range_agg(
+        e, "user_id", "ts", "value", trailing_seconds=3600
+    )
+    return out.select("event_id", "user_id", "trail_sum", "trail_n")
+
+
+ORACLE_TRAILING_RANGE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS trail_sum,
+       count(*) OVER w AS trail_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile + percent-rank labeling of the corpus by quality score
+    (the curriculum/ablation bucketing step).  Deterministic total
+    order (score desc, doc_id asc) so ranks are engine-independent.
+
+    Scale note: ntile/percent_rank need a TOTAL order — one partition.
+    This is the exact-rank surface for bounded inputs (ablation
+    manifests); the corpus-scale path for 'keep the top X% by
+    quality' is quality_quantile_filter's approx-quantile threshold,
+    which never globally sorts."""
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    q = text.quality_score(d).select("doc_id", "quality")
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return q.select(
+        "doc_id",
+        "quality",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def _quality_deciles_oracle() -> str:
+    return f"""
+SELECT doc_id, quality,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM ({_quality_oracle()}) q
+WINDOW w AS (ORDER BY quality DESC, doc_id ASC)
+"""
+
+
+_TOKEN_BUDGET = 100_000
+_MAX_EPOCHS = 4.0
+
+
+def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch mixing: per-source whitespace-token counts
+    collapsed to a |domains|-row plan assigning each source an equal
+    share of a fixed training budget as a (capped) repeat factor."""
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    toks = text.token_counts(d).select("source", "ws_tokens")
+    return sampling.token_budget_epochs(
+        toks, "ws_tokens", _TOKEN_BUDGET, domain_col="source", max_epochs=_MAX_EPOCHS
+    )
+
+
+ORACLE_TOKEN_BUDGET = f"""
+WITH tok AS (
+    SELECT source,
+           sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> ''))) AS tokens
+    FROM documents GROUP BY source
+),
+nd AS (SELECT count(*) AS n FROM tok)
+SELECT source, tokens,
+       round({_TOKEN_BUDGET} / nd.n, 4) AS target_tokens,
+       round(least({_TOKEN_BUDGET} / nd.n / tokens, {_MAX_EPOCHS}), 4) AS epochs,
+       round(round(least({_TOKEN_BUDGET} / nd.n / tokens, {_MAX_EPOCHS}), 4) * tokens, 2)
+           AS planned_tokens
+FROM tok, nd
+"""
+
+
+def q_mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier gate on document length: drop docs more than
+    3 robust sigmas from the median length, annotate survivors with
+    their robust z-score."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    return stats.mad_filter(d, "n_chars", n_sigmas=3.0)
+
+
+ORACLE_MAD = """
+WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+d AS (SELECT doc_id, n_chars, abs(n_chars - m.med) AS dev FROM documents, m),
+md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+SELECT doc_id, n_chars,
+       round(CASE WHEN md.mad > 0 THEN dev / (1.4826 * md.mad) ELSE 0.0 END, 6)
+           AS robust_z
+FROM d, md
+WHERE dev <= 3.0 * 1.4826 * md.mad
+"""
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join — the last Structured Streaming join surface
+    (tumbling/sliding agg, stream-state dedup, and stream-static
+    enrichment are covered by the other streaming rows): click events
+    joined to purchase events of the same user within the following
+    hour, both sides watermarked, drained with AvailableNow, then
+    folded to per-user conversion totals batch-side.
+
+    Scale shape: both inputs are watermarked AND the join condition
+    time-bounds the two event-time columns — the two facts Spark's
+    state-cleanup needs to evict matched/expired rows instead of
+    buffering both streams forever.  Inner-join results emit eagerly
+    (the watermark only gates state eviction), so the drained result
+    equals the batch time-bounded self-join the oracle runs."""
+    import tempfile
+
+    from .streaming import incremental
+
+    events, ts_was_ntz = _stream_events(spark, sf_dir)
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"))
+        .withWatermark("l_ts", "2 hours")
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        buys,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_join_ckpt_")
+    incremental.run_to_memory_sink(
+        pairs, "stream_join_out", ckpt, output_mode="append"
+    )
+    return (
+        spark.table("stream_join_out")
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("r_value"), 2).alias("sum_purchase"),
+        )
+    )
+
+
+ORACLE_STREAM_JOIN = """
+SELECT l.user_id, count(*) AS n_pairs, round(sum(r.value), 2) AS sum_purchase
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+def q_corpus_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinalities per event type: distinct users and
+    distinct activity days.  The oracle verifies the EXACT form; the
+    100 TB path is the same query with ``approx_count_distinct``
+    (HyperLogLog++ — mergeable fixed-size sketch, no per-group
+    distinct-value shuffle), whose relative error against this exact
+    result is pinned by ``test_operators.py`` rather than an oracle
+    (sketch estimates are engine-specific by construction)."""
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_CARDINALITY = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        # round-6: production-mode incremental dedup + relational
+        # reshape surface + mixing/robust-stats pipeline steps
+        "streaming_join": q_streaming_join,
+        "corpus_cardinality": q_corpus_cardinality,
+        "incremental_dedup": q_incremental_dedup,
+        "cube_agg": q_cube_agg,
+        "pivot_wide": q_pivot_wide,
+        "trailing_range_agg": q_trailing_range_agg,
+        "quality_deciles": q_quality_deciles,
+        "token_budget_epochs": q_token_budget_epochs,
+        "mad_outlier_filter": q_mad_outlier_filter,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "streaming_join": ORACLE_STREAM_JOIN,
+        "corpus_cardinality": ORACLE_CARDINALITY,
+        "incremental_dedup": _incremental_oracle(),
+        "cube_agg": ORACLE_CUBE,
+        "pivot_wide": ORACLE_PIVOT,
+        "trailing_range_agg": ORACLE_TRAILING_RANGE,
+        "quality_deciles": _quality_deciles_oracle(),
+        "token_budget_epochs": ORACLE_TOKEN_BUDGET,
+        "mad_outlier_filter": ORACLE_MAD,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

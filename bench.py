@@ -70,14 +70,24 @@ BENCH_QUERIES = [
     "repetition_ratio",
     "contamination",
     "curation_pipeline",
+    "incremental_dedup",
+    "trailing_range_agg",
+    "cube_agg",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
 # total, which stays on the same 42-query basis as the r2-r4 capture:
 # pack_sequences_native re-times a stage of pack_sequences;
 # curation_pipeline re-runs a composition of stages already timed
-# individually.
-TOTAL_EXCLUDED = {"pack_sequences_native", "curation_pipeline"}
+# individually; the round-6 rows (incremental_dedup,
+# trailing_range_agg, cube_agg) postdate the comparable basis.
+TOTAL_EXCLUDED = {
+    "pack_sequences_native",
+    "curation_pipeline",
+    "incremental_dedup",
+    "trailing_range_agg",
+    "cube_agg",
+}
 
 
 def main() -> None:

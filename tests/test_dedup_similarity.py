@@ -322,3 +322,33 @@ def test_semantic_dedup_plants_and_properties(spark):
         members = [r for r in out if r["cluster"] == cl]
         head = min(r["vec_id"] for r in members)
         assert by_id[head]["kept"]
+
+
+def test_incremental_dedup_planted(spark):
+    """New batch vs reference corpus: exact dup, near dup, and novel
+    docs are labeled with the right status + min matching ref id, the
+    reference is never relabeled, and exact wins over near."""
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # same content
+            (5, "a completely different reference document about engines"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "The  quick brown fox jumps over the lazy dog"),  # exact (norm)
+            (101, "the quick brown fox leaps over the lazy dog"),  # near
+            (102, "unrelated brand new content nothing like the corpus"),  # novel
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in dedup.incremental_dedup(new, ref, threshold=0.5).collect()
+    }
+    assert set(out) == {100, 101, 102}, "exactly the new batch is labeled"
+    assert out[100] == ("exact_dup", 1), "min ref id among exact matches"
+    assert out[101][0] == "near_dup" and out[101][1] in (1, 3)
+    assert out[102] == ("novel", None)

@@ -409,3 +409,59 @@ def test_bpe_merge_step_classic_and_overlap(spark):
     out = bpe_merge_step(solo.withColumn("symbols", bpe_init_symbols("word"))).collect()
     assert out[0]["merged_pair"] == "a a"
     assert out[0]["symbols"] == "aa aa"
+
+
+def test_mad_filter_drops_outlier_keeps_body(spark):
+    """MAD gate: a gross outlier is dropped, the body survives with
+    robust_z <= n_sigmas; the outlier does not drag the threshold
+    (which a mean±k·stddev gate would)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import mad_filter
+
+    rows = [(i, v) for i, v in enumerate([100, 101, 99, 102, 98, 100, 101, 5000])]
+    df = spark.createDataFrame(rows, "id LONG, x LONG")
+    out = mad_filter(df, "x", n_sigmas=3.0)
+    got = {r["id"]: r["robust_z"] for r in out.collect()}
+    assert 7 not in got, "the 5000 outlier must be filtered"
+    assert set(got) == set(range(7))
+    assert all(z <= 3.0 for z in got.values())
+
+
+def test_trailing_range_agg_window_semantics(spark):
+    """Value-based frame: only events within the trailing interval
+    (inclusive) count; partitions are independent; ties share frames."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import trailing_range_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", 1.0),
+            (2, 1, "2024-01-01 10:30:00", 2.0),
+            (3, 1, "2024-01-01 11:00:00", 4.0),   # 10:00 still in [10:00,11:00]
+            (4, 1, "2024-01-01 12:30:00", 8.0),   # everything aged out
+            (5, 2, "2024-01-01 10:45:00", 16.0),  # other partition
+        ],
+        "event_id LONG, user_id LONG, ts_s STRING, value DOUBLE",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value")
+    out = {r["event_id"]: (r["trail_sum"], r["trail_n"]) for r in
+           trailing_range_agg(df, "user_id", "ts", "value", 3600).collect()}
+    assert out == {
+        1: (1.0, 1), 2: (3.0, 2), 3: (7.0, 3), 4: (8.0, 1), 5: (16.0, 1),
+    }
+
+
+def test_approx_cardinality_tracks_exact(spark):
+    """HLL++ (approx_count_distinct, the 100 TB cardinality path) must
+    track the exact per-group distinct counts verified by the
+    corpus_cardinality oracle row within a few relative-standard-
+    deviations."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    rsd = 0.05
+    both = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd).alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= 3 * rsd * r["exact"] + 1, (
+            f"{r['event_type']}: approx {r['approx']} vs exact {r['exact']}"
+        )

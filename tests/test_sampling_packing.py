@@ -278,3 +278,22 @@ def test_cap_per_domain_quota_and_stability(spark):
     assert d0_ids != [0, 3, 6, 9, 12, 15, 18]
     # a cap above the domain size keeps everything
     assert cap_per_domain(df, cap=100).count() == 60
+
+
+def test_token_budget_epochs_cap_and_share(spark):
+    """Equal budget shares; small domains capped at max_epochs; large
+    domains get fractional epochs."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import token_budget_epochs
+
+    df = spark.createDataFrame(
+        [("big", 10_000), ("big", 10_000), ("tiny", 50)],
+        "source STRING, n_tok LONG",
+    )
+    out = {r["source"]: r for r in
+           token_budget_epochs(df, "n_tok", budget=10_000, max_epochs=4.0).collect()}
+    # two domains -> 5000 tokens each
+    assert out["big"]["target_tokens"] == 5000.0
+    assert out["big"]["epochs"] == 0.25          # 5000 / 20000
+    assert out["big"]["planned_tokens"] == 5000.0
+    assert out["tiny"]["epochs"] == 4.0          # capped (uncapped would be 100x)
+    assert out["tiny"]["planned_tokens"] == 200.0

@@ -64,6 +64,12 @@ HEAVY = [
     "hierarchical_fallback",
     "interval_containment",
     "join_3way",
+    # round-6 additions: the production dedup mode (increment vs
+    # corpus — on this fixture every replica is a cross-split
+    # near-dup, the adversarial case) and the value-based RANGE
+    # window over the replicated event stream
+    "incremental_dedup",
+    "trailing_range_agg",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
@@ -191,8 +197,21 @@ def main() -> int:
     ap.add_argument("--factors", default="3,10")
     ap.add_argument("--out", default="/root/repo/SCALE_SF1.json")
     ap.add_argument("--root", default="/tmp/spark_graft_scale")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of HEAVY to measure; existing rows "
+        "in --out are preserved (merge), so a new operator can be added "
+        "without re-running the full suite",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
+    heavy = HEAVY
+    if args.only:
+        only = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = set(only) - set(HEAVY)
+        assert not unknown, f"--only names not in HEAVY: {unknown}"
+        heavy = only
 
     from pyspark.sql import functions as F
 
@@ -217,9 +236,9 @@ def main() -> int:
         print(f"# building x{f} fixture...", file=sys.stderr)
         points.append((f, build_fixture(args.base, f, args.root)))
 
-    results: dict[str, dict] = {name: {"times": {}, "rows": {}} for name in HEAVY}
+    results: dict[str, dict] = {name: {"times": {}, "rows": {}} for name in heavy}
     for factor, sf_dir in points:
-        for name in HEAVY:
+        for name in heavy:
             fn = q.QUERIES.get(name) or q.AUX_QUERIES[name]
             # cold warm-up, then one timed run (these are long; the
             # signal is the cross-scale RATIO, not the absolute value)
@@ -238,8 +257,12 @@ def main() -> int:
                 f"# x{factor} {name}: {dt:.2f}s ({rows} rows)", file=sys.stderr
             )
 
+    # merge: preserve rows for operators not measured this run
     record: dict[str, dict] = {}
-    for name in HEAVY:
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as fh:
+            record = {k: v for k, v in json.load(fh).items() if k != "_meta"}
+    for name in heavy:
         times = results[name]["times"]
         exps = {}
         fs = sorted(times)
