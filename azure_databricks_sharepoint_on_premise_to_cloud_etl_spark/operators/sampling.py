@@ -409,3 +409,43 @@ def token_budget_epochs(
     return out.withColumn(
         "planned_tokens", F.round(F.col("epochs") * F.col("tokens"), 2)
     )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    epochs_col: str = "epochs",
+    salt: int = 17,
+    portable: bool = True,
+) -> DataFrame:
+    """Execute a ``token_budget_epochs`` plan: emit each domain's rows
+    ``floor(epochs)`` times as full passes plus one fractional pass
+    gated by a per-(row, epoch) stable hash — so a 2.3-epoch domain
+    yields every doc twice and a deterministic ~30% of docs a third
+    time.  Adds ``epoch`` (0-based pass index) to each emitted row.
+
+    Scale shape: the plan is a |domains|-row broadcast; expansion is a
+    narrow ``explode(sequence(...))`` bounded by the epoch cap; the
+    fractional gate is the same reproducible hash filter as
+    ``stable_sample``, salted per epoch index so successive fractional
+    passes are decorrelated.  No shuffle, no RNG state — re-runs emit
+    the identical training mixture.
+
+    Gate thresholds use explicit ``floor`` (not a bare integer cast):
+    Spark truncates double→long while other engines round, and the
+    DuckDB oracle must land on the same boundary.
+    """
+    p = plan.select(domain_col, epochs_col)
+    joined = df.join(F.broadcast(p), domain_col)
+    full = F.floor(F.col(epochs_col))
+    out = joined.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), full.cast("int")))
+    )
+    frac = F.col(epochs_col) - full
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col("epoch").cast("string")
+    )
+    gate = _sample_gate(key, salt, portable) < F.floor(frac * _GATE).cast("long")
+    return out.filter((F.col("epoch") < full) | gate).drop(epochs_col)

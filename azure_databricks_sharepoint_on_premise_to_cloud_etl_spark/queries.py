@@ -3928,3 +3928,68 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_EPOCH_SALT = 17
+
+
+def q_materialize_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixing plan EXECUTED: the token_budget_epochs plan joined
+    back (broadcast) and expanded into per-pass rows — floor(epochs)
+    full passes plus a stable-hash-gated fractional pass.  The
+    composition a training-shard writer actually runs."""
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    toks = text.token_counts(d).select("source", "ws_tokens")
+    plan = sampling.token_budget_epochs(
+        toks, "ws_tokens", _TOKEN_BUDGET, domain_col="source", max_epochs=_MAX_EPOCHS
+    )
+    out = sampling.materialize_epochs(
+        d.select("doc_id", "source"), plan, salt=_EPOCH_SALT
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+def _materialize_epochs_oracle() -> str:
+    gate_hash = _duck_hash(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(epoch AS VARCHAR))",
+        _EPOCH_SALT,
+    )
+    return f"""
+WITH tok AS (
+    SELECT source,
+           sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> ''))) AS tokens
+    FROM documents GROUP BY source
+),
+nd AS (SELECT count(*) AS n FROM tok),
+plan AS (
+    SELECT source,
+           round(least({_TOKEN_BUDGET} / nd.n / tokens, {_MAX_EPOCHS}), 4) AS epochs
+    FROM tok, nd
+),
+j AS (
+    SELECT d.doc_id, d.source, p.epochs
+    FROM documents d JOIN plan p USING (source)
+),
+x AS (
+    SELECT doc_id, source, epochs,
+           unnest(range(0, CAST(floor(epochs) AS BIGINT) + 1)) AS epoch
+    FROM j
+)
+SELECT doc_id, source, epoch
+FROM x
+WHERE epoch < floor(epochs)
+   OR {gate_hash} % 1000000
+      < CAST(floor((epochs - floor(epochs)) * 1000000) AS BIGINT)
+"""
+
+
+AUX_QUERIES["materialize_epochs"] = q_materialize_epochs
+AUX_ORACLES["materialize_epochs"] = _materialize_epochs_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -297,3 +297,27 @@ def test_token_budget_epochs_cap_and_share(spark):
     assert out["big"]["planned_tokens"] == 5000.0
     assert out["tiny"]["epochs"] == 4.0          # capped (uncapped would be 100x)
     assert out["tiny"]["planned_tokens"] == 200.0
+
+
+def test_materialize_epochs_expansion(spark):
+    """Executing an epoch plan: floor(epochs) full passes for every
+    row, fractional pass deterministic and ~fraction-sized; integer
+    epochs yield exactly that many passes; output is reproducible."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import materialize_epochs
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(200)] + [(1000 + i, "b") for i in range(10)],
+        "doc_id LONG, source STRING",
+    )
+    plan = spark.createDataFrame(
+        [("a", 2.5), ("b", 3.0)], "source STRING, epochs DOUBLE"
+    )
+    out = materialize_epochs(df, plan).groupBy("doc_id").count()
+    counts = {r["doc_id"]: r["count"] for r in out.collect()}
+    a_counts = [counts[i] for i in range(200)]
+    assert set(a_counts) <= {2, 3}, "2.5 epochs -> 2 or 3 passes per doc"
+    third = sum(1 for c in a_counts if c == 3)
+    assert 60 <= third <= 140, f"fractional pass should keep ~50%, got {third}/200"
+    assert all(counts[1000 + i] == 3 for i in range(10)), "3.0 epochs exact"
+    again = materialize_epochs(df, plan).groupBy("doc_id").count()
+    assert {r["doc_id"]: r["count"] for r in again.collect()} == counts
