@@ -592,38 +592,86 @@ def incremental_dedup(
       (``jaccard_verify_pairs`` geometry) and only text for candidate
       ids is fetched.
     """
-    new_digests = new_df.select(
-        F.col(id_col).alias("new_id"),
+    return incremental_dedup_against(
+        new_df,
+        corpus_artifacts(
+            ref_df, id_col, text_col, k, num_hashes, bands, portable
+        ),
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        portable=portable,
+    )
+
+
+def corpus_artifacts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable: bool = True,
+) -> dict[str, DataFrame]:
+    """The three narrow reference-side tables incremental dedup joins
+    against: ``digests`` (id, content_hash, content_len — 16
+    bytes/doc), ``bands`` (id, band_id, band_key — the LSH bucket
+    table), and ``shingles`` (id, shingle array, fetched only for
+    LSH candidates).  A production corpus computes these ONCE, writes
+    them bucketed by their join keys ((content_hash, content_len) and
+    (band_id, band_key) respectively), and every daily increment
+    joins against the persisted tables without ever touching corpus
+    text — `incremental_dedup` recomputing them per call is the
+    convenience form for ad-hoc use."""
+    digests = df.select(
+        F.col(id_col),
         portable_hash64(normalized_text(text_col)).alias("content_hash"),
         F.length(normalized_text(text_col)).alias("content_len"),
     )
-    ref_digests = ref_df.select(
-        F.col(id_col).alias("ref_id"),
-        portable_hash64(normalized_text(text_col)).alias("content_hash"),
-        F.length(normalized_text(text_col)).alias("content_len"),
+    bands_tbl = lsh_band_table(
+        minhash_signatures(df, id_col, text_col, k, num_hashes, portable=portable),
+        id_col,
+        num_hashes,
+        bands,
     )
+    shingles = df.withColumn("__norm", normalize_text(text_col)).select(
+        F.col(id_col),
+        char_shingles("__norm", k, pre_normalized=True).alias("shingles"),
+    )
+    return {"digests": digests, "bands": bands_tbl, "shingles": shingles}
+
+
+def incremental_dedup_against(
+    new_df: DataFrame,
+    ref: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """`incremental_dedup` against PRECOMPUTED reference artifacts
+    (see ``corpus_artifacts``) — the amortized production mode: the
+    100 TB reference is reduced to its digest/band/shingle tables
+    once, and each increment only computes its own artifacts."""
+    new_arts = corpus_artifacts(
+        new_df, id_col, text_col, k, num_hashes, bands, portable
+    )
+    new_digests = new_arts["digests"].withColumnRenamed(id_col, "new_id")
+    ref_digests = ref["digests"].withColumnRenamed(id_col, "ref_id")
     exact = (
         new_digests.join(ref_digests, ["content_hash", "content_len"])
         .groupBy("new_id")
         .agg(F.min("ref_id").alias("exact_match"))
     )
 
-    new_bands = lsh_band_table(
-        minhash_signatures(
-            new_df, id_col, text_col, k, num_hashes, portable=portable
-        ),
-        id_col,
-        num_hashes,
-        bands,
-    ).select(F.col(id_col).alias("new_id"), "band_id", "band_key")
-    ref_bands = lsh_band_table(
-        minhash_signatures(
-            ref_df, id_col, text_col, k, num_hashes, portable=portable
-        ),
-        id_col,
-        num_hashes,
-        bands,
-    ).select(F.col(id_col).alias("ref_id"), "band_id", "band_key")
+    new_bands = new_arts["bands"].withColumnRenamed(id_col, "new_id")
+    ref_bands = ref["bands"].withColumnRenamed(id_col, "ref_id")
     candidates = (
         new_bands.join(ref_bands, ["band_id", "band_key"])
         .select("new_id", "ref_id")
@@ -631,13 +679,11 @@ def incremental_dedup(
     )
     # exact-Jaccard verification confined to candidates: shingle sets
     # are joined onto the (bounded) candidate list, never self-joined
-    sh_new = new_df.withColumn("__norm", normalize_text(text_col)).select(
-        F.col(id_col).alias("new_id"),
-        char_shingles("__norm", k, pre_normalized=True).alias("sh_n"),
+    sh_new = new_arts["shingles"].select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
     )
-    sh_ref = ref_df.withColumn("__norm", normalize_text(text_col)).select(
-        F.col(id_col).alias("ref_id"),
-        char_shingles("__norm", k, pre_normalized=True).alias("sh_r"),
+    sh_ref = ref["shingles"].select(
+        F.col(id_col).alias("ref_id"), F.col("shingles").alias("sh_r")
     )
     inter = F.size(F.array_intersect("sh_n", "sh_r"))
     union = F.size("sh_n") + F.size("sh_r") - inter

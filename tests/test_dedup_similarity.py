@@ -352,3 +352,39 @@ def test_incremental_dedup_planted(spark):
     assert out[100] == ("exact_dup", 1), "min ref id among exact matches"
     assert out[101][0] == "near_dup" and out[101][1] in (1, 3)
     assert out[102] == ("novel", None)
+
+
+def test_incremental_artifacts_reuse_across_increments(spark, tmp_path):
+    """The amortized production mode: reference artifacts computed
+    once, PERSISTED, and reused across two different increments must
+    give the same labels as the recompute-everything convenience
+    form."""
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (5, "a completely different reference document about engines"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    inc1 = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "unrelated brand new content nothing like the corpus")],
+        "doc_id LONG, text STRING",
+    )
+    inc2 = spark.createDataFrame(
+        [(200, "the quick brown fox leaps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    # persist the ref artifacts like a daily job would, reload, reuse
+    arts = dedup.corpus_artifacts(ref)
+    loaded = {}
+    for name, df in arts.items():
+        path = str(tmp_path / name)
+        df.write.parquet(path)
+        loaded[name] = spark.read.parquet(path)
+    for inc in (inc1, inc2):
+        direct = sorted(map(tuple, dedup.incremental_dedup(inc, ref).collect()))
+        reused = sorted(
+            map(tuple, dedup.incremental_dedup_against(inc, loaded).collect())
+        )
+        assert direct == reused
