@@ -3993,3 +3993,62 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_Z_BITS = 16
+
+
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over (value, user_id) for every event —
+    the layout key `write_zordered` range-partitions and sorts by so
+    two-dimensional range predicates prune files/row-groups instead
+    of scanning.  Quantization bounds are one scalar aggregate
+    broadcast back; the interleave is a static shift/mask/or tree in
+    codegen."""
+    from .operators import layout
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "value"
+    )
+    return layout.with_zorder_code(e, "value", "user_id", bits=_Z_BITS).select(
+        "event_id", "zcode"
+    )
+
+
+def _zorder_oracle() -> str:
+    cells = 2**_Z_BITS
+
+    def q(col: str, lo: str, hi: str) -> str:
+        return (
+            f"CAST(least(greatest(CASE WHEN {hi} - {lo} > 0 "
+            f"THEN floor(({col} - {lo}) / ({hi} - {lo}) * {cells}.0) "
+            f"ELSE 0 END, 0), {cells - 1}) AS BIGINT)"
+        )
+
+    terms = " | ".join(
+        f"(((qa >> {i}) % 2) << {2 * i}) | (((qb >> {i}) % 2) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH b AS (
+    SELECT min(CAST(value AS DOUBLE)) AS lo_a, max(CAST(value AS DOUBLE)) AS hi_a,
+           min(CAST(user_id AS DOUBLE)) AS lo_b, max(CAST(user_id AS DOUBLE)) AS hi_b
+    FROM events
+),
+qz AS (
+    SELECT event_id,
+           {q("CAST(value AS DOUBLE)", "lo_a", "hi_a")} AS qa,
+           {q("CAST(user_id AS DOUBLE)", "lo_b", "hi_b")} AS qb
+    FROM events, b
+)
+SELECT event_id, {terms} AS zcode FROM qz
+"""
+
+
+AUX_QUERIES["zorder_code"] = q_zorder_code
+AUX_ORACLES["zorder_code"] = _zorder_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -51,3 +51,58 @@ def test_ivf_topk_recall(spark):
     ap = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
     assert len(ex & ap) / len(ex) >= 0.3
     assert all((p, p) in ap for p in range(3))  # self always found
+
+
+def test_zorder_layout_clusters_2d_ranges(spark, tmp_path):
+    """Z-ordered layout must keep BOTH dimensions skippable: a
+    single-column-sorted layout prunes its own axis and scatters the
+    other across every file, while Z-order confines range predicates
+    on either axis to a subset of files.  Files containing matches ==
+    files a stats-based reader must touch."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.layout import write_zordered
+
+    n_files = 16
+    # hash-derived dims: statistically independent (a multiplier
+    # lattice like id*7919 % 1000 leaves per-file y-coverage at the
+    # mercy of arithmetic structure and upstream partitioning)
+    df = (
+        spark.range(20_000)
+        .withColumn("x", F.pmod(F.xxhash64("id"), F.lit(1000)))
+        .withColumn("y", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)))
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, "x", "y", num_files=n_files)
+    # baseline: same file count, sorted by x only (the best 1-D layout)
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def files_touched(path, pred):
+        data = spark.read.parquet(path)
+        got = (
+            data.filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        total = data.select(F.input_file_name().alias("f")).distinct().count()
+        return got, total
+
+    # the 1-D layout's weak axis: y-range predicates scatter over
+    # (nearly) every x-sorted file, but stay clustered under Z-order
+    y_pred = F.col("y") < 100
+    zy_hit, z_total = files_touched(zpath, y_pred)
+    sy_hit, s_total = files_touched(spath, y_pred)
+    assert sy_hit >= 3 * s_total // 4, "x-sort should scatter y widely"
+    assert zy_hit <= z_total // 2, f"z-order touched {zy_hit}/{z_total} for y-range"
+    assert zy_hit < sy_hit, (zy_hit, sy_hit)
+    # and the x axis stays prunable under Z-order too (that is the
+    # trade: both axes partially sorted instead of one fully)
+    zx_hit, _ = files_touched(zpath, F.col("x") < 100)
+    assert zx_hit <= z_total // 2, f"z-order touched {zx_hit}/{z_total} for x-range"
+    # identical rows either way
+    rect = (F.col("x") < 100) & (F.col("y") < 100)
+    assert (
+        spark.read.parquet(zpath).filter(rect).count()
+        == spark.read.parquet(spath).filter(rect).count()
+    )
