@@ -109,3 +109,103 @@ def trailing_range_agg(
         f"round(sum({value_col}) {frame}, 6) AS trail_sum",
         f"count(1) {frame} AS trail_n",
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    right_id_col: str,
+) -> DataFrame:
+    """Generic backward as-of join: match every left row to the most
+    recent right row with the same key at or before its timestamp
+    (ties: the right row is visible to a same-timestamp left row).
+    Appends ``asof_<col>`` for each requested right value column
+    (NULL when no prior right row exists).
+
+    Scale shape — the union+window pattern, NOT a range join: tag the
+    two inputs, union them, and carry the latest right-row payload
+    forward with one ``last(..., ignorenulls)`` window per key.  One
+    shuffle + sort on the key, work linear in rows; a range-condition
+    join would rescan right-side history per left row and a naive
+    "latest per pair" aggregation would blow up on hot keys.
+
+    Determinism: the window orders by (ts, side, right id) with the
+    id coalesced on left rows — never by a nullable column, because
+    ASC null ordering differs across engines (Spark NULLS FIRST,
+    DuckDB NULLS LAST) and the oracle must sort identically.  Among
+    right rows sharing (key, ts) the largest ``right_id_col`` wins.
+    """
+    payload = F.struct(
+        F.col(ts_col).alias("ts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("__is_r"),
+        F.col(right_id_col).cast("long").alias("__oid"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(t.dataType).alias(f"__l_{t.name}") for t in left.schema],
+    )
+    l = left.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("__is_r"),
+        F.lit(-1).cast("long").alias("__oid"),
+        F.lit(None).cast(
+            r.schema["__payload"].dataType
+        ).alias("__payload"),
+        *[F.col(t.name).alias(f"__l_{t.name}") for t in left.schema],
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_r").desc(), F.col("__oid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = r.unionByName(l).withColumn(
+        "__m", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out_cols = [
+        F.col(f"__l_{t.name}").alias(t.name) for t in left.schema
+    ] + [F.col("__m.ts").alias(f"asof_{ts_col}")] + [
+        F.col(f"__m.{c}").alias(f"asof_{c}") for c in value_cols
+    ]
+    return matched.filter(F.col("__is_r") == 0).select(*out_cols)
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regularize an irregular per-key time series: generate each
+    key's time grid (anchored at its first observation, stepping
+    ``step_seconds``, up to its last) and carry the latest observed
+    value forward onto every grid point — gap filling for feature
+    windows / monitoring rollups over event streams.
+
+    Output: (key, grid ts, ``asof_<ts>`` observation time,
+    ``asof_<value>``, ``asof_<id>``).
+
+    Scale shape: the grid is a narrow ``explode(sequence(...))`` off a
+    per-key min/max aggregate (grid size is data-bounded, never a
+    global calendar), and the fill is ``asof_join``'s union+window
+    pass — one shuffle on the key, no range join, no per-grid-point
+    history rescans."""
+    spans = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {step_seconds} second)")
+        ).alias(ts_col),
+    )
+    obs = df.select(key_col, ts_col, value_col, id_col)
+    return asof_join(grid, obs, key_col, ts_col, [value_col, id_col], id_col)

@@ -4052,3 +4052,107 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_asof_union_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic backward as-of join (union+window form): every purchase
+    matched to the user's most recent click at or before it.  The
+    oracle is an INDEPENDENT formulation (left join all prior clicks,
+    QUALIFY row_number = 1) — the quadratic shape the operator exists
+    to avoid, fine at oracle scale."""
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = windows.asof_join(
+        purchases, clicks, "user_id", "ts", ["click_value", "click_id"], "click_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "asof_ts",
+        F.round("asof_click_value", 6).alias("asof_click_value"),
+        "asof_click_id",
+    )
+
+
+ORACLE_ASOF_UNION = """
+SELECT p.event_id, p.user_id,
+       c.ts AS asof_ts,
+       round(c.value, 6) AS asof_click_value,
+       c.event_id AS asof_click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+QUALIFY row_number() OVER (PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) = 1
+"""
+
+
+AUX_QUERIES["asof_union_join"] = q_asof_union_join
+AUX_ORACLES["asof_union_join"] = ORACLE_ASOF_UNION
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+_RESAMPLE_STEP = 6 * 3600
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resampling of the error-event series with
+    forward fill — grid anchored at each user's first error, latest
+    observation carried onto every grid point via the union+window
+    as-of pass."""
+    e = rebalance(load_table(spark, sf_dir, "events")).filter(
+        F.col("event_type") == "error"
+    )
+    out = windows.resample_ffill(
+        e, "user_id", "ts", "value", "event_id", step_seconds=_RESAMPLE_STEP
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+        "asof_event_id",
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH e AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'error'),
+spans AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM e GROUP BY 1),
+grid AS (
+    SELECT user_id, unnest(generate_series(lo, hi, INTERVAL {_RESAMPLE_STEP} SECOND)) AS ts
+    FROM spans
+)
+SELECT g.user_id, g.ts,
+       o.ts AS asof_ts,
+       round(o.value, 6) AS asof_value,
+       o.event_id AS asof_event_id
+FROM grid g
+LEFT JOIN e o ON o.user_id = g.user_id AND o.ts <= g.ts
+QUALIFY row_number() OVER (PARTITION BY g.user_id, g.ts
+                           ORDER BY o.ts DESC, o.event_id DESC) = 1
+"""
+
+
+AUX_QUERIES["resample_ffill"] = q_resample_ffill
+AUX_ORACLES["resample_ffill"] = ORACLE_RESAMPLE
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -465,3 +465,38 @@ def test_approx_cardinality_tracks_exact(spark):
         assert abs(r["approx"] - r["exact"]) <= 3 * rsd * r["exact"] + 1, (
             f"{r['event_type']}: approx {r['approx']} vs exact {r['exact']}"
         )
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: same-timestamp right rows are visible, largest
+    right id wins ties, keys never cross, missing history yields
+    NULLs."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),
+            (2, 10, "2024-01-01 12:00:00"),
+            (3, 20, "2024-01-01 09:00:00"),  # no prior right row
+            (4, 20, "2024-01-01 11:00:00"),
+        ],
+        "event_id LONG, user_id LONG, ts_s STRING",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, 10, "2024-01-01 10:00:00", 1.0),   # tie with left 1: visible
+            (101, 10, "2024-01-01 10:00:00", 2.0),   # same ts, larger id wins
+            (102, 10, "2024-01-01 11:00:00", 3.0),
+            (103, 20, "2024-01-01 10:30:00", 4.0),
+        ],
+        "rid LONG, user_id LONG, ts_s STRING, v DOUBLE",
+    ).select("rid", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "v")
+
+    out = {
+        r["event_id"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(left, right, "user_id", "ts", ["v", "rid"], "rid").collect()
+    }
+    assert out[1] == (101, 2.0), "same-ts rows visible; largest id wins the tie"
+    assert out[2] == (102, 3.0), "latest prior row"
+    assert out[3] == (None, None), "no history -> NULLs"
+    assert out[4] == (103, 4.0), "keys never cross"
