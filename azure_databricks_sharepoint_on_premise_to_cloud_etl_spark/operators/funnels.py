@@ -1,0 +1,134 @@
+"""Behavioral analytics over event streams: ordered funnels and
+cohort retention.
+
+Both are compositions of hash aggregates on the user key — the shapes
+that stay cheap at 100 TB because every pass shuffles only (user,
+small state), never event payloads, and consecutive passes reuse the
+same key so AQE/bucketing can co-locate them.
+
+Extends the reference's event aggregation family (group-by counts,
+SURVEY A2) with the two questions production event tables answer
+daily: "how far do users get through step1 → step2 → step3, in
+order?" and "of the users who showed up in week W, how many came
+back k weeks later?".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key ORDERED funnel: ``t_1`` is the key's first ``steps[0]``
+    event, ``t_i`` the first ``steps[i]`` event strictly AFTER
+    ``t_{i-1}`` (NULL once a step is missed — later steps stay NULL,
+    preserving order semantics).  Also emits ``reached`` = number of
+    completed steps.
+
+    Scale shape: one conditional-min hash aggregate per step, all
+    keyed on ``key_col`` — pass i needs ``t_{i-1}``, so the chain is
+    sequential by construction (funnel order IS a data dependency),
+    but each pass is a partial-aggregated shuffle of (key, one
+    timestamp) and Catalyst collapses the chained joins on the
+    already-partitioned key.  Never a per-user sort, never a window
+    over event history.
+    """
+    out = df.groupBy(key_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t_1")
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        nxt = (
+            df.withColumnRenamed(ts_col, "__ts")
+            .join(out.select(key_col, prev), key_col)
+            .groupBy(key_col)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col(type_col) == step)
+                        & (F.col("__ts") > F.col(prev)),
+                        F.col("__ts"),
+                    )
+                ).alias(f"t_{i}")
+            )
+        )
+        out = out.join(nxt, key_col, "left")
+    reached = None
+    for i in range(1, len(steps) + 1):
+        hit = F.col(f"t_{i}").isNotNull().cast("int")
+        reached = hit if reached is None else reached + hit
+    return out.withColumn("reached", reached)
+
+
+def funnel_counts(funnel: DataFrame, n_steps: int) -> DataFrame:
+    """Collapse ``funnel_times`` output to the funnel chart: one row
+    per step with how many keys reached it (a |steps|-row result)."""
+    aggs = [
+        F.sum(F.col(f"t_{i}").isNotNull().cast("long")).alias(f"step_{i}")
+        for i in range(1, n_steps + 1)
+    ]
+    wide = funnel.agg(*aggs)
+    stack = ", ".join(f"{i}, step_{i}" for i in range(1, n_steps + 1))
+    return wide.selectExpr(
+        f"stack({n_steps}, {stack}) AS (step, n_users)"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the key's first-activity
+    period (``bucket_days``-wide buckets anchored at the corpus
+    epoch), offset = periods since the cohort, value = distinct keys
+    active at that offset.  Rows: (cohort_start DATE, period_offset,
+    n_active).
+
+    Scale shape: first-activity is one (key → min ts) aggregate;
+    activity buckets are a narrow date arithmetic projection; the
+    matrix is a count-distinct over (cohort, offset) — shuffles carry
+    (key, two small ints).  At extreme scale swap the exact distinct
+    for ``approx_count_distinct`` per cell (HLL sketches merge across
+    partitions), same output columns.
+    """
+    bucket = lambda c: F.floor(  # noqa: E731 — local bucketing expr
+        F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date"))
+        / bucket_days
+    )
+    first = df.groupBy(key_col).agg(F.min(ts_col).alias("__first_ts"))
+    acts = (
+        df.select(key_col, ts_col)
+        .join(first, key_col)
+        .select(
+            F.col(key_col),
+            bucket(F.col("__first_ts")).alias("__cohort_b"),
+            bucket(F.col(ts_col)).alias("__act_b"),
+        )
+        .distinct()
+    )
+    return (
+        acts.select(
+            "__cohort_b",
+            (F.col("__act_b") - F.col("__cohort_b")).alias("period_offset"),
+            key_col,
+        )
+        .groupBy("__cohort_b", "period_offset")
+        .agg(F.count_distinct(key_col).alias("n_active"))
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("__cohort_b") * bucket_days).cast("int"),
+            ).alias("cohort_start"),
+            "period_offset",
+            "n_active",
+        )
+    )

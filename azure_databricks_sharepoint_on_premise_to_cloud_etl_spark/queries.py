@@ -4156,3 +4156,122 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_FUNNEL_STEPS = ["click", "signup", "purchase"]
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel per user (click → signup → purchase,
+    each step strictly after the previous): chained conditional-min
+    hash aggregates on the user key — never a per-user sort or
+    event-history window."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    return funnels.funnel_times(e, _FUNNEL_STEPS)
+
+
+ORACLE_FUNNEL = """
+WITH t1 AS (
+    SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS t_1
+    FROM events GROUP BY 1
+),
+t2 AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'signup' AND e.ts > t1.t_1
+                    THEN e.ts END) AS t_2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY 1
+),
+t3 AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t_2
+                    THEN e.ts END) AS t_3
+    FROM events e JOIN t2 ON e.user_id = t2.user_id GROUP BY 1
+)
+SELECT t1.user_id, t_1, t_2, t_3,
+       CAST(t_1 IS NOT NULL AS INT) + CAST(t_2 IS NOT NULL AS INT)
+       + CAST(t_3 IS NOT NULL AS INT) AS reached
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+def q_funnel_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel collapsed to its chart: users reaching each step."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    return funnels.funnel_counts(
+        funnels.funnel_times(e, _FUNNEL_STEPS), len(_FUNNEL_STEPS)
+    )
+
+
+ORACLE_FUNNEL_CHART = f"""
+WITH f AS ({ORACLE_FUNNEL.strip()})
+SELECT step, n_users FROM (
+    SELECT 1 AS step, sum(CAST(t_1 IS NOT NULL AS BIGINT)) AS n_users FROM f
+    UNION ALL
+    SELECT 2, sum(CAST(t_2 IS NOT NULL AS BIGINT)) FROM f
+    UNION ALL
+    SELECT 3, sum(CAST(t_3 IS NOT NULL AS BIGINT)) FROM f
+)
+"""
+
+_RETENTION_BUCKET_DAYS = 7
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream: cohort =
+    first-activity week, offset = weeks since, cell = distinct active
+    users."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select("user_id", "ts")
+    return funnels.cohort_retention(
+        e, bucket_days=_RETENTION_BUCKET_DAYS
+    )
+
+
+ORACLE_RETENTION = f"""
+WITH first AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY 1),
+acts AS (
+    SELECT DISTINCT e.user_id,
+           CAST(floor(date_diff('day', DATE '1970-01-01', CAST(f.fts AS DATE))
+                      / {_RETENTION_BUCKET_DAYS}) AS BIGINT) AS cb,
+           CAST(floor(date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+                      / {_RETENTION_BUCKET_DAYS}) AS BIGINT) AS ab
+    FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT DATE '1970-01-01' + CAST(cb * {_RETENTION_BUCKET_DAYS} AS INT) AS cohort_start,
+       ab - cb AS period_offset,
+       count(DISTINCT user_id) AS n_active
+FROM acts
+GROUP BY 1, 2
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "funnel_steps": q_funnel_steps,
+        "funnel_chart": q_funnel_chart,
+        "cohort_retention": q_cohort_retention,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "funnel_steps": ORACLE_FUNNEL,
+        "funnel_chart": ORACLE_FUNNEL_CHART,
+        "cohort_retention": ORACLE_RETENTION,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

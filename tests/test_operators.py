@@ -500,3 +500,34 @@ def test_asof_join_semantics(spark):
     assert out[2] == (102, 3.0), "latest prior row"
     assert out[3] == (None, None), "no history -> NULLs"
     assert out[4] == (103, 4.0), "keys never cross"
+
+
+def test_funnel_order_semantics(spark):
+    """Funnel steps must happen IN ORDER: events present but out of
+    order don't count, and a missed middle step nulls everything
+    after it."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import (
+        funnel_counts,
+        funnel_times,
+    )
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "click", "2024-01-01 09:00:00"),
+        (1, "signup", "2024-01-01 10:00:00"),
+        (1, "purchase", "2024-01-01 11:00:00"),
+        # u2: purchase BEFORE signup -> reaches only step 2
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "purchase", "2024-01-01 09:30:00"),
+        (2, "signup", "2024-01-01 10:00:00"),
+        # u3: never clicked -> reaches nothing (order gate from step 1)
+        (3, "signup", "2024-01-01 10:00:00"),
+        (3, "purchase", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts_s STRING")
+    df = df.select("user_id", "event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    f = funnel_times(df, ["click", "signup", "purchase"])
+    reached = {r["user_id"]: r["reached"] for r in f.collect()}
+    assert reached == {1: 3, 2: 2, 3: 0}
+    chart = {r["step"]: r["n_users"] for r in funnel_counts(f, 3).collect()}
+    assert chart == {1: 2, 2: 2, 3: 1}
