@@ -708,3 +708,67 @@ def incremental_dedup_against(
             F.coalesce("exact_match", "near_match").alias("match_id"),
         )
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: distinct (id_a < id_b) pairs
+    of rows whose normalized names are within ``max_dist`` edit
+    distance — supplier/part/customer-name reconciliation, the
+    string-typed sibling of the document near-dup family.
+
+    Scale shape — blocked, never all-pairs: candidates must share a
+    FIRST or LAST whitespace token (two equi-keyed self-joins,
+    unioned) and pass a length-difference pre-filter (|len_a - len_b|
+    <= max_dist, a necessary condition for edit distance) before the
+    O(len^2) ``levenshtein`` runs on survivors only.  Recall
+    contract: a pair is guaranteed found when its edits fall within a
+    single token (one shared token survives verbatim); edits spread
+    across BOTH tokens can evade blocking — the documented trade of
+    token blocking, pinned by test against the quadratic form.
+    """
+    norm = df.select(
+        F.col(id_col).alias("__id"),
+        normalize_text(name_col).alias("__name"),
+    ).withColumn("__len", F.length("__name"))
+    toks = norm.select(
+        "__id",
+        "__name",
+        "__len",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.element_at(F.split(F.col("__name"), " "), 1),
+                    F.element_at(F.split(F.col("__name"), " "), -1),
+                )
+            )
+        ).alias("__block"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                F.abs(F.col("a.__len") - F.col("b.__len")) <= max_dist
+            ),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__name").alias("name_a"),
+            F.col("b.__name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -339,3 +339,38 @@ def quantize_embeddings(
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension QC statistics of an embedding column: mean,
+    population variance, min, max per dimension — the drift/collapse
+    check run before indexing or quantizing a vector corpus (a dead
+    dimension has ~zero variance; a scale-drifted batch shifts the
+    per-dim mean).
+
+    Scale shape: ``posexplode`` is narrow (rows × dims, each carrying
+    one float + a position int), then ONE hash aggregate keyed by the
+    |dims|-sized dimension id with map-side partial aggregation —
+    the classic tall-skinny reduction.  Variance is computed as
+    E[x²] − E[x]² from plain sums so the oracle reproduces it exactly
+    (no sample-vs-population or Welford ambiguity); values widen
+    float → double BEFORE aggregation on both engines.
+    """
+    exploded = df.select(
+        F.posexplode(vec_col).alias("dim", "__x")
+    ).withColumn("__xd", F.col("__x").cast("double"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.avg("__xd"), 6).alias("mean"),
+            F.round(
+                F.avg(F.col("__xd") * F.col("__xd"))
+                - F.avg("__xd") * F.avg("__xd"),
+                6,
+            ).alias("var_pop"),
+            F.round(F.min("__xd"), 6).alias("dim_min"),
+            F.round(F.max("__xd"), 6).alias("dim_max"),
+        )
+    )

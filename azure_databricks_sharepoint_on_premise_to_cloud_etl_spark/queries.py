@@ -4275,3 +4275,74 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy part-name matching within edit distance 2: token-blocked
+    candidates + length pre-filter, levenshtein only on survivors."""
+    p = rebalance(load_table(spark, sf_dir, "part")).select("p_partkey", "p_name")
+    return dedup.fuzzy_name_pairs(p, "p_partkey", "p_name", max_dist=2)
+
+
+ORACLE_FUZZY = f"""
+WITH norm AS (
+    SELECT p_partkey AS id,
+           regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name
+    FROM part
+),
+toks AS (
+    SELECT id, name, length(name) AS len,
+           unnest(list_distinct([string_split(name, ' ')[1],
+                                 string_split(name, ' ')[-1]])) AS block
+    FROM norm
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+    FROM toks a JOIN toks b
+      ON a.block = b.block AND a.id < b.id AND abs(a.len - b.len) <= 2
+)
+SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
+AUX_QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+AUX_ORACLES["fuzzy_name_pairs"] = ORACLE_FUZZY
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QC stats (mean/variance/min/max per
+    dim) — the tall-skinny posexplode + one hash aggregate."""
+    e = rebalance(load_table(spark, sf_dir, "embeddings")).select("embedding")
+    return similarity.embedding_dim_stats(e)
+
+
+ORACLE_DIM_STATS = """
+WITH x AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS xd
+    FROM embeddings
+)
+SELECT dim,
+       round(avg(xd), 6) AS mean,
+       round(avg(xd * xd) - avg(xd) * avg(xd), 6) AS var_pop,
+       round(min(xd), 6) AS dim_min,
+       round(max(xd), 6) AS dim_max
+FROM x
+GROUP BY 1
+"""
+
+
+AUX_QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
+AUX_ORACLES["embedding_dim_stats"] = ORACLE_DIM_STATS
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

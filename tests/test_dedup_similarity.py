@@ -388,3 +388,42 @@ def test_incremental_artifacts_reuse_across_increments(spark, tmp_path):
             map(tuple, dedup.incremental_dedup_against(inc, loaded).collect())
         )
         assert direct == reused
+
+
+def test_fuzzy_blocking_recall_contract(spark):
+    """Token blocking finds every pair whose edits stay within one
+    token (one block key survives verbatim) — equal to the quadratic
+    all-pairs form on such data — and the documented miss (edits in
+    BOTH tokens) is demonstrated, not hidden."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "small ring"),
+        (2, "small rings"),     # edit in token 2 -> shares "small"
+        (3, "smal ring"),       # edit in token 1 -> shares "ring"
+        (4, "red widget"),
+        (5, "red widgets"),
+        (6, "blue bolt"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.fuzzy_name_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    a = df.select(F.col("id").alias("id_a"), F.col("name").alias("na"))
+    b = df.select(F.col("id").alias("id_b"), F.col("name").alias("nb"))
+    quad = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter((F.col("id_a") < F.col("id_b")) & (F.levenshtein("na", "nb") <= 2))
+        .collect()
+    }
+    # (2,3) = "small rings" vs "smal ring": distance 2 but the edits
+    # hit BOTH tokens, so it is exactly the documented blocking miss
+    assert blocked == {(1, 2), (1, 3), (4, 5)}
+    assert quad == blocked | {(2, 3)}
+    # the contract's documented miss: edits in BOTH tokens evade blocks
+    miss = spark.createDataFrame(
+        [(10, "small ring"), (11, "smal rings")], "id LONG, name STRING"
+    )
+    assert dedup.fuzzy_name_pairs(miss, "id", "name", max_dist=2).count() == 0
