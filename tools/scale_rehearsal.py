@@ -70,6 +70,13 @@ HEAVY = [
     # window over the replicated event stream
     "incremental_dedup",
     "trailing_range_agg",
+    # round-6 event-analytics family over the replicated stream:
+    # chained conditional-min aggs, union+window as-of, per-key grid
+    # fill, and the two-agg retention matrix
+    "funnel_steps",
+    "asof_union_join",
+    "resample_ffill",
+    "cohort_retention",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
