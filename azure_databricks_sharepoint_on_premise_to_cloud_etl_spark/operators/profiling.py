@@ -1,0 +1,88 @@
+"""Single-scan data profiling / quality constraints (the
+deequ/dbt-test shape): per-column completeness, cardinality, and
+bounds computed as ONE fused aggregate over the table, then pivoted
+to a long (column, metric) result.
+
+At 100 TB the only acceptable profiling plan is a single pass: every
+per-column metric is an aggregate expression in the SAME ``agg`` call,
+so Spark computes all of them in one scan with map-side partial
+aggregation — never one job per column (the naive loop is a full
+table scan per metric).  Exact ``count_distinct`` over many columns
+multiplies shuffle width; the documented swap at extreme scale is
+``approx_count_distinct`` per column (HLL sketches, still one pass).
+
+Extends the reference's audit habit (row-count gates before
+publishing, code/ukg_open_census.py's count checks) into a
+column-level contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Profile ``cols`` in one scan.  Output: one row per column with
+    ``n_rows``, ``n_null``, ``null_frac`` (6 dp), ``n_distinct``
+    (exact, nulls excluded), and ``min_str`` / ``max_str`` (the
+    bounds cast to strings so heterogeneous column types share one
+    schema)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.round(F.col(f"__null_{c}") / F.col("__n"), 6).alias("null_frac"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+def check_constraints(
+    profile: DataFrame, constraints: dict[str, dict[str, float]]
+) -> DataFrame:
+    """Evaluate declarative column constraints against a
+    ``profile_columns`` result: ``{column: {"max_null_frac": x,
+    "min_distinct": n}}`` → one row per (column, constraint) with
+    pass/fail — the publish gate a pipeline asserts on before a
+    write, driver-side-cheap because the profile is |columns| rows."""
+    rows = []
+    for col, cs in constraints.items():
+        for kind, bound in cs.items():
+            rows.append((col, kind, float(bound)))
+    spark = profile.sparkSession
+    cons = spark.createDataFrame(
+        rows, "column STRING, constraint STRING, bound DOUBLE"
+    )
+    joined = profile.join(cons, "column")
+    passed = (
+        F.when(
+            F.col("constraint") == "max_null_frac",
+            F.col("null_frac") <= F.col("bound"),
+        )
+        .when(
+            F.col("constraint") == "min_distinct",
+            F.col("n_distinct") >= F.col("bound"),
+        )
+        .otherwise(F.lit(False))
+    )
+    return joined.select(
+        "column", "constraint", "bound", passed.alias("passed")
+    )

@@ -4346,3 +4346,49 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiling of orders (completeness,
+    cardinality, bounds) — ALL metrics as one fused aggregate, never
+    one job per column.  The oracle is an independent per-column
+    UNION ALL formulation.  o_orderdate is excluded on purpose:
+    timestamp→string casts format differently across engines and the
+    profile's bounds columns are strings."""
+    from .operators import profiling
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return profiling.profile_columns(o, _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       sum(CAST({c} IS NULL AS BIGINT)) AS n_null,
+       round(CAST(sum(CAST({c} IS NULL AS BIGINT)) AS DOUBLE) / count(*), 6)
+           AS null_frac,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+AUX_QUERIES["profile_columns"] = q_profile_columns
+AUX_ORACLES["profile_columns"] = _profile_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

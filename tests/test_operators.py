@@ -531,3 +531,42 @@ def test_funnel_order_semantics(spark):
     assert reached == {1: 3, 2: 2, 3: 0}
     chart = {r["step"]: r["n_users"] for r in funnel_counts(f, 3).collect()}
     assert chart == {1: 2, 2: 2, 3: 1}
+
+
+def test_profile_single_scan_and_constraints(spark):
+    """The profile must be ONE scan (one job per metric would be the
+    100 TB anti-pattern), and the constraint gate evaluates
+    declarative bounds against it."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.profiling import (
+        check_constraints,
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "b", 3.0), (4, None, 4.0)],
+        "id LONG, cat STRING, v DOUBLE",
+    )
+    prof = profile_columns(df, ["id", "cat", "v"])
+    # single-scan shape: exactly one FileScan/LocalTableScan in the plan
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2, plan  # scan + possible reuse marker
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["cat"]["n_null"] == 1 and rows["cat"]["n_distinct"] == 2
+    assert rows["v"]["null_frac"] == 0.25
+    assert rows["id"]["min_str"] == "1" and rows["id"]["max_str"] == "4"
+
+    checks = check_constraints(
+        prof,
+        {
+            "id": {"max_null_frac": 0.0, "min_distinct": 4},
+            "cat": {"max_null_frac": 0.1},   # violated: 0.25 null
+            "v": {"min_distinct": 3},
+        },
+    )
+    got = {(r["column"], r["constraint"]): r["passed"] for r in checks.collect()}
+    assert got == {
+        ("id", "max_null_frac"): True,
+        ("id", "min_distinct"): True,
+        ("cat", "max_null_frac"): False,
+        ("v", "min_distinct"): True,
+    }
