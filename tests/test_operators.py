@@ -570,3 +570,114 @@ def test_profile_single_scan_and_constraints(spark):
         ("cat", "max_null_frac"): False,
         ("v", "min_distinct"): True,
     }
+
+
+def _gen_events(n=400, users=20, seed=11):
+    """Deterministic pseudo-random event set (python-side, no RNG
+    state shared with Spark)."""
+    import hashlib
+
+    rows = []
+    types = ["click", "signup", "purchase", "view"]
+    for i in range(n):
+        h = int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big"
+        )
+        rows.append(
+            (
+                i,
+                h % users,
+                types[(h >> 8) % len(types)],
+                f"2024-01-{1 + (h >> 16) % 28:02d} {(h >> 24) % 24:02d}:{(h >> 32) % 60:02d}:00",
+                float((h >> 40) % 1000) / 10.0,
+            )
+        )
+    return rows
+
+
+def test_asof_join_matches_python_reference(spark):
+    """Union+window as-of vs a brute-force python reference over a
+    deterministic generated event set — a third formulation,
+    independent of both Spark windows and the DuckDB QUALIFY oracle."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import asof_join
+
+    rows = _gen_events()
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts_s STRING, value DOUBLE"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    left = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = df.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("v"), F.col("event_id").alias("rid")
+    )
+    got = {
+        r["event_id"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(left, right, "user_id", "ts", ["v", "rid"], "rid").collect()
+    }
+    # python reference: per purchase, latest prior click; ties -> max rid
+    clicks, purchases = {}, []
+    for eid, uid, et, ts_s, v in rows:
+        if et == "click":
+            clicks.setdefault(uid, []).append((ts_s, eid, v))
+        elif et == "purchase":
+            purchases.append((eid, uid, ts_s))
+    want = {}
+    for eid, uid, ts_s in purchases:
+        cand = [c for c in clicks.get(uid, []) if c[0] <= ts_s]
+        want[eid] = (
+            (max(cand)[1], max(cand)[2]) if cand else (None, None)
+        )
+    assert got == want
+
+
+def test_funnel_matches_python_reference(spark):
+    """Chained conditional-min funnel vs a per-user python scan."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import funnel_times
+
+    rows = _gen_events()
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts_s STRING, value DOUBLE"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    steps = ["click", "signup", "purchase"]
+    got = {
+        r["user_id"]: r["reached"]
+        for r in funnel_times(df, steps).collect()
+    }
+    per_user = {}
+    for _, uid, et, ts_s, _v in rows:
+        per_user.setdefault(uid, []).append((ts_s, et))
+    want = {}
+    for uid, evs in per_user.items():
+        prev, reached = None, 0
+        for step in steps:
+            cand = [t for t, et in evs if et == step and (prev is None or t > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            reached += 1
+        want[uid] = reached
+    assert got == want
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The union+window as-of must cost exactly ONE hash shuffle (the
+    window's) and ZERO joins — the property that makes it the scale
+    path over a range join."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00")], "event_id LONG, user_id LONG, ts_s STRING"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(5, 10, "2024-01-01 09:00:00", 1.0)], "rid LONG, user_id LONG, ts_s STRING, v DOUBLE"
+    ).select("rid", "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "v")
+    plan = (
+        asof_join(left, right, "user_id", "ts", ["v"], "rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
