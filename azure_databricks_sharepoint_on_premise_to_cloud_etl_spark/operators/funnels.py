@@ -25,12 +25,20 @@ def funnel_times(
     key_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_span_seconds: int | None = None,
 ) -> DataFrame:
     """Per-key ORDERED funnel: ``t_1`` is the key's first ``steps[0]``
     event, ``t_i`` the first ``steps[i]`` event strictly AFTER
     ``t_{i-1}`` (NULL once a step is missed — later steps stay NULL,
     preserving order semantics).  Also emits ``reached`` = number of
     completed steps.
+
+    ``max_span_seconds`` bounds the whole funnel to a conversion
+    window: step i counts only while within ``t_1 +
+    max_span_seconds`` (the "converted within 7 days" semantic).
+    NOTE the window anchors at the key's FIRST step-1 event — the
+    per-anchor-retry variant (restart the window from every step-1
+    occurrence) is a different, strictly heavier query.
 
     Scale shape: one conditional-min hash aggregate per step, all
     keyed on ``key_col`` — pass i needs ``t_{i-1}``, so the chain is
@@ -45,19 +53,18 @@ def funnel_times(
     )
     for i, step in enumerate(steps[1:], start=2):
         prev = f"t_{i - 1}"
-        nxt = (
-            df.withColumnRenamed(ts_col, "__ts")
-            .join(out.select(key_col, prev), key_col)
-            .groupBy(key_col)
-            .agg(
-                F.min(
-                    F.when(
-                        (F.col(type_col) == step)
-                        & (F.col("__ts") > F.col(prev)),
-                        F.col("__ts"),
-                    )
-                ).alias(f"t_{i}")
+        carry = [key_col, "t_1"] if prev == "t_1" else [key_col, "t_1", prev]
+        cond_df = df.withColumnRenamed(ts_col, "__ts").join(
+            out.select(*carry), key_col
+        )
+        in_order = (F.col(type_col) == step) & (F.col("__ts") > F.col(prev))
+        if max_span_seconds is not None:
+            in_order = in_order & (
+                F.col("__ts")
+                <= F.col("t_1") + F.expr(f"INTERVAL {max_span_seconds} SECOND")
             )
+        nxt = cond_df.groupBy(key_col).agg(
+            F.min(F.when(in_order, F.col("__ts"))).alias(f"t_{i}")
         )
         out = out.join(nxt, key_col, "left")
     reached = None

@@ -43,20 +43,31 @@ def quantized(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     return F.least(F.greatest(raw, F.lit(0)), F.lit(int(cells) - 1)).cast("long")
 
 
-def morton_interleave(qa: Column, qb: Column, bits: int = 16) -> Column:
-    """Morton (Z-curve) code: bit i of ``qa`` lands at position 2i,
-    bit i of ``qb`` at 2i+1.  A static expression tree of
-    shift/mask/or terms — whole-stage codegen, no UDF; 2*bits <= 62
-    keeps the code in a signed BIGINT."""
-    assert 2 * bits <= 62, "interleaved code must fit a signed long"
+def morton_interleave_n(qs: list[Column], bits: int = 16) -> Column:
+    """n-dimensional Morton (Z-curve) code: bit i of dimension j lands
+    at position ``i * n + j`` — round-robin interleave, so every
+    dimension contributes equally to every code prefix and range
+    predicates on ANY subset of the dimensions stay clustered.  A
+    static expression tree of shift/mask/or terms — whole-stage
+    codegen, no UDF; ``n * bits <= 62`` keeps the code in a signed
+    BIGINT (drop ``bits`` as dimensions grow: 2x16, 3x10, 4x8...)."""
+    n = len(qs)
+    assert n * bits <= 62, "interleaved code must fit a signed long"
     # Column.bitwiseOR, not the | operator: PySpark maps | to boolean
     # OR and the analyzer rejects it on longs
     code = F.lit(0).cast("long")
     for i in range(bits):
-        code = code.bitwiseOR(
-            F.shiftleft(F.shiftright(qa, i) % 2, 2 * i)
-        ).bitwiseOR(F.shiftleft(F.shiftright(qb, i) % 2, 2 * i + 1))
+        for j, qc in enumerate(qs):
+            code = code.bitwiseOR(
+                F.shiftleft(F.shiftright(qc, i) % 2, i * n + j)
+            )
     return code
+
+
+def morton_interleave(qa: Column, qb: Column, bits: int = 16) -> Column:
+    """2-D Morton code (bit i of ``qa`` → 2i, of ``qb`` → 2i+1); the
+    general form is ``morton_interleave_n``."""
+    return morton_interleave_n([qa, qb], bits)
 
 
 def with_zorder_code(

@@ -4392,3 +4392,60 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_FUNNEL_SPAN = 7 * 86400
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel bounded to a 7-day conversion window anchored at
+    each user's first step-1 event — the 'converted within N days'
+    semantic of funnel tooling."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    return funnels.funnel_times(
+        e, _FUNNEL_STEPS, max_span_seconds=_FUNNEL_SPAN
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = f"""
+WITH t1 AS (
+    SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts END) AS t_1
+    FROM events GROUP BY 1
+),
+t2 AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'signup' AND e.ts > t1.t_1
+                         AND e.ts <= t1.t_1 + INTERVAL {_FUNNEL_SPAN} SECOND
+                    THEN e.ts END) AS t_2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY 1
+),
+t3 AS (
+    SELECT e.user_id,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t_2
+                         AND e.ts <= t1.t_1 + INTERVAL {_FUNNEL_SPAN} SECOND
+                    THEN e.ts END) AS t_3
+    FROM events e
+    JOIN t2 ON e.user_id = t2.user_id
+    JOIN t1 ON e.user_id = t1.user_id
+    GROUP BY 1
+)
+SELECT t1.user_id, t_1, t_2, t_3,
+       CAST(t_1 IS NOT NULL AS INT) + CAST(t_2 IS NOT NULL AS INT)
+       + CAST(t_3 IS NOT NULL AS INT) AS reached
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+AUX_QUERIES["funnel_windowed"] = q_funnel_windowed
+AUX_ORACLES["funnel_windowed"] = ORACLE_FUNNEL_WINDOWED
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -681,3 +681,27 @@ def test_asof_join_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_funnel_conversion_window(spark):
+    """max_span_seconds: steps past the window (anchored at the first
+    step-1 event) stop counting."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import funnel_times
+
+    rows = [
+        (1, "click", "2024-01-01 00:00:00"),
+        (1, "signup", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-03 00:00:00"),  # outside the 1-day window
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "signup", "2024-01-01 01:00:00"),
+        (2, "purchase", "2024-01-01 23:00:00"),  # inside
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts_s STRING")
+    df = df.select("user_id", "event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    out = {
+        r["user_id"]: r["reached"]
+        for r in funnel_times(
+            df, ["click", "signup", "purchase"], max_span_seconds=86400
+        ).collect()
+    }
+    assert out == {1: 2, 2: 3}
