@@ -575,6 +575,13 @@ def incremental_dedup(
     the smallest matching reference id (NULL for novel).  Precedence:
     an exact content match wins over a near match.
 
+    Scope note: each new doc is judged against the REFERENCE only —
+    two new docs duplicating each other (but nothing in the corpus)
+    are both 'novel'.  A full ingest composes ``exact_dedup`` /
+    ``lsh_candidate_pairs`` WITHIN the increment first, then this
+    operator against the corpus; keeping the two concerns separate is
+    what lets the corpus side stay precomputed (``corpus_artifacts``).
+
     Scale shape (the reason this is an operator and not "union then
     re-dedup"):
     - the reference side reduces to two narrow artifacts — its

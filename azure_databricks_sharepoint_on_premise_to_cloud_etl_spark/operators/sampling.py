@@ -398,13 +398,18 @@ def token_budget_epochs(
         F.col(domain_col),
         "tokens",
         F.round(F.lit(budget) / F.col("__nd"), 4).alias("target_tokens"),
-        F.round(
-            F.least(
-                F.lit(budget) / F.col("__nd") / F.col("tokens"),
-                F.lit(max_epochs),
+        # a zero-token domain (all-empty documents) gets 0 epochs, not
+        # the inf/NaN cascade of a raw division
+        F.when(
+            F.col("tokens") > 0,
+            F.round(
+                F.least(
+                    F.lit(budget) / F.col("__nd") / F.col("tokens"),
+                    F.lit(max_epochs),
+                ),
+                4,
             ),
-            4,
-        ).alias("epochs"),
+        ).otherwise(F.lit(0.0)).alias("epochs"),
     )
     return out.withColumn(
         "planned_tokens", F.round(F.col("epochs") * F.col("tokens"), 2)

@@ -115,7 +115,13 @@ def mad_filter(
     )
     mad = dev.select(F.expr("percentile(__dev, 0.5)").alias("__mad"))
     scaled = dev.crossJoin(F.broadcast(mad))
-    keep = F.col("__dev") <= F.lit(n_sigmas) * F.lit(consistency) * F.col("__mad")
+    # degenerate MAD == 0 (a majority-constant column) disables the
+    # gate entirely: there is no robust scale to measure against, and
+    # "drop everything off the median" would silently discard data on
+    # exactly the columns least likely to have outliers
+    keep = (F.col("__mad") == 0) | (
+        F.col("__dev") <= F.lit(n_sigmas) * F.lit(consistency) * F.col("__mad")
+    )
     robust_z = F.when(
         F.col("__mad") > 0, F.col("__dev") / (F.lit(consistency) * F.col("__mad"))
     ).otherwise(F.lit(0.0))

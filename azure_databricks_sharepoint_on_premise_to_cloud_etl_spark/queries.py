@@ -3773,9 +3773,12 @@ WITH tok AS (
 nd AS (SELECT count(*) AS n FROM tok)
 SELECT source, tokens,
        round({_TOKEN_BUDGET} / nd.n, 4) AS target_tokens,
-       round(least({_TOKEN_BUDGET} / nd.n / tokens, {_MAX_EPOCHS}), 4) AS epochs,
-       round(round(least({_TOKEN_BUDGET} / nd.n / tokens, {_MAX_EPOCHS}), 4) * tokens, 2)
-           AS planned_tokens
+       CASE WHEN tokens > 0
+            THEN round(least({_TOKEN_BUDGET} / nd.n / tokens, {_MAX_EPOCHS}), 4)
+            ELSE 0.0 END AS epochs,
+       round(CASE WHEN tokens > 0
+                  THEN round(least({_TOKEN_BUDGET} / nd.n / tokens, {_MAX_EPOCHS}), 4)
+                  ELSE 0.0 END * tokens, 2) AS planned_tokens
 FROM tok, nd
 """
 
@@ -3798,7 +3801,7 @@ SELECT doc_id, n_chars,
        round(CASE WHEN md.mad > 0 THEN dev / (1.4826 * md.mad) ELSE 0.0 END, 6)
            AS robust_z
 FROM d, md
-WHERE dev <= 3.0 * 1.4826 * md.mad
+WHERE md.mad = 0 OR dev <= 3.0 * 1.4826 * md.mad
 """
 
 

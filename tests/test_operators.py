@@ -705,3 +705,17 @@ def test_funnel_conversion_window(spark):
         ).collect()
     }
     assert out == {1: 2, 2: 3}
+
+
+def test_mad_filter_degenerate_mad_passes_through(spark):
+    """A majority-constant column has MAD 0: no robust scale exists,
+    so the gate must pass everything through instead of dropping all
+    off-median rows."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import mad_filter
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(9)] + [(9, 5000)], "id LONG, x LONG"
+    )
+    out = mad_filter(df, "x", n_sigmas=3.0)
+    assert out.count() == 10, "MAD == 0 must disable the gate"
+    assert all(r["robust_z"] == 0.0 for r in out.collect())
