@@ -1,0 +1,107 @@
+"""Slowly-changing-dimension maintenance (SCD type 2): versioned
+upsert of a dimension table from an update batch.
+
+The reference pipeline refreshes its mapping/dimension tables by full
+overwrite (code/ukg_open_census.py's overwrite pattern + the M5
+RUN_ID snapshot family); SCD2 is the standard warehouse upgrade of
+that: keep every historical version with a validity interval instead
+of destroying it, so fact joins can be AS-OF correct (this pairs with
+``operators.windows.asof_join`` for point-in-time lookups).
+
+Everything is set algebra — one full-outer join per batch, no
+row-at-a-time merge loop:
+
+- close the current version of every key whose tracked attributes
+  actually changed (``valid_to`` = the update's effective time),
+- open a new version for changed and brand-new keys,
+- pass unchanged/untouched rows through byte-identical.
+
+Scale shape: ONE shuffle on the business key for the outer join
+(update batches are usually dimension-sized → broadcast); history
+rows are untouched and at rest under a lake format would not even be
+rewritten.  Change detection is a null-safe struct comparison —
+codegen, no per-column python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    eff_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension and return the new
+    full dimension state (history + closed-out + currents).
+
+    ``dim`` carries ``key_col``, ``attr_cols``, ``valid_from``,
+    ``valid_to`` (NULL = open) and ``current_col``; ``updates``
+    carries ``key_col``, ``attr_cols``, ``eff_col``.  Multiple
+    updates for one key in a batch collapse to the latest by
+    ``eff_col`` (deterministic tie-break on the attribute struct) —
+    intra-batch intermediate versions are NOT materialized, matching
+    one-merge-per-batch warehouse semantics.  An update identical to
+    the key's current attributes is a no-op, not a new version.
+    """
+    attrs = lambda side: F.struct(  # noqa: E731 — local comparator
+        *[F.col(f"{side}.{c}") for c in attr_cols]
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(eff_col).desc(), *[F.col(c).desc() for c in attr_cols]
+    )
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    hist = dim.filter(~F.col(current_col))
+    cur = dim.filter(F.col(current_col))
+    j = cur.alias("c").join(latest.alias("u"), key_col, "full_outer")
+
+    has_cur = F.col(f"c.{valid_from}").isNotNull()
+    has_upd = F.col(f"u.{eff_col}").isNotNull()
+    changed = has_cur & has_upd & ~attrs("c").eqNullSafe(attrs("u"))
+
+    # ONE pass over the join: each row conditionally emits its
+    # surviving-current / closed / newly-opened versions through a
+    # filtered-array explode.  Three filtered branches off the same
+    # join would re-expand the whole upstream into the plan (the plan
+    # audit flags it as a many-scan smell) — a row can yield up to
+    # two outputs (closed + opened), so emit rows, don't re-join.
+    def version(attr_side, vf, vt, cur):
+        return F.struct(
+            *[F.col(f"{attr_side}.{c}").alias(c) for c in attr_cols],
+            vf.alias(valid_from),
+            vt.alias(valid_to),
+            cur.alias(current_col),
+        )
+
+    no_end = F.lit(None).cast(dim.schema[valid_to].dataType)
+    emit = F.array(
+        F.when(
+            has_cur & ~changed,
+            version("c", F.col(f"c.{valid_from}"), F.col(f"c.{valid_to}"), F.lit(True)),
+        ),
+        F.when(
+            changed,
+            version("c", F.col(f"c.{valid_from}"), F.col(f"u.{eff_col}"), F.lit(False)),
+        ),
+        F.when(
+            changed | (has_upd & ~has_cur),
+            version("u", F.col(f"u.{eff_col}"), no_end, F.lit(True)),
+        ),
+    )
+    out = j.select(
+        F.col(key_col),
+        F.explode(F.filter(emit, lambda v: v.isNotNull())).alias("__v"),
+    ).select(key_col, "__v.*")
+    return hist.select(out.columns).unionByName(out)

@@ -4452,3 +4452,87 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned upsert of the customer-segment dimension: an
+    update batch (derived deterministically from customer) changes
+    some segments, repeats others verbatim (no-ops), and introduces
+    new keys — one full-outer set-algebra merge, no row loop."""
+    from .operators import scd
+
+    c = rebalance(load_table(spark, sf_dir, "customer"))
+    t0 = F.lit("2023-01-01 00:00:00").cast("timestamp_ntz")
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    dim = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R")).alias("seg"),
+        t1.alias("effective_ts"),
+    )
+    noops = c.filter(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+        t1.alias("effective_ts"),
+    )
+    fresh = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("key"),
+        F.lit("NEWSEG").alias("seg"),
+        t1.alias("effective_ts"),
+    )
+    out = scd.scd2_merge(
+        dim, changed.unionByName(noops).unionByName(fresh), "key", ["seg"]
+    )
+    return out.select("key", "seg", "valid_from", "valid_to", "is_current")
+
+
+ORACLE_SCD2 = """
+WITH dim AS (
+    SELECT c_custkey AS key, c_mktsegment AS seg,
+           TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM customer
+),
+upd AS (
+    SELECT c_custkey AS key, c_mktsegment || '-R' AS seg,
+           TIMESTAMP '2024-01-01 00:00:00' AS eff
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-01-01 00:00:00'
+    FROM customer WHERE c_custkey % 3 = 1
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEWSEG', TIMESTAMP '2024-01-01 00:00:00'
+    FROM customer WHERE c_custkey % 7 = 0
+),
+j AS (
+    SELECT coalesce(d.key, u.key) AS key, d.seg AS dseg, u.seg AS useg,
+           d.valid_from AS dvf, u.eff AS eff,
+           d.key IS NOT NULL AS has_cur, u.key IS NOT NULL AS has_upd
+    FROM dim d FULL OUTER JOIN upd u ON d.key = u.key
+)
+SELECT key, dseg AS seg, dvf AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+FROM j WHERE has_cur AND NOT (has_upd AND dseg IS DISTINCT FROM useg)
+UNION ALL
+SELECT key, dseg, dvf, eff, FALSE
+FROM j WHERE has_cur AND has_upd AND dseg IS DISTINCT FROM useg
+UNION ALL
+SELECT key, useg, eff, CAST(NULL AS TIMESTAMP), TRUE
+FROM j WHERE (has_cur AND has_upd AND dseg IS DISTINCT FROM useg)
+          OR (has_upd AND NOT has_cur)
+"""
+
+
+AUX_QUERIES["scd2_merge"] = q_scd2_merge
+AUX_ORACLES["scd2_merge"] = ORACLE_SCD2
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -719,3 +719,50 @@ def test_mad_filter_degenerate_mad_passes_through(spark):
     out = mad_filter(df, "x", n_sigmas=3.0)
     assert out.count() == 10, "MAD == 0 must disable the gate"
     assert all(r["robust_z"] == 0.0 for r in out.collect())
+
+
+def test_scd2_merge_semantics(spark):
+    """SCD2 merge: change closes + opens, no-op passes through, new
+    key opens, history untouched, and multiple same-batch updates
+    collapse to the latest effective time (no intermediate version)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.scd import scd2_merge
+
+    ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", "2022-01-01 00:00:00", "2023-01-01 00:00:00", False),
+            (1, "silver", "2023-01-01 00:00:00", None, True),   # will change
+            (2, "bronze", "2023-01-01 00:00:00", None, True),   # no-op update
+            (3, "gold", "2023-01-01 00:00:00", None, True),     # untouched
+        ],
+        "key LONG, seg STRING, vf_s STRING, vt_s STRING, is_current BOOLEAN",
+    ).select(
+        "key", "seg",
+        F.col("vf_s").cast("timestamp_ntz").alias("valid_from"),
+        F.col("vt_s").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "plat", "2024-01-01 00:00:00"),
+            (1, "gold", "2024-06-01 00:00:00"),  # later same-batch: wins
+            (2, "bronze", "2024-01-01 00:00:00"),
+            (9, "new", "2024-01-01 00:00:00"),
+        ],
+        "key LONG, seg STRING, eff_s STRING",
+    ).select("key", "seg", F.col("eff_s").cast("timestamp_ntz").alias("effective_ts"))
+
+    out = scd2_merge(dim, upd, "key", ["seg"])
+    rows = {(r["key"], r["seg"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # key 1: old history intact, silver closed at the WINNING update's
+    # eff (2024-06), one new current "gold" — no intermediate "plat"
+    assert (1, "gold", False) in rows
+    closed = rows[(1, "silver", False)]
+    assert str(closed["valid_to"]).startswith("2024-06-01")
+    assert (1, "gold", True) in rows and (1, "plat", True) not in rows
+    # key 2 no-op: still one current bronze with original valid_from
+    assert str(rows[(2, "bronze", True)]["valid_from"]).startswith("2023-01-01")
+    # key 3 untouched; key 9 opened
+    assert (3, "gold", True) in rows
+    assert str(rows[(9, "new", True)]["valid_from"]).startswith("2024-01-01")
