@@ -4536,3 +4536,75 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition SCD2 + as-of exist for: each order enriched
+    with the customer-segment version that was CURRENT at order time.
+    The versioned dimension comes from scd2_merge (segments change at
+    2024-01-01 for keys % 3 == 0); the lookup is asof_join on the
+    version-open timestamps — union+window, one shuffle, no range
+    join.  Orders before the dimension's first version resolve to
+    NULL (no segment was in effect), counted honestly per segment."""
+    from .operators import scd
+
+    c = rebalance(load_table(spark, sf_dir, "customer"))
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    t0 = F.lit("1995-06-01 00:00:00").cast("timestamp_ntz")
+    t1 = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    dim = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.concat(F.col("c_mktsegment"), F.lit("-R")).alias("seg"),
+        t1.alias("effective_ts"),
+    )
+    versions = scd.scd2_merge(dim, upd, "key", ["seg"]).select(
+        "key",
+        F.col("valid_from").alias("ts"),
+        "seg",
+        # version open ts doubles as the right-side id: unique per key
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("vid"),
+    )
+    matched = windows.asof_join(o, versions, "key", "ts", ["seg"], "vid")
+    return matched.groupBy(F.col("asof_seg").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+ORACLE_PIT = """
+WITH dim AS (
+    SELECT c_custkey AS key, c_mktsegment AS seg,
+           TIMESTAMP '1995-06-01 00:00:00' AS vf
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_mktsegment || '-R', TIMESTAMP '1997-01-01 00:00:00'
+    FROM customer WHERE c_custkey % 3 = 0
+),
+m AS (
+    SELECT o.o_orderkey, d.seg
+    FROM orders o LEFT JOIN dim d
+      ON d.key = o.o_custkey AND d.vf <= o.o_orderdate
+    QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+                               ORDER BY d.vf DESC) = 1
+)
+SELECT seg, count(*) AS n_orders FROM m GROUP BY 1
+"""
+
+
+AUX_QUERIES["point_in_time_join"] = q_point_in_time_join
+AUX_ORACLES["point_in_time_join"] = ORACLE_PIT
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

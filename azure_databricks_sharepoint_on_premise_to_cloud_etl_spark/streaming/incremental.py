@@ -157,3 +157,54 @@ def start_foreach_batch_to_parquet(
         .outputMode(output_mode)
         .start()
     )
+
+
+def drain_scd2_upsert(
+    updates_stream: DataFrame,
+    dim_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    attr_cols: list[str],
+    eff_col: str = "effective_ts",
+) -> None:
+    """CDC-stream → SCD2 dimension: every micro-batch of updates is
+    merged into the parquet dimension at ``dim_path`` via
+    ``operators.scd.scd2_merge`` inside ``foreachBatch`` — the
+    production change-data-capture consumer: exactly-once per batch
+    through the checkpoint, versions accumulate across batches, and a
+    resumed drain on the same checkpoint never re-merges processed
+    input.
+
+    The dimension is read and fully rewritten per batch (the plain-
+    parquet form; a lake format upgrades the rewrite to a MERGE on
+    changed keys only).  The rewrite stages through a temp dir +
+    atomic rename so a mid-write failure cannot destroy the
+    dimension; the checkpoint then replays the batch.
+    """
+    import os
+    import shutil
+
+    from ..operators.scd import scd2_merge
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        merged = scd2_merge(dim, batch_df, key_col, attr_cols, eff_col)
+        staged = dim_path.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(staged)
+        old = dim_path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dim_path, old)
+        os.rename(staged, dim_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        updates_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_batch)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()

@@ -116,3 +116,63 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # updated by the late row — still 1
     assert by_window[(10, "click")] == 1
     assert (9, "click") not in by_window or by_window[(9, "click")] == 0
+
+
+def test_streaming_scd2_cdc_upsert(spark, tmp_path):
+    """CDC stream -> SCD2 dimension through foreachBatch: versions
+    accumulate across micro-batch drains and a re-drain on the same
+    checkpoint leaves the dimension unchanged.  (Note scd2_merge is
+    itself idempotent for a repeated identical batch — the update
+    equals the new current so a re-merge no-ops; the checkpoint
+    ledger's no-reprocessing guarantee is proven separately by
+    test_file_stream_exactly_once_ledger.)"""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    dim_path = str(tmp_path / "dim")
+    src = str(tmp_path / "updates")
+    ckpt = str(tmp_path / "ckpt_scd")
+
+    spark.createDataFrame(
+        [(1, "gold", dt.datetime(2023, 1, 1), None, True),
+         (2, "bronze", dt.datetime(2023, 1, 1), None, True)],
+        "key LONG, seg STRING, valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN",
+    ).write.parquet(dim_path)
+
+    schema = "key LONG, seg STRING, effective_ts TIMESTAMP"
+
+    def drain():
+        stream = incremental.stream_from_files(spark, src, schema)
+        incremental.drain_scd2_upsert(
+            stream, dim_path, ckpt, "key", ["seg"]
+        )
+
+    # batch 1: change key 1, add key 3
+    spark.createDataFrame(
+        [(1, "plat", dt.datetime(2024, 1, 1)), (3, "new", dt.datetime(2024, 1, 1))],
+        schema,
+    ).write.mode("append").parquet(src)
+    drain()
+    d1 = spark.read.parquet(dim_path)
+    assert d1.count() == 4  # closed gold + current plat/bronze/new
+    cur = {r["key"]: r["seg"] for r in d1.filter("is_current").collect()}
+    assert cur == {1: "plat", 2: "bronze", 3: "new"}
+
+    # batch 2: change key 1 again
+    spark.createDataFrame(
+        [(1, "diamond", dt.datetime(2025, 1, 1))], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    d2 = spark.read.parquet(dim_path)
+    assert d2.count() == 5
+    assert d2.filter("key = 1").count() == 3  # gold -> plat -> diamond
+    closed_plat = d2.filter(
+        (F.col("key") == 1) & (F.col("seg") == "plat")
+    ).collect()[0]
+    assert not closed_plat["is_current"]
+    assert closed_plat["valid_to"] == dt.datetime(2025, 1, 1)
+
+    # re-drain with no new files: checkpoint ledger -> zero re-merge
+    drain()
+    assert spark.read.parquet(dim_path).count() == 5
