@@ -77,6 +77,9 @@ HEAVY = [
     "asof_union_join",
     "resample_ffill",
     "cohort_retention",
+    # the SCD2 family over the replicated relational sub-universes
+    "scd2_merge",
+    "point_in_time_join",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
