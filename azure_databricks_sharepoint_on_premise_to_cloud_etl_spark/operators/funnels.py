@@ -139,3 +139,63 @@ def cohort_retention(
             "n_active",
         )
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: credit every conversion
+    event's value to the channel (the ``type_col`` of the key's most
+    recent PRECEDING non-conversion event), then roll up per channel.
+    Conversions with no preceding touch attribute to the literal
+    channel ``'(none)'`` — counted honestly, never dropped.
+
+    This is the marketing-analytics composition of the engine's as-of
+    machinery (SURVEY J6): conversions are the left of a backward
+    as-of join against the same stream's touches.  Implemented with
+    the union+window pattern via one ``last(..., ignorenulls)`` sweep
+    per key — ONE shuffle on (key), work linear in events, no range
+    join, no per-conversion rescan of the touch history.
+
+    Determinism: a touch at the exact conversion timestamp is visible
+    (ties go to the touch, matching asof_join's boundary rule); among
+    same-timestamp touches the one with the larger event id wins —
+    the window never orders by a nullable column.
+    """
+    is_conv = F.col(type_col) == conversion_type
+    tagged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        is_conv.cast("int").alias("__is_c"),
+        F.when(~is_conv, F.col(type_col)).alias("__touch"),
+        F.when(~is_conv, F.col("event_id")).alias("__tid"),
+        F.when(is_conv, F.col(value_col)).alias("__val"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col(ts_col),
+            F.col("__is_c"),  # touch sorts before conversion at equal ts
+            F.coalesce(F.col("__tid"), F.lit(-1)),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = tagged.withColumn(
+        "__channel", F.last("__touch", ignorenulls=True).over(w)
+    ).filter(F.col("__is_c") == 1)
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("__channel"), F.lit("(none)")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("__val"), 4).alias("attributed_value"),
+        )
+    )

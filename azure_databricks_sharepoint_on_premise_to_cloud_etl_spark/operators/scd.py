@@ -105,3 +105,66 @@ def scd2_merge(
         F.explode(F.filter(emit, lambda v: v.isNotNull())).alias("__v"),
     ).select(key_col, "__v.*")
     return hist.select(out.columns).unionByName(out)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Change-data-capture between two keyed snapshots: classify every
+    key as ``insert`` / ``update`` / ``delete`` and return only the
+    changed rows (the change feed), carrying the new values — old
+    values for deletes.
+
+    This is the producing twin of the M5/RUN_ID snapshot family
+    (pkg/sinks/writers.py): the reference pipeline writes versioned
+    full snapshots (code/ukg_open_census.py's overwrite + RUN_ID
+    pattern); diffing two of them yields the incremental feed that a
+    downstream SCD2 merge (``scd2_merge``) or a streaming CDC consumer
+    ingests, without the source ever producing deltas itself.
+
+    Scale shape: ONE full-outer shuffle join on the business key;
+    change detection is a null-safe struct comparison (codegen, no
+    per-column python); unchanged keys — the overwhelming majority of
+    a 100 TB dimension between adjacent runs — are filtered before
+    anything else happens, so the output is delta-sized.
+    """
+    # Pack each side's attributes into ONE struct BEFORE the join:
+    # post-join the whole struct is NULL exactly when that side is
+    # absent, so presence detection never confuses a missing row with
+    # a present row whose attributes happen to be NULL.
+    o = old.select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__new"),
+    )
+    j = o.join(n, key_col, "full_outer")
+    kind = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+    )
+    return (
+        j.withColumn(change_col, kind)
+        .filter(F.col(change_col).isNotNull())
+        .select(
+            key_col,
+            F.col(change_col),
+            # new values for insert/update; old values for delete —
+            # selected by side presence, NOT coalesce, so an update
+            # that nulls an attribute reports the NULL, not the old
+            # value
+            *[
+                F.when(F.col("__new").isNull(), F.col(f"__old.{c}"))
+                .otherwise(F.col(f"__new.{c}"))
+                .alias(c)
+                for c in compare_cols
+            ],
+        )
+    )

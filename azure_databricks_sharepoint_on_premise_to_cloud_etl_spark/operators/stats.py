@@ -130,3 +130,32 @@ def mad_filter(
         .withColumn("robust_z", F.round(robust_z, 6))
         .drop("__med", "__dev", "__mad")
     )
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS of y on x): slope,
+    intercept, R², and the pair count — trend extraction over a fact
+    table as ONE codegen hash aggregate.
+
+    Uses the SQL-standard ``regr_*`` aggregate family (Spark ≥ 3.4,
+    also in DuckDB/Postgres/Trino), which runs map-side partial
+    aggregation like any sum — shuffle volume is groups × constant
+    state, never rows, so the shape is identical to a group-by count
+    at 100 TB.  Rows where either coordinate is NULL are excluded per
+    the standard.  Results are rounded in-plan so cross-engine float
+    summation order can't flip a digest.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.round(F.regr_slope(F.col(y_col), F.col(x_col)), round_to).alias("slope"),
+        F.round(F.regr_intercept(F.col(y_col), F.col(x_col)), round_to).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2(F.col(y_col), F.col(x_col)), round_to).alias("r2"),
+        F.regr_count(F.col(y_col), F.col(x_col)).alias("n_pairs"),
+    )

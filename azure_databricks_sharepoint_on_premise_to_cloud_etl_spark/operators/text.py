@@ -468,3 +468,73 @@ def bpe_init_symbols(word: Column | str) -> Column:
     tokenizer calls for it)."""
     c = F.col(word) if isinstance(word, str) else word
     return F.trim(F.regexp_replace(c, r"(.)", r"$1 "))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring (the CCNet-style
+    perplexity-filter upgrade of the unigram scorer): fit corpus
+    bigram + unigram distributions, score each document by the mean
+    ``ln(lam * P(cur|prev) + (1-lam) * P(cur))`` over its bigram
+    positions.  Low scores flag token-salad documents that unigram
+    statistics miss (every word common, the SEQUENCE improbable).
+
+    Documents with fewer than two tokens have no bigram positions and
+    are excluded (the quality gate has nothing to judge).
+
+    Scale shape: the corpus collapses to per-doc bigram frequencies
+    FIRST, so every downstream shuffle carries tf-sized rows, never
+    the raw token stream; the conditional's numerator and denominator
+    come from ONE bigram-count table (context count = its per-prev
+    rollup — never a second corpus scan); vocabulary-sized count
+    tables broadcast back.  Like the unigram scorer, the score is the
+    tf-weighted mean, identical to the per-position mean.
+    """
+    toks = word_tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    # bigram stream: pair each token (from position 2 on) with its
+    # predecessor via an index-aware transform — no posexplode
+    # self-join, the pairing happens inside the row
+    pairs = F.transform(
+        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+        lambda w, i: F.struct(
+            F.element_at(F.col("__toks"), i + 1).alias("prev"),
+            w.alias("cur"),
+        ),
+    )
+    bf = (
+        d.select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(id_col, F.col("__bg.prev").alias("prev"), F.col("__bg.cur").alias("cur"))
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c2 = bf.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
+    ctx = c2.groupBy("prev").agg(F.sum("c2").alias("cctx"))
+    uni = (
+        df.select(F.explode(word_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("n"))
+    p = F.lit(lam) * (F.col("c2") / F.col("cctx")) + F.lit(1.0 - lam) * (
+        F.col("c1") / F.col("n")
+    )
+    return (
+        bf.join(F.broadcast(c2), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(uni.withColumnRenamed("term", "cur")), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6).alias(
+                "lm_score"
+            ),
+        )
+    )

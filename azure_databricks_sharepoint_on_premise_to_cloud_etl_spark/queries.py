@@ -4608,3 +4608,198 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed between two dimension snapshots (the producing
+    twin of scd2_merge): keys %5==0 change segment, %11==0 are deleted
+    from the new snapshot (delete wins over change), %13==0 spawn a
+    fresh key — one full-outer set-algebra diff, delta-sized output."""
+    from .operators import scd
+
+    c = rebalance(load_table(spark, sf_dir, "customer"))
+    old = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    new = (
+        c.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.concat(F.col("c_mktsegment"), F.lit("-X")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 2_000_000).alias("key"),
+                F.lit("FRESH").alias("seg"),
+                F.col("c_nationkey").alias("nk"),
+            )
+        )
+    )
+    return scd.snapshot_diff(old, new, "key", ["seg", "nk"])
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+    SELECT c_custkey AS key, c_mktsegment AS seg, c_nationkey AS nk
+    FROM customer
+),
+new AS (
+    SELECT c_custkey AS key,
+           CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '-X'
+                ELSE c_mktsegment END AS seg,
+           c_nationkey AS nk
+    FROM customer WHERE c_custkey % 11 <> 0
+    UNION ALL
+    SELECT c_custkey + 2000000, 'FRESH', c_nationkey
+    FROM customer WHERE c_custkey % 13 = 0
+),
+j AS (
+    SELECT coalesce(o.key, n.key) AS key,
+           o.seg AS oseg, o.nk AS onk, n.seg AS nseg, n.nk AS nnk,
+           o.key IS NOT NULL AS ho, n.key IS NOT NULL AS hn
+    FROM old o FULL OUTER JOIN new n ON o.key = n.key
+)
+SELECT key,
+       CASE WHEN NOT ho THEN 'insert'
+            WHEN NOT hn THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CASE WHEN hn THEN nseg ELSE oseg END AS seg,
+       CASE WHEN hn THEN nnk ELSE onk END AS nk
+FROM j
+WHERE NOT ho OR NOT hn
+   OR (oseg IS DISTINCT FROM nseg OR onk IS DISTINCT FROM nnk)
+"""
+
+
+AUX_QUERIES["snapshot_diff"] = q_snapshot_diff
+AUX_ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (slope/intercept/R² of extendedprice on
+    quantity per returnflag) — the SQL-standard regr_* family as one
+    codegen hash aggregate; group-by-count shuffle shape at 100 TB."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.group_ols(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+ORACLE_GROUP_OLS = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n_pairs
+FROM lineitem
+GROUP BY 1
+"""
+
+
+AUX_QUERIES["group_ols"] = q_group_ols
+AUX_ORACLES["group_ols"] = ORACLE_GROUP_OLS
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits its
+    value to the user's most recent preceding non-purchase event type.
+    One union+window sweep per user — the as-of machinery (J6) turned
+    into the marketing-analytics report; no range join."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return funnels.last_touch_attribution(e, "purchase")
+
+
+ORACLE_ATTRIBUTION = """
+WITH conv AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT c.event_id, c.value, t.event_type AS channel
+    FROM conv c LEFT JOIN events t
+      ON t.user_id = c.user_id AND t.ts <= c.ts
+     AND t.event_type <> 'purchase'
+    QUALIFY row_number() OVER (PARTITION BY c.event_id
+                               ORDER BY t.ts DESC, t.event_id DESC) = 1
+)
+SELECT coalesce(channel, '(none)') AS channel,
+       count(*) AS n_conversions,
+       round(sum(value), 4) AS attributed_value
+FROM m GROUP BY 1
+"""
+
+
+AUX_QUERIES["attribution"] = q_attribution
+AUX_ORACLES["attribution"] = ORACLE_ATTRIBUTION
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (perplexity-filter upgrade of
+    unigram_lm_score): mean ln(0.7·P(cur|prev) + 0.3·P(cur)) per doc,
+    fit on the corpus itself.  tf-collapsed shuffles, broadcast count
+    tables; docs under two tokens carry no signal and are excluded."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.bigram_lm_score(d, "doc_id", "text", lam=0.7)
+
+
+ORACLE_BIGRAM_LM = """
+WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS term
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents)
+),
+uni AS (SELECT term, count(*) AS c1 FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM toks),
+big AS (
+    SELECT a.doc_id, a.term AS prev, b.term AS cur
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM big GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(c2) AS cctx FROM c2 GROUP BY 1)
+SELECT g.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(0.7 * (CAST(c2.c2 AS DOUBLE) / ctx.cctx)
+                  + 0.3 * (CAST(u.c1 AS DOUBLE) / tot.n))), 6) AS lm_score
+FROM big g
+JOIN c2 USING (prev, cur)
+JOIN ctx USING (prev)
+JOIN uni u ON g.cur = u.term, tot
+GROUP BY 1
+"""
+
+
+AUX_QUERIES["bigram_lm_score"] = q_bigram_lm_score
+AUX_ORACLES["bigram_lm_score"] = ORACLE_BIGRAM_LM
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
