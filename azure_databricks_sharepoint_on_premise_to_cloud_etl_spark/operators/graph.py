@@ -342,3 +342,94 @@ def release_components(result: DataFrame) -> bool:
         result._persisted_intermediates = None
         released = True
     return released
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    the local-clustering signal of the near-dup candidate graph
+    (dense triangle neighborhoods = template families; a node's
+    triangle count says how mutually-confirming its duplicate
+    evidence is).
+
+    Scale shape — degree-ordered orientation (the standard web-scale
+    formulation): every edge is oriented from its LOWER-(degree, id)
+    endpoint to its higher one, so each triangle is enumerated exactly
+    once from its lowest vertex and, crucially, a node's out-degree is
+    bounded by ~sqrt(|E|) even under power-law skew — the wedge
+    self-join on the source never explodes on hub nodes the way the
+    naive id-ordered join does.  Three equi-joins total (degree
+    attach, wedge build, closing-edge probe); no cross joins, no
+    iteration.  Isolated and triangle-free nodes are absent from the
+    output (count 0).
+
+    The canonical edge set is eagerly ``localCheckpoint``-ed: the
+    degree attach, wedge build, and closing-edge probe reference it
+    five times, and without cutting lineage each reference re-executes
+    the caller's whole upstream pipeline (for the LSH candidate graph,
+    five MinHash passes over the corpus) — a plain ``persist`` leaves
+    the expanded subtree in every downstream plan.  Call
+    ``release_components(result)`` after consuming the result to free
+    the checkpointed blocks (same contract as connected_components).
+
+    Returns (node, n_triangles).
+    """
+    # canonical undirected edge set (a < b), self-loops dropped
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): degree table is node-count sized — at LSH
+    # candidate scale a broadcast; AQE picks that without a hint here
+    # to stay safe on genuinely huge candidate graphs
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    with_deg = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("__db")).otherwise(F.col("__da")).alias(
+            "__dv"
+        ),
+    )
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("__dv").alias("__dx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("__dv").alias("__dy"))
+    # wedges at u: out-neighbor pairs (x, y) with x before y in the
+    # SAME (deg, id) total order the orientation used
+    wedges = o1.join(o2, "u").filter(
+        (F.col("__dx") < F.col("__dy"))
+        | ((F.col("__dx") == F.col("__dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi").select(
+        "u", "x", "y"
+    )
+    result = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    # release_components() frees the checkpointed edge blocks through
+    # the same handle convention connected_components uses
+    result._cc_final_generation = e
+    result._cc_checkpoint_dir = None
+    return result

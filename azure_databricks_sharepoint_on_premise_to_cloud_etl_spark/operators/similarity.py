@@ -374,3 +374,67 @@ def embedding_dim_stats(
             F.round(F.max("__xd"), 6).alias("dim_max"),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Population covariance matrix of an embedding column, as tidy
+    (i, j, cov_pop) rows for every dimension pair i <= j — the input
+    to a PCA/whitening step (the d×d eigenproblem is driver-trivial
+    once the covariance is reduced; it is the REDUCTION that is the
+    distributed problem).
+
+    Scale shape: each row expands to its d(d+1)/2 upper-triangle
+    products via nested ``transform`` + one ``explode`` — pure
+    codegen, no join — and ONE hash aggregate keyed by the
+    pair-count-sized (i, j) collapses them with map-side partials, so
+    the shuffle carries at most d(d+1)/2 rows per map partition
+    regardless of corpus size.  Covariance uses the same
+    E[xy] − E[x]E[y] plain-sums form as :func:`embedding_dim_stats`
+    (values widen float → double BEFORE any multiply, matching the
+    oracle's cast discipline).  At extreme scale the constant factor
+    drops further with a BLAS partial outer-product per Arrow batch
+    (``mapInPandas`` emitting per-batch (i, j, sum_xy) partials into
+    the same aggregate); the declarative form here keeps the whole
+    plan in whole-stage codegen and is the oracle-parity reference.
+
+    Returns (i, j, n_vecs, cov_pop) for i <= j.
+    """
+    xd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    d = df.select(xd.alias("__xd")).filter(F.col("__xd").isNotNull())
+    n_dim = F.size("__xd")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_dim - 1),
+            lambda i: F.transform(
+                F.sequence(i, n_dim - 1),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    F.element_at("__xd", i + 1).alias("xi"),
+                    F.element_at("__xd", j + 1).alias("xj"),
+                ),
+            ),
+        )
+    )
+    ex = d.select(F.explode(pairs).alias("p")).select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        F.col("p.xi").alias("__xi"),
+        F.col("p.xj").alias("__xj"),
+    )
+    return ex.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a near-zero covariance
+        # can round to either sign of zero depending on summation
+        # order, and the oracle compare is textual)
+        (
+            F.round(
+                F.avg(F.col("__xi") * F.col("__xj"))
+                - F.avg("__xi") * F.avg("__xj"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov_pop"),
+    )

@@ -1,0 +1,107 @@
+"""Mergeable frequency sketches: count-min over token streams.
+
+A count-min sketch (Cormode & Muthukrishnan 2005) answers point
+frequency queries over a stream/corpus in O(depth x width) space with
+one-sided error (estimate >= truth, overshoot bounded by
+``2N/width`` w.h.p.).  At 100 TB the exact term-frequency table is
+itself huge; the sketch is FIXED-SIZE and MERGEABLE — each executor
+builds partial cells map-side and the shuffle carries at most
+``depth x width`` rows per partition, never the vocabulary.
+
+Hashing uses engine-native ``xxhash64`` over ``"{row}#{term}"``
+strings — deterministic and reproducible in the DuckDB oracle through
+the ``spark_xxhash64`` UDF (tools/xxh64_oracle.py), so the sketch
+cells and every estimate are full value-hash verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _bucket(term, row: int, width: int):
+    """Row-``row`` bucket of ``term``: pmod(xxhash64('row#term'), width).
+
+    One string concat per (term, row) keeps the hash single-argument —
+    the only xxhash64 shape the cross-engine oracle twin reproduces.
+    """
+    return F.pmod(
+        F.xxhash64(F.concat(F.lit(f"{row}#"), term)), F.lit(width)
+    ).cast("int")
+
+
+def cms_cells(
+    term_counts: DataFrame,
+    term_col: str = "term",
+    count_col: str = "cnt",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build count-min cells from a (term, count) frequency table.
+
+    The input is the COLLAPSED term-frequency table (tf per term), so
+    the explode below is vocabulary-sized x depth, not corpus-sized;
+    the (row, bucket) aggregate partial-combines map-side down to at
+    most ``depth x width`` cells.  Returns (row, bucket, cell).
+    """
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(F.col(term_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        term_counts.select(
+            F.col(count_col).alias("__c"), F.explode(buckets).alias("__rb")
+        )
+        .groupBy(
+            F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket")
+        )
+        .agg(F.sum("__c").alias("cell"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each term in ``terms`` against sketch ``cells``:
+    min over rows of the term's bucket cell (0 when a bucket is empty,
+    which can only happen for terms absent from the sketch).
+
+    The probe explodes ``depth`` rows per queried term and equi-joins
+    (row, bucket) against the sketch — the sketch side is at most
+    ``depth x width`` rows and broadcasts.  Extra columns on ``terms``
+    ride through.  Returns ``terms``'s columns plus ``cms_est``.
+    """
+    out_cols = [c for c in terms.columns]
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(F.col(term_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        terms.select(*out_cols, F.explode(probes).alias("__rb"))
+        .join(
+            F.broadcast(cells),
+            (F.col("__rb.row") == F.col("row"))
+            & (F.col("__rb.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy(*out_cols)
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cms_est"))
+    )

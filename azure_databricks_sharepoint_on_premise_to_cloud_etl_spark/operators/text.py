@@ -538,3 +538,99 @@ def bigram_lm_score(
             ),
         )
     )
+
+
+def novelty_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-novelty scoring: the fraction of a document's DISTINCT
+    word ``n``-grams that appear in no other document (cross-document
+    document-frequency == 1).  High novelty marks genuinely new
+    content; low novelty marks templated/derivative text — the
+    diversity-aware complement of the boilerplate scrub, used to
+    up-weight rare content when composing a training mix.
+
+    Scale shape: the corpus-wide exchange carries 8-byte gram digests
+    only — (doc, digest)-distinct pairs feed a digest-count aggregate
+    (map-side partial), and the df table joins back on the SAME digest
+    key, so AQE reuses the exchange partitioning; text never shuffles.
+    Documents shorter than ``n`` tokens have no n-grams and are
+    excluded (novelty is undefined for them).
+
+    Returns (id_col, n_distinct_grams, novelty) per document with at
+    least one n-gram.
+    """
+    toked = docs.select(F.col(id_col), word_tokens(text_col).alias("__toks"))
+    gram_digest = lambda i: portable_hash64(  # noqa: E731
+        F.array_join(F.slice(F.col("__toks"), i + 1, n), " ")
+    )
+    pairs = (
+        toked.filter(F.size("__toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__toks") - n), gram_digest
+                    )
+                )
+            ).alias("__gh"),
+        )
+    )
+    dfreq = pairs.groupBy("__gh").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        pairs.join(dfreq, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.round(
+                F.avg((F.col("__df") == 1).cast("double")), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Inverted-index construction: per term, its document frequency,
+    collection frequency, and the sorted posting list of documents
+    containing it — the retrieval-side artifact of a corpus (BM25
+    lookups, contamination probes, targeted subset pulls).
+
+    ``min_df``/``max_df`` bound the emitted band: singleton-df terms
+    are hapax noise and stopword-class terms (df above ``max_df``)
+    would make posting rows arbitrarily wide — at 100 TB those terms'
+    postings must be SHARDED (term, shard_no) rather than carried as
+    one row, so this operator emits only the bounded middle band and
+    leaves the head terms to the sharded form.  Shuffle shape: one
+    (term, doc) pre-aggregate collapses per-document repetitions
+    (map-side partial), then one term-keyed aggregate builds the
+    posting arrays — the classic two-stage index build.
+
+    Returns (term, df, cf, postings) with postings a comma-joined
+    ascending doc-id string (portable across engines).
+    """
+    td = (
+        docs.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("__tf").alias("cf"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col(id_col))), ","
+            ).alias("postings"),
+        )
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )

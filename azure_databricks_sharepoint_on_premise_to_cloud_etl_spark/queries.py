@@ -4803,3 +4803,233 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening: corpus novelty, inverted index, count-min sketch,
+# triangle counting, covariance reduction
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 3
+
+
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty scoring: per document, the fraction of its
+    distinct word 3-grams that no other document contains — the
+    diversity complement of the boilerplate scrub.  Digest-only
+    corpus exchange; the df join reuses the aggregate's own
+    partitioning."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.novelty_score(d, n=_NOVELTY_N)
+
+
+def _novelty_oracle() -> str:
+    n = _NOVELTY_N
+    digest = _duck_hash(f"array_to_string(t[i+1:i+{n}], ' ')", 0)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, {digest} AS gh
+    FROM toks, unnest(range(0, greatest(0, len(t) - {n - 1}))) AS u(i)
+    WHERE len(t) >= {n}
+),
+dfreq AS (SELECT gh, count(*) AS df FROM grams GROUP BY 1)
+SELECT doc_id, count(*) AS n_distinct_grams,
+       round(avg(CAST(df = 1 AS DOUBLE)), 6) AS novelty
+FROM grams JOIN dfreq USING (gh)
+GROUP BY 1
+"""
+
+
+_INDEX_MIN_DF = 3
+_INDEX_MAX_DF = 50
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the document corpus: df/cf and the
+    sorted posting list per term in the bounded [3, 50]-df band (head
+    terms are sharded at scale, hapax noise dropped)."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.inverted_index(
+        d, min_df=_INDEX_MIN_DF, max_df=_INDEX_MAX_DF
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf) AS cf,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM td
+GROUP BY term
+HAVING count(*) BETWEEN {_INDEX_MIN_DF} AND {_INDEX_MAX_DF}
+"""
+
+
+_CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: build depth-4 x
+    width-1024 cells from the corpus term-frequency table, then
+    point-estimate the exact top-20 terms against the sketch.  The
+    one-sided guarantee (estimate >= exact) plus the cell values are
+    fully oracle-verified via the spark_xxhash64 DuckDB twin; at
+    100 TB the sketch is the fixed-size mergeable artifact that
+    replaces a vocabulary-sized exact table."""
+    from .functions import word_tokens
+    from .operators import sketch
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(F.explode(word_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = sketch.cms_cells(tf, "term", "cnt")
+    top = (
+        tf.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("term"))
+            ),
+        )
+        .filter(F.col("__rk") <= _CMS_TOPK)
+        .select("term", F.col("cnt").alias("exact_cnt"))
+    )
+    est = sketch.cms_estimate(cells, top, "term")
+    return est.select(
+        "term",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _cms_oracle() -> str:
+    from .operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    w = CMS_WIDTH
+    bucket = (
+        f"((spark_xxhash64(concat(CAST(r AS VARCHAR), '#', term)) % {w})"
+        f" + {w}) % {w}"
+    )
+    return f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+cells AS (
+    SELECT r, {bucket} AS bucket, sum(cnt) AS cell
+    FROM tf, unnest(range(0, {CMS_DEPTH})) AS u(r)
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT term, cnt AS exact_cnt FROM tf
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= {_CMS_TOPK}
+),
+probe AS (
+    SELECT term, exact_cnt, r, {bucket} AS bucket
+    FROM top, unnest(range(0, {CMS_DEPTH})) AS u(r)
+)
+SELECT p.term, p.exact_cnt, min(c.cell) AS cms_est,
+       min(c.cell) - p.exact_cnt AS overcount
+FROM probe p JOIN cells c USING (r, bucket)
+GROUP BY 1, 2
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts of the MinHash-LSH candidate graph —
+    how mutually-confirming each document's duplicate evidence is.
+    Degree-ordered orientation bounds wedge fan-out under skew; the
+    oracle is the orientation-free canonical three-way join (same
+    triangles by construction)."""
+    from .operators import graph
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return graph.triangle_counts(pairs, "id_a", "id_b")
+
+
+def _triangle_oracle() -> str:
+    pairs = _minhash_oracle().strip()
+    return f"""
+WITH e AS ({pairs}),
+tri AS (
+    SELECT e1.id_a AS u, e1.id_b AS v, e2.id_b AS w
+    FROM e e1
+    JOIN e e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+    JOIN e e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+)
+SELECT node, count(*) AS n_triangles
+FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+)
+GROUP BY 1
+"""
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance reduction over the embedding corpus
+    (the PCA/whitening input): d(d+1)/2 upper-triangle pairs per row
+    through one map-side-combined hash aggregate."""
+    e = rebalance(load_table(spark, sf_dir, "embeddings")).select("embedding")
+    return similarity.embedding_covariance(e)
+
+
+ORACLE_EMB_COV = """
+WITH x AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+)
+SELECT a.i AS i, b.i AS j, count(*) AS n_vecs,
+       round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) + 0.0 AS cov_pop
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "novelty_score": q_novelty_score,
+        "inverted_index": q_inverted_index,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "triangle_count": q_triangle_count,
+        "embedding_covariance": q_embedding_covariance,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "novelty_score": _novelty_oracle(),
+        "inverted_index": ORACLE_INVERTED_INDEX,
+        "cms_heavy_hitters": _cms_oracle(),
+        "triangle_count": _triangle_oracle(),
+        "embedding_covariance": ORACLE_EMB_COV,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -1,0 +1,137 @@
+"""Planted-fixture tests for the round-6 widening operators:
+triangle counting, count-min sketch, novelty scoring, inverted index,
+covariance reduction.  Corpus-level oracle parity is covered by the
+parameterized AUX test; these pin the SEMANTICS on inputs small enough
+to verify by hand (and against numpy where arithmetic is involved).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import sketch, text
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import triangle_counts
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import (
+    embedding_covariance,
+)
+
+
+def test_triangle_counts_planted(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5 and a
+    triangle-free star at 10 — counts exact, star absent."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, x) for x in (11, 12, 13, 14)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5)] + star, ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_direction_and_dup_insensitive(spark):
+    """Duplicate edges, reversed orientation, and self-loops must not
+    change the count — the canonicalization contract."""
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    edges = spark.createDataFrame(messy, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cms_estimate_one_sided_and_exact_when_unaliased(spark):
+    """CMS point estimates are >= truth always, and exact when the
+    sketch is wide enough that no collision occurred (10 terms into
+    width 1024 collides with probability ~ depth * 45/1024 per pair —
+    assert the dominant case holds for every term instead of relying
+    on luck: overcount is nonnegative and bounded by total mass)."""
+    rows = [(f"t{i}", i * 10 + 1) for i in range(10)]
+    tf = spark.createDataFrame(rows, ["term", "cnt"])
+    cells = sketch.cms_cells(tf, "term", "cnt", depth=4, width=1024)
+    est = {
+        r["term"]: r["cms_est"]
+        for r in sketch.cms_estimate(
+            cells, tf, "term", depth=4, width=1024
+        ).collect()
+    }
+    total = sum(c for _, c in rows)
+    for term, cnt in rows:
+        assert cnt <= est[term] <= total
+
+
+def test_cms_cells_bounded_and_mass_preserving(spark):
+    """Each sketch row partitions the full mass: sum(cell) per row ==
+    total count, and there are at most depth x width cells."""
+    rows = [(f"w{i}", 7) for i in range(50)]
+    tf = spark.createDataFrame(rows, ["term", "cnt"])
+    cells = sketch.cms_cells(tf, "term", "cnt", depth=3, width=16).collect()
+    assert len(cells) <= 3 * 16
+    per_row = {}
+    for c in cells:
+        per_row[c["row"]] = per_row.get(c["row"], 0) + c["cell"]
+    assert per_row == {0: 350, 1: 350, 2: 350}
+
+
+def test_novelty_score_planted(spark):
+    """Two identical documents share every 3-gram (novelty 0); a
+    distinct document is all-novel (novelty 1); a too-short doc is
+    excluded."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "one two three four five"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in text.novelty_score(docs, n=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    assert got[1]["n_distinct_grams"] == 2  # 4 tokens -> 2 trigrams
+    assert got[3]["n_distinct_grams"] == 3
+
+
+def test_inverted_index_planted(spark):
+    """Postings are ascending doc ids; df counts distinct docs, cf
+    total occurrences; the df band filter drops hapax and head terms."""
+    docs = spark.createDataFrame(
+        [
+            (3, "cat cat dog"),
+            (1, "cat mouse"),
+            (2, "cat dog"),
+            (4, "unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["term"]: r
+        for r in text.inverted_index(docs, min_df=2, max_df=2).collect()
+    }
+    # cat has df 3 (> max_df) -> dropped; mouse/unique df 1 -> dropped
+    assert set(rows) == {"dog"}
+    assert rows["dog"]["df"] == 2
+    assert rows["dog"]["cf"] == 2
+    assert rows["dog"]["postings"] == "2,3"
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The distributed reduction equals numpy's population covariance
+    on a small random matrix, for every upper-triangle pair."""
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in mat], ["embedding"]
+    )
+    got = {
+        (r["i"], r["j"]): (r["n_vecs"], r["cov_pop"])
+        for r in embedding_covariance(df).collect()
+    }
+    cov = np.cov(mat.astype(np.float64), rowvar=False, bias=True)
+    assert len(got) == 5 * 6 // 2
+    for i in range(5):
+        for j in range(i, 5):
+            n, c = got[(i, j)]
+            assert n == 40
+            assert c == pytest.approx(cov[i, j], abs=2e-6)
