@@ -341,6 +341,14 @@ def release_components(result: DataFrame) -> bool:
                 pass  # session already stopped — nothing left to free
         result._persisted_intermediates = None
         released = True
+    # additional localCheckpoint handles beyond the primary generation
+    # (e.g. pagerank's degree table)
+    ckpts = getattr(result, "_extra_ckpts", None)
+    if ckpts:
+        for df in ckpts:
+            _release_local_checkpoint(getattr(df, "_ckpt_handle", df))
+        result._extra_ckpts = None
+        released = True
     return released
 
 
@@ -432,4 +440,76 @@ def triangle_counts(
     # the same handle convention connected_components uses
     result._cc_final_generation = e
     result._cc_checkpoint_dir = None
+    return result
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected (symmetrized)
+    graph of ``edges`` — centrality of documents inside their near-dup
+    neighborhood (a high-rank node is the natural cluster
+    representative when quality signals tie).
+
+    Scale shape: the symmetrized edge+degree table is built ONCE and
+    eagerly ``localCheckpoint``-ed (every iteration and the final
+    output reference it; without cutting lineage each reference
+    re-runs the caller's candidate-generation pipeline).  Each
+    iteration is one equi-join (ranks onto edge sources) + one
+    destination-keyed sum with map-side partials — the standard
+    contribution-passing formulation; a fixed small ``iterations``
+    keeps the plan static and oracle-expressible (the converging-loop
+    form would checkpoint per round exactly like
+    :func:`connected_components`).  Isolated nodes never enter
+    (``edges`` defines the graph); symmetric graphs have no dangling
+    mass.  Returns (node, rank) with rank rounded to 6.
+    """
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionAll(
+            edges.select(b.alias("u"), a.alias("v")).filter(
+                F.col("u") != F.col("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("__n"))
+    # degree + node count in one broadcastable side table
+    base = deg.crossJoin(F.broadcast(n_nodes)).localCheckpoint(eager=True)
+    ranks = base.select(
+        F.col("u").alias("node"), (F.lit(1.0) / F.col("__n")).alias("r")
+    )
+    teleport = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contrib = (
+            sym.join(
+                base.select("u", "deg").join(
+                    ranks.withColumnRenamed("node", "u"), "u"
+                ),
+                "u",
+            )
+            .select(F.col("v").alias("node"), (F.col("r") / F.col("deg")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = contrib.join(
+            F.broadcast(n_nodes)
+        ).select(
+            "node",
+            (teleport / F.col("__n") + F.lit(damping) * F.col("__s")).alias("r"),
+        )
+    result = ranks.select("node", F.round("r", 6).alias("rank"))
+    result._cc_final_generation = sym
+    result._persisted_intermediates = []
+    result._cc_checkpoint_dir = None
+    # base is a second checkpoint; free it through the same hook
+    result._extra_ckpts = [base]
     return result

@@ -454,3 +454,53 @@ def materialize_epochs(
     )
     gate = _sample_gate(key, salt, portable) < F.floor(frac * _GATE).cast("long")
     return out.filter((F.col("epoch") < full) | gate).drop(epochs_col)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    ``k`` highest-PRIORITY rows (per group, if ``group_cols``), where
+    priority = w / u and u is a hash-uniform in (0, 1) — the
+    Duffield–Lund–Thorup priority-sampling scheme, which at 100 TB
+    replaces "sort by random() weighted" with one rank window and
+    gives unbiased subset-sum estimates via the (k+1)-th priority
+    threshold.
+
+    Cross-engine determinism is ARITHMETIC, not seeding: u is built
+    from a 40-bit slice of the portable md5 hash — (h40 + 0.5) / 2^40
+    is exact in binary64 (40-bit integer add and power-of-two divide
+    are lossless), so the single rounded operation is the final w/u
+    divide, which IEEE 754 defines exactly — the oracle reproduces the
+    priorities bit-for-bit; ties (impossible unless keys collide in
+    40 bits) break on the key.  Weights must be positive; zero/negative
+    weight rows are dropped (they can never be sampled).
+
+    Plan: one narrow priority projection + one rank window per group —
+    no shuffle beyond the window's own partitioning.  Returns the
+    surviving rows plus ``priority`` (rounded to 6 for display; the
+    rank used the full double).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    group_cols = group_cols or []
+    two40 = float(1 << 40)
+    h40 = F.pmod(portable_hash64(F.col(key_col).cast("string"), salt), F.lit(1 << 40))
+    u = (h40.cast("double") + F.lit(0.5)) / F.lit(two40)
+    pri = F.col(weight_col).cast("double") / u
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("__pri").desc(), F.col(key_col)
+    )
+    out_cols = df.columns
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__pri", pri)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(*out_cols, F.round(F.col("__pri"), 6).alias("priority"))
+    )

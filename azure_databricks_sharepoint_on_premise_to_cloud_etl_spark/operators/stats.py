@@ -159,3 +159,55 @@ def group_ols(
         F.round(F.regr_r2(F.col(y_col), F.col(x_col)), round_to).alias("r2"),
         F.regr_count(F.col(y_col), F.col(x_col)).alias("n_pairs"),
     )
+
+
+def chi_square_assoc(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the drift/association check
+    run between e.g. language and source when composing a corpus mix.
+
+    Scale shape: ONE contingency aggregate on (a, b) — map-side
+    combined to at most |A|x|B| cells — then margins derived FROM the
+    cell table (category-count sized, broadcast back), so the raw data
+    is scanned exactly once and everything after is dimension-sized.
+    The statistic is assembled from plain integer counts in double
+    arithmetic, so an oracle reproduces it exactly.
+
+    Returns one row: (n, dof, chi2, cramers_v).
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+    )
+    joined = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    term = F.pow(F.col("o") - expected, 2) / expected
+    return joined.groupBy("n", "ka", "kb").agg(
+        F.round(F.sum(term), 6).alias("chi2")
+    ).select(
+        "n",
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).alias("dof"),
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("ka") - 1, F.col("kb") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -597,40 +597,62 @@ def inverted_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n: int = 2,
     min_df: int = 3,
-    max_df: int = 50,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Inverted-index construction: per term, its document frequency,
-    collection frequency, and the sorted posting list of documents
-    containing it — the retrieval-side artifact of a corpus (BM25
-    lookups, contamination probes, targeted subset pulls).
+    """Inverted-index construction over word ``n``-grams: per term,
+    its document frequency, collection frequency, and the sorted
+    posting list of documents containing it — the retrieval-side
+    artifact of a corpus (BM25 lookups, contamination probes, targeted
+    subset pulls).  Phrase terms (``n`` >= 2) are the useful unit when
+    the unigram vocabulary is small or stopword-dominated.
 
     ``min_df``/``max_df`` bound the emitted band: singleton-df terms
-    are hapax noise and stopword-class terms (df above ``max_df``)
-    would make posting rows arbitrarily wide — at 100 TB those terms'
+    are hapax noise and stopword-class terms above ``max_df`` would
+    make posting rows arbitrarily wide — at 100 TB those terms'
     postings must be SHARDED (term, shard_no) rather than carried as
     one row, so this operator emits only the bounded middle band and
-    leaves the head terms to the sharded form.  Shuffle shape: one
-    (term, doc) pre-aggregate collapses per-document repetitions
-    (map-side partial), then one term-keyed aggregate builds the
-    posting arrays — the classic two-stage index build.
+    leaves the head terms to the sharded form.  ``max_df=None``
+    derives the cap from the CORPUS — ceil(|docs| / 10), integer
+    arithmetic so any engine computes the same cap — because a fixed
+    absolute cap silently empties (or floods) the band as the corpus
+    scales.  Shuffle shape: one (term, doc) pre-aggregate collapses
+    per-document repetitions (map-side partial), then one term-keyed
+    aggregate builds the posting arrays — the classic two-stage index
+    build; the derived cap rides in as a one-row broadcast.
 
     Returns (term, df, cf, postings) with postings a comma-joined
     ascending doc-id string (portable across engines).
     """
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
     td = (
-        docs.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("term"))
+        docs.select(F.col(id_col), word_tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(id_col, F.explode(grams).alias("term"))
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    return (
-        td.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("__tf").alias("cf"),
-            F.array_join(
-                F.sort_array(F.collect_list(F.col(id_col))), ","
-            ).alias("postings"),
+    index = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("__tf").alias("cf"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col(id_col))), ","
+        ).alias("postings"),
+    )
+    if max_df is None:
+        cap = docs.agg(
+            F.expr("div(count(1) + 9, 10)").alias("__cap")
         )
-        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        return (
+            index.crossJoin(F.broadcast(cap))
+            .filter((F.col("df") >= min_df) & (F.col("df") <= F.col("__cap")))
+            .drop("__cap")
+        )
+    return index.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
     )

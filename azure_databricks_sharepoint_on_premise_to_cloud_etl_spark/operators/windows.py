@@ -209,3 +209,48 @@ def resample_ffill(
     )
     obs = df.select(key_col, ts_col, value_col, id_col)
     return asof_join(grid, obs, key_col, ts_col, [value_col, id_col], id_col)
+
+
+def ohlc_bucket(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-bucketed OHLC aggregation per key: open/close (first/last
+    value by event time, ties broken on ``id_col``), high/low, count
+    and sum per ``bucket_seconds`` window — the candle/rollup shape of
+    a metrics or market hypertable.
+
+    Scale shape: ONE shuffle on (key, bucket).  Open/close are
+    ``min_by``/``max_by`` over an orderable (ts, id) struct inside the
+    same hash aggregate as high/low/sum — never a rank window followed
+    by a re-aggregate, so the whole thing stays a single
+    partial-aggregable pass (windows can't map-side combine; min_by
+    can).  The bucket is emitted as epoch seconds (BIGINT) — timezone-
+    and format-neutral across engines; callers cast for display.
+    """
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+        * bucket_seconds
+    ).cast("long")
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket.alias("bucket_epoch"),
+            F.col(value_col).alias("v"),
+            order.alias("__o"),
+        )
+        .groupBy("key", "bucket_epoch")
+        .agg(
+            F.round(F.min_by("v", F.col("__o")), 4).alias("open"),
+            F.round(F.max("v"), 4).alias("high"),
+            F.round(F.min("v"), 4).alias("low"),
+            F.round(F.max_by("v", F.col("__o")), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), 4).alias("sum_value"),
+        )
+    )

@@ -4847,32 +4847,38 @@ GROUP BY 1
 
 
 _INDEX_MIN_DF = 3
-_INDEX_MAX_DF = 50
+_INDEX_N = 2
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build over the document corpus: df/cf and the
-    sorted posting list per term in the bounded [3, 50]-df band (head
-    terms are sharded at scale, hapax noise dropped)."""
+    """Inverted-index build over word bigrams of the corpus: df/cf
+    and the sorted posting list per phrase term in the
+    [3, ceil(|docs|/10)]-df band — the cap is corpus-relative so the
+    band neither empties nor floods as the fixture scales (head terms
+    are sharded at scale, hapax noise dropped)."""
     d = rebalance(load_table(spark, sf_dir, "documents"))
-    return text.inverted_index(
-        d, min_df=_INDEX_MIN_DF, max_df=_INDEX_MAX_DF
-    )
+    return text.inverted_index(d, n=_INDEX_N, min_df=_INDEX_MIN_DF)
 
 
 ORACLE_INVERTED_INDEX = f"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                              x -> x <> '')) AS term
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
     FROM documents
 ),
-td AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+grams AS (
+    SELECT doc_id, array_to_string(t[i+1:i+{_INDEX_N}], ' ') AS term
+    FROM toks, unnest(range(0, greatest(0, len(t) - {_INDEX_N - 1}))) AS u(i)
+    WHERE len(t) >= {_INDEX_N}
+),
+td AS (SELECT term, doc_id, count(*) AS tf FROM grams GROUP BY 1, 2),
+cap AS (SELECT (count(*) + 9) // 10 AS c FROM documents)
 SELECT term, count(*) AS df, sum(tf) AS cf,
        array_to_string(list_sort(list(doc_id)), ',') AS postings
-FROM td
-GROUP BY term
-HAVING count(*) BETWEEN {_INDEX_MIN_DF} AND {_INDEX_MAX_DF}
+FROM td, cap
+GROUP BY term, cap.c
+HAVING count(*) BETWEEN {_INDEX_MIN_DF} AND cap.c
 """
 
 

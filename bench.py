@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "trailing_range_agg",
     "cube_agg",
+    "novelty_score",
+    "cms_heavy_hitters",
+    "triangle_count",
+    "inverted_index",
+    "embedding_covariance",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -80,13 +85,19 @@ BENCH_QUERIES = [
 # pack_sequences_native re-times a stage of pack_sequences;
 # curation_pipeline re-runs a composition of stages already timed
 # individually; the round-6 rows (incremental_dedup,
-# trailing_range_agg, cube_agg) postdate the comparable basis.
+# trailing_range_agg, cube_agg, and the widening batch) postdate the
+# comparable basis.
 TOTAL_EXCLUDED = {
     "pack_sequences_native",
     "curation_pipeline",
     "incremental_dedup",
     "trailing_range_agg",
     "cube_agg",
+    "novelty_score",
+    "cms_heavy_hitters",
+    "triangle_count",
+    "inverted_index",
+    "embedding_covariance",
 }
 
 

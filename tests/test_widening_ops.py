@@ -95,7 +95,8 @@ def test_novelty_score_planted(spark):
 
 def test_inverted_index_planted(spark):
     """Postings are ascending doc ids; df counts distinct docs, cf
-    total occurrences; the df band filter drops hapax and head terms."""
+    total occurrences; the df band filter drops hapax and head terms
+    (n=1 keeps the planted vocabulary readable)."""
     docs = spark.createDataFrame(
         [
             (3, "cat cat dog"),
@@ -107,13 +108,33 @@ def test_inverted_index_planted(spark):
     )
     rows = {
         r["term"]: r
-        for r in text.inverted_index(docs, min_df=2, max_df=2).collect()
+        for r in text.inverted_index(
+            docs, n=1, min_df=2, max_df=2
+        ).collect()
     }
     # cat has df 3 (> max_df) -> dropped; mouse/unique df 1 -> dropped
     assert set(rows) == {"dog"}
     assert rows["dog"]["df"] == 2
     assert rows["dog"]["cf"] == 2
     assert rows["dog"]["postings"] == "2,3"
+
+
+def test_inverted_index_bigrams_and_derived_cap(spark):
+    """n=2 emits phrase terms; max_df=None derives ceil(|docs|/10) —
+    with 20 docs the cap is 2, so a 3-doc phrase is excluded."""
+    common = [(i, "the big cat sat") for i in range(3)]
+    pair = [(10, "rare phrase here"), (11, "rare phrase there")]
+    fill = [(100 + i, f"filler{i}") for i in range(15)]
+    docs = spark.createDataFrame(common + pair + fill, ["doc_id", "text"])
+    rows = {
+        r["term"]: r
+        for r in text.inverted_index(docs, n=2, min_df=2).collect()
+    }
+    # 20 docs -> cap = 2: 'rare phrase' (df 2) survives, the df-3
+    # phrases from the common docs are head terms and are dropped
+    assert rows["rare phrase"]["postings"] == "10,11"
+    assert all(r["df"] <= 2 for r in rows.values())
+    assert "big cat" not in rows
 
 
 def test_embedding_covariance_matches_numpy(spark):

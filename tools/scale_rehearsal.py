@@ -80,6 +80,20 @@ HEAVY = [
     # the SCD2 family over the replicated relational sub-universes
     "scd2_merge",
     "point_in_time_join",
+    # round-6 widening batch: corpus-proportional members (novelty =
+    # digest-df join, CMS = sketch build over the full token stream,
+    # inverted index = two-stage posting build; covariance = d(d+1)/2
+    # explode over every vector).  triangle_count is deliberately
+    # excluded for the same reason as semantic_dedup: on this fixture
+    # every replica is a near-dup of the base, so the candidate
+    # graph's EDGE count itself grows ~f^2 and triangles ~f^3 — the
+    # exponent would measure the fixture's clique growth, not the
+    # plan (the degree-ordered orientation's wedge bound is pinned by
+    # pytest instead)
+    "novelty_score",
+    "cms_heavy_hitters",
+    "inverted_index",
+    "embedding_covariance",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
