@@ -5039,3 +5039,204 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening, batch 2: weighted sampling, association stats,
+# OHLC rollup, PageRank
+# ---------------------------------------------------------------------------
+
+_WPS_K = 20
+_WPS_SALT = 11
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Duffield–Lund–Thorup priority sampling): per source, the 20
+    highest-priority documents weighted by length.  Priorities are
+    exact cross-engine arithmetic (40-bit hash slice -> dyadic-exact
+    uniform -> one IEEE division), so the oracle reproduces the
+    SAME sample — the property data mixing needs from a sampler."""
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_chars"
+    )
+    return sampling.weighted_priority_sample(
+        d, k=_WPS_K, weight_col="n_chars", key_col="doc_id",
+        group_cols=["source"], salt=_WPS_SALT,
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    h = _duck_hash("CAST(doc_id AS VARCHAR)", _WPS_SALT)
+    two40 = 1 << 40
+    return f"""
+WITH pri AS (
+    SELECT doc_id, source, n_chars,
+           CAST(n_chars AS DOUBLE)
+             / ((({h} % {two40}) + 0.5) / {float(two40)!r}) AS p
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, round(p, 6) AS priority
+FROM pri
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY p DESC, doc_id)
+        <= {_WPS_K}
+"""
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source (plus Cramér's V) — ONE contingency aggregate over the
+    corpus, margins derived from the cell table."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return stats.chi_square_assoc(d, "lang", "source")
+
+
+ORACLE_CHI_SQUARE = """
+WITH cells AS (
+    SELECT lang AS a, source AS b, count(*) AS o
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+tot AS (
+    SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+    FROM cells
+),
+chi AS (
+    SELECT max(tot.n) AS n, max(tot.ka) AS ka, max(tot.kb) AS kb,
+           round(sum(pow(cells.o - CAST(ra.ra AS DOUBLE) * cb.cb / tot.n, 2)
+                     / (CAST(ra.ra AS DOUBLE) * cb.cb / tot.n)), 6) AS chi2
+    FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+)
+SELECT n, (ka - 1) * (kb - 1) AS dof, chi2,
+       round(sqrt(chi2 / (n * least(ka - 1, kb - 1))), 6) AS cramers_v
+FROM chi
+"""
+
+
+_OHLC_BUCKET_S = 3600
+
+
+def q_ohlc_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type over the event stream —
+    open/close by (ts, event_id) inside the SAME single hash aggregate
+    as high/low/sum (min_by/max_by partial-combine; a rank window
+    could not)."""
+    from .operators import windows as w
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return w.ohlc_bucket(
+        e, "event_type", "ts", "value", "event_id",
+        bucket_seconds=_OHLC_BUCKET_S,
+    )
+
+
+ORACLE_OHLC = f"""
+WITH b AS (
+    SELECT event_type AS key,
+           (CAST(floor(epoch(ts)) AS BIGINT) // {_OHLC_BUCKET_S})
+               * {_OHLC_BUCKET_S} AS bucket_epoch,
+           value AS v, ts, event_id
+    FROM events
+),
+o AS (
+    SELECT key, bucket_epoch, v,
+           row_number() OVER (PARTITION BY key, bucket_epoch
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY key, bucket_epoch
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM b
+)
+SELECT key, bucket_epoch,
+       round(max(CASE WHEN rn_a = 1 THEN v END), 4) AS open,
+       round(max(v), 4) AS high,
+       round(min(v), 4) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN v END), 4) AS close,
+       count(*) AS n_events,
+       round(sum(v), 4) AS sum_value
+FROM o
+GROUP BY 1, 2
+"""
+
+
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the MinHash-LSH candidate graph —
+    duplicate-cluster centrality (the natural canonical-doc tiebreak).
+    Edge+degree tables checkpointed once; each iteration is one
+    equi-join + one keyed sum."""
+    from .operators import graph
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    return graph.pagerank(
+        pairs, "id_a", "id_b", iterations=_PR_ITERS, damping=_PR_DAMPING
+    )
+
+
+def _pagerank_oracle() -> str:
+    pairs = _minhash_oracle().strip()
+    d = _PR_DAMPING
+    tp = repr(1.0 - d)
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+    SELECT s.v AS node, {tp} / max(n.nn) + {d!r} * sum({prev}.r / deg.deg) AS r
+    FROM sym s
+    JOIN deg ON s.u = deg.u
+    JOIN {prev} ON {prev}.node = s.u, n
+    GROUP BY s.v
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH e AS ({pairs}),
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM e
+    UNION
+    SELECT id_b, id_a FROM e
+),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM deg),
+r0 AS (SELECT u AS node, 1.0 / nn AS r FROM deg, n),
+{chain}
+SELECT node, round(r, 6) AS rank FROM {prev}
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "weighted_sample": q_weighted_sample,
+        "chi_square": q_chi_square,
+        "ohlc_bucket": q_ohlc_bucket,
+        "pagerank": q_pagerank,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "weighted_sample": _weighted_sample_oracle(),
+        "chi_square": ORACLE_CHI_SQUARE,
+        "ohlc_bucket": ORACLE_OHLC,
+        "pagerank": _pagerank_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -156,3 +156,119 @@ def test_embedding_covariance_matches_numpy(spark):
             n, c = got[(i, j)]
             assert n == 40
             assert c == pytest.approx(cov[i, j], abs=2e-6)
+
+
+def test_weighted_priority_sample_deterministic_and_biased(spark):
+    """Same input -> identical survivors across runs and partition
+    layouts; heavier rows are sampled more often (weight bias
+    sanity over independent salts); zero-weight rows never appear."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, 1000 if i < 5 else 1) for i in range(100)] + [(200, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    first = {
+        r["doc_id"]
+        for r in weighted_priority_sample(df, 10, "w", "doc_id").collect()
+    }
+    again = {
+        r["doc_id"]
+        for r in weighted_priority_sample(
+            df.repartition(7), 10, "w", "doc_id"
+        ).collect()
+    }
+    assert first == again and len(first) == 10
+    assert 200 not in first
+    heavy_hits = 0
+    for salt in range(12):
+        got = {
+            r["doc_id"]
+            for r in weighted_priority_sample(
+                df, 10, "w", "doc_id", salt=salt
+            ).collect()
+        }
+        heavy_hits += sum(1 for d in got if d < 5)
+    # 5 heavy rows at weight 1000 vs 95 at weight 1: heavy rows are
+    # ~certain picks each round; demand a clear majority of the 60
+    # possible heavy slots rather than a flaky exact count
+    assert heavy_hits >= 45
+
+
+def test_chi_square_matches_reference(spark):
+    """Planted 2x2 table against the hand-computed statistic."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import chi_square_assoc
+
+    # contingency: a1b1=30, a1b2=10, a2b1=10, a2b2=50
+    data = (
+        [("a1", "b1")] * 30 + [("a1", "b2")] * 10
+        + [("a2", "b1")] * 10 + [("a2", "b2")] * 50
+    )
+    df = spark.createDataFrame(data, ["x", "y"])
+    row = chi_square_assoc(df, "x", "y").collect()[0]
+    n = 100
+    expected = {
+        ("a1", "b1"): 40 * 40 / n,
+        ("a1", "b2"): 40 * 60 / n,
+        ("a2", "b1"): 60 * 40 / n,
+        ("a2", "b2"): 60 * 60 / n,
+    }
+    obs = {("a1", "b1"): 30, ("a1", "b2"): 10, ("a2", "b1"): 10, ("a2", "b2"): 50}
+    chi2 = sum((obs[k] - e) ** 2 / e for k, e in expected.items())
+    assert row["n"] == 100 and row["dof"] == 1
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx((chi2 / 100) ** 0.5, abs=1e-6)
+
+
+def test_ohlc_bucket_planted(spark):
+    """Open/close pick by (ts, id) order inside the bucket; sub-second
+    events stay in their floored bucket."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import ohlc_bucket
+
+    rows = [
+        (1, "m", datetime(2024, 1, 1, 10, 0, 5), 10.0),
+        (2, "m", datetime(2024, 1, 1, 10, 30, 0), 99.0),
+        (3, "m", datetime(2024, 1, 1, 10, 59, 59, 900000), 7.0),
+        (4, "m", datetime(2024, 1, 1, 11, 0, 0), 55.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "etype", "ts", "value"])
+    got = {
+        r["bucket_epoch"]: r
+        for r in ohlc_bucket(df, "etype", "ts", "value", "event_id").collect()
+    }
+    h10 = got[int(datetime(2024, 1, 1, 10).timestamp())]
+    assert (h10["open"], h10["close"]) == (10.0, 7.0)
+    assert (h10["high"], h10["low"], h10["n_events"]) == (99.0, 7.0, 3)
+    h11 = got[int(datetime(2024, 1, 1, 11).timestamp())]
+    assert h11["n_events"] == 1 and h11["open"] == 55.0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """3-iteration PR on a planted graph equals the dense-matrix
+    computation; ranks stay a probability-ish vector (sum ~ 1 on a
+    symmetric graph with no dangling mass)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        pagerank,
+        release_components,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]  # triangle + pendant
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = pagerank(df, iterations=3, damping=0.85)
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    release_components(out)
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((4, 4))
+    for u, v in edges:
+        adj[idx[u], idx[v]] = adj[idx[v], idx[u]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(4, 0.25)
+    for _ in range(3):
+        r = (1 - 0.85) / 4 + 0.85 * (adj.T @ (r / deg))
+    for n in nodes:
+        assert got[n] == pytest.approx(r[idx[n]], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
