@@ -656,3 +656,80 @@ def inverted_index(
     return index.filter(
         (F.col("df") >= min_df) & (F.col("df") <= max_df)
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to a corpus: tokenize, encode
+    each DISTINCT word once, and roll subword counts back per
+    document — the inference-side twin of :func:`bpe_merge_step`
+    (train with the step operator, encode with this).
+
+    Scale shape: the expensive part (greedy rank-ordered merging,
+    inherently iterative per word) runs in an Arrow-batched pandas UDF
+    over the DISTINCT word table — vocabulary-sized, not
+    corpus-sized — with the merge-rank dict a closure broadcast to
+    executors once; documents then join their (word, tf) pairs to the
+    encoded vocabulary on the word key and aggregate.  Corpus text
+    itself never passes through Python.
+
+    Returns (id_col, n_words, n_subwords) per document — the
+    fertility measurement (subwords per word) that drives tokenizer
+    acceptance, computed on real encoded output.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def _encode_word(word: str) -> int:
+        syms = list(word)
+        while len(syms) >= 2:
+            best_rank = None
+            best_pair = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def _n_subwords(words):
+        return words.map(_encode_word)
+
+    # annotations set as live objects: the module's `from __future__
+    # import annotations` would otherwise leave string hints that
+    # pandas_udf cannot resolve against this closure's locals
+    _n_subwords.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    n_subwords_udf = pandas_udf(_n_subwords, "int")
+
+    wt = docs.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("__w")
+    ).groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    vocab = wt.select("__w").distinct().withColumn(
+        "__ns", n_subwords_udf(F.col("__w"))
+    )
+    return (
+        wt.join(vocab, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_words"),
+            F.sum(F.col("__tf") * F.col("__ns")).alias("n_subwords"),
+        )
+    )

@@ -5240,3 +5240,52 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as REAL Structured Streaming:
+    ``session_window`` (engine-managed merging session state,
+    watermark-bounded) drained with Trigger.AvailableNow, then the
+    per-user rollup applied as a batch post-aggregation on the sink
+    table (streaming forbids stacked aggregations).  Same oracle as
+    the batch lag+cumsum ``sessionize`` query — the two session
+    formulations must agree exactly, including the gap-boundary
+    convention (an event exactly at prev + gap starts a NEW session in
+    session_window, which the strict ``>`` in the batch form matches
+    only because event timestamps are microsecond-distinct; a fixture
+    with exact-gap pairs would surface the difference — that is the
+    point of running both)."""
+    import tempfile
+
+    from .streaming import incremental
+
+    events, ts_was_ntz = _stream_events(spark, sf_dir)
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_session_ckpt_")
+    incremental.run_to_memory_sink(agg, "stream_session_out", ckpt)
+    return (
+        spark.table("stream_session_out")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_in_session").alias("n_events"),
+        )
+    )
+
+
+AUX_QUERIES["streaming_session"] = q_streaming_session
+AUX_ORACLES["streaming_session"] = ORACLE_SESSIONIZE
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -272,3 +272,57 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for n in nodes:
         assert got[n] == pytest.approx(r[idx[n]], abs=1e-6)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_bpe_encode_consistent_with_training(spark):
+    """Encoding a training word with the learned merge list must
+    reproduce the training-state symbol count (the train/encode
+    round-trip contract), and fertility rolls up per document."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import (
+        bpe_encode,
+        bpe_init_symbols,
+        bpe_merge_step,
+    )
+
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        ["word", "wc"],
+    ).withColumn("symbols", bpe_init_symbols("word"))
+    merges: list[tuple[str, str]] = []
+    state = vocab
+    for _ in range(6):
+        state = bpe_merge_step(state)
+        rows = state.collect()
+        if not rows:
+            break
+        a, b = rows[0]["merged_pair"].split(" ")
+        merges.append((a, b))
+        state = spark.createDataFrame(
+            [(r["word"], r["wc"], r["symbols"]) for r in rows],
+            ["word", "wc", "symbols"],
+        )
+    trained = {r["word"]: len(r["symbols"].split(" ")) for r in state.collect()}
+
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "newest newest widest unknownword")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    assert got[1]["n_words"] == 3
+    assert got[1]["n_subwords"] == (
+        trained["low"] + trained["lower"] + trained["newest"]
+    )
+    assert got[2]["n_words"] == 4
+    # unknown word falls back to whatever merges apply; never fewer
+    # than 1 subword, never more than its character count
+    extra = got[2]["n_subwords"] - 2 * trained["newest"] - trained["widest"]
+    assert 1 <= extra <= len("unknownword")
+
+
+def test_bpe_encode_no_merges_is_char_count(spark):
+    """With an empty merge list every word encodes to its characters."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab cde")], ["doc_id", "text"])
+    r = bpe_encode(docs, []).collect()[0]
+    assert (r["n_words"], r["n_subwords"]) == (2, 5)
