@@ -733,3 +733,137 @@ def bpe_encode(
             F.sum(F.col("__tf") * F.col("__ns")).alias("n_subwords"),
         )
     )
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson/Lucene formulation, idf = ln(1 + (N - df + .5)/(df + .5)))
+    — the retrieval scorer that pairs with :func:`inverted_index`.
+
+    Scale shape: the corpus is filtered to QUERY TERMS immediately
+    after tokenization (query-sized fan-in, narrow), so the only wide
+    work is one (doc, term) tf aggregate over matching postings; N,
+    avgdl, and the per-term df are dimension-sized side tables
+    broadcast back.  Returns (id_col, n_matched_terms, bm25) for
+    documents matching at least one query term.
+    """
+    q = F.array(*[F.lit(t) for t in query_terms])
+    dl = docs.select(
+        F.col(id_col), F.size(word_tokens(text_col)).alias("__dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
+        )
+        .filter(F.array_contains(q, F.col("__t")))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    term_score = idf * F.col("__tf") * (k1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.round(F.sum(term_score), 6).alias("bm25"),
+        )
+    )
+
+
+def tfidf_doc_similarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_df: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sparse document-document cosine similarity over tf-idf-weighted
+    word ``n``-gram vectors — similarity search WITHOUT embeddings,
+    the lexical twin of the ANN operators.
+
+    Scale shape: the classic sparse similarity join — candidate pairs
+    are generated by a TERM-keyed equi self-join of the posting table,
+    and the vocabulary is BANDED first (df in [min_df,
+    ceil(|docs|/10)], same corpus-relative cap as
+    :func:`inverted_index`): head terms would fan out |posting|² pairs
+    for near-zero idf contribution, so dropping them bounds the join's
+    skew AND barely moves the scores — the standard prefix-filtering
+    argument.  Weights/norms are computed over the banded vocabulary
+    (document that restriction; scores are relative to it).  Returns
+    (id_a, id_b, cosine) for pairs at or above ``threshold``.
+    """
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    td = (
+        docs.select(F.col(id_col), word_tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(id_col, F.explode(grams).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.expr("div(count(1) + 9, 10)").alias("__cap"),
+    )
+    dfreq = (
+        td.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(stats))
+        .filter((F.col("__df") >= min_df) & (F.col("__df") <= F.col("__cap")))
+        .select("__t", "__df", "__nd")
+    )
+    w = td.join(dfreq, "__t").select(
+        id_col,
+        "__t",
+        (
+            F.col("__tf") * F.log(F.col("__nd") / F.col("__df"))
+        ).alias("__w"),
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    )
+    a = w.select(F.col(id_col).alias("id_a"), "__t", F.col("__w").alias("__wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "__t", F.col("__w").alias("__wb"))
+    dots = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    return (
+        dots.join(norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na")), "id_a")
+        .join(norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -5289,3 +5289,185 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening, batch 3: retrieval (BM25, sparse similarity) and
+# ANN quality measurement
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ["join", "hash", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a 3-term query —
+    corpus filtered to query terms immediately (narrow), one (doc,
+    term) tf aggregate, dimension-sized df/avgdl side tables."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.bm25_score(
+        d, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN ({terms})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, count(*) AS n_matched_terms,
+       round(sum(
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1!r} + 1)
+           / (tf.tf + {k1!r} * (1 - {b!r} + {b!r} * dl.dl / stats.avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN dfreq USING (term)
+JOIN dl USING (doc_id), stats
+GROUP BY 1
+"""
+
+
+_TDS_THRESHOLD = 0.5
+
+
+def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup / related-doc pairs: cosine over tf-idf
+    bigram vectors, candidates from a df-banded term-keyed posting
+    self-join (prefix-filtered so head terms never fan out)."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.tfidf_doc_similarity(d, threshold=_TDS_THRESHOLD)
+
+
+def _tfidf_sim_oracle() -> str:
+    n = 2
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, array_to_string(t[i+1:i+{n}], ' ') AS term
+    FROM toks, unnest(range(0, greatest(0, len(t) - {n - 1}))) AS u(i)
+    WHERE len(t) >= {n}
+),
+td AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+stats AS (
+    SELECT count(*) AS nd, (count(*) + 9) // 10 AS cap FROM documents
+),
+dfreq AS (
+    SELECT term, count(*) AS df, max(stats.nd) AS nd
+    FROM td, stats
+    GROUP BY term, stats.cap
+    HAVING count(*) BETWEEN 2 AND max(stats.cap)
+),
+w AS (
+    SELECT td.doc_id, td.term, td.tf * ln(CAST(dfreq.nd AS DOUBLE) / dfreq.df) AS w
+    FROM td JOIN dfreq USING (term)
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {_TDS_THRESHOLD!r}
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH ANN path against the exact
+    brute-force ranking, per probe — the quality metric that licenses
+    the ANN plan at 100 TB (both sides are the already-verified
+    operators; this composes them into the measurement)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(e, probes, k=10).select(
+        "probe_id", "vec_id"
+    )
+    ann = similarity.lsh_topk(
+        e, probes, k=10, dim=_LSH_DIM, num_planes=_LSH_PLANES, seed=_LSH_SEED
+    ).select("probe_id", "vec_id")
+    hits = exact.join(ann, ["probe_id", "vec_id"], "left_semi")
+    return (
+        exact.groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "probe_id",
+            "left",
+        )
+        .select(
+            "probe_id",
+            "k",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH exact AS ({ORACLE_COSINE_TOPK.strip()}),
+ann AS ({_lsh_oracle().strip()}),
+hits AS (
+    SELECT e.probe_id, e.vec_id
+    FROM exact e SEMI JOIN ann a
+      ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+)
+SELECT e.probe_id, count(*) AS k,
+       coalesce(max(h.n), 0) AS n_hit,
+       round(coalesce(max(h.n), 0) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact e
+LEFT JOIN (SELECT probe_id, count(*) AS n FROM hits GROUP BY 1) h
+       ON h.probe_id = e.probe_id
+GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "bm25_score": q_bm25_score,
+        "tfidf_doc_similarity": q_tfidf_doc_similarity,
+        "ann_recall": q_ann_recall,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "bm25_score": _bm25_oracle(),
+        "tfidf_doc_similarity": _tfidf_sim_oracle(),
+        "ann_recall": _ann_recall_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -326,3 +326,44 @@ def test_bpe_encode_no_merges_is_char_count(spark):
     docs = spark.createDataFrame([(1, "ab cde")], ["doc_id", "text"])
     r = bpe_encode(docs, []).collect()[0]
     assert (r["n_words"], r["n_subwords"]) == (2, 5)
+
+
+def test_bm25_hand_computed(spark):
+    """Two-doc corpus against the textbook formula."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import bm25_score
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bm25_score(docs, ["apple", "cherry"], k1=1.2, b=0.75).collect()
+    }
+    n, avgdl = 2, 2.5
+    def idf(df_): return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+    def tnorm(tf, dl): return tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert got[1]["n_matched_terms"] == 1
+    assert got[1]["bm25"] == pytest.approx(idf(1) * tnorm(2, 3), abs=1e-6)
+    assert got[2]["bm25"] == pytest.approx(idf(1) * tnorm(1, 2), abs=1e-6)
+
+
+def test_tfidf_doc_similarity_identical_docs(spark):
+    """Identical documents score cosine 1.0; an unrelated document
+    never pairs above threshold.  Corpus is padded with distinct
+    filler docs so the shared bigrams stay under the df cap."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import (
+        tfidf_doc_similarity,
+    )
+
+    twin = "alpha beta gamma delta epsilon"
+    fill = [(100 + i, f"filler{i} void{i} null{i}") for i in range(30)]
+    docs = spark.createDataFrame(
+        [(1, twin), (2, twin), (3, "zeta eta theta iota kappa")] + fill,
+        ["doc_id", "text"],
+    )
+    rows = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_doc_similarity(docs, threshold=0.5).collect()}
+    assert rows == {(1, 2): 1.0}
