@@ -837,33 +837,46 @@ def tfidf_doc_similarity(
         .filter((F.col("__df") >= min_df) & (F.col("__df") <= F.col("__cap")))
         .select("__t", "__df", "__nd")
     )
-    w = td.join(dfreq, "__t").select(
-        id_col,
-        "__t",
-        (
-            F.col("__tf") * F.log(F.col("__nd") / F.col("__df"))
-        ).alias("__w"),
+    # the doc norm rides on every (doc, term) row via a window over
+    # the SAME partitioning the pair join needs anyway — a separate
+    # norms table would add two more joins and re-expand the corpus
+    # scan per reference
+    from pyspark.sql import Window
+
+    norm_w = F.sqrt(
+        F.sum(F.col("__w") * F.col("__w")).over(
+            Window.partitionBy(id_col)
+        )
     )
-    norms = w.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    w = (
+        td.join(dfreq, "__t")
+        .select(
+            id_col,
+            "__t",
+            (F.col("__tf") * F.log(F.col("__nd") / F.col("__df"))).alias(
+                "__w"
+            ),
+        )
+        .withColumn("__norm", norm_w)
     )
-    a = w.select(F.col(id_col).alias("id_a"), "__t", F.col("__w").alias("__wa"))
-    b = w.select(F.col(id_col).alias("id_b"), "__t", F.col("__w").alias("__wb"))
-    dots = (
+    a = w.select(
+        F.col(id_col).alias("id_a"), "__t",
+        F.col("__w").alias("__wa"), F.col("__norm").alias("__na"),
+    )
+    b = w.select(
+        F.col(id_col).alias("id_b"), "__t",
+        F.col("__w").alias("__wb"), F.col("__norm").alias("__nb"),
+    )
+    return (
         a.join(b, "__t")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
-    )
-    return (
-        dots.join(norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na")), "id_a")
-        .join(norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
-                "cosine"
-            ),
+        .agg(
+            F.round(
+                F.sum(F.col("__wa") * F.col("__wb"))
+                / (F.max("__na") * F.max("__nb")),
+                6,
+            ).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )
