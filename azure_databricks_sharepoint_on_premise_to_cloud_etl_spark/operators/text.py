@@ -880,3 +880,162 @@ def tfidf_doc_similarity(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (nats)
+    — low entropy flags repetitive/templated text (the
+    information-theoretic sibling of ``repeated_ngram_ratio``), high
+    entropy flags noise; both tails get dropped or down-weighted in a
+    curation mix.
+
+    Scale shape: one (doc, token) count aggregate (tf-collapsed,
+    map-side partial) and one doc-keyed fold — LINEAR in tokens (a
+    per-row HOF formulation would re-count each distinct token against
+    the whole array, O(distinct x length) per document, which long
+    documents turn quadratic).  H = ln(n) - (1/n) * sum_t c_t ln(c_t),
+    computed from integer counts so an oracle reproduces it exactly.
+    Documents with no tokens are absent from the output.
+    """
+    tc = (
+        docs.select(
+            F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
+        )
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    c = F.col("__c").cast("double")
+    return (
+        tc.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(c * F.log(c)).alias("__clnc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("__clnc") / F.col("n_tokens"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source KL divergence D(source || corpus) between smoothed
+    unigram distributions — the drift number that says which domain's
+    text is most unlike the mix (feeds target-proportion decisions and
+    catches a poisoned/mis-crawled source).
+
+    Both distributions are add-``alpha`` smoothed over the CORPUS
+    vocabulary, so every term has positive mass in both and the KL is
+    finite by construction.  Scale shape: one (source, term) count
+    aggregate (map-side partial, vocab x sources rows), corpus totals
+    derived from it; everything after the collapse is vocabulary-sized.
+    Returns (group_col, n_terms, kl_nats).
+    """
+    st = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(word_tokens(text_col)).alias("__t"),
+        )
+        .groupBy("grp", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # dense (source x vocab) grid so absent terms get smoothed mass
+    vocab = st.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    vsize = vocab.agg(
+        F.count(F.lit(1)).alias("__v"), F.sum("__ct").alias("__nc")
+    )
+    groups = st.groupBy("grp").agg(F.sum("__c").alias("__ng"))
+    grid = (
+        groups.crossJoin(F.broadcast(vocab))
+        .join(st, ["grp", "__t"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "grp",
+            "__ng",
+            "__v",
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+            "__ct",
+            "__nc",
+        )
+    )
+    p = (F.col("__c") + alpha) / (F.col("__ng") + F.lit(alpha) * F.col("__v"))
+    q = (F.col("__ct") + alpha) / (F.col("__nc") + F.lit(alpha) * F.col("__v"))
+    return (
+        grid.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation detector (multi-word expressions score high PMI; junk
+    adjacency scores ~0/negative).  PMI(a,b) = ln( P(a,b) /
+    (P(a) P(b)) ) with bigram and unigram probabilities over the
+    corpus; pairs under ``min_count`` are dropped (PMI is unstable on
+    rare counts — the standard cut).
+
+    Scale shape: one bigram count aggregate and one unigram count
+    aggregate (both tf-collapsed, map-side partials); unigram tables
+    broadcast back onto the vocabulary-sized bigram table.  Returns
+    (w1, w2, pair_count, pmi).
+    """
+    toks = F.col("__toks")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        docs.select(word_tokens(text_col).alias("__toks"))
+        .select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(word_tokens(text_col)).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot_b = docs.select(
+        F.greatest(F.size(word_tokens(text_col)) - 1, F.lit(0)).alias("__nb")
+    ).agg(F.sum("__nb").alias("__tb"))
+    tot_u = uni.agg(F.sum("__c").alias("__tu"))
+    u1 = uni.select(F.col("__t").alias("w1"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("__t").alias("w2"), F.col("__c").alias("__c2"))
+    pmi = F.log(
+        (F.col("pair_count") / F.col("__tb"))
+        / ((F.col("__c1") / F.col("__tu")) * (F.col("__c2") / F.col("__tu")))
+    )
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+        .select("w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi"))
+    )

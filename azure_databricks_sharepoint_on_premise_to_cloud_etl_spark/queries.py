@@ -5471,3 +5471,131 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening, batch 4: information-theoretic corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — tf-collapsed
+    count aggregate + doc-keyed fold, linear in tokens."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.token_entropy(d)
+
+
+ORACLE_TOKEN_ENTROPY = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+),
+tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id, sum(c) AS n_tokens,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c),
+             6) AS entropy
+FROM tc GROUP BY 1
+"""
+
+
+_KL_ALPHA = 0.5
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's smoothed unigram distribution
+    from the corpus distribution — domain-drift QC for mixing."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.source_kl_divergence(d, alpha=_KL_ALPHA)
+
+
+ORACLE_SOURCE_KL = f"""
+WITH toks AS (
+    SELECT source AS grp,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+),
+st AS (SELECT grp, t, count(*) AS c FROM toks GROUP BY 1, 2),
+vocab AS (SELECT t, sum(c) AS ct FROM st GROUP BY 1),
+vsize AS (SELECT count(*) AS v, sum(ct) AS nc FROM vocab),
+groups AS (SELECT grp, sum(c) AS ng FROM st GROUP BY 1),
+grid AS (
+    SELECT g.grp, g.ng, vs.v, coalesce(st.c, 0) AS c, vb.ct, vs.nc
+    FROM groups g
+    CROSS JOIN vocab vb
+    LEFT JOIN st ON st.grp = g.grp AND st.t = vb.t
+    CROSS JOIN vsize vs
+)
+SELECT grp AS source, count(*) AS n_terms,
+       round(sum(
+           ((c + {_KL_ALPHA!r}) / (ng + {_KL_ALPHA!r} * v))
+           * ln(((c + {_KL_ALPHA!r}) / (ng + {_KL_ALPHA!r} * v))
+                / ((ct + {_KL_ALPHA!r}) / (nc + {_KL_ALPHA!r} * v)))
+       ), 6) AS kl_nats
+FROM grid GROUP BY 1
+"""
+
+
+_PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI of adjacent word pairs at min pair count 5 — collocation
+    detection from two tf-collapsed count aggregates."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.pmi_collocations(d, min_count=_PMI_MIN_COUNT)
+
+
+ORACLE_PMI = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT t[i+1] AS w1, t[i+2] AS w2, count(*) AS pair_count
+    FROM toks, unnest(range(0, greatest(0, len(t) - 1))) AS u(i)
+    GROUP BY 1, 2
+    HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+uni AS (
+    SELECT t2 AS t, count(*) AS c
+    FROM (SELECT unnest(t) AS t2 FROM toks)
+    GROUP BY 1
+),
+tb AS (SELECT sum(greatest(len(t) - 1, 0)) AS tb FROM toks),
+tu AS (SELECT sum(c) AS tu FROM uni)
+SELECT bg.w1, bg.w2, bg.pair_count,
+       round(ln((CAST(bg.pair_count AS DOUBLE) / tb.tb)
+                / ((CAST(u1.c AS DOUBLE) / tu.tu)
+                   * (CAST(u2.c AS DOUBLE) / tu.tu))), 6) AS pmi
+FROM bg
+JOIN uni u1 ON u1.t = bg.w1
+JOIN uni u2 ON u2.t = bg.w2, tb, tu
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "token_entropy": q_token_entropy,
+        "source_kl": q_source_kl,
+        "pmi_collocations": q_pmi_collocations,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "token_entropy": ORACLE_TOKEN_ENTROPY,
+        "source_kl": ORACLE_SOURCE_KL,
+        "pmi_collocations": ORACLE_PMI,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -367,3 +367,55 @@ def test_tfidf_doc_similarity_identical_docs(spark):
     rows = {(r["id_a"], r["id_b"]): r["cosine"]
             for r in tfidf_doc_similarity(docs, threshold=0.5).collect()}
     assert rows == {(1, 2): 1.0}
+
+
+def test_token_entropy_known_values(spark):
+    """Uniform tokens -> ln(k); constant tokens -> 0."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x"), (3, "a a b b")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["entropy"] for r in token_entropy(docs).collect()}
+    assert got[1] == pytest.approx(math.log(4), abs=1e-6)
+    assert got[2] == pytest.approx(0.0, abs=1e-9)
+    assert got[3] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_source_kl_identical_distribution_is_zero(spark):
+    """A source distributed exactly like the corpus has KL ~ 0; a
+    skewed source scores strictly higher."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import (
+        source_kl_divergence,
+    )
+
+    # dominant balanced source -> corpus marginal ~ its own
+    # distribution; the tiny all-a source is the far one
+    base = [(f"s{i}", "base", "a b") for i in range(50)]
+    skew = [("k0", "skewed", "a a a a")]
+    docs = spark.createDataFrame(base + skew, ["doc_id", "source", "text"])
+    got = {r["source"]: r["kl_nats"] for r in source_kl_divergence(docs).collect()}
+    assert got["skewed"] > got["base"] >= 0.0
+    assert got["base"] < 0.01
+
+
+def test_pmi_collocation_detects_fixed_phrase(spark):
+    """A pair that always co-occurs scores high positive PMI; an
+    independent pair scores near zero."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import pmi_collocations
+
+    # 'new york' always adjacent; filler words vary
+    docs = spark.createDataFrame(
+        [(i, f"new york w{i % 3} w{(i + 1) % 3}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    got = {(r["w1"], r["w2"]): r["pmi"] for r in pmi_collocations(docs, min_count=5).collect()}
+    assert ("new", "york") in got
+    # P(new york)=12/36 bigrams, P(new)=P(york)=12/48 unigrams
+    expected = math.log((12 / 36) / ((12 / 48) * (12 / 48)))
+    assert got[("new", "york")] == pytest.approx(expected, abs=1e-6)
