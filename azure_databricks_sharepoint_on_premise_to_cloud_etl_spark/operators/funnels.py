@@ -15,7 +15,7 @@ back k weeks later?".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -198,4 +198,49 @@ def last_touch_attribution(
             F.count(F.lit(1)).alias("n_conversions"),
             F.round(F.sum("__val"), 4).alias("attributed_value"),
         )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every ordered (prev_type -> next_type) adjacency within a user's
+    timeline, the transition count and conditional probability
+    P(next | prev) — the navigation-flow summary behind sankey/path
+    charts and drop-off analysis.
+
+    Scale shape: ONE window pass per user (lag over (ts, id) — the
+    same single shuffle the as-of family uses), then a
+    |types|²-bounded count aggregate; the per-prev totals come from a
+    window over the tiny aggregate, not a second scan.  Returns
+    (prev_type, next_type, n_transitions, p) with p rounded to 6.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(tot),
+            6,
+        ).alias("p"),
     )

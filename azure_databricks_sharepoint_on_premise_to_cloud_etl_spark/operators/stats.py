@@ -211,3 +211,72 @@ def chi_square_assoc(
             6,
         ).alias("cramers_v"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: data-derived [min,
+    max] split into ``bins`` buckets, the top edge inclusive (the
+    max lands in the last bin, standard histogram convention).
+
+    Scale shape: one scalar min/max aggregate broadcast back, then one
+    |bins|-keyed count aggregate with map-side partials — two scans,
+    no sort, no window; empty bins are absent (callers needing dense
+    axes join a sequence).  Bin edges are computed with the same
+    double arithmetic on any engine, so bucket assignment is
+    reproducible.  Returns (bin, lo, hi, n).
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bin_id = F.least(
+        F.floor((v - F.col("__lo")) / width).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        df.select(v.alias(value_col))
+        .filter(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(bin_id)
+            .alias("bin"),
+            "__lo",
+            "__hi",
+        )
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / bins, 6).alias("lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / bins, 6).alias("hi"),
+            "n",
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` as tidy (col_a,
+    col_b, corr) rows for a < b — ONE aggregate pass computes every
+    pair (k(k-1)/2 corr expressions fused into a single scan; never a
+    job per pair), then the scalar row unpivots via stack.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    agg_row = df.agg(
+        *[
+            F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6).alias(
+                f"__c_{i}"
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return agg_row.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

@@ -5599,3 +5599,122 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening, batch 5: histogram, correlation matrix, transition
+# matrix
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of lineitem extended price — scalar
+    min/max broadcast + one |bins|-keyed count aggregate."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.histogram(li, "l_extendedprice", bins=_HIST_BINS)
+
+
+ORACLE_HISTOGRAM = f"""
+WITH v AS (
+    SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+binned AS (
+    SELECT CASE WHEN bounds.hi = bounds.lo THEN 0
+                ELSE least(CAST(floor((v.v - bounds.lo)
+                                / ((bounds.hi - bounds.lo) / {_HIST_BINS}))
+                           AS INT), {_HIST_BINS - 1})
+           END AS bin,
+           bounds.lo AS blo, bounds.hi AS bhi
+    FROM v, bounds
+)
+SELECT bin,
+       round(blo + bin * (bhi - blo) / {_HIST_BINS}, 6) AS lo,
+       round(blo + (bin + 1) * (bhi - blo) / {_HIST_BINS}, 6) AS hi,
+       count(*) AS n
+FROM binned
+GROUP BY bin, blo, bhi
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of four lineitem measures — all
+    six pairs in ONE fused aggregate scan, unpivoted to tidy rows."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.corr_matrix(li, _CORR_COLS)
+
+
+def _corr_oracle() -> str:
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) AS corr "
+        "FROM lineitem"
+        for a, b in pairs
+    )
+    return selects
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of the event stream: P(next | prev)
+    over per-user adjacent event types — one lag window pass, one
+    |types|²-bounded aggregate."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return funnels.transition_matrix(e)
+
+
+ORACLE_TRANSITION = """
+WITH lagged AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, next_type, count(*) AS n_transitions
+    FROM lagged WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "histogram": q_histogram,
+        "corr_matrix": q_corr_matrix,
+        "transition_matrix": q_transition_matrix,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "histogram": ORACLE_HISTOGRAM,
+        "corr_matrix": _corr_oracle(),
+        "transition_matrix": ORACLE_TRANSITION,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

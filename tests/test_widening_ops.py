@@ -419,3 +419,60 @@ def test_pmi_collocation_detects_fixed_phrase(spark):
     # P(new york)=12/36 bigrams, P(new)=P(york)=12/48 unigrams
     expected = math.log((12 / 36) / ((12 / 48) * (12 / 48)))
     assert got[("new", "york")] == pytest.approx(expected, abs=1e-6)
+
+
+def test_histogram_planted(spark):
+    """10 values over [0, 10): bins cover the range, max lands in the
+    last bin, counts sum to n."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(11)], ["v"])
+    rows = {r["bin"]: r for r in histogram(df, "v", bins=5).collect()}
+    assert sum(r["n"] for r in rows.values()) == 11
+    # width 2: bins {0:[0,2) ...}; v=10 (the max) joins bin 4
+    assert rows[0]["n"] == 2 and rows[4]["n"] == 3
+    assert rows[0]["lo"] == 0.0 and rows[4]["hi"] == 10.0
+
+
+def test_histogram_constant_column(spark):
+    """Degenerate all-equal column: one bin, all rows."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import histogram
+
+    df = spark.createDataFrame([(5.0,)] * 7, ["v"])
+    rows = histogram(df, "v", bins=4).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 7 and rows[0]["bin"] == 0
+
+
+def test_corr_matrix_known_signs(spark):
+    """Perfectly correlated / anti-correlated planted columns."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import corr_matrix
+
+    rows = [(float(i), 2.0 * i + 1, -3.0 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == pytest.approx(1.0, abs=1e-9)
+    assert got[("x", "z")] == pytest.approx(-1.0, abs=1e-9)
+    assert got[("y", "z")] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_transition_matrix_planted(spark):
+    """Hand-built two-user timeline: counts and conditional
+    probabilities per previous state."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import (
+        transition_matrix,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, "u1", t(0), "a"), (2, "u1", t(1), "b"), (3, "u1", t(2), "a"),
+        (4, "u2", t(0), "a"), (5, "u2", t(1), "b"), (6, "u2", t(2), "b"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {(r["prev_type"], r["next_type"]): (r["n_transitions"], r["p"])
+           for r in transition_matrix(df).collect()}
+    # a->b twice (all of a's transitions); b->a and b->b once each
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "b")] == (1, 0.5)
