@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "triangle_count",
     "inverted_index",
     "embedding_covariance",
+    "pagerank",
+    "bm25_score",
+    "tfidf_doc_similarity",
+    "ohlc_bucket",
+    "transition_matrix",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -98,6 +103,11 @@ TOTAL_EXCLUDED = {
     "triangle_count",
     "inverted_index",
     "embedding_covariance",
+    "pagerank",
+    "bm25_score",
+    "tfidf_doc_similarity",
+    "ohlc_bucket",
+    "transition_matrix",
 }
 
 

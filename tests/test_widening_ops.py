@@ -476,3 +476,29 @@ def test_transition_matrix_planted(spark):
     assert got[("a", "b")] == (2, 1.0)
     assert got[("b", "a")] == (1, 0.5)
     assert got[("b", "b")] == (1, 0.5)
+
+
+def test_cms_cells_are_mergeable(spark):
+    """The sketch's 100 TB contract: cells built on two disjoint
+    corpus halves, summed per (row, bucket), equal the cells built on
+    the union — executors can sketch locally and merge."""
+    rows_a = [(f"t{i}", i + 1) for i in range(30)]
+    rows_b = [(f"t{i}", 2 * i + 1) for i in range(15, 45)]
+    fa = spark.createDataFrame(rows_a, ["term", "cnt"])
+    fb = spark.createDataFrame(rows_b, ["term", "cnt"])
+    whole = spark.createDataFrame(rows_a + rows_b, ["term", "cnt"])
+    # NOTE: cms_cells expects collapsed (term, cnt); the union keeps
+    # duplicate terms as separate rows, which the sketch build sums —
+    # exactly the merge property under test
+    half_sum = (
+        sketch.cms_cells(fa, "term", "cnt", depth=3, width=64)
+        .unionAll(sketch.cms_cells(fb, "term", "cnt", depth=3, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    merged = {(r["row"], r["bucket"]): r["cell"] for r in half_sum.collect()}
+    direct = {
+        (r["row"], r["bucket"]): r["cell"]
+        for r in sketch.cms_cells(whole, "term", "cnt", depth=3, width=64).collect()
+    }
+    assert merged == direct

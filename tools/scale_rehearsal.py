@@ -94,6 +94,23 @@ HEAVY = [
     "cms_heavy_hitters",
     "inverted_index",
     "embedding_covariance",
+    # batches 2-5 of the widening: retrieval scoring and the
+    # information-theoretic corpus statistics (linear token-stream
+    # aggregates), the event rollups (lag window / bucketed candles
+    # over the replicated stream), and the relational stats pair.
+    # tfidf_doc_similarity joins triangle_count in the documented
+    # exclusion: cross-replica twins share their banded vectors, so
+    # qualifying pairs grow ~f² by fixture construction.
+    "bm25_score",
+    "token_entropy",
+    "pmi_collocations",
+    "source_kl",
+    "ohlc_bucket",
+    "transition_matrix",
+    "histogram",
+    "corr_matrix",
+    "weighted_sample",
+    "pagerank",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
