@@ -280,3 +280,108 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return agg_row.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Winsorization: clamp ``value_col`` to its per-group exact
+    [lo_q, hi_q] quantiles — the standard heavy-tail taming step
+    before means/regressions on skewed measures.
+
+    Scale shape: the quantile table comes from
+    :func:`group_percentiles_exact` (histogram formulation — the
+    shuffle carries distinct values, not rows) and is GROUP-COUNT
+    sized, so it broadcasts back onto a narrow clamp projection; the
+    data is scanned twice (quantiles, clamp), never sorted.  Returns
+    the input columns plus ``{value_col}_w`` (clamped) and the bounds.
+    """
+    qs = group_percentiles_exact(
+        df, group_cols, value_col, {"__qlo": lo_q, "__qhi": hi_q}
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(qs), group_cols)
+        .select(
+            *df.columns,
+            F.col("__qlo").alias("lo_bound"),
+            F.col("__qhi").alias("hi_bound"),
+            F.least(F.greatest(v, F.col("__qlo")), F.col("__qhi")).alias(
+                f"{value_col}_w"
+            ),
+        )
+    )
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive measure vs
+    Benford's law — the classic fabricated-data / unit-mixing smell
+    test for financial and count columns.
+
+    Scale shape: the digit is pure arithmetic (floor(v / 10^floor(
+    log10 v)) — no string casts), then ONE 9-row count aggregate;
+    expected Benford mass is a literal.  Returns per digit (digit, n,
+    observed_p, expected_p, chi2_term); sum(chi2_term) is the test
+    statistic.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = (
+        df.filter(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("observed_p"),
+            F.round(expected, 6).alias("expected_p"),
+            F.round(
+                F.pow(F.col("n") - expected * F.col("__t"), 2)
+                / (expected * F.col("__t")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def gini_concentration(
+    counts: DataFrame, count_col: str = "cnt"
+) -> DataFrame:
+    """Gini coefficient of a count distribution (0 = perfectly even,
+    →1 = all mass on one item) — the one-number summary of vocabulary
+    or domain concentration that decides whether capping/mixing is
+    needed.
+
+    Scale shape: the input is an already-COLLAPSED count table (one
+    row per item — vocabulary/domain sized, not corpus sized), so the
+    rank window over ascending counts is bounded by the item count;
+    the Gini identity G = (2·Σ(i·cᵢ))/(n·Σcᵢ) − (n+1)/n needs exactly
+    that one ordered pass.  Ties are ordered deterministically by
+    count (the identity is tie-order invariant: swapping equal counts
+    leaves Σ(i·cᵢ) unchanged).  Returns one row (n_items, total,
+    gini).
+    """
+    w = Window.orderBy(F.col(count_col).asc())
+    ranked = counts.select(
+        F.col(count_col).cast("double").alias("__c")
+    ).withColumn("__i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__c").cast("long").alias("total"),
+        F.round(
+            2.0 * F.sum(F.col("__i") * F.col("__c"))
+            / (F.count(F.lit(1)) * F.sum("__c"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
