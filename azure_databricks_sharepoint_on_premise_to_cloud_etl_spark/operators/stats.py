@@ -371,10 +371,11 @@ def gini_concentration(
     leaves Σ(i·cᵢ) unchanged).  Returns one row (n_items, total,
     gini).
     """
-    w = Window.orderBy(F.col(count_col).asc())
     ranked = counts.select(
         F.col(count_col).cast("double").alias("__c")
-    ).withColumn("__i", F.row_number().over(w))
+    ).withColumn(
+        "__i", F.row_number().over(Window.orderBy(F.col("__c").asc()))
+    )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("__c").cast("long").alias("total"),

@@ -5718,3 +5718,179 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening, batch 6: robust stats and period comparison
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group summary: extended price clamped to the
+    exact per-returnflag [p05, p95]; raw vs winsorized means and clip
+    counts — quantile table broadcast, data never sorted."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    w = stats.winsorize(li, ["l_returnflag"], "l_extendedprice", 0.05, 0.95)
+    v = F.col("l_extendedprice").cast("double")
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((v < F.col("lo_bound")).cast("long")).alias("n_clip_lo"),
+        F.sum((v > F.col("hi_bound")).cast("long")).alias("n_clip_hi"),
+        F.round(F.avg(v), 4).alias("mean_raw"),
+        F.round(F.avg("l_extendedprice_w"), 4).alias("mean_w"),
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH q AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS qlo,
+           quantile_cont(l_extendedprice, 0.95) AS qhi
+    FROM lineitem GROUP BY 1
+)
+SELECT li.l_returnflag, count(*) AS n,
+       sum(CAST(CAST(li.l_extendedprice AS DOUBLE) < q.qlo AS BIGINT))
+           AS n_clip_lo,
+       sum(CAST(CAST(li.l_extendedprice AS DOUBLE) > q.qhi AS BIGINT))
+           AS n_clip_hi,
+       round(avg(CAST(li.l_extendedprice AS DOUBLE)), 4) AS mean_raw,
+       round(avg(least(greatest(CAST(li.l_extendedprice AS DOUBLE), q.qlo),
+                       q.qhi)), 4) AS mean_w
+FROM lineitem li JOIN q USING (l_returnflag)
+GROUP BY 1
+"""
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit test on order totals — digit extraction is
+    pure arithmetic, one 9-row aggregate."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.benford_first_digit(o, "o_totalprice")
+
+
+ORACLE_BENFORD = """
+WITH v AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) > 0
+),
+d AS (
+    SELECT CAST(floor(v / pow(10.0, floor(log10(v)))) AS INT) AS digit
+    FROM v
+),
+counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS t FROM counts)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / t.t, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+       round(pow(n - log10(1.0 + 1.0 / digit) * t.t, 2)
+             / (log10(1.0 + 1.0 / digit) * t.t), 6) AS chi2_term
+FROM counts, t
+"""
+
+
+def q_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of the corpus token-frequency distribution —
+    the one-number skew summary over the collapsed vocabulary."""
+    from .functions import word_tokens
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(F.explode(word_tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return stats.gini_concentration(tf, "cnt")
+
+
+ORACLE_GINI = """
+WITH tf AS (
+    SELECT t, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                       '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY 1
+),
+ranked AS (
+    SELECT CAST(cnt AS DOUBLE) AS c,
+           row_number() OVER (ORDER BY cnt ASC) AS i
+    FROM tf
+)
+SELECT count(*) AS n_items, CAST(sum(c) AS BIGINT) AS total,
+       round(2.0 * sum(i * c) / (count(*) * sum(c))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue per order priority: one month-keyed
+    aggregate, then lag/delta/pct over the tiny aggregate — the
+    classic reporting comparison, never a self-join on shifted
+    dates."""
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+                "month"
+            ),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 4).alias(
+            "mom_pct"
+        ),
+    )
+
+
+ORACLE_POP = """
+WITH monthly AS (
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, revenue,
+       round(revenue - lag(revenue) OVER w, 2) AS mom_delta,
+       round((revenue - lag(revenue) OVER w)
+             / lag(revenue) OVER w * 100.0, 4) AS mom_pct
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "winsorize": q_winsorize,
+        "benford": q_benford,
+        "gini_tokens": q_gini_tokens,
+        "period_over_period": q_period_over_period,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "winsorize": ORACLE_WINSORIZE,
+        "benford": ORACLE_BENFORD,
+        "gini_tokens": ORACLE_GINI,
+        "period_over_period": ORACLE_POP,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -502,3 +502,60 @@ def test_cms_cells_are_mergeable(spark):
         for r in sketch.cms_cells(whole, "term", "cnt", depth=3, width=64).collect()
     }
     assert merged == direct
+
+
+def test_winsorize_clamps_to_exact_quantiles(spark):
+    """Planted uniform 1..100: p05/p95 are exact interpolated
+    quantiles; outliers clamp, interior survives untouched."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 101)], ["g", "v"]
+    )
+    out = winsorize(df, ["g"], "v", 0.05, 0.95).collect()
+    lo = np.percentile(np.arange(1.0, 101.0), 5)
+    hi = np.percentile(np.arange(1.0, 101.0), 95)
+    for r in out:
+        assert r["lo_bound"] == pytest.approx(lo, abs=1e-9)
+        assert r["hi_bound"] == pytest.approx(hi, abs=1e-9)
+        assert r["v_w"] == pytest.approx(min(max(r["v"], lo), hi), abs=1e-9)
+
+
+def test_benford_digits_and_mass(spark):
+    """Digits cover 1..9 only, observed mass sums to 1, expected mass
+    follows log10(1 + 1/d); zero/negative rows are excluded."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import (
+        benford_first_digit,
+    )
+
+    vals = [1.0, 19.5, 23.0, 0.031, 950.0, -7.0, 0.0, 4.2e6]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    rows = benford_first_digit(df, "v").collect()
+    got = {r["digit"]: r for r in rows}
+    assert set(got) <= set(range(1, 10))
+    assert sum(r["n"] for r in rows) == 6  # -7 and 0 excluded
+    assert got[1]["n"] == 2  # 1.0 and 19.5
+    assert got[9]["n"] == 1  # 950
+    assert sum(r["observed_p"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    import math
+    for d, r in got.items():
+        assert r["expected_p"] == pytest.approx(math.log10(1 + 1 / d), abs=1e-6)
+
+
+def test_gini_known_distributions(spark):
+    """Even distribution -> 0; fully concentrated -> (n-1)/n."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    even = spark.createDataFrame([(f"t{i}", 10) for i in range(8)], ["t", "cnt"])
+    assert gini_concentration(even, "cnt").collect()[0]["gini"] == pytest.approx(
+        0.0, abs=1e-9
+    )
+    conc = spark.createDataFrame(
+        [("big", 1000)] + [(f"t{i}", 0) for i in range(9)], ["t", "cnt"]
+    )
+    # all mass on one of 10 items: G = (n-1)/n = 0.9
+    assert gini_concentration(conc, "cnt").collect()[0]["gini"] == pytest.approx(
+        0.9, abs=1e-9
+    )
