@@ -5894,3 +5894,114 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_RRF_K = 60
+_RRF_TOPN = 25
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    ranking and the embedding-cosine ranking (probe = vector 0) are
+    fused as sum(1/(60 + rank)) over both lists — the standard hybrid
+    search combiner.  Both legs are the already-verified operators;
+    the fusion itself is one full-outer join of two top-N rank tables
+    (each bounded by N, broadcastable).  Returns the fused top-10 with
+    both source ranks."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    lex = (
+        text.bm25_score(d, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("lex_rank") <= _RRF_TOPN)
+        .select("doc_id", "lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    sem = (
+        similarity.brute_force_topk(e, probe, k=_RRF_TOPN)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "sem_rank")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+def _hybrid_oracle() -> str:
+    bm25 = _bm25_oracle().strip()
+    return f"""
+WITH bm AS ({bm25}),
+lex AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+               AS lex_rank
+    FROM bm
+    QUALIFY lex_rank <= {_RRF_TOPN}
+),
+probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id AS doc_id,
+           round({_DUCK_COSINE.format(a="e.embedding", b="p.pv")}, 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN probe p
+),
+sem AS (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+               AS sem_rank
+    FROM scored
+    QUALIFY sem_rank <= {_RRF_TOPN}
+),
+fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.lex_rank, sem.sem_rank,
+           round(coalesce(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + sem.sem_rank), 0.0), 6)
+               AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+"""
+
+
+AUX_QUERIES["hybrid_retrieval"] = q_hybrid_retrieval
+AUX_ORACLES["hybrid_retrieval"] = _hybrid_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -559,3 +559,55 @@ def test_gini_known_distributions(spark):
     assert gini_concentration(conc, "cnt").collect()[0]["gini"] == pytest.approx(
         0.9, abs=1e-9
     )
+
+
+def test_streaming_cms_maintenance_equals_batch(spark, tmp_path):
+    """Production sketch maintenance: each micro-batch sketches its own
+    slice (foreachBatch) and appends cells; the per-(row,bucket) sum of
+    the appended cells must equal the sketch built over the whole
+    table in one batch pass — the mergeability contract, exercised
+    through real Structured Streaming."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sketch_batch(batch_df, _bid):
+        tf = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        sketch.cms_cells(tf, "event_type", "cnt", depth=3, width=32).write.mode(
+            "append"
+        ).parquet(out)
+
+    events, _ = q._stream_events(spark, sf_dir)
+    stream = (
+        events.select("event_type")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sketch_batch)
+        .start()
+    )
+    stream.awaitTermination()
+
+    merged = {
+        (r["row"], r["bucket"]): r["cell"]
+        for r in spark.read.parquet(out)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+        .collect()
+    }
+    whole_tf = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    direct = {
+        (r["row"], r["bucket"]): r["cell"]
+        for r in sketch.cms_cells(
+            whole_tf, "event_type", "cnt", depth=3, width=32
+        ).collect()
+    }
+    assert merged == direct and len(direct) > 0
