@@ -17,7 +17,7 @@ skew; these helpers cover the two cases AQE can't:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,62 @@ def colocated_join(
     """Join two identically-bucketed tables on their bucket key —
     plans as a zero-shuffle sort-merge join."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/agg-key skew diagnosis: one row summarizing the key's
+    frequency distribution — distinct keys, total rows, the hottest
+    key and its share, exact p50/p99 of per-key counts, and the
+    p99/p50 skew ratio.  Run BEFORE a big join to decide between
+    plain shuffle, AQE skew-join, salting, or broadcast.
+
+    Scale shape: ONE key-count aggregate (map-side partial), then
+    everything operates on the |keys|-sized count table — the top-1
+    window, the exact percentile pass (histogram formulation over
+    DISTINCT count values), and the final scalar assembly are all
+    dimension-sized.  Returns one row.
+    """
+    from .stats import group_percentiles_exact
+
+    counts = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("__k")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    top = (
+        counts.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("__c").desc(), F.col("__k"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__k").cast("string").alias("top_key"),
+            F.col("__c").alias("top_count"),
+        )
+    )
+    qs = group_percentiles_exact(
+        counts.withColumn("__g", F.lit(1)), ["__g"], "__c",
+        {"p50_count": 0.5, "p99_count": 0.99},
+    ).drop("__g")
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "n_keys",
+            "n_rows",
+            "top_key",
+            "top_count",
+            F.round(F.col("top_count") / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+            F.round("p50_count", 6).alias("p50_count"),
+            F.round("p99_count", 6).alias("p99_count"),
+            F.round(F.col("p99_count") / F.col("p50_count"), 6).alias(
+                "skew_ratio"
+            ),
+        )
+    )

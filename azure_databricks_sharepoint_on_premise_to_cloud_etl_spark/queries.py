@@ -6005,3 +6005,49 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis of the lineitem join key (l_orderkey): one-row
+    frequency-distribution summary deciding shuffle vs salt vs
+    broadcast — everything after the key-count aggregate is
+    dimension-sized."""
+    from .operators import skew
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return skew.key_skew_profile(li, "l_orderkey")
+
+
+ORACLE_KEY_SKEW = """
+WITH counts AS (
+    SELECT l_orderkey AS k, count(*) AS c
+    FROM lineitem WHERE l_orderkey IS NOT NULL
+    GROUP BY 1
+),
+top AS (
+    SELECT CAST(k AS VARCHAR) AS top_key, c AS top_count
+    FROM counts
+    QUALIFY row_number() OVER (ORDER BY c DESC, k) = 1
+),
+qs AS (
+    SELECT quantile_cont(c, 0.5) AS p50_count,
+           quantile_cont(c, 0.99) AS p99_count
+    FROM counts
+),
+tot AS (SELECT count(*) AS n_keys, sum(c) AS n_rows FROM counts)
+SELECT tot.n_keys, tot.n_rows, top.top_key, top.top_count,
+       round(CAST(top.top_count AS DOUBLE) / tot.n_rows, 6) AS top1_share,
+       round(qs.p50_count, 6) AS p50_count,
+       round(qs.p99_count, 6) AS p99_count,
+       round(qs.p99_count / qs.p50_count, 6) AS skew_ratio
+FROM tot, top, qs
+"""
+
+
+AUX_QUERIES["key_skew_profile"] = q_key_skew_profile
+AUX_ORACLES["key_skew_profile"] = ORACLE_KEY_SKEW
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -611,3 +611,19 @@ def test_streaming_cms_maintenance_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert merged == direct and len(direct) > 0
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    """Planted hot key dominates top1_share; uniform keys profile
+    flat (skew_ratio 1)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.skew import key_skew_profile
+
+    hot = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    r = key_skew_profile(spark.createDataFrame(hot, ["k"]), "k").collect()[0]
+    assert r["top_key"] == "hot" and r["top_count"] == 90
+    assert r["top1_share"] == pytest.approx(0.9, abs=1e-9)
+    assert r["n_keys"] == 11 and r["n_rows"] == 100
+
+    flat = [(f"k{i % 20}",) for i in range(100)]
+    r2 = key_skew_profile(spark.createDataFrame(flat, ["k"]), "k").collect()[0]
+    assert r2["skew_ratio"] == pytest.approx(1.0, abs=1e-9)
