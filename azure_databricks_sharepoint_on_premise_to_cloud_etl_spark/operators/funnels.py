@@ -244,3 +244,56 @@ def transition_matrix(
             6,
         ).alias("p"),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily + trailing-window active users (DAU / WAU-style): for
+    every calendar day in the observed range, the count of distinct
+    users active that day and in the trailing ``window_days`` window
+    ending that day.
+
+    Scale shape: the corpus collapses to DISTINCT (user, day) FIRST
+    (the only corpus-sized aggregate); each activity day then
+    contributes to exactly ``window_days`` window-end days via a
+    bounded ``explode(sequence)`` — linear x window_days, never a
+    per-day self-join or a count-distinct-over-range window (which
+    Spark cannot partial-aggregate).  Trailing windows that extend
+    past the last observed day are clipped by a broadcast scalar.
+    Returns (day, dau, wau) — wau is the trailing count; at
+    ``window_days=1`` the two columns agree.
+    """
+    ud = df.select(
+        F.col(key_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    last = ud.agg(F.max("d").alias("__last"))
+    contrib = (
+        ud.select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.date_add(F.col("d"), window_days - 1)
+                )
+            ).alias("day"),
+        )
+        .crossJoin(F.broadcast(last))
+        .filter(F.col("day") <= F.col("__last"))
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("u").alias("wau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "wau",
+        )
+    )

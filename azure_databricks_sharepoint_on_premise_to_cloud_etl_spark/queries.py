@@ -6051,3 +6051,45 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_RAU_WINDOW = 7
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day active users per calendar day — distinct
+    (user, day) collapse, then a bounded 7-day explode; never a
+    count-distinct-over-range window."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return funnels.rolling_active_users(e, window_days=_RAU_WINDOW)
+
+
+ORACLE_RAU = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+),
+dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+last AS (SELECT max(d) AS last_d FROM ud),
+contrib AS (
+    SELECT u, CAST(unnest(range(0, {_RAU_WINDOW})) AS INT) AS off, d
+    FROM ud
+),
+expanded AS (
+    SELECT u, CAST(d + to_days(off) AS DATE) AS day FROM contrib, last
+    WHERE CAST(d + to_days(off) AS DATE) <= last.last_d
+),
+wau AS (SELECT day, count(DISTINCT u) AS wau FROM expanded GROUP BY 1)
+SELECT wau.day, coalesce(dau.dau, 0) AS dau, wau.wau
+FROM wau LEFT JOIN dau ON dau.day = wau.day
+"""
+
+
+AUX_QUERIES["rolling_active_users"] = q_rolling_active_users
+AUX_ORACLES["rolling_active_users"] = ORACLE_RAU
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

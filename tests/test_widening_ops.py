@@ -627,3 +627,29 @@ def test_key_skew_profile_detects_hot_key(spark):
     flat = [(f"k{i % 20}",) for i in range(100)]
     r2 = key_skew_profile(spark.createDataFrame(flat, ["k"]), "k").collect()[0]
     assert r2["skew_ratio"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rolling_active_users_planted(spark):
+    """Three users across four days: DAU exact per day; WAU(3d) is the
+    trailing distinct union; trailing windows clip at the last
+    observed day."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import (
+        rolling_active_users,
+    )
+
+    d = lambda day: datetime(2024, 1, day, 12)  # noqa: E731
+    rows = [
+        ("a", d(1)), ("b", d(1)),
+        ("a", d(2)),
+        ("c", d(4)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {str(r["day"]): (r["dau"], r["wau"])
+           for r in rolling_active_users(df, window_days=3).collect()}
+    assert got["2024-01-01"] == (2, 2)
+    assert got["2024-01-02"] == (1, 2)   # a,b from d1; a from d2 -> {a,b}
+    assert got["2024-01-03"] == (0, 2)   # window d1..d3 -> {a,b}
+    assert got["2024-01-04"] == (1, 2)   # window d2..d4 -> {a,c}
+    assert "2024-01-05" not in got       # clipped past last activity
