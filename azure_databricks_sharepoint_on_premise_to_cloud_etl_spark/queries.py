@@ -6093,3 +6093,69 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_COPURCHASE_MAX_BASKET = 40
+_COPURCHASE_MIN_SHARED = 2
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together part pairs: parts sharing at least 2
+    distinct customers, via the customer-keyed self-join of the
+    distinct (customer, part) bipartite table.
+
+    Scale shape: the bipartite table collapses to DISTINCT
+    (customer, part) FIRST; then — the fan-out control — customers
+    with baskets above 40 distinct parts are DROPPED before the
+    self-join (a hot customer contributes basket² pairs for
+    near-zero signal; the same prefix-filter argument as the sparse
+    tf-idf join, and the cut is explicit rather than a silent cap).
+    The pair aggregate is map-side combined on (part_a, part_b)."""
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    basket = cp.groupBy("c").agg(F.count(F.lit(1)).alias("__b"))
+    bounded = cp.join(
+        basket.filter(F.col("__b") <= _COPURCHASE_MAX_BASKET).select("c"),
+        "c",
+        "left_semi",
+    )
+    a = bounded.select("c", F.col("p").alias("part_a"))
+    b = bounded.select("c", F.col("p").alias("part_b"))
+    return (
+        a.join(b, "c")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_customers"))
+        .filter(F.col("n_shared_customers") >= _COPURCHASE_MIN_SHARED)
+    )
+
+
+ORACLE_COPURCHASE = f"""
+WITH cp AS (
+    SELECT DISTINCT o.o_custkey AS c, li.l_partkey AS p
+    FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+),
+basket AS (SELECT c FROM cp GROUP BY c
+           HAVING count(*) <= {_COPURCHASE_MAX_BASKET}),
+bounded AS (SELECT cp.c, cp.p FROM cp SEMI JOIN basket USING (c))
+SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_shared_customers
+FROM bounded a JOIN bounded b ON a.c = b.c AND a.p < b.p
+GROUP BY 1, 2
+HAVING count(*) >= {_COPURCHASE_MIN_SHARED}
+"""
+
+
+AUX_QUERIES["copurchase_pairs"] = q_copurchase_pairs
+AUX_ORACLES["copurchase_pairs"] = ORACLE_COPURCHASE
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

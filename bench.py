@@ -83,6 +83,20 @@ BENCH_QUERIES = [
     "tfidf_doc_similarity",
     "ohlc_bucket",
     "transition_matrix",
+    "winsorize",
+    "histogram",
+    "corr_matrix",
+    "period_over_period",
+    "rolling_active_users",
+    "hybrid_retrieval",
+    "key_skew_profile",
+    "token_entropy",
+    "pmi_collocations",
+    "source_kl",
+    "chi_square",
+    "weighted_sample",
+    "benford",
+    "gini_tokens",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -108,6 +122,20 @@ TOTAL_EXCLUDED = {
     "tfidf_doc_similarity",
     "ohlc_bucket",
     "transition_matrix",
+    "winsorize",
+    "histogram",
+    "corr_matrix",
+    "period_over_period",
+    "rolling_active_users",
+    "hybrid_retrieval",
+    "key_skew_profile",
+    "token_entropy",
+    "pmi_collocations",
+    "source_kl",
+    "chi_square",
+    "weighted_sample",
+    "benford",
+    "gini_tokens",
 }
 
 

@@ -111,6 +111,15 @@ HEAVY = [
     "corr_matrix",
     "weighted_sample",
     "pagerank",
+    # batch 6+ of the widening: robust stats, period comparison,
+    # engagement metrics, retrieval fusion, and the skew diagnosis
+    "winsorize",
+    "benford",
+    "gini_tokens",
+    "period_over_period",
+    "rolling_active_users",
+    "hybrid_retrieval",
+    "key_skew_profile",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
