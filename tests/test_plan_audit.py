@@ -32,8 +32,16 @@ def test_every_query_plan_is_clean(spark):
         {n: f for n, f in q.AUX_QUERIES.items() if not n.startswith("streaming_")}
     )
     failures = {}
+    # The scan count is CACHE-SENSITIVE: an InMemoryRelation left by
+    # an earlier test (or by a just-audited query whose operator calls
+    # .persist() at construction) substitutes into matching subtrees
+    # and changes how many "Scan parquet" lines the formatted plan
+    # prints — the suite-order flake this guards against.  Audit each
+    # query against a clean cache.
+    spark.catalog.clearCache()
     for name, fn in audited.items():
         flags, _scans = audit_flags(fn(spark, SF_DIR_AUDIT))
+        spark.catalog.clearCache()
         hard = hard_flags(flags)
         if hard:
             failures[name] = hard
