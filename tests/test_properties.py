@@ -182,3 +182,85 @@ def test_hash_split_is_total_and_respects_zero_free_weights(spark, scale):
     assert len(out) == 40 * scale
     labels = {r["split"] for r in out}
     assert labels <= {"a", "b"} and "a" in labels
+
+
+# ---- widening-batch invariants ----
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_histogram_partitions_all_rows(spark, values, bins):
+    """Histogram invariants on arbitrary float columns: counts sum to
+    the row count, bin ids stay inside [0, bins), bounds bracket the
+    data."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import histogram
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    rows = histogram(df, "v", bins=bins).collect()
+    assert sum(r["n"] for r in rows) == len(values)
+    assert all(0 <= r["bin"] < bins for r in rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=50),  # minute offset
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_transition_matrix_probabilities_sum_to_one(spark, events):
+    """For every prev state with outgoing transitions, the conditional
+    probabilities sum to 1 (within rounding)."""
+    from datetime import datetime, timedelta
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import (
+        transition_matrix,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    out = transition_matrix(df).collect()
+    by_prev: dict[str, float] = {}
+    for r in out:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=40),
+)
+def test_weighted_priority_sample_k_bounds(spark, k, n):
+    """k >= n returns every positive-weight row; k < n returns exactly
+    k; output is always a subset of the input."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(n)], ["doc_id", "w"]
+    )
+    got = {r["doc_id"] for r in weighted_priority_sample(df, k, "w", "doc_id").collect()}
+    assert len(got) == min(k, n)
+    assert got <= set(range(n))
