@@ -386,3 +386,65 @@ def gini_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CUSUM-style drift summary per key: the running sum of
+    deviations from the key's own mean, reported as the maximum
+    absolute excursion in sigma·sqrt(n) units plus when it peaked —
+    a level-shift detector for metric streams (the no-reset Page
+    statistic; under a stable mean the normalized excursion stays
+    O(1), a sustained shift grows it linearly).
+
+    Scale shape: one (key → mean/std/n) aggregate broadcast back,
+    one running-sum window per key (the engine's running_sum shape),
+    one max-by aggregate — no self-joins, no per-key collect.
+    Keys with fewer than 2 observations or zero variance are excluded
+    (the statistic is undefined).  Returns (key, n, mean, sigma,
+    max_drift_sigmas, peak_ts).
+    """
+    v = F.col(value_col).cast("double")
+    stats_tbl = (
+        df.groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(v).alias("__mu"),
+            F.stddev_pop(v).alias("__sd"),
+        )
+        .filter((F.col("__n") >= 2) & (F.col("__sd") > 0))
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col),
+            F.col(id_col),
+            v.alias("__v"),
+        )
+        .join(F.broadcast(stats_tbl), "__k")
+        .withColumn("__s", F.sum(F.col("__v") - F.col("__mu")).over(w))
+        .withColumn(
+            "__drift",
+            F.abs("__s") / (F.col("__sd") * F.sqrt(F.col("__n"))),
+        )
+    )
+    peak = F.struct(
+        F.col("__drift"), F.col(ts_col), F.col(id_col)
+    )
+    return staged.groupBy(F.col("__k").alias(key_col)).agg(
+        F.max("__n").alias("n"),
+        F.round(F.max("__mu"), 6).alias("mean"),
+        F.round(F.max("__sd"), 6).alias("sigma"),
+        F.round(F.max("__drift"), 6).alias("max_drift_sigmas"),
+        F.max_by(F.col(ts_col), peak).alias("peak_ts"),
+    )

@@ -254,3 +254,49 @@ def ohlc_bucket(
             F.round(F.sum("v"), 4).alias("sum_value"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) for irregularly-sampled
+    values (TWAP): each observation holds its value until the next
+    observation in the bucket; the bucket's last observation holds to
+    the bucket end.  The plain ``avg`` over-weights bursts of rapid
+    samples — TWAP is the honest aggregate for gauge-style series.
+
+    Scale shape: ONE window pass per (key, bucket) (lead over (ts,
+    id) — same shuffle the OHLC rollup uses) and one hash aggregate;
+    weights are epoch-second arithmetic, no interval types.  Returns
+    (key, bucket_epoch, n_obs, twap) with twap rounded to 6.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    bucket = (F.floor(epoch / bucket_seconds) * bucket_seconds).cast("long")
+    w = Window.partitionBy("key", "bucket_epoch").orderBy(
+        F.col("__e"), F.col(id_col)
+    )
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket_epoch"),
+        epoch.alias("__e"),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn(
+        "__dt",
+        F.coalesce(
+            F.lead("__e").over(w),
+            F.col("bucket_epoch") + F.lit(bucket_seconds),
+        )
+        - F.col("__e"),
+    )
+    return staged.groupBy("key", "bucket_epoch").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.sum(F.col("__v") * F.col("__dt")) / F.sum("__dt"), 6
+        ).alias("twap"),
+    )

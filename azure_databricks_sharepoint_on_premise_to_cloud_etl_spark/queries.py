@@ -6159,3 +6159,105 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_TWAP_BUCKET_S = 3600
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average value per event type — the honest
+    aggregate for irregularly-sampled gauge series (one lead window +
+    one hash aggregate)."""
+    from .operators import windows as w
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return w.time_weighted_avg(
+        e, "event_type", "ts", "value", "event_id",
+        bucket_seconds=_TWAP_BUCKET_S,
+    )
+
+
+ORACLE_TWAP = f"""
+WITH b AS (
+    SELECT event_type AS key,
+           (CAST(floor(epoch(ts)) AS BIGINT) // {_TWAP_BUCKET_S})
+               * {_TWAP_BUCKET_S} AS bucket_epoch,
+           CAST(floor(epoch(ts)) AS BIGINT) AS e,
+           event_id,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+),
+staged AS (
+    SELECT key, bucket_epoch, v,
+           coalesce(
+               lead(e) OVER (PARTITION BY key, bucket_epoch
+                             ORDER BY e, event_id),
+               bucket_epoch + {_TWAP_BUCKET_S}
+           ) - e AS dt
+    FROM b
+)
+SELECT key, bucket_epoch, count(*) AS n_obs,
+       round(sum(v * dt) / sum(dt), 6) AS twap
+FROM staged
+GROUP BY 1, 2
+"""
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection per event type: the no-reset CUSUM
+    excursion in sigma*sqrt(n) units, plus when it peaked — one
+    stats aggregate broadcast + one running-sum window."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return stats.cusum_drift(e, "event_type", "ts", "value", "event_id")
+
+
+ORACLE_CUSUM = """
+WITH s AS (
+    SELECT event_type AS k, count(*) AS n,
+           avg(CAST(value AS DOUBLE)) AS mu,
+           stddev_pop(CAST(value AS DOUBLE)) AS sd
+    FROM events GROUP BY 1
+    HAVING count(*) >= 2 AND stddev_pop(CAST(value AS DOUBLE)) > 0
+),
+st AS (
+    SELECT e.event_type AS k, e.ts, e.event_id, s.n, s.mu, s.sd,
+           sum(CAST(e.value AS DOUBLE) - s.mu)
+               OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                     ROWS UNBOUNDED PRECEDING) AS cs
+    FROM events e JOIN s ON s.k = e.event_type
+),
+d AS (
+    SELECT k, ts, event_id, n, mu, sd,
+           abs(cs) / (sd * sqrt(n)) AS drift
+    FROM st
+),
+peak AS (
+    SELECT k, ts AS peak_ts
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY k
+                               ORDER BY drift DESC, ts DESC,
+                                        event_id DESC) = 1
+)
+SELECT d.k AS event_type, max(d.n) AS n,
+       round(max(d.mu), 6) AS mean,
+       round(max(d.sd), 6) AS sigma,
+       round(max(d.drift), 6) AS max_drift_sigmas,
+       max(peak.peak_ts) AS peak_ts
+FROM d JOIN peak ON peak.k = d.k
+GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {"twap": q_twap, "cusum_drift": q_cusum_drift}
+)
+AUX_ORACLES.update(
+    {"twap": ORACLE_TWAP, "cusum_drift": ORACLE_CUSUM}
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -653,3 +653,46 @@ def test_rolling_active_users_planted(spark):
     assert got["2024-01-03"] == (0, 2)   # window d1..d3 -> {a,b}
     assert got["2024-01-04"] == (1, 2)   # window d2..d4 -> {a,c}
     assert "2024-01-05" not in got       # clipped past last activity
+
+
+def test_time_weighted_avg_planted(spark):
+    """A value held for 50 minutes dominates a 10-minute spike —
+    exactly the case plain avg gets wrong."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        (1, "m", datetime(2024, 1, 1, 10, 0), 10.0),   # held 50 min
+        (2, "m", datetime(2024, 1, 1, 10, 50), 100.0), # held 10 min
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "etype", "ts", "value"])
+    r = time_weighted_avg(df, "etype", "ts", "value", "event_id").collect()[0]
+    # (10*3000 + 100*600) / 3600 = 25.0 ; plain avg would say 55
+    assert r["twap"] == pytest.approx(25.0, abs=1e-9)
+    assert r["n_obs"] == 2
+
+
+def test_cusum_drift_detects_level_shift(spark):
+    """A series whose mean shifts halfway scores a far larger
+    normalized excursion than a flat series with the same noise."""
+    from datetime import datetime, timedelta
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import cusum_drift
+
+    base = datetime(2024, 1, 1)
+    noise = [0.1, -0.1] * 20
+    flat = [(i, "flat", base + timedelta(minutes=i), 5.0 + noise[i])
+            for i in range(40)]
+    shifted = [(100 + i, "shift", base + timedelta(minutes=i),
+                (5.0 if i < 20 else 9.0) + noise[i]) for i in range(40)]
+    df = spark.createDataFrame(
+        flat + shifted, ["event_id", "key", "ts", "value"]
+    )
+    got = {r["key"]: r for r in
+           cusum_drift(df, "key", "ts", "value", "event_id").collect()}
+    assert got["shift"]["max_drift_sigmas"] > 5 * got["flat"]["max_drift_sigmas"]
+    # the excursion of a mid-series shift peaks at the shift boundary
+    assert got["shift"]["peak_ts"] == base + timedelta(minutes=19)
