@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "weighted_sample",
     "benford",
     "gini_tokens",
+    "copurchase_pairs",
+    "twap",
+    "cusum_drift",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -136,6 +139,9 @@ TOTAL_EXCLUDED = {
     "weighted_sample",
     "benford",
     "gini_tokens",
+    "copurchase_pairs",
+    "twap",
+    "cusum_drift",
 }
 
 

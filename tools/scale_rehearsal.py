@@ -120,6 +120,9 @@ HEAVY = [
     "rolling_active_users",
     "hybrid_retrieval",
     "key_skew_profile",
+    "copurchase_pairs",
+    "twap",
+    "cusum_drift",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
