@@ -235,6 +235,13 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # co-tenant load context: identical code measured 22.3s on a quiet
+    # host and 33.3s at loadavg ~6 in one day (r6) — a cross-round
+    # total comparison without this number is meaningless
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = None
     total = round(
         sum(v for k, v in timings.items() if k not in TOTAL_EXCLUDED), 3
     )
@@ -246,6 +253,8 @@ def main() -> None:
         "reps": reps,
         "stat": "median",
         "noise_spread_sec": spread,
+        "host_loadavg_1m": round(load1, 2) if load1 is not None else None,
+        "host_loadavg_5m": round(load5, 2) if load5 is not None else None,
         "sf": sf,
         "note": (
             "since r3: percentiles is histogram-exact (was built-in "
