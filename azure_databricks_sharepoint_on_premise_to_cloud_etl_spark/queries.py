@@ -6261,3 +6261,108 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_events_daily_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed events-side report (the analytics twin of
+    curation_pipeline): per calendar day — event volume, DAU,
+    trailing-7-day actives, sessions started (30-min gap), purchase
+    count and revenue.  Every leg is an already-verified operator
+    shape (distinct-collapse actives, lag-window sessionization,
+    conditional aggregates), joined on the |days|-sized day key, so
+    the composition stays one lazy plan with day-keyed
+    dimension-sized joins at the top."""
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    day = F.to_date("ts").alias("day")
+    vol = e.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            ),
+            2,
+        ).alias("purchase_value"),
+    )
+    from .operators import funnels, intervals
+
+    active = funnels.rolling_active_users(e, window_days=7)
+    starts = (
+        intervals.sessionize(
+            e.select("user_id", "ts"), "ts", ["user_id"],
+            gap="INTERVAL 30 MINUTE",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("__s0"))
+        .groupBy(F.to_date("__s0").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_sessions_started"))
+    )
+    return (
+        vol.join(active, "day", "left")
+        .join(starts, "day", "left")
+        .select(
+            "day",
+            "n_events",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            F.coalesce("n_sessions_started", F.lit(0)).alias(
+                "n_sessions_started"
+            ),
+            "n_purchases",
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+ORACLE_DAILY_OVERVIEW = """
+WITH vol AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           sum(CAST(event_type = 'purchase' AS BIGINT)) AS n_purchases,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+               AS purchase_value
+    FROM events GROUP BY 1
+),
+ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+last AS (SELECT max(d) AS last_d FROM ud),
+wau AS (
+    SELECT CAST(d + to_days(CAST(off AS INT)) AS DATE) AS day,
+           count(DISTINCT u) AS wau
+    FROM (SELECT u, d, unnest(range(0, 7)) AS off FROM ud), last
+    WHERE CAST(d + to_days(CAST(off AS INT)) AS DATE) <= last.last_d
+    GROUP BY 1
+),
+g AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+starts AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_sessions_started
+    FROM g WHERE new_s = 1 GROUP BY 1
+)
+SELECT vol.day, vol.n_events,
+       coalesce(dau.dau, 0) AS dau,
+       coalesce(wau.wau, 0) AS wau,
+       coalesce(starts.n_sessions_started, 0) AS n_sessions_started,
+       vol.n_purchases,
+       coalesce(vol.purchase_value, 0.0) AS purchase_value
+FROM vol
+LEFT JOIN dau ON dau.day = vol.day
+LEFT JOIN wau ON wau.day = vol.day
+LEFT JOIN starts ON starts.day = vol.day
+"""
+
+
+AUX_QUERIES["events_daily_overview"] = q_events_daily_overview
+AUX_ORACLES["events_daily_overview"] = ORACLE_DAILY_OVERVIEW
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "copurchase_pairs",
     "twap",
     "cusum_drift",
+    "events_daily_overview",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -142,6 +143,7 @@ TOTAL_EXCLUDED = {
     "copurchase_pairs",
     "twap",
     "cusum_drift",
+    "events_daily_overview",
 }
 
 

@@ -123,6 +123,7 @@ HEAVY = [
     "copurchase_pairs",
     "twap",
     "cusum_drift",
+    "events_daily_overview",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
