@@ -6366,3 +6366,145 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_PASSAGE_LEN = 16  # tokens per passage for exact passage-level dedup
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact passage-level dedup (the chunk-granular sibling of
+    exact_dedup and the bounded form of suffix-array substring dedup):
+    split every document into non-overlapping 16-token passages,
+    digest each, and report passages appearing in 2+ DISTINCT
+    documents with their spread — the cross-document duplicated
+    passages a substring-dedup pass would strike.
+
+    Scale shape: tokenize once, narrow slice/digest HOFs, then ONE
+    digest-keyed aggregate over (doc, passage-digest)-distinct rows —
+    the corpus-wide exchange carries 8-byte digests only, identical
+    budget to exact_dedup."""
+    from .functions import portable_hash64, word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    toks = F.col("__toks")
+    n_chunks = F.ceil(F.size(toks) / _PASSAGE_LEN).cast("int")
+    digests = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: portable_hash64(
+            F.array_join(
+                F.slice(toks, i * _PASSAGE_LEN + 1, _PASSAGE_LEN), " "
+            )
+        ),
+    )
+    pairs = (
+        d.select("doc_id", word_tokens("text").alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", F.explode(F.array_distinct(digests)).alias("ph"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("ph")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _duplicate_passages_oracle() -> str:
+    L = _PASSAGE_LEN
+    digest = _duck_hash(f"array_to_string(t[i*{L}+1:i*{L}+{L}], ' ')", 0)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT DISTINCT doc_id, {digest} AS ph
+    FROM toks,
+         unnest(range(0, CAST(ceil(len(t) / {L}.0) AS BIGINT))) AS u(i)
+    WHERE len(t) > 0
+)
+SELECT ph, count(*) AS n_docs, min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM pairs
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density profiling per source: URL-shaped token counts and
+    the link-spam share (docs whose text is >10% URL tokens) — a
+    cheap curation gate alongside quality_score.  RE2-compatible
+    pattern so the oracle evaluates the IDENTICAL regex.  NOTE: the
+    synthetic corpus contains no URLs, so the corpus-level oracle
+    pins the aggregation shape only; actual extraction (and the
+    escaping contract — Spark SQL literals eat one backslash level,
+    DuckDB literals don't) is pinned by the planted unit test."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    # Spark SQL string literals process backslash escapes, so the
+    # literal must carry \\s to deliver \s to the regex engine
+    url_re = r"https?://[^\\s]+"
+    n_urls = F.size(
+        F.expr(f"regexp_extract_all(text, '{url_re}', 0)")
+    )
+    from .functions import word_tokens
+
+    n_toks = F.size(word_tokens("text"))
+    per_doc = d.select(
+        "source",
+        n_urls.alias("__u"),
+        n_toks.alias("__t"),
+    )
+    spammy = (F.col("__t") > 0) & (
+        F.col("__u") / F.col("__t") > 0.1
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__u").alias("n_urls"),
+        F.sum(spammy.cast("long")).alias("n_link_spam_docs"),
+        F.round(F.avg(F.col("__u").cast("double")), 6).alias(
+            "avg_urls_per_doc"
+        ),
+    )
+
+
+ORACLE_URL_STATS = """
+WITH per_doc AS (
+    SELECT source,
+           len(regexp_extract_all(text, 'https?://[^\s]+', 0)) AS u,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS t
+    FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(u) AS n_urls,
+       sum(CAST(t > 0 AND CAST(u AS DOUBLE) / t > 0.1 AS BIGINT))
+           AS n_link_spam_docs,
+       round(avg(CAST(u AS DOUBLE)), 6) AS avg_urls_per_doc
+FROM per_doc
+GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "duplicate_passages": q_duplicate_passages,
+        "url_stats": q_url_stats,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "duplicate_passages": _duplicate_passages_oracle(),
+        "url_stats": ORACLE_URL_STATS,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

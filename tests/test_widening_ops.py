@@ -696,3 +696,48 @@ def test_cusum_drift_detects_level_shift(spark):
     assert got["shift"]["max_drift_sigmas"] > 5 * got["flat"]["max_drift_sigmas"]
     # the excursion of a mid-series shift peaks at the shift boundary
     assert got["shift"]["peak_ts"] == base + timedelta(minutes=19)
+
+
+def test_duplicate_passages_planted(spark):
+    """A 16-token passage shared verbatim by two documents is
+    reported; unique text is not."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    passage = " ".join(f"tok{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " unique tail one"),
+            (2, passage + " other ending here"),
+            (3, "entirely different words " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="pass_fixture_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = q.AUX_QUERIES["duplicate_passages"](spark, d).collect()
+    assert len(out) == 1
+    assert {r["n_docs"] for r in out} == {2}
+    assert out[0]["first_doc"] == 1 and out[0]["last_doc"] == 2
+
+
+def test_url_stats_planted(spark):
+    """URL tokens are counted and the >10% link-density gate flags the
+    spammy document."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "read this https://a.example/x and http://b.example"),
+            (2, "s", "clean text with no links at all " * 3),
+            (3, "t", "https://spam.example " * 5),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="url_fixture_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["source"]: r for r in q.AUX_QUERIES["url_stats"](spark, d).collect()}
+    assert got["s"]["n_urls"] == 2
+    assert got["s"]["n_link_spam_docs"] == 1  # doc 1 is 2/8 = 25% URLs
+    assert got["t"]["n_urls"] == 5 and got["t"]["n_link_spam_docs"] == 1
