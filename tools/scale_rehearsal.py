@@ -124,6 +124,7 @@ HEAVY = [
     "twap",
     "cusum_drift",
     "events_daily_overview",
+    "duplicate_passages",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
