@@ -6508,3 +6508,140 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: exact
+    p50/p90/p99 of days-to-ship plus the mean — the operational SLA
+    report, via the engine's histogram-formulation percentiles (the
+    shuffle carries distinct latency values, not line items)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "__lat"
+        ),
+    )
+    qs = stats.group_percentiles_exact(
+        lat, ["o_orderpriority"], "__lat",
+        {"p50_days": 0.5, "p90_days": 0.9, "p99_days": 0.99},
+    )
+    means = lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("__lat"), 6).alias("mean_days"),
+    )
+    return means.join(F.broadcast(qs), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_lines",
+        "mean_days",
+        F.round("p50_days", 6).alias("p50_days"),
+        F.round("p90_days", 6).alias("p90_days"),
+        F.round("p99_days", 6).alias("p99_days"),
+    )
+
+
+ORACLE_FULFILLMENT = """
+WITH lat AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(li.l_shipdate AS DATE)) AS lat
+    FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(avg(lat), 6) AS mean_days,
+       round(quantile_cont(lat, 0.5), 6) AS p50_days,
+       round(quantile_cont(lat, 0.9), 6) AS p90_days,
+       round(quantile_cont(lat, 0.99), 6) AS p99_days
+FROM lat GROUP BY 1
+"""
+
+
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration (Pareto curve by decile):
+    customers ranked by lifetime revenue, split into 10 equal-count
+    tiers, each tier's revenue share and the cumulative share — the
+    '20% of customers drive 80% of revenue' report.  One customer
+    aggregate, one rank window over the |customers|-sized table, one
+    tier rollup."""
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("__rev")
+    )
+    tiered = rev.withColumn(
+        "tier",
+        F.ntile(10).over(
+            Window.orderBy(F.col("__rev").desc(), F.col("o_custkey"))
+        ),
+    )
+    per_tier = tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("__rev"), 2).alias("tier_revenue"),
+    )
+    total = per_tier.agg(F.sum("tier_revenue").alias("__t"))
+    w_cum = Window.orderBy("tier").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_tier.crossJoin(F.broadcast(total))
+        .select(
+            "tier",
+            "n_customers",
+            "tier_revenue",
+            F.round(F.col("tier_revenue") / F.col("__t"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(
+                F.sum("tier_revenue").over(w_cum) / F.col("__t"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+ORACLE_PARETO = """
+WITH rev AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+),
+tiered AS (
+    SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS tier
+    FROM rev
+),
+per_tier AS (
+    SELECT tier, count(*) AS n_customers,
+           round(sum(rev), 2) AS tier_revenue
+    FROM tiered GROUP BY 1
+),
+t AS (SELECT sum(tier_revenue) AS t FROM per_tier)
+SELECT tier, n_customers, tier_revenue,
+       round(tier_revenue / t.t, 6) AS revenue_share,
+       round(sum(tier_revenue) OVER (ORDER BY tier
+                                     ROWS UNBOUNDED PRECEDING) / t.t,
+             6) AS cum_share
+FROM per_tier, t
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "fulfillment_latency": q_fulfillment_latency,
+        "revenue_pareto": q_revenue_pareto,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "fulfillment_latency": ORACLE_FULFILLMENT,
+        "revenue_pareto": ORACLE_PARETO,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
