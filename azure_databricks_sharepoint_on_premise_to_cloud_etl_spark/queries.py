@@ -6474,7 +6474,7 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_URL_STATS = """
+ORACLE_URL_STATS = r"""
 WITH per_doc AS (
     SELECT source,
            len(regexp_extract_all(text, 'https?://[^\s]+', 0)) AS u,
