@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "twap",
     "cusum_drift",
     "events_daily_overview",
+    "duplicate_passages",
+    "url_stats",
+    "fulfillment_latency",
+    "revenue_pareto",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -144,6 +148,10 @@ TOTAL_EXCLUDED = {
     "twap",
     "cusum_drift",
     "events_daily_overview",
+    "duplicate_passages",
+    "url_stats",
+    "fulfillment_latency",
+    "revenue_pareto",
 }
 
 
