@@ -468,9 +468,11 @@ def weighted_priority_sample(
     ``k`` highest-PRIORITY rows (per group, if ``group_cols``), where
     priority = w / u and u is a hash-uniform in (0, 1) — the
     Duffield–Lund–Thorup priority-sampling scheme, which at 100 TB
-    replaces "sort by random() weighted" with one rank window and
-    gives unbiased subset-sum estimates via the (k+1)-th priority
-    threshold.
+    replaces "sort by random() weighted" with one rank window.  (DLT's
+    unbiased subset-sum estimator additionally needs the (k+1)-th
+    priority as the threshold; this operator returns the sample with
+    its priorities — rank k+1's priority is the first excluded one —
+    and leaves the estimator to the caller.)
 
     Cross-engine determinism is ARITHMETIC, not seeding: u is built
     from a 40-bit slice of the portable md5 hash — (h40 + 0.5) / 2^40

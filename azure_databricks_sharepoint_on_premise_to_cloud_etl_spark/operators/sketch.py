@@ -2,8 +2,10 @@
 
 A count-min sketch (Cormode & Muthukrishnan 2005) answers point
 frequency queries over a stream/corpus in O(depth x width) space with
-one-sided error (estimate >= truth, overshoot bounded by
-``2N/width`` w.h.p.).  At 100 TB the exact term-frequency table is
+one-sided error: estimate >= truth always, each row's expected
+overcount is at most ``N/width`` (Markov), and taking the min across
+``depth`` independent rows drives the tail down exponentially in
+depth.  At 100 TB the exact term-frequency table is
 itself huge; the sketch is FIXED-SIZE and MERGEABLE — each executor
 builds partial cells map-side and the shuffle carries at most
 ``depth x width`` rows per partition, never the vocabulary.

@@ -297,7 +297,8 @@ def winsorize(
     :func:`group_percentiles_exact` (histogram formulation — the
     shuffle carries distinct values, not rows) and is GROUP-COUNT
     sized, so it broadcasts back onto a narrow clamp projection; the
-    data is scanned twice (quantiles, clamp), never sorted.  Returns
+    raw data is scanned twice (quantiles, clamp) and never fully
+    sorted — only each group's distinct-value histogram is.  Returns
     the input columns plus ``{value_col}_w`` (clamped) and the bounds.
     """
     qs = group_percentiles_exact(
