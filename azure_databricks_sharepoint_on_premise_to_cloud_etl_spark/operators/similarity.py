@@ -438,3 +438,40 @@ def embedding_covariance(
             + F.lit(0.0)
         ).alias("cov_pop"),
     )
+
+
+def apply_linear_map(
+    df: DataFrame, vec_col: str, matrix: "list[list[float]]"
+) -> DataFrame:
+    """Apply a dense linear map y = W x to an embedding column —
+    the distributed half of PCA/whitening: reduce the covariance with
+    :func:`embedding_covariance`, eigendecompose the d×d matrix on
+    the driver (trivial), then transform the corpus with THIS.
+
+    Scale shape: W broadcasts to executors inside an Arrow-batched
+    ``mapInPandas`` closure and each batch is one BLAS matmul —
+    embeddings never leave their partitions, no shuffle at all.  Rows
+    whose vector is NULL or of the wrong dimension are dropped (a
+    linear map over a ragged column is undefined).  Output schema is
+    the input schema with ``vec_col`` replaced by the mapped vector.
+    """
+    import numpy as np
+
+    w = np.asarray(matrix, dtype=np.float64)
+    d_out, d_in = w.shape
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            keep = vecs.map(
+                lambda v: v is not None and len(v) == d_in
+            )
+            pdf = pdf[keep.values]
+            if len(pdf):
+                x = np.array(list(pdf[vec_col]), dtype=np.float64)
+                y = x @ w.T
+                pdf = pdf.assign(**{vec_col: list(y.astype(np.float32))})
+            yield pdf
+
+    return df.mapInPandas(run, schema)

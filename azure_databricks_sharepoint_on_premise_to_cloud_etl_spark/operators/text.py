@@ -1050,3 +1050,23 @@ def pmi_collocations(
         .crossJoin(F.broadcast(tot_u))
         .select("w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi"))
     )
+
+
+def score_linear_model(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    out_col: str = "model_score",
+) -> DataFrame:
+    """Apply a linear model with a sigmoid link over feature columns —
+    the plumbing of model-based quality filtering (fastText/logistic
+    classifiers): weights are plan literals (broadcast by
+    construction), scoring is one narrow projection, and the real
+    model swaps in by changing the weight dict.  Appends ``out_col``
+    in (0, 1) rounded to 6.
+    """
+    z = F.lit(float(bias))
+    for col, wgt in sorted(weights.items()):
+        z = z + F.lit(float(wgt)) * F.col(col).cast("double")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn(out_col, F.round(score, 6))

@@ -6645,3 +6645,79 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_MODEL_WEIGHTS = {
+    "n_tokens": 0.02,
+    "stopword_ratio": 3.0,
+    "punct_ratio": -8.0,
+}
+_MODEL_BIAS = -1.0
+
+
+def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a logistic model over the
+    quality_score features (weights as plan literals — the
+    fastText-classifier plumbing with the model swapped for a
+    transparent linear one), reported per document with its
+    keep/drop verdict at 0.5."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    feats = text.quality_score(d)
+    scored = text.score_linear_model(
+        feats, _MODEL_WEIGHTS, bias=_MODEL_BIAS
+    )
+    return scored.select(
+        "doc_id",
+        "model_score",
+        (F.col("model_score") >= 0.5).alias("keep"),
+    )
+
+
+def _model_filter_oracle() -> str:
+    # feature definitions mirror text.quality_score; weights applied
+    # in sorted-column order, matching the operator's add order
+    terms = []
+    feature_sql = {
+        "n_tokens": "CAST(n_tokens AS DOUBLE)",
+        "punct_ratio": "punct_ratio",
+        "stopword_ratio": "stopword_ratio",
+    }
+    for col in sorted(_MODEL_WEIGHTS):
+        terms.append(f"({_MODEL_WEIGHTS[col]!r}) * {feature_sql[col]}")
+    z = f"({_MODEL_BIAS!r}) + " + " + ".join(terms)
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS n_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text,
+                          '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                      / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(list_filter(string_split_regex(
+                          lower(trim(text)), '\\s+'), x -> x <> '')) > 0
+                 THEN CAST(len(list_filter(string_split_regex(
+                          lower(trim(text)), '\\s+'),
+                          x -> list_contains(['the','and','of','to','a',
+                                              'in','is','that'], x)))
+                          AS DOUBLE)
+                      / len(list_filter(string_split_regex(
+                          lower(trim(text)), '\\s+'), x -> x <> ''))
+                 ELSE 0.0 END, 6) AS stopword_ratio
+    FROM documents
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({z}))), 6) AS model_score,
+       round(1.0 / (1.0 + exp(-({z}))), 6) >= 0.5 AS keep
+FROM feats
+"""
+
+
+AUX_QUERIES["model_quality_filter"] = q_model_quality_filter
+AUX_ORACLES["model_quality_filter"] = _model_filter_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -741,3 +741,60 @@ def test_url_stats_planted(spark):
     assert got["s"]["n_urls"] == 2
     assert got["s"]["n_link_spam_docs"] == 1  # doc 1 is 2/8 = 25% URLs
     assert got["t"]["n_urls"] == 5 and got["t"]["n_link_spam_docs"] == 1
+
+
+def test_pca_whitening_loop_closes(spark):
+    """The full PCA story: reduce the covariance with
+    embedding_covariance, eigendecompose the tiny d×d on the driver,
+    whiten the corpus with apply_linear_map — the transformed
+    covariance must be the identity.  Covariance reduction, driver
+    eigh, and the distributed BLAS apply all exercised together."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import (
+        apply_linear_map,
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic data: distinct variances + correlation
+    raw = rng.normal(size=(300, 4)) @ np.array(
+        [[2.0, 0, 0, 0], [0.5, 1.0, 0, 0], [0, 0, 0.3, 0], [0, 0, 0.4, 1.5]]
+    )
+    df = spark.createDataFrame(
+        [(row.astype(np.float32).tolist(),) for row in raw], ["embedding"]
+    )
+    cov_rows = embedding_covariance(df).collect()
+    d = 4
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov_pop"]
+    # driver-side: whitening matrix W = Λ^{-1/2} Vᵀ (d×d — trivial)
+    vals, vecs = np.linalg.eigh(cov)
+    w = np.diag(1.0 / np.sqrt(vals)) @ vecs.T
+    # also remove the mean first (whitening is defined on centered data)
+    mean = raw.mean(axis=0)
+    centered = spark.createDataFrame(
+        [((row - mean).astype(np.float32).tolist(),) for row in raw],
+        ["embedding"],
+    )
+    white = apply_linear_map(centered, "embedding", w.tolist())
+    out_cov_rows = embedding_covariance(white).collect()
+    out = np.zeros((d, d))
+    for r in out_cov_rows:
+        out[r["i"], r["j"]] = out[r["j"], r["i"]] = r["cov_pop"]
+    assert np.allclose(out, np.eye(d), atol=5e-3), out
+
+
+def test_apply_linear_map_drops_ragged_rows(spark):
+    """NULL and wrong-dimension vectors are dropped, valid rows map
+    exactly."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import (
+        apply_linear_map,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.0, 3.0])],
+        ["vec_id", "embedding"],
+    )
+    out = apply_linear_map(df, "embedding", [[2.0, 0.0], [0.0, 3.0]]).collect()
+    assert len(out) == 1 and out[0]["vec_id"] == 1
+    assert list(out[0]["embedding"]) == [2.0, 6.0]
