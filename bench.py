@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "url_stats",
     "fulfillment_latency",
     "revenue_pareto",
+    "model_quality_filter",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -152,6 +153,7 @@ TOTAL_EXCLUDED = {
     "url_stats",
     "fulfillment_latency",
     "revenue_pareto",
+    "model_quality_filter",
 }
 
 

@@ -125,6 +125,9 @@ HEAVY = [
     "cusum_drift",
     "events_daily_overview",
     "duplicate_passages",
+    "fulfillment_latency",
+    "revenue_pareto",
+    "model_quality_filter",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
