@@ -5,10 +5,12 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The registry is capped at the driver's 50-row capture; 30 further
-oracle-verified queries (streaming forms and the round-5 corpus-
-curation family) live in ``queries.AUX_QUERIES``/``AUX_ORACLES`` and
-are gated to the same digest discipline by
+The registry is capped at the driver's 50-row capture; 91 further
+oracle-verified queries (streaming forms, the corpus-curation family,
+and the round-6 widening batches — retrieval, sketches, graph
+analytics, robust/association statistics, behavioral analytics,
+warehouse reports) live in ``queries.AUX_QUERIES``/``AUX_ORACLES``
+and are gated to the same digest discipline by
 ``tools/aux_correctness.py`` (per-round AUX_CORRECTNESS.json) and the
 parameterized pytest in ``tests/test_aux_queries.py``.
 """
