@@ -6721,3 +6721,59 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles as REAL Structured Streaming: watermarked
+    tumbling windows with ``min_by``/``max_by`` open/close inside the
+    streaming aggregate (declarative aggs partial-merge across
+    micro-batches like any sum), drained with Trigger.AvailableNow.
+    Same oracle as the batch ``ohlc_bucket`` — both formulations must
+    agree exactly."""
+    import tempfile
+
+    from .streaming import incremental
+
+    events, ts_was_ntz = _stream_events(spark, sf_dir)
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(
+            F.round(F.min_by("value", order), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", order), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "key",
+            F.unix_timestamp(F.col("w.start").cast("timestamp")).alias(
+                "bucket_epoch"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_ohlc_ckpt_")
+    incremental.run_to_memory_sink(agg, "stream_ohlc_out", ckpt)
+    return spark.table("stream_ohlc_out")
+
+
+AUX_QUERIES["streaming_ohlc"] = q_streaming_ohlc
+AUX_ORACLES["streaming_ohlc"] = ORACLE_OHLC
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
