@@ -6777,3 +6777,144 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between sources: Jaccard and both
+    containments per source pair — the set-based complement of the
+    distributional ``source_kl`` drift (a source can match the corpus
+    distribution yet use a disjoint vocabulary).  One (source, term)
+    distinct collapse; the pair join runs on the |sources×vocab|
+    table, with per-source sizes broadcast back."""
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    st = (
+        d.select("source", F.explode(word_tokens("text")).alias("__t"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    a = st.select(F.col("source").alias("source_a"), "__t")
+    b = st.select(F.col("source").alias("source_b"), "__t")
+    inter = (
+        a.join(b, "__t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("source").alias("source_a"), F.col("__n").alias("__na")
+    )
+    nb = sizes.select(
+        F.col("source").alias("source_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("n_shared") / F.col("__na"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_shared") / F.col("__nb"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH st AS (
+    SELECT DISTINCT source,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+),
+sizes AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       round(CAST(i.n_shared AS DOUBLE)
+             / (na.n + nb.n - i.n_shared), 6) AS jaccard,
+       round(CAST(i.n_shared AS DOUBLE) / na.n, 6) AS containment_a,
+       round(CAST(i.n_shared AS DOUBLE) / nb.n, 6) AS containment_b
+FROM inter i
+JOIN sizes na ON na.source = i.source_a
+JOIN sizes nb ON nb.source = i.source_b
+"""
+
+
+_SPECTRUM_MAX_R = 10
+
+
+def q_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum (the Good–Turing smoothing
+    input): how many distinct terms occur exactly r times, r = 1..10,
+    plus the >10 tail bucket — two chained count aggregates, both
+    map-side combined, the second vocabulary-sized."""
+    from .functions import word_tokens
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(F.explode(word_tokens("text")).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    r = F.when(F.col("__c") <= _SPECTRUM_MAX_R, F.col("__c")).otherwise(
+        F.lit(_SPECTRUM_MAX_R + 1)
+    )
+    return (
+        tf.groupBy(r.alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__c").alias("total_occurrences"),
+        )
+    )
+
+
+ORACLE_SPECTRUM = f"""
+WITH tf AS (
+    SELECT t, count(*) AS c
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                       '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY 1
+)
+SELECT CASE WHEN c <= {_SPECTRUM_MAX_R} THEN c
+            ELSE {_SPECTRUM_MAX_R + 1} END AS r,
+       count(*) AS n_terms,
+       sum(c) AS total_occurrences
+FROM tf
+GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "source_overlap": q_source_overlap,
+        "frequency_spectrum": q_frequency_spectrum,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "source_overlap": ORACLE_SOURCE_OVERLAP,
+        "frequency_spectrum": ORACLE_SPECTRUM,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
