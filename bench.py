@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "fulfillment_latency",
     "revenue_pareto",
     "model_quality_filter",
+    "source_overlap",
+    "frequency_spectrum",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -154,6 +156,8 @@ TOTAL_EXCLUDED = {
     "fulfillment_latency",
     "revenue_pareto",
     "model_quality_filter",
+    "source_overlap",
+    "frequency_spectrum",
 }
 
 

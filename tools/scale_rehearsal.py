@@ -128,6 +128,8 @@ HEAVY = [
     "fulfillment_latency",
     "revenue_pareto",
     "model_quality_filter",
+    "source_overlap",
+    "frequency_spectrum",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
