@@ -253,9 +253,12 @@ def rolling_active_users(
     window_days: int = 7,
 ) -> DataFrame:
     """Daily + trailing-window active users (DAU / WAU-style): for
-    every calendar day in the observed range, the count of distinct
-    users active that day and in the trailing ``window_days`` window
-    ending that day.
+    every day within ``window_days`` of observed activity, the count
+    of distinct users active that day and in the trailing
+    ``window_days`` window ending that day.  Days whose trailing
+    window contains no activity at all are absent from the output
+    (sparse axis — callers needing dense calendars join a day
+    sequence).
 
     Scale shape: the corpus collapses to DISTINCT (user, day) FIRST
     (the only corpus-sized aggregate); each activity day then

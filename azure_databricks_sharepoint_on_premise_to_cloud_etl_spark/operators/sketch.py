@@ -96,14 +96,21 @@ def cms_estimate(
             for r in range(depth)
         ]
     )
+    # Alias the sketch side so a terms frame that already carries
+    # row/bucket/cell columns cannot make the join ambiguous.
+    sketch = cells.select(
+        F.col("row").alias("__srow"),
+        F.col("bucket").alias("__sbucket"),
+        F.col("cell").alias("__scell"),
+    )
     return (
         terms.select(*out_cols, F.explode(probes).alias("__rb"))
         .join(
-            F.broadcast(cells),
-            (F.col("__rb.row") == F.col("row"))
-            & (F.col("__rb.bucket") == F.col("bucket")),
+            F.broadcast(sketch),
+            (F.col("__rb.row") == F.col("__srow"))
+            & (F.col("__rb.bucket") == F.col("__sbucket")),
             "left",
         )
         .groupBy(*out_cols)
-        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("__scell"), F.lit(0))).alias("cms_est"))
     )

@@ -204,9 +204,12 @@ def chi_square_assoc(
         ((F.col("ka") - 1) * (F.col("kb") - 1)).alias("dof"),
         "chi2",
         F.round(
-            F.sqrt(
-                F.col("chi2")
-                / (F.col("n") * F.least(F.col("ka") - 1, F.col("kb") - 1))
+            F.when(
+                F.least(F.col("ka") - 1, F.col("kb") - 1) > 0,
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("ka") - 1, F.col("kb") - 1))
+                ),
             ),
             6,
         ).alias("cramers_v"),
@@ -265,6 +268,10 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     pair (k(k-1)/2 corr expressions fused into a single scan; never a
     job per pair), then the scalar row unpivots via stack.
     """
+    if len(cols) < 2:
+        raise ValueError(
+            f"corr_matrix needs at least 2 columns, got {len(cols)}"
+        )
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     agg_row = df.agg(
         *[

@@ -5114,7 +5114,9 @@ chi AS (
     FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
 )
 SELECT n, (ka - 1) * (kb - 1) AS dof, chi2,
-       round(sqrt(chi2 / (n * least(ka - 1, kb - 1))), 6) AS cramers_v
+       round(CASE WHEN least(ka - 1, kb - 1) > 0
+                  THEN sqrt(chi2 / (n * least(ka - 1, kb - 1)))
+             END, 6) AS cramers_v
 FROM chi
 """
 
