@@ -47,8 +47,13 @@ unpersisting a localCheckpoint's blocks is unrecoverable by design.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CC_DEBUG = os.environ.get("CC_DEBUG", "") not in ("", "0")
 
 
 def _delete_reliable_checkpoint(df: DataFrame) -> None:
@@ -153,11 +158,23 @@ def connected_components(
         prev_ckpt_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def snapshot(df: DataFrame) -> DataFrame:
+    def snapshot(df: DataFrame) -> tuple[DataFrame, int]:
+        # piggyback the convergence check on the materializing job:
+        # an Observation over the eager checkpoint counts changed rows
+        # during the SAME job, so no separate isEmpty/count action runs
+        # per round (measured ~0.1-0.2 s of job-launch overhead saved
+        # per round in local mode)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        dfo = df.observe(
+            obs, F.sum(F.col("changed").cast("long")).alias("__nc")
+        )
         if checkpoint_dir is not None:
-            ckpt = df.checkpoint(eager=True)
+            ckpt = dfo.checkpoint(eager=True)
         else:
-            ckpt = df.localCheckpoint(eager=True)
+            ckpt = dfo.localCheckpoint(eager=True)
+        n_changed = int(obs.get["__nc"] or 0)
         # strip the inherited size estimate (see _strip_inherited_stats:
         # without this, join-multiplied estimates compound per round and
         # the driver stalls for minutes in BigInteger math while
@@ -165,7 +182,7 @@ def connected_components(
         # wrapper so release() can still reach the persisted RDD.
         out = _strip_inherited_stats(ckpt)
         out._ckpt_handle = ckpt
-        return out
+        return out, n_changed
 
     def release(df: DataFrame) -> None:
         df = getattr(df, "_ckpt_handle", df)
@@ -178,17 +195,29 @@ def connected_components(
             # CC run otherwise accumulates one generation per round
             _delete_reliable_checkpoint(df)
 
-    # symmetrize once and cache; no explicit partitioning — the
-    # per-round join broadcasts the (small) frontier against this
-    # cached layout, so sym's distribution is irrelevant and a forced
-    # repartition would only add a setup shuffle
-    sym = (
+    # symmetrize once and materialize via eager localCheckpoint, NOT
+    # cache: a cached plan keeps its pre-AQE output partitioning
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is
+    # false by default), so the distinct's 32 shuffle partitions would
+    # be re-scanned as 32 near-empty tasks EVERY round — measured ~0.6 s
+    # of pure task-launch overhead per round at sf0.1.  The checkpoint
+    # materializes with AQE's size-coalesced partitioning (1 partition
+    # for a small candidate graph, proportionally more at scale) and
+    # cuts lineage to the whole upstream LSH pipeline, which the
+    # per-round plans would otherwise re-embed.
+    sym_plan = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
-        .cache()
+    )
+    # reliable-checkpoint mode keeps sym reliable too (an executor loss
+    # mid-iteration must not kill the run on preemptible fleets)
+    sym = (
+        sym_plan.checkpoint(eager=True)
+        if checkpoint_dir is not None
+        else sym_plan.localCheckpoint(eager=True)
     )
     try:
         # Iterate ONLY over edge endpoints: after LSH, candidate pairs
@@ -208,7 +237,7 @@ def connected_components(
         # provable no-op: every component is still its own node), so
         # one groupBy replaces the endpoint-distinct shuffle AND the
         # first — most expensive, frontier=everything — iteration.
-        labels = snapshot(
+        labels, n_changed = snapshot(
             sym.groupBy("a")
             .agg(F.min("b").alias("mb"))
             .select(
@@ -217,8 +246,11 @@ def connected_components(
                 (F.col("mb") < F.col("a")).alias("changed"),
             )
         )
-        converged = False
-        for _ in range(max_iterations):
+        converged = n_changed == 0
+        for _round in range(max_iterations):
+            if converged:
+                break
+            _t0 = time.time() if _CC_DEBUG else 0.0
             # 1. delta propagate: labels only decrease, so a node's
             #    neighbor-min can only drop via a neighbor whose label
             #    changed LAST round — every older label was already
@@ -228,13 +260,18 @@ def connected_components(
             #    the frontier, the cached edge table is never
             #    re-shuffled, and the groupBy aggregates only
             #    frontier-incident rows.
-            frontier = labels.filter("changed").select(
-                F.col("node").alias("b_n"), F.col("component").alias("b_comp")
+            # ONE frontier frame serves BOTH the edge propagation and
+            # the parent delivery: the two broadcast subtrees share an
+            # identical child plan, so the physical planner emits a
+            # single BroadcastExchange + ReusedExchange — one collect
+            # job per round, not two.
+            fr = labels.filter("changed").select(
+                F.col("node").alias("f_n"), F.col("component").alias("f_c")
             )
             delta_min = (
-                sym.join(frontier, sym["b"] == F.col("b_n"))
+                sym.join(fr, sym["b"] == fr["f_n"])
                 .groupBy("a")
-                .agg(F.min("b_comp").alias("nbr_min"))
+                .agg(F.min("f_c").alias("nbr_min"))
             )
             # 2. parent delivery (delayed pointer jumping): a frontier
             #    node also notifies its LABEL-children — every node
@@ -248,37 +285,60 @@ def connected_components(
             #    the update set was measured slower: two extra joins
             #    per round cost more than the ~1 round they save; so
             #    was a 2-hop chase.)
-            par = labels.filter("changed").select(
-                F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-            )
             # 3. merge: ONE scan of the standing table with two
-            #    broadcast left joins (delta_min and par are
+            #    broadcast left joins (delta_min and fr are
             #    frontier-sized) — the standing table is never
             #    shuffled.  Strictly-lower IS the changed flag; ties
             #    produce no update, which is what terminates the loop.
             merged = labels.join(
                 delta_min, labels["node"] == delta_min["a"], "left"
-            ).join(par, labels["component"] == F.col("p_node"), "left")
+            ).join(fr, labels["component"] == fr["f_n"], "left")
             nc = F.least(
                 F.col("component"),
                 F.coalesce(F.col("nbr_min"), F.col("component")),
-                F.coalesce(F.col("p_comp"), F.col("component")),
+                # unqualified: delta_min aggregated f_c away, so merged
+                # carries exactly one f_c and a dataset-qualified ref
+                # would trip the ambiguous-self-join analyzer
+                F.coalesce(F.col("f_c"), F.col("component")),
             )
-            new_labels = snapshot(
-                merged.select(
+            mid = merged.select(
+                "node",
+                F.col("component").alias("old"),
+                nc.alias("mid"),
+            )
+            # 4. in-round pointer jump: adopt the label of your NEW
+            #    label if that label itself improved this round — a
+            #    second compression hop fused into the SAME checkpoint
+            #    job (the jump map is only the just-improved nodes, a
+            #    broadcast; the mid subtree appears on both sides and
+            #    the planner reuses its exchanges).  This collapses the
+            #    tail rounds where one long chain trickles 1-2 updates
+            #    per round — measured 10 → ~6 rounds at sf0.1.
+            jmap = mid.filter(F.col("mid") < F.col("old")).select(
+                F.col("node").alias("j_n"), F.col("mid").alias("j_c")
+            )
+            jumped = mid.join(jmap, mid["mid"] == jmap["j_n"], "left")
+            nc2 = F.least(
+                F.col("mid"), F.coalesce(F.col("j_c"), F.col("mid"))
+            )
+            new_labels, n_changed = snapshot(
+                jumped.select(
                     "node",
-                    nc.alias("component"),
-                    (nc < F.col("component")).alias("changed"),
+                    nc2.alias("component"),
+                    (nc2 < F.col("old")).alias("changed"),
                 )
             )
             # convergence = empty frontier: nothing changed, so nothing
-            # can change next round either.  A narrow filter scan over
-            # the just-materialized generation, stopping at the first
-            # changed row.
-            stable = new_labels.filter("changed").isEmpty()
+            # can change next round either.  The changed count rides the
+            # snapshot job via Observation — no extra action.
             release(labels)  # new generation is materialized; prev never read again
             labels = new_labels
-            if stable:
+            if _CC_DEBUG:
+                print(
+                    f"[cc] round {_round}: {time.time() - _t0:.2f}s"
+                    f" n_changed={n_changed}"
+                )
+            if n_changed == 0:
                 converged = True
                 break
         if not converged:
@@ -287,7 +347,10 @@ def connected_components(
                 "iterations — graph larger/stranger than the safety bound"
             )
     finally:
-        sym.unpersist()
+        if checkpoint_dir is None:
+            _release_local_checkpoint(sym)
+        else:
+            _delete_reliable_checkpoint(sym)
         if prev_ckpt_dir is not None:
             # restored on every exit path, including the convergence
             # raise; an originally-UNSET dir cannot be restored (no
