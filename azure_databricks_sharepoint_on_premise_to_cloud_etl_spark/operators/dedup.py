@@ -84,6 +84,35 @@ def minhash_perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]
     ]
 
 
+def _shingle_hash_fn(portable: bool):
+    """The per-shingle base hash (portable md5-derived vs native
+    xxhash64) shared by ``minhash_signatures`` and ``artifact_frame``."""
+    if portable:
+        def shingle_hash(s):
+            return (
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % MINHASH_P
+            )
+    else:
+        def shingle_hash(s):
+            return F.pmod(F.xxhash64(s), F.lit(MINHASH_P))
+    return shingle_hash
+
+
+def _signature_cols(num_hashes: int, base_col: str = "__base") -> list[F.Column]:
+    """The ``num_hashes`` universal-hash signature slots over a
+    pre-hashed shingle array column."""
+    def permuted(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    return [
+        F.array_min(F.transform(F.col(base_col), permuted(a, b))).alias(
+            f"sig_{i}"
+        )
+        for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -113,31 +142,14 @@ def minhash_signatures(
     shingle (lambda bodies get no subexpression elimination — measured
     2x on this pipeline).
     """
-    if portable:
-        def shingle_hash(s):
-            return (
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-                % MINHASH_P
-            )
-    else:
-        def shingle_hash(s):
-            return F.pmod(F.xxhash64(s), F.lit(MINHASH_P))
-
     base = df.withColumn("__norm", normalize_text(text_col)).select(
         F.col(id_col),
         F.transform(
-            char_shingles("__norm", k, pre_normalized=True), shingle_hash
+            char_shingles("__norm", k, pre_normalized=True),
+            _shingle_hash_fn(portable),
         ).alias("__base"),
     )
-
-    def permuted(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("__base"), permuted(a, b))).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(minhash_perm_params(num_hashes))
-    ]
-    return base.select(F.col(id_col), *sig_cols)
+    return base.select(F.col(id_col), *_signature_cols(num_hashes))
 
 
 def lsh_band_table(
@@ -599,11 +611,19 @@ def incremental_dedup(
       (``jaccard_verify_pairs`` geometry) and only text for candidate
       ids is fetched.
     """
-    return incremental_dedup_against(
+    from pyspark import StorageLevel
+
+    # ad-hoc form: the reference artifact frame is persisted for the
+    # duration of the result so the digest/band/shingle branches share
+    # ONE normalize+shingle+MinHash pass over the reference text
+    # instead of three (production persists it to parquet instead —
+    # write_corpus_artifacts / incremental_dedup_against)
+    ref_wide = artifact_frame(
+        ref_df, id_col, text_col, k, num_hashes, portable
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    result = incremental_dedup_against(
         new_df,
-        corpus_artifacts(
-            ref_df, id_col, text_col, k, num_hashes, bands, portable
-        ),
+        _arts_from_wide(ref_wide, id_col, num_hashes, bands),
         id_col=id_col,
         text_col=text_col,
         k=k,
@@ -612,6 +632,63 @@ def incremental_dedup(
         threshold=threshold,
         portable=portable,
     )
+    result._persisted_intermediates = list(
+        getattr(result, "_persisted_intermediates", []) or []
+    ) + [ref_wide]
+    return result
+
+
+def artifact_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    portable: bool = True,
+) -> DataFrame:
+    """ONE-pass wide dedup-artifact frame: ``(id, content_hash,
+    content_len, shingles, sig_0..sig_{n-1})``.
+
+    The text is normalized once and shingled once; the content digest,
+    length, shingle set, and the full MinHash signature all derive from
+    that single projection inside one codegen stage — the fused form of
+    the three separate scans ``corpus_artifacts`` used to issue
+    (normalize+shingle is the dominant per-document cost, so computing
+    it once instead of three times is a direct constant cut on the
+    increment side of ``incremental_dedup_against``)."""
+    base = df.withColumn("__norm", normalize_text(text_col)).select(
+        F.col(id_col),
+        portable_hash64(F.col("__norm")).alias("content_hash"),
+        F.length("__norm").alias("content_len"),
+        char_shingles("__norm", k, pre_normalized=True).alias("shingles"),
+    )
+    hashed = base.withColumn(
+        "__base", F.transform("shingles", _shingle_hash_fn(portable))
+    )
+    return hashed.select(
+        F.col(id_col),
+        "content_hash",
+        "content_len",
+        "shingles",
+        *_signature_cols(num_hashes),
+    )
+
+
+def _arts_from_wide(
+    wide: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> dict[str, DataFrame]:
+    """Derive the digests/bands/shingles artifact views from a (possibly
+    persisted) ``artifact_frame``."""
+    return {
+        "digests": wide.select(id_col, "content_hash", "content_len"),
+        "bands": lsh_band_table(
+            wide.select(id_col, *[f"sig_{i}" for i in range(num_hashes)]),
+            id_col,
+            num_hashes,
+            bands,
+        ),
+        "shingles": wide.select(id_col, "shingles"),
+    }
 
 
 def corpus_artifacts(
@@ -628,27 +705,50 @@ def corpus_artifacts(
     bytes/doc), ``bands`` (id, band_id, band_key — the LSH bucket
     table), and ``shingles`` (id, shingle array, fetched only for
     LSH candidates).  A production corpus computes these ONCE, writes
-    them bucketed by their join keys ((content_hash, content_len) and
-    (band_id, band_key) respectively), and every daily increment
-    joins against the persisted tables without ever touching corpus
-    text — `incremental_dedup` recomputing them per call is the
-    convenience form for ad-hoc use."""
-    digests = df.select(
-        F.col(id_col),
-        portable_hash64(normalized_text(text_col)).alias("content_hash"),
-        F.length(normalized_text(text_col)).alias("content_len"),
-    )
-    bands_tbl = lsh_band_table(
-        minhash_signatures(df, id_col, text_col, k, num_hashes, portable=portable),
+    them keyed by their join keys ((content_hash, content_len) and
+    (band_id, band_key) respectively — see
+    ``write_corpus_artifacts``), and every daily increment joins
+    against the persisted tables without ever touching corpus text —
+    `incremental_dedup` recomputing them per call is the convenience
+    form for ad-hoc use.  All three views derive from the one-pass
+    ``artifact_frame``."""
+    return _arts_from_wide(
+        artifact_frame(df, id_col, text_col, k, num_hashes, portable),
         id_col,
         num_hashes,
         bands,
     )
-    shingles = df.withColumn("__norm", normalize_text(text_col)).select(
-        F.col(id_col),
-        char_shingles("__norm", k, pre_normalized=True).alias("shingles"),
+
+
+def write_corpus_artifacts(
+    arts: dict[str, DataFrame], path: str
+) -> None:
+    """Persist reference-side dedup artifacts as three parquet tables
+    under ``path`` — the production amortization step: the corpus is
+    reduced once to digest/band/shingle tables and every subsequent
+    increment joins against these files without touching corpus text.
+
+    Each table is written repartitioned on its join key so the daily
+    increment join reads co-located buckets (on a real warehouse these
+    would be ``bucketBy`` saveAsTable targets; plain key-partitioned
+    parquet keeps the tool warehouse-free while preserving the
+    pruning/locality story)."""
+    arts["digests"].repartition("content_hash").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/digests")
+    arts["bands"].repartition("band_key").write.mode("overwrite").parquet(
+        f"{path}/bands"
     )
-    return {"digests": digests, "bands": bands_tbl, "shingles": shingles}
+    arts["shingles"].write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def read_corpus_artifacts(spark, path: str) -> dict[str, DataFrame]:
+    """Load artifacts previously written by ``write_corpus_artifacts``."""
+    return {
+        "digests": spark.read.parquet(f"{path}/digests"),
+        "bands": spark.read.parquet(f"{path}/bands"),
+        "shingles": spark.read.parquet(f"{path}/shingles"),
+    }
 
 
 def incremental_dedup_against(
@@ -663,12 +763,26 @@ def incremental_dedup_against(
     portable: bool = True,
 ) -> DataFrame:
     """`incremental_dedup` against PRECOMPUTED reference artifacts
-    (see ``corpus_artifacts``) — the amortized production mode: the
-    100 TB reference is reduced to its digest/band/shingle tables
-    once, and each increment only computes its own artifacts."""
-    new_arts = corpus_artifacts(
-        new_df, id_col, text_col, k, num_hashes, bands, portable
-    )
+    (see ``corpus_artifacts`` / ``read_corpus_artifacts``) — the
+    amortized production mode: the 100 TB reference is reduced to its
+    digest/band/shingle tables once, and each increment only computes
+    its own artifacts.
+
+    The increment's artifacts come from the one-pass
+    ``artifact_frame`` and are PERSISTED (memory-and-disk) for the
+    duration of the result: the exact join, the band join, and the
+    candidate verification each consume a slice of the same frame, and
+    without materialization each branch would re-normalize and
+    re-shingle the increment text — three scans instead of one.  The
+    persisted footprint is O(increment), never O(corpus).  Call
+    ``graph.release_components(result)`` after consuming the result to
+    free it (the standard release-hook convention)."""
+    from pyspark import StorageLevel
+
+    wide = artifact_frame(
+        new_df, id_col, text_col, k, num_hashes, portable
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_arts = _arts_from_wide(wide, id_col, num_hashes, bands)
     new_digests = new_arts["digests"].withColumnRenamed(id_col, "new_id")
     ref_digests = ref["digests"].withColumnRenamed(id_col, "ref_id")
     exact = (
@@ -702,7 +816,7 @@ def incremental_dedup_against(
         .agg(F.min("ref_id").alias("near_match"))
     )
 
-    return (
+    result = (
         new_df.select(F.col(id_col).alias("new_id"))
         .join(exact, "new_id", "left")
         .join(near, "new_id", "left")
@@ -715,6 +829,10 @@ def incremental_dedup_against(
             F.coalesce("exact_match", "near_match").alias("match_id"),
         )
     )
+    # release hook: graph.release_components(result) unpersists the
+    # increment-side artifact frame once the result is consumed
+    result._persisted_intermediates = [wide]
+    return result
 
 
 def fuzzy_name_pairs(

@@ -3566,6 +3566,50 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup_amortized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION mode of incremental dedup: reference-side
+    artifacts (digest/band/shingle tables) persisted to parquet ONCE
+    per corpus, each batch joining against the files without ever
+    touching or recomputing corpus text.  Identical results to
+    ``incremental_dedup`` (same oracle); what differs is the measured
+    cost — this entry's timed run covers only the per-batch work, the
+    claim ``corpus_artifacts``'s docstring makes.  The artifact cache
+    is keyed by the fixture path and built on first call (the
+    rehearsal harness's warm-up), so the timed second call reads
+    parquet."""
+    import hashlib
+    import os
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    new_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+    ref_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+    cache = os.path.join(
+        "/tmp/spark_graft_inc_artifacts",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(cache, "_BUILT")):
+        dedup.write_corpus_artifacts(
+            dedup.corpus_artifacts(
+                ref_df,
+                k=_MINHASH_K,
+                num_hashes=_MINHASH_N,
+                bands=_MINHASH_BANDS,
+            ),
+            cache,
+        )
+        open(os.path.join(cache, "_BUILT"), "w").close()
+    return dedup.incremental_dedup_against(
+        new_df,
+        dedup.read_corpus_artifacts(spark, cache),
+        k=_MINHASH_K,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_INC_THRESHOLD,
+    )
+
+
 def _incremental_oracle() -> str:
     """DuckDB twin of incremental_dedup: same sig/band pipeline as
     _minhash_oracle, but candidates are new-vs-ref cross-frame."""
@@ -3904,6 +3948,7 @@ AUX_QUERIES.update(
         "streaming_join": q_streaming_join,
         "corpus_cardinality": q_corpus_cardinality,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_amortized": q_incremental_dedup_amortized,
         "cube_agg": q_cube_agg,
         "pivot_wide": q_pivot_wide,
         "trailing_range_agg": q_trailing_range_agg,
@@ -3918,6 +3963,7 @@ AUX_ORACLES.update(
         "streaming_join": ORACLE_STREAM_JOIN,
         "corpus_cardinality": ORACLE_CARDINALITY,
         "incremental_dedup": _incremental_oracle(),
+        "incremental_dedup_amortized": _incremental_oracle(),
         "cube_agg": ORACLE_CUBE,
         "pivot_wide": ORACLE_PIVOT,
         "trailing_range_agg": ORACLE_TRAILING_RANGE,

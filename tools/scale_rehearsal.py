@@ -69,6 +69,11 @@ HEAVY = [
     # near-dup, the adversarial case) and the value-based RANGE
     # window over the replicated event stream
     "incremental_dedup",
+    # round-7: the amortized production mode — reference artifacts
+    # persisted to parquet once (built during the harness's warm-up
+    # call), so the timed run measures only the per-batch increment
+    # cost, which is the claim corpus_artifacts' docstring makes
+    "incremental_dedup_amortized",
     "trailing_range_agg",
     # round-6 event-analytics family over the replicated stream:
     # chained conditional-min aggs, union+window as-of, per-key grid
