@@ -1696,6 +1696,16 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import incremental
 
+    agg = _stream_plan_tumbling(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_tumbling_ckpt_")
+    incremental.run_to_memory_sink(agg, "stream_tumbling_out", ckpt)
+    return spark.table("stream_tumbling_out")
+
+
+def _stream_plan_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_tumbling (registered in
+    STREAMING_PLAN_BUILDERS so the streaming plan audit can inspect the
+    stateful plan without draining it)."""
     events, ts_was_ntz = _stream_events(spark, sf_dir)
     # Watermarks require TIMESTAMP (LTZ); the fixture surfaces as
     # TIMESTAMP_NTZ.  With the session timezone pinned UTC the cast is
@@ -1703,7 +1713,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so output values match the batch tumbling_window oracle exactly.
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
+    return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type"))
         .agg(
@@ -1721,9 +1731,6 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    ckpt = tempfile.mkdtemp(prefix="stream_tumbling_ckpt_")
-    incremental.run_to_memory_sink(agg, "stream_tumbling_out", ckpt)
-    return spark.table("stream_tumbling_out")
 
 
 def _stream_events(
@@ -1776,25 +1783,26 @@ def _stream_dir_for(sf_dir: str, table: str, copies: int = 1) -> str:
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 exactly-once as STREAM-STATE dedup: the events fixture is
     linked TWICE into the stream directory (every row arrives as a
-    duplicate), ``dropDuplicates(event_id)`` collapses the copies in
-    streaming state, and the drained result folds to per-type counts
-    batch-side.  The oracle is the plain batch aggregate over the
-    single-copy events table — green only if the stream dedup removed
-    exactly the injected duplicates, no more, no less.
+    duplicate), ``dropDuplicatesWithinWatermark(event_id)`` collapses
+    the copies in streaming state, and the drained result folds to
+    per-type counts batch-side.  The oracle is the plain batch
+    aggregate over the single-copy events table — green only if the
+    stream dedup removed exactly the injected duplicates, no more, no
+    less.
 
     Scale shape: dedup state is hash-partitioned by event_id across
-    executors; the batch-side fold runs on the drained (already
-    deduped) output.  Production streams bound the state with
-    ``dropDuplicatesWithinWatermark``; the AvailableNow drain here is
-    finite so unbounded-state semantics are exact."""
+    executors AND evicted once the watermark passes an event's time —
+    the state-bounded production form (plain ``dropDuplicates`` keys
+    grow forever on an unbounded stream; the streaming plan audit
+    gates against it).  Duplicates here carry identical timestamps and
+    the AvailableNow drain admits all files in one micro-batch, so
+    eviction never races the duplicate's arrival and the result is
+    exact."""
     import tempfile
 
     from .streaming import incremental
 
-    events, _ = _stream_events(spark, sf_dir, copies=2)
-    deduped = events.select(
-        "event_id", "event_type", "value"
-    ).dropDuplicates(["event_id"])
+    deduped = _stream_plan_dedup(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
     incremental.run_to_memory_sink(
         deduped, "stream_dedup_out", ckpt, output_mode="append"
@@ -1806,6 +1814,20 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+def _stream_plan_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_dedup: watermarked
+    state-bounded dedup (the production form)."""
+    events, ts_was_ntz = _stream_events(spark, sf_dir, copies=2)
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", "2 hours")
+        .select("event_id", "event_type", "value", "ts")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
     )
 
 
@@ -1826,10 +1848,18 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import incremental
 
+    agg = _stream_plan_sliding(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_sliding_ckpt_")
+    incremental.run_to_memory_sink(agg, "stream_sliding_out", ckpt)
+    return spark.table("stream_sliding_out")
+
+
+def _stream_plan_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_sliding."""
     events, ts_was_ntz = _stream_events(spark, sf_dir)
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
+    return (
         events.withWatermark("ts", "2 hours")
         .groupBy(
             F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
@@ -1850,9 +1880,6 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    ckpt = tempfile.mkdtemp(prefix="stream_sliding_ckpt_")
-    incremental.run_to_memory_sink(agg, "stream_sliding_out", ckpt)
-    return spark.table("stream_sliding_out")
 
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1873,13 +1900,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import incremental
 
-    events, _ = _stream_events(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    enriched = events.select("event_id", "user_id", "event_type", "value").join(
-        F.broadcast(cust), "user_id"
-    )
+    enriched = _stream_plan_enrich(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="stream_enrich_ckpt_")
     incremental.run_to_memory_sink(
         enriched, "stream_enrich_out", ckpt, output_mode="append"
@@ -1891,6 +1912,18 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+def _stream_plan_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_enrich: stream-static
+    broadcast join, stateless on the stream side."""
+    events, _ = _stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return events.select("event_id", "user_id", "event_type", "value").join(
+        F.broadcast(cust), "user_id"
     )
 
 
@@ -3867,6 +3900,25 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import incremental
 
+    pairs = _stream_plan_join(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_join_ckpt_")
+    incremental.run_to_memory_sink(
+        pairs, "stream_join_out", ckpt, output_mode="append"
+    )
+    return (
+        spark.table("stream_join_out")
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("r_value"), 2).alias("sum_purchase"),
+        )
+    )
+
+
+def _stream_plan_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_join: both sides
+    watermarked AND the join condition time-bounded — the two facts
+    state cleanup needs."""
     events, ts_was_ntz = _stream_events(spark, sf_dir)
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -3884,24 +3936,12 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("r_ts", "2 hours")
     )
-    pairs = clicks.join(
+    return clicks.join(
         buys,
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
-    )
-    ckpt = tempfile.mkdtemp(prefix="stream_join_ckpt_")
-    incremental.run_to_memory_sink(
-        pairs, "stream_join_out", ckpt, output_mode="append"
-    )
-    return (
-        spark.table("stream_join_out")
-        .groupBy(F.col("l_user").alias("user_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("r_value"), 2).alias("sum_purchase"),
-        )
     )
 
 
@@ -5307,17 +5347,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import incremental
 
-    events, ts_was_ntz = _stream_events(spark, sf_dir)
-    if ts_was_ntz:
-        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        events.withWatermark("ts", "2 hours")
-        .groupBy(
-            F.col("user_id"),
-            F.session_window(F.col("ts"), "30 minutes").alias("w"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_in_session"))
-    )
+    agg = _stream_plan_session(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="stream_session_ckpt_")
     incremental.run_to_memory_sink(agg, "stream_session_out", ckpt)
     return (
@@ -5327,6 +5357,21 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_in_session").alias("n_events"),
         )
+    )
+
+
+def _stream_plan_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_session."""
+    events, ts_was_ntz = _stream_events(spark, sf_dir)
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
     )
 
 
@@ -6782,11 +6827,19 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import incremental
 
+    agg = _stream_plan_ohlc(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_ohlc_ckpt_")
+    incremental.run_to_memory_sink(agg, "stream_ohlc_out", ckpt)
+    return spark.table("stream_ohlc_out")
+
+
+def _stream_plan_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_ohlc."""
     events, ts_was_ntz = _stream_events(spark, sf_dir)
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     order = F.struct(F.col("ts"), F.col("event_id"))
-    agg = (
+    return (
         events.withWatermark("ts", "2 hours")
         .groupBy(
             F.window(F.col("ts"), "1 hour").alias("w"),
@@ -6813,9 +6866,6 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    ckpt = tempfile.mkdtemp(prefix="stream_ohlc_ckpt_")
-    incremental.run_to_memory_sink(agg, "stream_ohlc_out", ckpt)
-    return spark.table("stream_ohlc_out")
 
 
 AUX_QUERIES["streaming_ohlc"] = q_streaming_ohlc
@@ -6966,3 +7016,25 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming plan registry: every streaming AUX query's PRE-SINK
+# streaming DataFrame, buildable without draining — the surface the
+# streaming plan audit (tools/plan_audit.py::streaming_audit_flags,
+# tests/test_streaming_plan_audit.py) gates for unbounded state.
+# ---------------------------------------------------------------------------
+
+STREAMING_PLAN_BUILDERS: dict[str, QueryFn] = {
+    "streaming_tumbling": _stream_plan_tumbling,
+    "streaming_dedup": _stream_plan_dedup,
+    "streaming_sliding": _stream_plan_sliding,
+    "streaming_enrich": _stream_plan_enrich,
+    "streaming_join": _stream_plan_join,
+    "streaming_session": _stream_plan_session,
+    "streaming_ohlc": _stream_plan_ohlc,
+}
+
+assert set(STREAMING_PLAN_BUILDERS) == {
+    n for n in AUX_QUERIES if n.startswith("streaming_")
+}, "every streaming AUX query needs a pre-sink plan builder for the audit"

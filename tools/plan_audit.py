@@ -70,6 +70,54 @@ def hard_flags(flags: list[str]) -> list[str]:
     return [f for f in flags if "(info)" not in f]
 
 
+def streaming_audit_flags(df) -> list[str]:
+    """Streaming-plan audit: flag state that nothing evicts.
+
+    Works on the PRE-SINK streaming DataFrame's analyzed logical plan
+    (no drain needed).  Streaming nodes print with a ``~`` prefix and
+    watermark-delayed attributes carry a ``-T<delay>ms`` suffix, which
+    is exactly the eviction evidence this audit wants:
+
+    - ``UNBOUNDED-AGG``: a streaming ``Aggregate`` whose grouping keys
+      include NO watermark-delayed attribute — state grows with key
+      cardinality forever and append-mode can never finalize a group.
+    - ``UNBOUNDED-DEDUP``: plain ``dropDuplicates`` on a stream (the
+      ``Deduplicate`` node, vs ``DeduplicateWithinWatermark`` whose
+      state the watermark evicts).
+    - ``STREAM-JOIN-NO-WATERMARK`` / ``STREAM-JOIN-NO-TIME-BOUND``: a
+      stream-stream join missing a watermark on each side or a
+      time-range bound in the join condition — without BOTH, each
+      side's buffer is retained forever.
+    - ``stateful-custom(info)``: (flat)MapGroupsWithState /
+      applyInPandasWithState — state bounded by timeouts the plan text
+      cannot prove; informational so a human checks the timeout
+      configuration.
+    """
+    if not df.isStreaming:
+        raise ValueError("streaming_audit_flags expects a streaming DataFrame")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    flags: list[str] = []
+    delayed = r"-T\d+ms"
+    for m in re.finditer(r"~Aggregate \[([^\]]*)\]", plan):
+        if not re.search(delayed, m.group(1)):
+            flags.append("UNBOUNDED-AGG")
+            break
+    if re.search(r"~Deduplicate ", plan):
+        flags.append("UNBOUNDED-DEDUP")
+    n_stream_rel = len(re.findall(r"StreamingRelation|StreamingDataSourceV2Relation", plan))
+    join_m = re.search(r"~Join \w+, \((?P<cond>.*)\)", plan)
+    if join_m and n_stream_rel >= 2:
+        n_wm = len(re.findall(r"EventTimeWatermark", plan))
+        if n_wm < 2:
+            flags.append("STREAM-JOIN-NO-WATERMARK")
+        cond = join_m.group("cond")
+        if not re.search(rf"{delayed} (?:>=|<=|<|>) ", cond):
+            flags.append("STREAM-JOIN-NO-TIME-BOUND")
+    if re.search(r"FlatMapGroupsWithState|FlatMapGroupsInPandasWithState", plan):
+        flags.append("stateful-custom(info)")
+    return flags
+
+
 def main() -> int:
     from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.session import get_spark
     from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
