@@ -65,6 +65,69 @@ def interval_containment_join(
     return joined
 
 
+def interval_containment_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_unit: str = "day",
+    bucket_step: str = "INTERVAL 1 DAY",
+    how: str = "inner",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Event-in-window join with a TIME-BUCKETED equi key — the
+    scale form of :func:`interval_containment_join`.
+
+    The plain form's equi key is only ``on``; when that key is
+    low-cardinality (the reference's location, here event_type), every
+    event meets EVERY same-key interval before the range predicate
+    filters — per-key candidate fan-out grows with the number of
+    intervals per key (measured alpha ~0.6 at x10 on the rehearsal:
+    linear data, superconstant join work).  Bucketing the time axis
+    restores a selective equi key:
+
+    1. each interval explodes into the ``bucket_unit`` buckets it
+       covers (``sequence(trunc(start), trunc(end), step)`` — bounded
+       by interval length / bucket size, 1 for the reference's intra-
+       day zones);
+    2. events join on ``on + [trunc(ts) = bucket]`` — a hash join
+       whose per-key candidates are only the intervals COVERING the
+       event's bucket, independent of how many intervals the key has
+       elsewhere in time;
+    3. the exact range predicate rides the join condition as before.
+
+    Each qualifying (event, interval) pair emerges exactly once — the
+    event's bucket is a single value and appears once in the
+    interval's bucket sequence — so results are identical to the
+    plain form, including under ``how='left'``.  Set
+    ``broadcast_intervals=False`` when the exploded interval side is
+    not dimension-sized; the join then shuffles on the (key, bucket)
+    axis, which is also the skew-safe shape (hot keys spread across
+    buckets).
+    """
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket_unit, F.col(start_col)),
+                F.date_trunc(bucket_unit, F.col(end_col)),
+                F.expr(bucket_step),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        ib = F.broadcast(ib)
+    cond = [events[c] == ib[c] for c in on]
+    cond.append(F.date_trunc(bucket_unit, events[ts_col]) == ib["__bucket"])
+    cond.append(events[ts_col].between(ib[start_col], ib[end_col]))
+    joined = events.join(ib, cond, how)
+    for c in on:
+        joined = joined.drop(ib[c])
+    return joined.drop("__bucket")
+
+
 def actual_plan_label(
     ts: Column, start: Column, end: Column, label_col_values: tuple[str, str] = ("ACTUAL", "PLAN")
 ) -> Column:

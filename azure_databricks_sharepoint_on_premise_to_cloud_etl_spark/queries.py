@@ -580,9 +580,12 @@ def q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7/P7 + P8/T6 in one driver row, two formulations cross-checking
     each other:
 
-    - ``rangejoin``: event-in-interval join — equi key (event_type) +
-      range predicate in the join condition, zone side broadcast
-      (operators/intervals.interval_containment_join).
+    - ``rangejoin``: event-in-interval join — TIME-BUCKETED equi key
+      (event_type, day bucket) + range predicate in the join
+      condition, zone side broadcast
+      (operators/intervals.interval_containment_join_bucketed; the
+      plain equi-key-only form fanned every event out to every
+      same-type zone before the range filter — rehearsal alpha ~0.6).
     - ``case``: the reference's equi-join on (event_type, day) + CASE
       WHEN containment label (ACTUAL/PLAN,
       code/ukg_open_census.py:729-730).
@@ -593,7 +596,7 @@ def q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     zones = _event_zones(e)
     rj = (
-        intervals.interval_containment_join(
+        intervals.interval_containment_join_bucketed(
             e, zones, ["event_type"], "ts", "start_tm", "end_tm"
         )
         .groupBy("event_type")

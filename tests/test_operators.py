@@ -126,6 +126,43 @@ def test_interval_containment_join(spark):
     assert out.count() == 1
 
 
+def test_interval_containment_bucketed_matches_plain(spark):
+    # multi-day intervals, a key with MANY intervals (the fan-out the
+    # bucketed form exists to avoid), and events on bucket boundaries
+    events = spark.createDataFrame(
+        [
+            ("a", 1, dt.datetime(2023, 1, 1, 9)),
+            ("a", 2, dt.datetime(2023, 1, 3, 0)),   # midnight boundary
+            ("a", 3, dt.datetime(2023, 1, 5, 23)),
+            ("b", 4, dt.datetime(2023, 1, 2, 12)),
+            ("b", 5, dt.datetime(2023, 2, 1, 12)),  # matches nothing
+        ],
+        "k STRING, eid LONG, ts TIMESTAMP",
+    )
+    zones = spark.createDataFrame(
+        [
+            # spans 3 day-buckets
+            ("a", 10, dt.datetime(2023, 1, 1, 8), dt.datetime(2023, 1, 3, 20)),
+            # overlapping second interval on the same key
+            ("a", 11, dt.datetime(2023, 1, 2, 0), dt.datetime(2023, 1, 6, 0)),
+            ("b", 12, dt.datetime(2023, 1, 2, 0), dt.datetime(2023, 1, 2, 23)),
+        ],
+        "k STRING, zid LONG, s TIMESTAMP, e TIMESTAMP",
+    )
+    for how in ("inner", "left"):
+        plain = intervals.interval_containment_join(
+            events, zones, ["k"], "ts", "s", "e", how=how
+        )
+        bucketed = intervals.interval_containment_join_bucketed(
+            events, zones, ["k"], "ts", "s", "e", how=how
+        )
+        assert sorted(
+            [tuple(r) for r in plain.select("k", "eid", "zid").collect()]
+        ) == sorted(
+            [tuple(r) for r in bucketed.select("k", "eid", "zid").collect()]
+        ), how
+
+
 def test_sessionize_gap(spark):
     base = dt.datetime(2023, 1, 1, 0, 0)
     rows = [(1, base), (1, base + dt.timedelta(minutes=10)),
