@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode/feature-extract kernels are STUBS — the container has no
-image/audio libraries — but the Spark-side plumbing (binary schema,
-partitioning, Arrow batch shape, UDF signatures) is real and tested.
-Swap ``_fake_decode`` for PIL/torchvision/ffmpeg in production; plan
-shape and schema contracts don't change.
+Kernels come in two tiers.  General-purpose decode (JPEG/PNG/video)
+remains STUBBED — the container has no image/audio libraries — with
+the Spark-side plumbing (binary schema, partitioning, Arrow batch
+shape, UDF signatures) real and tested; swap the kernel for
+PIL/torchvision/ffmpeg in production, plan shape and schema contracts
+don't change.  Uncompressed 24-bit BMP, however, is decodable in ~50
+lines of pure Python (struct header parse + padded pixel rows), so
+``decoder="bmp"`` / ``kernel="bmp"`` give ``extract_meta`` and
+``resize_images`` one REAL end-to-end executable case: planted BMP
+fixture in, true dimensions and nearest-neighbor-resized BMP out.
 
 Scale notes: mapInPandas streams Arrow record batches — memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless
@@ -15,9 +20,77 @@ zero shuffle.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+
+
+# --------------------------------------------------------------------------
+# Pure-Python BMP codec (uncompressed 24-bit BITMAPINFOHEADER) — the one
+# image format decodable without codec libraries.
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24-bit bottom-up BMP: returns width,
+    height, channels, and the pixel rows (top-to-bottom, each a list of
+    (r, g, b) tuples)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height) = struct.unpack_from("<Iii", payload, 14)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp}, "
+            f"compression={compression}) — only uncompressed 24-bit"
+        )
+    if height < 0:  # top-down variant
+        height = -height
+        row_order = range(height)
+    else:
+        row_order = range(height - 1, -1, -1)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    rows = []
+    for r in row_order:
+        base = pix_off + r * row_stride
+        row = []
+        for c in range(width):
+            b, g, rr = payload[base + c * 3 : base + c * 3 + 3]
+            row.append((rr, g, b))
+        rows.append(row)
+    return {"width": width, "height": height, "channels": 3, "pixels": rows}
+
+
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode top-to-bottom RGB pixel rows as an uncompressed 24-bit
+    bottom-up BMP."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    row_stride = (width * 3 + 3) & ~3
+    pix_bytes = bytearray()
+    for row in reversed(pixels):  # bottom-up storage
+        for r, g, b in row:
+            pix_bytes += bytes((b, g, r))
+        pix_bytes += b"\0" * (row_stride - width * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pix_bytes), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix_bytes), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(pix_bytes)
+
+
+def resize_bmp(payload: bytes, target: tuple[int, int]) -> bytes:
+    """Nearest-neighbor resize of a 24-bit BMP, re-encoded as BMP."""
+    img = decode_bmp(payload)
+    w, h = target
+    sw, sh, px = img["width"], img["height"], img["pixels"]
+    out = [
+        [px[(y * sh) // h][(x * sw) // w] for x in range(w)]
+        for y in range(h)
+    ]
+    return encode_bmp(out)
 
 META_SCHEMA = "doc_id long, n_bytes long, fake_width long, fake_height long, channels long"
 
@@ -35,20 +108,44 @@ def _fake_decode(payload: bytes) -> dict[str, int]:
     }
 
 
+BMP_META_SCHEMA = "doc_id long, n_bytes long, width long, height long, channels long"
+
+
 def extract_meta(
-    df: DataFrame, payload_col: str, id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str,
+    id_col: str = "doc_id",
+    decoder: str = "fake",
 ) -> DataFrame:
-    """Per-row media metadata via Arrow-batched mapInPandas."""
+    """Per-row media metadata via Arrow-batched mapInPandas.
+
+    ``decoder="fake"`` (default) uses the deterministic byte-length
+    stand-in; ``decoder="bmp"`` runs the REAL pure-Python BMP header
+    parse — true width/height/channels from the payload bytes."""
     import pandas as pd
+
+    if decoder == "bmp":
+        def decode(p: bytes) -> dict:
+            img = decode_bmp(p)
+            return {
+                "n_bytes": len(p),
+                "width": img["width"],
+                "height": img["height"],
+                "channels": img["channels"],
+            }
+        schema = BMP_META_SCHEMA
+    else:
+        decode = _fake_decode
+        schema = META_SCHEMA
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            metas = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            metas = [decode(bytes(p)) for p in pdf[payload_col]]
             out = pd.DataFrame(metas)
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=META_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
 RESIZE_SCHEMA = "doc_id long, payload binary, out_width long, out_height long"
@@ -59,25 +156,32 @@ def resize_images(
     payload_col: str,
     target: tuple[int, int] = (224, 224),
     id_col: str = "doc_id",
+    kernel: str = "fake",
 ) -> DataFrame:
-    """Image-resize plumbing over mapInPandas: real Arrow binary-column
-    batch shape, deterministic fake kernel (truncate/pad bytes to a
-    size derived from the target box).  Swap the kernel for
-    PIL.Image.resize in production — schema and plan are unchanged."""
+    """Image-resize over mapInPandas: real Arrow binary-column batch
+    shape.  ``kernel="fake"`` (default) truncates/pads bytes to a size
+    derived from the target box; ``kernel="bmp"`` runs the REAL
+    pure-Python nearest-neighbor BMP resample and re-encode.  Swap for
+    PIL.Image.resize for compressed formats in production — schema and
+    plan are unchanged."""
     import pandas as pd
 
     w, h = target
+    if kernel == "bmp":
+        def resize(p: bytes) -> bytes:
+            return resize_bmp(p, (w, h))
+    else:
+        fake_len = w * h // 64  # deterministic stand-in for encoded size
+
+        def resize(p: bytes) -> bytes:
+            return p[:fake_len].ljust(fake_len, b"\0")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            fake_len = w * h // 64  # deterministic stand-in for encoded size
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "payload": [
-                        bytes(p)[:fake_len].ljust(fake_len, b"\0")
-                        for p in pdf[payload_col]
-                    ],
+                    "payload": [bytes(resize(bytes(p))) for p in pdf[payload_col]],
                     "out_width": w,
                     "out_height": h,
                 }

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import (
@@ -197,6 +198,60 @@ def test_resize_and_frame_sample_plumbing(spark):
     assert len(by_doc[1]) == 4  # 300 bytes // 64 = 4 frames
     assert len(by_doc[2]) == 1
     assert all(len(r["frame"]) <= 64 for r in rows)
+
+
+def _gradient_bmp(width: int, height: int) -> tuple[bytes, list]:
+    """A planted fixture image: deterministic per-pixel RGB gradient."""
+    pixels = [
+        [((x * 31) % 256, (y * 53) % 256, (x + y) % 256) for x in range(width)]
+        for y in range(height)
+    ]
+    return multimodal.encode_bmp(pixels), pixels
+
+
+def test_bmp_codec_roundtrip():
+    payload, pixels = _gradient_bmp(7, 5)  # odd width exercises row padding
+    img = multimodal.decode_bmp(payload)
+    assert (img["width"], img["height"], img["channels"]) == (7, 5, 3)
+    assert img["pixels"] == pixels
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"\x89PNG not a bmp")
+
+
+def test_extract_meta_real_bmp_decode(spark):
+    """Task-6 end-to-end case: a REAL decode kernel (pure-Python BMP)
+    through the same mapInPandas plumbing — true dimensions out of the
+    payload bytes, not a byte-length fake."""
+    p1, _ = _gradient_bmp(8, 5)
+    p2, _ = _gradient_bmp(3, 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))], "doc_id LONG, payload BINARY"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_meta(df, "payload", decoder="bmp").collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (8, 5)
+    assert (out[2]["width"], out[2]["height"]) == (3, 9)
+    assert out[1]["n_bytes"] == len(p1)
+    assert out[1]["channels"] == 3
+
+
+def test_resize_images_real_bmp_kernel(spark):
+    payload, pixels = _gradient_bmp(8, 6)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id LONG, payload BINARY"
+    )
+    row = multimodal.resize_images(
+        df, "payload", target=(4, 3), kernel="bmp"
+    ).collect()[0]
+    assert (row["out_width"], row["out_height"]) == (4, 3)
+    resized = multimodal.decode_bmp(bytes(row["payload"]))
+    assert (resized["width"], resized["height"]) == (4, 3)
+    # nearest-neighbor: output pixel (x, y) samples source (2x, 2y)
+    for y in range(3):
+        for x in range(4):
+            assert resized["pixels"][y][x] == pixels[2 * y][2 * x]
 
 
 def test_simhash_candidate_pairs_complete_vs_bruteforce(spark):
