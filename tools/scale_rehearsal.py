@@ -148,6 +148,54 @@ ALL_TABLES = (
 ).split()
 
 
+def _curation_stages():
+    """Per-stage builders for curation_pipeline attribution (round-7
+    task: its x10 alpha rose 0.30->0.70 and the composed row cannot
+    say which stage's constant grows).  Each builder is a PREFIX of
+    the composed plan, so (stage k) - (stage k-1) isolates one
+    stage's marginal cost at each factor."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import (
+        dedup,
+        text,
+    )
+
+    def stage_dedup(spark, sf_dir):
+        d = q.rebalance(q.load_table(spark, sf_dir, "documents"))
+        return dedup.exact_dedup(d).select("doc_id")
+
+    def stage_quality_gate(spark, sf_dir):
+        d = q.rebalance(q.load_table(spark, sf_dir, "documents"))
+        en = dedup.exact_dedup(d).filter(F.col("lang") == F.lit("en"))
+        scored = text.quality_score(en.select("doc_id", "text")).select(
+            "doc_id", "quality"
+        )
+        thr = scored.agg(
+            F.round(
+                F.expr("approx_percentile(quality, 0.5, 1000000)"), 6
+            ).alias("__thr")
+        )
+        return scored.crossJoin(F.broadcast(thr)).filter(
+            F.col("quality") >= F.col("__thr")
+        )
+
+    def stage_contamination(spark, sf_dir):
+        d = q.rebalance(q.load_table(spark, sf_dir, "documents"))
+        return text.contamination_flags(
+            d,
+            d.filter(F.col("doc_id") < q._CONTAM_EVAL_IDS),
+            k=q._PIPE_CONTAM_K,
+        )
+
+    return {
+        "curation_stage_dedup": stage_dedup,
+        "curation_stage_quality_gate": stage_quality_gate,
+        "curation_stage_contamination": stage_contamination,
+    }
+
+
 def _replicate_keyed(tbl, factor: int, offsets: dict):
     """Concat ``factor`` copies of ``tbl``; replica r adds
     ``r * offsets[col]`` to each listed key column (vectorized — no
@@ -271,10 +319,11 @@ def main() -> int:
     )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
-    heavy = HEAVY
+    stages = _curation_stages()
+    heavy = HEAVY + list(stages)
     if args.only:
         only = [n.strip() for n in args.only.split(",") if n.strip()]
-        unknown = set(only) - set(HEAVY)
+        unknown = set(only) - set(HEAVY) - set(stages)
         assert not unknown, f"--only names not in HEAVY: {unknown}"
         heavy = only
 
@@ -304,7 +353,7 @@ def main() -> int:
     results: dict[str, dict] = {name: {"times": {}, "rows": {}} for name in heavy}
     for factor, sf_dir in points:
         for name in heavy:
-            fn = q.QUERIES.get(name) or q.AUX_QUERIES[name]
+            fn = q.QUERIES.get(name) or q.AUX_QUERIES.get(name) or stages[name]
             # cold warm-up, then one timed run (these are long; the
             # signal is the cross-scale RATIO, not the absolute value)
             df = fn(spark, sf_dir)
