@@ -2289,6 +2289,63 @@ WHERE {_duck_hash("CAST(doc_id AS VARCHAR)", _SAMPLE_SALT)} % 1000000
 """
 
 
+def q_stable_sample_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``portable=False`` production gate of stable_sample —
+    xxhash64 instead of the md5-derived portable hash (~3x cheaper per
+    row, same plan shape).  Hash-verified, not rows-only: the AUX
+    harness registers ``spark_xxhash64_seeded`` (a pure-Python XXH64
+    twin of ``F.xxhash64(str, lit(salt))``, tools/xxh64_oracle.py) in
+    DuckDB, the same pattern that gave minhash_lsh_pairs_fast a real
+    oracle in round 6."""
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.stable_sample(
+        d,
+        fraction=_SAMPLE_FRACTION,
+        key_col="doc_id",
+        salt=_SAMPLE_SALT,
+        portable=False,
+    )
+    return s.select("doc_id", "lang")
+
+
+_DUCK_FAST_GATE = (
+    "((spark_xxhash64_seeded(CAST(doc_id AS VARCHAR), {salt}) % 1000000)"
+    " + 1000000) % 1000000"
+)
+
+ORACLE_STABLE_SAMPLE_FAST = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DUCK_FAST_GATE.format(salt=_SAMPLE_SALT)}
+      < {int(_SAMPLE_FRACTION * 1_000_000)}
+"""
+
+
+def q_stratified_sample_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``portable=False`` twin of stratified_sample, hash-verified via
+    the xxh64 DuckDB oracle (see q_stable_sample_fast)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        d,
+        fractions=_STRATA_FRACTIONS,
+        strata_col="lang",
+        key_col="doc_id",
+        default_fraction=_STRATA_DEFAULT,
+        salt=_SAMPLE_SALT,
+        portable=False,
+    )
+    return s.select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_FAST = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_DUCK_FAST_GATE.format(salt=_SAMPLE_SALT)}
+      < CASE lang
+          {" ".join(f"WHEN '{v}' THEN {int(f * 1_000_000)}" for v, f in sorted(_STRATA_FRACTIONS.items()))}
+          ELSE {int(_STRATA_DEFAULT * 1_000_000)}
+        END
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mixing weights (en 50%, es 10%, rest 5%) as one
     inlined CASE threshold over the stable-sample gate — still a narrow
@@ -3489,6 +3546,10 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # bench-only fast-hash variant: deliberately oracle-less (DuckDB
     # has no xxhash64); plan shape identical to minhash_lsh_pairs
     "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
+    # portable=False production gates, hash-verified through the same
+    # xxh64 DuckDB twin (round-7: fast paths get digest discipline)
+    "stable_sample_fast": q_stable_sample_fast,
+    "stratified_sample_fast": q_stratified_sample_fast,
     # bench-attribution variant: the window-cumsum stage alone, so
     # BENCH can split the fused pack_sequences row per variant
     "pack_sequences_native": q_pack_sequences_native,
@@ -3563,6 +3624,8 @@ AUX_ORACLES: dict[str, str] = {
         f"((spark_xxhash64(s) % {dedup.MINHASH_P}) + {dedup.MINHASH_P})"
         f" % {dedup.MINHASH_P}"
     ),
+    "stable_sample_fast": ORACLE_STABLE_SAMPLE_FAST,
+    "stratified_sample_fast": ORACLE_STRATIFIED_FAST,
 }
 
 # Contract guards: the driver records at most 50 rows and every row

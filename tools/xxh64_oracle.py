@@ -92,11 +92,34 @@ def spark_xxhash64(s: str) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def spark_xxhash64_seeded(s: str, salt: int) -> int:
+    """Signed twin of ``F.xxhash64(string_col, F.lit(salt))`` — the
+    fast sample gate's shape (``functions.fast_hash64``).
+
+    Spark folds multiple children iteratively: the running hash seeds
+    the next child's hash (string first, then the salt).  A string
+    child hashes its UTF-8 bytes; the salt literal hashes its
+    little-endian bytes — 4 of them, because ``F.lit(int)`` types as
+    IntegerType and Spark's ``hashInt`` is the XXH64 4-byte path
+    (verified equal to Spark output for both int and long literals).
+    So: ``hashInt(salt, seed=hashString(s, 42))``."""
+    if s is None or salt is None:
+        return None
+    import struct
+
+    h1 = xxh64(s.encode("utf-8"), 42)
+    pack = "<i" if -(1 << 31) <= salt < (1 << 31) else "<q"
+    u = xxh64(struct.pack(pack, salt), h1)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 def register(con) -> None:
-    """Register ``spark_xxhash64`` on a DuckDB connection (idempotent)."""
-    try:
-        con.create_function(
-            "spark_xxhash64", spark_xxhash64, ["VARCHAR"], "BIGINT"
-        )
-    except Exception:
-        pass  # already registered on this connection
+    """Register the xxhash64 twins on a DuckDB connection (idempotent)."""
+    for name, fn, argtypes in (
+        ("spark_xxhash64", spark_xxhash64, ["VARCHAR"]),
+        ("spark_xxhash64_seeded", spark_xxhash64_seeded, ["VARCHAR", "BIGINT"]),
+    ):
+        try:
+            con.create_function(name, fn, argtypes, "BIGINT")
+        except Exception:
+            pass  # already registered on this connection
