@@ -313,7 +313,7 @@ def connected_components(
             #    broadcast; the mid subtree appears on both sides and
             #    the planner reuses its exchanges).  This collapses the
             #    tail rounds where one long chain trickles 1-2 updates
-            #    per round — measured 10 → ~6 rounds at sf0.1.
+            #    per round — measured 10 → 8 rounds at sf0.1.
             jmap = mid.filter(F.col("mid") < F.col("old")).select(
                 F.col("node").alias("j_n"), F.col("mid").alias("j_c")
             )
