@@ -241,6 +241,67 @@ def target_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 2.0,
+    budget_fraction: float = 0.5,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-sampling
+    formulation, e.g. mBERT/XLM-R's ``p_g ∝ share_g^(1/T)``):
+    target share of group g is its observed share raised to ``1/T``
+    and renormalized — T=1 keeps natural proportions, T→∞ approaches
+    uniform, in between flattens head domains and boosts the tail —
+    then every group is down-sampled toward ``target_share_g × budget``
+    where ``budget = budget_fraction × N``.  Rates cap at 1: this
+    operator never replicates rows (up-sampling is the loader's job —
+    the same contract as :func:`target_mix`, whose explicit-weights
+    gate this generalizes to a one-parameter schedule).
+
+    Returns surviving rows plus ``keep_frac`` (the group's applied
+    rate, rounded to 6) — the audit column a mixing report reads.
+
+    Scale shape: one group-cardinality aggregate, one one-row total,
+    the rate table broadcast back, the same stable hash gate as
+    ``stable_sample`` — the corpus never shuffles.  Determinism:
+    ``pow`` is IEEE-double on both engines and the gate threshold is
+    floored to an integer, so the oracle lands on identical rows.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
+    powed = counts.select(
+        group_col,
+        "__n_g",
+        F.pow(F.col("__n_g").cast("double"), F.lit(1.0 / temperature)).alias(
+            "__w"
+        ),
+    )
+    norms = powed.agg(
+        F.sum("__w").alias("__wsum"), F.sum("__n_g").alias("__n")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(budget_fraction)
+        * F.col("__n")
+        * (F.col("__w") / F.col("__wsum"))
+        / F.col("__n_g"),
+    )
+    rates = powed.crossJoin(F.broadcast(norms)).select(
+        group_col, rate.alias("__rate")
+    )
+    gate = _sample_gate(F.col(key_col).cast("string"), salt, portable)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(gate < F.floor(F.col("__rate") * _GATE))
+        .withColumn("keep_frac", F.round(F.col("__rate"), 6))
+        .drop("__rate")
+    )
+
+
 def dsir_score(
     docs: DataFrame,
     is_target: Column,

@@ -456,3 +456,61 @@ def cusum_drift(
         F.round(F.max("__drift"), 6).alias("max_drift_sigmas"),
         F.max_by(F.col(ts_col), peak).alias("peak_ts"),
     )
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Precision/recall/F1 at every candidate decision threshold —
+    the calibration sweep run before fixing a quality-classifier
+    cutoff (e.g. choosing where ``model_quality_filter``'s gate
+    goes).  Thresholds are the DISTINCT scores rounded to
+    ``decimals``; at each threshold t the classifier is
+    ``score >= t``.
+
+    Scale shape: the corpus collapses to a (bucket, n_pos, n_neg)
+    table FIRST — one hash aggregate with map-side partials; the
+    cumulative TP/FP window then runs over at most
+    ``10^decimals``-ish rows (score-bucket cardinality, not corpus
+    rows), so the unpartitioned ORDER BY window is bounded by
+    construction, never corpus-sized.  Returns one row per threshold:
+    (threshold, tp, fp, fn, precision, recall, f1), descending-
+    cumulative semantics (tp at t counts every positive scoring
+    >= t).
+    """
+    # floor-based bucketing (lower edge), not round(): Spark rounds
+    # HALF_UP while other engines round half-away-from-zero on
+    # doubles — a .005-boundary score must not land in different
+    # buckets under the oracle
+    scale = float(10 ** decimals)
+    b = F.floor(F.col(score_col).cast("double") * scale) / scale
+    lab = F.col(label_col).cast("boolean")
+    buckets = (
+        df.filter(b.isNotNull() & lab.isNotNull())
+        .select(b.alias("threshold"), lab.alias("__y"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.col("__y").cast("long")).alias("__pos"),
+            F.sum((~F.col("__y")).cast("long")).alias("__neg"),
+        )
+    )
+    # bounded window: |buckets| rows, not corpus rows
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    tp = F.sum("__pos").over(w)
+    fp = F.sum("__neg").over(w)
+    all_pos = F.sum("__pos").over(tot)
+    return buckets.select(
+        "threshold",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (all_pos - tp).alias("fn"),
+        F.round(tp / (tp + fp), 6).alias("precision"),
+        F.round(tp / all_pos, 6).alias("recall"),
+        F.round(2 * tp / (tp + fp + all_pos), 6).alias("f1"),
+    )

@@ -7065,16 +7065,111 @@ GROUP BY 1
 """
 
 
+_TEMP_MIX_T = 2.0
+_TEMP_MIX_BUDGET = 0.5
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (share^(1/T) renormalized —
+    the multilingual-sampling schedule): down-sample each source
+    toward its temperature-flattened share of a half-corpus budget,
+    via the stable hash gate.  One group aggregate + broadcast rate
+    table + narrow filter; the corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mix(
+        d,
+        "source",
+        temperature=_TEMP_MIX_T,
+        budget_fraction=_TEMP_MIX_BUDGET,
+        key_col="doc_id",
+        salt=_SAMPLE_SALT,
+    ).select("doc_id", "source", "keep_frac")
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH counts AS (SELECT source, count(*) AS n_g FROM documents GROUP BY 1),
+p AS (SELECT source, n_g,
+             pow(CAST(n_g AS DOUBLE), {1.0 / _TEMP_MIX_T}) AS w
+      FROM counts),
+norms AS (SELECT sum(w) AS wsum, sum(n_g) AS n FROM p),
+rates AS (SELECT source,
+                 least(1.0, {_TEMP_MIX_BUDGET} * norms.n * (w / wsum) / n_g)
+                 AS rate
+          FROM p, norms)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS keep_frac
+FROM documents d JOIN rates r USING (source)
+WHERE {_duck_hash("CAST(doc_id AS VARCHAR)", _SAMPLE_SALT)} % 1000000
+      < CAST(floor(r.rate * 1000000) AS BIGINT)
+"""
+
+
+_PR_SWEEP_DECIMALS = 2
+
+
+def q_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration sweep: precision/recall/F1 of the gate
+    ``quality >= t`` against the is-English label at every distinct
+    2-decimal score bucket — the report read before fixing a
+    quality-filter cutoff.  Corpus collapses to the bucket table
+    first; the cumulative window runs over buckets, never rows."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    scored = text.quality_score(d.select("doc_id", "text", "lang")).withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    return stats.pr_threshold_sweep(
+        scored, "quality", "is_en", decimals=_PR_SWEEP_DECIMALS
+    )
+
+
+def _pr_sweep_oracle() -> str:
+    quality = _quality_oracle().strip()
+    return f"""
+WITH q AS ({quality}),
+lab AS (
+    SELECT floor(CAST(q.quality AS DOUBLE) * 100) / 100 AS threshold,
+           (d.lang = 'en') AS y
+    FROM q JOIN documents d USING (doc_id)
+),
+bk AS (
+    SELECT threshold,
+           sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+    FROM lab GROUP BY 1
+),
+c AS (
+    SELECT threshold,
+           sum(pos) OVER (ORDER BY threshold DESC
+                          ROWS UNBOUNDED PRECEDING) AS tp,
+           sum(neg) OVER (ORDER BY threshold DESC
+                          ROWS UNBOUNDED PRECEDING) AS fp,
+           sum(pos) OVER () AS ap
+    FROM bk
+)
+SELECT threshold, tp, fp, ap - tp AS fn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / ap, 6) AS recall,
+       round(2.0 * tp / (tp + fp + ap), 6) AS f1
+FROM c
+"""
+
+
 AUX_QUERIES.update(
     {
         "source_overlap": q_source_overlap,
         "frequency_spectrum": q_frequency_spectrum,
+        # round-7 widening: mixing schedule + classifier calibration
+        "temperature_mix": q_temperature_mix,
+        "pr_threshold_sweep": q_pr_threshold_sweep,
     }
 )
 AUX_ORACLES.update(
     {
         "source_overlap": ORACLE_SOURCE_OVERLAP,
         "frequency_spectrum": ORACLE_SPECTRUM,
+        "temperature_mix": ORACLE_TEMPERATURE_MIX,
+        "pr_threshold_sweep": _pr_sweep_oracle(),
     }
 )
 

@@ -321,3 +321,30 @@ def test_materialize_epochs_expansion(spark):
     assert all(counts[1000 + i] == 3 for i in range(10)), "3.0 epochs exact"
     again = materialize_epochs(df, plan).groupBy("doc_id").count()
     assert {r["doc_id"]: r["count"] for r in again.collect()} == counts
+
+
+def test_temperature_mix_schedule(spark):
+    """T=1 keeps natural proportions (every group thinned to the
+    budget fraction); T->inf flattens toward uniform target shares
+    (small groups pass whole, the head group absorbs the cut); the
+    keep_frac audit column carries the applied rate."""
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)],
+        "doc_id LONG, source STRING",
+    )
+    # T=1: w_g = n_g -> target share == natural share -> rate == budget
+    t1 = sampling.temperature_mix(df, "source", temperature=1.0, budget_fraction=0.5)
+    fr = {r["source"]: r["keep_frac"] for r in t1.select("source", "keep_frac").distinct().collect()}
+    assert fr == {"big": 0.5, "small": 0.5}
+    # T huge: target shares ~uniform (0.5 each of a 50-row budget):
+    # small gets 25/10 -> capped at 1.0; big gets 25/90
+    tinf = sampling.temperature_mix(df, "source", temperature=1e6, budget_fraction=0.5)
+    fr = {r["source"]: r["keep_frac"] for r in tinf.select("source", "keep_frac").distinct().collect()}
+    assert fr["small"] == 1.0
+    assert abs(fr["big"] - 25 / 90) < 1e-4
+    # capped group passes whole; determinism across runs
+    assert tinf.filter(F.col("source") == "small").count() == 10
+    ids1 = sorted(r["doc_id"] for r in tinf.collect())
+    ids2 = sorted(r["doc_id"] for r in sampling.temperature_mix(
+        df, "source", temperature=1e6, budget_fraction=0.5).collect())
+    assert ids1 == ids2

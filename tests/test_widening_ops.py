@@ -798,3 +798,23 @@ def test_apply_linear_map_drops_ragged_rows(spark):
     out = apply_linear_map(df, "embedding", [[2.0, 0.0], [0.0, 3.0]]).collect()
     assert len(out) == 1 and out[0]["vec_id"] == 1
     assert list(out[0]["embedding"]) == [2.0, 6.0]
+
+
+def test_pr_threshold_sweep_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import pr_threshold_sweep
+
+    # scores/labels chosen so each bucket's confusion matrix is hand
+    # checkable: positives at .9 .9 .7, negatives at .7 .5
+    df = spark.createDataFrame(
+        [(0.9, True), (0.9, True), (0.7, True), (0.7, False), (0.5, False)],
+        "score DOUBLE, y BOOLEAN",
+    )
+    out = {r["threshold"]: r for r in pr_threshold_sweep(df, "score", "y").collect()}
+    assert set(out) == {0.9, 0.7, 0.5}
+    assert (out[0.9]["tp"], out[0.9]["fp"], out[0.9]["fn"]) == (2, 0, 1)
+    assert out[0.9]["precision"] == 1.0
+    assert round(out[0.9]["recall"], 6) == round(2 / 3, 6)
+    assert (out[0.7]["tp"], out[0.7]["fp"]) == (3, 1)
+    assert out[0.7]["recall"] == 1.0
+    assert out[0.5]["precision"] == 0.6  # all rows kept
+    assert out[0.5]["f1"] == 0.75
