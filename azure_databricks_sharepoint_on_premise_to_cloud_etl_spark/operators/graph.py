@@ -281,10 +281,11 @@ def connected_components(
             #    edge-hop per round (O(diameter)); with it, label
             #    chains compress a round after they form, restoring
             #    the O(log diameter) behavior of full-table pointer
-            #    jumping at broadcast-join cost.  (An in-round jump on
-            #    the update set was measured slower: two extra joins
-            #    per round cost more than the ~1 round they save; so
-            #    was a 2-hop chase.)
+            #    jumping at broadcast-join cost.  (Earlier rounds
+            #    measured in-round jumps as a net loss; after the
+            #    exchange-reuse and fused-Observation changes cut the
+            #    per-round floor, the same jumps now pay for
+            #    themselves — steps 4-5 below, re-measured.)
             # 3. merge: ONE scan of the standing table with two
             #    broadcast left joins (delta_min and fr are
             #    frontier-sized) — the standing table is never
@@ -317,9 +318,22 @@ def connected_components(
             jmap = mid.filter(F.col("mid") < F.col("old")).select(
                 F.col("node").alias("j_n"), F.col("mid").alias("j_c")
             )
-            jumped = mid.join(jmap, mid["mid"] == jmap["j_n"], "left")
+            # 5. second edge-hop fused into the same job: neighbors of
+            #    just-improved nodes adopt the improvement immediately
+            #    instead of next round — jmap is reused as the hop's
+            #    frontier (identical subtree → one broadcast exchange)
+            delta2 = (
+                sym.join(jmap, sym["b"] == jmap["j_n"])
+                .groupBy(F.col("a").alias("a2"))
+                .agg(F.min("j_c").alias("nbr2"))
+            )
+            jumped = mid.join(jmap, mid["mid"] == jmap["j_n"], "left").join(
+                delta2, mid["node"] == delta2["a2"], "left"
+            )
             nc2 = F.least(
-                F.col("mid"), F.coalesce(F.col("j_c"), F.col("mid"))
+                F.col("mid"),
+                F.coalesce(F.col("j_c"), F.col("mid")),
+                F.coalesce(F.col("nbr2"), F.col("mid")),
             )
             new_labels, n_changed = snapshot(
                 jumped.select(
