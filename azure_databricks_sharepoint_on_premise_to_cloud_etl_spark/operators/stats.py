@@ -514,3 +514,80 @@ def pr_threshold_sweep(
         F.round(tp / all_pos, 6).alias("recall"),
         F.round(2 * tp / (tp + fp + all_pos), 6).alias("f1"),
     )
+
+
+def ks_2sample(
+    df: DataFrame,
+    split_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the rows
+    where ``split_col`` is true and the rest: D = max |CDF_a - CDF_b|
+    over the observed values — the standard distribution-drift check
+    between corpus slices (a new crawl vs the corpus, one source vs
+    the rest) that a mean/variance comparison misses entirely.
+
+    Returns one row: (n_a, n_b, ks_stat, ks_at, ks_lambda) — the
+    statistic, the value where the gap peaks (smallest such value on
+    ties), and the sample-size-scaled ``D * sqrt(n_a n_b / (n_a+n_b))``
+    that significance tables index.
+
+    Scale shape: the corpus collapses to a (value, n_a, n_b) table
+    FIRST — one hash aggregate with map-side partials; the CDF window
+    and the final max then run over DISTINCT values, never rows, so
+    the unpartitioned ORDER BY window is bounded by value cardinality
+    (enumerable measures — lengths, scores, counts — by construction).
+    All arithmetic is exact integer counts until the final division,
+    so an oracle reproduces D bit-for-bit.
+    """
+    s = F.col(split_col).cast("boolean")
+    buckets = (
+        df.filter(s.isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("__v"), s.alias("__s"))
+        .groupBy("__v")
+        .agg(
+            F.sum(F.col("__s").cast("long")).alias("__a"),
+            F.sum((~F.col("__s")).cast("long")).alias("__b"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = buckets.select(
+        "__v",
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+        F.sum("__a").over(tot).alias("__na"),
+        F.sum("__b").over(tot).alias("__nb"),
+    )
+    gap = F.abs(
+        F.col("__ca") / F.col("__na") - F.col("__cb") / F.col("__nb")
+    )
+    peak = cum.select(
+        "__na",
+        "__nb",
+        gap.alias("__gap"),
+        F.col("__v").alias("__at"),
+    )
+    d = F.max("__gap")
+    return peak.groupBy("__na", "__nb").agg(
+        F.round(d, 6).alias("ks_stat"),
+        # min over (-gap, at): the highest gap, smallest value on ties
+        F.min_by(
+            "__at", F.struct((-F.col("__gap")).alias("ng"), F.col("__at"))
+        ).alias("ks_at"),
+        F.round(
+            d
+            * F.sqrt(
+                F.col("__na").cast("double")
+                * F.col("__nb")
+                / (F.col("__na") + F.col("__nb"))
+            ),
+            6,
+        ).alias("ks_lambda"),
+    ).select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        "ks_stat",
+        "ks_at",
+        "ks_lambda",
+    )

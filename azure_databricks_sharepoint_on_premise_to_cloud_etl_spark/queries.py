@@ -7155,13 +7155,66 @@ FROM c
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift: are English documents'
+    LENGTHS distributed like the rest of the corpus?  The
+    distribution-level drift check (max CDF gap) a mean/variance
+    comparison misses.  Corpus collapses to a distinct-length count
+    table first; the CDF window runs over lengths, never rows."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return stats.ks_2sample(
+        d.select(
+            (F.col("lang") == F.lit("en")).alias("is_en"),
+            F.length("text").alias("text_len"),
+        ),
+        "is_en",
+        "text_len",
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH b AS (
+    SELECT length(text) AS v, (lang = 'en') AS s FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+bk AS (
+    SELECT v, sum(CASE WHEN s THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN s THEN 0 ELSE 1 END) AS bb
+    FROM b GROUP BY 1
+),
+c AS (
+    SELECT v,
+           sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(bb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+           sum(a) OVER () AS na, sum(bb) OVER () AS nb
+    FROM bk
+),
+g AS (
+    SELECT na, nb, v,
+           abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS gap
+    FROM c
+)
+SELECT na AS n_a, nb AS n_b,
+       round(max(gap), 6) AS ks_stat,
+       (SELECT v FROM g g2 ORDER BY g2.gap DESC, g2.v ASC LIMIT 1) AS ks_at,
+       round(max(gap) * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 6)
+           AS ks_lambda
+FROM g
+GROUP BY na, nb
+"""
+
+
 AUX_QUERIES.update(
     {
         "source_overlap": q_source_overlap,
         "frequency_spectrum": q_frequency_spectrum,
-        # round-7 widening: mixing schedule + classifier calibration
+        # round-7 widening: mixing schedule + classifier calibration +
+        # distribution drift
         "temperature_mix": q_temperature_mix,
         "pr_threshold_sweep": q_pr_threshold_sweep,
+        "ks_drift": q_ks_drift,
     }
 )
 AUX_ORACLES.update(
@@ -7170,6 +7223,7 @@ AUX_ORACLES.update(
         "frequency_spectrum": ORACLE_SPECTRUM,
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "pr_threshold_sweep": _pr_sweep_oracle(),
+        "ks_drift": ORACLE_KS_DRIFT,
     }
 )
 

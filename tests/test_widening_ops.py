@@ -818,3 +818,24 @@ def test_pr_threshold_sweep_hand_computed(spark):
     assert out[0.7]["recall"] == 1.0
     assert out[0.5]["precision"] == 0.6  # all rows kept
     assert out[0.5]["f1"] == 0.75
+
+
+def test_ks_2sample_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import ks_2sample
+
+    # A = {1, 2, 3}, B = {3, 4, 5, 6}: CDFs diverge most at v=2
+    # (2/3 - 0 = 0.666667) and collapse to 3/3 - 1/4 = 0.75 at v=3
+    rows = [(True, 1), (True, 2), (True, 3),
+            (False, 3), (False, 4), (False, 5), (False, 6)]
+    df = spark.createDataFrame(rows, "s BOOLEAN, v LONG")
+    out = ks_2sample(df, "s", "v").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (3, 4)
+    assert out["ks_stat"] == 0.75
+    assert out["ks_at"] == 3
+    import math
+    assert out["ks_lambda"] == round(0.75 * math.sqrt(12 / 7), 6)
+    # identical distributions: D = 0
+    same = spark.createDataFrame(
+        [(True, 1), (True, 2), (False, 1), (False, 2)], "s BOOLEAN, v LONG"
+    )
+    assert ks_2sample(same, "s", "v").collect()[0]["ks_stat"] == 0.0
