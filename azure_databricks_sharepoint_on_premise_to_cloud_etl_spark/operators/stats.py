@@ -591,3 +591,50 @@ def ks_2sample(
         "ks_at",
         "ks_lambda",
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC of ``score_col`` against boolean ``label_col``
+    via the rank-sum (Mann–Whitney U) identity, with standard
+    average-rank tie handling (ties credit 0.5) — the
+    threshold-independent companion of :func:`pr_threshold_sweep`
+    when judging a quality classifier before picking a cutoff.
+
+    Scale shape: one hash aggregate collapses the corpus to
+    (score, n_pos, n_neg); average ranks come from a cumulative
+    window over DISTINCT scores (bounded by score cardinality, never
+    rows); the AUC is one more tiny aggregate.  Integer-exact until
+    the final division.  Returns one row: (n_pos, n_neg, auc).
+    """
+    lab = F.col(label_col).cast("boolean")
+    buckets = (
+        df.filter(lab.isNotNull() & F.col(score_col).isNotNull())
+        .select(F.col(score_col).alias("__v"), lab.alias("__y"))
+        .groupBy("__v")
+        .agg(
+            F.sum(F.col("__y").cast("long")).alias("__a"),
+            F.sum((~F.col("__y")).cast("long")).alias("__b"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = F.sum(F.col("__a") + F.col("__b")).over(w)
+    avg_rank = c - (F.col("__a") + F.col("__b") - 1) / 2.0
+    ranked = buckets.select(
+        F.col("__a"),
+        avg_rank.alias("__r"),
+        F.sum("__a").over(tot).alias("__na"),
+        F.sum("__b").over(tot).alias("__nb"),
+    )
+    u = F.sum(F.col("__a") * F.col("__r")) - F.max("__na") * (
+        F.max("__na") + 1
+    ) / 2.0
+    return ranked.groupBy().agg(
+        F.max("__na").alias("n_pos"),
+        F.max("__nb").alias("n_neg"),
+        F.round(u / (F.max("__na") * F.max("__nb")), 6).alias("auc"),
+    )

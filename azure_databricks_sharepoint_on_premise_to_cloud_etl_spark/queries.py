@@ -7155,6 +7155,47 @@ FROM c
 """
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the quality score as an is-English classifier
+    (rank-sum identity, average-rank ties) — the threshold-independent
+    companion of pr_threshold_sweep.  Same collapsed-bucket
+    discipline: ranks come from a window over distinct scores."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    scored = text.quality_score(d.select("doc_id", "text", "lang")).withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    return stats.roc_auc(scored, "quality", "is_en")
+
+
+def _roc_auc_oracle() -> str:
+    quality = _quality_oracle().strip()
+    return f"""
+WITH q AS ({quality}),
+lab AS (
+    SELECT CAST(q.quality AS DOUBLE) AS v, (d.lang = 'en') AS y
+    FROM q JOIN documents d USING (doc_id)
+),
+bk AS (
+    SELECT v, sum(CASE WHEN y THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN y THEN 0 ELSE 1 END) AS b
+    FROM lab GROUP BY 1
+),
+r AS (
+    SELECT a,
+           sum(a + b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (a + b - 1) / 2.0 AS avg_rank,
+           sum(a) OVER () AS na, sum(b) OVER () AS nb
+    FROM bk
+)
+SELECT max(na) AS n_pos, max(nb) AS n_neg,
+       round((sum(a * avg_rank) - max(na) * (max(na) + 1) / 2.0)
+             / (max(na) * max(nb)), 6) AS auc
+FROM r
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift: are English documents'
     LENGTHS distributed like the rest of the corpus?  The
@@ -7215,6 +7256,7 @@ AUX_QUERIES.update(
         "temperature_mix": q_temperature_mix,
         "pr_threshold_sweep": q_pr_threshold_sweep,
         "ks_drift": q_ks_drift,
+        "roc_auc": q_roc_auc,
     }
 )
 AUX_ORACLES.update(
@@ -7224,6 +7266,7 @@ AUX_ORACLES.update(
         "temperature_mix": ORACLE_TEMPERATURE_MIX,
         "pr_threshold_sweep": _pr_sweep_oracle(),
         "ks_drift": ORACLE_KS_DRIFT,
+        "roc_auc": _roc_auc_oracle(),
     }
 )
 

@@ -839,3 +839,28 @@ def test_ks_2sample_hand_computed(spark):
         [(True, 1), (True, 2), (False, 1), (False, 2)], "s BOOLEAN, v LONG"
     )
     assert ks_2sample(same, "s", "v").collect()[0]["ks_stat"] == 0.0
+
+
+def test_roc_auc_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import roc_auc
+
+    # perfect separation -> 1.0
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)],
+        "score DOUBLE, y BOOLEAN",
+    )
+    assert roc_auc(perfect, "score", "y").collect()[0]["auc"] == 1.0
+    # all scores tied -> 0.5 (average-rank tie credit)
+    tied = spark.createDataFrame(
+        [(0.5, True), (0.5, True), (0.5, False), (0.5, False)],
+        "score DOUBLE, y BOOLEAN",
+    )
+    assert roc_auc(tied, "score", "y").collect()[0]["auc"] == 0.5
+    # hand case: pos {0.8, 0.4}, neg {0.6, 0.2}: pairs won 3/4,
+    # no ties -> 0.75
+    mixed = spark.createDataFrame(
+        [(0.8, True), (0.4, True), (0.6, False), (0.2, False)],
+        "score DOUBLE, y BOOLEAN",
+    )
+    out = roc_auc(mixed, "score", "y").collect()[0]
+    assert (out["n_pos"], out["n_neg"], out["auc"]) == (2, 2, 0.75)
