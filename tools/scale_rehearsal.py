@@ -135,6 +135,13 @@ HEAVY = [
     "model_quality_filter",
     "source_overlap",
     "frequency_spectrum",
+    # round-7 widening: mixing schedule, calibration metrics, drift —
+    # all bucket-collapsed shapes whose windows run over value
+    # cardinality, so alphas should be flat-to-sublinear
+    "temperature_mix",
+    "pr_threshold_sweep",
+    "roc_auc",
+    "ks_drift",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
