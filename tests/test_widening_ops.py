@@ -864,3 +864,20 @@ def test_roc_auc_hand_computed(spark):
     )
     out = roc_auc(mixed, "score", "y").collect()[0]
     assert (out["n_pos"], out["n_neg"], out["auc"]) == (2, 2, 0.75)
+
+
+def test_tfidf_prefix_filter_result_identical(spark):
+    """The AllPairs-style prefix-filtered candidate path must return
+    exactly the band-form pairs (completeness: a pair whose shared
+    terms all sit in both low-mass suffixes has cos < t)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import release_components
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table, rebalance
+
+    d = rebalance(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    old = text.tfidf_doc_similarity(d, prefix_filter=False)
+    new = text.tfidf_doc_similarity(d, prefix_filter=True)
+    so = {(r["id_a"], r["id_b"], r["cosine"]) for r in old.collect()}
+    sn = {(r["id_a"], r["id_b"], r["cosine"]) for r in new.collect()}
+    release_components(old)
+    release_components(new)
+    assert so == sn and len(so) > 0
