@@ -638,3 +638,58 @@ def roc_auc(
         F.max("__nb").alias("n_neg"),
         F.round(u / (F.max("__na") * F.max("__nb")), 6).alias("auc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error: scores in
+    [0, 1] bucket into ``bins`` equal-width bins; each bin reports its
+    count, mean predicted score, observed positive rate, and gap —
+    completing the classifier triad (threshold sweep, AUC, and now
+    "are the scores themselves honest probabilities").  Every row also
+    carries ``ece`` (Σ n_b/N · |avg − frac|), the scalar a model
+    monitor alerts on.
+
+    Scale shape: ONE hash aggregate collapses the corpus to ≤ bins
+    rows; everything after (the totals window, ECE) is bin-table
+    sized.  Bin ids come from ``floor(score · bins)`` clamped to the
+    top bin — exact integer arithmetic, so the oracle lands on the
+    same bins.
+    """
+    lab = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    bin_id = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    bk = (
+        df.filter(lab.isNotNull() & s.isNotNull())
+        .select(
+            bin_id.alias("bin"),
+            # micro-unit integers: scores arrive 6-dp rounded, so the
+            # bin mean sums EXACT integers — double summation order
+            # differs across engines and flipped a 6-dp round at the
+            # .5 ulp boundary in testing
+            F.round(s * 1_000_000).cast("long").alias("__su"),
+            lab.alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("__su") / F.count(F.lit(1)) / 1e6).alias("__avg"),
+            F.avg(F.col("__y").cast("double")).alias("__frac"),
+        )
+    )
+    tot = Window.partitionBy()
+    gap = F.abs(F.col("__avg") - F.col("__frac"))
+    return bk.select(
+        "bin",
+        "n",
+        F.round("__avg", 6).alias("avg_score"),
+        F.round("__frac", 6).alias("frac_pos"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.sum(F.col("n") * gap).over(tot) / F.sum("n").over(tot), 6
+        ).alias("ece"),
+    )

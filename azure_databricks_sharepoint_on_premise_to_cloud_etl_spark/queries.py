@@ -7196,6 +7196,44 @@ FROM r
 """
 
 
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE of the quality score as an is-English
+    probability — the third classifier-calibration view (after the
+    threshold sweep and AUC): are the scores honest probabilities?
+    One hash aggregate to ≤10 bins; everything after is bin-sized."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    scored = text.quality_score(d.select("doc_id", "text", "lang")).withColumn(
+        "is_en", F.col("lang") == F.lit("en")
+    )
+    return stats.calibration_bins(scored, "quality", "is_en", bins=10)
+
+
+def _calibration_oracle() -> str:
+    quality = _quality_oracle().strip()
+    return f"""
+WITH q AS ({quality}),
+lab AS (
+    SELECT least(CAST(floor(CAST(q.quality AS DOUBLE) * 10) AS INT), 9)
+               AS bin,
+           CAST(q.quality AS DOUBLE) AS s,
+           CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM q JOIN documents d USING (doc_id)
+),
+bk AS (
+    SELECT bin, count(*) AS n,
+           sum(CAST(round(s * 1000000) AS BIGINT)) / count(*) / 1e6 AS avg_s,
+           avg(y) AS frac
+    FROM lab GROUP BY 1
+)
+SELECT bin, n, round(avg_s, 6) AS avg_score, round(frac, 6) AS frac_pos,
+       round(abs(avg_s - frac), 6) AS gap,
+       round(sum(n * abs(avg_s - frac)) OVER () / sum(n) OVER (), 6) AS ece
+FROM bk
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift: are English documents'
     LENGTHS distributed like the rest of the corpus?  The
@@ -7257,6 +7295,7 @@ AUX_QUERIES.update(
         "pr_threshold_sweep": q_pr_threshold_sweep,
         "ks_drift": q_ks_drift,
         "roc_auc": q_roc_auc,
+        "calibration_bins": q_calibration_bins,
     }
 )
 AUX_ORACLES.update(
@@ -7267,6 +7306,7 @@ AUX_ORACLES.update(
         "pr_threshold_sweep": _pr_sweep_oracle(),
         "ks_drift": ORACLE_KS_DRIFT,
         "roc_auc": _roc_auc_oracle(),
+        "calibration_bins": _calibration_oracle(),
     }
 )
 

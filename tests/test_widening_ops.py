@@ -881,3 +881,21 @@ def test_tfidf_prefix_filter_result_identical(spark):
     release_components(old)
     release_components(new)
     assert so == sn and len(so) > 0
+
+
+def test_calibration_bins_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import calibration_bins
+
+    # bin 0 ([0, .5) with bins=2): scores .2 .4, labels F T -> avg .3,
+    # frac .5, gap .2; bin 1: scores .8 1.0, labels T T -> avg .9,
+    # frac 1.0, gap .1; ECE = (2*.2 + 2*.1)/4 = .15.  score 1.0 clamps
+    # into the top bin.
+    df = spark.createDataFrame(
+        [(0.2, False), (0.4, True), (0.8, True), (1.0, True)],
+        "score DOUBLE, y BOOLEAN",
+    )
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "y", bins=2).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0]["avg_score"], out[0]["frac_pos"], out[0]["gap"]) == (0.3, 0.5, 0.2)
+    assert (out[1]["avg_score"], out[1]["frac_pos"], out[1]["gap"]) == (0.9, 1.0, 0.1)
+    assert out[0]["ece"] == 0.15 and out[1]["ece"] == 0.15
