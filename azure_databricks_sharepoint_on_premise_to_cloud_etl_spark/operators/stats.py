@@ -640,6 +640,60 @@ def roc_auc(
     )
 
 
+def roc_auc_distributed(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    partitions: int = 32,
+) -> DataFrame:
+    """:func:`roc_auc` with the cumulative-rank window replaced by the
+    distributed two-phase prefix sum (``windows.global_cumsum``) —
+    bit-identical AUC, but no single-task stage.
+
+    :func:`roc_auc`'s unpartitioned window is bounded by score
+    CARDINALITY, which is fine for bucketed/rounded scores but becomes
+    a one-core bottleneck when scores are near-continuous (cardinality
+    ~ corpus rows — e.g. a float model score at full precision).  This
+    form range-partitions the distinct-score table, computes
+    per-partition running totals, and stitches with broadcast offsets;
+    every stage is parallel.  Same integer-exact arithmetic, same
+    one-row result, same oracle.
+    """
+    from .windows import global_cumsum
+
+    lab = F.col(label_col).cast("boolean")
+    buckets = (
+        df.filter(lab.isNotNull() & F.col(score_col).isNotNull())
+        .select(F.col(score_col).alias("__v"), lab.alias("__y"))
+        .groupBy("__v")
+        .agg(
+            F.sum(F.col("__y").cast("long")).alias("__a"),
+            F.sum((~F.col("__y")).cast("long")).alias("__b"),
+        )
+        .withColumn("__t", F.col("__a") + F.col("__b"))
+    )
+    cum = global_cumsum(
+        buckets, [F.col("__v").asc()], {"__t": "__c"}, partitions=partitions
+    )
+    totals = buckets.agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    ranked = cum.crossJoin(F.broadcast(totals)).select(
+        "__a",
+        (F.col("__c") - (F.col("__a") + F.col("__b") - 1) / 2.0).alias("__r"),
+        "__na",
+        "__nb",
+    )
+    u = F.sum(F.col("__a") * F.col("__r")) - F.max("__na") * (
+        F.max("__na") + 1
+    ) / 2.0
+    return ranked.groupBy().agg(
+        F.max("__na").alias("n_pos"),
+        F.max("__nb").alias("n_neg"),
+        F.round(u / (F.max("__na") * F.max("__nb")), 6).alias("auc"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

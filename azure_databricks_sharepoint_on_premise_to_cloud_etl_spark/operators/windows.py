@@ -111,6 +111,131 @@ def trailing_range_agg(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    values: dict[str, str],
+    partitions: int = 32,
+) -> DataFrame:
+    """Distributed exact running totals over a GLOBAL order — the
+    scale path for cumulative analytics that would otherwise need an
+    unpartitioned ``Window.orderBy`` (a single-task stage that caps
+    throughput at one core no matter the cluster size).
+
+    ``values`` maps source column -> output column; each output is the
+    running ``sum(src)`` over rows at-or-before the current row under
+    ``order`` (``ROWS UNBOUNDED PRECEDING``).  ``order`` must be a
+    total order (include a tiebreaker) for deterministic output.
+
+    Scale shape — the classic two-phase prefix sum:
+
+    1. ``repartitionByRange`` on the order columns: partition *i*'s
+       rows all precede partition *i+1*'s, and equal keys never
+       straddle a boundary (the range partitioner bucket-assigns each
+       key tuple to exactly one partition).
+    2. Per-partition running totals via a window PARTITIONED on the
+       partition id — every task sorts and scans only its own slice.
+    3. Per-partition grand totals collapse to ``partitions`` rows; the
+       offset for partition *i* is the (tiny, bounded-by-partitions)
+       cumulative of totals before *i*, broadcast back and added.
+
+    Two full shuffles (range + hash on the partition id) instead of
+    the single-partition window's one — but every stage is parallel,
+    so the plan survives a 1000-executor corpus where the one-task
+    window cannot.  Cost: O(n log(n/p)) local sort work, O(p) driver
+    state.
+    """
+    srcs = list(values)
+    part = df.repartitionByRange(partitions, *order)
+    staged = part.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = staged.select(
+        "*",
+        *[
+            F.sum(F.col(s)).over(w_local).alias(f"__loc_{s}")
+            for s in srcs
+        ],
+    )
+    totals = staged.groupBy("__pid").agg(
+        *[F.sum(F.col(s)).alias(f"__tot_{s}") for s in srcs]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot_{s}").over(w_off), F.lit(0)).alias(
+                f"__off_{s}"
+            )
+            for s in srcs
+        ],
+    )
+    out = ranked.join(F.broadcast(offsets), "__pid")
+    for s in srcs:
+        out = out.withColumn(
+            values[s], F.col(f"__off_{s}") + F.col(f"__loc_{s}")
+        )
+    return out.drop(
+        "__pid", *[f"__loc_{s}" for s in srcs], *[f"__off_{s}" for s in srcs]
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+    partitions: int = 32,
+) -> DataFrame:
+    """Distributed exact dense row numbering (1-based ``row_number``)
+    over a GLOBAL total order, without the single-task unpartitioned
+    window — :func:`global_cumsum` of a literal 1.  ``order`` must be
+    a total order (include a tiebreaker) for deterministic ranks.
+    """
+    staged = df.withColumn("__one", F.lit(1).cast("long"))
+    return global_cumsum(
+        staged, order, {"__one": rank_col}, partitions=partitions
+    ).drop("__one")
+
+
+def global_ntile_pct(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    tile_col: str = "tile",
+    pct_col: str = "pct_rank",
+    partitions: int = 32,
+) -> DataFrame:
+    """Distributed exact ``ntile(k)`` + ``percent_rank()`` over a
+    global total order — same results as the SQL window functions
+    (first ``n mod k`` tiles one row larger; pct = (rank-1)/(n-1)),
+    built from :func:`global_rank` plus one broadcast scalar, so no
+    stage ever runs single-task.  ``order`` must be a total order.
+    """
+    ranked = global_rank(df, order, rank_col="__r", partitions=partitions)
+    n_tbl = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    q = F.floor(F.col("__n") / k)
+    r = F.col("__n") % k
+    big = q + 1  # first r tiles have q+1 rows
+    in_big = F.col("__r") <= r * big
+    tile = F.when(
+        in_big, F.floor((F.col("__r") - 1) / big) + 1
+    ).otherwise(r + F.floor((F.col("__r") - r * big - 1) / q) + 1)
+    pct = F.when(F.col("__n") > 1, (F.col("__r") - 1) / (F.col("__n") - 1)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        ranked.join(F.broadcast(n_tbl), how="cross")
+        .withColumn(tile_col, tile.cast("int"))
+        .withColumn(pct_col, pct)
+        .drop("__r", "__n")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

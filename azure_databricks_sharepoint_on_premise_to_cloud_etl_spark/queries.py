@@ -7336,3 +7336,74 @@ STREAMING_PLAN_BUILDERS: dict[str, QueryFn] = {
 assert set(STREAMING_PLAN_BUILDERS) == {
     n for n in AUX_QUERIES if n.startswith("streaming_")
 }, "every streaming AUX query needs a pre-sink plan builder for the audit"
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact-rank twins: the single-task-window-free scale path
+# for global ordering analytics.  Each pairs with the SAME oracle as
+# its window-form sibling — identical results, parallel plan.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_deciles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """quality_deciles re-planned without the one-partition window:
+    exact ntile(10) + percent_rank via the distributed two-phase
+    prefix sum (range-repartition -> per-slice rank -> broadcast
+    offsets, ``windows.global_ntile_pct``).  Same total order, same
+    oracle, bit-identical output — but every stage parallel, so the
+    exact-rank surface survives a corpus where quality_deciles'
+    single-task sort cannot."""
+    from .operators import windows as win
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    q = text.quality_score(d).select("doc_id", "quality")
+    out = win.global_ntile_pct(
+        q,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        10,
+        tile_col="decile",
+        pct_col="__pct",
+    )
+    return out.select(
+        "doc_id",
+        "quality",
+        "decile",
+        F.round("__pct", 6).alias("pct_rank"),
+    )
+
+
+def q_roc_auc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roc_auc with the cumulative-rank window replaced by the
+    distributed prefix sum (``stats.roc_auc_distributed``) —
+    bit-identical AUC against the same oracle, no single-task stage
+    even when score cardinality approaches corpus rows."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    scored = text.quality_score(
+        d.select("doc_id", "text", "lang")
+    ).withColumn("is_en", F.col("lang") == F.lit("en"))
+    return stats.roc_auc_distributed(scored, "quality", "is_en")
+
+
+AUX_QUERIES.update(
+    {
+        "quality_deciles_distributed": q_quality_deciles_distributed,
+        "roc_auc_distributed": q_roc_auc_distributed,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "quality_deciles_distributed": _quality_deciles_oracle(),
+        "roc_auc_distributed": _roc_auc_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
