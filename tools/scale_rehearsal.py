@@ -142,6 +142,16 @@ HEAVY = [
     "pr_threshold_sweep",
     "roc_auc",
     "ks_drift",
+    # round-7: the distributed prefix-sum rank forms vs their
+    # single-task-window siblings — the A/B that shows the scale path
+    # holds results constant while removing the one-core stage.  On
+    # local[32] the window forms won't collapse (one machine sorts
+    # either way); the claim under test is that the distributed forms
+    # cost no more and stay linear, so the 1000-executor argument is
+    # a free swap.
+    "quality_deciles",
+    "quality_deciles_distributed",
+    "roc_auc_distributed",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
