@@ -300,3 +300,163 @@ def rolling_active_users(
             "wau",
         )
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_shared: int = 2,
+    max_basket: int = 40,
+) -> DataFrame:
+    """Directed market-basket association rules (antecedent →
+    consequent) with support / confidence / lift — the report layer
+    over the co-occurrence pair counts (reference A2-family group-by
+    aggregation, generalized to the classic basket-analysis shape).
+
+    Scale shape: the bipartite (basket, item) table collapses to
+    DISTINCT first; baskets above ``max_basket`` distinct items are
+    dropped BEFORE the basket-keyed self-join (a hot basket
+    contributes basket² pairs for near-zero signal — the same
+    explicit fan-out cut as the co-purchase query); pair counts
+    aggregate map-side on (item_a, item_b).  Item supports and the
+    basket total are dimension-sized aggregates that BROADCAST onto
+    the pair table, so the only big shuffle is the bounded pair agg
+    itself.  Each undirected pair emits both rule directions.
+
+    Returns (antecedent, consequent, n_both, support, confidence,
+    lift) for pairs co-occurring in at least ``min_shared`` baskets:
+    support = n_both / n_baskets, confidence = n_both / n_antecedent,
+    lift = confidence / (n_consequent / n_baskets) — all ratios of
+    exact longs, rounded to 6, so any engine agrees.
+    """
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+        )
+        .filter(F.col("__bk").isNotNull() & F.col("__it").isNotNull())
+        .distinct()
+    )
+    # the basket-size cut and the item supports both ride the rows as
+    # window counts (one shuffle on the basket key, one on the item
+    # key) rather than separate aggregate+join branches — the
+    # self-join sides then each carry their item's support, so no
+    # branch re-reads the bipartite collapse and the plan has exactly
+    # one corpus-sized subtree per join side
+    bounded = bi.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__bk"))
+    ).filter(F.col("__n") <= max_basket)
+    counted = bounded.withColumn(
+        "__ni", F.count(F.lit(1)).over(Window.partitionBy("__it"))
+    )
+    totals = bounded.agg(F.count_distinct("__bk").alias("__nb"))
+    a = counted.select(
+        "__bk", F.col("__it").alias("__ia"), F.col("__ni").alias("__sa")
+    )
+    b = counted.select(
+        "__bk", F.col("__it").alias("__ib"), F.col("__ni").alias("__sb")
+    )
+    pairs = (
+        a.join(b, "__bk")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(
+            F.count(F.lit(1)).alias("n_both"),
+            F.first("__sa").alias("__sa"),
+            F.first("__sb").alias("__sb"),
+        )
+        .filter(F.col("n_both") >= min_shared)
+    )
+    # both rule directions from ONE pairs subtree (explode, not a
+    # union that would duplicate the whole self-join plan)
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__ia").alias("antecedent"),
+                    F.col("__ib").alias("consequent"),
+                    F.col("n_both"),
+                    F.col("__sa").alias("__na"),
+                    F.col("__sb").alias("__nc"),
+                ),
+                F.struct(
+                    F.col("__ib").alias("antecedent"),
+                    F.col("__ia").alias("consequent"),
+                    F.col("n_both"),
+                    F.col("__sb").alias("__na"),
+                    F.col("__sa").alias("__nc"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    return (
+        directed.crossJoin(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("__nb"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("__na"), 6).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double") * F.col("__nb")
+                / (F.col("__na").cast("double") * F.col("__nc")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    tiers: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic lifecycle report: score each customer 1..``tiers`` on
+    how recently they bought, how often, and how much, with
+    ``tiers`` = best on every axis.
+
+    Scale shape: ONE hash aggregate collapses the order stream to a
+    |customers|-sized (last_ts, frequency, monetary) table; the
+    anchor date and the three ntile scores are windows over that
+    BOUNDED table (customer cardinality, never order rows) with
+    key tiebreakers so the tiling is a deterministic total order on
+    any engine.  Monetary sums round to 2 (exact cents) before
+    tiling.  Returns (key, recency_days, frequency, monetary,
+    r_score, f_score, m_score, segment).
+    """
+    per = df.groupBy(F.col(key_col)).agg(
+        F.max(F.col(ts_col)).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col(amount_col)), 2).alias("monetary"),
+    )
+    anchor = F.max("__last").over(Window.partitionBy())
+    scored = per.withColumn(
+        "recency_days", F.datediff(anchor, F.col("__last"))
+    )
+    k = F.col(key_col).asc()
+    r = (tiers + 1) - F.ntile(tiers).over(
+        Window.orderBy(F.col("recency_days").asc(), k)
+    )
+    fr = (tiers + 1) - F.ntile(tiers).over(
+        Window.orderBy(F.col("frequency").desc(), k)
+    )
+    m = (tiers + 1) - F.ntile(tiers).over(
+        Window.orderBy(F.col("monetary").desc(), k)
+    )
+    return scored.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        fr.alias("f_score"),
+        m.alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

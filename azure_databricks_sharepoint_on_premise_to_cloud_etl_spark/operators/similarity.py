@@ -15,7 +15,7 @@ where per-element codegen becomes instruction-bound.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -475,3 +475,66 @@ def apply_linear_map(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def embedding_group_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid drift vs the global centroid —
+    the distribution-shift check run per source/label/batch before
+    mixing corpora: a group whose centroid has low cosine to (or
+    large L2 from) the global centroid is semantically skewed
+    relative to the rest of the corpus.
+
+    Scale shape: one narrow ``posexplode`` (rows × dims, one float +
+    two ids per row) into ONE hash aggregate keyed by (group, dim) —
+    the same tall-skinny reduction as :func:`embedding_dim_stats`.
+    The global centroid attaches to the |groups|·|dims|-sized
+    centroid table via a dim-partitioned window (no second corpus
+    pass), and the final cosine/L2 is a |groups|-keyed aggregate.
+    Centroid components are rounded to 6 BEFORE the cosine so any
+    engine's double-summation order agrees.  Returns (group,
+    n_vectors, cosine_to_global, l2_to_global).
+    """
+    exploded = df.select(
+        F.col(group_col).alias("__g"),
+        F.posexplode(vec_col).alias("dim", "__x"),
+    ).withColumn("__xd", F.col("__x").cast("double"))
+    per = exploded.groupBy("__g", "dim").agg(
+        F.sum("__xd").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    w_dim = Window.partitionBy("dim")
+    comp = per.select(
+        "__g",
+        "dim",
+        "__n",
+        F.round(F.col("__s") / F.col("__n"), 6).alias("__c"),
+        F.round(
+            F.sum("__s").over(w_dim) / F.sum("__n").over(w_dim), 6
+        ).alias("__gc"),
+    )
+    return (
+        comp.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("__c") * F.col("__gc"))
+                / F.sqrt(
+                    F.sum(F.col("__c") * F.col("__c"))
+                    * F.sum(F.col("__gc") * F.col("__gc"))
+                ),
+                6,
+            ).alias("cosine_to_global"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("__c") - F.col("__gc"))
+                        * (F.col("__c") - F.col("__gc"))
+                    )
+                ),
+                6,
+            ).alias("l2_to_global"),
+        )
+    )

@@ -694,6 +694,117 @@ def roc_auc_distributed(
     )
 
 
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two named
+    groups — the standard A/B significance check when variances (and
+    sizes) differ, which they always do in practice.
+
+    Scale shape: ONE conditional hash aggregate over the corpus
+    (count/mean/sample-variance per arm via ``when`` columns, map-side
+    partial combine), then pure arithmetic on the one-row result —
+    no shuffle beyond the final single-row reduce, no window, no
+    second scan.
+
+    Cross-engine determinism: the per-arm moments are rounded to 6
+    decimals FIRST, then t and the Welch–Satterthwaite dof are
+    computed from the rounded moments — so an oracle computing the
+    same way agrees exactly despite engine-order-dependent double
+    summation.  Returns one row: (n_a, n_b, mean_a, mean_b, t_stat,
+    dof).
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    arm_a = F.when(g == F.lit(group_a), v)
+    arm_b = F.when(g == F.lit(group_b), v)
+    m = df.filter(v.isNotNull() & g.isin(group_a, group_b)).agg(
+        F.count(arm_a).alias("n_a"),
+        F.count(arm_b).alias("n_b"),
+        F.round(F.avg(arm_a), 6).alias("mean_a"),
+        F.round(F.avg(arm_b), 6).alias("mean_b"),
+        F.round(F.var_samp(arm_a), 6).alias("__va"),
+        F.round(F.var_samp(arm_b), 6).alias("__vb"),
+    )
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    se2 = sa + sb
+    dof = (se2 * se2) / (
+        (sa * sa) / (F.col("n_a") - 1) + (sb * sb) / (F.col("n_b") - 1)
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 4
+        ).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two named groups — the
+    distribution-free sibling of :func:`welch_t_test` (no normality
+    assumption; what you reach for on heavy-tailed engagement or
+    latency metrics).  Average-rank tie handling and the
+    tie-corrected normal approximation for the z statistic.
+
+    Scale shape: the same distinct-value collapse as :func:`roc_auc`
+    — one hash aggregate to (value, n_a, n_b) buckets, a cumulative
+    window bounded by VALUE CARDINALITY (never rows) for average
+    ranks, then one tiny aggregate.  Integer-exact (ranks are
+    multiples of 0.5) until the final z division, so any engine
+    agrees.  Returns one row: (n_a, n_b, u_stat, z_score).
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    buckets = (
+        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        .select(v.alias("__v"), g.alias("__g"))
+        .groupBy("__v")
+        .agg(
+            F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias("__a"),
+            F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias("__b"),
+        )
+        .withColumn("__t", F.col("__a") + F.col("__b"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    avg_rank = F.sum("__t").over(w) - (F.col("__t") - 1) / 2.0
+    ranked = buckets.select(
+        "__a", "__b", "__t", avg_rank.alias("__r")
+    )
+    na = F.sum("__a")
+    nb = F.sum("__b")
+    n = na + nb
+    r_a = F.sum(F.col("__a") * F.col("__r"))
+    tie = F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+    u_a = r_a - na * (na + 1) / 2.0
+    var = (
+        na.cast("double") * nb / 12.0
+        * ((n + 1) - tie / (n.cast("double") * (n - 1)))
+    )
+    return ranked.groupBy().agg(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u_a, 1).alias("u_stat"),
+        F.round((u_a - na.cast("double") * nb / 2.0) / F.sqrt(var), 6).alias(
+            "z_score"
+        ),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

@@ -7407,3 +7407,255 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 widening: two-sample significance tests (parametric +
+# rank-based) and directed market-basket association rules.
+# ---------------------------------------------------------------------------
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test of event value between the purchase and click
+    arms — one conditional hash aggregate, arithmetic on the one-row
+    result (``stats.welch_t_test``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return stats.welch_t_test(e, "value", "event_type", "purchase", "click")
+
+
+ORACLE_WELCH = """
+WITH m AS (
+    SELECT count(CASE WHEN event_type = 'purchase' THEN value END) AS n_a,
+           count(CASE WHEN event_type = 'click' THEN value END) AS n_b,
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS mean_a,
+           round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS mean_b,
+           round(var_samp(CASE WHEN event_type = 'purchase' THEN value END), 6) AS va,
+           round(var_samp(CASE WHEN event_type = 'click' THEN value END), 6) AS vb
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+)
+SELECT n_a, n_b, mean_a, mean_b,
+       round((mean_a - mean_b) / sqrt(va / n_a + vb / n_b), 4) AS t_stat,
+       round(pow(va / n_a + vb / n_b, 2)
+             / (pow(va / n_a, 2) / (n_a - 1)
+                + pow(vb / n_b, 2) / (n_b - 1)), 2) AS dof
+FROM m
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test of event value between the
+    purchase and view arms — distinct-value collapse + cardinality-
+    bounded rank window (``stats.mann_whitney_u``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return stats.mann_whitney_u(e, "value", "event_type", "purchase", "view")
+
+
+ORACLE_MANN_WHITNEY = """
+WITH b AS (
+    SELECT value AS v,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+           count(*) AS t
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    GROUP BY 1
+),
+r AS (
+    SELECT a, t,
+           sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (t - 1) / 2.0 AS rnk
+    FROM b
+),
+agg AS (
+    SELECT sum(a) AS n_a, sum(t) - sum(a) AS n_b,
+           sum(a * rnk) AS ra,
+           sum(t * t * t - t) AS tie
+    FROM r
+)
+SELECT n_a, n_b,
+       round(ra - n_a * (n_a + 1) / 2.0, 1) AS u_stat,
+       round((ra - n_a * (n_a + 1) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_a + n_b + 1)
+                       - tie / (CAST(n_a + n_b AS DOUBLE)
+                                * (n_a + n_b - 1)))), 6) AS z_score
+FROM agg
+"""
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over customer part-baskets —
+    support/confidence/lift on the same bounded bipartite self-join
+    as copurchase_pairs (``funnels.association_rules``)."""
+    from .operators import funnels
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return funnels.association_rules(
+        cp,
+        "basket",
+        "item",
+        min_shared=_COPURCHASE_MIN_SHARED,
+        max_basket=_COPURCHASE_MAX_BASKET,
+    )
+
+
+ORACLE_ASSOCIATION = f"""
+WITH cp AS (
+    SELECT DISTINCT o.o_custkey AS c, li.l_partkey AS p
+    FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+),
+basket AS (SELECT c FROM cp GROUP BY c
+           HAVING count(*) <= {_COPURCHASE_MAX_BASKET}),
+bounded AS (SELECT cp.c, cp.p FROM cp SEMI JOIN basket USING (c)),
+item_n AS (SELECT p, count(*) AS n_i FROM bounded GROUP BY 1),
+tot AS (SELECT count(DISTINCT c) AS nb FROM bounded),
+pairs AS (
+    SELECT a.p AS ia, b.p AS ib, count(*) AS n_both
+    FROM bounded a JOIN bounded b ON a.c = b.c AND a.p < b.p
+    GROUP BY 1, 2
+    HAVING count(*) >= {_COPURCHASE_MIN_SHARED}
+),
+directed AS (
+    SELECT ia AS antecedent, ib AS consequent, n_both FROM pairs
+    UNION ALL
+    SELECT ib AS antecedent, ia AS consequent, n_both FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.n_both,
+       round(d.n_both / t.nb, 6) AS support,
+       round(d.n_both / na.n_i, 6) AS confidence,
+       round(CAST(d.n_both AS DOUBLE) * t.nb
+             / (CAST(na.n_i AS DOUBLE) * nc.n_i), 6) AS lift
+FROM directed d
+JOIN item_n na ON na.p = d.antecedent
+JOIN item_n nc ON nc.p = d.consequent, tot t
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "welch_ttest": q_welch_ttest,
+        "mann_whitney": q_mann_whitney,
+        "association_rules": q_association_rules,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "welch_ttest": ORACLE_WELCH,
+        "mann_whitney": ORACLE_MANN_WHITNEY,
+        "association_rules": ORACLE_ASSOCIATION,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift vs the global centroid —
+    tall-skinny (group, dim) reduction + dim-partitioned window, no
+    second corpus pass (``similarity.embedding_group_drift``)."""
+    from .operators import similarity
+
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return similarity.embedding_group_drift(e, "label")
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH x AS (
+    SELECT label AS g,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS xd
+    FROM embeddings
+),
+per AS (
+    SELECT g, dim, sum(xd) AS s, count(*) AS n
+    FROM x GROUP BY 1, 2
+),
+comp AS (
+    SELECT g, dim, n,
+           round(s / n, 6) AS c,
+           round(sum(s) OVER (PARTITION BY dim)
+                 / sum(n) OVER (PARTITION BY dim), 6) AS gc
+    FROM per
+)
+SELECT g AS label, max(n) AS n_vectors,
+       round(sum(c * gc) / sqrt(sum(c * c) * sum(gc * gc)), 6)
+           AS cosine_to_global,
+       round(sqrt(sum((c - gc) * (c - gc))), 6) AS l2_to_global
+FROM comp GROUP BY 1
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the order stream — one
+    customer-keyed aggregate + ntile windows over the bounded
+    customer table (``funnels.rfm_segments``)."""
+    from .operators import funnels
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return funnels.rfm_segments(
+        o, "o_custkey", "o_orderdate", "o_totalprice", tiers=5
+    )
+
+
+ORACLE_RFM = """
+WITH per AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_ts,
+           count(*) AS frequency,
+           round(sum(o_totalprice), 2) AS monetary
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT o_custkey, frequency, monetary,
+           date_diff('day', CAST(last_ts AS DATE),
+                     CAST(max(last_ts) OVER () AS DATE)) AS recency_days
+    FROM per
+),
+tiled AS (
+    SELECT o_custkey, recency_days, frequency, monetary,
+           6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+               AS r_score,
+           6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+               AS f_score,
+           6 - ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+               AS m_score
+    FROM scored
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+FROM tiled
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "embedding_label_drift": q_embedding_label_drift,
+        "rfm_segments": q_rfm_segments,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "embedding_label_drift": ORACLE_EMBEDDING_DRIFT,
+        "rfm_segments": ORACLE_RFM,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

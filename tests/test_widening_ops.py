@@ -899,3 +899,116 @@ def test_calibration_bins_hand_computed(spark):
     assert (out[0]["avg_score"], out[0]["frac_pos"], out[0]["gap"]) == (0.3, 0.5, 0.2)
     assert (out[1]["avg_score"], out[1]["frac_pos"], out[1]["gap"]) == (0.9, 1.0, 0.1)
     assert out[0]["ece"] == 0.15 and out[1]["ece"] == 0.15
+
+
+def test_welch_t_test_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import welch_t_test
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+            ("b", 2.0), ("b", 4.0), ("b", 6.0), ("c", 99.0)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (4, 3)
+    assert (out["mean_a"], out["mean_b"]) == (2.5, 4.0)
+    # recompute with the operator's rounded-moments convention
+    va, vb = round(5 / 3, 6), 4.0
+    sa, sb = va / 4, vb / 3
+    se2 = sa + sb
+    assert out["t_stat"] == round((2.5 - 4.0) / se2 ** 0.5, 4)
+    assert out["dof"] == round(se2 ** 2 / (sa ** 2 / 3 + sb ** 2 / 2), 2)
+
+
+def test_mann_whitney_u_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import mann_whitney_u
+
+    # A = {1, 3, 5}, B = {2, 3, 4}: tie at 3 takes average rank 3.5;
+    # R_a = 1 + 3.5 + 6 = 10.5, U_a = 4.5 = n_a*n_b/2 -> z = 0
+    rows = [("a", 1.0), ("a", 3.0), ("a", 5.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (3, 3)
+    assert out["u_stat"] == 4.5
+    assert out["z_score"] == 0.0
+    # complete separation: U = n_a*n_b (max), z = 2/sqrt(5/3)
+    sep = spark.createDataFrame(
+        [("a", 5.0), ("a", 6.0), ("b", 1.0), ("b", 2.0)], "g STRING, v DOUBLE"
+    )
+    o2 = mann_whitney_u(sep, "v", "g", "a", "b").collect()[0]
+    assert o2["u_stat"] == 4.0
+    assert o2["z_score"] == round(2 / (5 / 3) ** 0.5, 6)
+
+
+def test_association_rules_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import association_rules
+
+    # baskets: 1 = {10, 20}, 2 = {10, 20}, 3 = {10, 30};
+    # only (10, 20) reaches min_shared = 2
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (2, 20), (3, 10), (3, 30)]
+    df = spark.createDataFrame(rows, "b LONG, i LONG")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "b", "i", min_shared=2).collect()
+    }
+    assert set(out) == {(10, 20), (20, 10)}
+    r = out[(10, 20)]
+    # support 2/3; conf(10->20) = 2/3 (10 in 3 baskets); lift = 1.0
+    assert (r["n_both"], r["support"], r["confidence"], r["lift"]) == (
+        2, round(2 / 3, 6), round(2 / 3, 6), 1.0
+    )
+    r = out[(20, 10)]
+    assert (r["confidence"], r["lift"]) == (1.0, 1.0)
+    # a basket above max_basket contributes nothing
+    wide = rows + [(4, k) for k in range(100, 106)] + [(4, 10), (4, 20)]
+    df2 = spark.createDataFrame(wide, "b LONG, i LONG")
+    out2 = {
+        (r["antecedent"], r["consequent"]): r["n_both"]
+        for r in association_rules(
+            df2, "b", "i", min_shared=2, max_basket=5
+        ).collect()
+    }
+    assert out2 == {(10, 20): 2, (20, 10): 2}
+
+
+def test_rfm_segments_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import rfm_segments
+
+    rows = [
+        ("c1", "2026-01-10", 10.0), ("c1", "2026-01-09", 20.0),
+        ("c2", "2026-01-05", 100.0),
+        ("c3", "2026-01-10", 5.0), ("c3", "2026-01-01", 5.0),
+        ("c3", "2026-01-02", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "c STRING, d STRING, v DOUBLE").select(
+        "c", F.to_timestamp("d").alias("d"), "v"
+    )
+    out = {r["c"]: r for r in rfm_segments(df, "c", "d", "v", tiers=3).collect()}
+    # anchor = 01-10; recency c1=0, c3=0, c2=5; freq c3=3,c1=2,c2=1;
+    # monetary c2=100, c1=30, c3=15 — 3 tiers over 3 rows = 1 each
+    assert (out["c1"]["recency_days"], out["c1"]["frequency"],
+            out["c1"]["monetary"]) == (0, 2, 30.0)
+    assert out["c1"]["segment"] == "322"
+    assert out["c2"]["segment"] == "113"
+    assert out["c3"]["segment"] == "231"
+
+
+def test_embedding_group_drift_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import embedding_group_drift
+
+    rows = [("a", [1.0, 0.0]), ("a", [1.0, 0.0]), ("b", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "g STRING, embedding ARRAY<FLOAT>")
+    out = {r["g"]: r for r in embedding_group_drift(df, "g").collect()}
+    # centroids: a = (1,0), b = (0,1); global = (2/3, 1/3) rounded 6
+    g0, g1 = round(2 / 3, 6), round(1 / 3, 6)
+    import math
+    gn = math.sqrt(g0 * g0 + g1 * g1)
+    assert out["a"]["n_vectors"] == 2
+    assert out["a"]["cosine_to_global"] == round(g0 / gn, 6)
+    assert out["a"]["l2_to_global"] == round(
+        math.sqrt((1 - g0) ** 2 + g1 ** 2), 6
+    )
+    assert out["b"]["n_vectors"] == 1
+    assert out["b"]["cosine_to_global"] == round(g1 / gn, 6)
+    assert out["b"]["l2_to_global"] == round(
+        math.sqrt(g0 ** 2 + (1 - g1) ** 2), 6
+    )

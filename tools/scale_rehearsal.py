@@ -152,6 +152,14 @@ HEAVY = [
     "quality_deciles",
     "quality_deciles_distributed",
     "roc_auc_distributed",
+    # round-7 widening batch 2: the bounded-basket rules self-join
+    # (fan-out-capped like copurchase), the tall-skinny centroid
+    # drift reduction, and the two-sample tests (bucket-collapsed —
+    # expect flat-to-sublinear)
+    "association_rules",
+    "embedding_label_drift",
+    "mann_whitney",
+    "rfm_segments",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
