@@ -1012,3 +1012,65 @@ def test_embedding_group_drift_hand_computed(spark):
     assert out["b"]["l2_to_global"] == round(
         math.sqrt(g0 ** 2 + (1 - g1) ** 2), 6
     )
+
+
+def test_two_sample_tests_match_pure_python_reference(spark):
+    """Random-data equivalence of mann_whitney_u / welch_t_test
+    against independent pure-Python implementations (rank-sum with
+    average ranks + tie correction; Welch from rounded moments)."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        ("a" if rng.random() < 0.5 else "b", rng.randint(0, 20) / 4.0)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import (
+        mann_whitney_u,
+        welch_t_test,
+    )
+
+    # --- reference Mann-Whitney ---
+    xs = sorted(rows, key=lambda r: r[1])
+    ranks, i = {}, 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j][1] == xs[i][1]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        ranks[xs[i][1]] = avg
+        i = j
+    a_vals = [v for g, v in rows if g == "a"]
+    b_vals = [v for g, v in rows if g == "b"]
+    na, nb = len(a_vals), len(b_vals)
+    ra = sum(ranks[v] for v in a_vals)
+    ua = ra - na * (na + 1) / 2.0
+    from collections import Counter
+
+    cnt = Counter(v for _, v in rows)
+    tie = sum(t ** 3 - t for t in cnt.values())
+    n = na + nb
+    var = na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z_ref = (ua - na * nb / 2.0) / math.sqrt(var)
+    out = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (na, nb)
+    assert out["u_stat"] == round(ua, 1)
+    assert out["z_score"] == round(z_ref, 6)
+
+    # --- reference Welch from rounded moments ---
+    def moments(vals):
+        m = sum(vals) / len(vals)
+        var_s = sum((x - m) ** 2 for x in vals) / (len(vals) - 1)
+        return round(m, 6), round(var_s, 6)
+
+    ma, va = moments(a_vals)
+    mb, vb = moments(b_vals)
+    sa, sb = va / na, vb / nb
+    t_ref = (ma - mb) / math.sqrt(sa + sb)
+    dof_ref = (sa + sb) ** 2 / (sa ** 2 / (na - 1) + sb ** 2 / (nb - 1))
+    w = welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert (w["n_a"], w["n_b"], w["mean_a"], w["mean_b"]) == (na, nb, ma, mb)
+    assert w["t_stat"] == round(t_ref, 4)
+    assert w["dof"] == round(dof_ref, 2)
