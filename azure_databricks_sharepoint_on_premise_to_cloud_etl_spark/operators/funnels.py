@@ -460,3 +460,63 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by
+    first-purchase month, each cohort's revenue tracked by months
+    since acquisition, cumulated and divided by cohort size — the
+    "how much is a customer acquired in month M worth after k
+    months" report (the revenue-weighted sibling of
+    :func:`cohort_retention`).
+
+    Scale shape: first-purchase is one (key → min ts) aggregate;
+    the activity projection is narrow month arithmetic
+    (year*12+month, identical on any engine); the curve is a
+    (cohort, offset) aggregate plus a cumulative window over the
+    BOUNDED per-cohort offset axis; cohort sizes are a
+    |cohorts|-sized broadcast.  Revenue rounds to exact cents before
+    cumulating.  Returns (cohort_start, period_offset, n_customers,
+    period_revenue, cum_revenue_per_customer).
+    """
+    first = df.groupBy(key_col).agg(F.min(ts_col).alias("__f"))
+    mon = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    acts = df.select(key_col, ts_col, amount_col).join(first, key_col)
+    rev = (
+        acts.select(
+            F.date_trunc("month", F.col("__f")).cast("date").alias(
+                "cohort_start"
+            ),
+            (mon(F.col(ts_col)) - mon(F.col("__f"))).alias("period_offset"),
+            F.col(amount_col).alias("__amt"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.round(F.sum("__amt"), 2).alias("period_revenue"))
+    )
+    sizes = first.groupBy(
+        F.date_trunc("month", F.col("__f")).cast("date").alias(
+            "cohort_start"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    w = (
+        Window.partitionBy("cohort_start")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_start")
+        .select(
+            "cohort_start",
+            "period_offset",
+            "n_customers",
+            "period_revenue",
+            F.round(
+                F.sum("period_revenue").over(w) / F.col("n_customers"), 6
+            ).alias("cum_revenue_per_customer"),
+        )
+    )

@@ -858,3 +858,81 @@ def calibration_bins(
             F.sum(F.col("n") * gap).over(tot) / F.sum("n").over(tot), 6
         ).alias("ece"),
     )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from (actual, predicted)
+    label pairs — the classifier-QC summary layer over a confusion
+    matrix (language-ID audits, quality-gate model checks).
+
+    Scale shape: the corpus collapses to |classes|² confusion cells
+    in ONE hash aggregate; every per-class total then derives from
+    the CELLS table — each cell explodes into its actual-side and
+    predicted-side contribution and ONE more tiny aggregate sums
+    them, so the corpus is scanned exactly once and no branch
+    re-reads it.  Classes that only ever appear on one side still get
+    a row (the other side's counts are 0).  Ratios guard their zero
+    denominators explicitly (NULL, identically on any engine — never
+    an engine-specific inf).  Returns (cls, n_actual, n_pred,
+    n_correct, precision, recall, f1).
+    """
+    cells = (
+        df.filter(
+            F.col(actual_col).isNotNull() & F.col(pred_col).isNotNull()
+        )
+        .groupBy(
+            F.col(actual_col).alias("__a"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    hit = F.when(F.col("__a") == F.col("__p"), F.col("__n")).otherwise(
+        F.lit(0)
+    )
+    contrib = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__a").alias("cls"),
+                    F.col("__n").alias("__na"),
+                    F.lit(0).cast("long").alias("__np"),
+                    hit.alias("__nc"),
+                ),
+                F.struct(
+                    F.col("__p").alias("cls"),
+                    F.lit(0).cast("long").alias("__na"),
+                    F.col("__n").alias("__np"),
+                    F.lit(0).cast("long").alias("__nc"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    per = contrib.groupBy("cls").agg(
+        F.sum("__na").alias("n_actual"),
+        F.sum("__np").alias("n_pred"),
+        F.sum("__nc").alias("n_correct"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")
+    )
+    rec = F.when(
+        F.col("n_actual") > 0, F.col("n_correct") / F.col("n_actual")
+    )
+    return per.select(
+        "cls",
+        "n_actual",
+        "n_pred",
+        "n_correct",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+                2 * prec * rec / (prec + rec),
+            ),
+            6,
+        ).alias("f1"),
+    )

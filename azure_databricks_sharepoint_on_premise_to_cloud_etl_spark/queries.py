@@ -7659,3 +7659,111 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the language-ID heuristic
+    against the labeled lang column — the classifier-QC summary over
+    the confusion cells (``stats.confusion_metrics``); corpus scanned
+    once, metrics derived from the |classes|²-sized cell table."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    pred = text.language_id(d)
+    return stats.confusion_metrics(pred, "lang", "lang_pred")
+
+
+def _language_confusion_oracle() -> str:
+    return f"""
+WITH cells AS (SELECT * FROM ({_langid_oracle()})),
+contrib AS (
+    SELECT lang AS cls, n_docs AS na, CAST(0 AS BIGINT) AS np,
+           CASE WHEN lang = lang_pred THEN n_docs ELSE 0 END AS nc
+    FROM cells
+    UNION ALL
+    SELECT lang_pred, CAST(0 AS BIGINT), n_docs, CAST(0 AS BIGINT)
+    FROM cells
+),
+per AS (
+    SELECT cls, sum(na) AS n_actual, sum(np) AS n_pred,
+           sum(nc) AS n_correct
+    FROM contrib GROUP BY 1
+)
+SELECT cls, n_actual, n_pred, n_correct,
+       round(CASE WHEN n_pred > 0
+                  THEN CAST(n_correct AS DOUBLE) / n_pred END,
+             6) AS "precision",
+       round(CASE WHEN n_actual > 0
+                  THEN CAST(n_correct AS DOUBLE) / n_actual END,
+             6) AS recall,
+       round(CASE WHEN n_pred > 0 AND n_actual > 0
+                  AND (CAST(n_correct AS DOUBLE) / n_pred
+                       + CAST(n_correct AS DOUBLE) / n_actual) > 0
+                  THEN 2 * (CAST(n_correct AS DOUBLE) / n_pred)
+                       * (CAST(n_correct AS DOUBLE) / n_actual)
+                       / ((CAST(n_correct AS DOUBLE) / n_pred)
+                          + (CAST(n_correct AS DOUBLE) / n_actual))
+             END, 6) AS f1
+FROM per
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve over the order stream — the
+    revenue-weighted sibling of cohort_retention
+    (``funnels.cohort_ltv``)."""
+    from .operators import funnels
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return funnels.cohort_ltv(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+ORACLE_COHORT_LTV = """
+WITH first AS (
+    SELECT o_custkey, min(o_orderdate) AS f FROM orders GROUP BY 1
+),
+acts AS (
+    SELECT date_trunc('month', f.f) AS cohort_start,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (year(f.f) * 12 + month(f.f)) AS period_offset,
+           o.o_totalprice AS amt
+    FROM orders o JOIN first f USING (o_custkey)
+),
+rev AS (
+    SELECT cohort_start, period_offset,
+           round(sum(amt), 2) AS period_revenue
+    FROM acts GROUP BY 1, 2
+),
+sizes AS (
+    SELECT date_trunc('month', f) AS cohort_start,
+           count(*) AS n_customers
+    FROM first GROUP BY 1
+)
+SELECT r.cohort_start, r.period_offset, s.n_customers,
+       r.period_revenue,
+       round(sum(r.period_revenue)
+                 OVER (PARTITION BY r.cohort_start
+                       ORDER BY r.period_offset
+                       ROWS UNBOUNDED PRECEDING)
+             / s.n_customers, 6) AS cum_revenue_per_customer
+FROM rev r JOIN sizes s USING (cohort_start)
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "language_confusion": q_language_confusion,
+        "cohort_ltv": q_cohort_ltv,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "language_confusion": _language_confusion_oracle(),
+        "cohort_ltv": ORACLE_COHORT_LTV,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

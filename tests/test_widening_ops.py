@@ -1074,3 +1074,53 @@ def test_two_sample_tests_match_pure_python_reference(spark):
     assert (w["n_a"], w["n_b"], w["mean_a"], w["mean_b"]) == (na, nb, ma, mb)
     assert w["t_stat"] == round(t_ref, 4)
     assert w["dof"] == round(dof_ref, 2)
+
+
+def test_confusion_metrics_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import confusion_metrics
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")]
+    df = spark.createDataFrame(rows, "y STRING, p STRING")
+    out = {r["cls"]: r for r in confusion_metrics(df, "y", "p").collect()}
+    assert set(out) == {"a", "b", "c"}
+    a = out["a"]
+    assert (a["n_actual"], a["n_pred"], a["n_correct"]) == (2, 2, 1)
+    assert (a["precision"], a["recall"], a["f1"]) == (0.5, 0.5, 0.5)
+    b = out["b"]
+    assert (b["n_actual"], b["n_pred"], b["n_correct"]) == (2, 3, 2)
+    assert (b["precision"], b["recall"], b["f1"]) == (
+        round(2 / 3, 6), 1.0, 0.8
+    )
+    c = out["c"]  # never predicted: precision/f1 NULL, recall 0
+    assert (c["n_actual"], c["n_pred"], c["n_correct"]) == (1, 0, 0)
+    assert c["precision"] is None and c["f1"] is None and c["recall"] == 0.0
+
+
+def test_cohort_ltv_hand_computed(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import cohort_ltv
+
+    rows = [
+        ("c1", "2026-01-05", 10.0), ("c1", "2026-02-15", 20.0),
+        ("c2", "2026-01-20", 30.0),
+        ("c3", "2026-02-10", 40.0), ("c3", "2026-04-01", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "c STRING, d STRING, v DOUBLE").select(
+        "c", F.to_timestamp("d").alias("d"), "v"
+    )
+    out = {
+        (str(r["cohort_start"])[:7], r["period_offset"]): r
+        for r in cohort_ltv(df, "c", "d", "v").collect()
+    }
+    jan0 = out[("2026-01", 0)]
+    assert (jan0["n_customers"], jan0["period_revenue"],
+            jan0["cum_revenue_per_customer"]) == (2, 40.0, 20.0)
+    jan1 = out[("2026-01", 1)]
+    assert (jan1["period_revenue"], jan1["cum_revenue_per_customer"]) == (
+        20.0, 30.0
+    )
+    feb0 = out[("2026-02", 0)]
+    assert (feb0["n_customers"], feb0["cum_revenue_per_customer"]) == (1, 40.0)
+    # the gap month (offset 1) has no row; offset 2 cumulates past it
+    assert ("2026-02", 1) not in out
+    feb2 = out[("2026-02", 2)]
+    assert feb2["cum_revenue_per_customer"] == 45.0
