@@ -7767,3 +7767,124 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_dup_matrix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH near-dup candidate
+    pairs rolled up by unordered (source, source) — the curation
+    diagnostic that names WHICH corpus pairs bleed into each other
+    (mirror sites, cross-posted content) before a mixing decision.
+
+    Scale shape: the verified LSH candidate machinery unchanged
+    (banded self-join, never all-pairs); two doc_id-keyed label joins
+    attach sources to the candidate table (candidate-sized, far
+    smaller than the corpus); the matrix is a |sources|²-bounded
+    aggregate and pair_share one window over it."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    src = d.select("doc_id", "source")
+    labeled = cand.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")),
+        "id_b",
+    )
+    mat = (
+        labeled.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return mat.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs")
+            / F.sum("n_pairs").over(Window.partitionBy()),
+            6,
+        ).alias("pair_share"),
+    )
+
+
+def _dup_matrix_oracle() -> str:
+    return f"""
+WITH cand AS ({_minhash_oracle().strip()}),
+lab AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+),
+mat AS (
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM lab GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_pairs,
+       round(CAST(n_pairs AS DOUBLE) / sum(n_pairs) OVER (), 6)
+           AS pair_share
+FROM mat
+"""
+
+
+def q_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap with lift vs a uniform
+    week — the seasonality profile behind load forecasts and anomaly
+    baselines.  ONE (dow, hour) hash aggregate (≤168 cells) + one
+    window over the cell table; dow matches Spark's 1=Sunday
+    convention on both engines."""
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    cells = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    total = F.sum("n_events").over(Window.partitionBy())
+    return cells.select(
+        "dow",
+        "hour",
+        "n_events",
+        "sum_value",
+        F.round(F.col("n_events") * 168 / total, 6).alias("lift"),
+    )
+
+
+ORACLE_SEASONALITY = """
+WITH cells AS (
+    SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events, sum_value,
+       round(CAST(n_events AS DOUBLE) * 168 / sum(n_events) OVER (), 6)
+           AS lift
+FROM cells
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "dup_matrix_by_source": q_dup_matrix_by_source,
+        "event_seasonality": q_event_seasonality,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "dup_matrix_by_source": _dup_matrix_oracle(),
+        "event_seasonality": ORACLE_SEASONALITY,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
