@@ -936,3 +936,80 @@ def confusion_metrics(
             6,
         ).alias("f1"),
     )
+
+
+def per_group_ks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov sweep: each group's
+    value distribution against the REST of the corpus — the grouped
+    form of :func:`ks_2sample` (one row per source/domain/batch
+    instead of one split), the standard "which corpus slice drifted"
+    audit.
+
+    Scale shape: ONE (group, value) hash aggregate collapses the
+    corpus; the dense |groups|×|values| grid derives from that cell
+    table (the same dense-grid construction as the per-source KL
+    operator — CDFs must be comparable at every observed value, so
+    missing cells materialize as zeros); CDFs are cumulative windows
+    partitioned per group over the bounded value axis; the rest-side
+    CDF comes from (total − group) counts, so no second corpus pass.
+    All CDW fractions are single divisions of exact longs — identical
+    on any IEEE engine.  Returns (group, n_group, n_rest, ks_stat,
+    ks_at).
+    """
+    cells = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    vals = cells.groupBy("__v").agg(F.sum("__n").alias("__t"))
+    groups = cells.groupBy("__g").agg(F.sum("__n").alias("__ng"))
+    dense = (
+        vals.crossJoin(groups)
+        .join(cells, ["__g", "__v"], "left")
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("__g")
+    # total corpus count: sum of __t across the value axis (each group
+    # partition sees every value exactly once)
+    n_all = F.sum("__t").over(tot)
+    cum = dense.select(
+        "__g",
+        "__v",
+        "__ng",
+        F.sum("__n").over(w).alias("__cg"),
+        F.sum("__t").over(w).alias("__ct"),
+        n_all.alias("__nall"),
+    )
+    gap = F.abs(
+        F.col("__cg") / F.col("__ng")
+        - (F.col("__ct") - F.col("__cg"))
+        / (F.col("__nall") - F.col("__ng"))
+    )
+    peaked = cum.select(
+        F.col("__g"),
+        F.col("__ng"),
+        (F.col("__nall") - F.col("__ng")).alias("__nr"),
+        gap.alias("__gap"),
+        F.col("__v").alias("__at"),
+    )
+    return peaked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.max("__ng").alias("n_group"),
+        F.max("__nr").alias("n_rest"),
+        F.round(F.max("__gap"), 6).alias("ks_stat"),
+        F.min_by(
+            "__at", F.struct((-F.col("__gap")).alias("ng"), F.col("__at"))
+        ).alias("ks_at"),
+    )

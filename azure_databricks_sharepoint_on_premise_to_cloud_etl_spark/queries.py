@@ -7888,3 +7888,65 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_per_source_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS drift of document length (n_chars) vs the rest of
+    the corpus — the grouped distribution-shift sweep
+    (``stats.per_group_ks``)."""
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return stats.per_group_ks(d, "source", "n_chars")
+
+
+ORACLE_PER_SOURCE_KS = """
+WITH cells AS (
+    SELECT source AS g, n_chars AS v, count(*) AS n
+    FROM documents
+    WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    GROUP BY 1, 2
+),
+vals AS (SELECT v, sum(n) AS t FROM cells GROUP BY 1),
+grps AS (SELECT g, sum(n) AS ng FROM cells GROUP BY 1),
+dense AS (
+    SELECT grps.g, vals.v, grps.ng, vals.t,
+           coalesce(cells.n, 0) AS n
+    FROM vals CROSS JOIN grps
+    LEFT JOIN cells ON cells.g = grps.g AND cells.v = vals.v
+),
+cum AS (
+    SELECT g, v, ng,
+           sum(n) OVER (PARTITION BY g ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cg,
+           sum(t) OVER (PARTITION BY g ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS ct,
+           sum(t) OVER (PARTITION BY g) AS nall
+    FROM dense
+),
+peaked AS (
+    SELECT g, ng, nall - ng AS nr,
+           abs(CAST(cg AS DOUBLE) / ng
+               - CAST(ct - cg AS DOUBLE) / (nall - ng)) AS gap,
+           v AS at_v
+    FROM cum
+),
+ranked AS (
+    SELECT g, ng, nr, gap, at_v,
+           row_number() OVER (PARTITION BY g
+                              ORDER BY gap DESC, at_v ASC) AS rn
+    FROM peaked
+)
+SELECT g AS source, ng AS n_group, nr AS n_rest,
+       round(gap, 6) AS ks_stat, at_v AS ks_at
+FROM ranked WHERE rn = 1
+"""
+
+
+AUX_QUERIES["per_source_ks"] = q_per_source_ks
+AUX_ORACLES["per_source_ks"] = ORACLE_PER_SOURCE_KS
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -1124,3 +1124,21 @@ def test_cohort_ltv_hand_computed(spark):
     assert ("2026-02", 1) not in out
     feb2 = out[("2026-02", 2)]
     assert feb2["cum_revenue_per_customer"] == 45.0
+
+
+def test_per_group_ks_matches_two_sample(spark):
+    """With exactly two groups, each group's vs-rest KS equals the
+    plain two-sample KS on the same split."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import per_group_ks
+
+    rows = [("a", 1), ("a", 2), ("a", 3),
+            ("b", 3), ("b", 4), ("b", 5), ("b", 6)]
+    df = spark.createDataFrame(rows, "g STRING, v LONG")
+    out = {r["g"]: r for r in per_group_ks(df, "g", "v").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_group"], a["n_rest"], a["ks_stat"], a["ks_at"]) == (
+        3, 4, 0.75, 3
+    )
+    assert (b["n_group"], b["n_rest"], b["ks_stat"], b["ks_at"]) == (
+        4, 3, 0.75, 3
+    )
