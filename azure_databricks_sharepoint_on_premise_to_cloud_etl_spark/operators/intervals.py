@@ -106,8 +106,18 @@ def interval_containment_join_bucketed(
     not dimension-sized; the join then shuffles on the (key, bucket)
     axis, which is also the skew-safe shape (hot keys spread across
     buckets).
+
+    Inverted intervals (``end < start`` — common dirty data) are
+    dropped before the explode: ``sequence()`` with a positive step
+    throws on a descending range, which would fail the whole job on
+    one bad row, whereas the plain form simply never matches such a
+    row.  Filtering first preserves the plain form's degrade-to-no-
+    match semantics (under ``how='left'`` an event can only pair with
+    a valid interval either way).
     """
-    ib = intervals.withColumn(
+    ib = intervals.where(
+        F.col(end_col) >= F.col(start_col)
+    ).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

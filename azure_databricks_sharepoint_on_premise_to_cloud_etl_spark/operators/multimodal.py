@@ -36,6 +36,8 @@ def decode_bmp(payload: bytes) -> dict:
     """Parse an uncompressed 24-bit bottom-up BMP: returns width,
     height, channels, and the pixel rows (top-to-bottom, each a list of
     (r, g, b) tuples)."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP payload (shorter than headers)")
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic)")
     (pix_off,) = struct.unpack_from("<I", payload, 10)
@@ -52,7 +54,19 @@ def decode_bmp(payload: bytes) -> dict:
         row_order = range(height)
     else:
         row_order = range(height - 1, -1, -1)
+    # Bound-check BEFORE the pixel loop: a corrupt/hostile header can
+    # declare huge dimensions (unbounded executor allocation) or a
+    # pixel offset past the payload (IndexError mid-loop, one bad row
+    # failing the whole task).  Declared pixel data must fit the bytes
+    # actually present.
+    if width <= 0 or height <= 0 or width > 1 << 16 or height > 1 << 16:
+        raise ValueError(f"implausible BMP dimensions {width}x{height}")
     row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    if pix_off < 54 or pix_off + height * row_stride > len(payload):
+        raise ValueError(
+            f"truncated BMP: declared {height}x{row_stride}B rows at "
+            f"offset {pix_off} exceed payload of {len(payload)}B"
+        )
     rows = []
     for r in row_order:
         base = pix_off + r * row_stride
@@ -116,12 +130,18 @@ def extract_meta(
     payload_col: str,
     id_col: str = "doc_id",
     decoder: str = "fake",
+    on_error: str = "null",
 ) -> DataFrame:
     """Per-row media metadata via Arrow-batched mapInPandas.
 
     ``decoder="fake"`` (default) uses the deterministic byte-length
     stand-in; ``decoder="bmp"`` runs the REAL pure-Python BMP header
-    parse — true width/height/channels from the payload bytes."""
+    parse — true width/height/channels from the payload bytes.
+
+    ``on_error="null"`` (default) degrades a corrupt/truncated payload
+    to null metadata columns instead of failing the task — over a real
+    corpus one bad row must not kill the job.  ``on_error="raise"``
+    keeps strict behavior for tests/debugging."""
     import pandas as pd
 
     if decoder == "bmp":
@@ -134,13 +154,25 @@ def extract_meta(
                 "channels": img["channels"],
             }
         schema = BMP_META_SCHEMA
+        null_meta = {"n_bytes": None, "width": None, "height": None, "channels": None}
     else:
         decode = _fake_decode
         schema = META_SCHEMA
+        null_meta = {
+            "n_bytes": None, "fake_width": None, "fake_height": None, "channels": None,
+        }
+
+    def safe_decode(p: bytes) -> dict:
+        if on_error == "raise":
+            return decode(p)
+        try:
+            return decode(p)
+        except (ValueError, struct.error):
+            return dict(null_meta)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            metas = [decode(bytes(p)) for p in pdf[payload_col]]
+            metas = [safe_decode(bytes(p)) for p in pdf[payload_col]]
             out = pd.DataFrame(metas)
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out

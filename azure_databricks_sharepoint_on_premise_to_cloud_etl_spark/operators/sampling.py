@@ -269,9 +269,17 @@ def temperature_mix(
     ``stable_sample`` — the corpus never shuffles.  Determinism:
     ``pow`` is IEEE-double on both engines and the gate threshold is
     floored to an integer, so the oracle lands on identical rows.
+
+    Rows with a NULL ``group_col`` are excluded up front — they have
+    no domain to mix, and excluding them BEFORE the counts aggregate
+    keeps the population total ``N`` equal to the population actually
+    eligible for sampling (otherwise null rows would inflate every
+    other group's budget share while silently vanishing at the inner
+    rate join).
     """
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    df = df.where(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
     powed = counts.select(
         group_col,

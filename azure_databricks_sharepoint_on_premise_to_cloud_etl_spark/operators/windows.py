@@ -144,10 +144,25 @@ def global_cumsum(
     so the plan survives a 1000-executor corpus where the one-task
     window cannot.  Cost: O(n log(n/p)) local sort work, O(p) driver
     state.
+
+    The staged (range-partitioned, pid-stamped) frame feeds BOTH the
+    per-slice window branch and the totals/offsets branch, so it is
+    ``persist()``-ed before branching: range boundaries come from
+    sampling and pid assignment from the physical partitioning, and
+    two independent plan instantiations of the same lazy frame are not
+    guaranteed to sample identical boundaries (nondeterministic
+    upstream, source files changing between jobs) — which would make
+    offsets disagree with local cumsums and silently corrupt ranks.
+    With persist, Spark's cache manager resolves both branches to ONE
+    shared ``InMemoryRelation`` (one physical range shuffle, one pid
+    assignment); evicted partitions replay through the already-written
+    shuffle files, never re-sampling boundaries.  MEMORY_AND_DISK with
+    LRU eviction bounds the cost; the cache is released when the frame
+    is garbage-collected or the session ends.
     """
     srcs = list(values)
     part = df.repartitionByRange(partitions, *order)
-    staged = part.withColumn("__pid", F.spark_partition_id())
+    staged = part.withColumn("__pid", F.spark_partition_id()).persist()
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order)

@@ -3675,20 +3675,37 @@ def q_incremental_dedup_amortized(
     ``incremental_dedup`` (same oracle); what differs is the measured
     cost — this entry's timed run covers only the per-batch work, the
     claim ``corpus_artifacts``'s docstring makes.  The artifact cache
-    is keyed by the fixture path and built on first call (the
-    rehearsal harness's warm-up), so the timed second call reads
-    parquet."""
+    is keyed by the fixture path PLUS a content fingerprint
+    (mtime+size of every documents.parquet part), so regenerating the
+    fixture at the same path invalidates stale artifacts instead of
+    silently deduping against the old corpus; it is built on first
+    call (the rehearsal harness's warm-up), so the timed second call
+    reads parquet."""
+    import glob
     import hashlib
     import os
 
     d = rebalance(load_table(spark, sf_dir, "documents"))
     new_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
     ref_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+    doc_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    parts = sorted(glob.glob(doc_path)) or sorted(
+        glob.glob(os.path.join(doc_path, "**", "*.parquet"), recursive=True)
+    )
+    fingerprint = ";".join(
+        f"{p}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}" for p in parts
+    )
     cache = os.path.join(
         "/tmp/spark_graft_inc_artifacts",
-        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        hashlib.md5(
+            (os.path.abspath(sf_dir) + "|" + fingerprint).encode()
+        ).hexdigest()[:16],
     )
     if not os.path.exists(os.path.join(cache, "_BUILT")):
+        # Build into a pid-private staging dir, then atomically rename:
+        # concurrent first-callers race on a whole-directory swap, not
+        # on a marker next to half-written parquet.
+        staging = f"{cache}.tmp-{os.getpid()}"
         dedup.write_corpus_artifacts(
             dedup.corpus_artifacts(
                 ref_df,
@@ -3696,9 +3713,15 @@ def q_incremental_dedup_amortized(
                 num_hashes=_MINHASH_N,
                 bands=_MINHASH_BANDS,
             ),
-            cache,
+            staging,
         )
-        open(os.path.join(cache, "_BUILT"), "w").close()
+        open(os.path.join(staging, "_BUILT"), "w").close()
+        try:
+            os.rename(staging, cache)
+        except OSError:  # another run won the race — use its artifacts
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     return dedup.incremental_dedup_against(
         new_df,
         dedup.read_corpus_artifacts(spark, cache),
@@ -7087,7 +7110,8 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEMPERATURE_MIX = f"""
-WITH counts AS (SELECT source, count(*) AS n_g FROM documents GROUP BY 1),
+WITH counts AS (SELECT source, count(*) AS n_g FROM documents
+                WHERE source IS NOT NULL GROUP BY 1),
 p AS (SELECT source, n_g,
              pow(CAST(n_g AS DOUBLE), {1.0 / _TEMP_MIX_T}) AS w
       FROM counts),

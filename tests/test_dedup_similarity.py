@@ -218,6 +218,46 @@ def test_bmp_codec_roundtrip():
         multimodal.decode_bmp(b"\x89PNG not a bmp")
 
 
+def test_bmp_decode_rejects_corrupt_payloads():
+    """Bounds checks fire BEFORE the pixel loop: truncated pixel data,
+    implausible dimensions, and too-short headers raise ValueError
+    (not IndexError mid-loop / unbounded allocation)."""
+    payload, _ = _gradient_bmp(7, 5)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_bmp(payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_bmp(payload[:40])
+    # hostile header: declared 65537x65537 dimensions on a tiny payload
+    import struct as _struct
+
+    hostile = bytearray(payload)
+    _struct.pack_into("<ii", hostile, 18, 1 << 17, 1 << 17)
+    with pytest.raises(ValueError, match="implausible"):
+        multimodal.decode_bmp(bytes(hostile))
+
+
+def test_extract_meta_null_on_corrupt_row(spark):
+    """One corrupt payload in a corpus yields null metadata for that
+    row (on_error='null', the default) instead of failing the task;
+    on_error='raise' keeps strict behavior."""
+    good, _ = _gradient_bmp(6, 4)
+    bad = good[: len(good) // 2]
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_meta(df, "payload", decoder="bmp").collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (6, 4)
+    assert out[2]["width"] is None and out[2]["height"] is None
+    with pytest.raises(Exception):
+        multimodal.extract_meta(
+            df, "payload", decoder="bmp", on_error="raise"
+        ).collect()
+
+
 def test_extract_meta_real_bmp_decode(spark):
     """Task-6 end-to-end case: a REAL decode kernel (pure-Python BMP)
     through the same mapInPandas plumbing — true dimensions out of the

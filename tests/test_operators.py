@@ -163,6 +163,37 @@ def test_interval_containment_bucketed_matches_plain(spark):
         ), how
 
 
+def test_interval_bucketed_inverted_interval_degrades(spark):
+    """A dirty inverted interval (end < start) must degrade to
+    no-match, not kill the job: sequence() over a descending range
+    throws at runtime, so the bucketed form pre-filters it — matching
+    the plain form's semantics for the same row."""
+    import datetime as dt
+
+    events = spark.createDataFrame(
+        [("a", 1, dt.datetime(2023, 1, 1, 12))],
+        "k STRING, eid LONG, ts TIMESTAMP",
+    )
+    zones = spark.createDataFrame(
+        [
+            # inverted: end precedes start (dirty row)
+            ("a", 10, dt.datetime(2023, 1, 5, 0), dt.datetime(2023, 1, 1, 0)),
+            # valid interval covering the event
+            ("a", 11, dt.datetime(2023, 1, 1, 0), dt.datetime(2023, 1, 2, 0)),
+        ],
+        "k STRING, zid LONG, s TIMESTAMP, e TIMESTAMP",
+    )
+    out = intervals.interval_containment_join_bucketed(
+        events, zones, ["k"], "ts", "s", "e", how="inner"
+    )
+    assert [r["zid"] for r in out.collect()] == [11]
+    left = intervals.interval_containment_join_bucketed(
+        events, zones.where("zid = 10"), ["k"], "ts", "s", "e", how="left"
+    )
+    rows = left.collect()
+    assert len(rows) == 1 and rows[0]["zid"] is None
+
+
 def test_sessionize_gap(spark):
     base = dt.datetime(2023, 1, 1, 0, 0)
     rows = [(1, base), (1, base + dt.timedelta(minutes=10)),

@@ -348,3 +348,25 @@ def test_temperature_mix_schedule(spark):
     ids2 = sorted(r["doc_id"] for r in sampling.temperature_mix(
         df, "source", temperature=1e6, budget_fraction=0.5).collect())
     assert ids1 == ids2
+
+
+def test_temperature_mix_null_group_excluded(spark):
+    """NULL group rows are excluded BEFORE the counts aggregate: they
+    neither appear in the output nor inflate other groups' budget
+    shares (N matches the eligible population)."""
+    base = [(i, "big") for i in range(90)] + [
+        (1000 + i, "small") for i in range(10)
+    ]
+    clean = spark.createDataFrame(base, "doc_id LONG, source STRING")
+    with_nulls = spark.createDataFrame(
+        base + [(5000 + i, None) for i in range(50)],
+        "doc_id LONG, source STRING",
+    )
+    a = sampling.temperature_mix(clean, "source", temperature=1.0,
+                                 budget_fraction=0.5)
+    b = sampling.temperature_mix(with_nulls, "source", temperature=1.0,
+                                 budget_fraction=0.5)
+    assert b.where(F.col("source").isNull()).count() == 0
+    ra = {(r["doc_id"], r["keep_frac"]) for r in a.collect()}
+    rb = {(r["doc_id"], r["keep_frac"]) for r in b.collect()}
+    assert ra == rb  # null rows changed neither rates nor survivors
