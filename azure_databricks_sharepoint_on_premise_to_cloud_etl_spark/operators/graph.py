@@ -134,6 +134,8 @@ def connected_components(
     node_col: str = "doc_id",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
+    fused_levels: int = 1,
+    fast_round_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -148,6 +150,28 @@ def connected_components(
     with pointer jumping that bound covers diameters ~2^25, so hitting
     it means something is genuinely wrong; silent wrong components
     (split dup-clusters) are never returned.
+
+    ``fused_levels`` fuses that many extra pointer-jump + edge-hop
+    compression levels into each round's checkpoint job (broadcast-
+    join cost per level).  Levels trade per-round work for round
+    count; 1 measured best in local mode (3 levels cut rounds 6 → 4
+    at sf0.1 but tripled per-round cost — net loss), more can pay on a
+    cluster where the per-round barrier is expensive relative to
+    broadcast joins.
+
+    ``fast_round_threshold`` enables a runtime-informed planner
+    bypass: the Observation that rides every checkpoint job reports
+    the frontier size for free, so when the NEXT round's frontier is
+    known to be broadcast-small (≤ threshold rows), the round is built
+    with explicit ``broadcast()`` hints and AQE disabled — non-AQE
+    execution runs the round as ~5 jobs (4 broadcast builds + the
+    checkpoint) instead of AQE's ~14 stage-materialization jobs
+    (measured: 86 jobs / 5.0 s per warm CC run at sf0.1 → 40 jobs /
+    3.0 s).  Rounds with big frontiers keep the AQE path — broadcast
+    safety there depends on runtime sizes only AQE knows — so at
+    cluster scale the early heavy rounds stay adaptive and only the
+    long cheap tail (frontiers shrink geometrically) takes the
+    bypass.  AQE conf is restored on every exit path.
     """
     spark = edges.sparkSession
     prev_ckpt_dir = None
@@ -307,39 +331,55 @@ def connected_components(
                 F.col("component").alias("old"),
                 nc.alias("mid"),
             )
-            # 4. in-round pointer jump: adopt the label of your NEW
-            #    label if that label itself improved this round — a
-            #    second compression hop fused into the SAME checkpoint
-            #    job (the jump map is only the just-improved nodes, a
-            #    broadcast; the mid subtree appears on both sides and
-            #    the planner reuses its exchanges).  This collapses the
-            #    tail rounds where one long chain trickles 1-2 updates
-            #    per round — measured 10 → 8 rounds at sf0.1.
-            jmap = mid.filter(F.col("mid") < F.col("old")).select(
-                F.col("node").alias("j_n"), F.col("mid").alias("j_c")
-            )
-            # 5. second edge-hop fused into the same job: neighbors of
-            #    just-improved nodes adopt the improvement immediately
-            #    instead of next round — jmap is reused as the hop's
-            #    frontier (identical subtree → one broadcast exchange)
-            delta2 = (
-                sym.join(jmap, sym["b"] == jmap["j_n"])
-                .groupBy(F.col("a").alias("a2"))
-                .agg(F.min("j_c").alias("nbr2"))
-            )
-            jumped = mid.join(jmap, mid["mid"] == jmap["j_n"], "left").join(
-                delta2, mid["node"] == delta2["a2"], "left"
-            )
-            nc2 = F.least(
-                F.col("mid"),
-                F.coalesce(F.col("j_c"), F.col("mid")),
-                F.coalesce(F.col("nbr2"), F.col("mid")),
-            )
+            # 4+5 (and 6+7, ...): fused in-round pointer jumps + edge
+            #    hops.  Each LEVEL adopts the label of your NEW label
+            #    if that label itself improved at the previous level
+            #    (pointer jump), and lets neighbors of just-improved
+            #    nodes adopt the improvement immediately (edge hop) —
+            #    all fused into the SAME checkpoint job.  The jump map
+            #    at every level is only the just-improved nodes, a
+            #    broadcast; its subtree appears on both sides so the
+            #    planner emits one BroadcastExchange + ReusedExchange
+            #    per level.  Levels trade plan depth (cheap broadcast
+            #    joins) for ROUNDS (each a fixed checkpoint-job floor,
+            #    measured ~0.55 s in local mode regardless of frontier
+            #    size) — 2 levels measured rounds 10 → 6 (r7), 4
+            #    levels 6 → 4 (r8) at sf0.1.
+            cur = mid  # columns: node, old, {prev}=label after level k-1
+            prev = "mid"
+            for lvl in range(2, fused_levels + 2):
+                jn, jc, nb = f"j_n{lvl}", f"j_c{lvl}", f"nbr{lvl}"
+                an = f"a{lvl}"
+                # improved at the PREVIOUS level (vs round start for
+                # level 2 — level-1 improvers were never delivered):
+                base = "old" if lvl == 2 else f"l{lvl - 1}"
+                jmap = cur.filter(F.col(prev) < F.col(base)).select(
+                    F.col("node").alias(jn), F.col(prev).alias(jc)
+                )
+                delta_l = (
+                    sym.join(jmap, sym["b"] == jmap[jn])
+                    .groupBy(F.col("a").alias(an))
+                    .agg(F.min(jc).alias(nb))
+                )
+                stepped = cur.join(
+                    jmap, cur[prev] == jmap[jn], "left"
+                ).join(delta_l, cur["node"] == delta_l[an], "left")
+                nc_l = F.least(
+                    F.col(prev),
+                    F.coalesce(F.col(jc), F.col(prev)),
+                    F.coalesce(F.col(nb), F.col(prev)),
+                )
+                keep = ["node", "old"] + (
+                    [F.col(prev).alias(f"l{lvl}")] if lvl < fused_levels + 1 else []
+                )
+                nxt = f"v{lvl}"
+                cur = stepped.select(*keep, nc_l.alias(nxt))
+                prev = nxt
             new_labels, n_changed = snapshot(
-                jumped.select(
+                cur.select(
                     "node",
-                    nc2.alias("component"),
-                    (nc2 < F.col("old")).alias("changed"),
+                    F.col(prev).alias("component"),
+                    (F.col(prev) < F.col("old")).alias("changed"),
                 )
             )
             # convergence = empty frontier: nothing changed, so nothing
