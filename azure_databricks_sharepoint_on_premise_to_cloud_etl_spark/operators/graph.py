@@ -126,6 +126,58 @@ def _strip_inherited_stats(df: DataFrame) -> DataFrame:
         return df
 
 
+def _driver_union_find_labels(sym: DataFrame) -> DataFrame:
+    """Collect a driver-small symmetrized edge table (columns a, b) and
+    return a (node, component) DataFrame via union-find.
+
+    Union by size + path compression (near-linear in edge count); the
+    component label is the MINIMUM member id — identical semantics to
+    the distributed min-label loop.  Node/id type is preserved from the
+    edge schema so the re-attach join never casts.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    spark = sym.sparkSession
+    id_type = sym.schema["a"].dataType
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.select("a", "b").collect():
+        a, b = row[0], row[1]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    schema = StructType(
+        [
+            StructField("node", id_type, False),
+            StructField("component", id_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -136,6 +188,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     fused_levels: int = 1,
     fast_round_threshold: int = 100_000,
+    driver_finish_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -163,15 +216,38 @@ def connected_components(
     bypass: the Observation that rides every checkpoint job reports
     the frontier size for free, so when the NEXT round's frontier is
     known to be broadcast-small (≤ threshold rows), the round is built
-    with explicit ``broadcast()`` hints and AQE disabled — non-AQE
-    execution runs the round as ~5 jobs (4 broadcast builds + the
-    checkpoint) instead of AQE's ~14 stage-materialization jobs
-    (measured: 86 jobs / 5.0 s per warm CC run at sf0.1 → 40 jobs /
-    3.0 s).  Rounds with big frontiers keep the AQE path — broadcast
-    safety there depends on runtime sizes only AQE knows — so at
-    cluster scale the early heavy rounds stay adaptive and only the
-    long cheap tail (frontiers shrink geometrically) takes the
-    bypass.  AQE conf is restored on every exit path.
+    with explicit ``broadcast()`` hints on the frontier-sized frames
+    (frontier filter, per-level jump maps, the frontier-incident
+    delta aggregates — bounded by the frontier's one-hop
+    neighborhood, so size the threshold with mean degree in mind) and
+    AQE disabled for exactly that round's checkpoint action — non-AQE
+    execution skips AQE's per-exchange stage-materialization jobs.
+    Rounds with big frontiers keep the AQE path — broadcast safety
+    there depends on runtime sizes only AQE knows — so at cluster
+    scale the early heavy rounds stay adaptive and only the long
+    cheap tail (frontiers shrink geometrically) takes the bypass.
+    The AQE conf is flipped only around the snapshot action and
+    restored in a ``finally``; pass ``0`` to disable the bypass.
+    Measured effect at sf0.1 is recorded in BASELINE.md (round 9).
+
+    ``driver_finish_edges`` selects the SMALL-GRAPH regime: the
+    symmetrized-distinct edge count rides the edge-table checkpoint
+    job as an Observation (free), and when the WHOLE candidate graph
+    is driver-small (≤ threshold symmetrized rows, default 1M ≈
+    500k undirected edges ≈ tens of MB of longs) the components are
+    computed by collecting the edge list and running union-find
+    (path compression + union by size) on the driver instead of
+    paying ~6 distributed rounds — each a full job barrier (~0.5 s
+    in local mode, worse on a 1000-executor cluster) — for a
+    problem that fits in one process.  This is the standard hybrid
+    for iterative graph algorithms: LSH candidate graphs are tiny
+    relative to the corpus (most documents are not near-duplicates
+    of anything), so the tail of the computation is latency-bound,
+    not throughput-bound.  Graphs above the threshold run the
+    distributed delta-frontier loop unchanged — at 100 TB with
+    billions of candidate pairs that is the path that executes.
+    Pass ``0`` to force the distributed loop (tests do, to exercise
+    it on small fixtures).
     """
     spark = edges.sparkSession
     prev_ckpt_dir = None
@@ -236,6 +312,14 @@ def connected_components(
         )
         .distinct()
     )
+    # the symmetrized-distinct row count rides the checkpoint job as an
+    # Observation — it decides the driver-finish regime for free
+    from pyspark.sql import Observation
+
+    sym_obs = Observation()
+    sym_plan = sym_plan.observe(
+        sym_obs, F.count(F.lit(1)).alias("__n_sym")
+    )
     # reliable-checkpoint mode keeps sym reliable too (an executor loss
     # mid-iteration must not kill the run on preemptible fleets)
     sym = (
@@ -243,6 +327,36 @@ def connected_components(
         if checkpoint_dir is not None
         else sym_plan.localCheckpoint(eager=True)
     )
+    n_sym = int(sym_obs.get["__n_sym"] or 0)
+    if n_sym <= driver_finish_edges:
+        # SMALL-GRAPH regime: the whole candidate graph fits on the
+        # driver — finish with union-find instead of distributed rounds
+        # (see docstring).  One collect of the materialized checkpoint,
+        # microseconds of union-find, one broadcast-joined re-attach.
+        try:
+            labels = _driver_union_find_labels(sym)
+        finally:
+            if checkpoint_dir is None:
+                _release_local_checkpoint(sym)
+            else:
+                _delete_reliable_checkpoint(sym)
+            if prev_ckpt_dir is not None:
+                spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+        result = nodes.select(F.col(node_col)).join(
+            F.broadcast(labels.withColumnRenamed("node", node_col)),
+            node_col,
+            "left",
+        ).select(
+            node_col,
+            F.coalesce(F.col("component"), F.col(node_col)).alias(
+                "component"
+            ),
+        )
+        # no checkpoint generation backs this result — release hook is
+        # a safe no-op, kept for caller-code symmetry
+        result._cc_final_generation = None
+        result._cc_checkpoint_dir = checkpoint_dir
+        return result
     try:
         # Iterate ONLY over edge endpoints: after LSH, candidate pairs
         # touch a small fraction of the corpus, while every node outside
@@ -275,6 +389,22 @@ def connected_components(
             if converged:
                 break
             _t0 = time.time() if _CC_DEBUG else 0.0
+            # fast-round bypass: n_changed (from the PREVIOUS round's
+            # Observation, a free byproduct of its checkpoint job) is
+            # exactly this round's frontier size.  When it is
+            # broadcast-small, the round's plan is fully determined —
+            # every join side that matters is frontier-sized — so AQE's
+            # stage-by-stage materialization (one job per exchange,
+            # ~14 jobs/round measured at sf0.1) buys nothing.  Build
+            # the round with explicit broadcast() hints and AQE off:
+            # non-AQE execution runs it as a handful of broadcast-build
+            # jobs plus the checkpoint.  Big-frontier rounds keep AQE —
+            # broadcast safety there depends on runtime sizes only AQE
+            # knows — so at cluster scale the early heavy rounds stay
+            # adaptive and only the geometrically-shrinking tail takes
+            # the bypass.
+            use_fast = 0 < n_changed <= fast_round_threshold
+            _bc = F.broadcast if use_fast else (lambda df: df)
             # 1. delta propagate: labels only decrease, so a node's
             #    neighbor-min can only drop via a neighbor whose label
             #    changed LAST round — every older label was already
@@ -289,10 +419,12 @@ def connected_components(
             # identical child plan, so the physical planner emits a
             # single BroadcastExchange + ReusedExchange — one collect
             # job per round, not two.
-            fr = labels.filter("changed").select(
-                F.col("node").alias("f_n"), F.col("component").alias("f_c")
+            fr = _bc(
+                labels.filter("changed").select(
+                    F.col("node").alias("f_n"), F.col("component").alias("f_c")
+                )
             )
-            delta_min = (
+            delta_min = _bc(
                 sym.join(fr, sym["b"] == fr["f_n"])
                 .groupBy("a")
                 .agg(F.min("f_c").alias("nbr_min"))
@@ -353,10 +485,12 @@ def connected_components(
                 # improved at the PREVIOUS level (vs round start for
                 # level 2 — level-1 improvers were never delivered):
                 base = "old" if lvl == 2 else f"l{lvl - 1}"
-                jmap = cur.filter(F.col(prev) < F.col(base)).select(
-                    F.col("node").alias(jn), F.col(prev).alias(jc)
+                jmap = _bc(
+                    cur.filter(F.col(prev) < F.col(base)).select(
+                        F.col("node").alias(jn), F.col(prev).alias(jc)
+                    )
                 )
-                delta_l = (
+                delta_l = _bc(
                     sym.join(jmap, sym["b"] == jmap[jn])
                     .groupBy(F.col("a").alias(an))
                     .agg(F.min(jc).alias(nb))
@@ -375,13 +509,24 @@ def connected_components(
                 nxt = f"v{lvl}"
                 cur = stepped.select(*keep, nc_l.alias(nxt))
                 prev = nxt
-            new_labels, n_changed = snapshot(
-                cur.select(
-                    "node",
-                    F.col(prev).alias("component"),
-                    (F.col(prev) < F.col("old")).alias("changed"),
-                )
+            round_plan = cur.select(
+                "node",
+                F.col(prev).alias("component"),
+                (F.col(prev) < F.col("old")).alias("changed"),
             )
+            if use_fast:
+                # AQE reads the conf when the action builds the physical
+                # plan (inside snapshot's eager checkpoint) — flip it for
+                # exactly that window, restore on every exit path
+                _aqe_key = "spark.sql.adaptive.enabled"
+                _aqe_prev = spark.conf.get(_aqe_key, "true")
+                spark.conf.set(_aqe_key, "false")
+                try:
+                    new_labels, n_changed = snapshot(round_plan)
+                finally:
+                    spark.conf.set(_aqe_key, _aqe_prev)
+            else:
+                new_labels, n_changed = snapshot(round_plan)
             # convergence = empty frontier: nothing changed, so nothing
             # can change next round either.  The changed count rides the
             # snapshot job via Observation — no extra action.
@@ -390,7 +535,7 @@ def connected_components(
             if _CC_DEBUG:
                 print(
                     f"[cc] round {_round}: {time.time() - _t0:.2f}s"
-                    f" n_changed={n_changed}"
+                    f" n_changed={n_changed} fast={use_fast}"
                 )
             if n_changed == 0:
                 converged = True

@@ -249,7 +249,7 @@ def test_connected_components_long_chain(spark):
         [(i, i + 1) for i in range(24)], "id_a LONG, id_b LONG"
     )
     nodes = spark.createDataFrame([(i,) for i in range(25)], "doc_id LONG")
-    out = connected_components(edges, nodes)
+    out = connected_components(edges, nodes, driver_finish_edges=0)
     assert {r["component"] for r in out.collect()} == {0}
 
 
@@ -268,7 +268,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id LONG"
     )
     cpdir = str(tmp_path / "cc_ckpt")
-    out = connected_components(edges, nodes, checkpoint_dir=cpdir)
+    out = connected_components(
+        edges, nodes, checkpoint_dir=cpdir, driver_finish_edges=0
+    )
     got = {(r["doc_id"], r["component"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)}
     import pathlib
@@ -290,7 +292,7 @@ def test_connected_components_releases_generations(spark):
         [(i, i + 1) for i in range(40)], "id_a LONG, id_b LONG"
     )
     nodes = spark.createDataFrame([(i,) for i in range(41)], "doc_id LONG")
-    out = connected_components(edges, nodes)
+    out = connected_components(edges, nodes, driver_finish_edges=0)
     assert {r["component"] for r in out.collect()} == {0}
     after = len(sc._jsc.sc().getRDDStorageInfo())
     # a 41-node chain runs ~6 pointer-jump rounds; without release the
@@ -380,7 +382,7 @@ def test_release_components_bounds_repeated_calls(spark):
 
     counts = []
     for _ in range(3):
-        out = connected_components(edges, nodes)
+        out = connected_components(edges, nodes, driver_finish_edges=0)
         assert {r["component"] for r in out.collect()} == {0}
         assert release_components(out) is True
         assert release_components(out) is False  # idempotent no-op
@@ -390,6 +392,85 @@ def test_release_components_bounds_repeated_calls(spark):
     assert counts[2] <= counts[0]
     # a frame that never came from connected_components: safe no-op
     assert release_components(edges) is False
+
+
+def test_connected_components_driver_finish_matches_distributed(spark):
+    """The small-graph driver-finish regime (union-find over the
+    collected edge list) must produce EXACTLY the labels the
+    distributed delta-frontier loop produces — same min-label
+    semantics, same isolated-node re-attach — on a messy fixture:
+    chains, a clique, self-referential pair order, isolated nodes."""
+    import random
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        connected_components,
+        release_components,
+    )
+
+    rng = random.Random(9)
+    pairs = set()
+    # 30 random clusters of size 2-8 over ids 0..499, edges in random
+    # orientation, plus a 20-node chain
+    ids = list(range(500))
+    rng.shuffle(ids)
+    i = 0
+    for _ in range(30):
+        k = rng.randint(2, 8)
+        members = ids[i : i + k]
+        i += k
+        for m in members[1:]:
+            a, b = (members[0], m) if rng.random() < 0.5 else (m, members[0])
+            pairs.add((a, b))
+    chain = ids[i : i + 20]
+    for a, b in zip(chain, chain[1:]):
+        pairs.add((a, b))
+    edges = spark.createDataFrame(sorted(pairs), "id_a LONG, id_b LONG")
+    nodes = spark.createDataFrame([(n,) for n in range(500)], "doc_id LONG")
+
+    driver = connected_components(edges, nodes)  # default: driver path
+    dist = connected_components(edges, nodes, driver_finish_edges=0)
+    got_driver = {(r["doc_id"], r["component"]) for r in driver.collect()}
+    got_dist = {(r["doc_id"], r["component"]) for r in dist.collect()}
+    assert got_driver == got_dist
+    # every label is the min member of its component
+    by_comp: dict = {}
+    for n, c in got_driver:
+        by_comp.setdefault(c, []).append(n)
+    for c, members in by_comp.items():
+        assert c == min(members)
+    # driver-path result has no checkpoint generation: release is a
+    # safe no-op; distributed result releases real state
+    assert release_components(driver) is False
+    assert release_components(dist) is True
+
+
+def test_connected_components_fast_round_bypass_matches(spark):
+    """The broadcast-hint/AQE-off fast-round bypass is plan-level
+    only: labels must match the pure-AQE path, and the session AQE
+    conf must be restored afterwards."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)],
+        "id_a LONG, id_b LONG",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(31)] + [(100,), (101,), (102,)],
+        "doc_id LONG",
+    )
+    fast = connected_components(
+        edges, nodes, driver_finish_edges=0, fast_round_threshold=10**6
+    )
+    slow = connected_components(
+        edges, nodes, driver_finish_edges=0, fast_round_threshold=0
+    )
+    assert {(r["doc_id"], r["component"]) for r in fast.collect()} == {
+        (r["doc_id"], r["component"]) for r in slow.collect()
+    }
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") == before
 
 
 def test_redact_pii_positive_matches(spark):
