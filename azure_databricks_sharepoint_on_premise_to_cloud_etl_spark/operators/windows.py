@@ -157,8 +157,12 @@ def global_cumsum(
     shared ``InMemoryRelation`` (one physical range shuffle, one pid
     assignment); evicted partitions replay through the already-written
     shuffle files, never re-sampling boundaries.  MEMORY_AND_DISK with
-    LRU eviction bounds the cost; the cache is released when the frame
-    is garbage-collected or the session ends.
+    LRU eviction bounds the cost.  Spark's cache manager holds the
+    relation until explicit unpersist or session end — NOT JVM GC —
+    so the handle is attached to the result as
+    ``_persisted_intermediates`` (the repo convention): callers that
+    run many cumsums in one session should
+    ``graph.release_components(out)`` after consuming each result.
     """
     srcs = list(values)
     part = df.repartitionByRange(partitions, *order)
@@ -195,9 +199,11 @@ def global_cumsum(
         out = out.withColumn(
             values[s], F.col(f"__off_{s}") + F.col(f"__loc_{s}")
         )
-    return out.drop(
+    out = out.drop(
         "__pid", *[f"__loc_{s}" for s in srcs], *[f"__off_{s}" for s in srcs]
     )
+    out._persisted_intermediates = [staged]
+    return out
 
 
 def global_rank(
@@ -212,9 +218,14 @@ def global_rank(
     a total order (include a tiebreaker) for deterministic ranks.
     """
     staged = df.withColumn("__one", F.lit(1).cast("long"))
-    return global_cumsum(
+    summed = global_cumsum(
         staged, order, {"__one": rank_col}, partitions=partitions
-    ).drop("__one")
+    )
+    out = summed.drop("__one")
+    # .drop() builds a fresh DataFrame — re-attach the cache handle so
+    # release_components(out) still reaches the staged frame
+    out._persisted_intermediates = summed._persisted_intermediates
+    return out
 
 
 def global_ntile_pct(
@@ -243,12 +254,14 @@ def global_ntile_pct(
     pct = F.when(F.col("__n") > 1, (F.col("__r") - 1) / (F.col("__n") - 1)).otherwise(
         F.lit(0.0)
     )
-    return (
+    out = (
         ranked.join(F.broadcast(n_tbl), how="cross")
         .withColumn(tile_col, tile.cast("int"))
         .withColumn(pct_col, pct)
         .drop("__r", "__n")
     )
+    out._persisted_intermediates = ranked._persisted_intermediates
+    return out
 
 
 def asof_join(

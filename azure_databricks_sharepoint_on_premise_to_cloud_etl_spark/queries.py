@@ -3692,8 +3692,17 @@ def q_incremental_dedup_amortized(
     parts = sorted(glob.glob(doc_path)) or sorted(
         glob.glob(os.path.join(doc_path, "**", "*.parquet"), recursive=True)
     )
+    if not parts:
+        # unknown fixture layout: a path-only key would silently revive
+        # the stale-artifact bug the fingerprint exists to prevent
+        raise FileNotFoundError(
+            f"no parquet parts found under {doc_path} — cannot "
+            "fingerprint the corpus for the artifact cache"
+        )
     fingerprint = ";".join(
-        f"{p}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}" for p in parts
+        # mtime_ns: second-granularity mtimes miss same-size
+        # regeneration within one second (fixture rebuilds in CI do)
+        f"{p}:{os.stat(p).st_mtime_ns}:{os.path.getsize(p)}" for p in parts
     )
     cache = os.path.join(
         "/tmp/spark_graft_inc_artifacts",
@@ -3718,10 +3727,19 @@ def q_incremental_dedup_amortized(
         open(os.path.join(staging, "_BUILT"), "w").close()
         try:
             os.rename(staging, cache)
-        except OSError:  # another run won the race — use its artifacts
+        except OSError:
+            # another run won the race — but verify its artifacts are
+            # actually complete before consuming them: a stale or
+            # crashed-mid-write directory occupying `cache` must not
+            # be read as if it were built
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(cache, "_BUILT")):
+                raise RuntimeError(
+                    f"artifact cache dir {cache} exists without a "
+                    "_BUILT marker — remove it and retry"
+                )
     return dedup.incremental_dedup_against(
         new_df,
         dedup.read_corpus_artifacts(spark, cache),
@@ -7392,12 +7410,16 @@ def q_quality_deciles_distributed(
         tile_col="decile",
         pct_col="__pct",
     )
-    return out.select(
+    res = out.select(
         "doc_id",
         "quality",
         "decile",
         F.round("__pct", 6).alias("pct_rank"),
     )
+    # propagate the staged-frame cache handle so the bench/driver's
+    # release_components call frees it (select() builds a new frame)
+    res._persisted_intermediates = out._persisted_intermediates
+    return res
 
 
 def q_roc_auc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,6 +51,31 @@ def test_global_cumsum_matches_window(spark):
         assert abs(got[k] - expect[k]) < 1e-9, k
 
 
+def test_global_cumsum_releases_staged_cache(spark):
+    """The staged (range-partitioned, pid-stamped) frame is persisted
+    for determinism; the handle must ride the result through every
+    wrapper (.drop in global_rank, the tile select in global_ntile_pct)
+    so release_components() actually unpersists it — Spark's cache
+    manager never releases on GC."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        release_components,
+    )
+
+    df = _synthetic(spark, n=200)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    for fn in (
+        lambda: windows.global_cumsum(df, order, {"v": "c"}, partitions=4),
+        lambda: windows.global_rank(df, order, partitions=4),
+        lambda: windows.global_ntile_pct(df, order, 4, partitions=4),
+    ):
+        before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        out = fn()
+        out.collect()
+        assert release_components(out) is True
+        after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        assert after <= before
+
+
 def test_global_rank_matches_row_number(spark):
     df = _synthetic(spark)
     order = [F.col("v").desc(), F.col("id").asc()]

@@ -35,6 +35,10 @@ def main() -> int:
     from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # optional name args: run a subset for fast local iteration; the
+    # committed artifact is only (re)written on FULL runs so a subset
+    # can never masquerade as the whole registry
+    only = set(sys.argv[2:])
     spark = get_spark("aux-correctness")
 
     con = duckdb.connect()
@@ -52,6 +56,8 @@ def main() -> int:
     out: dict[str, dict] = {}
     failures = []
     for name, fn in sorted(q.AUX_QUERIES.items()):
+        if only and name not in only:
+            continue
         rec: dict = {
             "rows_match": False,
             "schema_match": False,
@@ -112,8 +118,9 @@ def main() -> int:
         )
         out[name] = rec
 
-    with open("/root/repo/AUX_CORRECTNESS.json", "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    if not only:
+        with open("/root/repo/AUX_CORRECTNESS.json", "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     print(
         f"\n{len(failures)} failures: {failures}"
         if failures
