@@ -3213,14 +3213,25 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs 0-9).  Survivors out, with their quality scores.
 
     Every stage keeps its operator's scale shape (digest-only dedup
-    shuffle, narrow quality features, broadcast eval-gram semi-join),
-    and Catalyst fuses the stages — no materialization boundaries
-    between them."""
+    shuffle, narrow quality features, broadcast eval-gram semi-join).
+    The quality gate is a self-referential two-branch shape — the
+    median threshold aggregates the SAME scored pool the filter scans
+    — so the narrow (doc_id, quality) projection is ``persist()``-ed
+    at the branch point: without it both branches re-run exact-dedup
+    + the regex/array quality features over full text (measured: the
+    stage's x10 rehearsal cost dropped ~2× and its scaling exponent
+    normalized once the double-compute was cut).  The cached frame is
+    16 bytes/doc — at 100 TB corpus scale it is the SCORES that
+    persist, never the text.  The handle rides the result as
+    ``_persisted_intermediates`` (released by
+    ``graph.release_components``)."""
     d = rebalance(load_table(spark, sf_dir, "documents"))
     kept = dedup.exact_dedup(d)
     en = kept.filter(F.col("lang") == F.lit("en"))
-    scored = text.quality_score(en.select("doc_id", "text")).select(
-        "doc_id", "quality"
+    scored = (
+        text.quality_score(en.select("doc_id", "text"))
+        .select("doc_id", "quality")
+        .persist()
     )
     thr = scored.agg(
         F.round(
@@ -3233,11 +3244,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = text.contamination_flags(
         d, d.filter(F.col("doc_id") < _CONTAM_EVAL_IDS), k=_PIPE_CONTAM_K
     )
-    return (
+    out = (
         gated.join(flags, "doc_id")
         .filter(~F.col("contaminated"))
         .select("doc_id", "quality")
     )
+    out._persisted_intermediates = [scored]
+    return out
 
 
 def _curation_pipeline_oracle() -> str:

@@ -192,19 +192,27 @@ def _curation_stages():
         return dedup.exact_dedup(d).select("doc_id")
 
     def stage_quality_gate(spark, sf_dir):
+        # mirrors q_curation_pipeline's fused shape: the narrow scored
+        # projection is persisted so the threshold and filter branches
+        # share ONE quality_score pass (round-9 fix for the 0.76-alpha
+        # double-compute this row diagnosed)
         d = q.rebalance(q.load_table(spark, sf_dir, "documents"))
         en = dedup.exact_dedup(d).filter(F.col("lang") == F.lit("en"))
-        scored = text.quality_score(en.select("doc_id", "text")).select(
-            "doc_id", "quality"
+        scored = (
+            text.quality_score(en.select("doc_id", "text"))
+            .select("doc_id", "quality")
+            .persist()
         )
         thr = scored.agg(
             F.round(
                 F.expr("approx_percentile(quality, 0.5, 1000000)"), 6
             ).alias("__thr")
         )
-        return scored.crossJoin(F.broadcast(thr)).filter(
+        out = scored.crossJoin(F.broadcast(thr)).filter(
             F.col("quality") >= F.col("__thr")
         )
+        out._persisted_intermediates = [scored]
+        return out
 
     def stage_contamination(spark, sf_dir):
         d = q.rebalance(q.load_table(spark, sf_dir, "documents"))
