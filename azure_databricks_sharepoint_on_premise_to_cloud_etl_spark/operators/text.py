@@ -799,6 +799,7 @@ def tfidf_doc_similarity(
     min_df: int = 2,
     threshold: float = 0.5,
     prefix_filter: bool = False,
+    max_df_cap: int = 500,
 ) -> DataFrame:
     """Sparse document-document cosine similarity over tf-idf-weighted
     word ``n``-gram vectors — similarity search WITHOUT embeddings,
@@ -806,13 +807,29 @@ def tfidf_doc_similarity(
 
     Scale shape: the classic sparse similarity join — candidate pairs
     are generated by a TERM-keyed equi self-join of the posting table,
-    and the vocabulary is BANDED first (df in [min_df,
-    ceil(|docs|/10)], same corpus-relative cap as
-    :func:`inverted_index`): head terms would fan out |posting|² pairs
-    for near-zero idf contribution, so dropping them bounds the join's
-    skew AND barely moves the scores — the standard prefix-filtering
-    argument.  Weights/norms are computed over the banded vocabulary
-    (document that restriction; scores are relative to it).  Returns
+    and the vocabulary is BANDED first, df in
+    [min_df, min(ceil(|docs|/10), max_df_cap)].  The band has TWO
+    ceilings with different jobs:
+
+    - the corpus-RELATIVE ceiling (df ≤ |docs|/10) is the idf
+      argument — head terms contribute near-zero weight, so dropping
+      them barely moves scores;
+    - the ABSOLUTE ceiling (``max_df_cap``, default 500) is the COST
+      bound, and the round-9 rehearsal showed it is the one that
+      matters: with only the relative cap, per-term join fan-out is
+      ≤ (|docs|/10)², so candidate volume grows ~quadratically with
+      the corpus — measured 10.3M candidate pairs for 256 output
+      rows at 5k docs, and alpha 2.6 at 3× scale.  A fixed ceiling
+      bounds every term's fan-out at cap² pairs, making candidate
+      volume linear in vocabulary size — the property a 100 TB
+      corpus needs.  Terms between the two ceilings are informative
+      but expensive; raising ``max_df_cap`` trades recall on
+      common-phrase overlap for join cost (at ≤ 5k docs the default
+      ceiling is not binding, so small-fixture results are identical
+      to the relative-band-only form).
+
+    Weights/norms are computed over the banded vocabulary (document
+    that restriction; scores are relative to it).  Returns
     (id_a, id_b, cosine) for pairs at or above ``threshold``.
     """
     toks = F.col("__toks")
@@ -829,7 +846,9 @@ def tfidf_doc_similarity(
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("__nd"),
-        F.expr("div(count(1) + 9, 10)").alias("__cap"),
+        F.least(
+            F.expr("div(count(1) + 9, 10)"), F.lit(int(max_df_cap))
+        ).alias("__cap"),
     )
     dfreq = (
         td.groupBy("__t")

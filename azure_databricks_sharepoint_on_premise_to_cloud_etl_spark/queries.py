@@ -1737,7 +1737,11 @@ def _stream_plan_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_events(
-    spark: SparkSession, sf_dir: str, copies: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    copies: int = 1,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> tuple[DataFrame, bool]:
     """Shared preamble for every events streaming query: pin the
     session confs, sniff the fixture's physical schema via a batch
@@ -1756,8 +1760,17 @@ def _stream_events(
     raw_schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
     ).schema
-    raw = spark.readStream.schema(raw_schema).parquet(
-        _stream_dir_for(sf_dir, "events", copies=copies)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        # with Trigger.AvailableNow the option bounds each micro-batch,
+        # so a sliced source dir drains as MULTIPLE batches — the state
+        # gate (tests/test_stateful_streaming.py) watches
+        # stateOperators[].numRowsTotal across them
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(
+        stream_dir
+        if stream_dir is not None
+        else _stream_dir_for(sf_dir, "events", copies=copies)
     )
     events = decode_event_ts(raw)
     return events, dict(events.dtypes).get("ts") == "timestamp_ntz"
@@ -1820,10 +1833,18 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_plan_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_plan_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Pre-sink streaming plan for q_streaming_dedup: watermarked
     state-bounded dedup (the production form)."""
-    events, ts_was_ntz = _stream_events(spark, sf_dir, copies=2)
+    events, ts_was_ntz = _stream_events(
+        spark, sf_dir, copies=2,
+        stream_dir=stream_dir, max_files_per_trigger=max_files_per_trigger,
+    )
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
@@ -1857,9 +1878,17 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_sliding_out")
 
 
-def _stream_plan_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_plan_sliding(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Pre-sink streaming plan for q_streaming_sliding."""
-    events, ts_was_ntz = _stream_events(spark, sf_dir)
+    events, ts_was_ntz = _stream_events(
+        spark, sf_dir,
+        stream_dir=stream_dir, max_files_per_trigger=max_files_per_trigger,
+    )
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
@@ -4035,11 +4064,19 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_plan_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_plan_join(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Pre-sink streaming plan for q_streaming_join: both sides
     watermarked AND the join condition time-bounded — the two facts
     state cleanup needs."""
-    events, ts_was_ntz = _stream_events(spark, sf_dir)
+    events, ts_was_ntz = _stream_events(
+        spark, sf_dir,
+        stream_dir=stream_dir, max_files_per_trigger=max_files_per_trigger,
+    )
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     clicks = (
@@ -5480,9 +5517,17 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_plan_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_plan_session(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Pre-sink streaming plan for q_streaming_session."""
-    events, ts_was_ntz = _stream_events(spark, sf_dir)
+    events, ts_was_ntz = _stream_events(
+        spark, sf_dir,
+        stream_dir=stream_dir, max_files_per_trigger=max_files_per_trigger,
+    )
     if ts_was_ntz:
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
@@ -5583,7 +5628,8 @@ grams AS (
 ),
 td AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
 stats AS (
-    SELECT count(*) AS nd, (count(*) + 9) // 10 AS cap FROM documents
+    SELECT count(*) AS nd, least((count(*) + 9) // 10, 500) AS cap
+    FROM documents
 ),
 dfreq AS (
     SELECT term, count(*) AS df, max(stats.nd) AS nd

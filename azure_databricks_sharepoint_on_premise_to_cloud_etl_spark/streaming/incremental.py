@@ -108,6 +108,31 @@ def run_to_memory_sink(
     q.awaitTermination()
 
 
+def drain_with_progress(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> list:
+    """Drain a stream with Trigger.AvailableNow into a memory sink and
+    return the per-micro-batch progress records
+    (``StreamingQuery.recentProgress``).  The state gate reads
+    ``stateOperators[].numRowsTotal`` / ``numRowsRemoved`` from these
+    to assert EMPIRICALLY that watermarked state plateaus across
+    batches instead of growing with the stream — the property the
+    plan-audit argues statically and production relies on."""
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.awaitTermination()
+    return list(q.recentProgress)
+
+
 def drain_foreach_batch_to_parquet(
     stream_df: DataFrame,
     checkpoint_dir: str,

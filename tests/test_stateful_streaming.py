@@ -114,3 +114,116 @@ def test_running_user_totals_idle_timeout_evicts(spark, tmp_path):
     # fresh ledger after eviction: 1 event / 4.0, not 3 events / 7.0
     assert final["total_events"] == 1
     assert final["total_value"] == 4.0
+
+
+def _sliced_events_dir(tmp_path, sf_dir="/root/testdata/sf0.001", k=4):
+    """Split the events fixture into k chronological parquet slices
+    with increasing mtimes, so the file stream (maxFilesPerTrigger=1,
+    oldest-first) replays the event stream as k micro-batches whose
+    watermark advances ~a week per batch — enough past the 2-hour
+    delay that every batch should evict the previous batch's state."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    d = str(tmp_path / "sliced_events")
+    os.makedirs(d)
+    n = t.num_rows
+    for i in range(k):
+        lo, hi = i * n // k, (i + 1) * n // k
+        p = os.path.join(d, f"slice_{i}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), p)
+        os.utime(p, (1_700_000_000 + i * 1000,) * 2)
+    return d, n
+
+
+def _state_series(progresses):
+    """(inputRows, totalState, removedState) per micro-batch that
+    carried state operators."""
+    out = []
+    for p in progresses:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        out.append(
+            (
+                p["numInputRows"],
+                sum(o["numRowsTotal"] for o in ops),
+                sum(o["numRowsRemoved"] for o in ops),
+            )
+        )
+    return out
+
+
+def test_watermarked_state_plateaus_across_batches(spark, tmp_path):
+    """EMPIRICAL state gate for the four stateful streaming shapes
+    (dedup / sliding agg / session window / stream-stream join): drain
+    the time-sliced event stream as >=4 micro-batches and read
+    stateOperators[].numRowsTotal from the progress records.  With
+    watermarks, state must PLATEAU at the horizon's working set —
+    every post-first batch both evicts rows (numRowsRemoved > 0) and
+    stays within ~2x the first batch's state — rather than
+    accumulating the whole stream (the no-watermark planted case
+    below shows what failure looks like).  This turns the streaming
+    plan-audit's static argument into a measured property."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    d, _n = _sliced_events_dir(tmp_path)
+    cases = [
+        ("dedup", q._stream_plan_dedup),
+        ("sliding", q._stream_plan_sliding),
+        ("session", q._stream_plan_session),
+        ("join", q._stream_plan_join),
+    ]
+    for name, builder in cases:
+        plan = builder(spark, "/root/testdata/sf0.001",
+                       stream_dir=d, max_files_per_trigger=1)
+        ckpt = str(tmp_path / f"gate_{name}_ckpt")
+        progs = incremental.drain_with_progress(
+            plan, f"gate_{name}", ckpt, output_mode="append"
+        )
+        series = _state_series(progs)
+        data_batches = [s for s in series if s[0] > 0]
+        assert len(data_batches) >= 3, (name, series)
+        totals = [s[1] for s in data_batches]
+        removed = [s[2] for s in data_batches]
+        # eviction is real: every batch after the first removes state
+        assert all(r > 0 for r in removed[1:]), (name, series)
+        # plateau: no batch's state exceeds 2x the first batch's
+        # (without eviction, batch k holds ~k x the first batch)
+        assert max(totals) <= 2 * totals[0], (name, series)
+
+
+def test_unwatermarked_state_grows_monotonically(spark, tmp_path):
+    """The planted failure case: the same sliced stream deduped with
+    plain dropDuplicates (NO watermark) must show strictly growing
+    state and zero evictions — proving the plateau gate above is
+    non-vacuous (it measures the watermark, not an artifact of the
+    harness)."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    d, n = _sliced_events_dir(tmp_path)
+    events, _ = q._stream_events(
+        spark, "/root/testdata/sf0.001",
+        stream_dir=d, max_files_per_trigger=1,
+    )
+    plan = events.select("event_id", "event_type", "value").dropDuplicates(
+        ["event_id"]
+    )
+    ckpt = str(tmp_path / "nowm_ckpt")
+    progs = incremental.drain_with_progress(
+        plan, "gate_nowm", ckpt, output_mode="append"
+    )
+    series = _state_series(progs)
+    data_batches = [s for s in series if s[0] > 0]
+    assert len(data_batches) >= 3, series
+    totals = [s[1] for s in data_batches]
+    assert all(b > a for a, b in zip(totals, totals[1:])), series
+    assert all(s[2] == 0 for s in series), series
+    # unbounded: final state holds EVERY distinct key ever seen
+    assert totals[-1] == n, (totals, n)

@@ -160,6 +160,20 @@ HEAVY = [
     "embedding_label_drift",
     "mann_whitney",
     "rfm_segments",
+    # round-9: the slow-tail rehearsal the r8 verdict asked for.
+    # percentiles (histogram-exact quantiles) and the xxhash64
+    # MinHash fast path are plain corpus-linear shapes.
+    # tfidf_doc_similarity and triangle_count are measured DESPITE
+    # the fixture's known pair inflation (cross-replica twins share
+    # banded vectors / LSH buckets, so qualifying pairs grow ~f² BY
+    # CONSTRUCTION) — the rows_by_factor column IS the named cause:
+    # read time alongside output rows, and see the
+    # tfidf_stage_candidates row for the candidate volume the df
+    # band actually admits, measured not argued.
+    "percentiles",
+    "minhash_lsh_pairs_fast",
+    "tfidf_doc_similarity",
+    "triangle_count",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
@@ -222,10 +236,22 @@ def _curation_stages():
             k=q._PIPE_CONTAM_K,
         )
 
+    def tfidf_stage_candidates(spark, sf_dir):
+        # candidate VOLUME of the df-banded sparse join, measured:
+        # threshold=0 disables the final cosine cut (weights are
+        # positive: idf = log(nd/df) with df ≤ nd/10), so the output
+        # row count is exactly the pair set the term-keyed join
+        # aggregates — the quantity the band cap is supposed to bound
+        d = q.rebalance(q.load_table(spark, sf_dir, "documents"))
+        return text.tfidf_doc_similarity(
+            d.select("doc_id", "text"), threshold=0.0
+        )
+
     return {
         "curation_stage_dedup": stage_dedup,
         "curation_stage_quality_gate": stage_quality_gate,
         "curation_stage_contamination": stage_contamination,
+        "tfidf_stage_candidates": tfidf_stage_candidates,
     }
 
 
