@@ -106,6 +106,110 @@ def resize_bmp(payload: bytes, target: tuple[int, int]) -> bytes:
     ]
     return encode_bmp(out)
 
+# Pure-Python WAV codec (RIFF/WAVE, PCM integer formats) — the audio
+# sibling of the BMP codec above: gives the mapInPandas plumbing a
+# REAL executable audio case (true sample rate / channels / duration
+# from bytes) in a container with no audio libraries.
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE header and its PCM ``fmt ``/``data`` chunks:
+    returns sample_rate, channels, bits_per_sample, n_samples (PCM
+    frames), duration_ms.  Compressed/float formats (audio_format !=
+    1) raise — this codec exists for header truth, not playback.
+    Chunk-walks the RIFF structure, so extra chunks (LIST/cue) before
+    or between fmt and data parse fine; a declared data size past the
+    payload end raises (truncated file)."""
+    if len(payload) < 44:
+        raise ValueError("truncated WAV payload (shorter than headers)")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if csize < 16 or body + 16 > len(payload):
+                raise ValueError("truncated WAV fmt chunk")
+            (
+                audio_format,
+                channels,
+                sample_rate,
+                _byte_rate,
+                block_align,
+                bits,
+            ) = struct.unpack_from("<HHIIHH", payload, body)
+            fmt = (audio_format, channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            if body + csize > len(payload):
+                raise ValueError(
+                    f"truncated WAV: declared {csize}B of data at "
+                    f"offset {body}, payload is {len(payload)}B"
+                )
+            data_size = csize
+            if fmt is not None:
+                break
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos = body + csize + (csize & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(
+            f"unsupported WAV format {audio_format} (PCM-only codec)"
+        )
+    if channels < 1 or sample_rate < 1 or bits % 8 or bits == 0:
+        raise ValueError(
+            f"implausible WAV fmt: {channels}ch {sample_rate}Hz {bits}bit"
+        )
+    expect_align = channels * bits // 8
+    if block_align != expect_align:
+        raise ValueError(
+            f"WAV block_align {block_align} != channels*bits/8 "
+            f"{expect_align}"
+        )
+    n_samples = data_size // block_align
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": round(n_samples * 1000 / sample_rate),
+        "data_offset": pos + 8,
+        "block_align": block_align,
+    }
+
+
+def encode_wav(
+    samples: list[tuple[int, ...]], sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Planted-fixture encoder: PCM integer WAV from per-frame channel
+    tuples (all frames same arity)."""
+    channels = len(samples[0]) if samples else 1
+    width = bits // 8
+    block_align = channels * width
+    data = bytearray()
+    for frame in samples:
+        for v in frame:
+            data += int(v).to_bytes(width, "little", signed=bits > 8)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH",
+        16,
+        1,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return bytes(hdr + data)
+
+
 META_SCHEMA = "doc_id long, n_bytes long, fake_width long, fake_height long, channels long"
 
 
@@ -123,6 +227,10 @@ def _fake_decode(payload: bytes) -> dict[str, int]:
 
 
 BMP_META_SCHEMA = "doc_id long, n_bytes long, width long, height long, channels long"
+WAV_META_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, channels long, "
+    "bits_per_sample long, n_samples long, duration_ms long"
+)
 
 
 def extract_meta(
@@ -155,6 +263,22 @@ def extract_meta(
             }
         schema = BMP_META_SCHEMA
         null_meta = {"n_bytes": None, "width": None, "height": None, "channels": None}
+    elif decoder == "wav":
+        def decode(p: bytes) -> dict:
+            wav = decode_wav(p)
+            return {
+                "n_bytes": len(p),
+                "sample_rate": wav["sample_rate"],
+                "channels": wav["channels"],
+                "bits_per_sample": wav["bits_per_sample"],
+                "n_samples": wav["n_samples"],
+                "duration_ms": wav["duration_ms"],
+            }
+        schema = WAV_META_SCHEMA
+        null_meta = {
+            "n_bytes": None, "sample_rate": None, "channels": None,
+            "bits_per_sample": None, "n_samples": None, "duration_ms": None,
+        }
     else:
         decode = _fake_decode
         schema = META_SCHEMA
@@ -232,22 +356,49 @@ def sample_frames(
     every_n_bytes: int = 64,
     max_frames: int = 8,
     id_col: str = "doc_id",
+    kernel: str = "bytes",
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one payload row fans out to
+    """Media frame-sampling plumbing: one payload row fans out to
     multiple frame rows (the 1->N batch shape ffmpeg sampling
-    produces).  Deterministic fake kernel: every ``every_n_bytes``
-    slice of the payload is a 'frame'."""
+    produces).
+
+    ``kernel="bytes"`` (default) is the deterministic stand-in: every
+    ``every_n_bytes`` slice of the payload is a 'frame'.
+    ``kernel="wav"`` is a REAL executable audio case (the BMP-codec
+    pattern applied to audio): the RIFF/PCM header is parsed with
+    :func:`decode_wav` and up to ``max_frames`` EVENLY-SPACED PCM
+    frames (one ``block_align``-byte slice per sampled frame) are
+    emitted, ``frame_idx`` carrying the true PCM frame index — so
+    downstream code can recover the sample time as
+    ``frame_idx / sample_rate``."""
     import pandas as pd
+
+    def frames_of(raw: bytes) -> list[tuple[int, bytes]]:
+        if kernel == "wav":
+            wav = decode_wav(raw)
+            n, ba, off = wav["n_samples"], wav["block_align"], wav["data_offset"]
+            take = min(max_frames, n)
+            if take == 0:
+                return []
+            step = max(1, n // take)
+            out = []
+            for j in range(take):
+                i = j * step
+                out.append((i, raw[off + i * ba : off + (i + 1) * ba]))
+            return out
+        return [
+            (i, raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            for i in range(min(max_frames, max(1, len(raw) // every_n_bytes)))
+        ]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(p)
-                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                for i, fr in frames_of(bytes(p)):
                     ids.append(doc_id)
                     idxs.append(i)
-                    frames.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    frames.append(fr)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAMES_SCHEMA)

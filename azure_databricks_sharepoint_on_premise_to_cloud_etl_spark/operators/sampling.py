@@ -378,6 +378,7 @@ def hash_split(
     key: Column | str,
     splits: tuple[tuple[str, int], ...] = (("train", 98), ("val", 1), ("test", 1)),
     salt: int = 0,
+    portable: bool = True,
 ) -> DataFrame:
     """Deterministic train/val/test assignment: bucket the portable
     hash of ``key`` into ``sum(weights)`` slots and label by cumulative
@@ -389,10 +390,21 @@ def hash_split(
     ``graph.connected_components``) as ``key`` to make the split
     leakage-safe: all near-duplicates of a document travel to the same
     split, so no eval example has a training-set twin.
+
+    ``portable=False`` swaps the md5-based hash for engine-native
+    ``xxhash64`` (~3x cheaper; the production fast path) — same
+    determinism contract, verifiable cross-engine only against an
+    oracle that implements Spark's xxhash64 chaining
+    (tools/xxh64_oracle.py does).
     """
     k = F.col(key) if isinstance(key, str) else key
     total = sum(w for _, w in splits)
-    slot = F.pmod(portable_hash64(k.cast("string"), seed=salt), F.lit(total))
+    h = (
+        portable_hash64(k.cast("string"), seed=salt)
+        if portable
+        else fast_hash64(k.cast("string"), seed=salt)
+    )
+    slot = F.pmod(h, F.lit(total))
     expr = None
     lo = 0
     for name, w in splits:

@@ -2895,6 +2895,81 @@ FROM keyed
 """
 
 
+def q_corpus_shuffle_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_corpus_shuffle``'s production fast path: the shuffle key is
+    engine-native ``xxhash64`` instead of md5 (~3x cheaper per row at
+    corpus scale), sharded by pmod-256 of the key.  Hash-verified in
+    AUX against a DuckDB oracle that implements Spark's xxhash64
+    chaining exactly (tools/xxh64_oracle.py) — the same
+    promote-then-verify pattern as ``minhash_lsh_pairs_fast``.
+    ``doc_id`` tiebreaks the in-shard order (a 64-bit hash, unlike the
+    md5 hex string, is short enough to collide in principle)."""
+    from pyspark.sql import Window
+
+    from .functions import fast_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        fast_hash64(F.col("doc_id").cast("string")).alias("skey"),
+    ).withColumn("shard", F.pmod(F.col("skey"), F.lit(256)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("shuffle_pos"),
+    )
+
+
+# AUX-only (the spark_xxhash64_seeded UDF exists on AUX connections)
+ORACLE_CORPUS_SHUFFLE_FAST = """
+WITH keyed AS (
+    SELECT doc_id,
+           spark_xxhash64_seeded(doc_id::VARCHAR, 0) AS skey
+    FROM documents
+),
+sharded AS (
+    SELECT doc_id, skey,
+           CAST(((skey % 256) + 256) % 256 AS INT) AS shard
+    FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY skey, doc_id) AS INT)
+           AS shuffle_pos
+FROM sharded
+"""
+
+
+def q_hash_split_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sampling.hash_split``'s xxhash64 fast path over the raw
+    document ids (90/5/5): the deterministic-split gate a daily corpus
+    re-run relies on, at production hash cost.  Hash-verified in AUX
+    via the xxhash64-chaining oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.hash_split(
+        d.select("doc_id"),
+        "doc_id",
+        splits=(("train", 90), ("val", 5), ("test", 5)),
+        portable=False,
+    )
+
+
+ORACLE_HASH_SPLIT_FAST = """
+WITH slotted AS (
+    SELECT doc_id,
+           ((spark_xxhash64_seeded(doc_id::VARCHAR, 0) % 100) + 100)
+               % 100 AS slot
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN slot < 90 THEN 'train'
+            WHEN slot < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM slotted
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-design statistic: what fraction of all corpus tokens
     the top-K most frequent types cover (K = 10/100/1000), plus vocab
@@ -3592,6 +3667,9 @@ AUX_QUERIES: dict[str, QueryFn] = {
     # xxh64 DuckDB twin (round-7: fast paths get digest discipline)
     "stable_sample_fast": q_stable_sample_fast,
     "stratified_sample_fast": q_stratified_sample_fast,
+    # round-9: the last two md5 gates promoted to xxhash64 fast paths
+    "corpus_shuffle_fast": q_corpus_shuffle_fast,
+    "hash_split_fast": q_hash_split_fast,
     # bench-attribution variant: the window-cumsum stage alone, so
     # BENCH can split the fused pack_sequences row per variant
     "pack_sequences_native": q_pack_sequences_native,
@@ -3668,6 +3746,8 @@ AUX_ORACLES: dict[str, str] = {
     ),
     "stable_sample_fast": ORACLE_STABLE_SAMPLE_FAST,
     "stratified_sample_fast": ORACLE_STRATIFIED_FAST,
+    "corpus_shuffle_fast": ORACLE_CORPUS_SHUFFLE_FAST,
+    "hash_split_fast": ORACLE_HASH_SPLIT_FAST,
 }
 
 # Contract guards: the driver records at most 50 rows and every row

@@ -212,6 +212,13 @@ def main() -> None:
         "cosine_topk_ivf": max(reps, 5),
         "dedup_components": max(reps, 5),
         "multimodal_meta": max(reps, 5),
+        # r7 flagged these three as episodic spikes (e.g.
+        # source_overlap 4.03 s one round, 0.71 s the next, identical
+        # code); 5 reps bound the median so the cross-round regression
+        # rule can bind them instead of marking them unjudgeable
+        "source_overlap": max(reps, 5),
+        "model_quality_filter": max(reps, 5),
+        "frequency_spectrum": max(reps, 5),
     }
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}

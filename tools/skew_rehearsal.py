@@ -46,12 +46,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HOT_FRACTION = 10  # every 10th row's key remapped -> hot key owns ~10%
 
 
-def build_skew_fixture(base: str, factor: int, root: str) -> str:
+def build_skew_fixture(
+    base: str, factor: int, root: str, hot_fraction: int = HOT_FRACTION,
+    tag: str = "skew",
+) -> str:
     """x{factor} fixture with planted hot keys: derived from the
-    uniform replicated fixture, then every ``HOT_FRACTION``-th row of
+    uniform replicated fixture, then every ``hot_fraction``-th row of
     events/orders remapped to one hot user/customer, and every
-    ``HOT_FRACTION``-th customer remapped to one (nation, segment) so
-    one location prefix runs hot."""
+    ``hot_fraction``-th customer remapped to one (nation, segment) so
+    one location prefix runs hot.  ``hot_fraction=2`` plants the
+    null-key/default-value shape (one key owns ~half the rows)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -59,14 +63,14 @@ def build_skew_fixture(base: str, factor: int, root: str) -> str:
     from scale_rehearsal import ALL_TABLES, build_fixture
 
     uniform = build_fixture(base, factor, root)
-    out_dir = os.path.join(root, f"x{factor}skew")
+    out_dir = os.path.join(root, f"x{factor}{tag}")
     if os.path.exists(os.path.join(out_dir, "__complete")):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     def remap_every_nth(tbl, col, hot_value):
         n = tbl.num_rows
-        mask = pa.array([i % HOT_FRACTION == 0 for i in range(n)])
+        mask = pa.array([i % hot_fraction == 0 for i in range(n)])
         old = tbl.column(col)
         hot = pa.scalar(hot_value, old.type)
         new = pc.if_else(mask, hot, old)
@@ -93,7 +97,7 @@ def build_skew_fixture(base: str, factor: int, root: str) -> str:
     import pyarrow as pa2
 
     n = cust.num_rows
-    mask = pa2.array([i % HOT_FRACTION == 0 for i in range(n)])
+    mask = pa2.array([i % hot_fraction == 0 for i in range(n)])
     seg = cust.column("c_mktsegment")
     seg_new = pc.if_else(mask, pa2.scalar("BUILDING", seg.type), seg)
     i = cust.schema.get_field_index("c_mktsegment")
@@ -279,6 +283,103 @@ def main() -> int:
     }
     print(
         f"# skew join: aqe_on={t_on}s aqe_off={t_off}s split={saw_skew_split}",
+        file=sys.stderr,
+    )
+
+    # -- 2b. the payoff demonstration the 10%-hot fixture cannot give ---
+    # With a 10% hot key, local[32] wall-clock payoff is structurally
+    # bounded: the hot reduce partition's EXCESS over fair share is
+    # small against the uniform map stage both configs pay (measured
+    # 1.05x byte-bound, 1.24x with a 50-deep hash chain as reduce-side
+    # per-row work).  The shape where splitting decides the job is the
+    # null-key/default-value skew every warehouse hits: ONE key owning
+    # ~half the rows.  Plant it (hot_fraction=2), give the reduce
+    # stage real per-row work, and measure split-on vs split-off.
+    hot50_dir = build_skew_fixture(
+        args.base, args.factor, args.root, hot_fraction=2, tag="skew50"
+    )
+    ev50 = q.load_table(spark, hot50_dir, "events")
+    evj50 = q.rebalance(ev50).select(
+        "user_id", "value", F.col("event_id").alias("pad")
+    )
+    expensive = F.sha2(F.concat_ws("_", "pad", "c_name"), 512)
+    for _ in range(49):
+        expensive = F.sha2(expensive, 512)
+
+    def hot50_join():
+        return (
+            evj50.join(cust, evj50["user_id"] == cust["c_custkey"])
+            .select(expensive.alias("h"), "value")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("m"))
+        )
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB"
+        )
+        # timed() materializes via .agg(count) - Catalyst would PRUNE
+        # the expensive max(h) aggregate and time the bare join; this
+        # leg must collect the 1-row result itself so the reduce-side
+        # work actually runs
+        def timed_collect(fn, reps: int = 2) -> float:
+            best = None
+            for _ in range(reps + 1):
+                t0 = time.time()
+                fn().collect()
+                dt = time.time() - t0
+                spark.catalog.clearCache()
+                if best is None or dt < best:
+                    best = dt
+            return round(best, 3)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t50_on = timed_collect(hot50_join)
+        df = hot50_join()
+        df.collect()
+        saw50 = "skew=true" in df._jdf.queryExecution().executedPlan().toString()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t50_off = timed_collect(hot50_join)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    results["skew_join_aqe_hot50"] = {
+        "hot_key_share": 0.5,
+        "aqe_on_sec": t50_on,
+        "aqe_off_sec": t50_off,
+        "payoff": round(t50_off / t50_on, 2) if t50_on else None,
+        "plan_shows_skew_split": saw50,
+        "note": (
+            "null-key shape: one user owns ~50% of events; forced SMJ "
+            "against the customer dim with a 50-deep sha2 chain as "
+            "reduce-side per-row work (the stand-in for real per-row "
+            "reduce cost at 100 TB); thresholds at fixture scale"
+        ),
+    }
+    print(
+        f"# skew join hot50: aqe_on={t50_on}s aqe_off={t50_off}s "
+        f"split={saw50}",
         file=sys.stderr,
     )
 
