@@ -538,3 +538,115 @@ def embedding_group_drift(
             ).alias("l2_to_global"),
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each probe, the
+    ``k`` most cosine-similar corpus vectors carrying a DIFFERENT
+    label — similar enough to be hard, labeled differently so they are
+    guaranteed negatives.  The standard mining step for retrieval /
+    embedding fine-tuning (in-batch negatives are easy; the ones that
+    move the loss are the near-misses this selects).
+
+    Scale shape: identical to :func:`brute_force_topk` — probes
+    broadcast, corpus streamed once, dot products in codegen, label
+    exclusion pushed into the scan side of the ranking window.  For
+    probe sets too big to broadcast, mine per LSH bucket (compose with
+    :func:`hyperplane_bucket` exactly as :func:`lsh_topk` does) — the
+    label filter composes unchanged.  Output: (probe_id, vec_id,
+    rank, cosine), rank 1 = hardest negative.
+    """
+    p = probes.select(
+        F.col(probe_id_col),
+        F.col(vec_col).alias("__probe_vec"),
+        F.col(label_col).alias("__probe_label"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(p))
+        .filter(F.col(label_col) != F.col("__probe_label"))
+        .select(
+            F.col(probe_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_sim(F.col(vec_col), F.col("__probe_vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "rank", "cosine")
+    )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "probe_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query ranked-retrieval quality: MRR@k and (binary) nDCG@k.
+
+    ``ranked``: (query, id, rank) with rank 1 best, already cut to the
+    retrieval depth; ``relevant``: (query, id) ground-truth pairs.
+    MRR@k = 1/rank of the first relevant hit (0 if none in the top k);
+    nDCG@k = sum(1/log2(rank+1) over relevant hits) normalized by the
+    ideal DCG for min(k, n_relevant) hits.  Queries with no relevant
+    documents at all are dropped (their nDCG is undefined, and keeping
+    them as zeros silently deflates corpus averages).
+
+    Scale shape: one left join of the ranking against the truth pairs
+    on (query, id) — both sides keyed, no window wider than a query's
+    own top-k — then a per-query aggregate; the truth-side n_relevant
+    comes from a separate count joined back (broadcast — one row per
+    query).  Everything stays in codegen; cost is linear in
+    |ranked| + |relevant|.
+    """
+    rel = relevant.select(
+        F.col(query_col), F.col(id_col), F.lit(True).alias("__rel")
+    )
+    n_rel = relevant.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("__n_rel")
+    )
+    top = ranked.filter(F.col(rank_col) <= k).join(
+        rel, [query_col, id_col], "left"
+    )
+    per_q = top.groupBy(query_col).agg(
+        F.max(
+            F.when(F.col("__rel"), 1.0 / F.col(rank_col)).otherwise(0.0)
+        ).alias("__rr"),
+        F.sum(
+            F.when(
+                F.col("__rel"), 1.0 / F.log2(F.col(rank_col) + 1.0)
+            ).otherwise(0.0)
+        ).alias("__dcg"),
+    )
+    # ideal DCG for m hits is sum_{i=1..m} 1/log2(i+1): a tiny
+    # per-distinct-m lookup built with sequence/aggregate, no UDF
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("__n_rel"))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        per_q.join(F.broadcast(n_rel), query_col)
+        .select(
+            query_col,
+            F.round(F.col("__rr"), 6).alias("mrr"),
+            F.round(F.col("__dcg") / ideal, 6).alias("ndcg"),
+            F.col("__n_rel").alias("n_relevant"),
+        )
+    )

@@ -8131,6 +8131,130 @@ FROM ranked WHERE rn = 1
 AUX_QUERIES["per_source_ks"] = q_per_source_ks
 AUX_ORACLES["per_source_ks"] = ORACLE_PER_SOURCE_KS
 
+
+# ---------------------------------------------------------------------------
+# Round 9: contrastive hard-negative mining + ranked-retrieval metrics
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive embedding training: for every
+    50th vector as a probe, the 5 most cosine-similar vectors with a
+    DIFFERENT label (similar enough to be hard, labeled differently so
+    they are guaranteed negatives).  operators/similarity.py
+    hard_negative_mining; broadcast-probe brute scoring, label filter
+    pushed below the ranking window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding", "label"
+    )
+    return similarity.hard_negative_mining(e, probes, k=5)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv, label AS pl
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id,
+           round({_DUCK_COSINE.format(a="e.embedding", b="p.pv")}, 6)
+               AS cosine
+    FROM embeddings e JOIN probes p ON e.label <> p.pl
+)
+SELECT probe_id, vec_id, CAST(rank AS INT) AS rank, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored) t
+WHERE rank <= 5
+"""
+
+
+def q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query MRR@10 and binary nDCG@10 of brute-force cosine
+    retrieval, with same-label membership as ground truth (self
+    excluded from both ranking and truth) — the evaluation loop every
+    retrieval/embedding pipeline runs after mining and fine-tuning.
+    operators/similarity.py retrieval_metrics."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("__pv"),
+        F.col("label").alias("__pl"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                similarity.cosine_sim(F.col("embedding"), F.col("__pv")), 6
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    relevant = (
+        e.join(
+            F.broadcast(p.select("probe_id", "__pl")),
+            (e["label"] == F.col("__pl")) & (e["vec_id"] != F.col("probe_id")),
+        )
+        .select("probe_id", "vec_id")
+    )
+    return similarity.retrieval_metrics(ranked, relevant, k=10)
+
+
+ORACLE_RETRIEVAL_QUALITY = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding AS pv, label AS pl
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id,
+           round({_DUCK_COSINE.format(a="e.embedding", b="p.pv")}, 6)
+               AS cosine,
+           (e.label = p.pl) AS rel
+    FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rank <= 10),
+nrel AS (
+    SELECT probe_id, count(*) AS n_rel FROM scored WHERE rel GROUP BY 1
+),
+perq AS (
+    SELECT probe_id,
+           max(CASE WHEN rel THEN 1.0 / rank ELSE 0.0 END) AS rr,
+           sum(CASE WHEN rel THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END)
+               AS dcg
+    FROM top GROUP BY 1
+)
+SELECT q.probe_id,
+       round(q.rr, 6) AS mrr,
+       round(q.dcg / list_sum(
+           [1.0 / log2(i + 1.0) for i in range(1, least(10, n.n_rel) + 1)]
+       ), 6) AS ndcg,
+       n.n_rel AS n_relevant
+FROM perq q JOIN nrel n USING (probe_id)
+"""
+
+
+AUX_QUERIES["hard_negatives"] = q_hard_negatives
+AUX_ORACLES["hard_negatives"] = ORACLE_HARD_NEGATIVES
+AUX_QUERIES["retrieval_quality"] = q_retrieval_quality
+AUX_ORACLES["retrieval_quality"] = ORACLE_RETRIEVAL_QUALITY
+
+
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"

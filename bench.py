@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "model_quality_filter",
     "source_overlap",
     "frequency_spectrum",
+    # round-9 additions (excluded from the comparable total)
+    "hard_negatives",
+    "retrieval_quality",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -158,6 +161,8 @@ TOTAL_EXCLUDED = {
     "model_quality_filter",
     "source_overlap",
     "frequency_spectrum",
+    "hard_negatives",
+    "retrieval_quality",
 }
 
 

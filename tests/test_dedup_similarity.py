@@ -603,3 +603,73 @@ def test_sample_frames_wav_kernel(spark):
             int(v).to_bytes(2, "little", signed=True) for v in samples[i]
         )
         assert bytes(r["frame"]) == expect
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """Planted 2-D vectors: the nearest same-label vector must NOT
+    appear; the k hardest different-label vectors come back in cosine
+    order with rank 1 = most similar."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),     # probe
+        (1, [0.999, 0.04], 0),  # same label: nearest but excluded
+        (2, [0.95, 0.31], 1),   # hardest negative
+        (3, [0.7, 0.71], 1),
+        (4, [0.0, 1.0], 2),     # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    probes = df.filter("vec_id = 0").selectExpr(
+        "vec_id AS probe_id", "embedding", "label"
+    )
+    out = similarity.hard_negative_mining(df, probes, k=2).collect()
+    assert [(r["vec_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+    assert out[0]["cosine"] > out[1]["cosine"]
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """MRR/nDCG against hand-computed values: query A's relevant docs
+    at ranks 1 and 3 (of 2 relevant) -> MRR 1.0, nDCG =
+    (1/log2(2) + 1/log2(4)) / (1/log2(2) + 1/log2(3)); query B's only
+    relevant doc at rank 2 -> MRR 0.5, nDCG = (1/log2(3)) / 1."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import similarity
+
+    ranked = spark.createDataFrame(
+        [("A", 10, 1), ("A", 11, 2), ("A", 12, 3),
+         ("B", 10, 1), ("B", 11, 2), ("B", 12, 3)],
+        "probe_id STRING, vec_id LONG, rank INT",
+    )
+    relevant = spark.createDataFrame(
+        [("A", 10), ("A", 12), ("B", 11)],
+        "probe_id STRING, vec_id LONG",
+    )
+    out = {
+        r["probe_id"]: r
+        for r in similarity.retrieval_metrics(ranked, relevant, k=3).collect()
+    }
+    assert out["A"]["mrr"] == 1.0
+    expect_a = (1 / math.log2(2) + 1 / math.log2(4)) / (
+        1 / math.log2(2) + 1 / math.log2(3)
+    )
+    assert abs(out["A"]["ndcg"] - expect_a) < 1e-6
+    assert out["A"]["n_relevant"] == 2
+    assert out["B"]["mrr"] == 0.5
+    expect_b = (1 / math.log2(3)) / (1 / math.log2(2))
+    assert abs(out["B"]["ndcg"] - expect_b) < 1e-6
+
+
+def test_retrieval_metrics_drops_truthless_queries(spark):
+    """A query with no relevant docs anywhere has undefined nDCG: it
+    must be absent from the output, not emitted as zeros."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import similarity
+
+    ranked = spark.createDataFrame(
+        [("A", 1, 1), ("C", 2, 1)], "probe_id STRING, vec_id LONG, rank INT"
+    )
+    relevant = spark.createDataFrame([("A", 1)], "probe_id STRING, vec_id LONG")
+    out = similarity.retrieval_metrics(ranked, relevant, k=3).collect()
+    assert {r["probe_id"] for r in out} == {"A"}
