@@ -168,3 +168,55 @@ def snapshot_diff(
             ],
         )
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply an ordered I/U/D change log to a snapshot — the MERGE
+    INTO / Debezium-after-image shape: per key the HIGHEST-``seq``
+    change wins, ``D`` removes the key, ``I``/``U`` upsert the full
+    attribute image, untouched keys pass through byte-identical.
+    Returns the new snapshot.
+
+    Complements :func:`scd2_merge`: that keeps history with validity
+    intervals; this maintains the current-state table a CDC stream
+    feeds.  Intra-batch ordering is by ``seq_col`` (log offset /
+    LSN), so replaying a batch of micro-batches in one call gives the
+    same result as applying them one at a time (associativity the
+    test pins).
+
+    Scale shape: the changelog collapses to one row per key (window
+    top-1 over the batch — changelog-sized, not snapshot-sized), then
+    ONE full-outer join on the key against the snapshot.  CDC batches
+    are usually tiny next to the snapshot → AQE broadcasts the
+    collapsed log and the snapshot is never shuffled.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    j = snapshot.alias("s").join(latest.alias("c"), key_col, "full_outer")
+    has_change = F.col(f"c.{op_col}").isNotNull()
+    deleted = has_change & (F.col(f"c.{op_col}") == "D")
+    return (
+        j.filter(~deleted)
+        .select(
+            F.col(key_col),
+            *[
+                F.when(has_change, F.col(f"c.{a}"))
+                .otherwise(F.col(f"s.{a}"))
+                .alias(a)
+                for a in attr_cols
+            ],
+        )
+    )

@@ -92,3 +92,60 @@ def latest_batch_only(df: DataFrame, batch_key: Column, keep_cols: list[str] | N
         F.broadcast(mx), on=F.col("__batch_key") == F.col("__max_batch"), how="inner"
     ).drop("__batch_key", "__max_batch")
     return out.select(*keep_cols) if keep_cols else out
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] = (),
+    count_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> DataFrame:
+    """Incremental maintenance of a distributive rollup: merge a new
+    batch's PARTIAL aggregate into the standing aggregate table
+    without ever rescanning the base facts — the materialized-view
+    refresh shape every daily pipeline needs once the fact table
+    outgrows full recompute.
+
+    ``existing`` and ``delta`` both carry ``keys`` plus the aggregate
+    columns; ``delta`` is typically ``partial_rollup`` of just the new
+    facts.  sum/count merge by SUM (a count of counts is a sum),
+    min by MIN, max by MAX — the distributive-aggregate algebra.
+    AVG callers store (sum, count) and divide at read; non-distributive
+    aggregates (exact distinct, median) need their own state and are
+    deliberately out of scope.
+
+    Scale shape: union of two AGGREGATE-sized tables → one hash
+    aggregate on the keys.  The fact table appears nowhere; cost is
+    O(|existing| + |delta-agg|) regardless of history size.  Pytest +
+    oracle pin merge(existing, delta) == full recompute.
+    """
+    merged = existing.unionByName(delta)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.sum(c).alias(c) for c in count_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def partial_rollup(
+    facts: DataFrame,
+    keys: list[str],
+    sum_exprs: dict[str, str] = (),
+    count_col: str | None = None,
+    min_exprs: dict[str, str] = (),
+    max_exprs: dict[str, str] = (),
+) -> DataFrame:
+    """The batch-side half of :func:`merge_rollup`: aggregate ONE
+    batch of facts into the rollup's schema (map each output column
+    to its source expression)."""
+    aggs = [F.sum(F.expr(src)).alias(dst) for dst, src in dict(sum_exprs).items()]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    aggs += [F.min(F.expr(src)).alias(dst) for dst, src in dict(min_exprs).items()]
+    aggs += [F.max(F.expr(src)).alias(dst) for dst, src in dict(max_exprs).items()]
+    return facts.groupBy(*keys).agg(*aggs)

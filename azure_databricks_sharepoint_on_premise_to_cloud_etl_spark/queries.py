@@ -8255,6 +8255,138 @@ AUX_QUERIES["retrieval_quality"] = q_retrieval_quality
 AUX_ORACLES["retrieval_quality"] = ORACLE_RETRIEVAL_QUALITY
 
 
+# ---------------------------------------------------------------------------
+# Round 9: CDC changelog apply + incremental rollup maintenance
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / Debezium-after-image shape: an I/U/D changelog
+    (derived deterministically from orders) applied to the customer
+    snapshot — highest-seq change wins per key, D removes, I/U upsert
+    the full image, untouched keys pass through.
+    operators/scd.py cdc_apply; one changelog-sized window + one
+    full-outer key join."""
+    from .operators import scd
+
+    c = rebalance(load_table(spark, sf_dir, "customer"))
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    snap = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    ok = F.col("o_orderkey")
+    ch = o.select(
+        F.when(ok % 10 == 7, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("key"),
+        F.when(ok % 10 == 0, F.lit("D"))
+        .when(ok % 10 == 7, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        ok.alias("seq"),
+        F.concat(F.lit("cdc_"), ok.cast("string")).alias("name"),
+        F.round("o_totalprice", 2).alias("bal"),
+    )
+    return scd.cdc_apply(snap, ch, "key", ["name", "bal"])
+
+
+ORACLE_CDC_APPLY = """
+WITH snap AS (
+    SELECT c_custkey AS key, c_name AS name, round(c_acctbal, 2) AS bal
+    FROM customer
+),
+ch AS (
+    SELECT CASE WHEN o_orderkey % 10 = 7 THEN o_custkey + 1000000
+                ELSE o_custkey END AS key,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                WHEN o_orderkey % 10 = 7 THEN 'I'
+                ELSE 'U' END AS op,
+           o_orderkey AS seq,
+           'cdc_' || o_orderkey AS name,
+           round(o_totalprice, 2) AS bal
+    FROM orders
+),
+latest AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY key
+                                     ORDER BY seq DESC, op DESC) AS rn
+        FROM ch) t
+    WHERE rn = 1
+)
+SELECT coalesce(s.key, c.key) AS key,
+       CASE WHEN c.key IS NOT NULL THEN c.name ELSE s.name END AS name,
+       CASE WHEN c.key IS NOT NULL THEN c.bal ELSE s.bal END AS bal
+FROM snap s FULL OUTER JOIN latest c ON s.key = c.key
+WHERE NOT (c.key IS NOT NULL AND c.op = 'D')
+"""
+
+
+_ROLLUP_CUTOFF = "2024-01-16"
+
+
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the standing per-(type,
+    day) events rollup (built from history BEFORE the cutoff) merged
+    with the new batch's partial aggregate (facts AT/AFTER the
+    cutoff) — the fact table is never rescanned at refresh time.  The
+    oracle is the FULL recompute over all events: merge == recompute
+    is the invariant that licenses incremental refresh.
+    operators/snapshots.py merge_rollup/partial_rollup."""
+    from .operators import snapshots
+
+    e = rebalance(load_table(spark, sf_dir, "events")).withColumn(
+        "day", F.to_date("ts")
+    )
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("date")
+    build = lambda df: snapshots.partial_rollup(  # noqa: E731
+        df,
+        ["event_type", "day"],
+        sum_exprs={"sum_value": "value"},
+        count_col="n_events",
+        min_exprs={"min_value": "value"},
+        max_exprs={"max_value": "value"},
+    )
+    existing = build(e.filter(F.col("day") < cutoff))
+    delta = build(e.filter(F.col("day") >= cutoff))
+    merged = snapshots.merge_rollup(
+        existing,
+        delta,
+        ["event_type", "day"],
+        sum_cols=["sum_value"],
+        count_cols=["n_events"],
+        min_cols=["min_value"],
+        max_cols=["max_value"],
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.round("sum_value", 2).alias("sum_value"),
+        "n_events",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+ORACLE_ROLLUP_MERGE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       round(sum(value), 2) AS sum_value,
+       count(*) AS n_events,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+AUX_QUERIES["cdc_apply"] = q_cdc_apply
+AUX_ORACLES["cdc_apply"] = ORACLE_CDC_APPLY
+AUX_QUERIES["rollup_merge"] = q_rollup_merge
+AUX_ORACLES["rollup_merge"] = ORACLE_ROLLUP_MERGE
+
+
+
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"

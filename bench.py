@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     # round-9 additions (excluded from the comparable total)
     "hard_negatives",
     "retrieval_quality",
+    "cdc_apply",
+    "rollup_merge",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -163,6 +165,8 @@ TOTAL_EXCLUDED = {
     "frequency_spectrum",
     "hard_negatives",
     "retrieval_quality",
+    "cdc_apply",
+    "rollup_merge",
 }
 
 

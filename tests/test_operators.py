@@ -915,3 +915,69 @@ def test_scd2_merge_semantics(spark):
     # key 3 untouched; key 9 opened
     assert (3, "gold", True) in rows
     assert str(rows[(9, "new", True)]["valid_from"]).startswith("2024-01-01")
+
+
+def test_cdc_apply_semantics_and_associativity(spark):
+    """Last-writer-wins per key, D removes, I inserts, untouched keys
+    pass through — and applying two batches sequentially equals
+    applying their union in one call (log-offset ordering makes the
+    operator associative over batches)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "key LONG, name STRING, bal DOUBLE",
+    )
+    batch1 = spark.createDataFrame(
+        [(2, "U", 100, "b2", 21.0), (3, "D", 101, None, None),
+         (4, "I", 102, "d", 40.0)],
+        "key LONG, op STRING, seq LONG, name STRING, bal DOUBLE",
+    )
+    batch2 = spark.createDataFrame(
+        # key 2 updated again (higher seq wins); key 4 deleted after
+        # its insert; key 3 re-inserted after its delete
+        [(2, "U", 200, "b3", 22.0), (4, "D", 201, None, None),
+         (3, "I", 202, "c2", 31.0)],
+        "key LONG, op STRING, seq LONG, name STRING, bal DOUBLE",
+    )
+    step = cdc_apply(
+        cdc_apply(snap, batch1, "key", ["name", "bal"]),
+        batch2, "key", ["name", "bal"],
+    )
+    merged = cdc_apply(
+        snap, batch1.unionByName(batch2), "key", ["name", "bal"]
+    )
+    expect = {(1, "a", 10.0), (2, "b3", 22.0), (3, "c2", 31.0)}
+    assert {tuple(r) for r in step.collect()} == expect
+    assert {tuple(r) for r in merged.collect()} == expect
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    """Incremental refresh invariant: merging the standing aggregate
+    with a new batch's partial aggregate equals recomputing over all
+    facts — for every distributive measure (sum/count/min/max),
+    including keys that exist only in one side."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.snapshots import (
+        merge_rollup,
+        partial_rollup,
+    )
+
+    rows = [
+        ("a", 1, 5.0), ("a", 1, 7.0), ("b", 1, 1.0),
+        ("a", 2, 2.0), ("c", 2, 9.0), ("b", 2, 4.0), ("b", 2, 3.0),
+    ]
+    facts = spark.createDataFrame(rows, "k STRING, batch INT, v DOUBLE")
+    build = lambda df: partial_rollup(  # noqa: E731
+        df, ["k"], sum_exprs={"s": "v"}, count_col="n",
+        min_exprs={"mn": "v"}, max_exprs={"mx": "v"},
+    )
+    merged = merge_rollup(
+        build(facts.filter("batch = 1")),
+        build(facts.filter("batch = 2")),
+        ["k"], sum_cols=["s"], count_cols=["n"],
+        min_cols=["mn"], max_cols=["mx"],
+    )
+    full = build(facts)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
