@@ -174,6 +174,11 @@ HEAVY = [
     "minhash_lsh_pairs_fast",
     "tfidf_doc_similarity",
     "triangle_count",
+    # round-9 relational additions: CDC apply (full-outer key join,
+    # orders-derived changelog grows with the fixture) and the
+    # incremental rollup refresh (aggregate-sized merge)
+    "cdc_apply",
+    "rollup_merge",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
