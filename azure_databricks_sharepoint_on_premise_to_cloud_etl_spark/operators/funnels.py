@@ -520,3 +520,100 @@ def cohort_ltv(
             ).alias("cum_revenue_per_customer"),
         )
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    channels: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion's value is
+    split across ALL of the key's preceding touches in proportion to
+    how many touches each channel contributed (the uniform-credit
+    multi-touch model, vs ``last_touch_attribution``'s winner-take-
+    all).  Conversions with no preceding touch attribute in full to
+    the literal channel ``'(none)'`` — counted honestly, never
+    dropped.
+
+    Scale shape: the naive formulation joins conversions against
+    their full touch history (a per-user range join, quadratic in
+    events per user).  Because the channel set is SMALL and DECLARED
+    (``channels``), the same result comes from one cumulative
+    conditional count per channel over a single (key)-partitioned
+    window — ONE shuffle on the key, work linear in events ×
+    |channels|, no self-join.  The per-conversion credit vector is
+    then unpivoted via ``stack`` (rows only for channels with
+    non-zero credit) and rolled up per channel.
+
+    Tie rule matches last_touch_attribution: a touch at the exact
+    conversion timestamp is visible to that conversion.
+
+    Output: (channel, n_conversions, attributed_value) — a channel's
+    n_conversions counts conversions it received ANY credit from.
+    """
+    is_conv = F.col(type_col) == conversion_type
+    tagged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        is_conv.cast("int").alias("__is_c"),
+        F.col(type_col).alias("__t"),
+        F.when(~is_conv, F.col("event_id")).alias("__tid"),
+        F.when(is_conv, F.col(value_col)).alias("__val"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col(ts_col),
+            F.col("__is_c"),  # touch sorts before conversion at equal ts
+            F.coalesce(F.col("__tid"), F.lit(-1)),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt_cols = {
+        ch: F.sum(
+            ((F.col("__is_c") == 0) & (F.col("__t") == ch)).cast("long")
+        ).over(w)
+        for ch in channels
+    }
+    conv = (
+        tagged.select(
+            "*", *[c.alias(f"__n_{i}") for i, c in enumerate(cnt_cols.values())]
+        )
+        .filter(F.col("__is_c") == 1)
+        .withColumn(
+            "__tot", sum(F.col(f"__n_{i}") for i in range(len(channels)))
+        )
+    )
+    # unpivot: one row per (conversion, channel-with-credit); the
+    # '(none)' arm carries untouched conversions at full value
+    stack_args = ", ".join(
+        f"'{ch}', __n_{i}" for i, ch in enumerate(channels)
+    )
+    credited = (
+        conv.filter(F.col("__tot") > 0)
+        .selectExpr(
+            "__val",
+            "__tot",
+            f"stack({len(channels)}, {stack_args}) AS (channel, __n)",
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            "channel",
+            (F.col("__val") * F.col("__n") / F.col("__tot")).alias("__credit"),
+        )
+    )
+    untouched = conv.filter(F.col("__tot") == 0).select(
+        F.lit("(none)").alias("channel"), F.col("__val").alias("__credit")
+    )
+    return (
+        credited.unionAll(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("__credit"), 4).alias("attributed_value"),
+        )
+    )

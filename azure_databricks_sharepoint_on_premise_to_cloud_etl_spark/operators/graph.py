@@ -775,3 +775,158 @@ def pagerank(
     # base is a second checkpoint; free it through the same hook
     result._extra_ckpts = [base]
     return result
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 12,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes whose
+    degree is below ``k`` until the remaining subgraph is a fixpoint
+    (every survivor has ≥ k neighbors INSIDE the core).  Returns
+    ``(node, core_deg)`` — the surviving nodes with their degree in
+    the final core.  The k-core is the standard density filter over
+    near-dup candidate graphs (template families and boilerplate
+    clusters survive; incidental one-off collisions peel away) and
+    over interaction graphs (spam rings, power-user cliques).
+
+    Scale shape — distributed peel, the textbook formulation: each
+    round is ONE degree aggregate over the remaining edge table plus
+    two anti-joins against the (small, shrinking) peel set; work per
+    round is linear in the remaining edges and the edge table only
+    ever shrinks.  The peel set is degree-table-sized (node-bounded),
+    so AQE broadcasts the anti-joins after round 1.  Each generation
+    is eagerly localCheckpoint-ed (iterative lineage would otherwise
+    embed every prior round's joins) and the superseded generation's
+    blocks are released immediately — storage is bounded at two edge
+    generations, same contract as connected_components.
+
+    Rounds are bounded by ``max_iterations``; a graph that has not
+    reached its fixpoint by then raises RuntimeError rather than
+    returning a superset of the core (mirrors connected_components'
+    no-silent-wrong-answer contract).  Degeneracy peel counts are
+    small in practice: each round removes EVERY current sub-k node,
+    so round count is the graph's "peel depth", typically ≤ 10 even
+    on web graphs.
+
+    Oracle story: a fixed unroll of the same peel in chained SQL CTEs
+    is equivalent whenever the fixpoint is reached within the unroll
+    depth — which this function guarantees by raising otherwise.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionAll(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+
+    for _ in range(max_iterations):
+        deg = degrees(e)
+        low = deg.filter(F.col("core_deg") < k).select("node")
+        # node-bounded table; one small job decides convergence
+        if low.limit(1).count() == 0:
+            result = deg
+            result._cc_final_generation = e
+            result._cc_checkpoint_dir = None
+            return result
+        nxt = (
+            e.join(
+                F.broadcast(low.withColumnRenamed("node", "a")), "a", "left_anti"
+            )
+            .join(
+                F.broadcast(low.withColumnRenamed("node", "b")), "b", "left_anti"
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(e)
+        e = nxt
+    raise RuntimeError(
+        f"k_core did not reach its fixpoint in {max_iterations} peels — "
+        "raise max_iterations (and the oracle unroll depth with it)"
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY source node,
+    explored to at most ``max_hops`` hops.  Returns ``(node, hops)``
+    for every reached node (sources at 0); unreached nodes are absent.
+    This is the reachability primitive behind contamination blast-
+    radius checks ("everything within 2 links of a benchmark page"),
+    fraud-ring expansion from seed accounts, and dependency closure.
+
+    Scale shape — frontier iteration, the delta form: each hop joins
+    ONLY the newly-reached frontier against the (static, checkpointed,
+    symmetrized) edge table, then anti-joins the standing distance
+    table to keep first discoveries; settled nodes never re-enter the
+    join.  The frontier is broadcast-sized after the first hops in
+    typical expansions, and the hop count is a hard cap — cost is
+    O(edges incident to reached nodes), never O(V·E).  Distance table
+    generations are localCheckpoint-ed and superseded generations
+    released, bounding storage at two generations (same contract as
+    connected_components).
+    """
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .select("u", "v")
+        .unionAll(
+            edges.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .select("u", "v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        neigh = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = neigh.join(dist.select("node"), "node", "left_anti").withColumn(
+            "hops", F.lit(h)
+        )
+        nxt = dist.unionAll(fresh).localCheckpoint(eager=True)
+        # settled?  one emptiness probe over the checkpointed
+        # generation (the frontier filter scans cached blocks only)
+        settled = nxt.filter(F.col("hops") == h).limit(1).count() == 0
+        _release_local_checkpoint(dist)
+        dist = nxt
+        if settled:
+            break
+        frontier = dist.filter(F.col("hops") == h).select("node")
+    result = dist
+    result._cc_final_generation = sym
+    result._cc_checkpoint_dir = None
+    return result

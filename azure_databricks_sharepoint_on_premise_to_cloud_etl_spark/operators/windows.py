@@ -453,3 +453,58 @@ def time_weighted_avg(
             F.sum(F.col("__v") * F.col("__dt")) / F.sum("__dt"), 6
         ).alias("twap"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, the
+    ``adjust=True`` (finite-window-corrected) form:
+
+        ewma_t = Σ_{i≤t} (1-α)^(t-i) · x_i  /  Σ_{i≤t} (1-α)^(t-i)
+
+    computed as ONE cumulative window sum per key — the weights
+    factor as (1-α)^t · (1-α)^(-i), so the position-dependent part
+    rides each row (``x_i · (1-α)^(-i)``) and the cumulative sum is
+    rescaled once per row.  No self-join, no per-row rescan of the
+    history; one shuffle on the key.
+
+    Determinism contract: with the default ``alpha=0.5`` every weight
+    is a power of two, so scaling is EXACT in IEEE arithmetic, and
+    when ``value_col`` is integral every partial sum is an integer —
+    the result is bit-identical across engines regardless of their
+    summation order, which is what lets a SQL oracle hash-match it.
+    For other alphas the closed form is float-associative (last-ulp
+    engine variance) — fine for smoothing, not for hash comparison.
+
+    Scale note: the rescaled terms grow as (1-α)^(-i), so the closed
+    form is for BOUNDED series per key (≤ ~1000 points at α=0.5 stays
+    finite; ≤ ~50 keeps integer exactness under 2^53).  Aggregate to
+    coarse buckets first (the intended use: daily/hourly rollups per
+    entity — bounded by the calendar); unbounded tick streams should
+    segment or use the streaming form.
+
+    Output: the input columns plus ``out_col``; rows ordered freely.
+    """
+    r = 1.0 - alpha
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = F.row_number().over(
+        Window.partitionBy(*key_cols).orderBy(order_col)
+    ) - F.lit(1)
+    staged = df.withColumn("__i", idx).withColumn(
+        "__term", F.col(value_col) * F.pow(F.lit(r), -F.col("__i"))
+    )
+    num = F.sum("__term").over(w) * F.pow(F.lit(r), F.col("__i"))
+    den = F.sum(F.pow(F.lit(r), -F.col("__i"))).over(w) * F.pow(
+        F.lit(r), F.col("__i")
+    )
+    return staged.withColumn(out_col, num / den).drop("__i", "__term")

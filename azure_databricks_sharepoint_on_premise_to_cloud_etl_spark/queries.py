@@ -8391,3 +8391,292 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.): graph density/reachability, EWMA, multi-touch
+# attribution, dedup canonical selection
+# ---------------------------------------------------------------------------
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2) of the part co-purchase graph: parts are linked
+    when they co-occur in ≥ 2 orders (the ≥2 support cut keeps the
+    skewed tail — popular-part hubs — and prunes the random-pairing
+    noise that would otherwise make the core transition degenerate).
+    The 2-core is the cycle-carrying skeleton: multi-round peels and
+    a nonempty core at BOTH sf0.01 (3 rounds, 1562 survivors) and
+    sf0.1 (6 rounds, 18 survivors).
+    operators/graph.py k_core — distributed peel, one degree
+    aggregate + two anti-joins per round over an only-shrinking
+    checkpointed edge table.  The oracle unrolls the identical peel
+    as chained CTEs; k_core raises rather than return a non-fixpoint,
+    so fixed-depth unroll == fixpoint whenever a result exists."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return graph.k_core(edges, k=2, max_iterations=12)
+
+
+def _kcore_oracle(k: int = 2, peels: int = 12) -> str:
+    base = (
+        "SELECT a.l_partkey AS a, b.l_partkey AS b "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
+    )
+    # MATERIALIZED: DuckDB inlines plain CTEs, and each peel level
+    # references its predecessor three times — inlined, the unroll
+    # expands 3^peels scans of the base table (observed: fd
+    # exhaustion); materialized, each level runs once.
+    parts = [f"e0 AS MATERIALIZED ({base})"]
+    for i in range(1, peels + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS core_deg FROM ("
+            f"SELECT a AS node FROM e{i-1} UNION ALL "
+            f"SELECT b AS node FROM e{i-1}) GROUP BY 1)"
+        )
+        parts.append(
+            f"low{i} AS MATERIALIZED "
+            f"(SELECT node FROM d{i} WHERE core_deg < {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM e{i-1} "
+            f"WHERE a NOT IN (SELECT node FROM low{i}) "
+            f"AND b NOT IN (SELECT node FROM low{i}))"
+        )
+    final = (
+        f"SELECT node, core_deg FROM (SELECT node, count(*) AS core_deg "
+        f"FROM (SELECT a AS node FROM e{peels} UNION ALL "
+        f"SELECT b AS node FROM e{peels}) GROUP BY 1) WHERE core_deg >= {k}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the part–supplier graph: minimum hop
+    distance (≤ 4) from the seed parts (l_partkey % 500 = 1).
+    operators/graph.py bfs_distances — delta-frontier iteration
+    against a static checkpointed symmetrized edge table; the oracle
+    unrolls the same four expansions as chained CTEs."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = li.filter(F.col("l_partkey") % 500 == 1).select(
+        F.col("l_partkey").alias("node")
+    )
+    return graph.bfs_distances(edges, seeds, max_hops=4)
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    parts = [
+        "edges AS ("
+        "SELECT DISTINCT l_partkey AS u, 10000000 + l_suppkey AS v "
+        "FROM lineitem UNION "
+        "SELECT DISTINCT 10000000 + l_suppkey AS u, l_partkey AS v "
+        "FROM lineitem)",
+        "d0 AS (SELECT DISTINCT l_partkey AS node, 0 AS hops "
+        "FROM lineitem WHERE l_partkey % 500 = 1)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS (SELECT DISTINCT e.v AS node FROM edges e "
+            f"JOIN d{h-1} p ON e.u = p.node AND p.hops = {h-1} "
+            f"WHERE e.v NOT IN (SELECT node FROM d{h-1}))"
+        )
+        parts.append(
+            f"d{h} AS (SELECT node, hops FROM d{h-1} "
+            f"UNION ALL SELECT node, {h} AS hops FROM f{h})"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, hops FROM d{max_hops}"
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EWMA (α=0.5, adjust=True) of the daily event
+    count — the trend-smoothing pass over an already-bounded rollup.
+    operators/windows.py ewma_smooth: one cumulative window sum per
+    key; with α=0.5 and integral inputs every partial sum is exact,
+    so the oracle hash-matches bit-for-bit (see the operator's
+    determinism contract)."""
+    from .operators import windows as w
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    out = w.ewma_smooth(daily, ["event_type"], "day", "__n", alpha=0.5)
+    return out.select(
+        "event_type",
+        "day",
+        F.col("__n").cast("long").alias("n_events"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+ORACLE_EWMA = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+idx AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+    FROM daily
+),
+s AS (
+    SELECT *,
+           sum(n_events * power(2.0, i))
+               OVER (PARTITION BY event_type ORDER BY i) AS num,
+           sum(power(2.0, i))
+               OVER (PARTITION BY event_type ORDER BY i) AS den
+    FROM idx
+)
+SELECT event_type, day, n_events, round(num / den, 6) AS ewma FROM s
+"""
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value split
+    across the user's preceding touches in proportion to per-channel
+    touch counts (uniform credit), untouched purchases to '(none)'.
+    operators/funnels.py linear_attribution — cumulative conditional
+    counts over ONE user-keyed window (channels are declared, so no
+    conversion×touch range join); the oracle computes the same credit
+    from the explicit quadratic formulation."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return funnels.linear_attribution(
+        e, "purchase", channels=["view", "click", "signup", "error"]
+    )
+
+
+ORACLE_LINEAR_ATTRIBUTION = """
+WITH conv AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+per AS (
+    SELECT c.event_id, c.value, t.event_type AS channel,
+           count(*) AS n,
+           sum(count(*)) OVER (PARTITION BY c.event_id) AS tot
+    FROM conv c JOIN events t
+      ON t.user_id = c.user_id AND t.ts <= c.ts
+     AND t.event_type <> 'purchase'
+    GROUP BY 1, 2, 3
+),
+cred AS (
+    SELECT channel, value * n / tot AS credit FROM per
+    UNION ALL
+    SELECT '(none)' AS channel, c.value AS credit FROM conv c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events t
+        WHERE t.user_id = c.user_id AND t.ts <= c.ts
+          AND t.event_type <> 'purchase')
+)
+SELECT channel, count(*) AS n_conversions,
+       round(sum(credit), 4) AS attributed_value
+FROM cred GROUP BY 1
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step that turns near-dup
+    CLUSTERS into a deduplicated corpus: per duplicate cluster keep
+    the best document (longest text, ties to the smallest doc_id) and
+    report cluster size.  Composes the verified MinHash→LSH→CC
+    pipeline (dedup_components' machinery) with one window over the
+    component-keyed result; emits only multi-document clusters (the
+    singleton majority needs no decision).  The oracle reuses the
+    recursive-CTE component fixpoint plus the same window."""
+    from .operators.graph import connected_components
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    comp = connected_components(pairs, d.select("doc_id"))
+    joined = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    wc = Window.partitionBy("component")
+    wr = wc.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = joined.select(
+        "*",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wc).alias("n_docs"),
+    )
+    out = ranked.filter((F.col("__rn") == 1) & (F.col("n_docs") > 1)).select(
+        "component",
+        F.col("doc_id").alias("canonical_doc"),
+        "n_docs",
+        F.col("n_chars").alias("kept_chars"),
+    )
+    # propagate the CC release handle so bench/long-lived sessions can
+    # free the final checkpointed generation (release_components)
+    out._cc_final_generation = comp._cc_final_generation
+    out._cc_checkpoint_dir = comp._cc_checkpoint_dir
+    return out
+
+
+def _keep_best_oracle() -> str:
+    pairs = _minhash_oracle().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach (src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT d.doc_id,
+           least(d.doc_id,
+                 coalesce((SELECT min(dst) FROM reach WHERE src = d.doc_id),
+                          d.doc_id)) AS component,
+           d.n_chars
+    FROM documents d
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY component) AS n_docs
+    FROM comp
+)
+SELECT component, doc_id AS canonical_doc, n_docs, n_chars AS kept_chars
+FROM ranked WHERE rn = 1 AND n_docs > 1
+"""
+
+
+AUX_QUERIES["kcore"] = q_kcore
+AUX_ORACLES["kcore"] = _kcore_oracle()
+AUX_QUERIES["bfs_hops"] = q_bfs_hops
+AUX_ORACLES["bfs_hops"] = _bfs_oracle()
+AUX_QUERIES["ewma"] = q_ewma
+AUX_ORACLES["ewma"] = ORACLE_EWMA
+AUX_QUERIES["linear_attribution"] = q_linear_attribution
+AUX_ORACLES["linear_attribution"] = ORACLE_LINEAR_ATTRIBUTION
+AUX_QUERIES["dedup_keep_best"] = q_dedup_keep_best
+AUX_ORACLES["dedup_keep_best"] = _keep_best_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "retrieval_quality",
     "cdc_apply",
     "rollup_merge",
+    "ewma",
+    "linear_attribution",
+    "kcore",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -1,0 +1,199 @@
+"""Planted-fixture tests for the round-9 widening operators: k-core
+peel, multi-source BFS, EWMA smoothing, linear multi-touch
+attribution, and dedup canonical selection.  Corpus-level oracle
+parity is covered by the parameterized AUX test; these pin the
+SEMANTICS on inputs small enough to verify by hand (EWMA additionally
+against pandas' reference implementation).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import (
+    linear_attribution,
+)
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+    bfs_distances,
+    k_core,
+    release_components,
+)
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import ewma_smooth
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_k_core_cascade_peels_chain_keeps_clique(spark):
+    """K4 {1,2,3,4} with a tail 4-5-6-7: k=3 must peel the tail one
+    node per round (7 first, then 6, then 5 — a genuine multi-round
+    cascade, each removal only exposing the next) and keep exactly
+    the K4, every survivor at core degree 3."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tail = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(k4 + tail, ["src", "dst"])
+    out = k_core(edges, k=3)
+    got = {r["node"]: r["core_deg"] for r in out.collect()}
+    release_components(out)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_empty_core_and_messy_input(spark):
+    """A star has no 2-core; duplicate/reversed edges and self-loops
+    must not create one (canonicalization contract)."""
+    star = [(1, 2), (2, 1), (1, 3), (1, 4), (1, 1)]
+    edges = spark.createDataFrame(star, ["src", "dst"])
+    out = k_core(edges, k=2)
+    rows = out.collect()
+    release_components(out)
+    assert rows == []
+    assert out.columns == ["node", "core_deg"]
+
+
+def test_k_core_raises_rather_than_return_non_fixpoint(spark):
+    """A long chain at k=2 peels only its two ends per round; with
+    max_iterations=1 the fixpoint is out of reach and the contract is
+    to raise, never to return a superset of the core."""
+    chain = [(i, i + 1) for i in range(1, 8)]
+    edges = spark.createDataFrame(chain, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(edges, k=2, max_iterations=1)
+
+
+# ------------------------------------------------------------------ BFS
+
+
+def test_bfs_distances_path_and_hop_cap(spark):
+    """Path 1-2-3-4-5-6, seed {1}, max_hops=4: distances 0..4; node 6
+    is beyond the cap and must be absent."""
+    path = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(path, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = bfs_distances(edges, seeds, max_hops=4)
+    got = {r["node"]: r["hops"] for r in out.collect()}
+    release_components(out)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_distances_multi_source_min_and_unreachable(spark):
+    """Seeds {1, 6} on the same path: every node takes the MINIMUM
+    distance to any seed; a disconnected node (100-101) stays absent."""
+    path = [(i, i + 1) for i in range(1, 6)] + [(100, 101)]
+    edges = spark.createDataFrame(path, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (6,)], ["node"])
+    out = bfs_distances(edges, seeds, max_hops=4)
+    got = {r["node"]: r["hops"] for r in out.collect()}
+    release_components(out)
+    assert got == {1: 0, 6: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+# ----------------------------------------------------------------- EWMA
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    """ewma_smooth is pandas' ewm(alpha, adjust=True).mean() — checked
+    for the exact α=0.5 path and a general α, per key."""
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 5, 8])] + [
+        ("b", i, float(v)) for i, v in enumerate([10, 0, 10])
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    for alpha in (0.5, 0.3):
+        out = ewma_smooth(df, ["k"], "t", "x", alpha=alpha).collect()
+        got = {(r["k"], r["t"]): r["ewma"] for r in out}
+        for key in ("a", "b"):
+            series = pd.Series(
+                [v for kk, _, v in rows if kk == key],
+            )
+            ref = series.ewm(alpha=alpha, adjust=True).mean()
+            for t, want in enumerate(ref):
+                assert got[(key, t)] == pytest.approx(want, rel=1e-12)
+
+
+def test_ewma_alpha_half_integer_inputs_bit_exact(spark):
+    """The determinism contract: α=0.5 + integral values ⇒ every
+    partial sum is an exact integer-in-double, so the result equals
+    the rational closed form Σ 2^i·x_i / (2^(t+1)−1) EXACTLY."""
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(xs)], ["k", "t", "x"]
+    )
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma_smooth(df, ["k"], "t", "x", alpha=0.5).collect()
+    }
+    for t in range(len(xs)):
+        num = sum(x * 2**i for i, x in enumerate(xs[: t + 1]))
+        den = 2 ** (t + 1) - 1
+        assert got[t] == num / den  # exact, not approx
+
+
+# -------------------------------------------------- linear attribution
+
+
+def _ev(eid, uid, ts_s, typ, val=0.0):
+    return (eid, uid, datetime(2024, 1, 1, 0, 0, ts_s), typ, val)
+
+
+def test_linear_attribution_splits_proportionally(spark):
+    """User 1: view, click then purchase(10) → 5 each.  User 2:
+    untouched purchase(20) → '(none)'.  User 3: view, view, click then
+    purchase(9) → view 6, click 3 (proportional, not per-channel
+    uniform)."""
+    rows = [
+        _ev(1, 1, 1, "view"),
+        _ev(2, 1, 2, "click"),
+        _ev(3, 1, 3, "purchase", 10.0),
+        _ev(4, 2, 1, "purchase", 20.0),
+        _ev(5, 3, 1, "view"),
+        _ev(6, 3, 2, "view"),
+        _ev(7, 3, 3, "click"),
+        _ev(8, 3, 4, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    out = linear_attribution(df, "purchase", ["view", "click"])
+    got = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        "view": (2, 11.0),
+        "click": (2, 8.0),
+        "(none)": (1, 20.0),
+    }
+
+
+def test_linear_attribution_equal_ts_touch_visible(spark):
+    """A touch at the exact conversion timestamp participates in the
+    split (ties to the touch — same boundary rule as last-touch)."""
+    rows = [
+        _ev(1, 1, 5, "view"),
+        _ev(2, 1, 5, "purchase", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    out = linear_attribution(df, "purchase", ["view", "click"])
+    got = {r["channel"]: r["attributed_value"] for r in out.collect()}
+    assert got == {"view": 8.0}
+
+
+def test_linear_attribution_only_preceding_touches_count(spark):
+    """Touches strictly after the conversion earn nothing."""
+    rows = [
+        _ev(1, 1, 1, "click"),
+        _ev(2, 1, 2, "purchase", 6.0),
+        _ev(3, 1, 3, "view"),
+        _ev(4, 1, 4, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    out = linear_attribution(df, "purchase", ["view", "click"])
+    got = {r["channel"]: r["attributed_value"] for r in out.collect()}
+    assert got == {"click": 6.0}

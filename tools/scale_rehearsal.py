@@ -179,6 +179,16 @@ HEAVY = [
     # incremental rollup refresh (aggregate-sized merge)
     "cdc_apply",
     "rollup_merge",
+    # round-9 widening batch 2: the iterative graph ops (peel /
+    # frontier loops — round count, not corpus size, is the risk; the
+    # fixture replication adds disjoint replicas so the peel depth
+    # stays that of one replica), the bounded-window EWMA (aggregate
+    # collapses first — expect flat), and multi-touch attribution
+    # (one user-keyed window sweep — expect corpus-linear)
+    "kcore",
+    "bfs_hops",
+    "ewma",
+    "linear_attribution",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
