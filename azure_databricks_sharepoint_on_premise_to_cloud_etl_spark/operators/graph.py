@@ -835,9 +835,16 @@ def k_core(
 
     for _ in range(max_iterations):
         deg = degrees(e)
-        low = deg.filter(F.col("core_deg") < k).select("node")
-        # node-bounded table; one small job decides convergence
+        # the peel set is referenced three times per round (emptiness
+        # probe + both anti-joins) — materialize it once so the degree
+        # aggregate runs ONE pass over the edge generation, not three
+        low = (
+            deg.filter(F.col("core_deg") < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         if low.limit(1).count() == 0:
+            _release_local_checkpoint(low)
             result = deg
             result._cc_final_generation = e
             result._cc_checkpoint_dir = None
@@ -852,6 +859,7 @@ def k_core(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        _release_local_checkpoint(low)
         _release_local_checkpoint(e)
         e = nxt
     raise RuntimeError(
@@ -887,17 +895,13 @@ def bfs_distances(
     connected_components).
     """
     a, b = F.col(src), F.col(dst)
+    # symmetrize with ONE distinct: union both directions first, then
+    # dedup once (three distincts here would be three shuffles)
+    e0 = edges.select(a.alias("u"), b.alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
     sym = (
-        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .select("u", "v")
-        .unionAll(
-            edges.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .select("u", "v")
-        )
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -928,5 +932,80 @@ def bfs_distances(
         frontier = dist.filter(F.col("hops") == h).select("node")
     result = dist
     result._cc_final_generation = sym
+    result._cc_checkpoint_dir = None
+    return result
+
+
+def shortest_path_costs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "weight",
+    node_col: str = "node",
+) -> DataFrame:
+    """Hop-bounded multi-source shortest-path costs: the minimum total
+    edge weight from ANY source to each reachable node using at most
+    ``max_hops`` edges (Bellman–Ford over the min-plus semiring,
+    directed; symmetrize first for undirected graphs).  Returns
+    ``(node, cost)`` — sources at 0, unreached nodes absent.  The
+    weighted generalization of ``bfs_distances``: supply-chain cost
+    radius, cheapest-route reachability, influence decay.
+
+    Scale shape: each round is ONE equi-join of the current distance
+    table against the static checkpointed edge table plus a map-side-
+    combinable min aggregate — no frontier blowup beyond the reached
+    set, and the hop cap bounds the rounds.  A round that improves
+    nothing ends the iteration early (the remaining rounds would be
+    identities, which is what makes a fixed-depth SQL unroll an exact
+    oracle).  Distance generations are localCheckpoint-ed and
+    superseded generations released (storage bounded at two
+    generations, the connected_components contract).
+
+    Negative weights are permitted per Bellman–Ford but the hop cap is
+    then a semantic parameter, not just a cost bound.  Determinism:
+    with integral weights every candidate cost is exact, so min() is
+    engine-independent; float weights share the usual last-ulp
+    caveat.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight_col).alias("w")
+    ).localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        cand = (
+            e.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        nxt = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # improvement probe: any node whose cost dropped (or appeared)?
+        improved = (
+            nxt.join(
+                dist.withColumnRenamed("cost", "__old"), "node", "left"
+            )
+            .filter(
+                F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+        _release_local_checkpoint(dist)
+        dist = nxt
+        if not improved:
+            break
+    result = dist
+    result._cc_final_generation = e
     result._cc_checkpoint_dir = None
     return result

@@ -8680,3 +8680,62 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest-path costs (Bellman–Ford, ≤ 4
+    hops) over the symmetrized part–supplier graph, edge weight = the
+    pair's minimum lineitem quantity (integral, so min-plus arithmetic
+    is exact cross-engine), seeds = parts with l_partkey % 500 = 1.
+    operators/graph.py shortest_path_costs — per round one equi-join
+    against the static checkpointed edge table + a map-side-combined
+    min aggregate; early exit on a no-improvement round is what makes
+    the fixed-depth CTE unroll an exact oracle."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    w = li.groupBy(
+        F.col("l_partkey").alias("p"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).alias("s"),
+    ).agg(F.min("l_quantity").cast("long").alias("w"))
+    edges = w.select(
+        F.col("p").alias("src"), F.col("s").alias("dst"), F.col("w").alias("weight")
+    ).unionAll(
+        w.select(
+            F.col("s").alias("src"), F.col("p").alias("dst"), F.col("w").alias("weight")
+        )
+    )
+    seeds = li.filter(F.col("l_partkey") % 500 == 1).select(
+        F.col("l_partkey").alias("node")
+    )
+    return graph.shortest_path_costs(edges, seeds, max_hops=4)
+
+
+def _shortest_paths_oracle(max_hops: int = 4) -> str:
+    parts = [
+        "w AS MATERIALIZED (SELECT l_partkey AS p, 10000000 + l_suppkey AS s, "
+        "CAST(min(l_quantity) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2)",
+        "edges AS MATERIALIZED (SELECT p AS u, s AS v, w FROM w "
+        "UNION ALL SELECT s AS u, p AS v, w FROM w)",
+        "d0 AS MATERIALIZED (SELECT DISTINCT l_partkey AS node, "
+        "CAST(0 AS BIGINT) AS cost FROM lineitem WHERE l_partkey % 500 = 1)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"c{h} AS MATERIALIZED (SELECT e.v AS node, min(d.cost + e.w) AS cost "
+            f"FROM d{h-1} d JOIN edges e ON e.u = d.node GROUP BY 1)"
+        )
+        parts.append(
+            f"d{h} AS MATERIALIZED (SELECT node, min(cost) AS cost FROM "
+            f"(SELECT * FROM d{h-1} UNION ALL SELECT * FROM c{h}) GROUP BY 1)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, cost FROM d{max_hops}"
+
+
+AUX_QUERIES["shortest_paths"] = q_shortest_paths
+AUX_ORACLES["shortest_paths"] = _shortest_paths_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -197,3 +197,47 @@ def test_linear_attribution_only_preceding_touches_count(spark):
     out = linear_attribution(df, "purchase", ["view", "click"])
     got = {r["channel"]: r["attributed_value"] for r in out.collect()}
     assert got == {"click": 6.0}
+
+
+# ------------------------------------------------- weighted shortest path
+
+
+def test_shortest_path_prefers_cheap_two_hop_over_heavy_direct(spark):
+    """1→2→3 costs 2+3=5 while the direct 1→3 edge costs 10: with
+    hops to spare the cheap path wins; with max_hops=1 only the heavy
+    direct edge is reachable."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        shortest_path_costs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 3), (1, 3, 10)], ["src", "dst", "weight"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = shortest_path_costs(edges, seeds, max_hops=4)
+    got = {r["node"]: r["cost"] for r in out.collect()}
+    release_components(out)
+    assert got == {1: 0, 2: 2, 3: 5}
+
+    out1 = shortest_path_costs(edges, seeds, max_hops=1)
+    got1 = {r["node"]: r["cost"] for r in out1.collect()}
+    release_components(out1)
+    assert got1 == {1: 0, 2: 2, 3: 10}
+
+
+def test_shortest_path_multi_source_and_directedness(spark):
+    """Directed: an edge INTO a seed does not make its tail reachable;
+    two seeds take the elementwise minimum."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        shortest_path_costs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (9, 1, 1), (6, 2, 1)], ["src", "dst", "weight"]
+    )
+    seeds = spark.createDataFrame([(1,), (6,)], ["node"])
+    out = shortest_path_costs(edges, seeds, max_hops=3)
+    got = {r["node"]: r["cost"] for r in out.collect()}
+    release_components(out)
+    # node 2: min(5 via 1, 1 via 6) = 1; node 9 unreachable (edge points in)
+    assert got == {1: 0, 6: 0, 2: 1}
