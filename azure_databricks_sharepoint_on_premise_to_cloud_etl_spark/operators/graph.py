@@ -1009,3 +1009,74 @@ def shortest_path_costs(
     result._cc_final_generation = e
     result._cc_checkpoint_dir = None
     return result
+
+
+def label_spreading(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Synchronous semi-supervised label propagation (directed edges;
+    symmetrize first for undirected semantics): seed nodes keep their
+    labels permanently; every round each NON-seed node adopts the
+    plurality label among its in-neighbors that were labeled at the
+    end of the previous round (ties broken by the smallest label).
+    Returns ``(node, label)`` for every node labeled after ``rounds``
+    rounds — community assignment from a few annotated exemplars,
+    nation/category spreading over a co-occurrence graph.
+
+    Determinism is the design constraint: a FIXED round count plus the
+    (count DESC, label ASC) tie order makes every round a pure
+    function of the previous one, so an unrolled fixed-depth SQL is an
+    exact oracle (the connected_components/shortest_path_costs
+    pattern).  Per round: one equi-join of the labeled set against the
+    static checkpointed edge table, a map-side-combinable
+    (node, label) count, and a single-struct min to pick the
+    plurality — no windows, no global sorts.  Label generations are
+    localCheckpoint-ed and the superseded generation released, so
+    storage stays bounded at two generations.  Release with
+    ``release_components``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    sd = (
+        seeds.select(F.col(node_col).alias("node"), F.col(label_col).alias("label"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = sd
+    for _ in range(rounds):
+        counts = (
+            e.join(lab.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("s")
+            )
+            .select("node", F.col("s.l").alias("label"))
+        )
+        nxt = (
+            sd.unionAll(picked.join(sd.select("node"), "node", "left_anti"))
+            .localCheckpoint(eager=True)
+        )
+        if lab is not sd:
+            _release_local_checkpoint(lab)
+        lab = nxt
+    result = lab
+    result._cc_final_generation = e
+    # seeds table still pinned: fold it into the release chain the way
+    # connected_components chains generations (release_components walks
+    # _cc_final_generation then _cc_prev_generation if present)
+    result._cc_prev_generation = sd if lab is not sd else None
+    result._cc_checkpoint_dir = None
+    return result

@@ -189,3 +189,63 @@ def sessionize(
     return df.withColumn("__new", new_session).withColumn(
         session_col, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("__new")
+
+
+def streaks(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    grain: str = "day",
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's activity to distinct
+    ``grain`` buckets and group CONSECUTIVE buckets into streaks.
+    Returns one row per key: ``active_<grain>s`` (distinct active
+    buckets), ``n_streaks`` (maximal consecutive runs), and
+    ``longest_streak`` (length of the longest run in buckets).
+    Engagement streaks, uptime runs, consecutive-trading-day spans.
+
+    The classic island key is ``bucket_index - row_number()`` —
+    constant exactly while buckets are consecutive.  Cost: one
+    distinct on (key, bucket) — the big cardinality drop happens
+    first, raw events never reach the window — then a key-partitioned
+    window (no global sort) and two key-local aggregates.  All
+    shuffles share the key hash; at 100 TB the distinct is the only
+    pass over the corpus.
+
+    ``grain`` is any unit accepted by ``date_trunc``; the island
+    arithmetic converts the truncated bucket to an epoch-based index
+    with integral steps (days via datediff, otherwise unix seconds
+    divided by the grain width).
+    """
+    from pyspark.sql import Window
+
+    if grain == "day":
+        bucket = F.datediff(
+            F.date_trunc("day", F.col(ts_col)).cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+    elif grain == "hour":
+        bucket = (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600).cast("long")
+    elif grain == "week":
+        bucket = (
+            F.datediff(
+                F.date_trunc("week", F.col(ts_col)).cast("date"),
+                F.lit("1970-01-05").cast("date"),
+            )
+            / 7
+        ).cast("long")
+    else:
+        raise ValueError(f"unsupported grain: {grain!r}")
+
+    active = df.select(*key_cols, bucket.alias("__b")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__b").asc())
+    islands = active.withColumn(
+        "__island", F.col("__b") - F.row_number().over(w)
+    )
+    runs = islands.groupBy(*key_cols, "__island").agg(
+        F.count(F.lit(1)).alias("__run_len")
+    )
+    return runs.groupBy(*key_cols).agg(
+        F.sum("__run_len").alias(f"active_{grain}s"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("__run_len").alias("longest_streak"),
+    )

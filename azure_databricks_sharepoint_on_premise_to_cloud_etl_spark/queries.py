@@ -8739,3 +8739,106 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands engagement streaks: per user, the distinct
+    purchase-active days grouped into maximal consecutive-day runs —
+    active day count, number of streaks, longest streak.
+    operators/intervals.py streaks — distinct-first cardinality
+    collapse, then a key-partitioned window (no global sort)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return intervals.streaks(e, "ts", ["user_id"], grain="day")
+
+
+ORACLE_STREAKS = """
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events WHERE event_type = 'purchase'
+),
+isl AS (
+    SELECT user_id,
+           CAST(d - DATE '1970-01-01' AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d ASC)
+               AS island
+    FROM active
+),
+runs AS (
+    SELECT user_id, island, count(*) AS run_len
+    FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS active_days,
+       count(*) AS n_streaks,
+       CAST(max(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+AUX_QUERIES["streaks"] = q_streaks
+AUX_ORACLES["streaks"] = ORACLE_STREAKS
+
+
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the symmetrized
+    part–supplier co-occurrence graph: a third of the suppliers are
+    seeded with their nation, and 3 synchronous plurality rounds
+    spread origin labels to parts and unseeded suppliers.
+    operators/graph.py label_spreading — fixed round count +
+    deterministic (count DESC, label ASC) tie order makes the
+    unrolled SQL below an exact oracle."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = li.select(
+        F.col("l_partkey").alias("p"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    seeds = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        (F.lit(10_000_000) + F.col("s_suppkey")).alias("node"),
+        F.col("s_nationkey").cast("long").alias("label"),
+    )
+    return graph.label_spreading(edges, seeds, rounds=3)
+
+
+def _label_spreading_oracle(rounds: int = 3) -> str:
+    parts = [
+        "pairs AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, "
+        "10000000 + l_suppkey AS s FROM lineitem)",
+        "edges AS MATERIALIZED (SELECT p AS u, s AS v FROM pairs "
+        "UNION ALL SELECT s AS u, p AS v FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT 10000000 + s_suppkey AS node, "
+        "CAST(s_nationkey AS BIGINT) AS label FROM supplier "
+        "WHERE s_suppkey % 3 = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT e.v AS node, l.label, count(*) AS c "
+            f"FROM l{r-1} l JOIN edges e ON e.u = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c{r}"
+            f") WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT * FROM l0 UNION ALL "
+            f"SELECT node, label FROM p{r} "
+            f"WHERE node NOT IN (SELECT node FROM l0))"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, label FROM l{rounds}"
+
+
+AUX_QUERIES["label_spreading"] = q_label_spreading
+AUX_ORACLES["label_spreading"] = _label_spreading_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "ewma",
     "linear_attribution",
     "kcore",
+    "shortest_paths",
+    "label_spreading",
+    "streaks",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -170,6 +173,12 @@ TOTAL_EXCLUDED = {
     "retrieval_quality",
     "cdc_apply",
     "rollup_merge",
+    "ewma",
+    "linear_attribution",
+    "kcore",
+    "shortest_paths",
+    "label_spreading",
+    "streaks",
 }
 
 

@@ -241,3 +241,98 @@ def test_shortest_path_multi_source_and_directedness(spark):
     release_components(out)
     # node 2: min(5 via 1, 1 via 6) = 1; node 9 unreachable (edge points in)
     assert got == {1: 0, 6: 0, 2: 1}
+
+
+# ------------------------------------------------------- label spreading
+
+
+def test_label_spreading_plurality_and_tie_break(spark):
+    """Node 4 has labeled neighbors {1:A, 2:A, 3:B} -> plurality A;
+    node 5 has {1:A, 3:B} -> tie, smallest label wins (A=10 < B=20).
+    Seeds never change even when outvoted by neighbors."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        label_spreading,
+    )
+
+    und = [(1, 4), (2, 4), (3, 4), (1, 5), (3, 5), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], ["node", "label"]
+    )
+    out = label_spreading(edges, seeds, rounds=1)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    release_components(out)
+    # seed 3 keeps B=20 though both its neighbors (1, 5-unlabeled) vote A
+    assert got == {1: 10, 2: 10, 3: 20, 4: 10, 5: 10}
+
+
+def test_label_spreading_round_bounded_reach(spark):
+    """A path 1-2-3-4 seeded only at 1: after r rounds exactly the
+    nodes within r hops are labeled (synchronous frontier growth)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        label_spreading,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1, 7)], ["node", "label"])
+    out1 = label_spreading(edges, seeds, rounds=1)
+    got1 = {r["node"] for r in out1.collect()}
+    release_components(out1)
+    out3 = label_spreading(edges, seeds, rounds=3)
+    got3 = {r["node"]: r["label"] for r in out3.collect()}
+    release_components(out3)
+    assert got1 == {1, 2}
+    assert got3 == {1: 7, 2: 7, 3: 7, 4: 7}
+
+
+# ------------------------------------------------------ gaps-and-islands
+
+
+def test_streaks_islands_and_multiple_days_per_bucket(spark):
+    """User 1 active on days 1,2,3 then 6,7 (two streaks, longest 3);
+    duplicate events inside a day must not inflate run lengths.
+    User 2 has a single day (one streak of 1)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.intervals import (
+        streaks,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9)),
+        (1, datetime(2024, 1, 1, 17)),  # same day, second event
+        (1, datetime(2024, 1, 2, 3)),
+        (1, datetime(2024, 1, 3, 23)),
+        (1, datetime(2024, 1, 6, 12)),
+        (1, datetime(2024, 1, 7, 1)),
+        (2, datetime(2024, 1, 5, 8)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = streaks(df, "ts", ["user_id"], grain="day")
+    got = {
+        r["user_id"]: (r["active_days"], r["n_streaks"], r["longest_streak"])
+        for r in out.collect()
+    }
+    assert got == {1: (5, 2, 3), 2: (1, 1, 1)}
+
+
+def test_streaks_hour_grain(spark):
+    """Hour grain: events at 9:05, 9:55, 10:10, 13:00 -> buckets
+    {9,10,13}: one 2-hour streak and one singleton."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.intervals import (
+        streaks,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 5)),
+        (1, datetime(2024, 1, 1, 9, 55)),
+        (1, datetime(2024, 1, 1, 10, 10)),
+        (1, datetime(2024, 1, 1, 13, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = streaks(df, "ts", ["user_id"], grain="hour")
+    r = out.collect()[0]
+    assert (r["active_hours"], r["n_streaks"], r["longest_streak"]) == (3, 2, 2)

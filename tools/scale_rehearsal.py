@@ -189,6 +189,15 @@ HEAVY = [
     "bfs_hops",
     "ewma",
     "linear_attribution",
+    # weighted Bellman–Ford twin of bfs_hops: same round-latency
+    # regime expected (hop cap fixes the round count; each round's
+    # join/min-agg work is corpus-linear)
+    "shortest_paths",
+    # fixed-round plurality propagation (3 joins + 3 counts) and the
+    # gaps-and-islands distinct-first window — both expected
+    # corpus-linear at worst
+    "label_spreading",
+    "streaks",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
