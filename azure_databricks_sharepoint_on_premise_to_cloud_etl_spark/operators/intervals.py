@@ -249,3 +249,41 @@ def streaks(
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("__run_len").alias("longest_streak"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals per key into maximal
+    disjoint spans: ``(key..., start, end)`` where consecutive input
+    intervals with ``start <= max(end so far)`` fuse.  Downtime
+    windows, on-call coverage, promo-period overlap — the interval
+    twin of gaps-and-islands.
+
+    One key-partitioned window (ordered ``start, end``) computes the
+    running max end over STRICTLY PRECEDING rows; a new span begins
+    where the current start exceeds it, and the conditional cumulative
+    sum of those breaks is the span id — the sessionize recipe lifted
+    from points to intervals.  Cost: one shuffle on the key, key-local
+    sorts only; intervals that arrive pre-bucketed by key never move
+    again through the span aggregate (same key hash).
+    """
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(*key_cols).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max_end.isNull() | (s > prev_max_end), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    spans = df.withColumn("__brk", brk).withColumn(
+        "__span", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        spans.groupBy(*key_cols, "__span")
+        .agg(F.min(s).alias(start_col), F.max(e).alias(end_col))
+        .drop("__span")
+    )

@@ -508,3 +508,63 @@ def ewma_smooth(
         F.lit(r), F.col("__i")
     )
     return staged.withColumn(out_col, num / den).drop("__i", "__term")
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    partitions: int = 32,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline), both dimensions MINIMIZED: the
+    distinct ``(x, y)`` points not dominated by any other point
+    (dominated = other.x <= x AND other.y <= y with at least one
+    strict).  Cheapest-and-soonest offers, cost/latency frontiers,
+    accuracy/size model selection (negate a column to maximize it).
+    Null coordinates are dropped (a point with an unknown dimension
+    can neither dominate nor be ranked).
+
+    The sort-scan identity does the work: over DISTINCT points in
+    ``(x ASC, y ASC)`` order, a point is on the frontier iff its y is
+    STRICTLY below the minimum y of every earlier point — equal-x ties
+    resolve correctly because the smaller y sorts first, and duplicate
+    elimination makes "no strict improvement" impossible among equals.
+    That turns skyline into a global prefix-min, which distributes by
+    the ``global_cumsum`` recipe: range-partition on the sort key,
+    per-slice window prefix-min (each task scans only its slice),
+    per-partition mins collapse to ``partitions`` rows whose running
+    min broadcasts back as each slice's offset.  No single-task
+    window, no quadratic dominance join; the staged frame is persisted
+    so both branches share one range shuffle (see global_cumsum's
+    determinism note) and the handle rides ``result.
+    _persisted_intermediates`` for ``graph.release_components``.
+    """
+    pts = (
+        df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .distinct()
+    )
+    staged = (
+        pts.repartitionByRange(partitions, F.col("__x").asc(), F.col("__y").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__x").asc(), F.col("__y").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = staged.withColumn("__locmin", F.min("__y").over(w_local))
+    pmins = staged.groupBy("__pid").agg(F.min("__y").alias("__pmin"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmins.select(
+        "__pid", F.min("__pmin").over(w_off).alias("__premin")
+    )
+    prev_min = F.least(F.col("__locmin"), F.col("__premin"))
+    out = (
+        local.join(F.broadcast(offs), "__pid")
+        .filter(prev_min.isNull() | (F.col("__y") < prev_min))
+        .select(F.col("__x").alias(x_col), F.col("__y").alias(y_col))
+    )
+    out._persisted_intermediates = [staged]
+    return out

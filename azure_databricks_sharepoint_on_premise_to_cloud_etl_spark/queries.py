@@ -8842,3 +8842,93 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-and-soonest Pareto frontier over lineitem offers:
+    (ship_date, price) points not dominated on (earlier, cheaper).
+    operators/windows.py skyline_2d — global prefix-min via the
+    range-partitioned two-phase recipe, never a dominance self-join."""
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_shipdate").alias("ship_date"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return windows.skyline_2d(li, "ship_date", "price")
+
+
+ORACLE_SKYLINE = """
+WITH pts AS (
+    SELECT DISTINCT l_shipdate AS ship_date, l_extendedprice AS price
+    FROM lineitem
+),
+m AS (
+    SELECT ship_date, price,
+           min(price) OVER (ORDER BY ship_date ASC, price ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+    FROM pts
+)
+SELECT ship_date, price FROM m WHERE pm IS NULL OR price < pm
+"""
+
+AUX_QUERIES["skyline"] = q_skyline
+AUX_ORACLES["skyline"] = ORACLE_SKYLINE
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage: every event opens a 20-minute
+    attention window; overlapping windows coalesce into maximal spans
+    (operators/intervals.py merge_intervals) and the per-user span
+    count and exact covered microseconds summarize the result.
+    Microsecond-long arithmetic keeps the covered sum integral, so
+    the cross-engine hash is exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 20 MINUTE")).alias("e"),
+    )
+    m = intervals.merge_intervals(e, "s", "e", ["user_id"])
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, s, e)")).alias("covered_us"),
+    )
+
+
+ORACLE_MERGE_INTERVALS = """
+WITH iv AS (
+    SELECT user_id, ts AS s, ts + INTERVAL 20 MINUTE AS e FROM events
+),
+g AS (
+    SELECT user_id, s, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pme
+    FROM iv
+),
+b AS (
+    SELECT user_id, s, e,
+           CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+    FROM g
+),
+sp AS (
+    SELECT user_id, s, e,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                          ROWS UNBOUNDED PRECEDING) AS span
+    FROM b
+),
+m AS (
+    SELECT user_id, span, min(s) AS ms, max(e) AS me
+    FROM sp GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_spans,
+       CAST(sum(epoch_us(me) - epoch_us(ms)) AS BIGINT) AS covered_us
+FROM m GROUP BY user_id
+"""
+
+AUX_QUERIES["merge_intervals"] = q_merge_intervals
+AUX_ORACLES["merge_intervals"] = ORACLE_MERGE_INTERVALS
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "shortest_paths",
     "label_spreading",
     "streaks",
+    "skyline",
+    "merge_intervals",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -179,6 +181,8 @@ TOTAL_EXCLUDED = {
     "shortest_paths",
     "label_spreading",
     "streaks",
+    "skyline",
+    "merge_intervals",
 }
 
 

@@ -336,3 +336,78 @@ def test_streaks_hour_grain(spark):
     out = streaks(df, "ts", ["user_id"], grain="hour")
     r = out.collect()[0]
     assert (r["active_hours"], r["n_streaks"], r["longest_streak"]) == (3, 2, 2)
+
+
+# ------------------------------------------------------------- skyline
+
+
+def test_skyline_2d_dominance_ties_and_duplicates(spark):
+    """(1,5) dominates (2,5) (equal y, worse x) and (1,9); (2,3)
+    survives (worse x, better y); duplicates collapse; a point
+    dominated only jointly — (3,4) vs frontier {(1,5),(2,3)} — is
+    dominated by (2,3) and must not appear; nulls drop."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import (
+        skyline_2d,
+    )
+
+    rows = [
+        (1, 5), (1, 5), (2, 5), (1, 9), (2, 3), (3, 4), (None, 1), (0, None),
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = skyline_2d(df, "x", "y")
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    release_components(out)
+    assert got == {(1, 5), (2, 3)}
+
+
+def test_skyline_2d_cross_partition_prefix_min(spark):
+    """With partitions=3 the prefix min must flow ACROSS range
+    partitions: a strictly improving staircase keeps every point; a
+    flat tail after the global min keeps none of the tail."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import (
+        skyline_2d,
+    )
+
+    stairs = [(i, 100 - i) for i in range(0, 50)]          # all frontier
+    tail = [(100 + i, 51 + i) for i in range(0, 50)]       # all dominated
+    df = spark.createDataFrame(stairs + tail, ["x", "y"])
+    out = skyline_2d(df, "x", "y", partitions=3)
+    got = {(r["x"], r["y"]) for r in out.collect()}
+    release_components(out)
+    assert got == set(stairs)
+
+
+# ------------------------------------------------------ interval merge
+
+
+def test_merge_intervals_overlap_touch_and_containment(spark):
+    """[1,5]+[3,6] overlap -> [1,6]; [6,8] touches -> fused to [1,8];
+    [2,3] contained adds nothing; [10,12] stands alone.  Keys do not
+    interact."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("a", 1, 5), ("a", 3, 6), ("a", 6, 8), ("a", 2, 3), ("a", 10, 12),
+        ("b", 4, 9),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    out = merge_intervals(df, "s", "e", ["k"])
+    got = {(r["k"], r["s"], r["e"]) for r in out.collect()}
+    assert got == {("a", 1, 8), ("a", 10, 12), ("b", 4, 9)}
+
+
+def test_merge_intervals_later_long_interval_bridges(spark):
+    """Running-max (not lag) semantics: after [1,10], the short [2,3]
+    must NOT reset the reach — [4,6] still fuses into [1,10]."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    rows = [("a", 1, 10), ("a", 2, 3), ("a", 4, 6), ("a", 11, 12)]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    out = merge_intervals(df, "s", "e", ["k"])
+    got = {(r["s"], r["e"]) for r in out.collect()}
+    # 11 > max-end 10: a gap of 1 does NOT fuse (touch means s <= end)
+    assert got == {(1, 10), (11, 12)}

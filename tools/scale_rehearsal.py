@@ -198,6 +198,10 @@ HEAVY = [
     # corpus-linear at worst
     "label_spreading",
     "streaks",
+    # global prefix-min skyline (two-phase range recipe) and the
+    # per-key interval coalesce — both expected corpus-linear
+    "skyline",
+    "merge_intervals",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
