@@ -1013,3 +1013,124 @@ def per_group_ks(
             "__at", F.struct((-F.col("__gap")).alias("ng"), F.col("__at"))
         ).alias("ks_at"),
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """Per-group weighted percentile with EXACT integer selection: the
+    smallest value whose cumulative weight reaches ``num/den`` of the
+    group's total weight (defaults = weighted median).  Token-weighted
+    median document quality, order-volume-weighted price medians —
+    anywhere rows represent unequal masses.
+
+    Weights must be integral (cast upstream): the pick condition is
+    ``den * cum_weight >= num * total_weight`` in long arithmetic, so
+    there is no floating-point threshold anywhere and every engine
+    agrees on the selected row bit-for-bit.
+
+    Scale shape: duplicate values collapse FIRST (groupBy value —
+    cumulative cardinality is bounded by distinct values per group,
+    not rows), then one key-partitioned window for the running weight
+    and a single min over the qualifying values.  Two shuffles on the
+    group key, no global sort.
+    """
+    v, w = F.col(value_col), F.col(weight_col).cast("long")
+    per_value = df.groupBy(*group_cols, v.alias("__v")).agg(
+        F.sum(w).alias("__w")
+    )
+    win = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+    tot = Window.partitionBy(*group_cols)
+    cum = per_value.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "__cum"
+        ),
+        F.sum("__w").over(tot).alias("__tot"),
+    )
+    return (
+        cum.filter(F.lit(den) * F.col("__cum") >= F.lit(num) * F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(F.min("__v").alias(f"p{num}_{den}_{value_col}"))
+    )
+
+
+def cuped(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for A/B experiments (Deng et al.,
+    WSDM'13, public method): adjust each arm's metric mean by the
+    pooled regression of metric on a PRE-experiment covariate,
+    ``mean_adj = mean_y - theta * (mean_x - mean_x_pooled)`` with
+    ``theta = cov(X, Y) / var(X)`` pooled across arms.  Removes
+    pre-existing user-level variance from the treatment comparison
+    without biasing it (the covariate predates assignment).
+
+    Returns one row per arm: ``(arm, n, mean_y, mean_y_adj,
+    theta, var_reduction_pct)`` — the adjusted means are what a
+    significance test should compare; var_reduction_pct =
+    ``100 * rho²`` estimates how much metric variance the covariate
+    explains (population moments).
+
+    Scale + determinism shape: ONE hash aggregate over the corpus
+    (per-arm counts and first/second moments, map-side combined);
+    every moment is rounded to 6 decimals BEFORE any derivation (the
+    welch_t_test discipline), so pooled theta and the adjustments are
+    pure deterministic arithmetic on rounded inputs and a SQL oracle
+    agrees exactly despite engine-order-dependent double summation.
+    """
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    arms = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(x), 6).alias("__mx"),
+        F.round(F.avg(y), 6).alias("__my"),
+        F.round(F.avg(x * y), 6).alias("__mxy"),
+        F.round(F.avg(x * x), 6).alias("__mxx"),
+        F.round(F.avg(y * y), 6).alias("__myy"),
+    )
+    # pooled moments recombine deterministically from the rounded
+    # per-arm moments (weighted by exact long counts)
+    tot = Window.partitionBy()
+    p = arms.select(
+        "*",
+        (F.sum(F.col("n") * F.col("__mx")).over(tot) / F.sum("n").over(tot)).alias(
+            "__px"
+        ),
+        (F.sum(F.col("n") * F.col("__my")).over(tot) / F.sum("n").over(tot)).alias(
+            "__py"
+        ),
+        (F.sum(F.col("n") * F.col("__mxy")).over(tot) / F.sum("n").over(tot)).alias(
+            "__pxy"
+        ),
+        (F.sum(F.col("n") * F.col("__mxx")).over(tot) / F.sum("n").over(tot)).alias(
+            "__pxx"
+        ),
+        (F.sum(F.col("n") * F.col("__myy")).over(tot) / F.sum("n").over(tot)).alias(
+            "__pyy"
+        ),
+    )
+    cov_xy = F.col("__pxy") - F.col("__px") * F.col("__py")
+    var_x = F.col("__pxx") - F.col("__px") * F.col("__px")
+    var_y = F.col("__pyy") - F.col("__py") * F.col("__py")
+    theta = cov_xy / var_x
+    rho2 = (cov_xy * cov_xy) / (var_x * var_y)
+    return p.select(
+        "arm",
+        "n",
+        F.col("__my").alias("mean_y"),
+        F.round(
+            F.col("__my") - theta * (F.col("__mx") - F.col("__px")), 6
+        ).alias("mean_y_adj"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.lit(100.0) * rho2, 4).alias("var_reduction_pct"),
+    )

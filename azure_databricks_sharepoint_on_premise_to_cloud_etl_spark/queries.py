@@ -8932,3 +8932,110 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-volume-weighted median price per return flag: each
+    lineitem row carries quantity units, and the median is taken over
+    UNITS, not rows.  operators/stats.py weighted_percentile —
+    duplicate prices collapse before the window and the num/den pick
+    is exact long arithmetic (no float threshold)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    out = stats.weighted_percentile(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+    return out.withColumnRenamed("p1_2_l_extendedprice", "wmedian_price")
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH pv AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT l_returnflag, v,
+           sum(w) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(w) OVER (PARTITION BY l_returnflag) AS tot
+    FROM pv
+)
+SELECT l_returnflag, min(v) AS wmedian_price
+FROM c WHERE 2 * cum >= tot GROUP BY 1
+"""
+
+AUX_QUERIES["weighted_median"] = q_weighted_median
+AUX_ORACLES["weighted_median"] = ORACLE_WEIGHTED_MEDIAN
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted arm means for a planted A/B split
+    (arm = user_id % 2): metric = per-user purchase value in the
+    back half of January, covariate = the user's TOTAL event value in
+    the front half (pre-period, assignment-independent).
+    operators/stats.py cuped — one corpus aggregate, moments rounded
+    before derivation so the oracle agrees bit-for-bit."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(F.lit(0.0))).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"),
+                F.col("value"),
+            ).otherwise(F.lit(0.0))
+        ).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    return stats.cuped(u, "y", "x", "arm")
+
+
+ORACLE_CUPED = """
+WITH u AS (
+    SELECT user_id,
+           sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN value ELSE 0 END) AS x,
+           sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                         AND event_type = 'purchase'
+                    THEN value ELSE 0 END) AS y,
+           user_id % 2 AS arm
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT arm, count(*) AS n,
+           round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+           round(avg(x * y), 6) AS mxy, round(avg(x * x), 6) AS mxx,
+           round(avg(y * y), 6) AS myy
+    FROM u GROUP BY arm
+),
+p AS (
+    SELECT *,
+           sum(n * mx) OVER () / sum(n) OVER () AS px,
+           sum(n * my) OVER () / sum(n) OVER () AS py,
+           sum(n * mxy) OVER () / sum(n) OVER () AS pxy,
+           sum(n * mxx) OVER () / sum(n) OVER () AS pxx,
+           sum(n * myy) OVER () / sum(n) OVER () AS pyy
+    FROM arms
+)
+SELECT arm, n, my AS mean_y,
+       round(my - ((pxy - px * py) / (pxx - px * px)) * (mx - px), 6)
+           AS mean_y_adj,
+       round((pxy - px * py) / (pxx - px * px), 6) AS theta,
+       round(100.0 * (pxy - px * py) * (pxy - px * py)
+             / ((pxx - px * px) * (pyy - py * py)), 4)
+           AS var_reduction_pct
+FROM p
+"""
+
+AUX_QUERIES["cuped"] = q_cuped
+AUX_ORACLES["cuped"] = ORACLE_CUPED
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "streaks",
     "skyline",
     "merge_intervals",
+    "weighted_median",
+    "cuped",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -183,6 +185,8 @@ TOTAL_EXCLUDED = {
     "streaks",
     "skyline",
     "merge_intervals",
+    "weighted_median",
+    "cuped",
 }
 
 

@@ -411,3 +411,81 @@ def test_merge_intervals_later_long_interval_bridges(spark):
     got = {(r["s"], r["e"]) for r in out.collect()}
     # 11 > max-end 10: a gap of 1 does NOT fuse (touch means s <= end)
     assert got == {(1, 10), (11, 12)}
+
+
+# ----------------------------------------------------- weighted median
+
+
+def test_weighted_percentile_exact_boundary_and_groups(spark):
+    """Group a: values 1,2,3 with weights 1,1,2 (total 4): cum at 2 is
+    2 = total/2, so 2*cum >= tot picks 2 (not 3).  Group b: weight
+    mass on one value picks it regardless of row count.  p25 via
+    num/den = 1/4."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import (
+        weighted_percentile,
+    )
+
+    rows = [
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 2),
+        ("b", 5, 1), ("b", 7, 10), ("b", 9, 1),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    med = weighted_percentile(df, "v", "w", ["g"])
+    got = {r["g"]: r["p1_2_v"] for r in med.collect()}
+    assert got == {"a": 2, "b": 7}
+    q1 = weighted_percentile(df, "v", "w", ["g"], num=1, den=4)
+    got1 = {r["g"]: r["p1_4_v"] for r in q1.collect()}
+    # group a: total 4, quarter mass reached at value 1 (cum 1 >= 1)
+    assert got1 == {"a": 1, "b": 7}
+
+
+def test_weighted_percentile_duplicate_values_collapse(spark):
+    """Duplicate (group, value) rows must pool their weights before
+    the cumulative scan: three (a,2,w=1) rows act as one w=3 mass."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import (
+        weighted_percentile,
+    )
+
+    rows = [("a", 2, 1), ("a", 2, 1), ("a", 2, 1), ("a", 10, 2)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {r["g"]: r["p1_2_v"] for r in weighted_percentile(
+        df, "v", "w", ["g"]
+    ).collect()}
+    assert got == {"a": 2}
+
+
+# --------------------------------------------------------------- CUPED
+
+
+def test_cuped_perfect_covariate_equalizes_arms(spark):
+    """With y = 2x exactly, theta = 2, the covariate explains all
+    variance (100%), and both arms' adjusted means collapse to the
+    pooled metric mean."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import cuped
+
+    rows = [
+        (0, 1.0, 2.0), (0, 3.0, 6.0), (0, 5.0, 10.0),
+        (1, 2.0, 4.0), (1, 4.0, 8.0), (1, 10.0, 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["arm", "x", "y"])
+    out = {r["arm"]: r for r in cuped(df, "y", "x", "arm").collect()}
+    assert out[0]["theta"] == pytest.approx(2.0, abs=1e-6)
+    assert out[0]["var_reduction_pct"] == pytest.approx(100.0, abs=1e-3)
+    pooled_mean_y = (2 + 6 + 10 + 4 + 8 + 20) / 6
+    assert out[0]["mean_y_adj"] == pytest.approx(pooled_mean_y, abs=1e-5)
+    assert out[1]["mean_y_adj"] == pytest.approx(pooled_mean_y, abs=1e-5)
+
+
+def test_cuped_uncorrelated_covariate_changes_nothing(spark):
+    """Zero covariance -> theta 0 -> adjusted means equal raw means."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import cuped
+
+    # x symmetric around 2 within each y level: cov(x, y) = 0
+    rows = [
+        (0, 1.0, 5.0), (0, 3.0, 5.0), (1, 1.0, 9.0), (1, 3.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["arm", "x", "y"])
+    out = {r["arm"]: r for r in cuped(df, "y", "x", "arm").collect()}
+    assert out[0]["theta"] == pytest.approx(0.0, abs=1e-6)
+    assert out[0]["mean_y_adj"] == pytest.approx(5.0, abs=1e-6)
+    assert out[1]["mean_y_adj"] == pytest.approx(9.0, abs=1e-6)

@@ -202,6 +202,10 @@ HEAVY = [
     # per-key interval coalesce — both expected corpus-linear
     "skyline",
     "merge_intervals",
+    # weighted order statistic (distinct-value collapse first) and the
+    # one-aggregate CUPED moments — expect corpus-linear / flat
+    "weighted_median",
+    "cuped",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
