@@ -1134,3 +1134,99 @@ def cuped(
         F.round(theta, 6).alias("theta"),
         F.round(F.lit(100.0) * rho2, 4).alias("var_reduction_pct"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Privacy audit for quasi-identifier release: every combination
+    of ``quasi_cols`` whose group holds FEWER than ``k`` rows — the
+    records a k-anonymity release would have to suppress or
+    generalize (Sweeney's model; public method).  Empty result =
+    the projection is k-anonymous.
+
+    One hash aggregate on the quasi-identifier tuple (map-side
+    combined) and a count filter; returns ``(quasi..., n)`` for the
+    violating combinations.  At 100 TB the aggregate is the only
+    corpus pass and its output is bounded by combination cardinality,
+    which a sane quasi-identifier set keeps far below row count.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    base_value,
+    cmp_value,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a BASE and a COMPARISON
+    population of ``value_col`` — the standard scorecard drift metric:
+    bin by the base population's quantiles, then
+    ``PSI = Σ (p_i − q_i) · ln(p_i / q_i)``.  Returns one row per bin
+    ``(bin, n_base, n_cmp, psi_term)``; total PSI = sum of terms
+    (rule of thumb: < 0.1 stable, > 0.25 shifted).
+
+    Determinism and scale come from the same move: the corpus
+    collapses FIRST to per-distinct-value (base, cmp) counts — one
+    hash aggregate, output bounded by value cardinality — and the bin
+    index needs NO boundary join at all: with ``cum_prev`` the
+    cumulative base count STRICTLY BELOW a value, the type-1 decile
+    boundary identity gives
+    ``bin(v) = min(bins − 1, floor(bins · cum_prev / n_base))`` —
+    exact long arithmetic, tied values land wholly in one bin, no
+    engine-dependent tie splitting (and no BroadcastNestedLoopJoin).
+    Counts get +0.5 Laplace smoothing before the log so empty bins
+    stay finite; ``psi_term`` rounds to 6 decimals for cross-engine
+    hash stability.  The value-ordered window runs over the DISTINCT
+    value table only — document that cardinality bound when adopting
+    this on unbounded-domain columns (swap in the two-phase
+    global_cumsum recipe if distinct values ever rival row count).
+    """
+    v = F.col(value_col)
+    s = F.col(split_col)
+    per_value = (
+        df.filter(s.isin(base_value, cmp_value) & v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.count(F.when(s == F.lit(base_value), 1)).alias("__nb"),
+            F.count(F.when(s == F.lit(cmp_value), 1)).alias("__nc"),
+        )
+    )
+    w = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy()
+    staged = per_value.select(
+        "__nb",
+        "__nc",
+        F.coalesce(F.sum("__nb").over(w), F.lit(0)).alias("__cum_prev"),
+        F.sum("__nb").over(tot).alias("__n"),
+    )
+    # long DIV, not floor(double /): an exact multiple must not round
+    # across the integer from below
+    bin_ix = F.least(
+        F.lit(bins - 1).cast("long"),
+        F.expr(f"({bins} * __cum_prev) DIV __n"),
+    )
+    binned = staged.groupBy(bin_ix.alias("bin")).agg(
+        F.sum("__nb").alias("n_base"), F.sum("__nc").alias("n_cmp")
+    )
+    tb = F.sum("n_base").over(tot) + F.lit(bins) * F.lit(0.5)
+    tc = F.sum("n_cmp").over(tot) + F.lit(bins) * F.lit(0.5)
+    p = (F.col("n_base") + F.lit(0.5)) / tb
+    q = (F.col("n_cmp") + F.lit(0.5)) / tc
+    return binned.select(
+        "bin",
+        "n_base",
+        "n_cmp",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

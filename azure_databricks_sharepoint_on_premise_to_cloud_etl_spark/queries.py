@@ -9039,3 +9039,75 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier audit of the customer projection
+    (nation × market segment): combinations with fewer than 10
+    members — the rows a k-anonymous release must suppress.
+    operators/stats.py k_anonymity_audit."""
+    from .operators import stats
+
+    c = load_table(spark, sf_dir, "customer")
+    return stats.k_anonymity_audit(c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+ORACLE_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment, count(*) AS n
+FROM customer GROUP BY 1, 2 HAVING count(*) < 10
+"""
+
+AUX_QUERIES["k_anonymity"] = q_k_anonymity
+AUX_ORACLES["k_anonymity"] = ORACLE_K_ANONYMITY
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution,
+    view population as the base vs purchase as the comparison, decile
+    bins from the base side.  operators/stats.py psi_drift —
+    distinct-value collapse first, arithmetic (DIV) bin assignment,
+    no boundary join."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    return stats.psi_drift(e, "value", "event_type", "view", "purchase")
+
+
+ORACLE_PSI_DRIFT = """
+WITH pv AS (
+    SELECT value AS v,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS nb,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS nc
+    FROM events
+    WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    GROUP BY 1
+),
+st AS (
+    SELECT nb, nc,
+           coalesce(sum(nb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+           sum(nb) OVER () AS n
+    FROM pv
+),
+b AS (
+    SELECT least(9, (10 * cum_prev) // n) AS bin,
+           CAST(sum(nb) AS BIGINT) AS n_base,
+           CAST(sum(nc) AS BIGINT) AS n_cmp
+    FROM st GROUP BY 1
+)
+SELECT bin, n_base, n_cmp,
+       round(((n_base + 0.5) / (sum(n_base) OVER () + 5.0)
+              - (n_cmp + 0.5) / (sum(n_cmp) OVER () + 5.0))
+             * ln(((n_base + 0.5) / (sum(n_base) OVER () + 5.0))
+                  / ((n_cmp + 0.5) / (sum(n_cmp) OVER () + 5.0))),
+             6) AS psi_term
+FROM b
+"""
+
+AUX_QUERIES["psi_drift"] = q_psi_drift
+AUX_ORACLES["psi_drift"] = ORACLE_PSI_DRIFT
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

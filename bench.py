@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "merge_intervals",
     "weighted_median",
     "cuped",
+    "k_anonymity",
+    "psi_drift",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -187,6 +189,8 @@ TOTAL_EXCLUDED = {
     "merge_intervals",
     "weighted_median",
     "cuped",
+    "k_anonymity",
+    "psi_drift",
 }
 
 

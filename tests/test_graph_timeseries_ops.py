@@ -489,3 +489,58 @@ def test_cuped_uncorrelated_covariate_changes_nothing(spark):
     assert out[0]["theta"] == pytest.approx(0.0, abs=1e-6)
     assert out[0]["mean_y_adj"] == pytest.approx(5.0, abs=1e-6)
     assert out[1]["mean_y_adj"] == pytest.approx(9.0, abs=1e-6)
+
+
+# ------------------------------------------------------------- privacy
+
+
+def test_k_anonymity_audit_flags_small_groups_only(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import (
+        k_anonymity_audit,
+    )
+
+    rows = [("US", 30)] * 3 + [("US", 40)] * 2 + [("DE", 30)] * 5
+    df = spark.createDataFrame(rows, ["country", "age"])
+    out = k_anonymity_audit(df, ["country", "age"], k=4)
+    got = {(r["country"], r["age"]): r["n"] for r in out.collect()}
+    assert got == {("US", 30): 3, ("US", 40): 2}
+    assert k_anonymity_audit(df, ["country", "age"], k=2).count() == 0
+    empty = k_anonymity_audit(df, ["country"], k=2)
+    assert empty.collect() == []  # both countries have >= 2 rows
+
+
+# ----------------------------------------------------------------- PSI
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    """Same distribution in both populations: every psi_term ~ 0 and
+    deciles hold ~n/10 base rows each."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import psi_drift
+
+    rows = [("a", float(i % 100)) for i in range(1000)] + [
+        ("b", float(i % 100)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["pop", "v"])
+    out = psi_drift(df, "v", "pop", "a", "b").collect()
+    assert len(out) == 10
+    assert all(abs(r["psi_term"]) < 1e-4 for r in out)
+    assert all(r["n_base"] == 100 for r in out)
+    total = sum(r["psi_term"] for r in out)
+    assert abs(total) < 1e-3
+
+
+def test_psi_drift_shifted_distribution_large_terms(spark):
+    """Comparison mass concentrated in the top base decile: large
+    positive PSI, and ties must land wholly in one bin (base values
+    have heavy ties)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import psi_drift
+
+    base = [("a", float(i % 10)) for i in range(1000)]     # ties: 100 per value
+    shifted = [("b", 9.0)] * 500
+    df = spark.createDataFrame(base + shifted, ["pop", "v"])
+    out = {r["bin"]: r for r in psi_drift(df, "v", "pop", "a", "b").collect()}
+    assert len(out) == 10
+    # all cmp mass in the last bin; no engine tie-splitting anywhere
+    assert out[9]["n_cmp"] == 500 and out[9]["n_base"] == 100
+    psi = sum(r["psi_term"] for r in out.values())
+    assert psi > 1.0

@@ -206,6 +206,10 @@ HEAVY = [
     # one-aggregate CUPED moments — expect corpus-linear / flat
     "weighted_median",
     "cuped",
+    # privacy audit (one hash agg) and PSI (distinct-value collapse +
+    # arithmetic binning) — expect flat-to-linear
+    "k_anonymity",
+    "psi_drift",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
