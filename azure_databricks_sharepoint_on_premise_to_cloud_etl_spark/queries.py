@@ -9111,3 +9111,74 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names: token-blocked
+    fuzzy candidate pairs (edit distance ≤ 2, dedup.fuzzy_name_pairs)
+    → transitive closure into entities (graph.connected_components,
+    entity id = min member key) → canonical name = the id member's
+    name, joined back broadcast-small.  One row per part:
+    ``(p_partkey, entity_id, canonical_name)`` — the classic
+    dedupe-then-survivorship pipeline, each stage an already-verified
+    operator.  The oracle replays the closure as a DuckDB RECURSIVE
+    fixpoint over the identical pair set."""
+    from .operators.graph import connected_components, release_components
+
+    p = rebalance(load_table(spark, sf_dir, "part")).select("p_partkey", "p_name")
+    pairs = dedup.fuzzy_name_pairs(p, "p_partkey", "p_name", max_dist=2)
+    comp = connected_components(
+        pairs, p.select("p_partkey"), node_col="p_partkey"
+    )
+    out = comp.join(
+        F.broadcast(
+            p.select(
+                F.col("p_partkey").alias("component"),
+                F.col("p_name").alias("canonical_name"),
+            )
+        ),
+        "component",
+    ).select(
+        "p_partkey",
+        F.col("component").alias("entity_id"),
+        "canonical_name",
+    )
+    out._cc_final_generation = getattr(comp, "_cc_final_generation", None)
+    out._cc_checkpoint_dir = getattr(comp, "_cc_checkpoint_dir", None)
+    return out
+
+
+def _entity_resolution_oracle() -> str:
+    pairs = ORACLE_FUZZY.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach (src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT p.p_partkey,
+           least(p.p_partkey,
+                 coalesce((SELECT min(dst) FROM reach
+                           WHERE src = p.p_partkey), p.p_partkey))
+               AS entity_id
+    FROM part p
+)
+SELECT c.p_partkey, c.entity_id, n.p_name AS canonical_name
+FROM comp c JOIN part n ON n.p_partkey = c.entity_id
+"""
+
+
+AUX_QUERIES["entity_resolution"] = q_entity_resolution
+AUX_ORACLES["entity_resolution"] = _entity_resolution_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "cuped",
     "k_anonymity",
     "psi_drift",
+    "entity_resolution",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -191,6 +192,7 @@ TOTAL_EXCLUDED = {
     "cuped",
     "k_anonymity",
     "psi_drift",
+    "entity_resolution",
 }
 
 
