@@ -617,3 +617,52 @@ def linear_attribution(
             F.round(F.sum("__credit"), 4).alias("attributed_value"),
         )
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    session_cols: list[str],
+    n: int = 3,
+    top_k: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Most-common length-``n`` event-type paths across sessions: the
+    behavioral n-gram census ('view → click → purchase happened 412
+    times') behind journey mining and next-step suggestion.  Returns
+    ``(path, n_occurrences)`` for the top ``top_k`` paths, rank-
+    filtered on the deterministic (count DESC, path ASC) order so
+    count ties never truncate arbitrarily.
+
+    One session-keyed window (shuffle on the session key, no global
+    sort) builds each row's trailing n-gram via ``lag``; the census is
+    a map-side-combined count whose cardinality is bounded by
+    |event types|^n, and top-k runs on that bounded table.  Pass
+    ``tiebreak_col`` (a unique id) to pin intra-timestamp order —
+    without it, equal-timestamp events have engine-dependent order and
+    the census is not reproducible.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*session_cols).orderBy(*order)
+    parts = [F.lag(type_col, n - 1 - i).over(w) for i in range(n - 1)]
+    parts.append(F.col(type_col))
+    path = F.concat_ws(" > ", *parts)
+    complete = F.lag(type_col, n - 1).over(w).isNotNull()
+    census = (
+        df.withColumn("__path", path)
+        .withColumn("__ok", complete)
+        .filter(F.col("__ok"))
+        .groupBy(F.col("__path").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return (
+        census.withColumn("__rk", F.row_number().over(wr))
+        .filter(F.col("__rk") <= top_k)
+        .drop("__rk")
+    )

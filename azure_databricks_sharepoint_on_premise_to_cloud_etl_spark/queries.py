@@ -9182,3 +9182,120 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_PPR_ITERS = 3
+_PPR_DAMPING = 0.85
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart proximity to a seed part set over the
+    part–supplier co-occurrence graph (seeds: l_partkey % 500 = 1) —
+    'related parts' scores for a recommendation surface.
+    operators/graph.py personalized_pagerank; the oracle unrolls the
+    same three sparse iterations."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    pairs = li.select(
+        F.col("l_partkey").alias("p"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    seeds = li.filter(F.col("l_partkey") % 500 == 1).select(
+        F.col("l_partkey").alias("node")
+    )
+    return graph.personalized_pagerank(
+        edges, seeds, iterations=_PPR_ITERS, damping=_PPR_DAMPING
+    )
+
+
+def _ppr_oracle() -> str:
+    d = _PPR_DAMPING
+    tp = repr(round(1.0 - d, 10))
+    prev = "r0"
+    iters = []
+    for i in range(1, _PPR_ITERS + 1):
+        iters.append(
+            f"""c{i} AS (
+    SELECT s.v AS node, sum({prev}.r / deg.deg) AS s
+    FROM sym s JOIN deg ON deg.u = s.u JOIN {prev} ON {prev}.node = s.u
+    GROUP BY 1
+),
+r{i} AS (
+    SELECT coalesce(c.node, w.node) AS node,
+           {tp} * coalesce(w.sm, 0) + {d!r} * coalesce(c.s, 0) AS r
+    FROM c{i} c FULL JOIN sw w ON w.node = c.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT l_partkey AS p, 10000000 + l_suppkey AS s FROM lineitem
+),
+sym AS (
+    SELECT p AS u, s AS v FROM pairs UNION SELECT s, p FROM pairs
+),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+sd AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+       WHERE l_partkey % 500 = 1),
+ns AS (SELECT count(*) AS c FROM sd),
+sw AS (SELECT node, 1.0 / c AS sm FROM sd, ns),
+r0 AS (SELECT node, sm AS r FROM sw),
+{chain}
+SELECT node, round(r, 6) AS score FROM {prev}
+"""
+
+
+AUX_QUERIES["personalized_pagerank"] = q_personalized_pagerank
+AUX_ORACLES["personalized_pagerank"] = _ppr_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral journey census: the 20 most common 3-step event-type
+    paths across user streams (ties pinned by event_id, rank-filtered
+    on the deterministic count-then-path order).
+    operators/funnels.py path_ngrams — one user-keyed lag window, then
+    a census bounded by |event types|³."""
+    from .operators import funnels
+
+    e = load_table(spark, sf_dir, "events")
+    return funnels.path_ngrams(
+        e, "ts", "event_type", ["user_id"], n=3, top_k=20, tiebreak_col="event_id"
+    )
+
+
+ORACLE_COMMON_PATHS = """
+WITH g AS (
+    SELECT user_id, event_type,
+           lag(event_type, 2) OVER w AS l2,
+           lag(event_type, 1) OVER w AS l1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+c AS (
+    SELECT l2 || ' > ' || l1 || ' > ' || event_type AS path,
+           count(*) AS n_occurrences
+    FROM g WHERE l2 IS NOT NULL GROUP BY 1
+),
+r AS (
+    SELECT path, n_occurrences,
+           row_number() OVER (ORDER BY n_occurrences DESC, path ASC) AS rk
+    FROM c
+)
+SELECT path, n_occurrences FROM r WHERE rk <= 20
+"""
+
+AUX_QUERIES["common_paths"] = q_common_paths
+AUX_ORACLES["common_paths"] = ORACLE_COMMON_PATHS
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

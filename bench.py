@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "k_anonymity",
     "psi_drift",
     "entity_resolution",
+    "personalized_pagerank",
+    "common_paths",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -193,6 +195,8 @@ TOTAL_EXCLUDED = {
     "k_anonymity",
     "psi_drift",
     "entity_resolution",
+    "personalized_pagerank",
+    "common_paths",
 }
 
 

@@ -544,3 +544,78 @@ def test_psi_drift_shifted_distribution_large_terms(spark):
     assert out[9]["n_cmp"] == 500 and out[9]["n_base"] == 100
     psi = sum(r["psi_term"] for r in out.values())
     assert psi > 1.0
+
+
+# ------------------------------------------------- personalized pagerank
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """Two disjoint triangles, seed in the first only: all walk mass
+    stays in the seeded triangle (second component absent), total mass
+    sums to 1 (symmetrized graph, no dangling loss), and the seed
+    outranks its neighbors."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(tri1 + tri2, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = personalized_pagerank(edges, seeds, iterations=3)
+    got = {r["node"]: r["score"] for r in out.collect()}
+    release_components(out)
+    assert set(got) == {1, 2, 3}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got[1] > got[2] == got[3]
+
+
+def test_personalized_pagerank_restart_only_on_seeds(spark):
+    """Path 1-2-3, seed {1}: node 3 holds only twice-damped walk
+    mass; hand-check the 2-iteration values exactly (to rounding)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = personalized_pagerank(edges, seeds, iterations=2, damping=0.85)
+    got = {r["node"]: r["score"] for r in out.collect()}
+    release_components(out)
+    # r0 = {1:1}; iter1: c = {2: 1/1}; r1 = {1:0.15, 2:0.85}
+    # iter2: c = {2: 0.15, 1: 0.425, 3: 0.425}
+    # r2 = {1: 0.15+0.85*0.425, 2: 0.85*0.15, 3: 0.85*0.425}
+    assert got[1] == pytest.approx(0.15 + 0.85 * 0.425, abs=1e-6)
+    assert got[2] == pytest.approx(0.85 * 0.15, abs=1e-6)
+    assert got[3] == pytest.approx(0.85 * 0.425, abs=1e-6)
+
+
+# --------------------------------------------------------- path n-grams
+
+
+def test_path_ngrams_window_and_tiebreak(spark):
+    """User 1: A B A B A yields trigrams ABA, BAB, ABA; incomplete
+    prefixes excluded; sessions don't leak across keys; count ties
+    rank-ordered by path so top_k=1 picks 'A > B > A' (count 2)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import (
+        path_ngrams,
+    )
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 1), "A"),
+        (2, 1, datetime(2024, 1, 1, 0, 0, 2), "B"),
+        (3, 1, datetime(2024, 1, 1, 0, 0, 3), "A"),
+        (4, 1, datetime(2024, 1, 1, 0, 0, 4), "B"),
+        (5, 1, datetime(2024, 1, 1, 0, 0, 5), "A"),
+        (6, 2, datetime(2024, 1, 1, 0, 0, 1), "B"),  # only 1 event: no trigram
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = path_ngrams(
+        df, "ts", "event_type", ["user_id"], n=3, top_k=20, tiebreak_col="event_id"
+    )
+    got = {r["path"]: r["n_occurrences"] for r in out.collect()}
+    assert got == {"A > B > A": 2, "B > A > B": 1}
+    top1 = path_ngrams(
+        df, "ts", "event_type", ["user_id"], n=3, top_k=1, tiebreak_col="event_id"
+    ).collect()
+    assert [(r["path"], r["n_occurrences"]) for r in top1] == [("A > B > A", 2)]

@@ -210,6 +210,12 @@ HEAVY = [
     # arithmetic binning) — expect flat-to-linear
     "k_anonymity",
     "psi_drift",
+    # seeded random-walk proximity: three sparse join+sum rounds over
+    # the dimension-bounded bipartite graph — expect flat like
+    # label_spreading
+    "personalized_pagerank",
+    # user-keyed lag window + type^3-bounded census
+    "common_paths",
     # semantic_dedup is deliberately excluded: with the oracle-pinned
     # k=8 centroids its within-cluster pair cost is quadratic in
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
