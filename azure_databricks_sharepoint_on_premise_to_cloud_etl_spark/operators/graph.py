@@ -833,17 +833,26 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         deg = degrees(e)
         # the peel set is referenced three times per round (emptiness
         # probe + both anti-joins) — materialize it once so the degree
-        # aggregate runs ONE pass over the edge generation, not three
+        # aggregate runs ONE pass over the edge generation, not three.
+        # The emptiness probe rides the SAME checkpoint job as an
+        # Observation (the connected_components snapshot trick): two
+        # jobs per peel round instead of three, and job-launch barriers
+        # are exactly what bounds iterative ops in the flat-alpha
+        # regime SCALE.md records for kcore.
+        obs = Observation()
         low = (
             deg.filter(F.col("core_deg") < k)
             .select("node")
+            .observe(obs, F.count(F.lit(1)).alias("__n_low"))
             .localCheckpoint(eager=True)
         )
-        if low.limit(1).count() == 0:
+        if int(obs.get["__n_low"] or 0) == 0:
             _release_local_checkpoint(low)
             result = deg
             result._cc_final_generation = e
@@ -912,6 +921,8 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("node")
+    from pyspark.sql import Observation
+
     for h in range(1, max_hops + 1):
         neigh = (
             sym.join(frontier.withColumnRenamed("node", "u"), "u")
@@ -921,10 +932,18 @@ def bfs_distances(
         fresh = neigh.join(dist.select("node"), "node", "left_anti").withColumn(
             "hops", F.lit(h)
         )
-        nxt = dist.unionAll(fresh).localCheckpoint(eager=True)
-        # settled?  one emptiness probe over the checkpointed
-        # generation (the frontier filter scans cached blocks only)
-        settled = nxt.filter(F.col("hops") == h).limit(1).count() == 0
+        # the settled probe rides the checkpoint job as an Observation
+        # (the connected_components snapshot trick): one job per hop,
+        # not two — job barriers are the floor for iterative ops
+        obs = Observation()
+        nxt = (
+            dist.unionAll(fresh)
+            .observe(
+                obs, F.sum((F.col("hops") == h).cast("long")).alias("__nf")
+            )
+            .localCheckpoint(eager=True)
+        )
+        settled = int(obs.get["__nf"] or 0) == 0
         _release_local_checkpoint(dist)
         dist = nxt
         if settled:
@@ -932,6 +951,9 @@ def bfs_distances(
         frontier = dist.filter(F.col("hops") == h).select("node")
     result = dist
     result._cc_final_generation = sym
+    # the final distance generation backs the result itself; route it
+    # through the same release hook so nothing leaks after consumption
+    result._extra_ckpts = [dist]
     result._cc_checkpoint_dir = None
     return result
 
@@ -978,35 +1000,49 @@ def shortest_path_costs(
         .withColumn("cost", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_hops):
-        cand = (
+        # relax as a full-outer join against the candidate minima —
+        # equivalent to min over (dist ∪ cand) per node, but the form
+        # exposes a per-node `improved` flag that rides the checkpoint
+        # job as an Observation: one job per round, no separate probe
+        candmin = (
             e.join(dist.withColumnRenamed("node", "u"), "u")
-            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
-        )
-        nxt = (
-            dist.unionAll(cand)
+            .select(
+                F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("__new")
+            )
             .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
+            .agg(F.min("__new").alias("__new"))
+        )
+        obs = Observation()
+        nxt = (
+            dist.withColumnRenamed("cost", "__old")
+            .join(candmin, "node", "full_outer")
+            .select(
+                "node",
+                F.least(F.col("__old"), F.col("__new")).alias("cost"),
+                (
+                    F.col("__old").isNull()
+                    | (F.col("__new").isNotNull() & (F.col("__new") < F.col("__old")))
+                )
+                .cast("long")
+                .alias("__chg"),
+            )
+            .observe(obs, F.sum("__chg").alias("__n_improved"))
             .localCheckpoint(eager=True)
         )
-        # improvement probe: any node whose cost dropped (or appeared)?
-        improved = (
-            nxt.join(
-                dist.withColumnRenamed("cost", "__old"), "node", "left"
-            )
-            .filter(
-                F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
-            )
-            .limit(1)
-            .count()
-            > 0
-        )
+        improved = int(obs.get["__n_improved"] or 0) > 0
         _release_local_checkpoint(dist)
-        dist = nxt
+        dist = nxt.select("node", "cost")
+        dist._ckpt_handle = nxt
         if not improved:
             break
     result = dist
     result._cc_final_generation = e
+    # the final distance generation backs the result itself; its
+    # _ckpt_handle routes the release through the same hook
+    result._extra_ckpts = [dist]
     result._cc_checkpoint_dir = None
     return result
 
@@ -1074,10 +1110,10 @@ def label_spreading(
         lab = nxt
     result = lab
     result._cc_final_generation = e
-    # seeds table still pinned: fold it into the release chain the way
-    # connected_components chains generations (release_components walks
-    # _cc_final_generation then _cc_prev_generation if present)
-    result._cc_prev_generation = sd if lab is not sd else None
+    # seeds table and the final label generation stay pinned past the
+    # loop; release_components walks _extra_ckpts, so route both
+    # through it (lab IS the result — released only after consumption)
+    result._extra_ckpts = [sd, lab] if lab is not sd else [sd]
     result._cc_checkpoint_dir = None
     return result
 
