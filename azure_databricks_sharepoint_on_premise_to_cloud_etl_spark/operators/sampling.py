@@ -587,3 +587,42 @@ def weighted_priority_sample(
         .filter(F.col("__rk") <= k)
         .select(*out_cols, F.round(F.col("__pri"), 6).alias("priority"))
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic exactly-k-per-group sample: within each group keep
+    the ``k`` rows whose salted key hash ranks smallest (hash order,
+    key tiebreak) — per-stratum eval-set carving, per-domain
+    inspection pools, balanced debug slices.  Unlike
+    ``stratified_sample``'s rate gate this guarantees the COUNT
+    (min(k, group size)), and unlike any random sample it is stable
+    across runs, engines, and partitionings: re-running with the same
+    salt reproduces the same rows, and bumping ``salt`` rotates the
+    pool.
+
+    One shuffle on the group key, a group-local rank (never a global
+    sort), and the hash is engine-reproducible (portable md5 gate /
+    xxhash64 fast path — the stable_sample contract), so a SQL oracle
+    selects the identical rows.  ``key_col`` must be group-unique for
+    the tiebreak to be total.
+    """
+    gate = (
+        portable_hash64(F.col(key_col).cast("string"), seed=salt)
+        if portable
+        else fast_hash64(F.col(key_col).cast("string"), seed=salt)
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        gate.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -568,3 +568,45 @@ def skyline_2d(
     )
     out._persisted_intermediates = [staged]
     return out
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    season_days: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict each day with
+    the value ``season_days`` earlier — the baseline every real
+    forecasting model must beat): per group, MAE and sMAPE over the
+    days where a season-old observation exists.  Returns
+    ``(group..., n_days, mae, smape)``.
+
+    The season shift is an EQUI-JOIN on ``date + season_days``, not a
+    ``lag(season)`` row offset — a row-offset lag silently misaligns
+    whenever a day is missing from the stream, the classic backtest
+    bug.  Scale shape: the corpus collapses to (group, day) totals in
+    one hash aggregate; the shifted self-join and the metric rollup
+    run on that bounded calendar table.  sMAPE terms with a zero
+    denominator (both sides zero) contribute 0; metrics round to 6
+    decimals for cross-engine hash stability.
+    """
+    d = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = df.groupBy(
+        *group_cols, d.alias("__d")
+    ).agg(F.sum(F.col(value_col)).alias("__actual"))
+    shifted = daily.select(
+        *group_cols,
+        F.date_add(F.col("__d"), season_days).alias("__d"),
+        F.col("__actual").alias("__forecast"),
+    )
+    j = daily.join(shifted, [*group_cols, "__d"])
+    err = F.abs(F.col("__actual") - F.col("__forecast"))
+    denom = F.abs(F.col("__actual")) + F.abs(F.col("__forecast"))
+    smape_term = F.when(denom > 0, F.lit(2.0) * err / denom).otherwise(F.lit(0.0))
+    return j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(err), 6).alias("mae"),
+        F.round(F.avg(smape_term), 6).alias("smape"),
+    )

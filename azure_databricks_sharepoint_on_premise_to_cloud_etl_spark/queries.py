@@ -9299,3 +9299,74 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-source deterministic document sample (portable
+    hash rank, salt 7) — the per-stratum eval-carving gate.
+    operators/sampling.py group_sample."""
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.group_sample(
+        d.select("doc_id", "source"), ["source"], "doc_id", k=5, salt=7
+    )
+
+
+ORACLE_GROUP_SAMPLE = """
+WITH h AS (
+    SELECT doc_id, source,
+           CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS g
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY g ASC, doc_id ASC) AS rk
+    FROM h
+)
+SELECT doc_id, source FROM r WHERE rk <= 5
+"""
+
+AUX_QUERIES["group_sample"] = q_group_sample
+AUX_ORACLES["group_sample"] = ORACLE_GROUP_SAMPLE
+
+
+def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: predict each
+    day's total value with the total 7 days earlier; MAE + sMAPE over
+    the forecastable tail.  operators/windows.py
+    seasonal_naive_backtest — calendar equi-join, never a row-offset
+    lag (misaligns on missing days)."""
+    e = load_table(spark, sf_dir, "events")
+    return windows.seasonal_naive_backtest(
+        e, "ts", "value", ["event_type"], season_days=7
+    )
+
+
+ORACLE_SEASONAL_BACKTEST = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+           sum(value) AS a
+    FROM events GROUP BY 1, 2
+),
+j AS (
+    SELECT x.event_type, x.a AS actual, y.a AS forecast
+    FROM daily x JOIN daily y
+      ON y.event_type = x.event_type AND x.d = y.d + 7
+)
+SELECT event_type, count(*) AS n_days,
+       round(avg(abs(actual - forecast)), 6) AS mae,
+       round(avg(CASE WHEN abs(actual) + abs(forecast) > 0
+                      THEN 2 * abs(actual - forecast)
+                           / (abs(actual) + abs(forecast))
+                      ELSE 0 END), 6) AS smape
+FROM j GROUP BY 1
+"""
+
+AUX_QUERIES["seasonal_backtest"] = q_seasonal_backtest
+AUX_ORACLES["seasonal_backtest"] = ORACLE_SEASONAL_BACKTEST
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -619,3 +619,67 @@ def test_path_ngrams_window_and_tiebreak(spark):
         df, "ts", "event_type", ["user_id"], n=3, top_k=1, tiebreak_col="event_id"
     ).collect()
     assert [(r["path"], r["n_occurrences"]) for r in top1] == [("A > B > A", 2)]
+
+
+# --------------------------------------------------------- group sample
+
+
+def test_group_sample_exact_k_and_salt_rotation(spark):
+    """Each group yields exactly min(k, size) rows; the same salt is
+    reproducible; a different salt picks a (generally) different set
+    but still k rows."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sampling import (
+        group_sample,
+    )
+
+    rows = [("a", i) for i in range(20)] + [("b", 100)]
+    df = spark.createDataFrame(rows, ["g", "id"])
+    s1 = group_sample(df, ["g"], "id", k=3, salt=1)
+    got1 = sorted((r["g"], r["id"]) for r in s1.collect())
+    got1b = sorted((r["g"], r["id"]) for r in group_sample(
+        df, ["g"], "id", k=3, salt=1
+    ).collect())
+    assert got1 == got1b
+    assert sum(1 for g, _ in got1 if g == "a") == 3
+    assert sum(1 for g, _ in got1 if g == "b") == 1  # min(k, size)
+    got2 = sorted((r["g"], r["id"]) for r in group_sample(
+        df, ["g"], "id", k=3, salt=2
+    ).collect())
+    assert len(got2) == 4
+
+
+# ----------------------------------------------- seasonal-naive backtest
+
+
+def test_seasonal_naive_backtest_alignment_and_gaps(spark):
+    """Values on days 1..9 with day 8 MISSING: day-9 forecast must
+    come from day 2 (calendar join), and day 8+7 never appears.  A
+    row-offset lag would misalign here."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import (
+        seasonal_naive_backtest,
+    )
+
+    rows = []
+    for day, v in [(1, 10.0), (2, 20.0), (3, 30.0), (9, 25.0)]:
+        rows.append(("t", datetime(2024, 1, day, 12), v))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = seasonal_naive_backtest(df, "ts", "v", ["k"], season_days=7)
+    r = out.collect()[0]
+    # only day 9 has a day-2 ancestor: |25 - 20| = 5
+    assert (r["n_days"], r["mae"]) == (1, 5.0)
+    assert r["smape"] == pytest.approx(2 * 5 / 45, abs=1e-6)
+
+
+def test_seasonal_naive_backtest_zero_denominator(spark):
+    """Both sides zero -> sMAPE term 0, not NaN."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import (
+        seasonal_naive_backtest,
+    )
+
+    rows = [
+        ("t", datetime(2024, 1, 1, 1), 0.0),
+        ("t", datetime(2024, 1, 8, 1), 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    r = seasonal_naive_backtest(df, "ts", "v", ["k"]).collect()[0]
+    assert (r["n_days"], r["mae"], r["smape"]) == (1, 0.0, 0.0)
