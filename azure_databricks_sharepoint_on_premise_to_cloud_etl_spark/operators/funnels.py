@@ -666,3 +666,80 @@ def path_ngrams(
         .filter(F.col("__rk") <= top_k)
         .drop("__rk")
     )
+
+
+def sequence_match(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    key_cols: list[str],
+    first: str,
+    then: str,
+    exclude: str | None = None,
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Event-pattern matching (the ``sequenceMatch``/MATCH_RECOGNIZE
+    class of query): per key, count ``then``-type events completing a
+    ``first -> then`` pattern — matched against the MOST RECENT
+    preceding ``first`` event, optionally requiring the gap to be at
+    most ``within_seconds`` and that no ``exclude``-type event fell
+    between the matched pair ("clicked then purchased within an hour
+    with no error in between").
+
+    Semantics are defined over the per-key event order ``(ts,
+    tiebreak)``: for each ``then`` row, ``last_first`` / ``last_excl``
+    are the latest STRICTLY-PRECEDING rows of the respective types
+    (row-frame ``UNBOUNDED PRECEDING .. 1 PRECEDING``); the pattern
+    completes when ``last_first`` exists, the time gap fits, and
+    ``last_excl`` is absent or not after ``last_first`` (an exclude
+    sharing ``last_first``'s position does not block, one between the
+    pair does).  Most-recent-anchor matching is the standard stream
+    semantic — it never requires joining a ``then`` event to ALL its
+    candidate anchors, so no pair blow-up exists at any scale.
+
+    Scale shape: ONE shuffle on the key and a single ordered window
+    pass computing both running maxima — event payloads never
+    replicate, state per row is two timestamps.  The final rollup is a
+    key-keyed hash aggregate with map-side combine.  Returns
+    ``(key..., n_complete, first_completion_ts)`` for keys with at
+    least one completed pattern.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_first = F.max(
+        F.when(F.col(type_col) == first, F.col(ts_col))
+    ).over(w)
+    cur = df.withColumn("__last_first", last_first)
+    matched = (
+        (F.col(type_col) == then) & F.col("__last_first").isNotNull()
+    )
+    if within_seconds is not None:
+        matched = matched & (
+            F.col(ts_col)
+            <= F.col("__last_first")
+            + F.expr(f"INTERVAL {within_seconds} SECOND")
+        )
+    if exclude is not None:
+        last_excl = F.max(
+            F.when(F.col(type_col) == exclude, F.col(ts_col))
+        ).over(w)
+        cur = cur.withColumn("__last_excl", last_excl)
+        matched = matched & (
+            F.col("__last_excl").isNull()
+            | (F.col("__last_excl") <= F.col("__last_first"))
+        )
+    return (
+        cur.filter(matched)
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_complete"),
+            F.min(F.col(ts_col)).alias("first_completion_ts"),
+        )
+    )

@@ -1198,3 +1198,226 @@ def personalized_pagerank(
     result._cc_checkpoint_dir = None
     result._extra_ckpts = [deg, seedw]
     return result
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood Jaccard similarity for node pairs sharing at least
+    ``min_common`` neighbors — the classic link-prediction /
+    "customers also bought" score: ``J(u,v) = |N(u) ∩ N(v)| /
+    |N(u) ∪ N(v)|`` on the undirected graph.
+
+    Candidate pairs come from a WEDGE join (two copies of the edge
+    table keyed on the shared neighbor), so only pairs with ≥1 common
+    neighbor are ever materialized — never an all-pairs product.  A
+    center of degree d emits d·(d−1)/2 wedges, so hubs are the scale
+    hazard; ``max_degree`` prunes nodes above the cap from the graph
+    ENTIRELY before anything else (edges to hubs carry little
+    similarity signal — the same reasoning that has Adamic–Adar
+    downweight them to ~0), which keeps the semantics exact-on-the-
+    pruned-graph rather than an uncontrolled undercount: degrees,
+    intersections, and unions all agree on what a neighbor is.
+
+    Shuffle shape: symmetrize+distinct (one shuffle), one degree
+    aggregate, the center-keyed wedge self-join (equi-join on the
+    center, AQE-skew-splittable), a (u,v)-keyed count, and two
+    broadcast-sized degree joins.  The (pruned) symmetrized edge
+    table is eagerly ``localCheckpoint``-ed — the degree aggregate
+    and both wedge copies reference it, and without cutting lineage
+    each reference re-executes the caller's whole upstream pipeline
+    (for a co-purchase graph, the basket self-join) once per
+    reference.  Call ``release_components(result)`` after consuming
+    the result to free the checkpointed blocks (same contract as
+    connected_components / triangle_counts).  Returns ``(u, v,
+    n_common, jaccard)`` with ``u < v``, jaccard rounded to 6
+    decimals.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ckpts = [sym]
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_degree).select("u")
+        sym = (
+            sym.join(F.broadcast(keep), "u")
+            .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        # the pre-prune table is only needed to build the pruned one —
+        # free it NOW rather than carrying it to release time
+        _release_local_checkpoint(ckpts.pop())
+        ckpts.append(sym)
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        sym.select(F.col("v").alias("w"), F.col("u").alias("a"))
+        .join(sym.select(F.col("v").alias("w"), F.col("u").alias("b")), "w")
+        .filter(F.col("a") < F.col("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    ).filter(F.col("n_common") >= min_common)
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("__db"))
+    result = (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("__da") + F.col("__db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    result._extra_ckpts = ckpts
+    return result
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic–Adar link-prediction scores: ``AA(u,v) = Σ_{w ∈ N(u) ∩
+    N(v)} 1/ln(deg(w))`` over the undirected graph — the common-
+    neighbor count with each shared neighbor down-weighted by how
+    promiscuous it is (a wedge through a 2-degree node is strong
+    evidence; one through a 10k-degree hub is none).
+
+    Same wedge-join scale shape as :func:`neighbor_jaccard` — pairs
+    materialize only through shared neighbors, never all-pairs — but
+    the weight needs the CENTER's degree, so the degree table joins
+    the (neighbor → center) edge list BEFORE the wedge self-join:
+    still one center-keyed equi-join, with the weight riding the
+    probe rows.  Degree-1 centers (ln 1 = 0) cannot form wedges, so
+    the weight is always finite.  ``max_degree`` prunes hubs from the
+    GRAPH (edges, degrees, wedges all agree), bounding the d·(d−1)/2
+    wedge blow-up exactly as in neighbor_jaccard.
+
+    The (pruned) symmetrized edge table is eagerly
+    ``localCheckpoint``-ed (three references); call
+    ``release_components(result)`` after consuming.  Returns
+    ``(u, v, n_common, aa_score)`` with ``u < v``, score rounded to
+    6 decimals.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ckpts = [sym]
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_degree).select("u")
+        sym = (
+            sym.join(F.broadcast(keep), "u")
+            .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(ckpts.pop())
+        ckpts.append(sym)
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # center-keyed edge list carrying the center's ln-degree weight
+    wdeg = deg.select(
+        F.col("u").alias("w"),
+        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("__w"),
+    )
+    centered = sym.select(F.col("v").alias("w"), F.col("u").alias("a")).join(
+        wdeg, "w"
+    )
+    wedges = centered.join(
+        sym.select(F.col("v").alias("w"), F.col("u").alias("b")), "w"
+    ).filter(F.col("a") < F.col("b"))
+    result = (
+        wedges.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("__w").alias("__aa"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "n_common",
+            F.round(F.col("__aa"), 6).alias("aa_score"),
+        )
+    )
+    result._extra_ckpts = ckpts
+    return result
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: ``C(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1))`` — the fraction of a node's neighbor pairs
+    that are themselves connected, the standard cohesion signal of
+    the near-dup candidate graph (C ≈ 1 = mutually-confirming
+    duplicate family; C ≈ 0 = chain/star evidence worth a second
+    look before collapsing).
+
+    Composes :func:`triangle_counts` (degree-ordered orientation —
+    the hub-safe wedge enumeration) with one degree aggregate and a
+    left join so triangle-free nodes report 0.0 rather than vanish.
+    Degree-1 nodes (no neighbor pairs) report 0.0 by convention.
+    Inherits triangle_counts' checkpointed edge table; call
+    ``release_components(result)`` after consuming.  Returns
+    ``(node, deg, n_triangles, coeff)`` with coeff rounded to 6
+    decimals.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_counts(e, "a", "b")
+    # triangle_counts checkpoints ITS canonical copy of e; chain both
+    # handles so one release call frees everything
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    result = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(F.col("deg") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                6,
+            )
+        )
+        .alias("coeff"),
+    )
+    result._cc_final_generation = getattr(tri, "_cc_final_generation", None)
+    result._cc_checkpoint_dir = None
+    result._extra_ckpts = [e]
+    return result

@@ -86,3 +86,63 @@ def check_constraints(
     return joined.select(
         "column", "constraint", "bound", passed.alias("passed")
     )
+
+
+def fk_integrity(
+    checks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across table pairs — the classic
+    warehouse publish gate (every fact row's dimension key must
+    resolve): for each ``(name, child, child_key, parent, parent_key)``
+    check, report child row count, distinct child keys, orphan keys
+    (child keys absent from the parent, nulls counted separately as
+    their own failure class), and the ROW count those orphan keys
+    carry.
+
+    Scale shape: each check collapses the child to its per-key row
+    counts FIRST (one codegen hash aggregate; shuffle volume =
+    distinct keys, not fact rows — the fact table is scanned exactly
+    ONCE per check), marks each key with one left join against the
+    parent's distinct keys (dimension-sized — AQE broadcasts it),
+    and folds every metric out of ONE conditional aggregate over the
+    marked key table.  All checks union into ONE result plan (one
+    driver action), each a single row keyed by ``relation``.
+
+    Returns ``(relation, n_rows, n_null_rows, n_keys, n_orphan_keys,
+    n_orphan_rows)`` ordered by relation name.
+    """
+    outs = []
+    for name, child, child_key, parent, parent_key in checks:
+        k = F.col(child_key)
+        per_key = child.groupBy(k.alias("__k")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        marked = per_key.join(
+            parent.select(F.col(parent_key).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1)),
+            "__k",
+            "left",
+        )
+        is_null = F.col("__k").isNull()
+        is_orphan = F.col("__k").isNotNull() & F.col("__hit").isNull()
+        outs.append(
+            marked.agg(
+                F.lit(name).alias("relation"),
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(is_null, F.col("__n"))), F.lit(0)
+                ).alias("n_null_rows"),
+                F.count(F.col("__k")).alias("n_keys"),
+                F.coalesce(
+                    F.sum(is_orphan.cast("long")), F.lit(0)
+                ).alias("n_orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(is_orphan, F.col("__n"))), F.lit(0)
+                ).alias("n_orphan_rows"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result.orderBy("relation")

@@ -1230,3 +1230,86 @@ def psi_drift(
         "n_cmp",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival-curve estimate — the standard censoring-
+    aware time-to-event summary (time-to-conversion, time-to-churn,
+    hardware time-to-failure): at each distinct event time ``t_i``,
+    ``S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)`` where ``d_j`` counts events
+    at ``t_j`` and ``n_j`` counts subjects still AT RISK (duration ≥
+    ``t_j``, events and right-censored alike).
+
+    Input is one row per subject: ``duration_col`` (numeric time on
+    study) and ``event_col`` (1 = event observed, 0 = right-censored
+    at that duration).  Output rows only at event times (d > 0) — the
+    curve is flat elsewhere — but censored subjects still deplete the
+    risk set between steps, which the cumulative-removal window
+    accounts for.
+
+    Scale shape — the psi_drift/percentiles discipline: collapse to
+    the DISTINCT (group, duration) table first (one codegen hash
+    aggregate with map-side combine; shuffle volume = distinct
+    durations, not subjects), then run the per-group cumulative
+    windows over that small table.  The cumulative product is
+    ``exp(Σ ln(1 − d/n))`` — a running SUM, the only distributed-
+    friendly product formulation; survival is rounded to 6 decimals
+    (cross-engine ulp discipline used by source_kl).  ``d = n`` at
+    the last time (everyone remaining fails) yields S = 0 exactly,
+    guarded before the log.
+
+    Returns ``(group..., duration, n_risk, n_events, survival)``.
+    """
+    g = list(group_cols or [])
+    t = F.col(duration_col)
+    collapsed = (
+        df.groupBy(*g, t.alias("duration"))
+        .agg(
+            F.sum(F.col(event_col).cast("long")).alias("n_events"),
+            F.count(F.lit(1)).alias("__removed"),
+        )
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
+    w_cum = w_all.orderBy(F.col("duration").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = w_all.orderBy(F.col("duration").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = collapsed.select(
+        *g,
+        "duration",
+        "n_events",
+        (
+            F.sum("__removed").over(w_all)
+            - F.coalesce(F.sum("__removed").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # running log-sum over ALL times (censoring-only rows add ln(1)=0
+    # implicitly by contributing d=0), then keep only event times
+    log_term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double") / F.col("n_risk")
+        ),
+    ).otherwise(F.lit(None))  # d == n: survival hits exactly 0
+    hit_zero = F.max(
+        (F.col("n_events") == F.col("n_risk")).cast("int")
+    ).over(w_cum)
+    return (
+        staged.withColumn("__lt", log_term)
+        .withColumn(
+            "survival",
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("__lt").over(w_cum)), 6)
+            ),
+        )
+        .filter(F.col("n_events") > 0)
+        .select(*g, "duration", "n_risk", "n_events", "survival")
+    )

@@ -9370,3 +9370,382 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern census: per user, purchases completing a
+    view -> purchase pattern within 24 h with no error between the
+    matched pair.  operators/funnels.py sequence_match — one keyed
+    window pass, never an anchor-pair join."""
+    from .operators import funnels
+
+    e = load_table(spark, sf_dir, "events")
+    return funnels.sequence_match(
+        e.select("user_id", "ts", "event_type", "event_id"),
+        "ts",
+        "event_type",
+        ["user_id"],
+        first="view",
+        then="purchase",
+        exclude="error",
+        within_seconds=86400,
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_SEQUENCE_MATCH = """
+WITH o AS (
+    SELECT user_id, ts, event_type,
+           max(CASE WHEN event_type = 'view' THEN ts END) OVER w
+               AS last_first,
+           max(CASE WHEN event_type = 'error' THEN ts END) OVER w
+               AS last_excl
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, count(*) AS n_complete,
+       min(ts) AS first_completion_ts
+FROM o
+WHERE event_type = 'purchase' AND last_first IS NOT NULL
+  AND ts <= last_first + INTERVAL 86400 SECOND
+  AND (last_excl IS NULL OR last_excl <= last_first)
+GROUP BY 1
+"""
+
+AUX_QUERIES["sequence_match"] = q_sequence_match
+AUX_ORACLES["sequence_match"] = ORACLE_SEQUENCE_MATCH
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores on the part co-purchase graph (parts
+    linked when they co-occur in ≥ 2 orders): neighborhood Jaccard
+    for every pair sharing ≥ 2 common neighbors, hubs above degree
+    50 pruned.  operators/graph.py neighbor_jaccard — wedge join,
+    never all-pairs."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return graph.neighbor_jaccard(
+        edges, "src", "dst", max_degree=50, min_common=2
+    )
+
+
+ORACLE_NEIGHBOR_JACCARD = """
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym0 AS (
+    SELECT a AS u, b AS v FROM e0 UNION SELECT b AS u, a AS v FROM e0
+),
+hubs AS (
+    SELECT u FROM sym0 GROUP BY 1 HAVING count(*) > 50
+),
+sym AS MATERIALIZED (
+    SELECT u, v FROM sym0
+    WHERE u NOT IN (SELECT u FROM hubs) AND v NOT IN (SELECT u FROM hubs)
+),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+common AS (
+    SELECT x.u AS a, y.u AS b, count(*) AS n_common
+    FROM sym x JOIN sym y ON x.v = y.v AND x.u < y.u
+    GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT c.a AS u, c.b AS v, c.n_common,
+       round(c.n_common / (da.deg + db.deg - c.n_common), 6) AS jaccard
+FROM common c
+JOIN deg da ON da.u = c.a
+JOIN deg db ON db.u = c.b
+"""
+
+AUX_QUERIES["neighbor_jaccard"] = q_neighbor_jaccard
+AUX_ORACLES["neighbor_jaccard"] = ORACLE_NEIGHBOR_JACCARD
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the ≥2-support part co-purchase
+    graph (same graph as neighbor_jaccard): pairs sharing ≥ 2 common
+    neighbors, hubs above degree 50 pruned from the graph.
+    operators/graph.py adamic_adar — wedge join carrying the center's
+    1/ln(deg) weight, never all-pairs."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return graph.adamic_adar(edges, "src", "dst", max_degree=50, min_common=2)
+
+
+ORACLE_ADAMIC_ADAR = """
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym0 AS (
+    SELECT a AS u, b AS v FROM e0 UNION SELECT b AS u, a AS v FROM e0
+),
+hubs AS (
+    SELECT u FROM sym0 GROUP BY 1 HAVING count(*) > 50
+),
+sym AS MATERIALIZED (
+    SELECT u, v FROM sym0
+    WHERE u NOT IN (SELECT u FROM hubs) AND v NOT IN (SELECT u FROM hubs)
+),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1)
+SELECT x.u AS u, y.u AS v, count(*) AS n_common,
+       round(sum(1.0 / ln(d.deg)), 6) AS aa_score
+FROM sym x
+JOIN sym y ON x.v = y.v AND x.u < y.u
+JOIN deg d ON d.u = x.v
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+AUX_QUERIES["adamic_adar"] = q_adamic_adar
+AUX_ORACLES["adamic_adar"] = ORACLE_ADAMIC_ADAR
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the ≥3-support part
+    co-purchase graph — how mutually-confirming each node's
+    neighborhood is.  operators/graph.py clustering_coefficient —
+    degree-ordered triangle orientation + one degree aggregate."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 3)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return graph.clustering_coefficient(edges, "src", "dst")
+
+
+ORACLE_CLUSTERING_COEFF = """
+WITH e AS MATERIALIZED (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 3
+),
+tri AS MATERIALIZED (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1 JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_n AS (
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY 1
+),
+deg AS (
+    SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+    ) GROUP BY 1
+)
+SELECT d.node, d.deg,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.deg < 2 THEN 0.0
+            ELSE round(2.0 * coalesce(t.n_triangles, 0)
+                       / (d.deg * (d.deg - 1)), 6) END AS coeff
+FROM deg d LEFT JOIN tri_n t USING (node)
+"""
+
+AUX_QUERIES["clustering_coeff"] = q_clustering_coeff
+AUX_ORACLES["clustering_coeff"] = ORACLE_CLUSTERING_COEFF
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve: per user, days from
+    first event to first purchase (event) or to last observed event
+    (right-censored), survival estimated at each event time.
+    operators/stats.py kaplan_meier — distinct-duration collapse +
+    cumulative windows, exp(Σ ln) running product."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__tlast"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "__tconv"
+        ),
+    )
+    subjects = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("__tconv"), F.col("__tlast")), F.col("__t0")
+        ).alias("duration"),
+        F.col("__tconv").isNotNull().cast("int").alias("event"),
+    )
+    return stats.kaplan_meier(subjects, "duration", "event")
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH per_user AS (
+    SELECT user_id, min(ts) AS t0, max(ts) AS tlast,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tconv
+    FROM events GROUP BY 1
+),
+subj AS (
+    SELECT date_diff('day', t0::DATE, coalesce(tconv, tlast)::DATE)
+               AS duration,
+           CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event
+    FROM per_user
+),
+collapsed AS (
+    SELECT duration, sum(event) AS n_events, count(*) AS removed
+    FROM subj GROUP BY 1
+),
+staged AS (
+    SELECT duration, n_events,
+           sum(removed) OVER () -
+           coalesce(sum(removed) OVER (ORDER BY duration ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+    FROM collapsed
+),
+curved AS (
+    SELECT duration, n_events, n_risk,
+           exp(sum(CASE WHEN n_events < n_risk
+                        THEN ln(1.0 - n_events * 1.0 / n_risk) END)
+               OVER (ORDER BY duration ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS s_raw,
+           max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY duration ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hit_zero
+    FROM staged
+)
+SELECT duration, n_risk, n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(s_raw, 6) END
+           AS survival
+FROM curved WHERE n_events > 0
+"""
+
+AUX_QUERIES["kaplan_meier"] = q_kaplan_meier
+AUX_ORACLES["kaplan_meier"] = ORACLE_KAPLAN_MEIER
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity publish gate over the warehouse's four
+    fact→dimension relations.  operators/profiling.py fk_integrity —
+    per-key collapse first, then broadcast anti-joins; fact tables
+    scanned once per check, never row-grain shuffled."""
+    from .operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return profiling.fk_integrity(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+            ("lineitem->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        ]
+    )
+
+
+ORACLE_FK_INTEGRITY = """
+WITH checks AS (
+    SELECT 'orders->customer' AS relation,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+               AS n_null_rows,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS n_keys,
+           (SELECT count(DISTINCT o_custkey) FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS n_orphan_keys,
+           (SELECT count(*) FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS n_orphan_rows
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem
+             WHERE l_orderkey IS NOT NULL
+               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+           (SELECT count(*) FROM lineitem
+             WHERE l_orderkey IS NOT NULL
+               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+           (SELECT count(DISTINCT l_partkey) FROM lineitem),
+           (SELECT count(DISTINCT l_partkey) FROM lineitem
+             WHERE l_partkey IS NOT NULL
+               AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+           (SELECT count(*) FROM lineitem
+             WHERE l_partkey IS NOT NULL
+               AND l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem
+             WHERE l_suppkey IS NOT NULL
+               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+           (SELECT count(*) FROM lineitem
+             WHERE l_suppkey IS NOT NULL
+               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+)
+SELECT relation, n_rows, n_null_rows, n_keys, n_orphan_keys,
+       n_orphan_rows
+FROM checks ORDER BY relation
+"""
+
+AUX_QUERIES["fk_integrity"] = q_fk_integrity
+AUX_ORACLES["fk_integrity"] = ORACLE_FK_INTEGRITY
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -1142,3 +1142,232 @@ def test_per_group_ks_matches_two_sample(spark):
     assert (b["n_group"], b["n_rest"], b["ks_stat"], b["ks_at"]) == (
         4, 3, 0.75, 3
     )
+
+
+# ------------------------------------------------------------ sequence match
+
+
+def test_sequence_match_exclusion_and_window(spark):
+    """A then B matches; an X strictly between blocks; B outside the
+    window doesn't count; anchor is the MOST RECENT preceding A."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import sequence_match
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    rows = [
+        # u1: A .. B 120 s apart -> one match
+        ("u1", t(0), "A", 1), ("u1", t(2), "B", 2),
+        # u2: A X B -> in window but blocked by the X between
+        ("u2", t(0), "A", 3), ("u2", t(1), "X", 4), ("u2", t(2), "B", 5),
+        # u3: A X A B -> X before the matched (most recent) anchor: match
+        ("u3", t(0), "A", 6), ("u3", t(1), "X", 7),
+        ("u3", t(2), "A", 8), ("u3", t(3), "B", 9),
+        # u4: A ... B past the 240 s window -> no match
+        ("u4", t(0), "A", 10), ("u4", t(5), "B", 11),
+        # u5: B with no A -> no match
+        ("u5", t(0), "B", 12),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, et STRING, eid LONG")
+    out = {
+        r["k"]: r
+        for r in sequence_match(
+            df, "ts", "et", ["k"], first="A", then="B", exclude="X",
+            within_seconds=240, tiebreak_col="eid",
+        ).collect()
+    }
+    assert set(out) == {"u1", "u3"}
+    assert out["u1"]["n_complete"] == 1
+    assert out["u3"]["n_complete"] == 1
+    assert out["u3"]["first_completion_ts"] == t(3)
+
+
+def test_sequence_match_counts_every_completion(spark):
+    """Each qualifying `then` row counts once (A B B -> 2 matches, both
+    anchored at the same A)."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import sequence_match
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [("u", t(0), "A", 1), ("u", t(1), "B", 2), ("u", t(2), "B", 3)]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, et STRING, eid LONG")
+    r = sequence_match(
+        df, "ts", "et", ["k"], first="A", then="B", tiebreak_col="eid"
+    ).collect()[0]
+    assert (r["n_complete"], r["first_completion_ts"]) == (2, t(1))
+
+
+# -------------------------------------------------------- neighbor jaccard
+
+
+def test_neighbor_jaccard_scores_and_hub_prune(spark):
+    """Square 1-2-3-4: opposite corners share both neighbors
+    (J = 2/2 = 1.0); adjacent corners share none.  Adding a hub wired
+    to everything and pruning it with max_degree leaves the square's
+    scores untouched."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import neighbor_jaccard
+
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(square, "src LONG, dst LONG")
+    out = {(r["u"], r["v"]): r for r in neighbor_jaccard(df, "src", "dst").collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["n_common"] == 2
+    assert out[(1, 3)]["jaccard"] == 1.0
+
+    hub = 99
+    with_hub = square + [(hub, n) for n in (1, 2, 3, 4)]
+    df2 = spark.createDataFrame(with_hub, "src LONG, dst LONG")
+    # unpruned: the hub is now a shared neighbor of EVERY corner pair,
+    # so adjacent corners (which share nothing real) pair up via it
+    noisy = {(r["u"], r["v"]): r for r in neighbor_jaccard(df2, "src", "dst").collect()}
+    assert noisy[(1, 3)]["n_common"] == 3
+    assert (1, 2) in noisy and noisy[(1, 2)]["n_common"] == 1
+    # pruned at max_degree=3 the hub (degree 4) disappears entirely
+    clean = {
+        (r["u"], r["v"]): r
+        for r in neighbor_jaccard(df2, "src", "dst", max_degree=3).collect()
+    }
+    assert set(clean) == {(1, 3), (2, 4)}
+    assert clean[(1, 3)]["jaccard"] == 1.0
+
+
+def test_neighbor_jaccard_min_common_filter(spark):
+    """min_common drops pairs below the support floor."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import neighbor_jaccard
+
+    # 1 and 2 share only node 10
+    df = spark.createDataFrame([(1, 10), (2, 10)], "src LONG, dst LONG")
+    assert neighbor_jaccard(df, "src", "dst", min_common=2).count() == 0
+    one = neighbor_jaccard(df, "src", "dst", min_common=1).collect()
+    assert [(r["u"], r["v"], r["n_common"]) for r in one] == [(1, 2, 1)]
+
+
+# ------------------------------------------------------------- adamic-adar
+
+
+def test_adamic_adar_weights_and_prune(spark):
+    """Square 1-2-3-4 plus a chord: AA weight of a shared neighbor w
+    is 1/ln(deg(w)); hub pruning removes hub-mediated pairs."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import adamic_adar
+
+    # square: 1-2, 2-3, 3-4, 4-1 (all degree 2)
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(square, "src LONG, dst LONG")
+    out = {(r["u"], r["v"]): r for r in adamic_adar(df, "src", "dst").collect()}
+    # opposite corners share two degree-2 neighbors: 2 / ln 2
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["n_common"] == 2
+    assert abs(out[(1, 3)]["aa_score"] - 2.0 / math.log(2.0)) < 1e-6
+
+    hub = 99
+    df2 = spark.createDataFrame(
+        square + [(hub, n) for n in (1, 2, 3, 4)], "src LONG, dst LONG"
+    )
+    noisy = {
+        (r["u"], r["v"]): r for r in adamic_adar(df2, "src", "dst").collect()
+    }
+    # hub (degree 4) now mediates adjacent pairs with weight 1/ln 4,
+    # and corners have degree 3
+    assert abs(noisy[(1, 2)]["aa_score"] - 1.0 / math.log(4.0)) < 1e-6
+    assert abs(
+        noisy[(1, 3)]["aa_score"] - (2.0 / math.log(3.0) + 1.0 / math.log(4.0))
+    ) < 1e-6
+    clean = {
+        (r["u"], r["v"]): r
+        for r in adamic_adar(df2, "src", "dst", max_degree=3).collect()
+    }
+    assert set(clean) == {(1, 3), (2, 4)}
+    assert abs(clean[(1, 3)]["aa_score"] - 2.0 / math.log(2.0)) < 1e-6
+
+
+# -------------------------------------------------- clustering coefficient
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle 1-2-3 with a pendant 4 hanging off 3: the triangle's
+    closed pair ratio vs node 3's 1-of-3 pairs; pendant scores 0."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        clustering_coefficient,
+        release_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src LONG, dst LONG"
+    )
+    res = clustering_coefficient(df, "src", "dst")
+    out = {r["node"]: r for r in res.collect()}
+    release_components(res)
+    assert out[1]["coeff"] == 1.0 and out[1]["n_triangles"] == 1
+    assert out[2]["coeff"] == 1.0
+    # node 3: deg 3, one closed pair of three -> 2*1/(3*2) = 1/3
+    assert out[3]["deg"] == 3 and abs(out[3]["coeff"] - 0.333333) < 1e-6
+    assert out[4]["coeff"] == 0.0 and out[4]["n_triangles"] == 0
+
+
+# ------------------------------------------------------------ kaplan-meier
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Classic textbook check: subjects with durations/events
+    (1,E) (2,C) (3,E) (3,E) (4,C): S(1)=4/5, S(3)=4/5 * 1/3."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import kaplan_meier
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "duration INT, event INT")
+    out = {r["duration"]: r for r in kaplan_meier(df, "duration", "event").collect()}
+    assert set(out) == {1, 3}
+    assert (out[1]["n_risk"], out[1]["n_events"]) == (5, 1)
+    assert abs(out[1]["survival"] - 0.8) < 1e-6
+    assert (out[3]["n_risk"], out[3]["n_events"]) == (3, 2)
+    assert abs(out[3]["survival"] - 0.8 * (1 / 3)) < 1e-6
+
+
+def test_kaplan_meier_hits_zero_and_groups(spark):
+    """d == n at the last event time drives survival to exactly 0;
+    groups estimate independently."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import kaplan_meier
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 5, 0), ("b", 7, 1)]
+    df = spark.createDataFrame(rows, "g STRING, duration INT, event INT")
+    out = {
+        (r["g"], r["duration"]): r
+        for r in kaplan_meier(df, "duration", "event", ["g"]).collect()
+    }
+    assert out[("a", 1)]["survival"] == 0.5
+    assert out[("a", 2)]["survival"] == 0.0  # last subject fails
+    # b: censored at 5, then the lone remaining subject fails at 7
+    assert out[("b", 7)]["n_risk"] == 1
+    assert out[("b", 7)]["survival"] == 0.0
+
+
+# ------------------------------------------------------------ fk integrity
+
+
+def test_fk_integrity_orphans_and_nulls(spark):
+    """Orphan keys, their row weights, and null keys all land in the
+    right buckets; a clean relation reports zeros."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.profiling import fk_integrity
+
+    child = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (9, "o1"), (9, "o2"), (None, "n")],
+        "fk INT, payload STRING",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk INT")
+    out = {
+        r["relation"]: r
+        for r in fk_integrity(
+            [
+                ("dirty", child, "fk", parent, "pk"),
+                ("clean", parent, "pk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    d = out["dirty"]
+    assert d["n_rows"] == 6 and d["n_null_rows"] == 1
+    assert d["n_keys"] == 3  # 1, 2, 9 (null excluded)
+    assert d["n_orphan_keys"] == 1 and d["n_orphan_rows"] == 2
+    c = out["clean"]
+    assert (c["n_orphan_keys"], c["n_orphan_rows"], c["n_null_rows"]) == (0, 0, 0)
