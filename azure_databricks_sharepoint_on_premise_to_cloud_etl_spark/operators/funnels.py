@@ -743,3 +743,63 @@ def sequence_match(
             F.min(F.col(ts_col)).alias("first_completion_ts"),
         )
     )
+
+
+def period_overlap(
+    df: DataFrame,
+    ts_col: str,
+    actor_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Consecutive-period audience overlap — the turnover signal
+    behind "how much of yesterday's audience came back today":
+    Jaccard of adjacent periods' distinct active-actor sets, plus the
+    retained share of the earlier period.
+
+    Scale shape: collapse to the DISTINCT (period, actor) table first
+    (one hash aggregate; shuffle volume = active pairs, not events),
+    then ONE equi-join of that table against itself shifted one
+    period (join key = (actor, period+1) vs (actor, period) — never a
+    range join), one period-keyed count for sizes, and two
+    broadcast-sized size joins.  |A ∪ B| = |A| + |B| − |A ∩ B| avoids
+    ever materializing the union.  Periods with zero shared actors
+    are absent (Jaccard 0 rows carry no signal and would need an
+    all-periods spine).  Returns ``(period, next_period, n_prev,
+    n_next, n_shared, jaccard, retained)`` rounded to 6 decimals.
+    """
+    period = F.date_trunc(grain, F.col(ts_col)).cast("date")
+    active = df.select(
+        period.alias("period"), F.col(actor_col).alias("__a")
+    ).distinct()
+    step = {"day": 1, "week": 7}[grain]
+    nxt = active.select(
+        F.date_sub(F.col("period"), step).alias("period"),
+        F.col("__a"),
+    )
+    shared = (
+        active.join(nxt, ["period", "__a"])
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = active.groupBy("period").agg(F.count(F.lit(1)).alias("n"))
+    nsz = sizes.select(
+        F.date_sub(F.col("period"), step).alias("period"),
+        F.col("n").alias("n_next"),
+    )
+    return (
+        shared.join(sizes, "period")
+        .join(nsz, "period")
+        .select(
+            F.col("period"),
+            F.date_add(F.col("period"), step).alias("next_period"),
+            F.col("n").alias("n_prev"),
+            "n_next",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n") + F.col("n_next") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("n_shared") / F.col("n"), 6).alias("retained"),
+        )
+    )

@@ -1313,3 +1313,107 @@ def kaplan_meier(
         .filter(F.col("n_events") > 0)
         .select(*g, "duration", "n_risk", "n_events", "survival")
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    min_gaps: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key inter-arrival-time statistics — the burstiness
+    fingerprint of an event stream (bot-vs-human traffic, machine
+    health, purchase cadence): consecutive-event gaps in seconds,
+    summarized as mean, coefficient of variation, and the Goh–
+    Barabási burstiness ``B = (σ − μ)/(σ + μ)`` (−1 = perfectly
+    periodic, 0 = Poisson, → 1 = extreme bursts).
+
+    Scale shape: ONE shuffle on the key for the lag window (gaps are
+    computed in-partition after the sort), then a key-keyed hash
+    aggregate with map-side combine — state per key is constant.
+    Keys with fewer than ``min_gaps`` gaps are dropped (σ of a single
+    gap is 0/NULL noise).  Sample (n−1) standard deviation — the SQL
+    standard both engines share.  Returns ``(key..., n_gaps,
+    mean_gap_s, cv, burstiness)`` rounded to ``round_to``.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # TIMESTAMP_NTZ won't cast straight to double (Spark 4); hop via
+    # TimestampType — the session timezone is pinned UTC by load_table,
+    # and a fixed offset cancels in the subtraction anyway
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    gaps = df.withColumn("__gap", gap).filter(F.col("__gap").isNotNull())
+    mu, sd = F.avg("__gap"), F.stddev_samp("__gap")
+    return (
+        gaps.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(mu, round_to).alias("mean_gap_s"),
+            F.round(sd / mu, round_to).alias("cv"),
+            F.round((sd - mu) / (sd + mu), round_to).alias("burstiness"),
+        )
+        .filter(F.col("n_gaps") >= min_gaps)
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse quasi-
+    experimental readout (feature rollout, pricing change, market
+    entry): ``DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post −
+    ȳ_ctrl,pre)``, i.e. the treated group's change net of the
+    control group's secular trend.
+
+    Input is one row per observation with boolean/int ``treated_col``
+    and ``post_col`` flags.  ONE conditional aggregate computes all
+    four cell means and counts (map-side combined, constant state) —
+    never four scans.  Cell means are rounded BEFORE the DiD
+    arithmetic (the cuped/welch determinism discipline) so
+    cross-engine float summation order can't flip a digest.  Returns
+    a single row ``(mean_treat_pre, mean_treat_post, mean_ctrl_pre,
+    mean_ctrl_post, n_treat_pre, n_treat_post, n_ctrl_pre,
+    n_ctrl_post, did)``.
+    """
+    t = F.col(treated_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    y = F.col(outcome_col).cast("double")
+
+    def cell(tv: bool, pv: bool):
+        cond = (t == tv) & (p == pv)
+        return (
+            F.round(F.avg(F.when(cond, y)), round_to),
+            F.count(F.when(cond, F.lit(1))),
+        )
+
+    tp_m, tp_n = cell(True, False)
+    tq_m, tq_n = cell(True, True)
+    cp_m, cp_n = cell(False, False)
+    cq_m, cq_n = cell(False, True)
+    agg = df.agg(
+        tp_m.alias("mean_treat_pre"),
+        tq_m.alias("mean_treat_post"),
+        cp_m.alias("mean_ctrl_pre"),
+        cq_m.alias("mean_ctrl_post"),
+        tp_n.alias("n_treat_pre"),
+        tq_n.alias("n_treat_post"),
+        cp_n.alias("n_ctrl_pre"),
+        cq_n.alias("n_ctrl_post"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            (F.col("mean_treat_post") - F.col("mean_treat_pre"))
+            - (F.col("mean_ctrl_post") - F.col("mean_ctrl_pre")),
+            round_to,
+        ).alias("did"),
+    )

@@ -9749,3 +9749,234 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness fingerprint: inter-event gap mean, CV, and
+    Goh–Barabási burstiness over users with ≥ 5 gaps.
+    operators/stats.py interarrival_stats — one keyed lag window +
+    one hash aggregate."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    return stats.interarrival_stats(
+        e.select("user_id", "ts", "event_id"),
+        ["user_id"],
+        "ts",
+        tiebreak_col="event_id",
+        min_gaps=5,
+    )
+
+
+ORACLE_INTERARRIVAL = """
+WITH gaps AS (
+    SELECT user_id,
+           epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS gap
+    FROM events
+),
+agg AS (
+    SELECT user_id, count(*) AS n_gaps,
+           avg(gap) AS mu, stddev_samp(gap) AS sd
+    FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       round(mu, 6) AS mean_gap_s,
+       round(sd / mu, 6) AS cv,
+       round((sd - mu) / (sd + mu), 6) AS burstiness
+FROM agg WHERE n_gaps >= 5
+"""
+
+AUX_QUERIES["interarrival"] = q_interarrival
+AUX_ORACLES["interarrival"] = ORACLE_INTERARRIVAL
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-experimental rollout readout: purchase-value DiD for the
+    even-user_id cohort (treated) vs odd (control), pre/post the
+    2024-07-01 cutover.  operators/stats.py diff_in_diff — ONE
+    conditional aggregate, cell means rounded before the arithmetic."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    obs = e.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit("2024-07-01").cast("timestamp")).alias("post"),
+        F.col("value"),
+    )
+    return stats.diff_in_diff(obs, "treated", "post", "value")
+
+
+ORACLE_DIFF_IN_DIFF = """
+WITH obs AS (
+    SELECT (user_id % 2 = 0) AS treated,
+           (ts >= TIMESTAMP '2024-07-01') AS post,
+           value
+    FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+    SELECT
+        round(avg(CASE WHEN treated AND NOT post THEN value END), 6)
+            AS mean_treat_pre,
+        round(avg(CASE WHEN treated AND post THEN value END), 6)
+            AS mean_treat_post,
+        round(avg(CASE WHEN NOT treated AND NOT post THEN value END), 6)
+            AS mean_ctrl_pre,
+        round(avg(CASE WHEN NOT treated AND post THEN value END), 6)
+            AS mean_ctrl_post,
+        count(CASE WHEN treated AND NOT post THEN 1 END) AS n_treat_pre,
+        count(CASE WHEN treated AND post THEN 1 END) AS n_treat_post,
+        count(CASE WHEN NOT treated AND NOT post THEN 1 END) AS n_ctrl_pre,
+        count(CASE WHEN NOT treated AND post THEN 1 END) AS n_ctrl_post
+    FROM obs
+)
+SELECT *,
+       round((mean_treat_post - mean_treat_pre)
+             - (mean_ctrl_post - mean_ctrl_pre), 6) AS did
+FROM cells
+"""
+
+AUX_QUERIES["diff_in_diff"] = q_diff_in_diff
+AUX_ORACLES["diff_in_diff"] = ORACLE_DIFF_IN_DIFF
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience turnover: Jaccard + retained share of
+    consecutive days' distinct active-user sets.
+    operators/funnels.py period_overlap — distinct collapse first,
+    one shifted equi-join, sizes via broadcast joins."""
+    from .operators import funnels
+
+    e = load_table(spark, sf_dir, "events")
+    return funnels.period_overlap(e, "ts", "user_id", grain="day")
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH active AS (
+    SELECT DISTINCT ts::DATE AS period, user_id FROM events
+),
+sizes AS (SELECT period, count(*) AS n FROM active GROUP BY 1),
+shared AS (
+    SELECT a.period, count(*) AS n_shared
+    FROM active a JOIN active b
+      ON b.user_id = a.user_id AND b.period = a.period + 1
+    GROUP BY 1
+)
+SELECT s.period, s.period + 1 AS next_period,
+       sa.n AS n_prev, sb.n AS n_next, s.n_shared,
+       round(s.n_shared * 1.0 / (sa.n + sb.n - s.n_shared), 6)
+           AS jaccard,
+       round(s.n_shared * 1.0 / sa.n, 6) AS retained
+FROM shared s
+JOIN sizes sa ON sa.period = s.period
+JOIN sizes sb ON sb.period = s.period + 1
+"""
+
+AUX_QUERIES["audience_overlap"] = q_audience_overlap
+AUX_ORACLES["audience_overlap"] = ORACLE_AUDIENCE_OVERLAP
+
+
+_ZIPF_HEAD = 1000
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus head: OLS slope of ln(freq) on
+    ln(rank) across the top 1000 terms (healthy natural-language
+    corpora sit near −1; template/boilerplate floods flatten it).
+    Composes the verified term-frequency aggregate with
+    stats.group_ols (regr_* aggregates) over the vocabulary-sized
+    rank table — rows never leave the aggregate plane."""
+    from .functions import word_tokens
+    from .operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(F.explode(word_tokens("text")).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy(F.col("__c").desc(), F.col("__t").asc())
+    ranked = tf.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= _ZIPF_HEAD
+    )
+    pts = ranked.select(
+        F.log(F.col("__r").cast("double")).alias("ln_rank"),
+        F.log(F.col("__c").cast("double")).alias("ln_freq"),
+    )
+    return stats.group_ols(pts.withColumn("__g", F.lit(1)), ["__g"], "ln_rank", "ln_freq").select(
+        "slope", "intercept", "r2", "n_pairs"
+    )
+
+
+ORACLE_ZIPF_SLOPE = f"""
+WITH tf AS (
+    SELECT t, count(*) AS c
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                       '\\s+'),
+                                    x -> x <> '')) AS t
+          FROM documents)
+    GROUP BY 1
+),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY c DESC, t ASC) AS r, c
+    FROM tf QUALIFY r <= {_ZIPF_HEAD}
+)
+SELECT round(regr_slope(ln(c), ln(r)), 6) AS slope,
+       round(regr_intercept(ln(c), ln(r)), 6) AS intercept,
+       round(regr_r2(ln(c), ln(r)), 6) AS r2,
+       regr_count(ln(c), ln(r)) AS n_pairs
+FROM ranked
+"""
+
+AUX_QUERIES["zipf_slope"] = q_zipf_slope
+AUX_ORACLES["zipf_slope"] = ORACLE_ZIPF_SLOPE
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day correlation between daily order count and
+    daily average order value — the demand-mix drift monitor.  Two
+    chained aggregates: the daily rollup (calendar-sized) then corr
+    as a window aggregate over the tiny daily table; facts are
+    scanned once."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("aov"),
+    )
+    w = Window.orderBy(F.col("d").asc()).rowsBetween(-27, 0)
+    return (
+        daily.select(
+            "d",
+            F.count(F.lit(1)).over(w).alias("n_days"),
+            F.round(F.corr("n", "aov").over(w), 6).alias("corr_n_aov"),
+        )
+        .filter(F.col("n_days") == 28)
+        .select("d", "corr_n_aov")
+    )
+
+
+ORACLE_ROLLING_CORR = """
+WITH daily AS (
+    SELECT o_orderdate AS d, count(*) * 1.0 AS n, avg(o_totalprice) AS aov
+    FROM orders GROUP BY 1
+)
+SELECT d, round(corr_val, 6) AS corr_n_aov FROM (
+    SELECT d,
+           corr(n, aov) OVER (ORDER BY d ASC
+               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS corr_val,
+           count(*) OVER (ORDER BY d ASC
+               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS n_days
+    FROM daily
+) WHERE n_days = 28
+"""
+
+AUX_QUERIES["rolling_corr"] = q_rolling_corr
+AUX_ORACLES["rolling_corr"] = ORACLE_ROLLING_CORR
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -1371,3 +1371,83 @@ def test_fk_integrity_orphans_and_nulls(spark):
     assert d["n_orphan_keys"] == 1 and d["n_orphan_rows"] == 2
     c = out["clean"]
     assert (c["n_orphan_keys"], c["n_orphan_rows"], c["n_null_rows"]) == (0, 0, 0)
+
+
+# -------------------------------------------------------- interarrival
+
+
+def test_interarrival_periodic_vs_bursty(spark):
+    """Perfectly periodic gaps -> CV 0, burstiness -1; a bursty key
+    scores positive-of-that; short keys drop below min_gaps."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import interarrival_stats
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = (
+        [("per", t(i * 10), i) for i in range(5)]        # gaps 10,10,10,10
+        + [("bur", t(s), 100 + i) for i, s in enumerate([0, 1, 2, 3, 40])]
+        + [("tiny", t(0), 200), ("tiny", t(5), 201)]     # 1 gap only
+    )
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, eid LONG")
+    out = {
+        r["k"]: r
+        for r in interarrival_stats(
+            df, ["k"], "ts", tiebreak_col="eid", min_gaps=2
+        ).collect()
+    }
+    assert set(out) == {"per", "bur"}
+    p = out["per"]
+    assert (p["n_gaps"], p["mean_gap_s"], p["cv"], p["burstiness"]) == (
+        4, 10.0, 0.0, -1.0
+    )
+    b = out["bur"]
+    assert b["n_gaps"] == 4 and b["mean_gap_s"] == 10.0
+    assert b["cv"] > 1.0 and -1.0 < b["burstiness"] < 1.0
+
+
+# -------------------------------------------------------- diff in diff
+
+
+def test_diff_in_diff_hand_computed(spark):
+    """treat pre 10, post 25 (+15); ctrl pre 5, post 10 (+5): DiD 10."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import diff_in_diff
+
+    rows = [
+        (True, False, 9.0), (True, False, 11.0),
+        (True, True, 24.0), (True, True, 26.0),
+        (False, False, 4.0), (False, False, 6.0),
+        (False, True, 9.0), (False, True, 11.0),
+    ]
+    df = spark.createDataFrame(rows, "treated BOOLEAN, post BOOLEAN, y DOUBLE")
+    r = diff_in_diff(df, "treated", "post", "y").collect()[0]
+    assert (r["mean_treat_pre"], r["mean_treat_post"]) == (10.0, 25.0)
+    assert (r["mean_ctrl_pre"], r["mean_ctrl_post"]) == (5.0, 10.0)
+    assert r["did"] == 10.0
+    assert (r["n_treat_pre"], r["n_ctrl_post"]) == (2, 2)
+
+
+# ------------------------------------------------------ period overlap
+
+
+def test_period_overlap_jaccard_and_retention(spark):
+    """day1 {a,b,c}, day2 {b,c,d}, day3 {x}: J(1,2)=2/4, retained 2/3;
+    (2,3) shares nothing -> absent."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.funnels import period_overlap
+
+    rows = [
+        (datetime(2024, 1, 1, 5), "a"), (datetime(2024, 1, 1, 6), "b"),
+        (datetime(2024, 1, 1, 7), "c"), (datetime(2024, 1, 1, 8), "b"),
+        (datetime(2024, 1, 2, 5), "b"), (datetime(2024, 1, 2, 6), "c"),
+        (datetime(2024, 1, 2, 7), "d"),
+        (datetime(2024, 1, 3, 5), "x"),
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, u STRING")
+    out = [r.asDict() for r in period_overlap(df, "ts", "u").collect()]
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["period"]) == "2024-01-01" and str(r["next_period"]) == "2024-01-02"
+    assert (r["n_prev"], r["n_next"], r["n_shared"]) == (3, 3, 2)
+    assert r["jaccard"] == 0.5 and abs(r["retained"] - 0.666667) < 1e-6
