@@ -1336,8 +1336,11 @@ def adamic_adar(
         _release_local_checkpoint(ckpts.pop())
         ckpts.append(sym)
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # center-keyed edge list carrying the center's ln-degree weight
-    wdeg = deg.select(
+    # center-keyed edge list carrying the center's ln-degree weight.
+    # Degree-1 centers can't form wedges — drop them BEFORE the weight
+    # so 1/ln(1) never evaluates (ANSI mode raises DIVIDE_BY_ZERO; the
+    # filter also shrinks the wedge join's build side)
+    wdeg = deg.filter(F.col("deg") >= 2).select(
         F.col("u").alias("w"),
         (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("__w"),
     )

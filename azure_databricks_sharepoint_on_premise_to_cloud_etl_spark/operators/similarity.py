@@ -650,3 +650,53 @@ def retrieval_metrics(
             F.col("__n_rel").alias("n_relevant"),
         )
     )
+
+
+def mutual_topk_pairs(
+    scores: DataFrame,
+    query_col: str = "query_id",
+    match_col: str = "doc_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Reciprocal-best-match confirmation over a directed similarity
+    edge list — the high-precision pairing rule used for entity
+    resolution and cross-corpus alignment (two records are merged
+    only when each is the OTHER's best match, the 'mutual nearest
+    neighbor' criterion of bitext mining / cell-atlas alignment):
+    keep (q, m) iff rank(m | q) = 1 AND rank(q | m) = 1.
+
+    Input is any directed scored edge list (e.g. a ``cosine_topk``
+    result).  Scale shape: one query-keyed rank window over the
+    (already candidate-bounded) edge list, then a self-join of the
+    two best-match tables on the REVERSED key pair — both sides are
+    one-row-per-node after the rank filter, so the join is
+    node-sized, not edge-sized.  Ties break (score DESC, match ASC)
+    so 'best' is deterministic.  Returns ``(id_a, id_b, score_ab,
+    score_ba)`` with ``id_a < id_b``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(match_col).asc()
+    )
+    best = (
+        scores.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col(query_col).alias("__q"),
+            F.col(match_col).alias("__m"),
+            F.col(score_col).alias("__s"),
+        )
+    )
+    fwd = best.filter(F.col("__q") < F.col("__m"))
+    rev = best.filter(F.col("__q") > F.col("__m")).select(
+        F.col("__m").alias("__q"),
+        F.col("__q").alias("__m"),
+        F.col("__s").alias("__s2"),
+    )
+    return fwd.join(rev, ["__q", "__m"]).select(
+        F.col("__q").alias("id_a"),
+        F.col("__m").alias("id_b"),
+        F.col("__s").alias("score_ab"),
+        F.col("__s2").alias("score_ba"),
+    )

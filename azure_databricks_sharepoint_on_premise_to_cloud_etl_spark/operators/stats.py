@@ -1348,16 +1348,27 @@ def interarrival_stats(
     sec = F.col(ts_col).cast("timestamp").cast("double")
     gap = sec - F.lag(sec).over(w)
     gaps = df.withColumn("__gap", gap).filter(F.col("__gap").isNotNull())
-    mu, sd = F.avg("__gap"), F.stddev_samp("__gap")
+    agg = gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("__gap").alias("__mu"),
+        F.stddev_samp("__gap").alias("__sd"),
+    )
+    mu, sd = F.col("__mu"), F.col("__sd")
+    # a key whose events all share one timestamp has mu = sd = 0;
+    # CASE branches evaluate lazily, so the ratios never divide by
+    # zero under ANSI mode — such keys report NULL cv/burstiness
+    defined = mu > 0
     return (
-        gaps.groupBy(*key_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
+        agg.filter(F.col("n_gaps") >= min_gaps)
+        .select(
+            *key_cols,
+            "n_gaps",
             F.round(mu, round_to).alias("mean_gap_s"),
-            F.round(sd / mu, round_to).alias("cv"),
-            F.round((sd - mu) / (sd + mu), round_to).alias("burstiness"),
+            F.when(defined, F.round(sd / mu, round_to)).alias("cv"),
+            F.when(
+                defined, F.round((sd - mu) / (sd + mu), round_to)
+            ).alias("burstiness"),
         )
-        .filter(F.col("n_gaps") >= min_gaps)
     )
 
 

@@ -1155,3 +1155,142 @@ def score_linear_model(
         z = z + F.lit(float(wgt)) * F.col(col).cast("double")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return df.withColumn(out_col, F.round(score, 6))
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` highest-TF-IDF
+    terms of each document — the corpus-scale tagging pass behind
+    faceted browse, near-dup triage ("what is this cluster about"),
+    and topic-stratified sampling.
+
+    TF-IDF uses the engine's standard weighting (``(tf/doc_len) ·
+    ln((N+1)/(df+1))``, the q_tfidf_top_terms formula) so corpus-level
+    and per-doc views can never disagree about a term's weight.
+    ``min_df`` drops hapax noise BEFORE scoring (a term seen once is
+    its own document's "keyword" by construction and says nothing).
+
+    Scale shape: one token-explode aggregate to per-doc TF (map-side
+    combined), the vocabulary-sized df table broadcast back, n_docs
+    riding in-plane as a one-row broadcast aggregate, then the top-k
+    rank window partitioned BY DOCUMENT — window state is one doc's
+    terms, never a global sort.  Ties break (tfidf DESC, term ASC)
+    so the result is deterministic.  Returns ``(id, term, tf, tfidf,
+    rank)``.
+    """
+    from ..functions import word_tokens
+    from pyspark.sql import Window
+
+    n = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    tf = (
+        df.withColumn("__toks", word_tokens(text_col))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.size("__toks").alias("__doc_len"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("__id", "__doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") / F.col("__doc_len"))
+                * F.log(
+                    (F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("__id").alias(id_col), "term", "tf", "tfidf", "rank")
+    )
+
+
+def term_keyness(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+    top_k: int = 200,
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning log-likelihood keyness — the corpus-linguistics
+    standard for "which terms CHARACTERIZE corpus A vs corpus B"
+    (domain drift, contamination triage, subcorpus fingerprinting):
+    ``G² = 2·(a·ln(a/E_a) + b·ln(b/E_b))`` with expected counts
+    ``E_a = N_a·(a+b)/(N_a+N_b)`` (0·ln 0 ≡ 0), signed positive when
+    the term over-represents in A.  Unlike raw frequency ratios, G²
+    is calibrated for rare terms — the reason Dunning (1993)
+    displaced ratio ranking.
+
+    Scale shape: ONE token-explode aggregate to (term, group) counts
+    (map-side combined; shuffle volume = vocabulary, not tokens),
+    corpus totals ride as a one-row broadcast, the G² arithmetic is
+    pure projection over the vocabulary-sized table, and the final
+    top-k is a rank window over that same small table.  Zero-count
+    branches are CASE-guarded so ln(0) never evaluates (ANSI-safe).
+    Terms with combined count below ``min_count`` are dropped before
+    ranking (G² of a 1-count term is noise).  Ties break (g2 DESC,
+    term ASC).  Returns ``(term, count_a, count_b, g2, overrep)``
+    with g2 rounded to 6 decimals and ``overrep`` ∈ {'a','b'}.
+    """
+    from ..functions import word_tokens
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    toks = df.filter(g.isin([group_a, group_b])).select(
+        (g == group_a).alias("__is_a"),
+        F.explode(word_tokens(text_col)).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.col("__is_a").cast("long")).alias("a"),
+        F.sum((~F.col("__is_a")).cast("long")).alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").alias("__na"), F.sum("b").alias("__nb")
+    )
+    t = counts.filter(F.col("a") + F.col("b") >= min_count).crossJoin(
+        F.broadcast(totals)
+    )
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ea = na * (a + b) / (na + nb)
+    eb = nb * (a + b) / (na + nb)
+    term_a = F.when(F.col("a") > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("b") > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    scored = t.select(
+        "term",
+        F.col("a").alias("count_a"),
+        F.col("b").alias("count_b"),
+        F.round(2.0 * (term_a + term_b), 6).alias("g2"),
+        F.when(a / na >= b / nb, F.lit("a")).otherwise(F.lit("b")).alias(
+            "overrep"
+        ),
+    )
+    w = Window.orderBy(F.col("g2").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top_k)
+        .drop("__r")
+    )

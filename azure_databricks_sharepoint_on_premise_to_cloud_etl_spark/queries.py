@@ -9425,8 +9425,9 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction scores on the part co-purchase graph (parts
     linked when they co-occur in ≥ 2 orders): neighborhood Jaccard
-    for every pair sharing ≥ 2 common neighbors, hubs above degree
-    50 pruned.  operators/graph.py neighbor_jaccard — wedge join,
+    for every pair sharing a common neighbor, hubs above degree 50
+    pruned (min_common=1 — at sf0.1 the graph's max degree is 10 and
+    pairs sharing TWO neighbors vanish; see SCALE.md round 9).  operators/graph.py neighbor_jaccard — wedge join,
     never all-pairs."""
     from .operators import graph
 
@@ -9442,7 +9443,7 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return graph.neighbor_jaccard(
-        edges, "src", "dst", max_degree=50, min_common=2
+        edges, "src", "dst", max_degree=50, min_common=1
     )
 
 
@@ -9467,7 +9468,7 @@ deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
 common AS (
     SELECT x.u AS a, y.u AS b, count(*) AS n_common
     FROM sym x JOIN sym y ON x.v = y.v AND x.u < y.u
-    GROUP BY 1, 2 HAVING count(*) >= 2
+    GROUP BY 1, 2 
 )
 SELECT c.a AS u, c.b AS v, c.n_common,
        round(c.n_common / (da.deg + db.deg - c.n_common), 6) AS jaccard
@@ -9487,8 +9488,8 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
 
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link prediction on the ≥2-support part co-purchase
-    graph (same graph as neighbor_jaccard): pairs sharing ≥ 2 common
-    neighbors, hubs above degree 50 pruned from the graph.
+    graph (same graph as neighbor_jaccard): every pair sharing a common
+    neighbor, hubs above degree 50 pruned from the graph.
     operators/graph.py adamic_adar — wedge join carrying the center's
     1/ln(deg) weight, never all-pairs."""
     from .operators import graph
@@ -9504,7 +9505,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 2)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
-    return graph.adamic_adar(edges, "src", "dst", max_degree=50, min_common=2)
+    return graph.adamic_adar(edges, "src", "dst", max_degree=50, min_common=1)
 
 
 ORACLE_ADAMIC_ADAR = """
@@ -9530,7 +9531,7 @@ SELECT x.u AS u, y.u AS v, count(*) AS n_common,
 FROM sym x
 JOIN sym y ON x.v = y.v AND x.u < y.u
 JOIN deg d ON d.u = x.v
-GROUP BY 1, 2 HAVING count(*) >= 2
+GROUP BY 1, 2
 """
 
 AUX_QUERIES["adamic_adar"] = q_adamic_adar
@@ -9938,23 +9939,54 @@ AUX_ORACLES["zipf_slope"] = ORACLE_ZIPF_SLOPE
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 28-day correlation between daily order count and
     daily average order value — the demand-mix drift monitor.  Two
-    chained aggregates: the daily rollup (calendar-sized) then corr
-    as a window aggregate over the tiny daily table; facts are
-    scanned once."""
+    chained aggregates: the daily rollup (calendar-sized) then the
+    window pass over the tiny daily table; facts are scanned once.
+
+    ANSI-safety: ``F.corr(...).over(w)`` divides by the window
+    variance INSIDE the aggregate, so a zero-variance window (the
+    ramp-up rows this query filters out anyway) raises DIVIDE_BY_ZERO
+    under Spark 4's default ANSI mode — window aggregates evaluate
+    before any filter can drop the row.  The correlation is therefore
+    assembled from plain window SUMS over globally-CENTERED series
+    (centering keeps the raw-moment formula conditioned; correlation
+    is translation-invariant) with the division inside a CASE guard —
+    CASE branches evaluate lazily, so degenerate windows yield NULL
+    rows that the full-window filter then drops."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("o_totalprice").alias("aov"),
     )
+    means = daily.agg(
+        F.avg("n").alias("__mn"), F.avg("aov").alias("__ma")
+    )
+    centered = daily.crossJoin(F.broadcast(means)).select(
+        "d",
+        (F.col("n") - F.col("__mn")).alias("x"),
+        (F.col("aov") - F.col("__ma")).alias("y"),
+    )
     w = Window.orderBy(F.col("d").asc()).rowsBetween(-27, 0)
-    return (
-        daily.select(
-            "d",
-            F.count(F.lit(1)).over(w).alias("n_days"),
-            F.round(F.corr("n", "aov").over(w), 6).alias("corr_n_aov"),
-        )
-        .filter(F.col("n_days") == 28)
-        .select("d", "corr_n_aov")
+    k = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sx2 = F.sum(F.col("x") * F.col("x")).over(w)
+    sy2 = F.sum(F.col("y") * F.col("y")).over(w)
+    staged = centered.select(
+        "d",
+        k.alias("n_days"),
+        (sxy - sx * sy / k).alias("__cov"),
+        (sx2 - sx * sx / k).alias("__vx"),
+        (sy2 - sy * sy / k).alias("__vy"),
+    )
+    return staged.filter(
+        (F.col("n_days") == 28)
+        & (F.col("__vx") > 0)
+        & (F.col("__vy") > 0)
+    ).select(
+        "d",
+        F.round(
+            F.col("__cov") / F.sqrt(F.col("__vx") * F.col("__vy")), 6
+        ).alias("corr_n_aov"),
     )
 
 
@@ -9970,11 +10002,274 @@ SELECT d, round(corr_val, 6) AS corr_n_aov FROM (
            count(*) OVER (ORDER BY d ASC
                ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS n_days
     FROM daily
-) WHERE n_days = 28
+) WHERE n_days = 28 AND corr_val IS NOT NULL
 """
 
 AUX_QUERIES["rolling_corr"] = q_rolling_corr
 AUX_ORACLES["rolling_corr"] = ORACLE_ROLLING_CORR
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (docs 0-199, min_df 2) —
+    the corpus tagging pass.  operators/text.py doc_keywords — one
+    TF aggregate + broadcast df table + per-document rank window."""
+    from .operators import text
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.doc_keywords(d, "doc_id", "text", top_k=3, min_df=2).filter(
+        F.col("doc_id") < 200
+    )
+
+
+ORACLE_DOC_KEYWORDS = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+df_tbl AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf,
+           round((CAST(t.tf AS DOUBLE) / dl.doc_len)
+                 * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+    FROM tf t JOIN df_tbl d USING (term)
+    JOIN doc_len dl USING (doc_id), n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+) WHERE rank <= 3 AND doc_id < 200
+"""
+
+AUX_QUERIES["doc_keywords"] = q_doc_keywords
+AUX_ORACLES["doc_keywords"] = ORACLE_DOC_KEYWORDS
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand curve per part brand: OLS slope of ln(quantity)
+    on ln(effective unit price) across line items — the textbook
+    constant-elasticity estimate.  stats.group_ols — regr_*
+    aggregates, ONE map-side-combined pass over the fact table."""
+    from .operators import stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    obs = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        "p_brand",
+        F.log(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            / F.col("l_quantity")
+        ).alias("ln_price"),
+        F.log(F.col("l_quantity")).alias("ln_qty"),
+    )
+    return stats.group_ols(obs, ["p_brand"], "ln_price", "ln_qty")
+
+
+ORACLE_PRICE_ELASTICITY = """
+WITH obs AS (
+    SELECT p.p_brand,
+           ln(l_extendedprice * (1 - l_discount) / l_quantity) AS ln_price,
+           ln(l_quantity) AS ln_qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT p_brand,
+       round(regr_slope(ln_qty, ln_price), 6) AS slope,
+       round(regr_intercept(ln_qty, ln_price), 6) AS intercept,
+       round(regr_r2(ln_qty, ln_price), 6) AS r2,
+       regr_count(ln_qty, ln_price) AS n_pairs
+FROM obs GROUP BY 1
+"""
+
+AUX_QUERIES["price_elasticity"] = q_price_elasticity
+AUX_ORACLES["price_elasticity"] = ORACLE_PRICE_ELASTICITY
+
+
+_SAFETY_Z = 1.645  # 95% service level
+_SAFETY_LEAD_DAYS = 7
+
+
+def q_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier demand-variability stats and the classic
+    safety-stock / reorder-point calc (z·σ_daily·√lead + μ·lead) over
+    days WITH demand — two chained aggregates (daily rollup keyed by
+    (supplier, day), then supplier-keyed moments), both map-side
+    combined; suppliers with < 30 active days dropped."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").alias("d"),
+    ).agg(F.sum("l_quantity").cast("double").alias("qty"))
+    mu, sd = F.avg("qty"), F.stddev_samp("qty")
+    z, lead = F.lit(_SAFETY_Z), F.lit(float(_SAFETY_LEAD_DAYS))
+    return (
+        daily.groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(mu, 6).alias("mean_daily_qty"),
+            F.round(sd, 6).alias("sd_daily_qty"),
+        )
+        .filter(F.col("n_days") >= 30)
+        .select(
+            "suppkey",
+            "n_days",
+            "mean_daily_qty",
+            "sd_daily_qty",
+            F.round(
+                z * F.col("sd_daily_qty") * F.sqrt(lead), 6
+            ).alias("safety_stock"),
+            F.round(
+                F.col("mean_daily_qty") * lead
+                + z * F.col("sd_daily_qty") * F.sqrt(lead),
+                6,
+            ).alias("reorder_point"),
+        )
+    )
+
+
+ORACLE_SAFETY_STOCK = f"""
+WITH daily AS (
+    SELECT l_suppkey AS suppkey, l_shipdate AS d,
+           sum(l_quantity) * 1.0 AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+moments AS (
+    SELECT suppkey, count(*) AS n_days,
+           round(avg(qty), 6) AS mean_daily_qty,
+           round(stddev_samp(qty), 6) AS sd_daily_qty
+    FROM daily GROUP BY 1 HAVING count(*) >= 30
+)
+SELECT suppkey, n_days, mean_daily_qty, sd_daily_qty,
+       round({_SAFETY_Z} * sd_daily_qty * sqrt({_SAFETY_LEAD_DAYS}.0), 6)
+           AS safety_stock,
+       round(mean_daily_qty * {_SAFETY_LEAD_DAYS}.0
+             + {_SAFETY_Z} * sd_daily_qty * sqrt({_SAFETY_LEAD_DAYS}.0), 6)
+           AS reorder_point
+FROM moments
+"""
+
+AUX_QUERIES["safety_stock"] = q_safety_stock
+AUX_ORACLES["safety_stock"] = ORACLE_SAFETY_STOCK
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+_KEYNESS_A = "src0"
+_KEYNESS_B = "src1"
+
+
+def q_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² keyness: the 50 terms that most characterize src0
+    vs src1.  operators/text.py term_keyness — one vocabulary-sized
+    count aggregate + broadcast totals + rank window; ln(0) branches
+    CASE-guarded (ANSI-safe)."""
+    from .operators import text
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.term_keyness(
+        d, "source", _KEYNESS_A, _KEYNESS_B, "text", top_k=50, min_count=5
+    )
+
+
+ORACLE_TERM_KEYNESS = f"""
+WITH toks AS (
+    SELECT (source = '{_KEYNESS_A}') AS is_a,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents WHERE source IN ('{_KEYNESS_A}', '{_KEYNESS_B}')
+),
+counts AS (
+    SELECT term,
+           sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
+    FROM toks GROUP BY 1
+),
+tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM counts),
+scored AS (
+    SELECT term, a AS count_a, b AS count_b,
+           round(2.0 * (
+               CASE WHEN a > 0
+                    THEN a * ln(a / (na * (a + b) * 1.0 / (na + nb)))
+                    ELSE 0.0 END
+             + CASE WHEN b > 0
+                    THEN b * ln(b / (nb * (a + b) * 1.0 / (na + nb)))
+                    ELSE 0.0 END), 6) AS g2,
+           CASE WHEN a * 1.0 / na >= b * 1.0 / nb
+                THEN 'a' ELSE 'b' END AS overrep
+    FROM counts, tot
+    WHERE a + b >= 5
+)
+SELECT term, count_a, count_b, g2, overrep FROM (
+    SELECT *, row_number() OVER (ORDER BY g2 DESC, term ASC) AS r
+    FROM scored
+) WHERE r <= 50
+"""
+
+AUX_QUERIES["term_keyness"] = q_term_keyness
+AUX_ORACLES["term_keyness"] = ORACLE_TERM_KEYNESS
+
+
+def q_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match pairs among the first 100 embedding
+    vectors: keep (a, b) iff each is the other's nearest non-self
+    neighbor.  operators/similarity.py mutual_topk_pairs over a
+    brute_force_topk edge list — rank windows + a node-sized
+    reversed-key join, never an edge-sized product."""
+    from .operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 100
+    )
+    probes = e.select(F.col("vec_id").alias("probe_id"), "embedding")
+    scores = similarity.brute_force_topk(e, probes, k=2).filter(
+        F.col("probe_id") != F.col("vec_id")
+    )
+    return similarity.mutual_topk_pairs(
+        scores, "probe_id", "vec_id", "cosine"
+    )
+
+
+ORACLE_MUTUAL_TOPK = f"""
+WITH pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+scored AS (
+    SELECT p.vec_id AS q, e.vec_id AS m,
+           round({_DUCK_COSINE.format(a="e.embedding", b="p.embedding")}, 6)
+               AS cosine
+    FROM pool e CROSS JOIN pool p
+    WHERE e.vec_id <> p.vec_id
+),
+best AS (
+    SELECT q, m, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q
+                   ORDER BY cosine DESC, m ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT f.q AS id_a, f.m AS id_b, f.cosine AS score_ab,
+       r.cosine AS score_ba
+FROM best f JOIN best r ON r.q = f.m AND r.m = f.q AND f.q < f.m
+"""
+
+AUX_QUERIES["mutual_topk"] = q_mutual_topk
+AUX_ORACLES["mutual_topk"] = ORACLE_MUTUAL_TOPK
 
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "

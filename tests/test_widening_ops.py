@@ -1451,3 +1451,128 @@ def test_period_overlap_jaccard_and_retention(spark):
     assert str(r["period"]) == "2024-01-01" and str(r["next_period"]) == "2024-01-02"
     assert (r["n_prev"], r["n_next"], r["n_shared"]) == (3, 3, 2)
     assert r["jaccard"] == 0.5 and abs(r["retained"] - 0.666667) < 1e-6
+
+
+# -------------------------------------------------------- doc keywords
+
+
+def test_doc_keywords_ranks_and_min_df(spark):
+    """Shared rare term outranks ubiquitous filler; hapax terms are
+    dropped by min_df; top_k truncates per document."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import doc_keywords
+
+    rows = [
+        (1, "zebra apple apple"),
+        (2, "zebra banana banana"),
+        (3, "apple banana unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = doc_keywords(df, "doc_id", "text", top_k=2, min_df=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'unique' (df=1) never appears
+    assert all(r["term"] != "unique" for r in out)
+    # every doc keeps <= 2 keywords, ranks are 1..k
+    for doc, rs in by_doc.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+    # doc 1: apple tf=2 (df=2) beats zebra tf=1 (df=2)
+    top1 = next(r for r in by_doc[1] if r["rank"] == 1)
+    assert top1["term"] == "apple" and top1["tf"] == 2
+
+
+def test_doc_keywords_tie_breaks_alphabetically(spark):
+    """Equal tfidf -> term ASC decides the rank deterministically."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import doc_keywords
+
+    rows = [(1, "aa bb"), (2, "aa bb")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in doc_keywords(df, "doc_id", "text", top_k=2, min_df=2).collect()
+    }
+    assert out[(1, 1)] == "aa" and out[(1, 2)] == "bb"
+
+
+# ---------------------------------------------------- ANSI degeneracies
+
+
+def test_adamic_adar_degree_one_endpoints_ansi_safe(spark):
+    """Path graph 1-2-3: the endpoints have degree 1 (1/ln(1) must
+    never evaluate under ANSI mode); the middle node mediates the
+    single pair."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import adamic_adar
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
+    out = adamic_adar(df, "src", "dst").collect()
+    assert [(r["u"], r["v"], r["n_common"]) for r in out] == [(1, 3, 1)]
+    assert abs(out[0]["aa_score"] - 1.0 / math.log(2.0)) < 1e-6
+
+
+def test_interarrival_zero_gaps_ansi_safe(spark):
+    """A key whose events all share one timestamp has mu = 0: the
+    ratios must come back NULL, not raise DIVIDE_BY_ZERO."""
+    from datetime import datetime
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import interarrival_stats
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("z", t, i) for i in range(4)], "k STRING, ts TIMESTAMP, eid LONG"
+    )
+    out = interarrival_stats(df, ["k"], "ts", tiebreak_col="eid", min_gaps=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["mean_gap_s"] == 0.0 and r["cv"] is None and r["burstiness"] is None
+
+
+# ------------------------------------------------------------ term keyness
+
+
+def test_term_keyness_g2_hand_computed(spark):
+    """A term exclusive to corpus A gets the full Dunning G²; a term
+    split evenly scores ~0; min_count drops rare terms."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import term_keyness
+
+    rows = (
+        [("a", "alpha common " * 3)] + [("b", "beta common " * 3)]
+    )
+    df = spark.createDataFrame(rows, "src STRING, text STRING")
+    out = {
+        r["term"]: r
+        for r in term_keyness(
+            df, "src", "a", "b", "text", top_k=10, min_count=3
+        ).collect()
+    }
+    assert set(out) == {"alpha", "beta", "common"}
+    # alpha: a=3, b=0, na=nb=6 -> E_a=1.5, G2 = 2*3*ln(2)
+    assert abs(out["alpha"]["g2"] - 2 * 3 * math.log(2.0)) < 1e-5
+    assert out["alpha"]["overrep"] == "a"
+    assert out["beta"]["overrep"] == "b"
+    assert out["common"]["g2"] == 0.0
+
+
+# ------------------------------------------------------------ mutual top-k
+
+
+def test_mutual_topk_requires_reciprocity(spark):
+    """1<->2 are each other's best match; 3's best is 1 but 1 prefers
+    2, so 3 pairs with nobody."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import mutual_topk_pairs
+
+    rows = [
+        (1, 2, 0.9), (1, 3, 0.5),
+        (2, 1, 0.9), (2, 3, 0.4),
+        (3, 1, 0.5), (3, 2, 0.4),
+    ]
+    df = spark.createDataFrame(rows, "query_id LONG, doc_id LONG, cosine DOUBLE")
+    out = mutual_topk_pairs(df).collect()
+    assert [(r["id_a"], r["id_b"], r["score_ab"], r["score_ba"]) for r in out] == [
+        (1, 2, 0.9, 0.9)
+    ]

@@ -221,6 +221,42 @@ HEAVY = [
     # cluster size BY DESIGN (SemDeDup scales k with the corpus; a
     # fixed-k rehearsal would measure the paper's known quadratic,
     # not a plan defect)
+    #
+    # round-9 widening batches 4-5: event-pattern matching, burstiness
+    # and audience-turnover windows (all one-keyed-window shapes —
+    # expect corpus-linear), the survival/DiD/FK aggregates (collapse-
+    # first — expect flat-to-linear), and the wedge-join link-
+    # prediction family.  CAVEAT for the wedge ops (the tfidf/
+    # triangle_count precedent): part is a SHARED dimension, so
+    # replicated orders multiply every co-purchase pair's SUPPORT —
+    # the support-thresholded graph densifies with the fixture
+    # rather than replicating disjointly.  rows_by_factor names the
+    # effect (clustering_coeff 10 → 20k nodes at x3 is graph
+    # densification, not plan blow-up; the flat x3→x10 step is the
+    # plan's own scaling once the graph saturates).
+    "sequence_match",
+    "interarrival",
+    "audience_overlap",
+    "kaplan_meier",
+    "fk_integrity",
+    "diff_in_diff",
+    "neighbor_jaccard",
+    "adamic_adar",
+    "clustering_coeff",
+    "zipf_slope",
+    "rolling_corr",
+    # batch-C compositions: per-doc keyword tagging (corpus-linear TF
+    # + per-doc window), the ln-ln elasticity regression (one regr_*
+    # aggregate pass), and the two-stage demand-moments rollup
+    "doc_keywords",
+    "price_elasticity",
+    "safety_stock",
+    # batch D: Dunning G² keyness (vocabulary-sized counts + rank
+    # window — expect flat) and reciprocal-best-match over the
+    # fixed-size probe pool (pool is constant, corpus term absent —
+    # expect flat)
+    "term_keyness",
+    "mutual_topk",
 ]
 
 ALL_TABLES = (
