@@ -1428,3 +1428,90 @@ def diff_in_diff(
             round_to,
         ).alias("did"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test — the standard "do these survival
+    curves differ" readout that pairs with :func:`kaplan_meier`
+    (conversion-speed A/B, churn-intervention lift): at each distinct
+    event time, compare group A's OBSERVED event count with the count
+    EXPECTED if both groups shared one hazard, ``E_a = n_a·d/n``;
+    the statistic ``(Σ(O_a − E_a))² / ΣV`` with hypergeometric
+    variance ``V = d·(n_a/n)·(n_b/n)·(n−d)/(n−1)`` is χ²(1) under
+    the null.
+
+    Scale shape — the kaplan_meier discipline: ONE collapse to the
+    distinct (duration) grid carrying per-group event/removal counts
+    (conditional aggregates — never a pivot shuffle), the two
+    at-risk series from cumulative windows over that small grid, and
+    one scalar rollup.  ``n = 1`` grid rows CASE-guard the variance
+    denominator (ANSI-safe).  Returns one row ``(observed_a,
+    expected_a, variance, chi2)`` with doubles rounded to
+    ``round_to``; chi2 is NULL when every subject shares one
+    duration-and-fate (zero variance — the test is undefined, not
+    infinitely significant).
+    """
+    is_a = F.col(group_col) == group_a
+    ev = F.col(event_col).cast("long")
+    grid = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(is_a, ev).otherwise(F.lit(0))).alias("d_a"),
+        F.sum(F.when(~is_a, ev).otherwise(F.lit(0))).alias("d_b"),
+        F.count(F.when(is_a, F.lit(1))).alias("r_a"),
+        F.count(F.when(~is_a, F.lit(1))).alias("r_b"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.partitionBy().orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+
+    def at_risk(rem: str) -> F.Column:
+        return F.sum(rem).over(w_all) - F.coalesce(
+            F.sum(rem).over(w_prev), F.lit(0)
+        )
+
+    staged = grid.select(
+        "t",
+        "d_a",
+        (F.col("d_a") + F.col("d_b")).alias("d"),
+        at_risk("r_a").alias("n_a"),
+        at_risk("r_b").alias("n_b"),
+    ).withColumn("n", F.col("n_a") + F.col("n_b"))
+    na, nb, n, d = (
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        F.col("n").cast("double"),
+        F.col("d").cast("double"),
+    )
+    terms = staged.filter(F.col("d") > 0).select(
+        F.col("d_a").cast("double").alias("o_a"),
+        (na * d / n).alias("e_a"),
+        F.when(
+            F.col("n") > 1,
+            d * (na / n) * (nb / n) * (n - d) / (n - 1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.round(F.sum("o_a"), round_to).alias("observed_a"),
+        F.round(F.sum("e_a"), round_to).alias("expected_a"),
+        F.round(F.sum("v"), round_to).alias("variance"),
+    )
+    return agg.select(
+        "*",
+        F.when(
+            F.col("variance") > 0,
+            F.round(
+                F.pow(F.col("observed_a") - F.col("expected_a"), 2)
+                / F.col("variance"),
+                round_to,
+            ),
+        ).alias("chi2"),
+    )

@@ -7512,11 +7512,12 @@ STREAMING_PLAN_BUILDERS: dict[str, QueryFn] = {
     "streaming_join": _stream_plan_join,
     "streaming_session": _stream_plan_session,
     "streaming_ohlc": _stream_plan_ohlc,
+    # registered below once its builder is defined (file order):
+    # streaming_sequence_match
 }
 
-assert set(STREAMING_PLAN_BUILDERS) == {
-    n for n in AUX_QUERIES if n.startswith("streaming_")
-}, "every streaming AUX query needs a pre-sink plan builder for the audit"
+# The builders-vs-AUX parity assertion lives at the BOTTOM of this
+# module (late queries register after this point in file order).
 
 
 # ---------------------------------------------------------------------------
@@ -10275,3 +10276,285 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do even- and odd-user_id cohorts convert at the
+    same hazard?  Same subject table as kaplan_meier, split by cohort.
+    operators/stats.py log_rank_test — one duration-grid collapse +
+    cumulative at-risk windows + a scalar rollup."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__tlast"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "__tconv"
+        ),
+    )
+    subjects = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("cohort"),
+        F.datediff(
+            F.coalesce(F.col("__tconv"), F.col("__tlast")), F.col("__t0")
+        ).alias("duration"),
+        F.col("__tconv").isNotNull().cast("int").alias("event"),
+    )
+    return stats.log_rank_test(subjects, "duration", "event", "cohort", "even")
+
+
+ORACLE_LOG_RANK = """
+WITH per_user AS (
+    SELECT user_id, min(ts) AS t0, max(ts) AS tlast,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tconv
+    FROM events GROUP BY 1
+),
+subj AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+           date_diff('day', t0::DATE, coalesce(tconv, tlast)::DATE)
+               AS duration,
+           CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event
+    FROM per_user
+),
+grid AS (
+    SELECT duration AS t,
+           sum(CASE WHEN cohort = 'even' THEN event ELSE 0 END) AS d_a,
+           sum(CASE WHEN cohort <> 'even' THEN event ELSE 0 END) AS d_b,
+           count(CASE WHEN cohort = 'even' THEN 1 END) AS r_a,
+           count(CASE WHEN cohort <> 'even' THEN 1 END) AS r_b
+    FROM subj GROUP BY 1
+),
+staged AS (
+    SELECT t, d_a, d_a + d_b AS d,
+           sum(r_a) OVER () - coalesce(sum(r_a) OVER (ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_a,
+           sum(r_b) OVER () - coalesce(sum(r_b) OVER (ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_b
+    FROM grid
+),
+terms AS (
+    SELECT CAST(d_a AS DOUBLE) AS o_a,
+           n_a * 1.0 * d / (n_a + n_b) AS e_a,
+           CASE WHEN n_a + n_b > 1
+                THEN d * (n_a * 1.0 / (n_a + n_b))
+                       * (n_b * 1.0 / (n_a + n_b))
+                       * (n_a + n_b - d) / (n_a + n_b - 1.0)
+                ELSE 0.0 END AS v
+    FROM staged WHERE d > 0
+),
+agg AS (
+    SELECT round(sum(o_a), 6) AS observed_a,
+           round(sum(e_a), 6) AS expected_a,
+           round(sum(v), 6) AS variance
+    FROM terms
+)
+SELECT *,
+       CASE WHEN variance > 0
+            THEN round(pow(observed_a - expected_a, 2) / variance, 6)
+            END AS chi2
+FROM agg
+"""
+
+AUX_QUERIES["log_rank"] = q_log_rank
+AUX_ORACLES["log_rank"] = ORACLE_LOG_RANK
+
+
+_ANOM_Z = 2.0
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly days: daily event counts vs the
+    day-of-week mean profile; days whose residual z-score exceeds 2
+    flagged.  Three dimension-sized aggregates chained off ONE daily
+    rollup — the corpus is scanned once; dow follows the pinned
+    Spark-1=Sunday convention."""
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    dowd = daily.withColumn("dow", F.dayofweek("d"))
+    prof = dowd.groupBy("dow").agg(F.avg("n").alias("__mu"))
+    resid = dowd.join(F.broadcast(prof), "dow").withColumn(
+        "__res", F.col("n") - F.col("__mu")
+    )
+    sd = resid.agg(F.stddev_samp("__res").alias("__sd"))
+    return (
+        resid.crossJoin(F.broadcast(sd))
+        .filter(
+            (F.col("__sd") > 0)
+            & (F.abs(F.col("__res")) > F.lit(_ANOM_Z) * F.col("__sd"))
+        )
+        .select(
+            "d",
+            "dow",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("__mu"), 6).alias("dow_mean"),
+            F.round(F.col("__res") / F.col("__sd"), 6).alias("z"),
+        )
+    )
+
+
+ORACLE_SEASONAL_ANOMALY = f"""
+WITH daily AS (
+    SELECT ts::DATE AS d, count(*) * 1.0 AS n FROM events GROUP BY 1
+),
+dowd AS (SELECT d, dayofweek(d) + 1 AS dow, n FROM daily),
+prof AS (SELECT dow, avg(n) AS mu FROM dowd GROUP BY 1),
+resid AS (
+    SELECT d, dowd.dow, n, mu, n - mu AS res
+    FROM dowd JOIN prof USING (dow)
+),
+sd AS (SELECT stddev_samp(res) AS sd FROM resid)
+SELECT d, dow, CAST(n AS BIGINT) AS n_events,
+       round(mu, 6) AS dow_mean, round(res / sd, 6) AS z
+FROM resid, sd
+WHERE sd > 0 AND abs(res) > {_ANOM_Z} * sd
+"""
+
+AUX_QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
+AUX_ORACLES["seasonal_anomaly"] = ORACLE_SEASONAL_ANOMALY
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: each day's active users bucketed
+    by whether this is their first active day — the standard growth
+    accounting readout.  Two chained aggregates off the distinct
+    (user, day) table (first-day via a per-user min, no window over
+    events); the corpus is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        F.col("user_id"), F.col("ts").cast("date").alias("d")
+    ).distinct()
+    first = active.groupBy("user_id").agg(F.min("d").alias("__d0"))
+    return (
+        active.join(first, "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum((F.col("d") == F.col("__d0")).cast("long")).alias(
+                "n_new"
+            ),
+            F.sum((F.col("d") > F.col("__d0")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+        .select(
+            "d",
+            "n_new",
+            "n_returning",
+            F.round(
+                F.col("n_new") / (F.col("n_new") + F.col("n_returning")), 6
+            ).alias("new_share"),
+        )
+    )
+
+
+ORACLE_NEW_VS_RETURNING = """
+WITH active AS (
+    SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+first AS (SELECT user_id, min(d) AS d0 FROM active GROUP BY 1)
+SELECT d,
+       sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS n_new,
+       sum(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS n_returning,
+       round(sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS new_share
+FROM active JOIN first USING (user_id)
+GROUP BY 1
+"""
+
+AUX_QUERIES["new_vs_returning"] = q_new_vs_returning
+AUX_ORACLES["new_vs_returning"] = ORACLE_NEW_VS_RETURNING
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def _stream_plan_sequence_match(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, bool]:
+    """Pre-sink streaming plan for q_streaming_sequence_match."""
+    from .streaming import stateful
+
+    events, ts_was_ntz = _stream_events(
+        spark, sf_dir,
+        stream_dir=stream_dir, max_files_per_trigger=max_files_per_trigger,
+    )
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = stateful.streaming_sequence_match(
+        events.select("user_id", "ts", "event_type", "event_id"),
+        key_col="user_id",
+        first="view",
+        then="purchase",
+        exclude="error",
+        within_seconds=86400,
+    )
+    return plan, ts_was_ntz
+
+
+def q_streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern matching as REAL streaming state
+    (streaming/stateful.py streaming_sequence_match —
+    applyInPandasWithState, constant two-timestamp ledger per key)
+    drained with Trigger.AvailableNow, then the monotone ledger
+    collapsed by a max/min post-aggregation on the sink table.  Same
+    oracle as the batch window form ``sequence_match`` — the
+    continuous and batch formulations must agree exactly."""
+    import tempfile
+
+    from .streaming import incremental
+
+    plan, ts_was_ntz = _stream_plan_sequence_match(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_seqmatch_ckpt_")
+    incremental.run_to_memory_sink(
+        plan, "stream_seqmatch_out", ckpt, output_mode="update"
+    )
+    out = (
+        spark.table("stream_seqmatch_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_complete").alias("n_complete"),
+            F.min("first_completion_ts").alias("first_completion_ts"),
+        )
+    )
+    if ts_was_ntz:
+        out = out.withColumn(
+            "first_completion_ts",
+            F.col("first_completion_ts").cast("timestamp_ntz"),
+        )
+    return out
+
+
+AUX_QUERIES["streaming_sequence_match"] = q_streaming_sequence_match
+AUX_ORACLES["streaming_sequence_match"] = ORACLE_SEQUENCE_MATCH
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def _stream_plan_sequence_match_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audit-facing wrapper: the pre-sink plan without the ntz flag."""
+    plan, _ = _stream_plan_sequence_match(spark, sf_dir)
+    return plan
+
+
+STREAMING_PLAN_BUILDERS["streaming_sequence_match"] = (
+    _stream_plan_sequence_match_only
+)
+
+assert set(STREAMING_PLAN_BUILDERS) == {
+    n for n in AUX_QUERIES if n.startswith("streaming_")
+}, "every streaming AUX query needs a pre-sink plan builder for the audit"

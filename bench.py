@@ -128,6 +128,24 @@ BENCH_QUERIES = [
     "entity_resolution",
     "personalized_pagerank",
     "common_paths",
+    # round-9 widening batches 4-5 (excluded from the comparable total)
+    "sequence_match",
+    "neighbor_jaccard",
+    "adamic_adar",
+    "clustering_coeff",
+    "kaplan_meier",
+    "fk_integrity",
+    "interarrival",
+    "diff_in_diff",
+    "audience_overlap",
+    "zipf_slope",
+    "rolling_corr",
+    "doc_keywords",
+    "price_elasticity",
+    "safety_stock",
+    "term_keyness",
+    "mutual_topk",
+    "log_rank",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -197,6 +215,23 @@ TOTAL_EXCLUDED = {
     "entity_resolution",
     "personalized_pagerank",
     "common_paths",
+    "sequence_match",
+    "neighbor_jaccard",
+    "adamic_adar",
+    "clustering_coeff",
+    "kaplan_meier",
+    "fk_integrity",
+    "interarrival",
+    "diff_in_diff",
+    "audience_overlap",
+    "zipf_slope",
+    "rolling_corr",
+    "doc_keywords",
+    "price_elasticity",
+    "safety_stock",
+    "term_keyness",
+    "mutual_topk",
+    "log_rank",
 }
 
 

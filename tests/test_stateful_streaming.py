@@ -227,3 +227,50 @@ def test_unwatermarked_state_grows_monotonically(spark, tmp_path):
     assert all(s[2] == 0 for s in series), series
     # unbounded: final state holds EVERY distinct key ever seen
     assert totals[-1] == n, (totals, n)
+
+
+def test_streaming_sequence_match_across_batches(spark, tmp_path):
+    """The stateful pattern matcher's per-key ledger must survive
+    micro-batch boundaries: drain the time-sliced stream as >=4
+    batches (maxFilesPerTrigger=1) and require the post-aggregated
+    ledger to equal the BATCH window form on the same fixture — an
+    anchor in batch k completing in batch k+1 only works if the
+    state store carried (last_first, last_excl) across the
+    boundary."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import funnels
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d, _n = _sliced_events_dir(tmp_path)
+    plan, ts_was_ntz = q._stream_plan_sequence_match(
+        spark, sf, stream_dir=d, max_files_per_trigger=1
+    )
+    ckpt = str(tmp_path / "seqmatch_gate_ckpt")
+    progs = incremental.drain_with_progress(
+        plan, "seqmatch_gate", ckpt, output_mode="update"
+    )
+    assert sum(1 for p in progs if p["numInputRows"] > 0) >= 4
+    got = {
+        r["user_id"]: (r["n_complete"], r["first_completion_ts"])
+        for r in spark.table("seqmatch_gate")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_complete").alias("n_complete"),
+            F.min("first_completion_ts").alias("first_completion_ts"),
+        )
+        .collect()
+    }
+    e = load_table(spark, sf, "events")
+    want = {
+        r["user_id"]: (r["n_complete"], r["first_completion_ts"])
+        for r in funnels.sequence_match(
+            e.select("user_id", "ts", "event_type", "event_id"),
+            "ts", "event_type", ["user_id"],
+            first="view", then="purchase", exclude="error",
+            within_seconds=86400, tiebreak_col="event_id",
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want

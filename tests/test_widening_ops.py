@@ -1576,3 +1576,43 @@ def test_mutual_topk_requires_reciprocity(spark):
     assert [(r["id_a"], r["id_b"], r["score_ab"], r["score_ba"]) for r in out] == [
         (1, 2, 0.9, 0.9)
     ]
+
+
+# -------------------------------------------------------- log-rank test
+
+
+def test_log_rank_identical_curves_score_zero(spark):
+    """Two groups with identical duration/fate profiles: O = E, chi2
+    = 0."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import log_rank_test
+
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, 1, 1), (g, 2, 0), (g, 3, 1)]
+    df = spark.createDataFrame(rows, "g STRING, duration INT, event INT")
+    r = log_rank_test(df, "duration", "event", "g", "a").collect()[0]
+    assert r["observed_a"] == r["expected_a"] == 2.0
+    assert r["chi2"] == 0.0
+
+
+def test_log_rank_hand_computed_divergence(spark):
+    """a fails at t=1 (both groups full): E_a = 1*2/4 = 0.5,
+    V = 1*(2/4)*(2/4)*(4-1)/(4-1) = 0.25; b never fails."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import log_rank_test
+
+    rows = [("a", 1, 1), ("a", 5, 0), ("b", 5, 0), ("b", 5, 0)]
+    df = spark.createDataFrame(rows, "g STRING, duration INT, event INT")
+    r = log_rank_test(df, "duration", "event", "g", "a").collect()[0]
+    assert (r["observed_a"], r["expected_a"], r["variance"]) == (1.0, 0.5, 0.25)
+    assert r["chi2"] == 1.0
+
+
+def test_log_rank_zero_variance_is_null(spark):
+    """Everyone shares one duration and everyone fails: n = d at the
+    only grid row, V = 0, chi2 NULL (undefined, not infinite)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import log_rank_test
+
+    rows = [("a", 1, 1), ("b", 1, 1)]
+    df = spark.createDataFrame(rows, "g STRING, duration INT, event INT")
+    r = log_rank_test(df, "duration", "event", "g", "a").collect()[0]
+    assert r["variance"] == 0.0 and r["chi2"] is None

@@ -257,6 +257,13 @@ HEAVY = [
     # expect flat)
     "term_keyness",
     "mutual_topk",
+    # batch E: the log-rank survival comparison and the seasonal
+    # residual monitor (daily-rollup-sized windows — expect flat) and
+    # the new-vs-returning growth accounting (distinct collapse +
+    # per-user min — expect corpus-linear in the collapse only)
+    "log_rank",
+    "seasonal_anomaly",
+    "new_vs_returning",
 ]
 
 ALL_TABLES = (
