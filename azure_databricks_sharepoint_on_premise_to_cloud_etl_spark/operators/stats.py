@@ -1515,3 +1515,59 @@ def log_rank_test(
             ),
         ).alias("chi2"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    success_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test — the conversion-rate A/B readout:
+    ``z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))`` with the
+    pooled rate ``p̂`` under the null of equal proportions.
+
+    ONE conditional aggregate (map-side combined, constant state)
+    computes both cells; rates are rounded before the z arithmetic
+    (the cuped/diff_in_diff determinism discipline).  Degenerate
+    pooled rates (p̂ ∈ {0, 1} — nobody or everybody converts) yield
+    NULL z via a lazy CASE, never a zero division (ANSI-safe).
+    Returns one row ``(n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    z)``.
+    """
+    is_a = F.col(group_col) == group_a
+    s = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.count(F.when(is_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(~is_a, F.lit(1))).alias("n_b"),
+        F.coalesce(F.sum(F.when(is_a, s)), F.lit(0)).alias("conv_a"),
+        F.coalesce(F.sum(F.when(~is_a, s)), F.lit(0)).alias("conv_b"),
+    )
+    with_rates = agg.select(
+        "*",
+        F.round(F.col("conv_a") / F.col("n_a"), round_to).alias("rate_a"),
+        F.round(F.col("conv_b") / F.col("n_b"), round_to).alias("rate_b"),
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se2 = pooled * (1.0 - pooled) * (
+        1.0 / F.col("n_a") + 1.0 / F.col("n_b")
+    )
+    return with_rates.select(
+        "*",
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (
+                F.col("conv_a") + F.col("conv_b")
+                < F.col("n_a") + F.col("n_b")
+            ),
+            F.round(
+                (F.col("rate_a") - F.col("rate_b")) / F.sqrt(se2),
+                round_to,
+            ),
+        ).alias("z"),
+    )

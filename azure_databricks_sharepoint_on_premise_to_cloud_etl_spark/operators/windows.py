@@ -610,3 +610,76 @@ def seasonal_naive_backtest(
         F.round(F.avg(err), 6).alias("mae"),
         F.round(F.avg(smape_term), 6).alias("smape"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Regularize a sparse per-key DAILY series with LINEAR
+    interpolation — the gap-fill for rates and levels where
+    forward-fill (``resample_ffill``) would flat-line a trend: every
+    key gets its full day grid (first..last observation) and missing
+    days take ``prev + (next − prev)·Δ/span`` between the bracketing
+    observations.  Input is one row per (key, day) observation;
+    callers pre-aggregate duplicates.
+
+    Scale shape: the grid is ``explode(sequence(...))`` off a per-key
+    min/max aggregate (data-bounded, never a global calendar), ONE
+    left join back to the observations on (key, day), and two
+    ignore-nulls window passes per direction over the key-partitioned
+    grid — no range join, no per-gap rescans.  The interpolation
+    weight is a ratio of day counts (exact small integers), so the
+    division is well-conditioned and only evaluates where both
+    brackets exist (grid construction guarantees span ≥ 1 there —
+    ANSI-safe).  Returns ``(key, day, value, filled, is_observed)``
+    with ``filled`` rounded; grid ends carry their observations only
+    (nothing to interpolate toward).
+    """
+    k, d, v = F.col(key_col), F.col(date_col), F.col(value_col)
+    spans = df.groupBy(key_col).agg(
+        F.min(d).alias("__lo"), F.max(d).alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.expr("sequence(__lo, __hi, interval 1 day)")
+        ).alias(date_col),
+    )
+    joined = grid.join(df.select(key_col, date_col, value_col),
+                       [key_col, date_col], "left")
+    w_prev = Window.partitionBy(k).orderBy(d.asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy(k).orderBy(d.desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    obs_d = F.when(v.isNotNull(), d)
+    staged = joined.select(
+        key_col,
+        date_col,
+        value_col,
+        F.last(v, ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(obs_d, ignorenulls=True).over(w_prev).alias("__pd"),
+        F.last(v, ignorenulls=True).over(w_next).alias("__nv"),
+        F.last(obs_d, ignorenulls=True).over(w_next).alias("__nd"),
+    )
+    frac = F.datediff(d, F.col("__pd")) / F.datediff(
+        F.col("__nd"), F.col("__pd")
+    )
+    filled = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+            F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac,
+        )
+    )
+    return staged.select(
+        key_col,
+        date_col,
+        value_col,
+        F.round(filled, round_to).alias("filled"),
+        v.isNotNull().alias("is_observed"),
+    )

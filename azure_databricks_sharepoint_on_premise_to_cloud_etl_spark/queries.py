@@ -10558,3 +10558,289 @@ STREAMING_PLAN_BUILDERS["streaming_sequence_match"] = (
 assert set(STREAMING_PLAN_BUILDERS) == {
     n for n in AUX_QUERIES if n.startswith("streaming_")
 }, "every streaming AUX query needs a pre-sink plan builder for the audit"
+
+
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolated daily demand series for suppliers 1-10:
+    each supplier's shipment-qty series gap-filled between observed
+    days.  operators/windows.py resample_interpolate — per-key
+    explode(sequence) grid + one left join + two ignore-nulls window
+    passes."""
+    from .operators import windows
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") <= 10
+    )
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(F.sum("l_quantity").cast("double").alias("qty"))
+    return windows.resample_interpolate(daily, "suppkey", "d", "qty")
+
+
+ORACLE_RESAMPLE_INTERPOLATE = """
+WITH daily AS (
+    SELECT l_suppkey AS suppkey, l_shipdate::DATE AS d,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_suppkey <= 10 GROUP BY 1, 2
+),
+spans AS (
+    SELECT suppkey, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+),
+grid AS (
+    SELECT suppkey, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+               AS d
+    FROM spans
+),
+joined AS (
+    SELECT g.suppkey, g.d, q.qty FROM grid g
+    LEFT JOIN daily q ON q.suppkey = g.suppkey AND q.d = g.d
+),
+staged AS (
+    SELECT suppkey, d, qty,
+           last_value(qty IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wp AS pd,
+           last_value(qty IGNORE NULLS) OVER wn AS nv,
+           last_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wn AS nd
+    FROM joined
+    WINDOW wp AS (PARTITION BY suppkey ORDER BY d ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY suppkey ORDER BY d DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT suppkey, d, qty,
+       round(CASE WHEN qty IS NOT NULL THEN qty
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * date_diff('day', pd, d)
+                           / date_diff('day', pd, nd)
+                  END, 6) AS filled,
+       qty IS NOT NULL AS is_observed
+FROM staged
+"""
+
+AUX_QUERIES["resample_interpolate"] = q_resample_interpolate
+AUX_ORACLES["resample_interpolate"] = ORACLE_RESAMPLE_INTERPOLATE
+
+
+_PVM_Y1, _PVM_Y2 = 1996, 1997
+
+
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge decomposition per part brand, 1996 → 1997: the
+    FP&A price/volume split ``Δrev = (q2−q1)·p1 + (p2−p1)·q2`` with
+    p = revenue/quantity.  ONE conditional aggregate over the fact
+    table (map-side combined); unit prices rounded before the bridge
+    arithmetic; brands missing either year drop (no volume base to
+    bridge from)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    y = F.year("l_shipdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    obs = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).filter(y.isin([_PVM_Y1, _PVM_Y2]))
+    cells = obs.groupBy("p_brand").agg(
+        F.round(F.sum(F.when(y == _PVM_Y1, rev)), 2).alias("rev1"),
+        F.round(F.sum(F.when(y == _PVM_Y2, rev)), 2).alias("rev2"),
+        F.sum(F.when(y == _PVM_Y1, F.col("l_quantity"))).alias("q1"),
+        F.sum(F.when(y == _PVM_Y2, F.col("l_quantity"))).alias("q2"),
+    ).filter((F.col("q1") > 0) & (F.col("q2") > 0))
+    p1 = F.round(F.col("rev1") / F.col("q1"), 6)
+    p2 = F.round(F.col("rev2") / F.col("q2"), 6)
+    return cells.select(
+        "p_brand",
+        "rev1",
+        "rev2",
+        F.col("q1").cast("double").alias("q1"),
+        F.col("q2").cast("double").alias("q2"),
+        F.round((F.col("q2") - F.col("q1")) * p1, 2).alias("volume_effect"),
+        F.round((p2 - p1) * F.col("q2"), 2).alias("price_effect"),
+    )
+
+
+ORACLE_PRICE_VOLUME_MIX = f"""
+WITH obs AS (
+    SELECT p.p_brand,
+           year(l_shipdate) AS y,
+           l_extendedprice * (1 - l_discount) AS rev,
+           l_quantity AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE year(l_shipdate) IN ({_PVM_Y1}, {_PVM_Y2})
+),
+cells AS (
+    SELECT p_brand,
+           round(sum(CASE WHEN y = {_PVM_Y1} THEN rev END), 2) AS rev1,
+           round(sum(CASE WHEN y = {_PVM_Y2} THEN rev END), 2) AS rev2,
+           sum(CASE WHEN y = {_PVM_Y1} THEN q END) AS q1,
+           sum(CASE WHEN y = {_PVM_Y2} THEN q END) AS q2
+    FROM obs GROUP BY 1
+    HAVING sum(CASE WHEN y = {_PVM_Y1} THEN q END) > 0
+       AND sum(CASE WHEN y = {_PVM_Y2} THEN q END) > 0
+)
+SELECT p_brand, rev1, rev2,
+       CAST(q1 AS DOUBLE) AS q1, CAST(q2 AS DOUBLE) AS q2,
+       round((q2 - q1) * round(rev1 / q1, 6), 2) AS volume_effect,
+       round((round(rev2 / q2, 6) - round(rev1 / q1, 6)) * q2, 2)
+           AS price_effect
+FROM cells
+"""
+
+AUX_QUERIES["price_volume_mix"] = q_price_volume_mix
+AUX_ORACLES["price_volume_mix"] = ORACLE_PRICE_VOLUME_MIX
+
+
+def q_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion z-test between the even/odd user_id
+    cohorts (converted = ever purchased).  operators/stats.py
+    two_proportion_ztest — one conditional aggregate, rates rounded
+    before the z arithmetic, degenerate pools CASE-guarded."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    subjects = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("cohort"),
+        "converted",
+    )
+    return stats.two_proportion_ztest(subjects, "cohort", "even", "converted")
+
+
+ORACLE_CONVERSION_ZTEST = """
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY 1
+),
+agg AS (
+    SELECT
+        count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+        count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+        sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END) AS conv_a,
+        sum(CASE WHEN user_id % 2 <> 0 THEN converted ELSE 0 END) AS conv_b
+    FROM per_user
+),
+rated AS (
+    SELECT *,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b
+    FROM agg
+)
+SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+             AND conv_a + conv_b < n_a + n_b
+            THEN round((rate_a - rate_b) / sqrt(
+                 (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)), 6)
+            END AS z
+FROM rated
+"""
+
+AUX_QUERIES["conversion_ztest"] = q_conversion_ztest
+AUX_ORACLES["conversion_ztest"] = ORACLE_CONVERSION_ZTEST
+
+
+_HALFLIFE_MAX_AGE = 8
+
+
+def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of weekly cohort retention: per signup-
+    week cohort, OLS of ln(retention rate) on week age (ages 1-8,
+    rate > 0) → decay slope and half-life in weeks.  Composes the
+    verified cohort machinery with stats.group_ols; every stage an
+    aggregate over cohort-sized tables."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.col(c).cast("date"), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("long")
+    acts = e.select(F.col("user_id"), wk("ts").alias("w")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("w").alias("cw"))
+    cells = (
+        acts.join(first, "user_id")
+        .groupBy(F.col("cw"), (F.col("w") - F.col("cw")).alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    base = cells.filter(F.col("age") == 0).select(
+        F.col("cw"), F.col("n_active").alias("n0")
+    )
+    rates = (
+        cells.join(base, "cw")
+        .filter(
+            (F.col("age") >= 1) & (F.col("age") <= _HALFLIFE_MAX_AGE)
+        )
+        .select(
+            "cw",
+            F.col("age").cast("double").alias("age"),
+            F.log(
+                F.round(F.col("n_active") / F.col("n0"), 6)
+            ).alias("ln_rate"),
+        )
+    )
+    fit = stats.group_ols(rates, ["cw"], "age", "ln_rate").filter(
+        F.col("n_pairs") >= 4
+    )
+    return fit.select(
+        F.col("cw").alias("cohort_week"),
+        "slope",
+        "r2",
+        "n_pairs",
+        F.when(
+            F.col("slope") < 0,
+            F.round(F.lit(0.6931471805599453) / -F.col("slope"), 6),
+        ).alias("halflife_weeks"),
+    )
+
+
+ORACLE_RETENTION_HALFLIFE = f"""
+WITH acts AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(date_diff('day', DATE '1970-01-01', ts::DATE) / 7)
+                AS BIGINT) AS w
+    FROM events
+),
+first AS (SELECT user_id, min(w) AS cw FROM acts GROUP BY 1),
+cells AS (
+    SELECT cw, a.w - f.cw AS age, count(*) AS n_active
+    FROM acts a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+),
+base AS (SELECT cw, n_active AS n0 FROM cells WHERE age = 0),
+rates AS (
+    SELECT c.cw, CAST(age AS DOUBLE) AS age,
+           ln(round(CAST(n_active AS DOUBLE) / n0, 6)) AS ln_rate
+    FROM cells c JOIN base b USING (cw)
+    WHERE age BETWEEN 1 AND {_HALFLIFE_MAX_AGE}
+),
+fit AS (
+    SELECT cw AS cohort_week,
+           round(regr_slope(ln_rate, age), 6) AS slope,
+           round(regr_r2(ln_rate, age), 6) AS r2,
+           regr_count(ln_rate, age) AS n_pairs
+    FROM rates GROUP BY 1
+)
+SELECT cohort_week, slope, r2, n_pairs,
+       CASE WHEN slope < 0
+            THEN round(0.6931471805599453 / -slope, 6) END
+           AS halflife_weeks
+FROM fit WHERE n_pairs >= 4
+"""
+
+AUX_QUERIES["retention_halflife"] = q_retention_halflife
+AUX_ORACLES["retention_halflife"] = ORACLE_RETENTION_HALFLIFE
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

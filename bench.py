@@ -146,6 +146,12 @@ BENCH_QUERIES = [
     "term_keyness",
     "mutual_topk",
     "log_rank",
+    "seasonal_anomaly",
+    "new_vs_returning",
+    "price_volume_mix",
+    "resample_interpolate",
+    "conversion_ztest",
+    "retention_halflife",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -232,6 +238,12 @@ TOTAL_EXCLUDED = {
     "term_keyness",
     "mutual_topk",
     "log_rank",
+    "seasonal_anomaly",
+    "new_vs_returning",
+    "price_volume_mix",
+    "resample_interpolate",
+    "conversion_ztest",
+    "retention_halflife",
 }
 
 

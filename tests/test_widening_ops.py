@@ -1616,3 +1616,64 @@ def test_log_rank_zero_variance_is_null(spark):
     df = spark.createDataFrame(rows, "g STRING, duration INT, event INT")
     r = log_rank_test(df, "duration", "event", "g", "a").collect()[0]
     assert r["variance"] == 0.0 and r["chi2"] is None
+
+
+# -------------------------------------------------- linear interpolation
+
+
+def test_resample_interpolate_fills_gaps_linearly(spark):
+    """Observations at d0=10 and d3=40: the two missing days take 20
+    and 30; ends stay observed; a key with one observation emits one
+    observed row."""
+    from datetime import date
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import resample_interpolate
+
+    rows = [
+        ("a", date(2024, 1, 1), 10.0),
+        ("a", date(2024, 1, 4), 40.0),
+        ("b", date(2024, 1, 2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, d DATE, v DOUBLE")
+    out = {
+        (r["k"], str(r["d"])): r
+        for r in resample_interpolate(df, "k", "d", "v").collect()
+    }
+    assert len(out) == 5
+    assert out[("a", "2024-01-01")]["filled"] == 10.0
+    assert out[("a", "2024-01-02")]["filled"] == 20.0
+    assert not out[("a", "2024-01-02")]["is_observed"]
+    assert out[("a", "2024-01-03")]["filled"] == 30.0
+    assert out[("a", "2024-01-04")]["filled"] == 40.0
+    assert out[("b", "2024-01-02")]["is_observed"]
+
+
+# ---------------------------------------------------- two-proportion z
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    """a: 30/100 vs b: 20/100 -> pooled 0.25, z = 0.1/sqrt(0.25*0.75
+    *0.02)."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import two_proportion_ztest
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [("b", 0)] * 80
+    )
+    df = spark.createDataFrame(rows, "g STRING, s INT")
+    r = two_proportion_ztest(df, "g", "a", "s").collect()[0]
+    assert (r["n_a"], r["conv_a"], r["rate_a"]) == (100, 30, 0.3)
+    want = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+    assert abs(r["z"] - want) < 1e-5
+
+
+def test_two_proportion_ztest_degenerate_is_null(spark):
+    """Nobody converts anywhere: z undefined, not a zero division."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "g STRING, s INT"
+    )
+    r = two_proportion_ztest(df, "g", "a", "s").collect()[0]
+    assert r["z"] is None

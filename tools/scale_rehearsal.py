@@ -264,6 +264,14 @@ HEAVY = [
     "log_rank",
     "seasonal_anomaly",
     "new_vs_returning",
+    # batch F: the FP&A revenue bridge and conversion z (one
+    # conditional aggregate each — expect flat), the per-key linear
+    # interpolation grid (grid size data-bounded), and the cohort
+    # decay fit (cohort-sized aggregates)
+    "price_volume_mix",
+    "resample_interpolate",
+    "conversion_ztest",
+    "retention_halflife",
 ]
 
 ALL_TABLES = (
