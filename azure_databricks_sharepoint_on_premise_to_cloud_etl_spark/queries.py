@@ -10844,3 +10844,85 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_GEO_RADIUS_KM = 150.0
+_GEO_CELL_DEG = 3.0
+
+
+def _geo_coords(key: "F.Column") -> tuple:
+    """Deterministic synthetic coordinates from an integer key —
+    exact integer arithmetic on both engines (the testdata carries no
+    geography; the OPERATOR under test is the grid join, not the
+    data).  lat ∈ [−60, 60), lon ∈ [−170, 170)."""
+    lat = ((key * 7919) % 12000) / 100.0 - 60.0
+    lon = ((key * 104729) % 34000) / 100.0 - 170.0
+    return lat, lon
+
+
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within 150 km of every customer over
+    synthetic deterministic coordinates — the spatial-join shape
+    (grid-cell bucketing + 3×3 neighborhood replication + exact
+    haversine verify on candidates only, never |L|·|R|).
+    operators/geo.py nearest_within_radius."""
+    from .operators import geo
+
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    clat, clon = _geo_coords(F.col("c_custkey"))
+    slat, slon = _geo_coords(F.col("s_suppkey"))
+    left = c.select(
+        F.col("c_custkey"), clat.alias("lat"), clon.alias("lon")
+    )
+    right = s.select(
+        F.col("s_suppkey"), slat.alias("lat"), slon.alias("lon")
+    )
+    return geo.nearest_within_radius(
+        left,
+        right,
+        radius_km=_GEO_RADIUS_KM,
+        cell_deg=_GEO_CELL_DEG,
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        max_abs_lat=60.0,
+    )
+
+
+ORACLE_GEO_NEAREST = f"""
+WITH c AS (
+    SELECT c_custkey,
+           ((c_custkey * 7919) % 12000) / 100.0 - 60.0 AS lat,
+           ((c_custkey * 104729) % 34000) / 100.0 - 170.0 AS lon
+    FROM customer
+),
+s AS (
+    SELECT s_suppkey,
+           ((s_suppkey * 7919) % 12000) / 100.0 - 60.0 AS lat,
+           ((s_suppkey * 104729) % 34000) / 100.0 - 170.0 AS lon
+    FROM supplier
+),
+cand AS (
+    SELECT c.c_custkey, s.s_suppkey,
+           round(2.0 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(s.lat - c.lat) / 2.0), 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * pow(sin(radians(s.lon - c.lon) / 2.0), 2)
+           )), 3) AS d
+    FROM c CROSS JOIN s
+)
+SELECT c_custkey, s_suppkey AS nearest_s_suppkey, d AS distance_km
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+               ORDER BY d ASC, s_suppkey ASC) AS rn
+    FROM cand WHERE d <= {_GEO_RADIUS_KM}
+) WHERE rn = 1
+"""
+
+AUX_QUERIES["geo_nearest"] = q_geo_nearest
+AUX_ORACLES["geo_nearest"] = ORACLE_GEO_NEAREST
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "resample_interpolate",
     "conversion_ztest",
     "retention_halflife",
+    "geo_nearest",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -244,6 +245,7 @@ TOTAL_EXCLUDED = {
     "resample_interpolate",
     "conversion_ztest",
     "retention_halflife",
+    "geo_nearest",
 }
 
 

@@ -1677,3 +1677,60 @@ def test_two_proportion_ztest_degenerate_is_null(spark):
     )
     r = two_proportion_ztest(df, "g", "a", "s").collect()[0]
     assert r["z"] is None
+
+
+# ------------------------------------------------------------ geo nearest
+
+
+def test_geo_nearest_crosses_cell_boundaries(spark):
+    """A right point in the ADJACENT grid cell (just across the
+    boundary) must still be found — the 3x3 neighborhood replication
+    is the whole point; a farther point in the same cell loses."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.geo import nearest_within_radius
+
+    # cell_deg=1: cells split at integer degrees.  Left point at
+    # (0.99, 0.5); right A at (1.01, 0.5) is ~2.2 km away but in the
+    # cell NORTH; right B at (0.01, 0.5) is ~109 km away in the same
+    # cell.
+    left = spark.createDataFrame([(1, 0.99, 0.5)], "lid LONG, lat DOUBLE, lon DOUBLE")
+    right = spark.createDataFrame(
+        [(10, 1.01, 0.5), (20, 0.01, 0.5)], "rid LONG, lat DOUBLE, lon DOUBLE"
+    )
+    out = nearest_within_radius(
+        left, right, radius_km=100.0, cell_deg=1.0,
+        left_id="lid", right_id="rid", max_abs_lat=5.0,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["nearest_rid"] == 10
+    assert r["distance_km"] < 3.0
+
+
+def test_geo_nearest_radius_and_tiebreak(spark):
+    """Points beyond the radius drop; equidistant candidates break
+    the tie on the smaller right id."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.geo import nearest_within_radius
+
+    left = spark.createDataFrame([(1, 0.0, 0.0), (2, 3.0, 100.0)],
+                                 "lid LONG, lat DOUBLE, lon DOUBLE")
+    right = spark.createDataFrame(
+        [(7, 0.1, 0.0), (3, -0.1, 0.0)], "rid LONG, lat DOUBLE, lon DOUBLE"
+    )
+    out = {r["lid"]: r for r in nearest_within_radius(
+        left, right, radius_km=50.0, cell_deg=1.0,
+        left_id="lid", right_id="rid", max_abs_lat=5.0,
+    ).collect()}
+    assert set(out) == {1}           # lid=2 has nothing within 50 km
+    assert out[1]["nearest_rid"] == 3  # tie at ~11.1 km -> smaller id
+
+
+def test_geo_nearest_rejects_undersized_cell(spark):
+    """A cell smaller than the radius would silently drop true
+    neighbors: must raise, not degrade."""
+    import pytest
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.geo import nearest_within_radius
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id LONG, lat DOUBLE, lon DOUBLE")
+    with pytest.raises(ValueError, match="too small"):
+        nearest_within_radius(df, df, radius_km=500.0, cell_deg=1.0)

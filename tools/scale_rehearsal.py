@@ -272,6 +272,10 @@ HEAVY = [
     "resample_interpolate",
     "conversion_ztest",
     "retention_halflife",
+    # the spatial grid join: candidate volume = pairs sharing a cell
+    # neighborhood; the replicated customer universe grows the left
+    # side linearly while the supplier dim stays shared
+    "geo_nearest",
 ]
 
 ALL_TABLES = (
