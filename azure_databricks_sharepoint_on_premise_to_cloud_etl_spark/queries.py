@@ -10926,3 +10926,138 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_LEAD_LAG_MAX = 7
+
+
+def q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: corr(orders placed on day d,
+    quantity shipped on day d+k) for k ∈ [−7, 7] — the demand→
+    fulfillment propagation-delay profile.  Two daily rollups
+    (calendar-sized), one lag-exploded equi-join on the SHIFTED date
+    (14 copies of the tiny daily table, never a range join), then
+    corr as one aggregate per lag.  Correlation is assembled from
+    globally-centered sums with a lazy CASE guard (the rolling_corr
+    ANSI discipline — regular corr would divide by zero on a
+    degenerate lag)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
+    )
+    shipped = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum("l_quantity").cast("double").alias("qty")
+    )
+    means = placed.agg(F.avg("n_orders").alias("__mx")).crossJoin(
+        F.broadcast(shipped.agg(F.avg("qty").alias("__my")))
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(-_LEAD_LAG_MAX, _LEAD_LAG_MAX + 1)])
+    ).alias("lag")
+    px = placed.crossJoin(F.broadcast(means)).select(
+        "d", (F.col("n_orders") - F.col("__mx")).alias("x"), "__my"
+    )
+    joined = (
+        px.select("*", lags)
+        .withColumn("__sd", F.date_add(F.col("d"), F.col("lag")))
+        .join(
+            shipped.select(F.col("d").alias("__sd"), "qty"), "__sd"
+        )
+        .select("lag", "x", (F.col("qty") - F.col("__my")).alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sx2 = F.sum(F.col("x") * F.col("x"))
+    sy2 = F.sum(F.col("y") * F.col("y"))
+    agg = joined.groupBy("lag").agg(
+        n.alias("n_days"),
+        (sxy - sx * sy / n).alias("__cov"),
+        (sx2 - sx * sx / n).alias("__vx"),
+        (sy2 - sy * sy / n).alias("__vy"),
+    )
+    return agg.select(
+        "lag",
+        "n_days",
+        F.when(
+            (F.col("__vx") > 0) & (F.col("__vy") > 0),
+            F.round(
+                F.col("__cov") / F.sqrt(F.col("__vx") * F.col("__vy")), 6
+            ),
+        ).alias("corr_k"),
+    )
+
+
+ORACLE_LEAD_LAG_CORR = f"""
+WITH placed AS (
+    SELECT o_orderdate::DATE AS d, count(*) * 1.0 AS n_orders
+    FROM orders GROUP BY 1
+),
+shipped AS (
+    SELECT l_shipdate::DATE AS d, CAST(sum(l_quantity) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY 1
+),
+mx AS (SELECT avg(n_orders) AS mx FROM placed),
+my AS (SELECT avg(qty) AS my FROM shipped),
+lags AS (SELECT unnest(range(-{_LEAD_LAG_MAX}, {_LEAD_LAG_MAX + 1})) AS lag),
+joined AS (
+    SELECT l.lag, p.n_orders - mx.mx AS x, s.qty - my.my AS y
+    FROM placed p CROSS JOIN lags l
+    JOIN shipped s ON s.d = p.d + to_days(l.lag::INT), mx, my
+),
+agg AS (
+    SELECT lag, count(*) AS n_days,
+           sum(x * y) - sum(x) * sum(y) / count(*) AS cov,
+           sum(x * x) - sum(x) * sum(x) / count(*) AS vx,
+           sum(y * y) - sum(y) * sum(y) / count(*) AS vy
+    FROM joined GROUP BY 1
+)
+SELECT lag, n_days,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN round(cov / sqrt(vx * vy), 6) END AS corr_k
+FROM agg
+"""
+
+AUX_QUERIES["lead_lag_corr"] = q_lead_lag_corr
+AUX_ORACLES["lead_lag_corr"] = ORACLE_LEAD_LAG_CORR
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking over customer names (window
+    3): every record pairs with its 3 sort-successors — linear
+    candidate volume by construction.  operators/dedup.py
+    sorted_neighborhood_pairs over the distributed prefix-sum rank;
+    oracle uses the plain row_number formulation."""
+    from .operators import dedup
+
+    c = load_table(spark, sf_dir, "customer")
+    return dedup.sorted_neighborhood_pairs(
+        c.select("c_custkey", "c_name"), "c_custkey", "c_name", window=3
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = """
+WITH ranked AS (
+    SELECT c_custkey AS id, c_name AS k,
+           row_number() OVER (ORDER BY c_name ASC, c_custkey ASC) AS pos
+    FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+       b.pos - a.pos AS pos_gap
+FROM ranked a JOIN ranked b
+  ON b.pos > a.pos AND b.pos <= a.pos + 3
+"""
+
+AUX_QUERIES["sorted_neighborhood"] = q_sorted_neighborhood
+AUX_ORACLES["sorted_neighborhood"] = ORACLE_SORTED_NEIGHBORHOOD
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

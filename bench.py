@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "conversion_ztest",
     "retention_halflife",
     "geo_nearest",
+    "lead_lag_corr",
+    "sorted_neighborhood",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -246,6 +248,8 @@ TOTAL_EXCLUDED = {
     "conversion_ztest",
     "retention_halflife",
     "geo_nearest",
+    "lead_lag_corr",
+    "sorted_neighborhood",
 }
 
 

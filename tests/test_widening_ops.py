@@ -1734,3 +1734,27 @@ def test_geo_nearest_rejects_undersized_cell(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "id LONG, lat DOUBLE, lon DOUBLE")
     with pytest.raises(ValueError, match="too small"):
         nearest_within_radius(df, df, radius_km=500.0, cell_deg=1.0)
+
+
+# ------------------------------------------------ sorted neighborhood
+
+
+def test_sorted_neighborhood_window_pairs(spark):
+    """Sort order c < m < s1 < s2: window 2 pairs each record with
+    its <=2 successors; smyth/smith-style neighbors pair despite
+    sharing no token; volume is exactly window per record (minus the
+    tail)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.dedup import sorted_neighborhood_pairs
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import release_components
+
+    rows = [(1, "smith"), (2, "smyth"), (3, "carter"), (4, "miller")]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    res = sorted_neighborhood_pairs(df, "id", "name", window=2)
+    out = {(r["id_a"], r["id_b"]): r["pos_gap"] for r in res.collect()}
+    release_components(res)
+    # order: carter(3) miller(4) smith(1) smyth(2)
+    assert out == {
+        (3, 4): 1, (3, 1): 2,
+        (4, 1): 1, (4, 2): 2,
+        (1, 2): 1,
+    }

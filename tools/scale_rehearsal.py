@@ -276,6 +276,10 @@ HEAVY = [
     # neighborhood; the replicated customer universe grows the left
     # side linearly while the supplier dim stays shared
     "geo_nearest",
+    # lag-exploded daily cross-correlation (calendar-sized join) and
+    # the linear-by-construction sorted-neighborhood blocking
+    "lead_lag_corr",
+    "sorted_neighborhood",
 ]
 
 ALL_TABLES = (
