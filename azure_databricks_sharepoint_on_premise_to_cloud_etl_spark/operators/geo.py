@@ -143,3 +143,76 @@ def nearest_within_radius(
             F.col("__best.__d").alias("distance_km"),
         )
     )
+
+
+def pairs_within_radius(
+    points: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 75.0,
+) -> DataFrame:
+    """All point pairs within ``radius_km`` of each other — the edge
+    list of the proximity graph (spatial clustering, coverage
+    analysis, contact tracing).  Same grid discipline as
+    :func:`nearest_within_radius` (one side carries its cell, the
+    other replicates ×9; exact haversine verify on cell-sharing
+    candidates only) with the same asserted cell-covers-radius guard.
+    Returns ``(id_a, id_b, distance_km)`` with ``id_a < id_b``,
+    distance rounded to 3 decimals.
+    """
+    import math
+
+    lat_span = cell_deg * 111.19
+    lon_span = cell_deg * 111.19 * math.cos(math.radians(max_abs_lat))
+    if radius_km > min(lat_span, lon_span):
+        raise ValueError(
+            f"cell_deg {cell_deg} too small for radius {radius_km} km at "
+            f"|lat| <= {max_abs_lat} (covers {min(lat_span, lon_span):.1f} km)"
+        )
+    base = points.select(
+        F.col(id_col),
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+    )
+    anchored = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__lat").alias("__alat"),
+        F.col("__lon").alias("__alon"),
+        F.concat_ws(
+            ":",
+            F.floor(F.col("__lat") / cell_deg),
+            F.floor(F.col("__lon") / cell_deg),
+        ).alias("__cell"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in range(9)])).alias("__o")
+    probes = base.select("*", off).select(
+        F.col(id_col).alias("id_b"),
+        F.col("__lat").alias("__blat"),
+        F.col("__lon").alias("__blon"),
+        F.concat_ws(
+            ":",
+            F.floor(F.col("__lat") / cell_deg) + (F.col("__o") % 3 - 1),
+            F.floor(F.col("__lon") / cell_deg)
+            + (F.col("__o") / 3).cast("long") - 1,
+        ).alias("__cell"),
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("__alat"), F.col("__alon"),
+            F.col("__blat"), F.col("__blon"),
+        ),
+        3,
+    )
+    # no distinct needed: the anchor side carries exactly ONE cell and
+    # the probe side's nine neighborhood cells are pairwise distinct,
+    # so each (a, b) pair can meet on at most one cell key
+    return (
+        anchored.join(probes, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= radius_km)
+        .select("id_a", "id_b", "distance_km")
+    )

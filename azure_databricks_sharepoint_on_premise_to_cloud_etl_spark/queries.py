@@ -11061,3 +11061,102 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_GEO_CLUSTER_RADIUS = 300.0
+_GEO_CLUSTER_CELL_DEG = 6.0
+
+
+def q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial clustering: customers within 300 km of each other
+    chained into clusters (single-linkage = connected components of
+    the proximity graph) — coverage-region discovery from two
+    verified stages: operators/geo.py pairs_within_radius (grid
+    join, never all-pairs) feeding graph.connected_components;
+    isolated customers label themselves.  Output: per cluster, its
+    label (min member), size, and members' bounding box."""
+    from .operators import geo, graph
+
+    c = load_table(spark, sf_dir, "customer")
+    clat, clon = _geo_coords(F.col("c_custkey"))
+    pts = c.select(
+        F.col("c_custkey"), clat.alias("lat"), clon.alias("lon")
+    )
+    pairs = geo.pairs_within_radius(
+        pts,
+        radius_km=_GEO_CLUSTER_RADIUS,
+        cell_deg=_GEO_CLUSTER_CELL_DEG,
+        id_col="c_custkey",
+        max_abs_lat=60.0,
+    )
+    comp = graph.connected_components(
+        pairs,
+        pts.select("c_custkey"),
+        src_col="id_a",
+        dst_col="id_b",
+        node_col="c_custkey",
+    )
+    labeled = comp.join(pts, "c_custkey")
+    out = (
+        labeled.groupBy(F.col("component").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.min("lat"), 2).alias("lat_min"),
+            F.round(F.max("lat"), 2).alias("lat_max"),
+            F.round(F.min("lon"), 2).alias("lon_min"),
+            F.round(F.max("lon"), 2).alias("lon_max"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    out._cc_source = comp  # released by the harness if it knows to
+    return out
+
+
+ORACLE_SPATIAL_CLUSTERS = f"""
+WITH RECURSIVE c AS (
+    SELECT c_custkey,
+           ((c_custkey * 7919) % 12000) / 100.0 - 60.0 AS lat,
+           ((c_custkey * 104729) % 34000) / 100.0 - 170.0 AS lon
+    FROM customer
+),
+pairs AS MATERIALIZED (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE round(2.0 * 6371.0088 * asin(sqrt(
+              pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+              + cos(radians(a.lat)) * cos(radians(b.lat))
+                * pow(sin(radians(b.lon - a.lon) / 2.0), 2)
+          )), 3) <= {_GEO_CLUSTER_RADIUS}
+),
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach (src, dst) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+labeled AS (
+    SELECT c.c_custkey,
+           least(c.c_custkey,
+                 coalesce((SELECT min(dst) FROM reach
+                           WHERE src = c.c_custkey), c.c_custkey))
+               AS cluster,
+           lat, lon
+    FROM c
+)
+SELECT cluster, count(*) AS n_members,
+       round(min(lat), 2) AS lat_min, round(max(lat), 2) AS lat_max,
+       round(min(lon), 2) AS lon_min, round(max(lon), 2) AS lon_max
+FROM labeled
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+AUX_QUERIES["spatial_clusters"] = q_spatial_clusters
+AUX_ORACLES["spatial_clusters"] = ORACLE_SPATIAL_CLUSTERS
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

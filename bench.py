@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "geo_nearest",
     "lead_lag_corr",
     "sorted_neighborhood",
+    "spatial_clusters",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -250,6 +251,7 @@ TOTAL_EXCLUDED = {
     "geo_nearest",
     "lead_lag_corr",
     "sorted_neighborhood",
+    "spatial_clusters",
 }
 
 

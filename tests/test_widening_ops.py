@@ -1758,3 +1758,46 @@ def test_sorted_neighborhood_window_pairs(spark):
         (4, 1): 1, (4, 2): 2,
         (1, 2): 1,
     }
+
+
+def test_pairs_within_radius_matches_brute_force(spark):
+    """Grid-join pair enumeration equals brute force on a small
+    planted set spanning cell boundaries."""
+    import math
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.geo import (
+        haversine_km,
+        pairs_within_radius,
+    )
+    from pyspark.sql import functions as F
+
+    pts = [(i, (i * 13 % 40) / 100.0 + 0.8, (i * 29 % 60) / 100.0 + 0.7)
+           for i in range(25)]
+    df = spark.createDataFrame(pts, "id LONG, lat DOUBLE, lon DOUBLE")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairs_within_radius(
+            df, radius_km=60.0, cell_deg=1.0, max_abs_lat=5.0
+        ).collect()
+    }
+    a = df.alias("a")
+    b = df.alias("b")
+    brute = {
+        (r["ida"], r["idb"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.round(
+                haversine_km(
+                    F.col("a.lat"), F.col("a.lon"),
+                    F.col("b.lat"), F.col("b.lon"),
+                ),
+                3,
+            ).alias("d"),
+        )
+        .filter(F.col("d") <= 60.0)
+        .collect()
+    }
+    assert len(brute) > 0
+    assert got == brute

@@ -280,6 +280,16 @@ HEAVY = [
     # the linear-by-construction sorted-neighborhood blocking
     "lead_lag_corr",
     "sorted_neighborhood",
+    # grid proximity graph -> CC composition (single-linkage spatial
+    # clustering).  CAVEAT (the shared-dim precedent): replicas share
+    # ONE map, so the fixture raises point DENSITY rather than map
+    # area — proximity pairs grow ~f² by construction and single-
+    # linkage percolates into one world-spanning cluster
+    # (rows_by_factor: 1 cluster at every factor).  Real scale-up
+    # adds regions, keeping density (and the grid join's per-cell
+    # cost) flat; the alpha here measures the fixture's percolation,
+    # not the plan.
+    "spatial_clusters",
 ]
 
 ALL_TABLES = (
