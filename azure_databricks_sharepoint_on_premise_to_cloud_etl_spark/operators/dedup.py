@@ -957,3 +957,69 @@ def sorted_neighborhood_pairs(
         ranked, "_persisted_intermediates", None
     )
     return result
+
+
+def plan_lsh(
+    target_jaccard: float,
+    num_hashes: int,
+    candidates: list[tuple[int, int]] | None = None,
+) -> dict:
+    """Pick the (bands, rows) split of a MinHash signature for a
+    target Jaccard threshold — the knob every LSH deployment has to
+    set and usually sets by folklore.  For b bands of r rows the
+    probability a pair with similarity s becomes a candidate is
+    ``1 − (1 − s^r)^b``; the curve's inflection sits near
+    ``(1/b)^(1/r)``.  This planner enumerates the divisor splits of
+    ``num_hashes`` (or the provided ``candidates``) and returns the
+    split whose inflection lands closest to ``target_jaccard``,
+    plus the expected false-candidate mass below and miss mass above
+    the threshold (trapezoid-integrated s-curve tails) so the caller
+    can see the trade it is making — more bands = catch more true
+    pairs but admit more junk below the threshold.
+
+    Driver-side pure math (no DataFrames): the OUTPUT feeds
+    ``lsh_candidate_pairs(bands=...)``.  Returns ``{"bands", "rows",
+    "threshold", "fp_mass", "fn_mass", "curve"}`` where curve is
+    [(s, p_candidate)] at 5% steps.
+    """
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError(f"target_jaccard {target_jaccard} outside (0, 1)")
+    if candidates is None:
+        candidates = [
+            (b, num_hashes // b)
+            for b in range(1, num_hashes + 1)
+            if num_hashes % b == 0
+        ]
+    best = None
+    for b, r in candidates:
+        if b * r != num_hashes or r < 1:
+            raise ValueError(f"split {b}x{r} != {num_hashes} hashes")
+        thr = (1.0 / b) ** (1.0 / r)
+        # s-curve tail masses via trapezoid at 1% steps
+        fp = fn = 0.0
+        step = 0.01
+        s = step
+        while s < 1.0 - 1e-9:
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < target_jaccard:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+            s += step
+        score = abs(thr - target_jaccard)
+        cand = {
+            "bands": b,
+            "rows": r,
+            "threshold": round(thr, 4),
+            "fp_mass": round(fp, 4),
+            "fn_mass": round(fn, 4),
+        }
+        if best is None or score < best[0]:
+            best = (score, cand)
+    b, r = best[1]["bands"], best[1]["rows"]
+    best[1]["curve"] = [
+        (round(s / 20.0, 2),
+         round(1.0 - (1.0 - (s / 20.0) ** r) ** b, 4))
+        for s in range(1, 20)
+    ]
+    return best[1]

@@ -1801,3 +1801,34 @@ def test_pairs_within_radius_matches_brute_force(spark):
     }
     assert len(brute) > 0
     assert got == brute
+
+
+# ------------------------------------------------------------ lsh planner
+
+
+def test_plan_lsh_picks_inflection_near_target(spark):
+    """128 hashes, target 0.8: the planner lands on a split whose
+    (1/b)^(1/r) inflection is nearest 0.8, the curve is monotone, and
+    a looser target picks MORE bands (shorter rows)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.dedup import plan_lsh
+
+    tight = plan_lsh(0.8, 128)
+    assert tight["bands"] * tight["rows"] == 128
+    assert abs(tight["threshold"] - 0.8) < 0.15
+    probs = [p for _, p in tight["curve"]]
+    assert all(b >= a for a, b in zip(probs, probs[1:]))
+    loose = plan_lsh(0.4, 128)
+    assert loose["bands"] > tight["bands"]
+    # masses are reported and sane
+    assert 0 <= tight["fp_mass"] < 0.5 and 0 <= tight["fn_mass"] < 0.5
+
+
+def test_plan_lsh_rejects_bad_input(spark):
+    import pytest
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.dedup import plan_lsh
+
+    with pytest.raises(ValueError):
+        plan_lsh(1.5, 128)
+    with pytest.raises(ValueError):
+        plan_lsh(0.8, 128, candidates=[(3, 7)])
