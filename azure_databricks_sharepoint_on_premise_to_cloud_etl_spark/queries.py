@@ -11160,3 +11160,102 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_SN_WINDOW = 5
+_SN_MAX_DIST = 2
+
+
+def q_entity_resolution_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with SORTED-NEIGHBORHOOD blocking — the
+    alternative candidate generator to token blocking (catches
+    near-misses sharing no token as long as the sort places them
+    close): normalized-name sort-neighbors (window 5,
+    dedup.sorted_neighborhood_pairs over the distributed prefix-sum
+    rank) → levenshtein ≤ 2 verify on the window·N candidates →
+    transitive closure → survivorship, same shape as
+    entity_resolution."""
+    from .operators.dedup import sorted_neighborhood_pairs
+    from .operators.graph import connected_components
+
+    p = rebalance(load_table(spark, sf_dir, "part")).select(
+        "p_partkey",
+        F.regexp_replace(
+            F.trim(F.lower(F.col("p_name"))), r"\s+", " "
+        ).alias("__name"),
+    )
+    cand = sorted_neighborhood_pairs(
+        p, "p_partkey", "__name", window=_SN_WINDOW
+    )
+    pairs = cand.filter(
+        F.levenshtein("key_a", "key_b") <= _SN_MAX_DIST
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, p.select("p_partkey"), node_col="p_partkey"
+    )
+    out = comp.join(
+        F.broadcast(
+            p.select(
+                F.col("p_partkey").alias("component"),
+                F.col("__name").alias("canonical_name"),
+            )
+        ),
+        "component",
+    ).select(
+        "p_partkey",
+        F.col("component").alias("entity_id"),
+        "canonical_name",
+    )
+    out._cc_final_generation = getattr(comp, "_cc_final_generation", None)
+    out._cc_checkpoint_dir = getattr(comp, "_cc_checkpoint_dir", None)
+    out._persisted_intermediates = getattr(
+        cand, "_persisted_intermediates", None
+    )
+    return out
+
+
+ORACLE_ENTITY_RESOLUTION_SN = f"""
+WITH RECURSIVE norm AS (
+    SELECT p_partkey AS id,
+           regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name
+    FROM part
+),
+ranked AS (
+    SELECT id, name,
+           row_number() OVER (ORDER BY name ASC, id ASC) AS pos
+    FROM norm
+),
+pairs AS MATERIALIZED (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM ranked a JOIN ranked b
+      ON b.pos > a.pos AND b.pos <= a.pos + {_SN_WINDOW}
+    WHERE levenshtein(a.name, b.name) <= {_SN_MAX_DIST}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach (src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+    SELECT n.id AS p_partkey,
+           least(n.id,
+                 coalesce((SELECT min(dst) FROM reach WHERE src = n.id),
+                          n.id)) AS entity_id
+    FROM norm n
+)
+SELECT c.p_partkey, c.entity_id, n.name AS canonical_name
+FROM comp c JOIN norm n ON n.id = c.entity_id
+"""
+
+AUX_QUERIES["entity_resolution_sn"] = q_entity_resolution_sn
+AUX_ORACLES["entity_resolution_sn"] = ORACLE_ENTITY_RESOLUTION_SN
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

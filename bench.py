@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "lead_lag_corr",
     "sorted_neighborhood",
     "spatial_clusters",
+    "entity_resolution_sn",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -252,6 +253,7 @@ TOTAL_EXCLUDED = {
     "lead_lag_corr",
     "sorted_neighborhood",
     "spatial_clusters",
+    "entity_resolution_sn",
 }
 
 

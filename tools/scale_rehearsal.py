@@ -290,6 +290,10 @@ HEAVY = [
     # cost) flat; the alpha here measures the fixture's percolation,
     # not the plan.
     "spatial_clusters",
+    # SN-blocked ER twin of entity_resolution: window*N candidates by
+    # construction + the CC closure (driver-finish regime on the
+    # fixture-sized pair graphs)
+    "entity_resolution_sn",
 ]
 
 ALL_TABLES = (
