@@ -896,12 +896,26 @@ def fuzzy_name_pairs(
             F.col("a.__name").alias("name_a"),
             F.col("b.__name").alias("name_b"),
         )
-        .distinct()
     )
+    # bounded levenshtein (Spark >= 3.5): the threshold form early-
+    # exits once the edit band exceeds max_dist — O(len * k) instead
+    # of the full O(len^2) DP per pair, the dominant cost with
+    # millions of blocked candidates; it returns -1 above the bound
+    # and the TRUE distance (identical to the unbounded form) for
+    # every pair this filter keeps, so results cannot change.
+    # The first/last-token double-match dedup runs AFTER the verify,
+    # on the narrow (id, id, dist) survivor rows — deduping before it
+    # shuffled every candidate WITH its name payloads, which cost
+    # more than the at-most-2x redundant distance computations it
+    # saved now that the verify itself is banded.
     return (
-        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        cand.withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b", int(max_dist)),
+        )
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
+        .distinct()
     )
 
 

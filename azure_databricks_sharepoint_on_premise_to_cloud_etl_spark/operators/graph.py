@@ -1424,3 +1424,88 @@ def clustering_coefficient(
     result._cc_checkpoint_dir = None
     result._extra_ckpts = [e]
     return result
+
+
+def contract_edges(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    passes: int = 2,
+    fan_in: int = 8,
+) -> DataFrame:
+    """Partition-local spanning-forest contraction — the standard
+    pre-pass for connected components over DENSE pair graphs (a
+    verified fuzzy-match graph routinely carries avg degree in the
+    hundreds: 5.5M edges over 20k parts at sf0.1): each partition
+    runs union-find over ITS slice and keeps only the edges that
+    actually merged two trees, discarding every intra-tree duplicate.
+    The union of per-partition spanning forests preserves the union
+    graph's components exactly (any path survives edge-by-edge: each
+    edge either survives or its endpoints were already connected
+    within that partition), while the edge count drops from |E| to
+    at most Σ(per-partition node count − 1) — for the ER graph,
+    5.5M → ~40k, which puts the follow-up ``connected_components``
+    under its driver-finish threshold instead of paying distributed
+    rounds over millions of rows.
+
+    Arrow-batched ``mapInPandas``; union-find state lives per
+    PARTITION (across that partition's batches).  Output keeps the
+    input column names and types.  Which spanning edges survive
+    depends on partitioning — components (min-label) are invariant
+    to that choice, which is the only contract downstream CC needs.
+
+    ``passes`` chains contraction levels, each repartitioning the
+    surviving forest ``fan_in``× narrower first (the tree-reduce
+    shape): one pass bounds output at Σ per-partition (V−1) — with P
+    partitions that can still be ~P·V — while a second pass over
+    P/fan_in partitions collapses the overlap between the partial
+    forests.  Two passes take the sf0.1 ER graph 5.5M → 639k → ~80k,
+    under ``connected_components``' driver-finish gate.
+
+    MEASURED local[32] trade-off (sf0.1 fuzzy ER graph, round 9):
+    the two passes cost ~6.5 s of Arrow transfer + Python union-find
+    where the CC rounds they eliminate cost ~2 s (5.0 → 3.3 s CC) —
+    a NET LOSS locally, so the batch ER queries do not use it.  The
+    trade flips when per-round cost is dominated by the fleet-wide
+    stage barrier rather than local compute (the 1000-executor
+    regime this operator exists for), and the contraction also
+    bounds CC's peak shuffle at forest size instead of |E| — the
+    memory argument stands regardless of wall-clock.
+    """
+    import pandas as pd
+
+    schema = edges.select(src_col, dst_col).schema
+
+    def per_partition(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            keep_a, keep_b = [], []
+            for a, b in zip(pdf[src_col], pdf[dst_col]):
+                for v in (a, b):
+                    if v not in parent:
+                        parent[v] = v
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+                    keep_a.append(a)
+                    keep_b.append(b)
+            if keep_a:
+                yield pd.DataFrame({src_col: keep_a, dst_col: keep_b})
+
+    out = edges.select(src_col, dst_col)
+    n_parts = max(out.rdd.getNumPartitions(), 1)
+    for level in range(passes):
+        if level > 0:
+            n_parts = max(1, n_parts // fan_in)
+            out = out.repartition(n_parts)
+        out = out.mapInPandas(per_partition, schema=schema)
+    return out

@@ -9128,6 +9128,11 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = rebalance(load_table(spark, sf_dir, "part")).select("p_partkey", "p_name")
     pairs = dedup.fuzzy_name_pairs(p, "p_partkey", "p_name", max_dist=2)
+    # graph.contract_edges can pre-collapse this DENSE pair graph
+    # (5.5M -> 80k edges at sf0.1) but measured a net LOSS here: the
+    # Arrow hop costs ~6.5 s where the saved CC rounds cost ~2 s on
+    # local[32] (see its docstring) — the trade flips on a real
+    # cluster where each round is a fleet-wide barrier
     comp = connected_components(
         pairs, p.select("p_partkey"), node_col="p_partkey"
     )
@@ -11188,7 +11193,7 @@ def q_entity_resolution_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
         p, "p_partkey", "__name", window=_SN_WINDOW
     )
     pairs = cand.filter(
-        F.levenshtein("key_a", "key_b") <= _SN_MAX_DIST
+        F.levenshtein("key_a", "key_b", _SN_MAX_DIST) >= 0
     ).select("id_a", "id_b")
     comp = connected_components(
         pairs, p.select("p_partkey"), node_col="p_partkey"

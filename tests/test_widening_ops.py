@@ -1832,3 +1832,43 @@ def test_plan_lsh_rejects_bad_input(spark):
         plan_lsh(1.5, 128)
     with pytest.raises(ValueError):
         plan_lsh(0.8, 128, candidates=[(3, 7)])
+
+
+# ------------------------------------------------------------ contraction
+
+
+def test_contract_edges_preserves_components(spark):
+    """A dense clique + a chain + a separate pair, shuffled across
+    partitions: the contracted forest has far fewer edges but the
+    SAME connected components (verified through connected_components
+    on both edge sets)."""
+    import itertools
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        connected_components,
+        contract_edges,
+        release_components,
+    )
+
+    clique = list(itertools.combinations(range(1, 9), 2))       # 28 edges
+    chain = [(i, i + 1) for i in range(20, 25)]                  # 5 edges
+    pair = [(50, 51)]
+    edges = spark.createDataFrame(
+        clique + chain + pair, "id_a LONG, id_b LONG"
+    ).repartition(6)
+    nodes = spark.createDataFrame(
+        [(n,) for n in ([*range(1, 9), *range(20, 26), 50, 51, 99])],
+        "doc_id LONG",
+    )
+    contracted = contract_edges(edges)
+    assert contracted.count() < len(clique + chain + pair)
+
+    def comps(e):
+        c = connected_components(e, nodes)
+        out = {r["doc_id"]: r["component"] for r in c.collect()}
+        release_components(c)
+        return out
+
+    assert comps(contracted) == comps(edges)
+    # isolated node labels itself in both
+    assert comps(contracted)[99] == 99
