@@ -11264,3 +11264,150 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point localization over the daily event-count
+    series (binary-segmentation step 1): the split date minimizing
+    pooled within-segment squared error — equivalently maximizing
+    the between-segment contrast ``n_l·n_r/n·(μ_l−μ_r)²``.  One
+    daily rollup, one cumulative window over the calendar-sized
+    series (prefix sums give every split's segment means in O(1)),
+    one argmax.  Ties break on the earlier date; the two end splits
+    (empty segment) are excluded."""
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w_cum = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    staged = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w_cum).alias("k"),
+        F.sum("n").over(w_cum).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("nn"),
+        F.sum("n").over(w_all).alias("tot"),
+    ).filter(F.col("k") < F.col("nn"))
+    k, s = F.col("k").cast("double"), F.col("s")
+    nn, tot = F.col("nn").cast("double"), F.col("tot")
+    mu_l = s / k
+    mu_r = (tot - s) / (nn - k)
+    contrast = k * (nn - k) / nn * (mu_l - mu_r) * (mu_l - mu_r)
+    scored = staged.select(
+        "d",
+        F.col("k").alias("n_left"),
+        F.round(mu_l, 6).alias("mean_left"),
+        F.round(mu_r, 6).alias("mean_right"),
+        F.round(contrast, 6).alias("contrast"),
+    )
+    w_rank = Window.orderBy(F.col("contrast").desc(), F.col("d").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+ORACLE_BEST_CHANGEPOINT = """
+WITH daily AS (
+    SELECT ts::DATE AS d, count(*) * 1.0 AS n FROM events GROUP BY 1
+),
+staged AS (
+    SELECT d,
+           count(*) OVER w AS k,
+           sum(n) OVER w AS s,
+           count(*) OVER () AS nn,
+           sum(n) OVER () AS tot
+    FROM daily
+    WINDOW w AS (ORDER BY d ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+    SELECT d, k AS n_left,
+           round(s / k, 6) AS mean_left,
+           round((tot - s) / (nn - k), 6) AS mean_right,
+           round(k * 1.0 * (nn - k) / nn
+                 * pow(s / k - (tot - s) / (nn - k), 2), 6) AS contrast
+    FROM staged WHERE k < nn
+)
+SELECT d, n_left, mean_left, mean_right, contrast FROM (
+    SELECT *, row_number() OVER (ORDER BY contrast DESC, d ASC) AS r
+    FROM scored
+) WHERE r = 1
+"""
+
+AUX_QUERIES["best_changepoint"] = q_best_changepoint
+AUX_ORACLES["best_changepoint"] = ORACLE_BEST_CHANGEPOINT
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per converting user, hours from
+    first view to first purchase (only when the view precedes it),
+    summarized as exact p25/p50/p90 via the histogram-formulation
+    percentiles (operators/stats.py group_percentiles_exact — no
+    TypedImperativeAggregate)."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "__tv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__tp"),
+    )
+    lat = per_user.filter(
+        F.col("__tv").isNotNull()
+        & F.col("__tp").isNotNull()
+        & (F.col("__tv") < F.col("__tp"))
+    ).select(
+        F.round(
+            (
+                F.col("__tp").cast("timestamp").cast("double")
+                - F.col("__tv").cast("timestamp").cast("double")
+            )
+            / 3600.0,
+            6,
+        ).alias("hours")
+    )
+    out = stats.group_percentiles_exact(
+        lat.withColumn("__g", F.lit(1)),
+        ["__g"],
+        "hours",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+    )
+    return out.select(
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+    )
+
+
+ORACLE_CONVERSION_LATENCY = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+    FROM events GROUP BY 1
+),
+lat AS (
+    SELECT round((epoch(tp) - epoch(tv)) / 3600.0, 6) AS hours
+    FROM per_user
+    WHERE tv IS NOT NULL AND tp IS NOT NULL AND tv < tp
+)
+SELECT round(quantile_cont(hours, 0.25), 6) AS p25,
+       round(quantile_cont(hours, 0.5), 6) AS p50,
+       round(quantile_cont(hours, 0.9), 6) AS p90
+FROM lat
+"""
+
+AUX_QUERIES["conversion_latency"] = q_conversion_latency
+AUX_ORACLES["conversion_latency"] = ORACLE_CONVERSION_LATENCY
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "sorted_neighborhood",
     "spatial_clusters",
     "entity_resolution_sn",
+    "best_changepoint",
+    "conversion_latency",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -254,6 +256,8 @@ TOTAL_EXCLUDED = {
     "sorted_neighborhood",
     "spatial_clusters",
     "entity_resolution_sn",
+    "best_changepoint",
+    "conversion_latency",
 }
 
 

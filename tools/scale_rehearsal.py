@@ -294,6 +294,10 @@ HEAVY = [
     # construction + the CC closure (driver-finish regime on the
     # fixture-sized pair graphs)
     "entity_resolution_sn",
+    # calendar-sized prefix-sum changepoint + per-user conversion
+    # latency percentiles (collapse-first) — expect flat
+    "best_changepoint",
+    "conversion_latency",
 ]
 
 ALL_TABLES = (
