@@ -11411,3 +11411,193 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_weekly_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive weekly decomposition of the daily event-count series
+    (STL-lite): trend = centered 7-day moving average, seasonal =
+    day-of-week mean of the detrended series (normalized to sum 0),
+    residual = remainder.  Three chained windows/aggregates over the
+    calendar-sized daily table; the corpus is scanned once.  Edge
+    days without a full centered window carry NULL trend and drop."""
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w7 = Window.orderBy(F.col("d").asc()).rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "n",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.avg("n").over(w7)
+        ).alias("__trend"),
+    ).filter(F.col("__trend").isNotNull())
+    det = t.withColumn("__dt", F.col("n") - F.col("__trend")).withColumn(
+        "dow", F.dayofweek("d")
+    )
+    prof = det.groupBy("dow").agg(F.avg("__dt").alias("__raw"))
+    centered = prof.crossJoin(
+        F.broadcast(prof.agg(F.avg("__raw").alias("__m")))
+    ).select("dow", (F.col("__raw") - F.col("__m")).alias("__seas"))
+    return (
+        det.join(F.broadcast(centered), "dow")
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("__trend", 6).alias("trend"),
+            F.round("__seas", 6).alias("seasonal"),
+            F.round(
+                F.col("n") - F.col("__trend") - F.col("__seas"), 6
+            ).alias("residual"),
+        )
+    )
+
+
+ORACLE_WEEKLY_DECOMPOSITION = """
+WITH daily AS (
+    SELECT ts::DATE AS d, count(*) * 1.0 AS n FROM events GROUP BY 1
+),
+t AS (
+    SELECT d, n,
+           CASE WHEN count(*) OVER w = 7 THEN avg(n) OVER w END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY d ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+    SELECT d, n, trend, n - trend AS dt, dayofweek(d) + 1 AS dow
+    FROM t WHERE trend IS NOT NULL
+),
+prof AS (SELECT dow, avg(dt) AS raw FROM det GROUP BY 1),
+centered AS (
+    SELECT dow, raw - (SELECT avg(raw) FROM prof) AS seas FROM prof
+)
+SELECT d, CAST(n AS BIGINT) AS n_events,
+       round(trend, 6) AS trend,
+       round(seas, 6) AS seasonal,
+       round(n - trend - seas, 6) AS residual
+FROM det JOIN centered USING (dow)
+"""
+
+AUX_QUERIES["weekly_decomposition"] = q_weekly_decomposition
+AUX_ORACLES["weekly_decomposition"] = ORACLE_WEEKLY_DECOMPOSITION
+
+
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution: each nation's revenue share within
+    its region, plus the region's share of the world — the percent-
+    of-parent OLAP staple.  One fact aggregate keyed by nation, then
+    ratio windows over the 25-row rollup; dims broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    dims = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+    )
+    t = rev.join(F.broadcast(dims), "nationkey")
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return t.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_reg), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("revenue").over(w_reg) / F.sum("revenue").over(w_all), 6
+        ).alias("region_share_of_world"),
+    )
+
+
+ORACLE_SHARE_OF_PARENT = """
+WITH rev AS (
+    SELECT c.c_nationkey AS nationkey,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+),
+t AS (
+    SELECT r.r_name AS region, n.n_name AS nation, rev.revenue
+    FROM rev JOIN nation n ON n.n_nationkey = rev.nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+)
+SELECT region, nation, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+           AS share_of_region,
+       round(sum(revenue) OVER (PARTITION BY region)
+             / sum(revenue) OVER (), 6) AS region_share_of_world
+FROM t
+"""
+
+AUX_QUERIES["share_of_parent"] = q_share_of_parent
+AUX_ORACLES["share_of_parent"] = ORACLE_SHARE_OF_PARENT
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement-depth
+    ratio: average daily active users over that month's monthly
+    active users.  Two distinct collapses off one scan of the
+    events table (month × day × user, then month × user), joined on
+    the month-sized rollups."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("m"),
+        F.col("ts").cast("date").alias("d"),
+        "user_id",
+    )
+    dau = (
+        base.select("m", "d", "user_id")
+        .distinct()
+        .groupBy("m", "d")
+        .agg(F.count(F.lit(1)).alias("__dau"))
+        .groupBy("m")
+        .agg(F.avg("__dau").alias("__avg_dau"))
+    )
+    mau = (
+        base.select("m", "user_id")
+        .distinct()
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return dau.join(mau, "m").select(
+        F.col("m").alias("month"),
+        F.round("__avg_dau", 6).alias("avg_dau"),
+        "mau",
+        F.round(F.col("__avg_dau") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+ORACLE_STICKINESS = """
+WITH base AS (
+    SELECT date_trunc('month', ts)::DATE AS m, ts::DATE AS d, user_id
+    FROM events
+),
+dau AS (
+    SELECT m, avg(dau) AS avg_dau FROM (
+        SELECT m, d, count(DISTINCT user_id) AS dau
+        FROM base GROUP BY 1, 2
+    ) GROUP BY 1
+),
+mau AS (
+    SELECT m, count(DISTINCT user_id) AS mau FROM base GROUP BY 1
+)
+SELECT m AS month, round(avg_dau, 6) AS avg_dau, mau,
+       round(avg_dau / mau, 6) AS stickiness
+FROM dau JOIN mau USING (m)
+"""
+
+AUX_QUERIES["stickiness"] = q_stickiness
+AUX_ORACLES["stickiness"] = ORACLE_STICKINESS
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

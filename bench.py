@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "entity_resolution_sn",
     "best_changepoint",
     "conversion_latency",
+    "weekly_decomposition",
+    "share_of_parent",
+    "stickiness",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -258,6 +261,9 @@ TOTAL_EXCLUDED = {
     "entity_resolution_sn",
     "best_changepoint",
     "conversion_latency",
+    "weekly_decomposition",
+    "share_of_parent",
+    "stickiness",
 }
 
 

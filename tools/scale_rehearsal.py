@@ -298,6 +298,11 @@ HEAVY = [
     # latency percentiles (collapse-first) — expect flat
     "best_changepoint",
     "conversion_latency",
+    # STL-lite decomposition / percent-of-parent / DAU-MAU — all
+    # calendar- or dimension-sized rollups off one corpus scan
+    "weekly_decomposition",
+    "share_of_parent",
+    "stickiness",
 ]
 
 ALL_TABLES = (
