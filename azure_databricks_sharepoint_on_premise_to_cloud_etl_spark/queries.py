@@ -11601,3 +11601,126 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+_WILSON_Z = 1.959964
+
+
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier ranking under small-sample uncertainty: per-supplier
+    non-return rate with its Wilson score LOWER bound (the
+    Evan-Miller ranking correction — a 2/2 supplier must not outrank
+    a 480/500 one).  ONE conditional aggregate over the fact table;
+    the bound is pure arithmetic on the two counts, rounded in-plan.
+    Suppliers ranked by the bound, deterministic (bound DESC,
+    suppkey ASC) order returned as a rank column via one window over
+    the supplier-sized rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_returnflag") != "R").cast("long")
+        ).alias("n_kept"),
+    )
+    z = F.lit(_WILSON_Z)
+    n = F.col("n_items").cast("double")
+    p = F.col("n_kept") / n
+    denom = 1.0 + z * z / n
+    center = p + z * z / (2.0 * n)
+    spread = z * F.sqrt(
+        p * (1.0 - p) / n + z * z / (4.0 * n * n)
+    )
+    scored = agg.select(
+        "suppkey",
+        "n_items",
+        "n_kept",
+        F.round(p, 6).alias("kept_rate"),
+        F.round((center - spread) / denom, 6).alias("wilson_lb"),
+    )
+    w = Window.orderBy(F.col("wilson_lb").desc(), F.col("suppkey").asc())
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+ORACLE_SUPPLIER_RELIABILITY = f"""
+WITH agg AS (
+    SELECT l_suppkey AS suppkey, count(*) AS n_items,
+           sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_kept
+    FROM lineitem GROUP BY 1
+),
+scored AS (
+    SELECT suppkey, n_items, n_kept,
+           round(CAST(n_kept AS DOUBLE) / n_items, 6) AS kept_rate,
+           round((CAST(n_kept AS DOUBLE) / n_items
+                  + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n_items)
+                  - {_WILSON_Z} * sqrt(
+                        (CAST(n_kept AS DOUBLE) / n_items)
+                        * (1.0 - CAST(n_kept AS DOUBLE) / n_items)
+                        / n_items
+                        + {_WILSON_Z} * {_WILSON_Z}
+                          / (4.0 * n_items * n_items)))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n_items), 6)
+               AS wilson_lb
+    FROM agg
+)
+SELECT *, row_number() OVER (ORDER BY wilson_lb DESC, suppkey ASC)
+           AS rank
+FROM scored
+"""
+
+AUX_QUERIES["supplier_reliability"] = q_supplier_reliability
+AUX_ORACLES["supplier_reliability"] = ORACLE_SUPPLIER_RELIABILITY
+
+
+_ALSO_BOUGHT_K = 3
+
+
+def q_also_bought_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-best-offer table: for each part (key < 200), its top-3
+    co-purchased partners by shared-order count, ties broken on the
+    smaller partner key — the verified co-purchase collapse plus ONE
+    item-keyed rank window (window state = one item's partners)."""
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = Window.partitionBy("pa").orderBy(
+        F.col("n_shared").desc(), F.col("pb").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= _ALSO_BOUGHT_K) & (F.col("pa") < 200))
+        .select(
+            F.col("pa").alias("partkey"),
+            F.col("pb").alias("also_bought"),
+            "n_shared",
+            "rank",
+        )
+    )
+
+
+ORACLE_ALSO_BOUGHT = f"""
+WITH pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_shared
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT pa AS partkey, pb AS also_bought, n_shared, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY pa
+               ORDER BY n_shared DESC, pb ASC) AS rank
+    FROM pairs
+) WHERE rank <= {_ALSO_BOUGHT_K} AND pa < 200
+"""
+
+AUX_QUERIES["also_bought_topk"] = q_also_bought_topk
+AUX_ORACLES["also_bought_topk"] = ORACLE_ALSO_BOUGHT
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "weekly_decomposition",
     "share_of_parent",
     "stickiness",
+    "supplier_reliability",
+    "also_bought_topk",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -264,6 +266,8 @@ TOTAL_EXCLUDED = {
     "weekly_decomposition",
     "share_of_parent",
     "stickiness",
+    "supplier_reliability",
+    "also_bought_topk",
 }
 
 

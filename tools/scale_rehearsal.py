@@ -303,6 +303,10 @@ HEAVY = [
     "weekly_decomposition",
     "share_of_parent",
     "stickiness",
+    # Wilson-bound ranking (one conditional aggregate) and the
+    # fan-out-capped co-purchase rank table
+    "supplier_reliability",
+    "also_bought_topk",
 ]
 
 ALL_TABLES = (
