@@ -34,6 +34,22 @@ def haversine_km(lat1, lon1, lat2, lon2):
     return 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
 
 
+def _lon_cell_count(cell_deg: float) -> int:
+    """Number of longitude cells around the globe.  ``cell_deg`` must
+    divide 360 evenly so the 3×3 neighborhood can wrap at the
+    antimeridian with a plain ``pmod`` — a non-divisor grid has a seam
+    cell of a different width where wrapping is ill-defined, which
+    would silently drop true neighbor pairs straddling ±180°."""
+    n = 360.0 / cell_deg
+    n_int = round(n)
+    if abs(n - n_int) > 1e-9:
+        raise ValueError(
+            f"cell_deg {cell_deg} must divide 360 evenly (360/cell_deg = "
+            f"{n}) so longitude cells wrap cleanly at the antimeridian"
+        )
+    return int(n_int)
+
+
 def nearest_within_radius(
     left: DataFrame,
     right: DataFrame,
@@ -75,14 +91,20 @@ def nearest_within_radius(
             f"cell_deg {cell_deg} too small for radius {radius_km} km at "
             f"|lat| <= {max_abs_lat} (covers {min(lat_span, lon_span):.1f} km)"
         )
+    n_x = _lon_cell_count(cell_deg)
 
     def cells(df, id_c, replicate: bool):
+        # longitude cells wrap modulo the globe so pairs straddling
+        # the ±180° antimeridian still meet in a shared cell; latitude
+        # never wraps (poles are rejected via max_abs_lat instead)
         out = df.select(
             F.col(id_c),
             F.col(lat_col).cast("double").alias("__lat"),
             F.col(lon_col).cast("double").alias("__lon"),
             F.floor(F.col(lat_col) / cell_deg).alias("__cy"),
-            F.floor(F.col(lon_col) / cell_deg).alias("__cx"),
+            F.pmod(F.floor(F.col(lon_col) / cell_deg), F.lit(n_x)).alias(
+                "__cx"
+            ),
         )
         bad = F.abs(F.col("__lat")) > max_abs_lat
         out = out.withColumn(
@@ -106,7 +128,10 @@ def nearest_within_radius(
             F.concat_ws(
                 ":",
                 F.col("__cy") + (F.col("__o") % 3 - 1),
-                F.col("__cx") + (F.col("__o") / 3).cast("long") - 1,
+                F.pmod(
+                    F.col("__cx") + (F.col("__o") / 3).cast("long") - 1,
+                    F.lit(n_x),
+                ),
             ).alias("__cell"),
         )
 
@@ -172,11 +197,14 @@ def pairs_within_radius(
             f"cell_deg {cell_deg} too small for radius {radius_km} km at "
             f"|lat| <= {max_abs_lat} (covers {min(lat_span, lon_span):.1f} km)"
         )
+    n_x = _lon_cell_count(cell_deg)
     base = points.select(
         F.col(id_col),
         F.col(lat_col).cast("double").alias("__lat"),
         F.col(lon_col).cast("double").alias("__lon"),
     )
+    # longitude cell wraps modulo the globe (antimeridian pairs meet
+    # in a shared cell); latitude never wraps
     anchored = base.select(
         F.col(id_col).alias("id_a"),
         F.col("__lat").alias("__alat"),
@@ -184,7 +212,7 @@ def pairs_within_radius(
         F.concat_ws(
             ":",
             F.floor(F.col("__lat") / cell_deg),
-            F.floor(F.col("__lon") / cell_deg),
+            F.pmod(F.floor(F.col("__lon") / cell_deg), F.lit(n_x)),
         ).alias("__cell"),
     )
     off = F.explode(F.array(*[F.lit(i) for i in range(9)])).alias("__o")
@@ -195,8 +223,11 @@ def pairs_within_radius(
         F.concat_ws(
             ":",
             F.floor(F.col("__lat") / cell_deg) + (F.col("__o") % 3 - 1),
-            F.floor(F.col("__lon") / cell_deg)
-            + (F.col("__o") / 3).cast("long") - 1,
+            F.pmod(
+                F.floor(F.col("__lon") / cell_deg)
+                + (F.col("__o") / 3).cast("long") - 1,
+                F.lit(n_x),
+            ),
         ).alias("__cell"),
     )
     dist = F.round(

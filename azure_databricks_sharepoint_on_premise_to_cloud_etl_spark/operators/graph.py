@@ -1033,7 +1033,11 @@ def shortest_path_costs(
             .localCheckpoint(eager=True)
         )
         improved = int(obs.get["__n_improved"] or 0) > 0
-        _release_local_checkpoint(dist)
+        # dist is a .select() wrapper from the previous round — release
+        # must target the checkpointed generation behind it (the
+        # _ckpt_handle), not the Project node, or the unpersist no-ops
+        # and generations pile up past the two-generation bound
+        _release_local_checkpoint(getattr(dist, "_ckpt_handle", dist))
         dist = nxt.select("node", "cost")
         dist._ckpt_handle = nxt
         if not improved:

@@ -1122,14 +1122,23 @@ def cuped(
     cov_xy = F.col("__pxy") - F.col("__px") * F.col("__py")
     var_x = F.col("__pxx") - F.col("__px") * F.col("__px")
     var_y = F.col("__pyy") - F.col("__py") * F.col("__py")
-    theta = cov_xy / var_x
-    rho2 = (cov_xy * cov_xy) / (var_x * var_y)
+    # a constant covariate (var_x == 0 after the 6-decimal moment
+    # rounding) carries no adjustment information: theta/rho2 go NULL
+    # and the adjusted mean falls back to the raw mean, instead of an
+    # ANSI DIVIDE_BY_ZERO.  Lazy CASE keeps the division unevaluated.
+    theta = F.when(var_x > 0, cov_xy / var_x)
+    rho2 = F.when(
+        (var_x > 0) & (var_y > 0), (cov_xy * cov_xy) / (var_x * var_y)
+    )
     return p.select(
         "arm",
         "n",
         F.col("__my").alias("mean_y"),
         F.round(
-            F.col("__my") - theta * (F.col("__mx") - F.col("__px")), 6
+            F.col("__my")
+            - F.coalesce(theta, F.lit(0.0))
+            * (F.col("__mx") - F.col("__px")),
+            6,
         ).alias("mean_y_adj"),
         F.round(theta, 6).alias("theta"),
         F.round(F.lit(100.0) * rho2, 4).alias("var_reduction_pct"),
@@ -1212,10 +1221,15 @@ def psi_drift(
         F.sum("__nb").over(tot).alias("__n"),
     )
     # long DIV, not floor(double /): an exact multiple must not round
-    # across the integer from below
+    # across the integer from below.  __n = 0 (base split value matches
+    # no rows — wrong label / renamed split) must not DIVIDE_BY_ZERO
+    # under ANSI: the lazy CASE routes such rows to bin 0, and the
+    # result is then all-zero n_base bins rather than a crashed job.
     bin_ix = F.least(
         F.lit(bins - 1).cast("long"),
-        F.expr(f"({bins} * __cum_prev) DIV __n"),
+        F.when(
+            F.col("__n") > 0, F.expr(f"({bins} * __cum_prev) DIV __n")
+        ).otherwise(F.lit(0).cast("long")),
     )
     binned = staged.groupBy(bin_ix.alias("bin")).agg(
         F.sum("__nb").alias("n_base"), F.sum("__nc").alias("n_cmp")
@@ -1544,10 +1558,18 @@ def two_proportion_ztest(
         F.coalesce(F.sum(F.when(is_a, s)), F.lit(0)).alias("conv_a"),
         F.coalesce(F.sum(F.when(~is_a, s)), F.lit(0)).alias("conv_b"),
     )
+    # empty arms must yield NULL rates, not an ANSI DIVIDE_BY_ZERO —
+    # the division only evaluates inside the lazy CASE branch
     with_rates = agg.select(
         "*",
-        F.round(F.col("conv_a") / F.col("n_a"), round_to).alias("rate_a"),
-        F.round(F.col("conv_b") / F.col("n_b"), round_to).alias("rate_b"),
+        F.when(
+            F.col("n_a") > 0,
+            F.round(F.col("conv_a") / F.col("n_a"), round_to),
+        ).alias("rate_a"),
+        F.when(
+            F.col("n_b") > 0,
+            F.round(F.col("conv_b") / F.col("n_b"), round_to),
+        ).alias("rate_b"),
     )
     pooled = (F.col("conv_a") + F.col("conv_b")) / (
         F.col("n_a") + F.col("n_b")

@@ -1284,9 +1284,16 @@ def term_keyness(
         F.col("a").alias("count_a"),
         F.col("b").alias("count_b"),
         F.round(2.0 * (term_a + term_b), 6).alias("g2"),
-        F.when(a / na >= b / nb, F.lit("a")).otherwise(F.lit("b")).alias(
-            "overrep"
-        ),
+        # a group with zero tokens (na or nb = 0) must not evaluate
+        # the rate division (ANSI DIVIDE_BY_ZERO): every surviving
+        # term then belongs to the non-empty group by construction
+        F.when(
+            (na > 0) & (nb > 0),
+            F.when(a / na >= b / nb, F.lit("a")).otherwise(F.lit("b")),
+        )
+        .when(na > 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("overrep"),
     )
     w = Window.orderBy(F.col("g2").desc(), F.col("term").asc())
     return (

@@ -1872,3 +1872,129 @@ def test_contract_edges_preserves_components(spark):
     assert comps(contracted) == comps(edges)
     # isolated node labels itself in both
     assert comps(contracted)[99] == 99
+
+
+# ------------------------------------------- round-10 ANSI-guard fixes
+
+
+def test_two_proportion_ztest_empty_arm_yields_nulls(spark):
+    """An arm with zero members (n_b = 0) must yield NULL rate_b and
+    NULL z — not an ANSI DIVIDE_BY_ZERO (ADVICE r9)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0)], "g STRING, s INT"
+    )
+    r = two_proportion_ztest(df, "g", "a", "s").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 0)
+    assert r["rate_a"] == 0.5
+    assert r["rate_b"] is None
+    assert r["z"] is None
+
+
+def test_cuped_constant_covariate_yields_null_theta(spark):
+    """A covariate with zero variance carries no adjustment signal:
+    theta / var_reduction_pct go NULL and the adjusted mean falls back
+    to the raw mean — never a DIVIDE_BY_ZERO (ADVICE r9)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import cuped
+
+    df = spark.createDataFrame(
+        [("t", 5.0, 10.0), ("t", 5.0, 12.0),
+         ("c", 5.0, 8.0), ("c", 5.0, 9.0)],
+        "arm STRING, x DOUBLE, y DOUBLE",
+    )
+    out = {
+        r["arm"]: r
+        for r in cuped(
+            df, metric_col="y", covariate_col="x", arm_col="arm"
+        ).collect()
+    }
+    assert out["t"]["theta"] is None
+    assert out["t"]["var_reduction_pct"] is None
+    assert abs(out["t"]["mean_y_adj"] - out["t"]["mean_y"]) < 1e-9
+    assert abs(out["c"]["mean_y_adj"] - out["c"]["mean_y"]) < 1e-9
+
+
+def test_psi_drift_missing_base_split_no_crash(spark):
+    """A base split value matching no rows (renamed label) must not
+    DIVIDE_BY_ZERO under ANSI: all n_base land at 0 (ADVICE r9)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import psi_drift
+
+    df = spark.createDataFrame(
+        [("new", 1.0), ("new", 2.0), ("new", 3.0)],
+        "period STRING, v DOUBLE",
+    )
+    rows = psi_drift(
+        df, value_col="v", split_col="period",
+        base_value="old", cmp_value="new", bins=2,
+    ).collect()
+    assert sum(r["n_base"] for r in rows) == 0
+    assert sum(r["n_cmp"] for r in rows) == 3
+
+
+def test_term_keyness_one_empty_group(spark):
+    """When one group contributes zero tokens, every surviving term is
+    overrepresented in the other group — no rate division crash
+    (ADVICE r9)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.text import term_keyness
+
+    df = spark.createDataFrame(
+        [("a", ""), ("b", "spark spark catalyst")],
+        "g STRING, text STRING",
+    )
+    rows = term_keyness(
+        df, "g", "a", "b", text_col="text", min_count=1, top_k=10
+    ).collect()
+    assert rows, "terms from the non-empty group must survive"
+    assert all(r["overrep"] == "b" for r in rows)
+    assert all(r["count_a"] == 0 for r in rows)
+
+
+def test_pairs_within_radius_wraps_antimeridian(spark):
+    """Two points straddling ±180° longitude (~78 km apart at lat 45)
+    must pair up — the lon cell index wraps modulo the globe
+    (ADVICE r9)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.geo import pairs_within_radius
+
+    df = spark.createDataFrame(
+        [(1, 45.0, 179.8), (2, 45.0, -179.7), (3, 45.0, 150.0)],
+        "id LONG, lat DOUBLE, lon DOUBLE",
+    )
+    rows = pairs_within_radius(
+        df, radius_km=100.0, cell_deg=2.0, max_abs_lat=50.0
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    # haversine at lat 45 over 0.5 deg lon: ~39.3 km
+    assert 35.0 < rows[0]["distance_km"] < 45.0
+
+
+def test_nearest_within_radius_wraps_antimeridian(spark):
+    """nearest_within_radius finds a right point across the
+    antimeridian seam (ADVICE r9)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.geo import nearest_within_radius
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 179.9)], "lid LONG, lat DOUBLE, lon DOUBLE"
+    )
+    right = spark.createDataFrame(
+        [(7, 10.0, -179.9), (8, 10.0, 170.0)],
+        "rid LONG, lat DOUBLE, lon DOUBLE",
+    )
+    out = nearest_within_radius(
+        left, right, radius_km=100.0, cell_deg=1.0,
+        left_id="lid", right_id="rid", max_abs_lat=20.0,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["nearest_rid"] == 7
+
+
+def test_lon_cell_count_rejects_non_divisor(spark):
+    """cell_deg that does not divide 360 evenly is rejected up front
+    (a seam cell of odd width would silently drop neighbor pairs)."""
+    import pytest
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.geo import nearest_within_radius
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id LONG, lat DOUBLE, lon DOUBLE")
+    with pytest.raises(ValueError, match="divide 360"):
+        nearest_within_radius(df, df, radius_km=10.0, cell_deg=0.7)
