@@ -1513,3 +1513,79 @@ def contract_edges(
             out = out.repartition(n_parts)
         out = out.mapInPandas(per_partition, schema=schema)
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, public method) over the
+    DIRECTED edge set: authority(j) = Σ hub(i) over in-edges,
+    hub(i) = Σ auth(j) over out-edges, L1-normalized (norms are pure
+    scale factors on a linear recurrence, so normalizing once at the
+    end equals normalizing every half-step — see the loop comment).
+    On a bipartite purchase graph (customer → part) hubs are the
+    broad buyers and authorities the widely-bought items.
+
+    Scale shape: the deduped edge table is eagerly localCheckpoint-ed
+    once (every iteration references it); each half-step is ONE
+    equi-join (scores onto the matching edge endpoint) + one keyed sum
+    with map-side partials, and each final L1 norm is ONE scalar
+    broadcast back — the contribution-passing pagerank formulation,
+    transposed per half-step.  A fixed small ``iterations`` keeps the
+    plan static and oracle-expressible.  Returns ``(node, side,
+    score)`` with
+    side ∈ {'hub','auth'} and score rounded to 6; nodes with no
+    out-edges (resp. in-edges) carry no hub (resp. auth) row.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = e.select("u").distinct().select("u", F.lit(1.0).alias("h"))
+    auth = None
+    # HITS is LINEAR, so the per-half-step L1 norms are pure scalar
+    # factors that cancel when normalizing at the end — mathematically
+    # identical scores, but each intermediate is referenced exactly
+    # ONCE (a norm inside the loop would double plan references per
+    # half-step: 2^(2·iters) evaluations of the edge join).  Raw
+    # values grow like (mean degree)²·ᵏ — ~1e33 at web scale for
+    # k = 3, far inside double range.
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, "u")
+            .groupBy("v")
+            .agg(F.sum("h").alias("a"))
+        )
+        hub = (
+            e.join(auth, "v")
+            .groupBy("u")
+            .agg(F.sum("a").alias("h"))
+        )
+    nh = hub.agg(F.sum("h").alias("__nh"))
+    na = auth.agg(F.sum("a").alias("__na"))
+    hub = hub.crossJoin(F.broadcast(nh)).select(
+        "u", (F.col("h") / F.col("__nh")).alias("h")
+    )
+    auth = auth.crossJoin(F.broadcast(na)).select(
+        "v", (F.col("a") / F.col("__na")).alias("a")
+    )
+    result = hub.select(
+        F.col("u").alias("node"),
+        F.lit("hub").alias("side"),
+        F.round("h", 6).alias("score"),
+    ).unionAll(
+        auth.select(
+            F.col("v").alias("node"),
+            F.lit("auth").alias("side"),
+            F.round("a", 6).alias("score"),
+        )
+    )
+    result._cc_final_generation = e
+    result._persisted_intermediates = []
+    result._cc_checkpoint_dir = None
+    result._extra_ckpts = []
+    return result

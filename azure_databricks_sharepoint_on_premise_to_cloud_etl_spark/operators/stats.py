@@ -1593,3 +1593,393 @@ def two_proportion_ztest(
             ),
         ).alias("z"),
     )
+
+
+def theil_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theil T inequality index per group over POSITIVE values —
+    ``T = (1/N) Σ (xᵢ/μ) ln(xᵢ/μ)`` (0 = perfect equality, ln N =
+    maximal).  The additive-decomposability inequality measure
+    (Theil 1967, public method) that complements the Gini already in
+    this module.
+
+    Scale + determinism shape: rows with ``x ≤ 0`` are excluded (the
+    index is defined on positive incomes); ONE hash aggregate per
+    group computes the two moments ``avg(x)`` and ``avg(x·ln x)``
+    (map-side combined), each rounded to 6 decimals BEFORE deriving
+    (the cuped discipline — averages stay near data magnitude, so the
+    rounding is engine-order safe where raw sums are not), then
+    ``T = m_xlnx/μ − ln μ`` is pure arithmetic.  A degenerate group
+    (μ rounds to 0) yields NULL via a lazy CASE, never a zero
+    division under ANSI.  Returns ``(group..., n, mean_value,
+    theil_t)`` with theil_t rounded to 6.
+    """
+    gcols = group_cols or []
+    x = F.col(value_col).cast("double")
+    pos = df.filter(x > 0)
+    agg = pos.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(x), 6).alias("__mx"),
+        F.round(F.avg(x * F.log(x)), 6).alias("__mxlnx"),
+    )
+    t = F.when(
+        F.col("__mx") > 0,
+        F.col("__mxlnx") / F.col("__mx") - F.log(F.col("__mx")),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        F.col("__mx").alias("mean_value"),
+        F.round(t, 6).alias("theil_t"),
+    )
+
+
+def herfindahl_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group:
+    ``HHI = Σ sᵢ²`` over member shares ``sᵢ = xᵢ/Σx`` (1/n = perfectly
+    even, 1 = monopoly).  Input is a MEMBER-level table (one row per
+    member with its total) — collapse first, the way gini_concentration
+    takes a count table.
+
+    Scale + determinism shape: two hash aggregates (group totals, then
+    Σ s² after a broadcast-joinable group-total join — group count ≪
+    member count by construction).  The group total is rounded to 2
+    decimals before the share division (a single aggregate value;
+    engine summation-order noise is orders of magnitude below the
+    rounding step), and shares are O(1), so the final Σ s² rounds to 6
+    safely.  A zero-total group yields NULL HHI via a lazy CASE.
+    Returns ``(group..., n_members, total, hhi, equiv_n)`` where
+    ``equiv_n = 1/HHI`` is the equivalent number of equal-share
+    members.
+    """
+    gcols = group_cols or []
+    x = F.col(value_col).cast("double")
+    member = df.select(*gcols, x.alias("__x"))
+    totals = member.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("__x"), 2).alias("total"),
+    )
+    joined = (
+        member.join(F.broadcast(totals), gcols)
+        if gcols
+        else member.crossJoin(F.broadcast(totals))
+    )
+    s = F.when(F.col("total") > 0, F.col("__x") / F.col("total"))
+    agg = joined.groupBy(*gcols).agg(
+        F.max("n_members").alias("n_members"),
+        F.max("total").alias("total"),
+        F.round(F.sum(s * s), 6).alias("hhi"),
+    )
+    return agg.select(
+        *gcols,
+        "n_members",
+        "total",
+        "hhi",
+        F.round(
+            F.when(F.col("hhi") > 0, F.lit(1.0) / F.col("hhi")), 6
+        ).alias("equiv_n"),
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+    partitions: int = 32,
+    value_round: int = 2,
+) -> DataFrame:
+    """Pareto / ABC inventory classification: rank keys by value
+    descending, take the running share of the grand total, and label
+    A (first ``a_cut`` of value), B (to ``b_cut``), C (tail) — the
+    classic 80/15/5 revenue split.
+
+    Scale shape: the running total over the GLOBAL value-descending
+    order uses :func:`..windows.global_cumsum` (two-phase range
+    prefix sum — every stage parallel), NOT an unpartitioned rank
+    window, so the plan survives a catalog with hundreds of millions
+    of keys.  The grand total is one scalar broadcast back.  Order is
+    total (value DESC, key ASC) for deterministic shares on ties.
+
+    Determinism: per-key values are rounded to ``value_round`` before
+    ranking — pick the EXACT decimal precision of the metric (4 for a
+    2-decimal price × 2-decimal discount factor), never coarser: the
+    exact value then sits ON a rounding point, not at a half-up
+    midpoint where engines disagree; cum_share rounds to 6 —
+    the share is O(1) so prefix-sum float noise (≪1e-9 relative) is
+    far below the rounding step.  Returns ``(key, value, cum_share,
+    abc_class)``.  Zero grand total yields NULL shares / class 'C'
+    via lazy CASE.
+    """
+    from .windows import global_cumsum
+
+    vals = df.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col).cast("double"), value_round).alias("value"),
+    )
+    order = [F.col("value").desc(), F.col("key").asc()]
+    run = global_cumsum(
+        vals, order, {"value": "__cum"}, partitions=partitions
+    )
+    total = vals.agg(F.sum("value").alias("__total"))
+    out = run.crossJoin(F.broadcast(total))
+    share = F.when(
+        F.col("__total") > 0, F.col("__cum") / F.col("__total")
+    )
+    out = out.select(
+        "key",
+        "value",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= a_cut, F.lit("A"))
+        .when(share <= b_cut, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    out._persisted_intermediates = getattr(
+        run, "_persisted_intermediates", []
+    )
+    return out
+
+
+def robust_zscore_anomalies(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    z_cut: float = 3.5,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Robust (median/MAD) outlier detection per group — the
+    Iglewicz–Hoaglin modified z-score ``M = 0.6745·(x − med)/MAD``
+    with the conventional ``|M| > 3.5`` cut.  Median-based, so a few
+    extreme points cannot mask themselves the way they inflate a
+    mean/stddev z-score.
+
+    Scale shape: two grouped exact percentiles (median of x, then
+    median of ``|x − med|``) — each ONE hash aggregate with Spark's
+    exact ``percentile`` — joined back broadcast (group count ≪ row
+    count).  A zero-MAD group (over half the values identical) yields
+    no flags via lazy CASE rather than a zero division.  Returns the
+    flagged rows only: ``(group..., carry..., value, median, mad,
+    modified_z)`` with modified_z rounded to 6 (``carry_cols`` ride
+    along unexamined — the row identifier the caller wants back).
+    """
+    gcols = group_cols or []
+    carry = carry_cols or []
+    x = F.col(value_col).cast("double")
+    base = df.select(*gcols, *carry, x.alias("__x"))
+    med = base.groupBy(*gcols).agg(
+        F.round(F.percentile(F.col("__x"), F.lit(0.5)), 6).alias("median")
+    )
+    j1 = (
+        base.join(F.broadcast(med), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(med))
+    )
+    mad = j1.groupBy(*gcols).agg(
+        F.max("median").alias("median"),
+        F.round(
+            F.percentile(F.abs(F.col("__x") - F.col("median")), F.lit(0.5)),
+            6,
+        ).alias("mad"),
+    )
+    j2 = (
+        base.join(F.broadcast(mad), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(mad))
+    )
+    mz = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("__x") - F.col("median")) / F.col("mad"),
+    )
+    return (
+        j2.select(
+            *gcols,
+            *carry,
+            F.col("__x").alias("value"),
+            "median",
+            "mad",
+            F.round(mz, 6).alias("modified_z"),
+        )
+        .filter(F.abs(F.col("modified_z")) > z_cut)
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sample autocorrelation function (ACF) at lags 1..``max_lag``
+    over a REGULARLY-SPACED series (one row per group per period —
+    pre-aggregate first): ``r_k = (1/n) Σ z_t·z_{t+k}`` with
+    ``z = (x − μ)/σ`` standardized on the full-series population
+    moments — the standard biased ACF estimator every textbook/statsm
+    package uses (denominator n, not n−k).
+
+    Scale + determinism shape: per-group moments are ONE hash
+    aggregate with μ and σ rounded to 6 before standardizing (the
+    cuped discipline); the lag alignment is an equi-join on
+    ``(group, period + k)`` — lag-k pairs meet by key, no window sort
+    over the whole series — and the z-products are O(1) so their sum
+    rounds to 6 safely.  A constant series (σ = 0) yields NULL acf
+    via lazy CASE.  ``time_col`` must be integer-like period numbers
+    (days since epoch, hour index); gaps simply drop the straddling
+    pairs.  Returns ``(group..., lag, n_pairs, acf)``.
+    """
+    gcols = group_cols or []
+    t = F.col(time_col).cast("long")
+    x = F.col(value_col).cast("double")
+    base = series.select(*gcols, t.alias("__t"), x.alias("__x"))
+    mom = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.avg("__x"), 6).alias("__mu"),
+        F.round(F.stddev_pop("__x"), 6).alias("__sd"),
+    )
+    z = (
+        base.join(F.broadcast(mom), gcols)
+        if gcols
+        else base.crossJoin(F.broadcast(mom))
+    ).select(
+        *gcols,
+        "__t",
+        "__n",
+        F.when(
+            F.col("__sd") > 0,
+            (F.col("__x") - F.col("__mu")) / F.col("__sd"),
+        ).alias("__z"),
+    )
+    lag = F.explode(
+        F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    ).alias("lag")
+    # self-join disambiguation: the lagged side renames every column
+    # before the join, so no lineage-shared references survive
+    a = z.select(*gcols, "__t", "__z", "__n", lag).withColumn(
+        "__tk", F.col("__t") + F.col("lag")
+    )
+    b = z.select(
+        *[F.col(g).alias(f"__g_{g}") for g in gcols],
+        F.col("__t").alias("__tk"),
+        F.col("__z").alias("__zb"),
+    )
+    cond = [a["__tk"] == b["__tk"]] + [
+        a[g] == b[f"__g_{g}"] for g in gcols
+    ]
+    paired = a.join(b, cond)
+    agg = paired.groupBy(*gcols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("__n").alias("__nn"),
+        F.sum(F.col("__z") * F.col("__zb")).alias("__szz"),
+    )
+    return agg.select(
+        *gcols,
+        "lag",
+        "n_pairs",
+        F.round(F.col("__szz") / F.col("__nn"), 6).alias("acf"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities) — the
+# standard scalable-bootstrap weight distribution: at corpus scale a
+# multinomial resample needs coordination, Poisson(1) weights are
+# independent per row (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google TR 2012 — public method).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_LEHMER_M = 2147483647  # 2^31 − 1 (Park–Miller modulus)
+_LEHMER_A = 48271
+
+
+def _lehmer_uniform(key: Column) -> Column:
+    """Deterministic uniform in [0, 1) from an integer key — three
+    rounds of the Park–Miller Lehmer LCG in plain modular BIGINT
+    arithmetic.  Every step keeps intermediates ≤ a·m ≈ 1.04e14, far
+    under the ANSI bigint overflow line, and the SAME expression is
+    reproducible verbatim in any SQL engine (the DuckDB oracle runs
+    it literally) — unlike hash built-ins, which differ per engine."""
+    s = F.pmod(key, F.lit(_LEHMER_M))
+    for _ in range(3):
+        s = F.pmod(s * _LEHMER_A, F.lit(_LEHMER_M))
+    return s.cast("double") / F.lit(float(_LEHMER_M))
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    replicates: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean of an INTEGER-VALUED
+    column via the Poisson bootstrap — the one bootstrap that scales:
+    instead of B coordinated resamples, each row independently draws a
+    Poisson(1) weight per replicate (multinomial(n, 1/n) → Poisson(1)
+    as n grows), so the whole thing is one explode + one hash
+    aggregate with map-side combine, no shuffle of the corpus per
+    replicate.
+
+    Weights are DETERMINISTIC: replicate b's weight for row k is the
+    Poisson(1) inverse CDF at a Lehmer-LCG uniform seeded by
+    ``k·B + b`` — reproducible run-to-run and engine-to-engine
+    (no rand(), which would break resume and the oracle).
+
+    Determinism note: with an integer metric every per-replicate
+    ``Σ w·x`` and ``Σ w`` is an exactly-representable integer, so the
+    replicate means are bit-identical across engines and the
+    percentile interpolation agrees exactly — this is why the operator
+    pins ``value_col`` to integral semantics (cast long).  Float
+    metrics work, but cross-engine sum-order noise then limits oracle
+    precision.
+
+    Returns one row ``(n_rows, replicates, point_mean, ci_lo, ci_hi)``
+    (point = mean of replicate means, CI = percentile interval),
+    rounded to 6.
+    """
+    x = F.col(value_col).cast("long")
+    k = F.col(key_col).cast("long")
+    b = F.explode(
+        F.array(*[F.lit(i) for i in range(replicates)])
+    ).alias("__b")
+    staged = df.select(x.alias("__x"), k.alias("__k"), b)
+    u = _lehmer_uniform(F.col("__k") * replicates + F.col("__b"))
+    w = F.when(u < _POISSON1_CDF[0], F.lit(0))
+    for i in range(1, len(_POISSON1_CDF)):
+        w = w.when(u < _POISSON1_CDF[i], F.lit(i))
+    w = w.otherwise(F.lit(len(_POISSON1_CDF))).cast("long")
+    per_rep = staged.select("__b", w.alias("__w"), "__x").groupBy(
+        "__b"
+    ).agg(
+        F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
+        F.sum("__w").alias("__sw"),
+        (F.count(F.lit(1))).alias("__n"),
+    )
+    mean_b = F.when(
+        F.col("__sw") > 0,
+        F.col("__swx").cast("double") / F.col("__sw"),
+    )
+    reps = per_rep.select(
+        F.col("__n").alias("__n"), mean_b.alias("__m")
+    )
+    return reps.agg(
+        F.max("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("replicates"),
+        F.round(F.avg("__m"), 6).alias("point_mean"),
+        F.round(F.percentile(F.col("__m"), F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("__m"), F.lit(hi)), 6).alias("ci_hi"),
+    )

@@ -683,3 +683,44 @@ def resample_interpolate(
         F.round(filled, round_to).alias("filled"),
         v.isNotNull().alias("is_observed"),
     )
+
+
+def brown_double_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Brown's double exponential smoothing (trend-adjusted EWMA,
+    public textbook method): smooth once (s1), smooth the smoothed
+    series again (s2), then level ``a = 2·s1 − s2``, trend
+    ``b = α/(1−α)·(s1 − s2)``, one-step forecast ``a + b`` — the
+    classic lag-corrected forecast for a drifting daily series.
+
+    Built as two passes of :func:`ewma_smooth` (the adjust=True
+    closed form), so it inherits that operator's shape — one
+    cumulative window per key per pass, no self-joins — AND its
+    determinism contract: at ``alpha=0.5`` every weight is a power of
+    two, so with an integral ``value_col`` s1 is exactly a dyadic
+    rational, s2 is an exact second-stage sum of dyadics, and both
+    engines produce bit-identical doubles for a bounded series (the
+    ewma_smooth ≤~50-point integer-exactness bound applies per pass).
+
+    Returns input columns plus ``s1``, ``s2``, ``sm_level``,
+    ``sm_trend``, ``forecast_next``.
+    """
+    one = ewma_smooth(
+        df, key_cols, order_col, value_col, alpha=alpha, out_col="s1"
+    )
+    two = ewma_smooth(
+        one, key_cols, order_col, "s1", alpha=alpha, out_col="s2"
+    )
+    ratio = alpha / (1.0 - alpha)
+    return two.select(
+        "*",
+        (2.0 * F.col("s1") - F.col("s2")).alias("sm_level"),
+        (F.lit(ratio) * (F.col("s1") - F.col("s2"))).alias("sm_trend"),
+    ).withColumn(
+        "forecast_next", F.col("sm_level") + F.col("sm_trend")
+    )

@@ -11724,3 +11724,564 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# round 10: inequality / concentration / Pareto / bootstrap / ACF /
+# Markov transitions / CUBE / HITS / item-item CF widening
+# ---------------------------------------------------------------------------
+
+
+def q_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T revenue-inequality index per market segment over
+    per-customer lifetime spend — verified stages:
+    operators/stats.py theil_index (single-aggregate moment form with
+    the cuped rounding discipline)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    return stats.theil_index(cust, "x", ["seg"])
+
+
+ORACLE_THEIL = """
+WITH cust AS (
+    SELECT c_mktsegment AS seg, o_custkey, sum(o_totalprice) AS x
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+mom AS (
+    SELECT seg, count(*) AS n,
+           round(avg(x), 6) AS mx,
+           round(avg(x * ln(x)), 6) AS mxlnx
+    FROM cust WHERE x > 0 GROUP BY 1
+)
+SELECT seg, n, mx AS mean_value,
+       round(CASE WHEN mx > 0 THEN mxlnx / mx - ln(mx) END, 6) AS theil_t
+FROM mom
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation (Herfindahl index +
+    equivalent-competitor count) — verified stages:
+    operators/stats.py herfindahl_index (share-normalized two-agg
+    form; raw sums never cross the rounding step)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    s = load_table(spark, sf_dir, "supplier")
+    member = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            "l_suppkey",
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    return stats.herfindahl_index(member, "rev", ["nationkey"])
+
+
+ORACLE_HHI = """
+WITH member AS (
+    SELECT s_nationkey AS nationkey, l_suppkey,
+           sum(l_extendedprice * (1.0 - l_discount)) AS rev
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT nationkey, count(*) AS n_members, round(sum(rev), 2) AS total
+    FROM member GROUP BY 1
+),
+agg AS (
+    SELECT m.nationkey, max(t.n_members) AS n_members,
+           max(t.total) AS total,
+           round(sum(CASE WHEN t.total > 0
+                          THEN (m.rev / t.total) * (m.rev / t.total)
+                     END), 6) AS hhi
+    FROM member m JOIN totals t USING (nationkey)
+    GROUP BY 1
+)
+SELECT nationkey, n_members, total, hhi,
+       round(CASE WHEN hhi > 0 THEN 1.0 / hhi END, 6) AS equiv_n
+FROM agg
+"""
+
+
+_ABC_A_CUT = 0.8
+_ABC_B_CUT = 0.95
+
+
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by discounted revenue —
+    verified stages: operators/stats.py abc_classification over the
+    distributed two-phase prefix sum (operators/windows.py
+    global_cumsum), never an unpartitioned rank window."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    vals = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    out = stats.abc_classification(
+        vals, "partkey", "rev", a_cut=_ABC_A_CUT, b_cut=_ABC_B_CUT,
+        value_round=4,  # exact decimal width of price×(1−disc)
+    )
+    return out.withColumnRenamed("key", "partkey")
+
+
+ORACLE_PARETO_ABC = f"""
+WITH v AS (
+    SELECT l_partkey AS partkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS value
+    FROM lineitem GROUP BY 1
+),
+r AS (
+    SELECT partkey, value,
+           sum(value) OVER (ORDER BY value DESC, partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(value) OVER () AS total
+    FROM v
+)
+SELECT partkey, value,
+       round(CASE WHEN total > 0 THEN cum / total END, 6) AS cum_share,
+       CASE WHEN total > 0 AND cum / total <= {_ABC_A_CUT} THEN 'A'
+            WHEN total > 0 AND cum / total <= {_ABC_B_CUT} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r
+"""
+
+
+_RZ_CUT = 3.5
+
+
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD (Iglewicz–Hoaglin modified z) anomaly days in the
+    daily order-revenue series — verified stages: operators/stats.py
+    robust_zscore_anomalies (two grouped exact percentiles, broadcast
+    joined back)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    out = stats.robust_zscore_anomalies(
+        daily, "rev", z_cut=_RZ_CUT, carry_cols=["day"]
+    )
+    return out.orderBy("day")
+
+
+ORACLE_ROBUST_ZSCORE = f"""
+WITH d AS (
+    SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS v
+    FROM orders GROUP BY 1
+),
+m AS (SELECT round(median(v), 6) AS med FROM d),
+m2 AS (SELECT round(median(abs(v - med)), 6) AS mad FROM d, m)
+SELECT day, v AS value, med AS median, mad,
+       round(0.6745 * (v - med) / mad, 6) AS modified_z
+FROM d, m, m2
+WHERE mad > 0 AND abs(round(0.6745 * (v - med) / mad, 6)) > {_RZ_CUT}
+ORDER BY day
+"""
+
+
+_ACF_MAX_LAG = 3
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1–3) of each event type's daily value
+    series — verified stages: operators/stats.py autocorrelation
+    (standardize on rounded full-series moments, lag-align via
+    equi-join on period + k)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "t"
+        ),
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    out = stats.autocorrelation(
+        daily, "t", "v", max_lag=_ACF_MAX_LAG, group_cols=["event_type"]
+    )
+    return out
+
+
+ORACLE_ACF = f"""
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', ts::DATE) AS t,
+           round(sum(value), 6) AS v
+    FROM events GROUP BY 1, 2
+),
+mom AS (
+    SELECT event_type, count(*) AS n,
+           round(avg(v), 6) AS mu,
+           round(stddev_pop(v), 6) AS sd
+    FROM daily GROUP BY 1
+),
+z AS (
+    SELECT d.event_type, d.t, mom.n,
+           CASE WHEN mom.sd > 0 THEN (d.v - mom.mu) / mom.sd END AS z
+    FROM daily d JOIN mom USING (event_type)
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+paired AS (
+    SELECT a.event_type, l.lag, a.n, a.z AS za, b.z AS zb
+    FROM z a CROSS JOIN lags l
+    JOIN z b ON b.event_type = a.event_type AND b.t = a.t + l.lag
+)
+SELECT event_type, lag, count(*) AS n_pairs,
+       round(sum(za * zb) / max(n), 6) AS acf
+FROM paired GROUP BY 1, 2
+"""
+
+
+_BOOT_B = 100
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean line-item quantity —
+    verified stages: operators/stats.py poisson_bootstrap_mean
+    (deterministic Lehmer-seeded Poisson(1) weights; integer metric
+    makes every replicate sum exactly representable, so the oracle
+    reproduces the replicate means bit-for-bit)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    keyed = li.select(
+        F.col("l_quantity"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+    )
+    return stats.poisson_bootstrap_mean(
+        keyed, "l_quantity", "rk", replicates=_BOOT_B
+    )
+
+
+def _poisson_bootstrap_oracle() -> str:
+    from .operators.stats import _LEHMER_A, _LEHMER_M, _POISSON1_CDF
+
+    u = (
+        f"(({_LEHMER_A} * (({_LEHMER_A} * (({_LEHMER_A} * "
+        f"(((l_orderkey * 10 + l_linenumber) * {_BOOT_B} + b) % {_LEHMER_M})"
+        f") % {_LEHMER_M})) % {_LEHMER_M})) % {_LEHMER_M})"
+        f" / CAST({_LEHMER_M} AS DOUBLE)"
+    )
+    cases = " ".join(
+        f"WHEN u < {t!r} THEN {i}" for i, t in enumerate(_POISSON1_CDF)
+    )
+    return f"""
+WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+staged AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x, b, {u} AS u
+    FROM lineitem CROSS JOIN reps
+),
+weighted AS (
+    SELECT b, x, CASE {cases} ELSE {len(_POISSON1_CDF)} END AS w
+    FROM staged
+),
+per_rep AS (
+    SELECT b, sum(w * x) AS swx, sum(w) AS sw, count(*) AS n
+    FROM weighted GROUP BY 1
+),
+means AS (
+    SELECT n, CASE WHEN sw > 0
+                   THEN CAST(swx AS DOUBLE) / sw END AS m
+    FROM per_rep
+)
+SELECT max(n) AS n_rows, count(*) AS replicates,
+       round(avg(m), 6) AS point_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means
+"""
+
+
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing over each event type's
+    daily event-count series (level, trend, one-step forecast) —
+    verified stages: operators/windows.py brown_double_smooth (two
+    exact-dyadic ewma_smooth passes at α = 0.5 over integral daily
+    counts, bit-identical cross-engine)."""
+    from .operators import windows as w
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = w.brown_double_smooth(
+        daily, ["event_type"], "day", "n_events", alpha=0.5
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("s1", 6).alias("s1"),
+        F.round("s2", 6).alias("s2"),
+        F.round("sm_level", 6).alias("sm_level"),
+        F.round("sm_trend", 6).alias("sm_trend"),
+        F.round("forecast_next", 6).alias("forecast_next"),
+    )
+
+
+# α = 0.5 ⇒ (1-α)^(-i) = 2^i: the adjust=True EWMA closed form is
+# num/den with num = (Σ x·2^i)·2^(−t), den = (Σ 2^i)·2^(−t) — exact
+# powers of two, so the oracle reproduces Spark's doubles bitwise
+ORACLE_HOLT_TREND = """
+WITH daily AS (
+    SELECT event_type, ts::DATE AS day, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+i1 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY day) - 1 AS i
+    FROM daily
+),
+p1 AS (
+    SELECT event_type, day, n_events, i,
+           (sum(n_events * pow(2.0, i)) OVER w) * pow(2.0, -i)
+           / ((sum(pow(2.0, i)) OVER w) * pow(2.0, -i)) AS s1
+    FROM i1
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)
+),
+p2 AS (
+    SELECT event_type, day, n_events, s1,
+           (sum(s1 * pow(2.0, i)) OVER w) * pow(2.0, -i)
+           / ((sum(pow(2.0, i)) OVER w) * pow(2.0, -i)) AS s2
+    FROM p1
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, n_events,
+       round(s1, 6) AS s1, round(s2, 6) AS s2,
+       round(2.0 * s1 - s2, 6) AS sm_level,
+       round(s1 - s2, 6) AS sm_trend,
+       round((2.0 * s1 - s2) + (s1 - s2), 6) AS forecast_next
+FROM p2
+"""
+
+
+def q_cube_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (returnflag, linestatus) with explicit
+    rollup-level flags — the full O-surface grouping-sets form (the
+    reference's rollup_agg sibling).  The grouping id is DERIVED from
+    the coalesced dimensions (both engines agree by construction,
+    no reliance on engine-specific GROUPING() bit conventions)."""
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))),
+            2,
+        ).alias("revenue"),
+    )
+    gid = (
+        F.col("l_returnflag").isNull().cast("int") * 2
+        + F.col("l_linestatus").isNull().cast("int")
+    )
+    return cube.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        gid.alias("gid"),
+        "n_rows",
+        "revenue",
+    )
+
+
+ORACLE_CUBE_SHARES = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+_HITS_ITERS = 3
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the bipartite customer→part
+    purchase graph (hubs = broad buyers, authorities = widely-bought
+    parts) — verified stages: operators/graph.py hits (checkpointed
+    edge table, one join + keyed sum per half-step, end-normalized
+    linear recurrence)."""
+    from .operators import graph
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return graph.hits(edges, iterations=_HITS_ITERS)
+
+
+def _hits_oracle() -> str:
+    prev = "h0"
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f"""a{i} AS (
+    SELECT e.v, sum({prev}.h) AS a FROM e JOIN {prev} USING (u) GROUP BY 1
+),
+h{i} AS (
+    SELECT e.u, sum(a{i}.a) AS h FROM e JOIN a{i} USING (v) GROUP BY 1
+)"""
+        )
+        prev = f"h{i}"
+    chain = ",\n".join(steps)
+    last = _HITS_ITERS
+    return f"""
+WITH e AS (
+    SELECT DISTINCT o_custkey AS u, l_partkey AS v
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e),
+{chain},
+nh AS (SELECT sum(h) AS s FROM h{last}),
+na AS (SELECT sum(a) AS s FROM a{last})
+SELECT u AS node, 'hub' AS side, round(h / nh.s, 6) AS score
+FROM h{last}, nh
+UNION ALL
+SELECT v AS node, 'auth' AS side, round(a / na.s, 6) AS score
+FROM a{last}, na
+"""
+
+
+_CF_TOP_K = 3
+
+
+def q_item_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    parts over the order-basket incidence matrix
+    (``n_shared / sqrt(n_a · n_b)`` on distinct-order counts), top-3
+    partners per part (key < 200) — the normalized upgrade of the
+    raw-count also_bought ranking.  All inputs are integers, so the
+    cosine is bit-identical cross-engine; ranking uses the rounded
+    score for a deterministic tie order."""
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    item_n = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = baskets.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = baskets.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item_n.withColumnRenamed("pk", "pa")), "pa"
+        )
+        .withColumnRenamed("n_orders", "na")
+        .join(F.broadcast(item_n.withColumnRenamed("pk", "pb")), "pb")
+        .withColumnRenamed("n_orders", "nb")
+        .select(
+            "pa",
+            "pb",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(
+        F.col("cosine").desc(), F.col("pb").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= _CF_TOP_K) & (F.col("pa") < 200))
+        .select(
+            F.col("pa").alias("partkey"),
+            F.col("pb").alias("similar_part"),
+            "n_shared",
+            "cosine",
+            "rank",
+        )
+    )
+
+
+ORACLE_ITEM_SIMILARITY = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+item_n AS (SELECT pk, count(*) AS n_orders FROM baskets GROUP BY 1),
+pairs AS (
+    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_shared
+    FROM baskets a JOIN baskets b
+      ON a.ok = b.ok AND a.pk <> b.pk
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT pa, pb, n_shared,
+           round(n_shared / (sqrt(na.n_orders) * sqrt(nb.n_orders)), 6)
+               AS cosine
+    FROM pairs
+    JOIN item_n na ON na.pk = pairs.pa
+    JOIN item_n nb ON nb.pk = pairs.pb
+)
+SELECT pa AS partkey, pb AS similar_part, n_shared, cosine, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY pa
+               ORDER BY cosine DESC, pb ASC) AS rank
+    FROM scored
+) WHERE rank <= {_CF_TOP_K} AND pa < 200
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "theil_inequality": q_theil_inequality,
+        "hhi_concentration": q_hhi_concentration,
+        "pareto_abc": q_pareto_abc,
+        "robust_zscore": q_robust_zscore,
+        "acf_daily": q_acf_daily,
+        "poisson_bootstrap": q_poisson_bootstrap,
+        "holt_trend": q_holt_trend,
+        "cube_shares": q_cube_shares,
+        "hits_scores": q_hits_scores,
+        "item_similarity_cf": q_item_similarity_cf,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "theil_inequality": ORACLE_THEIL,
+        "hhi_concentration": ORACLE_HHI,
+        "pareto_abc": ORACLE_PARETO_ABC,
+        "robust_zscore": ORACLE_ROBUST_ZSCORE,
+        "acf_daily": ORACLE_ACF,
+        "poisson_bootstrap": _poisson_bootstrap_oracle(),
+        "holt_trend": ORACLE_HOLT_TREND,
+        "cube_shares": ORACLE_CUBE_SHARES,
+        "hits_scores": _hits_oracle(),
+        "item_similarity_cf": ORACLE_ITEM_SIMILARITY,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

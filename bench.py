@@ -164,6 +164,17 @@ BENCH_QUERIES = [
     "stickiness",
     "supplier_reliability",
     "also_bought_topk",
+    # round-10 widening
+    "theil_inequality",
+    "hhi_concentration",
+    "pareto_abc",
+    "robust_zscore",
+    "acf_daily",
+    "holt_trend",
+    "poisson_bootstrap",
+    "cube_shares",
+    "hits_scores",
+    "item_similarity_cf",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -268,6 +279,16 @@ TOTAL_EXCLUDED = {
     "stickiness",
     "supplier_reliability",
     "also_bought_topk",
+    "theil_inequality",
+    "hhi_concentration",
+    "pareto_abc",
+    "robust_zscore",
+    "acf_daily",
+    "holt_trend",
+    "poisson_bootstrap",
+    "cube_shares",
+    "hits_scores",
+    "item_similarity_cf",
 }
 
 

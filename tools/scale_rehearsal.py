@@ -307,6 +307,31 @@ HEAVY = [
     # fan-out-capped co-purchase rank table
     "supplier_reliability",
     "also_bought_topk",
+    # round-10 widening: inequality/concentration aggregates (theil,
+    # hhi — collapse-first, expect flat-to-linear), the distributed
+    # prefix-sum ABC classification (two range shuffles, expect
+    # linear in the part collapse — part is a SHARED dim, so output
+    # rows stay constant while the lineitem collapse scales),
+    # median/MAD anomaly days + ACF + Brown smoothing (calendar-sized
+    # series off one corpus scan — expect corpus-linear in the
+    # collapse only), the 100× explode Poisson bootstrap (pure
+    # codegen explode+agg, THE corpus-proportional stress — expect
+    # linear), CUBE (4× grouping-sets scan), HITS (6 edge joins over
+    # the bipartite purchase graph; edges replicate linearly — parts
+    # are shared but each replica's customers contribute disjoint
+    # (cust, part) edges), and item-item cosine CF (within-order
+    # self-join like copurchase_pairs — pair SUPPORT multiplies with
+    # replicas on the shared part dim, same named caveat)
+    "theil_inequality",
+    "hhi_concentration",
+    "pareto_abc",
+    "robust_zscore",
+    "acf_daily",
+    "holt_trend",
+    "poisson_bootstrap",
+    "cube_shares",
+    "hits_scores",
+    "item_similarity_cf",
 ]
 
 ALL_TABLES = (
