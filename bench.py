@@ -350,6 +350,13 @@ def main() -> None:
         "source_overlap": max(reps, 5),
         "model_quality_filter": max(reps, 5),
         "frequency_spectrum": max(reps, 5),
+        # r9 verdict task 3: spreads rivalling their medians
+        # (weighted_median 2.86 on 3.41, inverted_index 1.79 on 2.09,
+        # tfidf_doc_similarity 2.07 on 3.52) made the regression rule
+        # unjudgeable; 5 reps bound the median
+        "weighted_median": max(reps, 5),
+        "inverted_index": max(reps, 5),
+        "tfidf_doc_similarity": max(reps, 5),
     }
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
