@@ -748,6 +748,19 @@ def read_corpus_artifacts(spark, path: str) -> dict[str, DataFrame]:
     }
 
 
+# Verify-join strategy gate (r9 verdict task 2): below this many
+# reference docs the shingle table broadcasts safely and the
+# broadcast-hash plan wins (measured 2.39 s vs 5.30 s hinted at
+# sf0.1's 3,750 ref docs); above it the parquet size statistics
+# undercount the array blobs ~10× and an auto-broadcast collects
+# hundreds of MB of deserialized arrays to the driver (measured
+# 24.4 s vs 7 s at x10's 37,500 ref docs), so both sides take
+# SHUFFLE_HASH.  The gate reads the ACTUAL ref-shingle row count —
+# one column-less count (Catalyst prunes the shingle projection), or
+# the caller-supplied figure when the artifacts already know it.
+_SHINGLE_BROADCAST_ROWS = 10_000
+
+
 def incremental_dedup_against(
     new_df: DataFrame,
     ref: dict[str, DataFrame],
@@ -758,6 +771,7 @@ def incremental_dedup_against(
     bands: int = 4,
     threshold: float = 0.5,
     portable: bool = True,
+    ref_shingle_rows: int | None = None,
 ) -> DataFrame:
     """`incremental_dedup` against PRECOMPUTED reference artifacts
     (see ``corpus_artifacts`` / ``read_corpus_artifacts``) — the
@@ -797,27 +811,37 @@ def incremental_dedup_against(
     )
     # exact-Jaccard verification confined to candidates: shingle sets
     # are joined onto the (bounded) candidate list, never self-joined.
-    # SHUFFLE_HASH hints on both array-valued sides: parquet size
-    # statistics undercount shingle tables badly (5-char-gram arrays
-    # compress ~10x), so the planner would BROADCAST the corpus
-    # shingle table — collecting hundreds of MB of deserialized
-    # arrays to the driver per batch (measured 24.4 s vs 7 s for the
-    # x10 near branch).  Shuffle-hash is also the right shape at
-    # scale: each side shuffles once by id, no broadcast of array
-    # blobs, and no sort-merge sorting rows that carry ~1k-element
-    # arrays.
+    # Join strategy is SIZE-GATED on the actual ref-shingle row count
+    # (see _SHINGLE_BROADCAST_ROWS): small corpora broadcast (the
+    # measured-fastest local plan), large ones take SHUFFLE_HASH on
+    # both array-valued sides — parquet size statistics undercount
+    # shingle tables ~10×, so the planner left alone would broadcast
+    # hundreds of MB of deserialized arrays at scale; shuffle-hash
+    # shuffles each side once by id with no driver collection and no
+    # sort over ~1k-element array rows.
     sh_new = new_arts["shingles"].select(
         F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
     )
     sh_ref = ref["shingles"].select(
         F.col(id_col).alias("ref_id"), F.col("shingles").alias("sh_r")
     )
+    if ref_shingle_rows is None:
+        # column-less count: Catalyst prunes the shingle projection,
+        # so this never materializes arrays (ad-hoc mode) and reads
+        # only footer metadata (parquet-artifact mode)
+        ref_shingle_rows = ref["shingles"].count()
     inter = F.size(F.array_intersect("sh_n", "sh_r"))
     union = F.size("sh_n") + F.size("sh_r") - inter
+    if ref_shingle_rows <= _SHINGLE_BROADCAST_ROWS:
+        verify = candidates.join(sh_new, "new_id").join(
+            F.broadcast(sh_ref), "ref_id"
+        )
+    else:
+        verify = candidates.join(
+            sh_new.hint("shuffle_hash"), "new_id"
+        ).join(sh_ref.hint("shuffle_hash"), "ref_id")
     near = (
-        candidates.join(sh_new.hint("shuffle_hash"), "new_id")
-        .join(sh_ref.hint("shuffle_hash"), "ref_id")
-        .filter(F.round(inter / union, 6) >= threshold)
+        verify.filter(F.round(inter / union, 6) >= threshold)
         .groupBy("new_id")
         .agg(F.min("ref_id").alias("near_match"))
     )
