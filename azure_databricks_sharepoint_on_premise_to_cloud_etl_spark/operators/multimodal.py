@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-Kernels come in two tiers.  General-purpose decode (JPEG/PNG/video)
-remains STUBBED — the container has no image/audio libraries — with
-the Spark-side plumbing (binary schema, partitioning, Arrow batch
-shape, UDF signatures) real and tested; swap the kernel for
+Kernels come in two tiers.  PNG/WebP/video decode remains STUBBED —
+the container has no image/audio libraries — with the Spark-side
+plumbing (binary schema, partitioning, Arrow batch shape, UDF
+signatures) real and tested; swap the kernel for
 PIL/torchvision/ffmpeg in production, plan shape and schema contracts
-don't change.  Uncompressed 24-bit BMP, however, is decodable in ~50
-lines of pure Python (struct header parse + padded pixel rows), so
-``decoder="bmp"`` / ``kernel="bmp"`` give ``extract_meta`` and
-``resize_images`` one REAL end-to-end executable case: planted BMP
-fixture in, true dimensions and nearest-neighbor-resized BMP out.
+don't change.  Three formats have REAL pure-Python codecs, byte-exact
+tested: uncompressed 24-bit BMP (struct header parse + padded pixel
+rows), RIFF/PCM WAV, and sequential-DCT JPEG (baseline/extended
+Huffman, any chroma subsampling, restart markers; numpy 8x8 IDCT) —
+``decoder="bmp"/"jpeg"/"wav"`` and ``kernel="bmp"/"jpeg"`` give
+``extract_meta`` and ``resize_images`` end-to-end executable cases on
+the formats a training corpus actually contains.
 
 Scale notes: mapInPandas streams Arrow record batches — memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless
@@ -210,6 +212,528 @@ def encode_wav(
     return bytes(hdr + data)
 
 
+# --------------------------------------------------------------------------
+# Pure-Python baseline JPEG codec (ITU T.81 sequential DCT, Huffman).
+#
+# The DECODER is the real deliverable: it reads any baseline (SOF0) or
+# extended-sequential-Huffman (SOF1, 8-bit) JPEG — grayscale or YCbCr,
+# arbitrary chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 via the generic
+# MCU interleave), restart markers, 16-bit quant tables — i.e. the
+# format a training-data corpus actually contains.  Progressive (SOF2)
+# and arithmetic coding raise with a clear message.  numpy does the
+# 8x8 IDCT (matrix form); everything else is stdlib.
+#
+# The ENCODER exists to plant test fixtures in a container with no
+# image libraries.  It emits valid self-consistent files (4:4:4 or
+# 4:2:0, optional restart interval) using FLAT Huffman tables — every
+# DC symbol at 4 bits, every AC symbol at 8 bits, a valid (suboptimal)
+# canonical code the decoder reads back from the DHT segment like any
+# other table, so round-trip correctness never depends on reciting
+# Annex K's 162-entry tables from memory.
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+# natural (row-major) index of each zigzag-scan position
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# orthonormal 8-point DCT-II matrix: spatial = C.T @ coefs @ C
+_DCT_C = np.array(
+    [
+        [
+            (0.5 / np.sqrt(2.0) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment, with
+    0xFF00 byte-unstuffing; any other marker mid-stream raises."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.data[self.pos + 1] != 0x00:
+                    raise ValueError(
+                        "marker inside entropy-coded segment (truncated scan?)"
+                    )
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.buf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard partial-byte bits and consume an RSTn marker."""
+        self.nbits = 0
+        if not (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker in entropy stream")
+        self.pos += 2
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman (T.81 C.2): {(length, code) -> symbol}."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _decode_huff(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code), -1)
+        if sym >= 0:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the `size`-bit magnitude to its signed
+    value (low half of the range is negative)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline/extended-sequential Huffman JPEG: returns
+    width, height, channels (1 or 3), and pixel rows (top-to-bottom,
+    each a list of (r, g, b) tuples; grayscale replicates to 3).
+
+    Chroma subsampling is handled by the generic MCU interleave +
+    nearest-neighbor upsampling; restart markers reset the DC
+    predictors per T.81.  Progressive/arithmetic/12-bit files raise
+    ValueError — this is the sequential-DCT profile.  Any truncated or
+    hostile payload also surfaces as ValueError (never IndexError) so
+    ``extract_meta``'s per-row degradation contract holds."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, StopIteration, struct.error) as e:
+        raise ValueError(f"corrupt JPEG payload: {type(e).__name__} {e}")
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    restart = 0
+    frame = None
+    planes: dict[int, np.ndarray] = {}
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                o += 1
+                if pq == 0:
+                    vals = list(seg[o : o + 64])
+                    o += 64
+                else:
+                    vals = list(struct.unpack_from(">64H", seg, o))
+                    o += 128
+                tbl = np.zeros(64)
+                for z, nat in enumerate(_ZIGZAG):
+                    tbl[nat] = vals[z]
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            precision, height, width, ncomp = struct.unpack_from(
+                ">BHHB", seg, 0
+            )
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            if width <= 0 or height <= 0 or width * height > 1 << 26:
+                raise ValueError(
+                    f"implausible JPEG dimensions {width}x{height}"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq_id = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq_id}
+                )
+            if any(c["h"] < 1 or c["v"] < 1 or c["h"] > 4 or c["v"] > 4 for c in comps):
+                raise ValueError("invalid sampling factors")
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG profile (progressive/lossless/arithmetic)"
+                " — sequential Huffman only"
+            )
+        elif marker == 0xC4:  # DHT — one or more tables per segment
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                huff[(tc, th)] = _build_huff(bits, vals)
+                o += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded scan follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(
+                    c for c in frame["comps"] if c["id"] == cs
+                )
+                scan.append((comp, tdta >> 4, tdta & 15))
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            mcux = -(-frame["w"] // (8 * hmax))
+            mcuy = -(-frame["h"] // (8 * vmax))
+            for c in frame["comps"]:
+                planes[c["id"]] = np.zeros(
+                    (mcuy * 8 * c["v"], mcux * 8 * c["h"])
+                )
+            pred = {c["id"]: 0 for c in frame["comps"]}
+            reader = _BitReader(payload, pos)
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and mcu and mcu % restart == 0:
+                        reader.sync_restart()
+                        for k in pred:
+                            pred[k] = 0
+                    for comp, td, ta in scan:
+                        q = qt[comp["tq"]]
+                        dctab, actab = huff[(0, td)], huff[(1, ta)]
+                        for v in range(comp["v"]):
+                            for h in range(comp["h"]):
+                                coef = np.zeros(64)
+                                t = _decode_huff(reader, dctab)
+                                pred[comp["id"]] += _extend(
+                                    reader.receive(t), t
+                                )
+                                coef[0] = pred[comp["id"]] * q[0]
+                                k = 1
+                                while k < 64:
+                                    rs = _decode_huff(reader, actab)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r == 15:  # ZRL
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "AC run past block end"
+                                        )
+                                    nat = _ZIGZAG[k]
+                                    coef[nat] = (
+                                        _extend(reader.receive(s), s)
+                                        * q[nat]
+                                    )
+                                    k += 1
+                                block = (
+                                    _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
+                                    + 128.0
+                                )
+                                y0 = (my * comp["v"] + v) * 8
+                                x0 = (mx * comp["h"] + h) * 8
+                                planes[comp["id"]][
+                                    y0 : y0 + 8, x0 : x0 + 8
+                                ] = block
+                    mcu += 1
+            pos = reader.pos  # next marker (RST-free tail) follows
+        else:  # APPn / COM / anything else: skip
+            continue
+    if frame is None or not planes:
+        raise ValueError("no frame decoded (missing SOF/SOS)")
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    def upsample(c: dict) -> np.ndarray:
+        p = planes[c["id"]]
+        ys = (np.arange(h) * c["v"]) // vmax
+        xs = (np.arange(w) * c["h"]) // hmax
+        return p[np.ix_(ys, xs)]
+
+    if len(comps) == 1:
+        y = np.clip(np.rint(upsample(comps[0])), 0, 255).astype(int)
+        rows = [[(int(g), int(g), int(g)) for g in y[r]] for r in range(h)]
+        return {"width": w, "height": h, "channels": 1, "pixels": rows}
+    if len(comps) != 3:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    y, cb, cr = (upsample(c) for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(int)
+    rows = [
+        [tuple(int(v) for v in rgb[rr, cc]) for cc in range(w)]
+        for rr in range(h)
+    ]
+    return {"width": w, "height": h, "channels": 3, "pixels": rows}
+
+
+# flat canonical Huffman tables for the fixture encoder: 12 DC symbols
+# at 4 bits, 162 AC symbols at 8 bits — valid prefix codes (Kraft sums
+# 12/16 and 162/256), all-ones code unused in both
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0x00, 0xF0]
+
+
+def _enc_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the canonical table."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _build_huff(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """Signed value -> (size, size-bit magnitude code) per T.81 F.1.4."""
+    size = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << size) - 1
+    return size, code
+
+
+def encode_jpeg(
+    pixels: list[list[tuple[int, int, int]]],
+    quant: int = 2,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """Encode RGB pixel rows as a sequential-DCT JPEG fixture.
+
+    ``quant`` is the uniform quantizer step (2 keeps AC sizes within
+    baseline's 10-bit bound with near-lossless reconstruction);
+    ``subsample=(2, 2)`` emits 4:2:0 (box-filtered chroma) to exercise
+    the decoder's MCU interleave; ``restart_interval`` plants RSTn
+    markers.  Tables ride in DQT/DHT so any conforming decoder (ours
+    included) reads the file without out-of-band knowledge."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    if not (0 < w and 0 < h):
+        raise ValueError("empty image")
+    rgb = np.array(pixels, dtype=float)  # (h, w, 3)
+    if grayscale:
+        comps_px = [0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]]
+        samp = [(1, 1)]
+    else:
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        sh, sv = subsample
+        if (sh, sv) == (1, 1):
+            comps_px = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        elif (sh, sv) == (2, 2):
+            # box-filter chroma to half resolution (pad odd edges)
+            def box2(p: np.ndarray) -> np.ndarray:
+                ph = p[: (p.shape[0] // 2) * 2, : (p.shape[1] // 2) * 2]
+                if ph.size == 0:
+                    ph = p[:1, :1]
+                out = (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+                return out
+
+            comps_px = [y, box2(cb), box2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsample must be (1,1) or (2,2)")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qtbl = np.full(64, float(quant))
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    # pad each component plane to its MCU grid by edge replication
+    padded = []
+    for p, (ch, cv) in zip(comps_px, samp):
+        th, tw = mcuy * 8 * cv, mcux * 8 * ch
+        pp = np.empty((th, tw))
+        ph, pw = min(p.shape[0], th), min(p.shape[1], tw)
+        pp[:ph, :pw] = p[:ph, :pw]
+        pp[ph:, :pw] = pp[ph - 1 : ph, :pw]
+        pp[:, pw:] = pp[:, pw - 1 : pw]
+        padded.append(pp)
+
+    writer = _BitWriter()
+    pred = [0] * len(padded)
+    segments = []  # entropy segments split at restart boundaries
+    mcu = 0
+
+    def emit_block(ci: int, block: np.ndarray) -> None:
+        coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+        qc = np.rint(coef.reshape(64) / qtbl).astype(int)
+        diff = int(qc[0]) - pred[ci]
+        pred[ci] = int(qc[0])
+        size, code = _mag_bits(diff)
+        c, ln = dc_codes[size]
+        writer.write(c, ln)
+        if size:
+            writer.write(code, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(qc[_ZIGZAG[k]])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                writer.write(c, ln)
+                run -= 16
+            size, code = _mag_bits(v)
+            if size > 10:
+                raise ValueError("AC coefficient exceeds baseline range")
+            c, ln = ac_codes[(run << 4) | size]
+            writer.write(c, ln)
+            writer.write(code, size)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]
+            writer.write(c, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                segments.append(bytes(writer.out))
+                writer = _BitWriter()
+                pred = [0] * len(padded)
+            for ci, (p, (ch, cv)) in enumerate(zip(padded, samp)):
+                for v in range(cv):
+                    for hh in range(ch):
+                        y0 = (my * cv + v) * 8
+                        x0 = (mx * ch + hh) * 8
+                        emit_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+            mcu += 1
+    writer.flush()
+    segments.append(bytes(writer.out))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"  # id, version 1.1, units 0
+        + struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumbnail
+    )
+    zz_q = bytes(int(qtbl[nat]) for nat in _ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz_q  # DQT id 0
+    ncomp = len(padded)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (ch, cv) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    dht += bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += struct.pack(">BB", i + 1, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    for i, segdata in enumerate(segments):
+        out += segdata
+        if i < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def resize_jpeg(payload: bytes, target: tuple[int, int]) -> bytes:
+    """Nearest-neighbor resize of a sequential JPEG, re-encoded 4:4:4."""
+    img = decode_jpeg(payload)
+    w, h = target
+    sw, sh, px = img["width"], img["height"], img["pixels"]
+    out = [
+        [px[(y * sh) // h][(x * sw) // w] for x in range(w)]
+        for y in range(h)
+    ]
+    return encode_jpeg(out, grayscale=img["channels"] == 1)
+
+
 META_SCHEMA = "doc_id long, n_bytes long, fake_width long, fake_height long, channels long"
 
 
@@ -244,7 +768,9 @@ def extract_meta(
 
     ``decoder="fake"`` (default) uses the deterministic byte-length
     stand-in; ``decoder="bmp"`` runs the REAL pure-Python BMP header
-    parse — true width/height/channels from the payload bytes.
+    parse; ``decoder="jpeg"`` runs the REAL pure-Python sequential-DCT
+    JPEG decoder (baseline/extended Huffman, any chroma subsampling) —
+    true width/height/channels from the payload bytes.
 
     ``on_error="null"`` (default) degrades a corrupt/truncated payload
     to null metadata columns instead of failing the task — over a real
@@ -252,9 +778,11 @@ def extract_meta(
     keeps strict behavior for tests/debugging."""
     import pandas as pd
 
-    if decoder == "bmp":
+    if decoder in ("bmp", "jpeg"):
+        decode_img = decode_bmp if decoder == "bmp" else decode_jpeg
+
         def decode(p: bytes) -> dict:
-            img = decode_bmp(p)
+            img = decode_img(p)
             return {
                 "n_bytes": len(p),
                 "width": img["width"],
@@ -316,16 +844,19 @@ def resize_images(
 ) -> DataFrame:
     """Image-resize over mapInPandas: real Arrow binary-column batch
     shape.  ``kernel="fake"`` (default) truncates/pads bytes to a size
-    derived from the target box; ``kernel="bmp"`` runs the REAL
-    pure-Python nearest-neighbor BMP resample and re-encode.  Swap for
-    PIL.Image.resize for compressed formats in production — schema and
-    plan are unchanged."""
+    derived from the target box; ``kernel="bmp"`` / ``kernel="jpeg"``
+    run the REAL pure-Python nearest-neighbor resample and re-encode.
+    Swap for PIL.Image.resize for other compressed formats in
+    production — schema and plan are unchanged."""
     import pandas as pd
 
     w, h = target
     if kernel == "bmp":
         def resize(p: bytes) -> bytes:
             return resize_bmp(p, (w, h))
+    elif kernel == "jpeg":
+        def resize(p: bytes) -> bytes:
+            return resize_jpeg(p, (w, h))
     else:
         fake_len = w * h // 64  # deterministic stand-in for encoded size
 
@@ -405,12 +936,15 @@ def sample_frames(
 
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
-    """Real decode entry point — not implementable in this container
-    (no PIL/opencv). Raises by design; see module docstring."""
+    """Decode entry point for formats beyond BMP/JPEG (PNG/WebP/...) —
+    not implementable in this container (no PIL/opencv).  Raises by
+    design; BMP and sequential JPEG have REAL pure-Python decoders
+    (:func:`decode_bmp`, :func:`decode_jpeg`); see module docstring."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv which are not available in the "
-        "test container; the Spark plumbing around it is exercised via "
-        "extract_meta's deterministic fake decoder"
+        "PNG/WebP decode requires PIL/opencv which are not available in "
+        "the test container; BMP and sequential-DCT JPEG are decoded "
+        "natively (decode_bmp / decode_jpeg), other formats are "
+        "exercised via extract_meta's deterministic fake decoder"
     )
 
 

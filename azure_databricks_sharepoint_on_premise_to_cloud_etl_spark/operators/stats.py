@@ -1983,3 +1983,136 @@ def poisson_bootstrap_mean(
         F.round(F.percentile(F.col("__m"), F.lit(lo)), 6).alias("ci_lo"),
         F.round(F.percentile(F.col("__m"), F.lit(hi)), 6).alias("ci_hi"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)`` over points with distinct x,
+    plus the Siegel-style intercept ``median(y - slope*x)`` — up to
+    ~29% outlier breakdown where OLS (``group_ols``) has zero.
+
+    Scale contract: the estimator is O(m²) in the POINTS PER GROUP, so
+    ``df`` must be the already-collapsed series (daily rollups,
+    per-bucket aggregates — m bounded by the calendar, the repo's
+    series discipline), never raw rows.  The pair join is equi-keyed
+    on the group columns and each group's pairs stay inside one
+    shuffle partition; a grouped size assertion is the caller's job
+    (the query rolls up to ≤ a few hundred points per group).
+
+    Determinism: slopes derive from already-aggregated values; the
+    median is Spark's exact ``percentile`` (linear interpolation,
+    matching DuckDB ``quantile_cont``).  Returns
+    ``(group..., n_points, slope, intercept)``, rounded; groups with
+    no distinct-x pair yield NULL slope via lazy CASE (ANSI-safe).
+    """
+    groups = group_cols or []
+    pts = df.select(
+        *groups,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    cond = F.lit(True)
+    for g in groups:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    pairs = a.join(b, cond & (F.col("a.__x") < F.col("b.__x"))).select(
+        *[F.col(f"a.{g}") for g in groups],
+        (
+            (F.col("b.__y") - F.col("a.__y"))
+            / (F.col("b.__x") - F.col("a.__x"))
+        ).alias("__slope"),
+    )
+    slope = pairs.groupBy(*groups).agg(
+        F.round(F.percentile(F.col("__slope"), F.lit(0.5)), round_to).alias(
+            "slope"
+        )
+    )
+    # LEFT join: a group with no distinct-x pair (single point) still
+    # reports its row with NULL slope/intercept instead of vanishing
+    joined = pts.join(slope, groups, "left") if groups else pts.crossJoin(
+        F.broadcast(slope)
+    )
+    return joined.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("slope").alias("slope"),
+        F.round(
+            F.percentile(
+                F.col("__y") - F.col("slope") * F.col("__x"), F.lit(0.5)
+            ),
+            round_to,
+        ).alias("intercept"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 10,
+    partitions: int = 32,
+    value_round: int = 2,
+) -> DataFrame:
+    """Lorenz-curve decile table: rank members by value ASCENDING,
+    split into ``k`` equal-count tiles, and report each tile's share
+    of the grand total plus the running (Lorenz) cumulative share —
+    the table behind 'the bottom 50% of customers carry 8% of
+    revenue'.  Complements :func:`gini_concentration` (the scalar
+    area) and :func:`abc_classification` (value-threshold classes).
+
+    Scale shape: the global ascending order uses
+    ``windows.global_ntile_pct`` (two-phase range prefix sum — no
+    single-task window); the per-tile collapse is a k-row aggregate
+    and the final running share is a window over k rows.  Values are
+    rounded to ``value_round`` (the metric's exact decimal precision)
+    before ranking for deterministic tie order; shares round to 6.
+    Returns ``(tile, n_members, tile_value, tile_share, cum_share)``.
+    """
+    from .windows import global_ntile_pct
+
+    vals = df.select(
+        F.col(key_col).alias("__k"),
+        F.round(F.col(value_col).cast("double"), value_round).alias("__v"),
+    )
+    tiled = global_ntile_pct(
+        vals,
+        [F.col("__v").asc(), F.col("__k").asc()],
+        k,
+        tile_col="tile",
+        partitions=partitions,
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("__v"), value_round).alias("tile_value"),
+    )
+    total = F.sum("tile_value").over(Window.partitionBy())
+    w_cum = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.when(
+        F.col("__total") > 0, F.col("tile_value") / F.col("__total")
+    )
+    cum = F.when(
+        F.col("__total") > 0, F.col("__cum") / F.col("__total")
+    )
+    out = (
+        per_tile.withColumn("__total", total)
+        .withColumn("__cum", F.sum("tile_value").over(w_cum))
+        .select(
+            "tile",
+            "n_members",
+            "tile_value",
+            F.round(share, 6).alias("tile_share"),
+            F.round(cum, 6).alias("cum_share"),
+        )
+    )
+    out._persisted_intermediates = getattr(
+        tiled, "_persisted_intermediates", []
+    )
+    return out

@@ -1301,3 +1301,67 @@ def term_keyness(
         .filter(F.col("__r") <= top_k)
         .drop("__r")
     )
+
+
+def unigram_sampling_table(
+    df: DataFrame,
+    text_col: str = "text",
+    power: float = 0.75,
+    round_to: int = 6,
+    partitions: int = 32,
+) -> DataFrame:
+    """word2vec-style negative-sampling table: corpus term frequencies
+    raised to ``power`` (0.75 flattens the Zipf head so frequent words
+    are not drawn proportionally often), normalized to a probability,
+    with the half-open cumulative band ``[cum_lo, cum_hi)`` each word
+    owns — a uniform draw in [0,1) inverted against ``cum_hi`` IS the
+    sampler, no alias table needed.
+
+    Scale shape: the corpus collapses to the VOCABULARY (one hash
+    aggregate with map-side combine — the tf-collapsed corpus-exchange
+    discipline); the cumulative runs over (tf DESC, word ASC) via
+    ``windows.global_cumsum`` (two-phase range prefix sum — no
+    single-task window over the vocabulary).  Weights are rounded to
+    ``round_to`` BEFORE the prefix sum (deterministic per-row values);
+    band shares are O(1) so prefix float noise sits far below the
+    rounding step (the abc_classification discipline).
+    Returns ``(word, tf, prob, cum_lo, cum_hi)``.
+    """
+    from .windows import global_cumsum
+
+    tf = (
+        df.select(F.explode(word_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    weighted = tf.withColumn(
+        "__w", F.round(F.pow(F.col("tf").cast("double"), power), round_to)
+    )
+    order = [F.col("tf").desc(), F.col("word").asc()]
+    run = global_cumsum(
+        weighted, order, {"__w": "__cum"}, partitions=partitions
+    )
+    total = weighted.agg(F.sum("__w").alias("__total"))
+    out = run.crossJoin(F.broadcast(total)).select(
+        "word",
+        "tf",
+        F.round(
+            F.when(F.col("__total") > 0, F.col("__w") / F.col("__total")),
+            round_to,
+        ).alias("prob"),
+        F.round(
+            F.when(
+                F.col("__total") > 0,
+                (F.col("__cum") - F.col("__w")) / F.col("__total"),
+            ),
+            round_to,
+        ).alias("cum_lo"),
+        F.round(
+            F.when(F.col("__total") > 0, F.col("__cum") / F.col("__total")),
+            round_to,
+        ).alias("cum_hi"),
+    )
+    out._persisted_intermediates = getattr(
+        run, "_persisted_intermediates", []
+    )
+    return out

@@ -9115,39 +9115,85 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
 
 
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution over part names: token-blocked
-    fuzzy candidate pairs (edit distance ≤ 2, dedup.fuzzy_name_pairs)
-    → transitive closure into entities (graph.connected_components,
-    entity id = min member key) → canonical name = the id member's
+    """End-to-end entity resolution over part names: value-collapsed
+    token-blocked fuzzy matching (edit distance ≤ 2,
+    dedup.fuzzy_value_pairs on the distinct-name domain) → transitive
+    closure on the NAME graph (graph.connected_components over
+    min-id-per-name nodes; same components as the id-level closure
+    because same-name groups are dist-0 cliques) → expand back
+    through the id→name map → canonical name = the entity-id member's
     name, joined back broadcast-small.  One row per part:
     ``(p_partkey, entity_id, canonical_name)`` — the classic
-    dedupe-then-survivorship pipeline, each stage an already-verified
-    operator.  The oracle replays the closure as a DuckDB RECURSIVE
-    fixpoint over the identical pair set."""
+    dedupe-then-survivorship pipeline with the classic domain
+    contraction.  The oracle replays the closure as a DuckDB RECURSIVE
+    fixpoint over the id-level pair set (dedup.fuzzy_name_pairs'
+    contract), pinning the collapsed form against the expanded one."""
+    from .functions import normalize_text
     from .operators.graph import connected_components, release_components
 
     p = rebalance(load_table(spark, sf_dir, "part")).select("p_partkey", "p_name")
-    pairs = dedup.fuzzy_name_pairs(p, "p_partkey", "p_name", max_dist=2)
-    # graph.contract_edges can pre-collapse this DENSE pair graph
-    # (5.5M -> 80k edges at sf0.1) but measured a net LOSS here: the
-    # Arrow hop costs ~6.5 s where the saved CC rounds cost ~2 s on
-    # local[32] (see its docstring) — the trade flips on a real
-    # cluster where each round is a fleet-wide barrier
-    comp = connected_components(
-        pairs, p.select("p_partkey"), node_col="p_partkey"
+    # Value-collapsed closure: blocking, the banded levenshtein verify
+    # AND transitive closure all depend only on the normalized name, so
+    # the whole pipeline contracts to the DISTINCT-name domain — every
+    # same-name id group is a clique (reflexive dist-0 pair), so the id
+    # graph's components are exactly the name graph's components
+    # expanded through the id→name map.  This is graph.contract_edges'
+    # pre-collapse (5.5M -> ~2k edges at sf0.1) obtained for free from
+    # equi-value structure: no Arrow hop, two narrow hash joins.  The
+    # name-node id is min(p_partkey) per name, so the component label
+    # (min reachable node) IS min(p_partkey) over the entity — the same
+    # entity_id the id-level closure yields.
+    ids = p.select(
+        F.col("p_partkey").alias("__id"),
+        normalize_text("p_name").alias("__name"),
     )
-    out = comp.join(
-        F.broadcast(
-            p.select(
-                F.col("p_partkey").alias("component"),
-                F.col("p_name").alias("canonical_name"),
-            )
-        ),
-        "component",
-    ).select(
-        "p_partkey",
-        F.col("component").alias("entity_id"),
-        "canonical_name",
+    nmap = (
+        ids.filter(F.col("__name").isNotNull())
+        .groupBy("__name")
+        .agg(F.min("__id").alias("__node"))
+    )
+    vals = dedup.fuzzy_value_pairs(p, "p_name", max_dist=2)
+    edges = (
+        vals.filter(F.col("name_a") < F.col("name_b"))
+        .join(
+            nmap.select(
+                F.col("__name").alias("name_a"), F.col("__node").alias("id_a")
+            ),
+            "name_a",
+        )
+        .join(
+            nmap.select(
+                F.col("__name").alias("name_b"), F.col("__node").alias("id_b")
+            ),
+            "name_b",
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        edges, nmap.select(F.col("__node").alias("p_partkey")),
+        node_col="p_partkey",
+    )
+    name_comp = nmap.join(
+        comp, nmap["__node"] == comp["p_partkey"]
+    ).select("__name", "component")
+    out = (
+        ids.join(name_comp, "__name", "left")
+        # NULL-named rows never pair/block: they stay their own entity
+        .withColumn("component", F.coalesce("component", F.col("__id")))
+        .join(
+            F.broadcast(
+                p.select(
+                    F.col("p_partkey").alias("component"),
+                    F.col("p_name").alias("canonical_name"),
+                )
+            ),
+            "component",
+        )
+        .select(
+            F.col("__id").alias("p_partkey"),
+            F.col("component").alias("entity_id"),
+            "canonical_name",
+        )
     )
     out._cc_final_generation = getattr(comp, "_cc_final_generation", None)
     out._cc_checkpoint_dir = getattr(comp, "_cc_checkpoint_dir", None)
@@ -12278,6 +12324,333 @@ AUX_ORACLES.update(
         "cube_shares": ORACLE_CUBE_SHARES,
         "hits_scores": _hits_oracle(),
         "item_similarity_cf": ORACLE_ITEM_SIMILARITY,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# ---------------------------------------------------------------------------
+# round-10 widening batch 2: robust trends, distribution tables,
+# CRM/cohort analytics, market-basket rules, key-space audits, and two
+# training-pipeline curation ops (asymmetric containment dedup,
+# negative-sampling table)
+# ---------------------------------------------------------------------------
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-volume trend per event type (median of
+    pairwise slopes over the collapsed daily series + Siegel
+    intercept) — verified stages: operators/stats.py theil_sen_trend
+    (pair join confined to the calendar-bounded daily rollup)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return stats.theil_sen_trend(daily, "x", "y", ["event_type"])
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(CAST(date_trunc('day', ts) AS DATE)
+                - DATE '1970-01-01' AS BIGINT) AS x,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.x < b.x
+),
+sl AS (
+    SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS slope
+    FROM pairs GROUP BY 1
+)
+SELECT p.event_type, count(*) AS n_points, max(s.slope) AS slope,
+       round(quantile_cont(p.y - s.slope * p.x, 0.5), 6) AS intercept
+FROM daily p LEFT JOIN sl s USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile table of customer lifetime revenue ('the bottom
+    half of customers carry x% of revenue') — verified stages:
+    operators/stats.py lorenz_deciles over windows.global_ntile_pct
+    (distributed exact ntile, no single-task window)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    return stats.lorenz_deciles(cust, "o_custkey", "spend", k=10)
+
+
+ORACLE_LORENZ = """
+WITH vals AS (
+    SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS v
+    FROM orders GROUP BY 1
+),
+tiled AS (
+    SELECT k, v, ntile(10) OVER (ORDER BY v ASC, k ASC) AS tile FROM vals
+),
+per AS (
+    SELECT tile, count(*) AS n_members, round(sum(v), 2) AS tile_value
+    FROM tiled GROUP BY 1
+)
+SELECT tile, n_members, tile_value,
+       round(tile_value / sum(tile_value) OVER (), 6) AS tile_share,
+       round(sum(tile_value) OVER (ORDER BY tile
+                 ROWS UNBOUNDED PRECEDING)
+             / sum(tile_value) OVER (), 6) AS cum_share
+FROM per
+"""
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs over documents (quote /
+    subset detection: |words(src) ∩ words(in)| / |words(src)| ≥ 0.8,
+    df-capped vocabulary) — verified stages: operators/dedup.py
+    containment_pairs (inverted-index equi-join, never all-pairs)."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return dedup.containment_pairs(
+        d.select("doc_id", "text"), threshold=0.8, max_df=250
+    )
+
+
+ORACLE_CONTAINMENT_DEDUP = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> ''))) AS w
+    FROM documents
+),
+dfreq AS (SELECT w, count(*) AS df FROM words GROUP BY 1),
+kept AS (
+    SELECT words.doc_id, words.w
+    FROM words JOIN dfreq USING (w) WHERE df <= 250
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS src_id, b.doc_id AS in_id, count(*) AS sh
+    FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT src_id, in_id, round(sh * 1.0 / sz, 6) AS containment
+FROM shared JOIN sizes ON sizes.doc_id = shared.src_id
+WHERE round(sh * 1.0 / sz, 6) >= 0.8
+"""
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table over the corpus vocabulary
+    (tf^0.75 normalized, half-open cumulative bands for inverse-CDF
+    draws) — verified stages: operators/text.py unigram_sampling_table
+    (tf-collapsed corpus exchange + windows.global_cumsum)."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return text.unigram_sampling_table(d.select("text"))
+
+
+ORACLE_NEGATIVE_SAMPLING = """
+WITH toks AS (
+    SELECT unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS word
+    FROM documents
+),
+tf AS (SELECT word, count(*) AS tf FROM toks GROUP BY 1),
+wt AS (SELECT word, tf, round(pow(tf, 0.75), 6) AS w FROM tf),
+tot AS (SELECT sum(w) AS total FROM wt),
+run AS (
+    SELECT word, tf, w,
+           sum(w) OVER (ORDER BY tf DESC, word ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM wt
+)
+SELECT word, tf,
+       round(w / total, 6) AS prob,
+       round((cum - w) / total, 6) AS cum_lo,
+       round(cum / total, 6) AS cum_hi
+FROM run, tot
+"""
+
+
+def q_rfm_segments_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintile
+    scores (5 = best) + deterministic segment labels — verified
+    stages: windows.global_ntile_pct ×3 (distributed exact ntile over
+    (metric, custkey) total orders; no single-task window), anchored
+    to the corpus max order date (injected-clock discipline)."""
+    from .operators.windows import global_ntile_pct
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    anchor = o.agg(F.max("o_orderdate").alias("__mx"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("__mx", "__last"))
+        .drop("__mx", "__last")
+    )
+    # Three INDEPENDENT narrow ntiles off one materialized base,
+    # joined back on the key — chaining the three global_ntile_pct
+    # layers instead compounds each layer's staged/totals/offsets
+    # references into a 130-scan analyzed plan (plan_audit caught it)
+    # and range-shuffles the full wide row three times; here each
+    # range shuffle moves only (key, metric).  The base aggregate is
+    # referenced ~7× (each machine's staged + count paths + the final
+    # join), so it is eagerly localCheckpoint-ed — the
+    # triangle_counts precedent: lineage-cut guarantees ONE orders
+    # scan regardless of cache eviction, released via _extra_ckpts.
+    base = base.localCheckpoint()
+    scores = []
+    for metric, order, col_name in (
+        ("recency_days", F.col("recency_days").desc(), "r_score"),
+        ("frequency", F.col("frequency").asc(), "f_score"),
+        ("monetary", F.col("monetary").asc(), "m_score"),
+    ):
+        t = global_ntile_pct(
+            base.select("o_custkey", metric),
+            [order, F.col("o_custkey").asc()],
+            5,
+            tile_col=col_name,
+            pct_col="__p",
+        ).select("o_custkey", col_name)
+        scores.append(t)
+    t3 = base
+    for t in scores:
+        t3 = t3.join(t, "o_custkey")
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4),
+            F.lit("champion"),
+        )
+        .when(F.col("r_score") >= 4, F.lit("recent"))
+        .when(F.col("f_score") >= 4, F.lit("at_risk"))
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+            F.lit("hibernating"),
+        )
+        .otherwise(F.lit("regular"))
+    )
+    out = t3.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
+    out._persisted_intermediates = [
+        p
+        for t in scores
+        for p in getattr(t, "_persisted_intermediates", [])
+    ]
+    out._extra_ckpts = [base]
+    return out
+
+
+ORACLE_RFM_DISTRIBUTED = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+    SELECT o_custkey,
+           date_diff('day', max(o_orderdate),
+                     (SELECT mx FROM anchor)) AS recency_days,
+           count(*) AS frequency,
+           round(sum(o_totalprice), 2) AS monetary
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT *,
+        ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS r_score,
+        ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+        ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
+    FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-space islands audit: maximal runs of consecutive order keys
+    actually referenced by lineitem (the gaps are unreferenced /
+    missing FK ranges).  Scale shape: gaps-and-islands over a GLOBAL
+    integer order via windows.global_rank (two-phase range prefix
+    sum), not a single-task row_number window — the distributed twin
+    of the per-user streaks operator."""
+    from .operators.windows import global_rank
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    ranked = global_rank(keys, [F.col("k").asc()], rank_col="__r")
+    out = (
+        ranked.withColumn("__grp", F.col("k") - F.col("__r"))
+        .groupBy("__grp")
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .drop("__grp")
+        .select("island_start", "island_end", "n_keys")
+    )
+    out._persisted_intermediates = getattr(
+        ranked, "_persisted_intermediates", []
+    )
+    return out
+
+
+ORACLE_SEQUENCE_GAPS = """
+WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+r AS (
+    SELECT k, k - row_number() OVER (ORDER BY k ASC) AS grp FROM keys
+)
+SELECT min(k) AS island_start, max(k) AS island_end, count(*) AS n_keys
+FROM r GROUP BY grp
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "theil_sen": q_theil_sen,
+        "lorenz_curve": q_lorenz_curve,
+        "containment_dedup": q_containment_dedup,
+        "negative_sampling": q_negative_sampling,
+        "rfm_segments_distributed": q_rfm_segments_distributed,
+        "sequence_gaps": q_sequence_gaps,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "theil_sen": ORACLE_THEIL_SEN,
+        "lorenz_curve": ORACLE_LORENZ,
+        "containment_dedup": ORACLE_CONTAINMENT_DEDUP,
+        "negative_sampling": ORACLE_NEGATIVE_SAMPLING,
+        "rfm_segments_distributed": ORACLE_RFM_DISTRIBUTED,
+        "sequence_gaps": ORACLE_SEQUENCE_GAPS,
     }
 )
 

@@ -175,6 +175,13 @@ BENCH_QUERIES = [
     "cube_shares",
     "hits_scores",
     "item_similarity_cf",
+    # round-10 widening batch 2
+    "theil_sen",
+    "lorenz_curve",
+    "containment_dedup",
+    "negative_sampling",
+    "rfm_segments_distributed",
+    "sequence_gaps",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -289,6 +296,12 @@ TOTAL_EXCLUDED = {
     "cube_shares",
     "hits_scores",
     "item_similarity_cf",
+    "theil_sen",
+    "lorenz_curve",
+    "containment_dedup",
+    "negative_sampling",
+    "rfm_segments_distributed",
+    "sequence_gaps",
 }
 
 

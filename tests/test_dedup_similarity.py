@@ -524,6 +524,62 @@ def test_fuzzy_blocking_recall_contract(spark):
     assert dedup.fuzzy_name_pairs(miss, "id", "name", max_dist=2).count() == 0
 
 
+def test_fuzzy_value_collapse_equals_id_level_on_duplicate_heavy(spark):
+    """The value-collapsed form (verify on distinct names, expand back
+    through the id→name map) must emit EXACTLY the id-level pair set:
+    same-name groups expand through the reflexive dist-0 value pair,
+    cross-value pairs orient by id, NULL names never pair."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corp"),      # exact dup of 1
+        (3, "acme corp"),      # exact dup of 1, 2
+        (4, "acme  CORP "),    # normalizes to the same value
+        (5, "acme cort"),      # 1 edit
+        (6, "zeta inc"),
+        (7, "zeta inc"),
+        (8, None),             # never pairs
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    got = sorted(
+        map(tuple, dedup.fuzzy_name_pairs(df, "id", "name", max_dist=2).collect())
+    )
+    a = df.select(
+        F.col("id").alias("id_a"),
+        F.regexp_replace(F.trim(F.lower("name")), r"\s+", " ").alias("na"),
+    )
+    b = df.select(
+        F.col("id").alias("id_b"),
+        F.regexp_replace(F.trim(F.lower("name")), r"\s+", " ").alias("nb"),
+    )
+    # quadratic oracle restricted to the blocking contract (shared
+    # first/last token) — the semantics fuzzy_name_pairs pins
+    tok = lambda c, i: F.element_at(F.split(F.col(c), " "), i)  # noqa: E731
+    want = sorted(
+        (r["id_a"], r["id_b"], r["d"])
+        for r in a.crossJoin(b)
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                (tok("na", 1) == tok("nb", 1))
+                | (tok("na", 1) == tok("nb", -1))
+                | (tok("na", -1) == tok("nb", 1))
+                | (tok("na", -1) == tok("nb", -1))
+            )
+        )
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= 2)
+        .select("id_a", "id_b", "d")
+        .collect()
+    )
+    assert got == want
+    # sanity on the fixture: the same-name clique and the near-pair
+    assert (1, 2, 0) in got and (1, 5, 1) in got and (6, 7, 0) in got
+    assert not any(8 in p[:2] or 9 in p[:2] for p in got)
+
+
 def _tone_wav(n_frames: int = 400, rate: int = 8000, channels: int = 2):
     """Planted fixture audio: deterministic two-channel sawtooth."""
     samples = [

@@ -332,12 +332,46 @@ HEAVY = [
     "cube_shares",
     "hits_scores",
     "item_similarity_cf",
+    # round-10 widening batch 2: the Theil–Sen pair join is calendar-
+    # bounded per type (expect flat); Lorenz/RFM/sequence_gaps ride
+    # the two-phase global prefix machinery (expect linear in the
+    # collapse); cohort retention is a distinct-(user,month) collapse
+    # (expect corpus-linear); association_rules shares the
+    # copurchase wedge caveat (shared part dim — support densifies);
+    # containment/negative-sampling are corpus-linear inverted-index /
+    # vocabulary collapses with the df-cap bounding pair volume
+    "theil_sen",
+    "lorenz_curve",
+    "containment_dedup",
+    "negative_sampling",
+    "rfm_segments_distributed",
+    "sequence_gaps",
 ]
 
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# Wedge-join link prediction re-measured on the DISJOINT fixture
+# (round-9 verdict task 5): on the shared-dim fixture the co-purchase
+# graph DENSIFIES with the factor and the max_degree hub governor
+# prunes the densified graph entirely (rows_by_factor 2173 → 0 at
+# x3/x10 — a vacuous rehearsal).  The disjoint fixture replicates
+# part/supplier WITH lineitem (l_partkey/l_suppkey offset per
+# replica), so each replica's co-purchase graph is an exact disjoint
+# copy of the base graph: degrees stay at base level, the governor
+# passes the same per-replica structure, and rows_by_factor grows
+# ~f× — the alpha then measures the wedge join itself, which is the
+# claim that needs certifying.  This is ALSO the realistic shape: a
+# catalog 10× the size has 10× the parts, not 10× the support per
+# part pair.
+DISJOINT_HEAVY = [
+    "neighbor_jaccard",
+    "adamic_adar",
+    "clustering_coeff",
+    "item_similarity_cf",
+]
 
 
 def _curation_stages():
@@ -516,6 +550,62 @@ def build_fixture(base: str, factor: int, root: str) -> str:
     return out_dir
 
 
+def build_disjoint_fixture(base: str, factor: int, root: str) -> str:
+    """Disjoint-replication variant for the wedge-join family: part and
+    supplier replicate WITH the fact tables (l_partkey / l_suppkey
+    offset per replica), so the co-purchase graph is ``factor`` exact
+    disjoint copies of the base graph instead of one densified graph.
+    Only the relational core is materialized; everything else symlinks
+    from ``base``."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(root, f"x{factor}_disjoint")
+    if os.path.exists(os.path.join(out_dir, "__complete")):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    cust = pq.read_table(os.path.join(base, "customer.parquet"))
+    ords = pq.read_table(os.path.join(base, "orders.parquet"))
+    li = pq.read_table(os.path.join(base, "lineitem.parquet"))
+    part = pq.read_table(os.path.join(base, "part.parquet"))
+    supp = pq.read_table(os.path.join(base, "supplier.parquet"))
+    CUST = pc.max(cust.column("c_custkey")).as_py() + 1
+    ORD = pc.max(ords.column("o_orderkey")).as_py() + 1
+    PART = pc.max(part.column("p_partkey")).as_py() + 1
+    SUPP = pc.max(supp.column("s_suppkey")).as_py() + 1
+    pq.write_table(
+        _replicate_keyed(cust, factor, {"c_custkey": CUST}),
+        os.path.join(out_dir, "customer.parquet"),
+    )
+    pq.write_table(
+        _replicate_keyed(ords, factor, {"o_orderkey": ORD, "o_custkey": CUST}),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+    pq.write_table(
+        _replicate_keyed(part, factor, {"p_partkey": PART}),
+        os.path.join(out_dir, "part.parquet"),
+    )
+    pq.write_table(
+        _replicate_keyed(supp, factor, {"s_suppkey": SUPP}),
+        os.path.join(out_dir, "supplier.parquet"),
+    )
+    pq.write_table(
+        _replicate_keyed(
+            li,
+            factor,
+            {"l_orderkey": ORD, "l_partkey": PART, "l_suppkey": SUPP},
+        ),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+    for t in ALL_TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, f"{t}.parquet"), dst)
+    open(os.path.join(out_dir, "__complete"), "w").close()
+    return out_dir
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -533,11 +623,13 @@ def main() -> int:
     factors = [int(f) for f in args.factors.split(",")]
     stages = _curation_stages()
     heavy = HEAVY + list(stages)
+    disjoint = [f"{n}@disjoint" for n in DISJOINT_HEAVY]
     if args.only:
         only = [n.strip() for n in args.only.split(",") if n.strip()]
-        unknown = set(only) - set(HEAVY) - set(stages)
+        unknown = set(only) - set(HEAVY) - set(stages) - set(disjoint)
         assert not unknown, f"--only names not in HEAVY: {unknown}"
-        heavy = only
+        heavy = [n for n in only if n in set(HEAVY) | set(stages)]
+        disjoint = [n for n in only if n in disjoint]
 
     from pyspark.sql import functions as F
 
@@ -557,12 +649,40 @@ def main() -> int:
         ).collect()[0]
         return row["n"]
 
-    points: list[tuple[int, str]] = [(1, args.base)]
-    for f in factors:
+    points: list[tuple[int, str]] = [(1, args.base)] if heavy else []
+    for f in factors if heavy else []:
         print(f"# building x{f} fixture...", file=sys.stderr)
         points.append((f, build_fixture(args.base, f, args.root)))
 
-    results: dict[str, dict] = {name: {"times": {}, "rows": {}} for name in heavy}
+    dpoints: list[tuple[int, str]] = [(1, args.base)]
+    if disjoint:
+        for f in factors:
+            print(f"# building x{f} disjoint fixture...", file=sys.stderr)
+            dpoints.append((f, build_disjoint_fixture(args.base, f, args.root)))
+
+    results: dict[str, dict] = {
+        name: {"times": {}, "rows": {}} for name in heavy + disjoint
+    }
+    for factor, sf_dir in dpoints if disjoint else []:
+        for dname in disjoint:
+            name = dname.split("@")[0]
+            fn = q.QUERIES.get(name) or q.AUX_QUERIES[name]
+            df = fn(spark, sf_dir)
+            materialize(df)
+            release_components(df)
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            rows = materialize(df)
+            dt = time.time() - t0
+            release_components(df)
+            spark.catalog.clearCache()
+            results[dname]["times"][factor] = round(dt, 3)
+            results[dname]["rows"][factor] = rows
+            print(
+                f"# x{factor} {dname}: {dt:.2f}s ({rows} rows)",
+                file=sys.stderr,
+            )
+
     for factor, sf_dir in points:
         for name in heavy:
             fn = q.QUERIES.get(name) or q.AUX_QUERIES.get(name) or stages[name]
@@ -588,7 +708,7 @@ def main() -> int:
     if args.only and os.path.exists(args.out):
         with open(args.out) as fh:
             record = {k: v for k, v in json.load(fh).items() if k != "_meta"}
-    for name in heavy:
+    for name in heavy + disjoint:
         times = results[name]["times"]
         exps = {}
         fs = sorted(times)
@@ -610,6 +730,10 @@ def main() -> int:
             "times with offset ids and near-dup text perturbation, plus "
             "customer/orders/lineitem/events replicated f times as "
             "self-consistent key-offset sub-universes over shared dims; "
+            "'name@disjoint' rows instead use the disjoint fixture "
+            "(part/supplier replicated WITH lineitem key offsets, so "
+            "the co-purchase graph replicates disjointly rather than "
+            "densifying — non-vacuous wedge-join rehearsals); "
             "alpha = log(t2/t1)/log(n2/n1) per step; ~1 linear, >=1.5 "
             "superlinear"
         ),
