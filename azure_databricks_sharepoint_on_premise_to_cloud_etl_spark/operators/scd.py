@@ -220,3 +220,40 @@ def cdc_apply(
             ],
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    order_col,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Field-level survivorship merge (MDM 'golden record'): one row
+    per entity where EACH attribute independently takes its value from
+    the latest row — under ``order_col``, which must be a total order
+    within the entity (pass a unique expression, e.g.
+    ``struct(ts, event_id)`` collapsed to one sortable column) — whose
+    value for that attribute is NOT NULL.  This is the per-FIELD
+    refinement of top-1-per-group survivorship: a fresher row with a
+    NULL phone must not erase the older row's phone.
+
+    Scale shape: ONE hash aggregate of ``max_by(attr, order WHERE attr
+    IS NOT NULL)`` per attribute — map-side combinable, no window sort
+    over the entity's history, no self-join.  ``max_by`` ignores rows
+    whose ordering key is NULL, so the null-skip is expressed by
+    nulling the KEY (the DuckDB twin is ``arg_max``, which has the
+    same null-key semantics).  Also returns ``n_versions`` and the
+    latest order value for lineage.
+    """
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    aggs = [
+        F.max_by(
+            F.col(a), F.when(F.col(a).isNotNull(), oc)
+        ).alias(a)
+        for a in attr_cols
+    ]
+    return df.groupBy(entity_col).agg(
+        *aggs,
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(oc).alias("last_order_key"),
+    )

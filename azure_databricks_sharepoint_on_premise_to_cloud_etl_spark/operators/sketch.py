@@ -114,3 +114,94 @@ def cms_estimate(
         .groupBy(*out_cols)
         .agg(F.min(F.coalesce(F.col("__scell"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007): cardinality estimation
+# whose every intermediate — bucket maxima, dyadic harmonic sum,
+# estimate — is reproducible in the DuckDB oracle, unlike the engine-
+# native approx_count_distinct sketches (engine-specific by
+# construction; see q_corpus_cardinality's docstring).
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 = 4096 buckets, ~1.6% standard error
+_HLL_RHO_CAP = 40  # see hll_cardinality determinism note
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = HLL_P,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group, deterministic
+    cross-engine — returns ``(group..., hll_estimate, buckets_used)``.
+
+    Sketch shape (the 100 TB path): one ``xxhash64`` per row, then ONE
+    hash aggregate ``max(rho) GROUP BY (group, bucket)`` whose shuffle
+    carries at most ``2^p`` rows per group regardless of key
+    cardinality, then a ``2^p``-bounded per-group collapse.  Contrast
+    with exact ``count_distinct``, which shuffles every distinct key.
+
+    Determinism (what makes this ORACLE-VERIFIABLE, not just tested
+    for relative error):
+
+    - bucket = low ``p`` bits of xxhash64; rho = position of the first
+      1-bit of the REMAINING 64-p bits, computed as
+      ``(64-p) - length(bin(w)) + 1`` — a STRING length, not a float
+      log, so it is exact in both engines;
+    - rho is capped at ``_HLL_RHO_CAP`` = 40: every ``2^-rho`` term is
+      then a dyadic rational with denominator ≤ 2^40 and the harmonic
+      sum of ≤ 2^p such terms stays below 2^13, so every partial sum
+      is exactly representable in a double and the sum is ASSOCIATION-
+      INVARIANT — Spark's partial aggregation and DuckDB's sequential
+      scan produce bit-identical sums.  The cap's bias is absurdly
+      below the sketch's own error (it binds with probability
+      ~2^-40 per bucket);
+    - empty buckets contribute 2^0 = 1 each (m - buckets_used added
+      driver-free as a column expression);
+    - the final estimate applies the standard alpha_m bias correction
+      and the small-range linear-counting switch, and rounds to 4
+      decimals — the one float op (a log in linear counting) sits far
+      inside the rounding step.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    groups = list(group_cols or [])
+    # hash the STRING form: xxhash64 of a native long hashes its
+    # little-endian bytes, which the oracle's spark_xxhash64 UDF
+    # (string-input) cannot reproduce
+    h = F.xxhash64(F.col(key_col).cast("string"))
+    bucket = F.pmod(h, F.lit(m)).cast("int")
+    # logical right shift by p: pmod(h, 2^64) is unavailable on signed
+    # longs — use shiftrightunsigned, exact on the two's-complement
+    # bit pattern (DuckDB twin: CAST to UBIGINT then >> p)
+    w = F.shiftrightunsigned(h, p)
+    rho = F.when(
+        w > 0, F.lit(64 - p) - F.length(F.bin(w)) + F.lit(1)
+    ).otherwise(F.lit(64 - p + 1))
+    rho = F.least(rho, F.lit(_HLL_RHO_CAP)).cast("int")
+    per_bucket = (
+        df.select(*groups, bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(*groups, "__b")
+        .agg(F.max("__rho").alias("__mr"))
+    )
+    collapsed = per_bucket.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__mr"))).alias("__hsum"),
+        F.count(F.lit(1)).alias("buckets_used"),
+    )
+    # empty buckets: add (m - used) * 2^0
+    hsum = F.col("__hsum") + (F.lit(m) - F.col("buckets_used"))
+    raw = F.lit(alpha * m * m) / hsum
+    zeros = F.lit(m) - F.col("buckets_used")
+    # small-range correction: linear counting when E <= 2.5m and
+    # some bucket is still empty
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return collapsed.select(
+        *groups,
+        F.round(est, 4).alias("hll_estimate"),
+        "buckets_used",
+    )

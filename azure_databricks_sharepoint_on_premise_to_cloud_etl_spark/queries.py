@@ -12658,3 +12658,161 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate per event type,
+    side-by-side with the exact count — verified stages:
+    operators/sketch.py hll_cardinality (string-length rho, capped
+    dyadic harmonic sum ⇒ association-invariant ⇒ the SKETCH VALUES
+    themselves are oracle-verified, unlike engine-native
+    approx_count_distinct which is only error-band tested; see
+    q_corpus_cardinality)."""
+    from .operators import sketch
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    est = sketch.hll_cardinality(e, "user_id", ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "hll_estimate",
+        "buckets_used",
+        "n_exact",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+ORACLE_HLL_DISTINCT = """
+WITH h AS (
+    SELECT event_type,
+           spark_xxhash64(CAST(user_id AS VARCHAR)) AS hv
+    FROM events
+),
+rb AS (
+    SELECT event_type,
+           ((hv % 4096) + 4096) % 4096 AS b,
+           (hv >> 12) & ((1::BIGINT << 52) - 1) AS w
+    FROM h
+),
+rho AS (
+    SELECT event_type, b,
+           least(CASE WHEN w > 0 THEN 52 - length(bin(w)) + 1
+                      ELSE 53 END, 40) AS r
+    FROM rb
+),
+mx AS (
+    SELECT event_type, b, max(r) AS mr FROM rho GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           sum(pow(2.0, -mr)) AS hsum,
+           count(*) AS buckets_used
+    FROM mx GROUP BY 1
+),
+est AS (
+    SELECT event_type, buckets_used,
+           12098218.894406674
+               / (hsum + (4096 - buckets_used)) AS raw,
+           4096 - buckets_used AS zeros
+    FROM agg
+),
+fin AS (
+    SELECT event_type, buckets_used,
+           round(CASE WHEN raw <= 10240.0 AND zeros > 0
+                      THEN 4096.0 * ln(4096.0 / zeros)
+                      ELSE raw END, 4) AS hll_estimate
+    FROM est
+),
+ex AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY 1
+)
+SELECT f.event_type, f.hll_estimate, f.buckets_used, ex.n_exact,
+       round(abs(f.hll_estimate - ex.n_exact) * 1.0 / ex.n_exact, 4)
+           AS rel_error
+FROM fin f JOIN ex USING (event_type)
+"""
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship merge over each customer's order
+    history (MDM golden record): every attribute independently takes
+    the LATEST NON-NULL value — a fresher row with a missing field
+    must not erase an older row's value, the per-field refinement of
+    top-1 survivorship.  NULLs are planted deterministically
+    (status hidden on orderkey % 3 = 0, priority on % 5 = 0) so the
+    field-independence is actually exercised.  Verified stages:
+    operators/scd.py golden_record (one max_by aggregate per field on
+    a unique epoch-day*1e10+orderkey key — no window sort, no
+    self-join)."""
+    from .operators.scd import golden_record
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    masked = o.select(
+        "o_custkey",
+        (
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+            * F.lit(10_000_000_000).cast("long")
+            + F.col("o_orderkey")
+        ).alias("__ord"),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(
+            F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority")
+        ).alias("o_orderpriority"),
+    )
+    return golden_record(
+        masked, "o_custkey", "__ord", ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+ORACLE_GOLDEN_RECORD = """
+WITH masked AS (
+    SELECT o_custkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               * 10000000000 + o_orderkey AS ord,
+           CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus END
+               AS o_orderstatus,
+           CASE WHEN o_orderkey % 5 <> 0 THEN o_orderpriority END
+               AS o_orderpriority
+    FROM orders
+)
+SELECT o_custkey,
+       arg_max(o_orderstatus,
+               CASE WHEN o_orderstatus IS NOT NULL THEN ord END)
+           AS o_orderstatus,
+       arg_max(o_orderpriority,
+               CASE WHEN o_orderpriority IS NOT NULL THEN ord END)
+           AS o_orderpriority,
+       count(*) AS n_versions,
+       max(ord) AS last_order_key
+FROM masked
+GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "hll_distinct": q_hll_distinct,
+        "golden_record": q_golden_record,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "hll_distinct": ORACLE_HLL_DISTINCT,
+        "golden_record": ORACLE_GOLDEN_RECORD,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "negative_sampling",
     "rfm_segments_distributed",
     "sequence_gaps",
+    "hll_distinct",
+    "golden_record",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -302,6 +304,8 @@ TOTAL_EXCLUDED = {
     "negative_sampling",
     "rfm_segments_distributed",
     "sequence_gaps",
+    "hll_distinct",
+    "golden_record",
 }
 
 

@@ -179,3 +179,70 @@ def test_sequence_gaps_islands_hand_planted(spark):
     got = sorted((r["s"], r["e"], r["n"]) for r in out.collect())
     assert got == [(1, 3, 3), (7, 8, 2), (12, 12, 1)]
     release_components(ranked)
+
+
+# ----------------------------------------------------- portable HLL
+
+
+def test_hll_small_set_linear_counting_accurate(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import hll_cardinality
+
+    df = spark.createDataFrame([(i % 100,) for i in range(1000)], "k LONG")
+    r = hll_cardinality(df, "k").collect()[0]
+    # 100 distinct keys in 4096 buckets -> linear counting regime,
+    # relative error well under 5%
+    assert abs(r["hll_estimate"] - 100) / 100 < 0.05
+
+
+def test_hll_grouped_tracks_exact_within_sketch_error(spark):
+    from pyspark.sql import functions as F
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import hll_cardinality
+
+    # group a: 5000 distinct, group b: 500 distinct
+    rows = [("a", i) for i in range(5000)] + [("b", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g STRING, k LONG")
+    got = {r["g"]: r for r in hll_cardinality(df, "k", ["g"]).collect()}
+    assert abs(got["a"]["hll_estimate"] - 5000) / 5000 < 0.06
+    assert abs(got["b"]["hll_estimate"] - 500) / 500 < 0.06
+    assert got["a"]["buckets_used"] <= 4096
+
+
+def test_hll_deterministic_across_runs(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import hll_cardinality
+
+    df = spark.createDataFrame([(i * 7,) for i in range(3000)], "k LONG")
+    a = hll_cardinality(df, "k").collect()[0]["hll_estimate"]
+    b = hll_cardinality(
+        df.repartition(7), "k"
+    ).collect()[0]["hll_estimate"]
+    # association-invariant harmonic sum: partitioning cannot move it
+    assert a == b
+
+
+# -------------------------------------------------- golden record
+
+
+def test_golden_record_field_level_survivorship(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.scd import golden_record
+
+    rows = [
+        # entity 1: freshest row (t=3) has NULL phone -> phone must
+        # survive from t=2; email updates at t=3
+        (1, 1, "a@x", "111"),
+        (1, 2, None, "222"),
+        (1, 3, "c@x", None),
+        # entity 2: phone never present -> NULL in the golden row
+        (2, 1, "z@x", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "ent LONG, ord LONG, email STRING, phone STRING"
+    )
+    got = {
+        r["ent"]: r
+        for r in golden_record(df, "ent", "ord", ["email", "phone"]).collect()
+    }
+    assert got[1]["email"] == "c@x"
+    assert got[1]["phone"] == "222"  # NOT erased by the fresher NULL
+    assert got[1]["n_versions"] == 3
+    assert got[1]["last_order_key"] == 3
+    assert got[2]["phone"] is None

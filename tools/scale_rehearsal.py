@@ -346,6 +346,10 @@ HEAVY = [
     "negative_sampling",
     "rfm_segments_distributed",
     "sequence_gaps",
+    # portable HLL (one hash agg, shuffle bounded by 2^p per group)
+    # and the per-field survivorship aggregate (one max_by pass)
+    "hll_distinct",
+    "golden_record",
 ]
 
 ALL_TABLES = (
