@@ -127,3 +127,96 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, bits_log2: int = 16, hashes: int = 2
+) -> DataFrame:
+    """Build a Bloom-filter bitmap from a key column as ONE single-row
+    DataFrame holding a ``map<int, bigint>`` of 64-bit words.
+
+    Each key sets ``hashes`` bit positions (xxhash64 with distinct
+    seeds, pmod into ``2**bits_log2`` bits); positions aggregate into
+    words with ``bit_or`` so the whole build is one hash aggregate over
+    at most ``2**bits_log2 / 64`` word groups.  The result is tiny
+    (8 KiB of words at the default 65,536 bits) no matter how many
+    keys went in — safe to ``F.broadcast`` into any probe plan.
+    """
+    m = 1 << bits_log2
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
+                    for i in range(hashes)
+                ]
+            )
+        ).alias("__p")
+    )
+    words = pos.groupBy(
+        (F.col("__p") / 64).cast("int").alias("__w")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(__p % 64 as int))")).alias(
+            "__word"
+        )
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__w", "__word")))
+        ).alias("__bloom")
+    )
+
+
+def bloom_prefilter_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    bits_log2: int = 16,
+    hashes: int = 2,
+) -> DataFrame:
+    """EXACT semi-join of ``fact`` against ``dim_keys`` with an
+    explicit Bloom-filter prefilter — the manual form of Spark's
+    runtime row-group filter, exposed so the 100 TB plan can drop
+    non-matching fact rows BEFORE the exact join's shuffle.
+
+    Two stages:
+
+    1. **probe** — broadcast the ~8 KiB bitmap from
+       :func:`bloom_bitmap` and keep only fact rows whose ``hashes``
+       probe bits are all set.  False positives pass (by design);
+       false negatives are impossible, so no match is lost.
+    2. **verify** — exact ``left_semi`` join of the survivors against
+       the distinct dim keys.  Output is therefore EXACTLY the plain
+       semi-join result; the bloom stage only shrinks the shuffle.
+
+    At a 1 % dim-match rate the verify join shuffles ~1 % of the fact
+    (plus the false-positive tail ~ n*(1-e^-kn/m)^k) instead of all of
+    it — the difference between shuffling 100 TB and shuffling 1 TB.
+
+    Catalyst is free to reorder the two stages (the semi-join commutes
+    with the bitmap cross-join): when the dim side is small enough to
+    broadcast, it rightly runs the verify join first and the bloom
+    costs one broadcast no-op; the probe-first shape matters exactly
+    when the dim does NOT broadcast and the verify join must shuffle.
+    """
+    m = 1 << bits_log2
+    bitmap = bloom_bitmap(dim_keys, dim_key, bits_log2, hashes)
+    probed = fact.crossJoin(F.broadcast(bitmap))
+    cond = F.lit(True)
+    for i in range(hashes):
+        p = F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(m))
+        word = F.element_at(F.col("__bloom"), (p / 64).cast("int"))
+        bit = F.expr(
+            f"shiftleft(1L, cast(pmod(xxhash64({fact_key}, {i}), {m}) % 64 "
+            "as int))"
+        )
+        cond = cond & F.coalesce(
+            (word.bitwiseAND(bit) != 0), F.lit(False)
+        )
+    survivors = probed.filter(cond).drop("__bloom")
+    return survivors.join(
+        dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

@@ -724,3 +724,45 @@ def brown_double_smooth(
     ).withColumn(
         "forecast_next", F.col("sm_level") + F.col("sm_trend")
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown of the cumulative series of ``value_col`` per
+    group: build the running equity curve (cumulative sum in event
+    order), track its running peak, and report the deepest absolute
+    fall below that peak plus the relative form where the peak is
+    positive.
+
+    One window shuffle on ``group_cols`` serves all three running
+    expressions (cumsum, running max, drawdown) — Catalyst collapses
+    same-frame window functions into one Window node — then a hash
+    aggregate reduces each group to a single row.  Relative drawdown
+    is lazy-CASE-guarded on ``peak > 0`` (ANSI-safe: a non-positive
+    peak yields NULL, never DIVIDE_BY_ZERO).
+    """
+    run = Window.partitionBy(*group_cols).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(value_col).over(run)
+    curve = df.withColumn("__cum", cum).withColumn(
+        "__peak", F.max(F.col("__cum")).over(run)
+    )
+    dd = F.col("__peak") - F.col("__cum")
+    rel = F.when(F.col("__peak") > 0, dd / F.col("__peak"))
+    return (
+        curve.withColumn("__dd", dd)
+        .withColumn("__rel", rel)
+        .groupBy(*group_cols)
+        .agg(
+            F.round(F.max("__dd"), 6).alias("max_drawdown"),
+            F.round(F.max("__rel"), 6).alias("max_rel_drawdown"),
+            F.round(F.max("__peak"), 6).alias("peak_equity"),
+            F.round(F.sum(value_col), 6).alias("final_equity"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

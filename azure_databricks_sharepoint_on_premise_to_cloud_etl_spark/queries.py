@@ -12816,3 +12816,167 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter semi-join (operators/skew.py
+    bloom_prefilter_semi_join): revenue of lineitems whose order is
+    URGENT and > $150k.  The probe side is filtered by a broadcast
+    8 KiB Bloom bitmap (xxhash64 x2, 65,536 bits) BEFORE the exact
+    ``left_semi`` verify join — the explicit form of Spark's runtime
+    bloom filter, shrinking the verify join's shuffle to matches plus
+    the false-positive tail.  The bloom stage is output-invariant
+    (false positives die in the verify join; false negatives are
+    impossible), so the oracle is the plain semi-join aggregate."""
+    from .operators.skew import bloom_prefilter_semi_join
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    ).select("o_orderkey")
+    hits = bloom_prefilter_semi_join(li, dim, "l_orderkey", "o_orderkey")
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user max drawdown of the signed cash-flow curve
+    (operators/windows.py max_drawdown): purchases/signups credit the
+    curve, every other event debits it, ordered by (ts, event_id).
+    One window shuffle on user_id serves cumsum, running peak, and
+    drawdown; relative drawdown is lazy-CASE-guarded on peak > 0."""
+    from .operators.windows import max_drawdown
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    signed = e.withColumn(
+        "__flow",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        ).otherwise(-F.col("value")),
+    )
+    return max_drawdown(
+        signed, ["user_id"], ["ts", "event_id"], "__flow"
+    ).orderBy("user_id")
+
+
+ORACLE_MAX_DRAWDOWN = """
+WITH signed AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN value
+                ELSE -value END AS flow
+    FROM events
+),
+curve AS (
+    SELECT user_id, ts, event_id, flow,
+           sum(flow) OVER w AS cum
+    FROM signed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+peaks AS (
+    SELECT user_id, flow, cum,
+           max(cum) OVER w2 AS peak
+    FROM curve
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       round(max(peak - cum), 6) AS max_drawdown,
+       round(max(CASE WHEN peak > 0 THEN (peak - cum) / peak END), 6)
+           AS max_rel_drawdown,
+       round(max(peak), 6) AS peak_equity,
+       round(sum(flow), 6) AS final_equity,
+       count(*) AS n_points
+FROM peaks
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py salted_agg) on
+    the HOTTEST possible key distribution — events has only 5 event
+    types, each ~20 % of the table, exactly the shape where a single
+    reducer per key bottlenecks a 1000-executor groupBy.  Phase 1
+    partially aggregates on (key, salt x16); phase 2 reduces <=16
+    partial rows per key.  Salt choice cannot affect any
+    reassociatable aggregate, so the oracle is the plain GROUP BY."""
+    from .operators.skew import salted_agg
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_value": (F.sum("value"), F.sum("sum_value")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+ORACLE_SALTED_HOT_AGG = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "bloom_semi_join": q_bloom_semi_join,
+        "max_drawdown": q_max_drawdown,
+        "salted_hot_agg": q_salted_hot_agg,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "bloom_semi_join": ORACLE_BLOOM_SEMI_JOIN,
+        "max_drawdown": ORACLE_MAX_DRAWDOWN,
+        "salted_hot_agg": ORACLE_SALTED_HOT_AGG,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -184,6 +184,10 @@ BENCH_QUERIES = [
     "sequence_gaps",
     "hll_distinct",
     "golden_record",
+    # round-10 widening batch 3
+    "bloom_semi_join",
+    "max_drawdown",
+    "salted_hot_agg",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -306,6 +310,9 @@ TOTAL_EXCLUDED = {
     "sequence_gaps",
     "hll_distinct",
     "golden_record",
+    "bloom_semi_join",
+    "max_drawdown",
+    "salted_hot_agg",
 }
 
 

@@ -350,6 +350,13 @@ HEAVY = [
     # and the per-field survivorship aggregate (one max_by pass)
     "hll_distinct",
     "golden_record",
+    # round-10 widening batch 3: bloom probe is map-side (expect
+    # fact-linear with a constant 8 KiB broadcast); drawdown is one
+    # window shuffle on user_id (expect linear); salted agg is two
+    # bounded hash aggregates (expect linear, salt fan-out constant)
+    "bloom_semi_join",
+    "max_drawdown",
+    "salted_hot_agg",
 ]
 
 ALL_TABLES = (
