@@ -700,3 +700,89 @@ def mutual_topk_pairs(
         F.col("__s").alias("score_ab"),
         F.col("__s2").alias("score_ba"),
     )
+
+
+def _round_half_away(x: float, ndigits: int = 6) -> float:
+    """Sign-aware half-away-from-zero rounding — matches SQL round()
+    semantics (Python's built-in round is banker's and would diverge
+    from the DuckDB oracle on exact .5 boundaries)."""
+    import math
+
+    scale = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def pca_power_component(
+    cov_rows: list, d: int, iters: int = 30
+) -> tuple[list[float], float]:
+    """Dominant eigenvector + eigenvalue of a ROUNDED covariance
+    matrix via fixed-count power iteration on the driver.
+
+    The input is the (i, j, cov_pop) upper-triangle from
+    :func:`embedding_covariance` — d(d+1)/2 rows, a function of the
+    embedding DIMENSION only, constant in corpus size, so holding it
+    on the driver is bounded the same way the graph module's gated
+    union-find is.  Determinism discipline (what makes the result
+    oracle-verifiable in unrolled SQL):
+
+    - the matrix entries are already rounded to 6 decimals by the
+      covariance reduction, so both engines iterate on IDENTICAL
+      numbers;
+    - every iterate is re-rounded to 6 decimals after normalization,
+      so floating-point noise (~1e-15 per dot product) cannot
+      accumulate across iterations — the two engines walk the same
+      sequence except with ~1e-9 probability per entry per step;
+    - a FIXED iteration count (no convergence test) keeps the SQL
+      twin a mechanical unroll;
+    - the sign is canonicalized so the first nonzero loading is
+      positive.
+
+    Returns ``(loadings, eigenvalue)`` with the eigenvalue as the
+    Rayleigh quotient v'Cv of the final rounded iterate.
+    """
+    C = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        C[r["i"]][r["j"]] = C[r["j"]][r["i"]] = float(r["cov_pop"])
+    start = _round_half_away(1.0 / (d ** 0.5), 6)
+    v = [start] * d
+    for _ in range(iters):
+        w = [
+            sum(C[i][j] * v[j] for j in range(d)) for i in range(d)
+        ]
+        nrm = sum(x * x for x in w) ** 0.5
+        if nrm == 0.0:
+            break
+        v = [_round_half_away(x / nrm, 6) for x in w]
+    first = next((x for x in v if x != 0.0), 1.0)
+    if first < 0:
+        v = [-x for x in v]
+    lam = sum(
+        v[i] * sum(C[i][j] * v[j] for j in range(d)) for i in range(d)
+    )
+    return v, _round_half_away(lam, 6)
+
+
+def project_onto_component(
+    df: DataFrame,
+    loadings: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Distributed projection of every embedding onto a component
+    vector: the loadings broadcast as a literal array (64 doubles),
+    the dot product stays in whole-stage codegen via zip_with +
+    aggregate — no Python in the corpus path."""
+    vlit = F.array(*[F.lit(float(x)) for x in loadings])
+    score = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda e: e.cast("double")),
+            vlit,
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col), F.round(score, round_digits).alias("pc1_score")
+    )

@@ -165,37 +165,79 @@ def hll_cardinality(
       decimals — the one float op (a log in linear counting) sits far
       inside the rounding step.
     """
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    groups = list(group_cols or [])
     # hash the STRING form: xxhash64 of a native long hashes its
     # little-endian bytes, which the oracle's spark_xxhash64 UDF
-    # (string-input) cannot reproduce
+    # (string-input) cannot reproduce.  Logical right shift by p via
+    # shiftrightunsigned — exact on the two's-complement bit pattern
+    # (DuckDB twin: CAST to UBIGINT then >> p).  Empty buckets
+    # contribute 2^0 = 1 each inside the estimate collapse.
+    groups = list(group_cols or [])
+    return hll_estimate_from_buckets(
+        hll_buckets(df, key_col, groups, p), groups, p
+    )
+
+
+def hll_buckets(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-bucket HLL register table ``(group..., __b, __mr)`` — the
+    MERGEABLE form of :func:`hll_cardinality`'s sketch (same hash,
+    bucket, rho, and cap; see that docstring for the determinism
+    argument).  Register tables for different sets union-merge with
+    ``max(__mr)`` per bucket, which is exactly the sketch of the set
+    union — the basis for distributed set algebra over 100 TB inputs
+    where the exact distinct sets never co-locate.
+    """
+    m = 1 << p
+    groups = list(group_cols or [])
     h = F.xxhash64(F.col(key_col).cast("string"))
     bucket = F.pmod(h, F.lit(m)).cast("int")
-    # logical right shift by p: pmod(h, 2^64) is unavailable on signed
-    # longs — use shiftrightunsigned, exact on the two's-complement
-    # bit pattern (DuckDB twin: CAST to UBIGINT then >> p)
     w = F.shiftrightunsigned(h, p)
     rho = F.when(
         w > 0, F.lit(64 - p) - F.length(F.bin(w)) + F.lit(1)
     ).otherwise(F.lit(64 - p + 1))
     rho = F.least(rho, F.lit(_HLL_RHO_CAP)).cast("int")
-    per_bucket = (
+    return (
         df.select(*groups, bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*groups, "__b")
         .agg(F.max("__rho").alias("__mr"))
     )
-    collapsed = per_bucket.groupBy(*groups).agg(
+
+
+def hll_merge(*bucket_tables: DataFrame) -> DataFrame:
+    """Merge HLL register tables (same grouping schema) into the
+    sketch of the UNION of their underlying sets: unionAll + one
+    ``max`` re-aggregate per (group, bucket)."""
+    assert bucket_tables, "need at least one register table"
+    merged = bucket_tables[0]
+    for t in bucket_tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c != "__mr"]
+    return merged.groupBy(*keys).agg(F.max("__mr").alias("__mr"))
+
+
+def hll_estimate_from_buckets(
+    buckets: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Collapse a register table into ``(group..., hll_estimate,
+    buckets_used)`` — identical math to :func:`hll_cardinality`
+    (alpha_m bias correction + linear-counting switch, association-
+    invariant dyadic harmonic sum)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    groups = list(group_cols or [])
+    collapsed = buckets.groupBy(*groups).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__mr"))).alias("__hsum"),
         F.count(F.lit(1)).alias("buckets_used"),
     )
-    # empty buckets: add (m - used) * 2^0
     hsum = F.col("__hsum") + (F.lit(m) - F.col("buckets_used"))
     raw = F.lit(alpha * m * m) / hsum
     zeros = F.lit(m) - F.col("buckets_used")
-    # small-range correction: linear counting when E <= 2.5m and
-    # some bucket is still empty
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),

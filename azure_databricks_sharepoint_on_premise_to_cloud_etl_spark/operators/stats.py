@@ -2116,3 +2116,37 @@ def lorenz_deciles(
         tiled, "_persisted_intermediates", []
     )
     return out
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    n_bins: int = 100,
+) -> DataFrame:
+    """Rank-based quantile normalization across groups (the batch-
+    effect corrector: force every group's value distribution onto the
+    pooled one).  Each row is assigned its within-group ntile, and the
+    normalized value is the POOLED mean of ``value_col`` in that
+    ntile across all groups.
+
+    Scale shape: ONE window shuffle on ``group_col`` for the ntile
+    (ties broken by ``id_cols`` so both engines rank identically),
+    then the bin-target table is ``n_bins`` rows — broadcast back, no
+    second corpus shuffle.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), *[F.col(c) for c in id_cols]
+    )
+    binned = df.withColumn("__q", F.ntile(n_bins).over(w))
+    targets = binned.groupBy("__q").agg(
+        F.round(F.avg(value_col), 6).alias("normalized")
+    )
+    return binned.join(F.broadcast(targets), "__q").select(
+        *id_cols,
+        group_col,
+        F.col(value_col),
+        F.col("__q").alias("qbin"),
+        "normalized",
+    )

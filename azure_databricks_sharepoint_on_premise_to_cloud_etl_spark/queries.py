@@ -12980,3 +12980,281 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 widening batch 4: HLL set algebra, quantile normalization,
+# oracle-verified PCA power iteration
+# ---------------------------------------------------------------------------
+
+_HLL_ALG_A = "purchase"
+_HLL_ALG_B = "signup"
+_HLL_ALG_MIN = 150.0
+
+
+def q_hll_audience_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed set algebra on mergeable HLL register tables
+    (operators/sketch.py hll_buckets/hll_merge): audience A = users
+    who purchase, B = users who view; union = ONE max-merge of the
+    two register tables (never the raw user sets), intersection by
+    inclusion-exclusion on the three estimates, all side-by-side with
+    the exact counts.  At 100 TB the exact intersection requires
+    co-locating both distinct sets; the sketch path ships 2^p
+    registers per set.  Every estimate is value-verified in the
+    oracle because the portable sketch is cross-engine deterministic
+    (see hll_cardinality)."""
+    from .operators import sketch
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    pred_a = (F.col("event_type") == _HLL_ALG_A) & (
+        F.col("value") > _HLL_ALG_MIN
+    )
+    pred_b = (F.col("event_type") == _HLL_ALG_B) & (
+        F.col("value") > _HLL_ALG_MIN
+    )
+    a = sketch.hll_buckets(e.filter(pred_a), "user_id")
+    b = sketch.hll_buckets(e.filter(pred_b), "user_id")
+    u = sketch.hll_merge(a, b)
+    est_a = sketch.hll_estimate_from_buckets(a).select(
+        F.col("hll_estimate").alias("est_a")
+    )
+    est_b = sketch.hll_estimate_from_buckets(b).select(
+        F.col("hll_estimate").alias("est_b")
+    )
+    est_u = sketch.hll_estimate_from_buckets(u).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    flags = e.groupBy("user_id").agg(
+        F.max(pred_a.cast("int")).alias("pa"),
+        F.max(pred_b.cast("int")).alias("pb"),
+    )
+    exact = flags.agg(
+        F.sum("pa").alias("exact_a"),
+        F.sum("pb").alias("exact_b"),
+        F.sum(F.greatest("pa", "pb")).alias("exact_union"),
+        F.sum(F.col("pa") * F.col("pb")).alias("exact_intersect"),
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersect"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersect",
+        )
+    )
+
+
+def _hll_scalar_sql(where: str) -> str:
+    """One scalar HLL estimate (p=12 portable sketch) over
+    ``events.user_id`` rows matching ``where`` — the set-algebra twin
+    of ORACLE_HLL_DISTINCT's grouped form."""
+    return f"""(
+WITH h AS (
+    SELECT spark_xxhash64(CAST(user_id AS VARCHAR)) AS hv
+    FROM events WHERE {where}
+),
+rb AS (
+    SELECT ((hv % 4096) + 4096) % 4096 AS b,
+           (hv >> 12) & ((1::BIGINT << 52) - 1) AS w
+    FROM h
+),
+mx AS (
+    SELECT b,
+           max(least(CASE WHEN w > 0 THEN 52 - length(bin(w)) + 1
+                          ELSE 53 END, 40)) AS mr
+    FROM rb GROUP BY 1
+),
+agg AS (
+    SELECT sum(pow(2.0, -mr)) AS hsum, count(*) AS bu FROM mx
+),
+est AS (
+    SELECT bu, 12098218.894406674 / (hsum + (4096 - bu)) AS raw,
+           4096 - bu AS zeros
+    FROM agg
+)
+SELECT round(CASE WHEN raw <= 10240.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros)
+                  ELSE raw END, 4)
+FROM est
+)"""
+
+
+_SQL_PRED_A = "event_type = 'purchase' AND value > 150.0"
+_SQL_PRED_B = "event_type = 'signup' AND value > 150.0"
+
+ORACLE_HLL_AUDIENCE_ALGEBRA = f"""
+WITH ea AS (SELECT {_hll_scalar_sql(_SQL_PRED_A)} AS est_a),
+eb AS (SELECT {_hll_scalar_sql(_SQL_PRED_B)} AS est_b),
+eu AS (SELECT {_hll_scalar_sql(f"({_SQL_PRED_A}) OR ({_SQL_PRED_B})")}
+           AS est_union),
+flags AS (
+    SELECT user_id,
+           max(CASE WHEN {_SQL_PRED_A} THEN 1 ELSE 0 END) AS pa,
+           max(CASE WHEN {_SQL_PRED_B} THEN 1 ELSE 0 END) AS pb
+    FROM events GROUP BY 1
+),
+exact AS (
+    SELECT sum(pa) AS exact_a, sum(pb) AS exact_b,
+           sum(greatest(pa, pb)) AS exact_union,
+           sum(pa * pb) AS exact_intersect
+    FROM flags
+)
+SELECT est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 4) AS est_intersect,
+       exact_a, exact_b, exact_union, exact_intersect
+FROM ea, eb, eu, exact
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization (operators/stats.py
+    quantile_normalize): every source's document-length distribution
+    is forced onto the pooled one — the batch-effect corrector for
+    mixing corpora whose quality/length scales differ.  One window
+    shuffle for the per-source ntile, then a 100-row broadcast
+    remap."""
+    from .operators.stats import quantile_normalize
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"))
+    return quantile_normalize(
+        docs, "source", "n_chars", ["doc_id"], n_bins=100
+    ).orderBy("doc_id")
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH binned AS (
+    SELECT doc_id, source, n_chars,
+           ntile(100) OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS qbin
+    FROM documents
+),
+targets AS (
+    SELECT qbin, round(avg(n_chars), 6) AS normalized
+    FROM binned GROUP BY 1
+)
+SELECT b.doc_id, b.source, b.n_chars, b.qbin, t.normalized
+FROM binned b JOIN targets t USING (qbin)
+ORDER BY b.doc_id
+"""
+
+
+_PCA_ITERS = 30
+_PCA_TOPK = 10
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus, fully
+    oracle-verified: the DISTRIBUTED stage is the d(d+1)/2-bounded
+    covariance reduction (embedding_covariance) plus the projection
+    scan; the d×d power iteration runs on the driver over the ROUNDED
+    covariance (2,080 rows — a function of the embedding DIMENSION,
+    constant in corpus size, the same boundedness argument as the
+    graph module's gated union-find).  Because every iterate is
+    re-rounded to 6 decimals, the unrolled-SQL oracle walks the
+    identical sequence — the eigenvector VALUES are verified, not
+    just sanity-checked.  Returns the top-10 documents by |PC1
+    score| with the Rayleigh-quotient eigenvalue."""
+    from .operators import similarity as sim
+
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    cov_rows = sim.embedding_covariance(e.select("embedding")).collect()
+    d = 1 + max(r["j"] for r in cov_rows)
+    v, lam = sim.pca_power_component(cov_rows, d, _PCA_ITERS)
+    proj = sim.project_onto_component(e, v)
+    return (
+        proj.select(
+            "vec_id", "pc1_score", F.lit(lam).alias("eigenvalue")
+        )
+        .orderBy(F.abs(F.col("pc1_score")).desc(), "vec_id")
+        .limit(_PCA_TOPK)
+    )
+
+
+def _pca_oracle(d: int = 64, iters: int = _PCA_ITERS) -> str:
+    start = "round(1.0 / sqrt({d}.0), 6)".format(d=d)
+    parts = [
+        """
+WITH x AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+tri AS MATERIALIZED (
+    SELECT a.i AS i, b.i AS j,
+           round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) + 0.0 AS c
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY 1, 2
+),
+cov AS MATERIALIZED (
+    SELECT i, j, c FROM tri
+    UNION ALL
+    SELECT j AS i, i AS j, c FROM tri WHERE i <> j
+),
+it0 AS MATERIALIZED (
+    SELECT DISTINCT i, {start} AS v FROM cov
+)""".format(start=start)
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            """,
+w{k} AS MATERIALIZED (
+    SELECT c.i AS i, sum(c.c * p.v) AS w
+    FROM cov c JOIN it{prev} p ON c.j = p.i GROUP BY 1
+),
+n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
+it{k} AS MATERIALIZED (SELECT i, round(w / nrm, 6) AS v FROM w{k}, n{k})""".format(
+                k=k, prev=k - 1
+            )
+        )
+    parts.append(
+        """,
+sgn AS MATERIALIZED (
+    SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM it{n} WHERE v <> 0 ORDER BY i LIMIT 1
+),
+vec AS MATERIALIZED (SELECT i, v * s AS v FROM it{n}, sgn),
+lam AS (
+    SELECT round(sum(a.v * c.c * b.v), 6) AS eigenvalue
+    FROM cov c JOIN vec a ON c.i = a.i JOIN vec b ON c.j = b.i
+),
+proj AS (
+    SELECT x.vec_id, round(sum(x.v * vec.v), 4) AS pc1_score
+    FROM x JOIN vec ON x.i = vec.i GROUP BY 1
+)
+SELECT p.vec_id, p.pc1_score, l.eigenvalue
+FROM proj p, lam l
+ORDER BY abs(p.pc1_score) DESC, p.vec_id
+LIMIT {topk}""".format(n=iters, topk=_PCA_TOPK)
+    )
+    return "".join(parts)
+
+
+AUX_QUERIES.update(
+    {
+        "hll_audience_algebra": q_hll_audience_algebra,
+        "quantile_normalize": q_quantile_normalize,
+        "pca_top_component": q_pca_top_component,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "hll_audience_algebra": ORACLE_HLL_AUDIENCE_ALGEBRA,
+        "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+        "pca_top_component": _pca_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -188,6 +188,10 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "max_drawdown",
     "salted_hot_agg",
+    # round-10 widening batch 4
+    "hll_audience_algebra",
+    "quantile_normalize",
+    "pca_top_component",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -313,6 +317,9 @@ TOTAL_EXCLUDED = {
     "bloom_semi_join",
     "max_drawdown",
     "salted_hot_agg",
+    "hll_audience_algebra",
+    "quantile_normalize",
+    "pca_top_component",
 }
 
 

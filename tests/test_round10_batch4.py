@@ -1,0 +1,138 @@
+"""Planted-fixture tests for round-10 widening batch 4: mergeable HLL
+set algebra, rank-based quantile normalization, and the oracle-
+deterministic PCA power iteration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.similarity import (
+    _round_half_away,
+    pca_power_component,
+    project_onto_component,
+)
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import (
+    hll_buckets,
+    hll_cardinality,
+    hll_estimate_from_buckets,
+    hll_merge,
+)
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import quantile_normalize
+
+
+# ------------------------------------------------------- hll algebra
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    a = spark.createDataFrame([(i,) for i in range(500)], "k BIGINT")
+    b = spark.createDataFrame(
+        [(i,) for i in range(300, 900)], "k BIGINT"
+    )
+    union = a.unionByName(b)
+    merged = hll_merge(hll_buckets(a, "k"), hll_buckets(b, "k"))
+    est_merged = hll_estimate_from_buckets(merged).collect()[0]
+    est_direct = hll_cardinality(union, "k").collect()[0]
+    # merging register tables must be EXACTLY the union's sketch
+    assert est_merged["hll_estimate"] == est_direct["hll_estimate"]
+    assert est_merged["buckets_used"] == est_direct["buckets_used"]
+
+
+def test_hll_inclusion_exclusion_tracks_true_overlap(spark):
+    a = spark.createDataFrame([(i,) for i in range(1000)], "k BIGINT")
+    b = spark.createDataFrame(
+        [(i,) for i in range(600, 1600)], "k BIGINT"
+    )
+    ea = hll_estimate_from_buckets(hll_buckets(a, "k")).collect()[0][0]
+    eb = hll_estimate_from_buckets(hll_buckets(b, "k")).collect()[0][0]
+    eu = hll_estimate_from_buckets(
+        hll_merge(hll_buckets(a, "k"), hll_buckets(b, "k"))
+    ).collect()[0][0]
+    inter = ea + eb - eu
+    # true intersection is 400; p=12 linear-counting regime is ~1-2%
+    assert inter == pytest.approx(400, rel=0.15)
+
+
+def test_hll_cardinality_unchanged_by_refactor(spark):
+    # the delegating hll_cardinality must equal composing the stages
+    df = spark.createDataFrame([(i % 700,) for i in range(5000)], "k BIGINT")
+    via_stages = hll_estimate_from_buckets(hll_buckets(df, "k")).collect()[0]
+    direct = hll_cardinality(df, "k").collect()[0]
+    assert via_stages["hll_estimate"] == direct["hll_estimate"]
+
+
+# ------------------------------------------------ quantile normalize
+
+
+def test_quantile_normalize_identical_groups_are_fixed_point(spark):
+    # two groups with the SAME distribution: normalization must map
+    # each value to (v_groupA + v_groupB)/2 at the matching rank = v
+    rows = [(g, i, float(10 * i)) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
+    out = quantile_normalize(df, "g", "v", ["id"], n_bins=50).collect()
+    for r in out:
+        assert r["normalized"] == pytest.approx(r["v"])
+
+
+def test_quantile_normalize_forces_shifted_group_onto_pooled(spark):
+    # group b = group a + 1000: after normalization both groups share
+    # the pooled bin means (a's and b's values at the same rank avg)
+    rows = [("a", i, float(i)) for i in range(100)] + [
+        ("b", 100 + i, float(i + 1000)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, id INT, v DOUBLE")
+    out = quantile_normalize(df, "g", "v", ["id"], n_bins=100)
+    pairs = {
+        (r["g"], r["qbin"]): r["normalized"] for r in out.collect()
+    }
+    for qb in range(1, 101):
+        assert pairs[("a", qb)] == pairs[("b", qb)]
+        assert pairs[("a", qb)] == pytest.approx((qb - 1) + 500.0)
+
+
+# --------------------------------------------------------------- pca
+
+
+def _planted_cov(d=4):
+    # diagonal covariance with a dominant first dimension: the top
+    # eigenvector is e1 exactly
+    rows = []
+    for i in range(d):
+        for j in range(i, d):
+            c = 0.0
+            if i == j:
+                c = 5.0 if i == 0 else 1.0
+            rows.append({"i": i, "j": j, "cov_pop": c})
+    return rows
+
+
+def test_pca_power_component_recovers_planted_eigenvector():
+    v, lam = pca_power_component(_planted_cov(), 4, iters=30)
+    assert v[0] == pytest.approx(1.0, abs=1e-5)
+    for x in v[1:]:
+        assert abs(x) < 1e-4
+    assert lam == pytest.approx(5.0, abs=1e-3)
+
+
+def test_pca_sign_canonicalized_first_loading_positive():
+    v, _ = pca_power_component(_planted_cov(), 4, iters=15)
+    first = next(x for x in v if x != 0.0)
+    assert first > 0
+
+
+def test_round_half_away_matches_sql_semantics():
+    assert _round_half_away(0.0000005, 6) == 0.000001
+    assert _round_half_away(-0.0000005, 6) == -0.000001
+    assert _round_half_away(0.1234564, 6) == 0.123456
+    assert _round_half_away(0.1234565, 6) == 0.123457
+
+
+def test_project_onto_component_is_plain_dot_product(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [0.5, 4.0, -1.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["vec_id"]: r["pc1_score"]
+        for r in project_onto_component(df, [2.0, 1.0, 0.5]).collect()
+    }
+    assert got[1] == pytest.approx(3.0)
+    assert got[2] == pytest.approx(4.5)

@@ -41,17 +41,34 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("aux-correctness")
 
-    con = duckdb.connect()
+    # raise the FD soft limit to its hard cap: a long full-registry
+    # run co-hosting the Spark driver once exhausted the default soft
+    # limit and failed a DuckDB parquet open mid-suite
+    try:
+        import resource
+
+        _soft, _hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        resource.setrlimit(resource.RLIMIT_NOFILE, (_hard, _hard))
+    except Exception:  # noqa: BLE001 — best-effort
+        pass
+
     # Spark-compatible xxhash64 for the fast-MinHash oracle (DuckDB
     # has no native xxhash64; see tools/xxh64_oracle.py)
     from xxh64_oracle import register as register_xxh64
 
-    register_xxh64(con)
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def fresh_con():
+        c = duckdb.connect()
+        register_xxh64(c)
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return c
+
+    con = fresh_con()
 
     out: dict[str, dict] = {}
     failures = []
@@ -93,7 +110,16 @@ def main() -> int:
             out[name] = rec
             continue
         try:
-            res = con.execute(q.AUX_ORACLES[name])
+            try:
+                res = con.execute(q.AUX_ORACLES[name])
+            except Exception as e:  # noqa: BLE001
+                if "Too many open files" not in str(e):
+                    raise
+                # transient FD pressure: drop every cached handle and
+                # retry once on a fresh connection
+                con.close()
+                con = fresh_con()
+                res = con.execute(q.AUX_ORACLES[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
             rec["oracle_rows"] = len(drows)

@@ -357,6 +357,13 @@ HEAVY = [
     "bloom_semi_join",
     "max_drawdown",
     "salted_hot_agg",
+    # round-10 widening batch 4: register tables are 2^p-bounded per
+    # set (expect flat collapse over a linear scan); ntile window is
+    # one shuffle (expect linear); the PCA covariance reduction is
+    # d(d+1)/2-bounded (expect linear scan, constant driver solve)
+    "hll_audience_algebra",
+    "quantile_normalize",
+    "pca_top_component",
 ]
 
 ALL_TABLES = (
