@@ -136,3 +136,41 @@ def test_project_onto_component_is_plain_dot_product(spark):
     }
     assert got[1] == pytest.approx(3.0)
     assert got[2] == pytest.approx(4.5)
+
+
+def test_streaming_hll_maintenance_equals_batch(spark, tmp_path):
+    """Production distinct-count maintenance: each micro-batch writes
+    its own HLL register rows (foreachBatch); the per-bucket max of
+    the appended registers must equal the sketch built over the whole
+    table in one pass — the mergeability contract through real
+    Structured Streaming, the HLL twin of the CMS maintenance test."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark import queries as q
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sketch_batch(batch_df, _bid):
+        hll_buckets(batch_df, "user_id").write.mode("append").parquet(out)
+
+    events, _ = q._stream_events(spark, sf_dir)
+    stream = (
+        events.select("user_id")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sketch_batch)
+        .start()
+    )
+    stream.awaitTermination()
+
+    appended = spark.read.parquet(out).groupBy("__b").agg(
+        F.max("__mr").alias("__mr")
+    )
+    est_stream = hll_estimate_from_buckets(appended).collect()[0]
+
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.sources.registry import load_table
+
+    whole = load_table(spark, sf_dir, "events")
+    est_batch = hll_cardinality(whole, "user_id").collect()[0]
+    assert est_stream["hll_estimate"] == est_batch["hll_estimate"]
+    assert est_stream["buckets_used"] == est_batch["buckets_used"]
