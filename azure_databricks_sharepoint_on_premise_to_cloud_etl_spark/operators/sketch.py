@@ -247,3 +247,79 @@ def hll_estimate_from_buckets(
         F.round(est, 4).alias("hll_estimate"),
         "buckets_used",
     )
+
+
+def countsketch_cells(
+    term_counts: DataFrame,
+    term_col: str = "term",
+    count_col: str = "cnt",
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """AMS/Count-Sketch cells from a (term, count) frequency table:
+    ``cell[r][b] = sum of sign_r(term) * count`` over terms hashing to
+    bucket ``b`` in row ``r`` (bucket hash shared with the CMS
+    ``_bucket``; sign is the parity of an independently-prefixed
+    xxhash64, mapped to ±1).
+
+    Unlike count-min the cells carry SIGNS, which makes the inner
+    product of two sketches an UNBIASED estimator of the join size
+    Σ_k f_A(k)·f_B(k) (Alon–Matias–Szegedy) instead of an upper
+    bound.  Every cell is an integer — cross-engine exact, so the
+    DuckDB twin verifies the estimator's VALUES.  Same scale shape as
+    cms_cells: vocabulary-sized explode, ≤ depth×width rows out.
+    """
+    rows = []
+    for r in range(depth):
+        sign = (
+            F.pmod(
+                F.xxhash64(
+                    F.concat(F.lit(f"s{r}#"), F.col(term_col))
+                ),
+                F.lit(2),
+            )
+            * 2
+            - 1
+        )
+        rows.append(
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(F.col(term_col), r, width).alias("bucket"),
+                (sign * F.col(count_col)).alias("signed"),
+            )
+        )
+    return (
+        term_counts.select(F.explode(F.array(*rows)).alias("__rb"))
+        .groupBy(
+            F.col("__rb.row").alias("row"),
+            F.col("__rb.bucket").alias("bucket"),
+        )
+        .agg(F.sum("__rb.signed").alias("cell"))
+    )
+
+
+def countsketch_inner_product(
+    cells_a: DataFrame, cells_b: DataFrame, depth: int = 5
+) -> DataFrame:
+    """Join-size estimate from two Count-Sketch cell tables built with
+    the SAME depth/width: per-row inner product Σ_b cellA·cellB, then
+    the exact median across the (odd) depth rows — one single-row
+    DataFrame ``join_size_est``.
+
+    The per-row products where either side is absent contribute 0, so
+    the inner equi-join on (row, bucket) loses nothing; the median of
+    an odd count of integer estimates is an integer, association-free
+    and therefore oracle-exact.
+    """
+    assert depth % 2 == 1, "odd depth gives an exact median element"
+    per_row = (
+        cells_a.alias("a")
+        .join(cells_b.alias("b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cell") * F.col("b.cell")).alias("est"))
+    )
+    return per_row.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("est")), depth // 2 + 1
+        ).alias("join_size_est")
+    )

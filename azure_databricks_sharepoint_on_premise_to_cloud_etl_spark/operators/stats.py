@@ -2150,3 +2150,24 @@ def quantile_normalize(
         F.col("__q").alias("qbin"),
         "normalized",
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col,
+    k: int = 10,
+    l_min: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the k-anonymity extension that catches the
+    homogeneous-group leak: a quasi-identifier group can be large
+    enough (k) yet expose its members because every row shares one
+    sensitive value.  Returns the groups a release must suppress or
+    generalize: size below ``k`` OR fewer than ``l_min`` distinct
+    sensitive values.  One hash aggregate over the quasi columns.
+    """
+    g = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(sensitive_col).alias("l_distinct"),
+    )
+    return g.filter((F.col("n") < k) | (F.col("l_distinct") < l_min))

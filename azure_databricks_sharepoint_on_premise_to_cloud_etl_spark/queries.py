@@ -13258,3 +13258,166 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 widening batch 5: Count-Sketch join-size estimation and the
+# l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_CS_DEPTH = 5
+_CS_WIDTH = 2048
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation BEFORE running the join — the
+    planner question at 100 TB — via the AMS/Count-Sketch inner
+    product (operators/sketch.py countsketch_cells /
+    countsketch_inner_product): each side reduces to depth×width
+    signed integer cells, and the median-of-rows inner product is an
+    UNBIASED estimate of |lineitem ⋈ orders|.  Every cell and the
+    estimate are integers, so the DuckDB twin verifies the estimator's
+    VALUES, and the exact join count rides along for the error
+    column."""
+    from .operators import sketch
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    tf_l = li.groupBy(
+        F.col("l_orderkey").cast("string").alias("k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tf_o = o.groupBy(
+        F.col("o_orderkey").cast("string").alias("k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    est = sketch.countsketch_inner_product(
+        sketch.countsketch_cells(tf_l, "k", "cnt", _CS_DEPTH, _CS_WIDTH),
+        sketch.countsketch_cells(tf_o, "k", "cnt", _CS_DEPTH, _CS_WIDTH),
+        _CS_DEPTH,
+    )
+    exact = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "join_size_est",
+        "exact_join_size",
+        F.when(
+            F.col("exact_join_size") > 0,
+            F.round(
+                F.abs(F.col("join_size_est") - F.col("exact_join_size"))
+                / F.col("exact_join_size"),
+                4,
+            ),
+        ).alias("rel_error"),
+    )
+
+
+def _countsketch_cells_sql(tf_cte: str) -> str:
+    w, d = _CS_WIDTH, _CS_DEPTH
+    bucket = (
+        f"((spark_xxhash64(concat(CAST(r AS VARCHAR), '#', k)) % {w})"
+        f" + {w}) % {w}"
+    )
+    sign = (
+        "(2 * (((spark_xxhash64(concat('s', CAST(r AS VARCHAR), '#', k))"
+        " % 2) + 2) % 2) - 1)"
+    )
+    return (
+        f"SELECT r, {bucket} AS bucket, sum({sign} * cnt) AS cell "
+        f"FROM {tf_cte}, unnest(range(0, {d})) AS u(r) GROUP BY 1, 2"
+    )
+
+
+ORACLE_JOIN_SIZE_ESTIMATE = f"""
+WITH tfl AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cnt
+    FROM lineitem GROUP BY 1
+),
+tfo AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cnt
+    FROM orders GROUP BY 1
+),
+cl AS ({_countsketch_cells_sql("tfl")}),
+co AS ({_countsketch_cells_sql("tfo")}),
+per AS (
+    SELECT cl.r, sum(cl.cell * co.cell) AS est
+    FROM cl JOIN co ON cl.r = co.r AND cl.bucket = co.bucket
+    GROUP BY 1
+),
+med AS (
+    SELECT (list_sort(list(est)))[{_CS_DEPTH // 2 + 1}] AS join_size_est
+    FROM per
+),
+ex AS (
+    SELECT count(*) AS exact_join_size
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT m.join_size_est, e.exact_join_size,
+       CASE WHEN e.exact_join_size > 0 THEN
+           round(abs(m.join_size_est - e.exact_join_size) * 1.0
+                 / e.exact_join_size, 4)
+       END AS rel_error
+FROM med m, ex e
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/stats.py l_diversity_audit) of the
+    customer projection: quasi-identifier = nation × market segment,
+    sensitive attribute = the $2k account-balance band.  Flags groups
+    that are too small (k < 10) OR sensitively homogeneous
+    (l_distinct < 5) — the homogeneity leak k-anonymity alone
+    misses."""
+    from .operators import stats
+
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("int")
+    )
+    return stats.l_diversity_audit(
+        banded,
+        ["c_nationkey", "c_mktsegment"],
+        "bal_band",
+        k=10,
+        l_min=5,
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+ORACLE_L_DIVERSITY = """
+WITH banded AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS INTEGER) AS bal_band
+    FROM customer
+),
+g AS (
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS n,
+           count(DISTINCT bal_band) AS l_distinct
+    FROM banded GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, n, l_distinct
+FROM g
+WHERE n < 10 OR l_distinct < 5
+ORDER BY 1, 2
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "join_size_estimate": q_join_size_estimate,
+        "l_diversity": q_l_diversity,
+    }
+)
+
+AUX_ORACLES.update(
+    {
+        "join_size_estimate": ORACLE_JOIN_SIZE_ESTIMATE,
+        "l_diversity": ORACLE_L_DIVERSITY,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "hll_audience_algebra",
     "quantile_normalize",
     "pca_top_component",
+    # round-10 widening batch 5
+    "join_size_estimate",
+    "l_diversity",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -320,6 +323,8 @@ TOTAL_EXCLUDED = {
     "hll_audience_algebra",
     "quantile_normalize",
     "pca_top_component",
+    "join_size_estimate",
+    "l_diversity",
 }
 
 

@@ -174,3 +174,76 @@ def test_streaming_hll_maintenance_equals_batch(spark, tmp_path):
     est_batch = hll_cardinality(whole, "user_id").collect()[0]
     assert est_stream["hll_estimate"] == est_batch["hll_estimate"]
     assert est_stream["buckets_used"] == est_batch["buckets_used"]
+
+
+# ------------------------------------------- count-sketch join size
+
+
+def test_countsketch_exact_when_no_collisions(spark):
+    # 20 keys in a 4096-bucket sketch: with overwhelming probability
+    # no two keys share a bucket in any row, so every per-row inner
+    # product equals the true join size EXACTLY (signs square to +1)
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import (
+        countsketch_cells,
+        countsketch_inner_product,
+    )
+
+    a = spark.createDataFrame(
+        [(f"k{i}", i + 1) for i in range(20)], "k STRING, cnt BIGINT"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i}", 2) for i in range(20)], "k STRING, cnt BIGINT"
+    )
+    est = countsketch_inner_product(
+        countsketch_cells(a, "k", "cnt", depth=5, width=4096),
+        countsketch_cells(b, "k", "cnt", depth=5, width=4096),
+        depth=5,
+    ).collect()[0]["join_size_est"]
+    truth = sum((i + 1) * 2 for i in range(20))
+    assert est == truth
+
+
+def test_countsketch_estimate_tracks_real_join(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import (
+        countsketch_cells,
+        countsketch_inner_product,
+    )
+
+    # skewed frequencies, forced collisions (width 64) — the median
+    # over rows must stay within ~25% of the truth
+    a = spark.createDataFrame(
+        [(f"k{i}", (i % 7) + 1) for i in range(500)], "k STRING, cnt BIGINT"
+    )
+    est = countsketch_inner_product(
+        countsketch_cells(a, "k", "cnt", depth=5, width=64),
+        countsketch_cells(a, "k", "cnt", depth=5, width=64),
+        depth=5,
+    ).collect()[0]["join_size_est"]
+    truth = sum(((i % 7) + 1) ** 2 for i in range(500))
+    assert est == pytest.approx(truth, rel=0.25)
+
+
+# ------------------------------------------------------- l diversity
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import l_diversity_audit
+
+    rows = (
+        # big AND diverse: passes
+        [("ok", f"s{i % 5}") for i in range(20)]
+        # big but HOMOGENEOUS: k-anonymity passes it, l-diversity must not
+        + [("homog", "same") for _ in range(20)]
+        # small: fails on k
+        + [("tiny", f"s{i}") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "quasi STRING, sensitive STRING")
+    flagged = {
+        r["quasi"]: (r["n"], r["l_distinct"])
+        for r in l_diversity_audit(
+            df, ["quasi"], "sensitive", k=10, l_min=3
+        ).collect()
+    }
+    assert set(flagged) == {"homog", "tiny"}
+    assert flagged["homog"] == (20, 1)
+    assert flagged["tiny"] == (3, 3)

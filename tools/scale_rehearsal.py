@@ -364,6 +364,11 @@ HEAVY = [
     "hll_audience_algebra",
     "quantile_normalize",
     "pca_top_component",
+    # round-10 widening batch 5: both sides of the join-size sketch
+    # reduce to depth x width cells (expect scan-linear, flat
+    # collapse); l-diversity is one quasi-column hash aggregate
+    "join_size_estimate",
+    "l_diversity",
 ]
 
 ALL_TABLES = (
