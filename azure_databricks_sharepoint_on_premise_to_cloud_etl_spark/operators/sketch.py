@@ -306,17 +306,26 @@ def countsketch_inner_product(
     the exact median across the (odd) depth rows — one single-row
     DataFrame ``join_size_est``.
 
-    The per-row products where either side is absent contribute 0, so
-    the inner equi-join on (row, bucket) loses nothing; the median of
-    an odd count of integer estimates is an integer, association-free
-    and therefore oracle-exact.
+    The per-bucket products where either side is absent contribute 0,
+    so the inner equi-join on (row, bucket) loses nothing — but a row
+    whose sketches share NO bucket at all would vanish from the join
+    entirely (disjoint key sets), so the rows are re-anchored on a
+    0..depth-1 spine with 0-fill before taking the median.  The median
+    of an odd count of integer estimates is an integer,
+    association-free and therefore oracle-exact.
     """
     assert depth % 2 == 1, "odd depth gives an exact median element"
-    per_row = (
+    joined = (
         cells_a.alias("a")
         .join(cells_b.alias("b"), ["row", "bucket"])
         .groupBy("row")
         .agg(F.sum(F.col("a.cell") * F.col("b.cell")).alias("est"))
+    )
+    spine = cells_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    per_row = spine.join(joined, "row", "left").select(
+        F.coalesce(F.col("est"), F.lit(0)).alias("est")
     )
     return per_row.agg(
         F.element_at(

@@ -13345,9 +13345,15 @@ per AS (
     FROM cl JOIN co ON cl.r = co.r AND cl.bucket = co.bucket
     GROUP BY 1
 ),
+-- re-anchor on the row spine with 0-fill (a row whose sketches share
+-- no bucket vanishes from the join), matching the Spark twin
+per2 AS (
+    SELECT coalesce(p.est, 0) AS est
+    FROM unnest(range(0, {_CS_DEPTH})) AS u(r) LEFT JOIN per p ON u.r = p.r
+),
 med AS (
     SELECT (list_sort(list(est)))[{_CS_DEPTH // 2 + 1}] AS join_size_est
-    FROM per
+    FROM per2
 ),
 ex AS (
     SELECT count(*) AS exact_join_size

@@ -247,3 +247,120 @@ def test_l_diversity_flags_homogeneous_group(spark):
     assert set(flagged) == {"homog", "tiny"}
     assert flagged["homog"] == (20, 1)
     assert flagged["tiny"] == (3, 3)
+
+
+# ----------------------------------------------- property invariants
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=500), max_size=40),
+    st.sets(st.integers(min_value=0, max_value=500), max_size=15),
+)
+@settings(max_examples=5, deadline=None)
+def test_bloom_semi_join_equals_plain_for_arbitrary_sets(
+    spark, fact_keys, dim_keys
+):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.skew import (
+        bloom_prefilter_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(k,) for k in sorted(fact_keys)] or [(None,)], "k BIGINT"
+    )
+    dim = spark.createDataFrame(
+        [(k,) for k in sorted(dim_keys)] or [(None,)], "d BIGINT"
+    )
+    got = sorted(
+        r["k"]
+        for r in bloom_prefilter_semi_join(fact, dim, "k", "d").collect()
+    )
+    assert got == sorted(fact_keys & dim_keys)
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=9),
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=9),
+        max_size=12,
+    ),
+)
+@settings(max_examples=5, deadline=None)
+def test_countsketch_symmetry_and_linearity_exact(spark, fa, fb):
+    """ip(a,b) == ip(b,a) and ip(2a,b) == 2*ip(a,b) hold EXACTLY for
+    any frequency tables — collision structure cancels identically on
+    both sides, so these are integer identities, not approximations."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import (
+        countsketch_cells,
+        countsketch_inner_product,
+    )
+
+    if not fa or not fb:
+        return
+    a = spark.createDataFrame(list(fa.items()), "k STRING, cnt BIGINT")
+    b = spark.createDataFrame(list(fb.items()), "k STRING, cnt BIGINT")
+    a2 = spark.createDataFrame(
+        [(k, 2 * v) for k, v in fa.items()], "k STRING, cnt BIGINT"
+    )
+    ca = countsketch_cells(a, "k", "cnt", depth=3, width=64)
+    cb = countsketch_cells(b, "k", "cnt", depth=3, width=64)
+    ca2 = countsketch_cells(a2, "k", "cnt", depth=3, width=64)
+    ip = lambda x, y: countsketch_inner_product(x, y, 3).collect()[0][0]
+    ab = ip(ca, cb)
+    assert ip(cb, ca) == ab
+    assert ip(ca2, cb) == 2 * ab
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+)
+@settings(max_examples=5, deadline=None)
+def test_hll_merge_idempotent_and_commutative(spark, ka, kb):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.sketch import (
+        hll_buckets,
+        hll_estimate_from_buckets,
+        hll_merge,
+    )
+
+    a = hll_buckets(
+        spark.createDataFrame([(k,) for k in sorted(ka)], "k BIGINT"), "k"
+    )
+    b = hll_buckets(
+        spark.createDataFrame([(k,) for k in sorted(kb)], "k BIGINT"), "k"
+    )
+    est = lambda t: tuple(hll_estimate_from_buckets(t).collect()[0])
+    assert est(hll_merge(a, a)) == est(a)  # idempotent
+    assert est(hll_merge(a, b)) == est(hll_merge(b, a))  # commutative
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_max_drawdown_bounds_hold_for_any_series(spark, flows):
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.windows import max_drawdown
+
+    rows = [("g", i, float(v)) for i, v in enumerate(flows)]
+    df = spark.createDataFrame(rows, "g STRING, t INT, v DOUBLE")
+    r = max_drawdown(df, ["g"], ["t"], "v").collect()[0]
+    assert r["max_drawdown"] >= 0
+    # the drawdown at the final point is peak - final, so the max is
+    # at least that (6-decimal rounding slack)
+    assert (
+        r["max_drawdown"]
+        >= (r["peak_equity"] - r["final_equity"]) - 1e-5
+    )
