@@ -2171,3 +2171,478 @@ def l_diversity_audit(
         F.count_distinct(sensitive_col).alias("l_distinct"),
     )
     return g.filter((F.col("n") < k) | (F.col("l_distinct") < l_min))
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Spearman rank correlation of two measures within each group —
+    the monotonic-association check (does y rise with x at all, not
+    just linearly) run per segment before trusting a Pearson number
+    on skewed business measures.  Average-rank tie handling, the
+    standard Spearman-with-ties definition (Pearson correlation of
+    the average ranks).
+
+    Scale shape: each axis collapses to (group, value, tie-count)
+    buckets — hash aggregates with map-side partials, shuffle volume
+    = per-group distinct values, never rows — then a window
+    PARTITIONED BY GROUP over the collapsed buckets yields average
+    ranks (sort size = per-group value cardinality), and two joins on
+    (group, value) put both ranks back on the rows.  Ranks are
+    multiples of 0.5, carried as doubled-rank integers and summed as
+    DECIMAL(38,0), so every moment is exact until the one final
+    division — any engine lands on the identical 6-dp value.
+
+    Returns one row per group: (group, n, rho).
+    """
+    g = F.col(group_col)
+    base = (
+        df.filter(
+            g.isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            g.alias("__g"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+        )
+    )
+
+    def _ranks(col: str, out: str) -> DataFrame:
+        buckets = base.groupBy("__g", col).agg(
+            F.count(F.lit(1)).alias("__t")
+        )
+        w = (
+            Window.partitionBy("__g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # doubled average rank = 2*cum - (t - 1) -> always an integer
+        dbl = 2 * F.sum("__t").over(w) - (F.col("__t") - 1)
+        return buckets.select("__g", col, dbl.alias(out))
+
+    ranked = base.join(_ranks("__x", "__rx"), ["__g", "__x"]).join(
+        _ranks("__y", "__ry"), ["__g", "__y"]
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - local alias
+    moments = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("__rx"))).alias("__sx"),
+        F.sum(dec(F.col("__ry"))).alias("__sy"),
+        F.sum(dec(F.col("__rx") * F.col("__rx"))).alias("__sxx"),
+        F.sum(dec(F.col("__ry") * F.col("__ry"))).alias("__syy"),
+        F.sum(dec(F.col("__rx") * F.col("__ry"))).alias("__sxy"),
+    )
+    # every exact decimal sum casts to double FIRST, then all
+    # arithmetic runs in IEEE doubles — the oracle does literally the
+    # same ops, so both engines round identically above 2^53
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return moments.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.round(rho, 6).alias("rho"),
+    )
+
+
+def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F test: does the measure's mean differ across k
+    groups at all — the one-shot replacement for running k² pairwise
+    t-tests when comparing segments.  Also reports eta² (the share of
+    total variance the grouping explains), the effect size a
+    significant F needs before anyone acts on it.
+
+    Scale shape: ONE hash aggregate collapses the corpus to k group
+    rows (map-side combined); the grand moments, SSB and SSW derive
+    from that k-row table.  Values are carried as exact micro-unit
+    integers (round(value*1e6), summed as DECIMAL(38,0)) so the sums
+    of squares are engine-exact until the final divisions.
+
+    Returns one row: (k, n, f_stat, eta_sq, dof_between, dof_within).
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    micro = F.round(v * 1_000_000).cast("decimal(38,0)")
+    per = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .select(g.alias("__g"), micro.alias("__m"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__m").alias("__s"),
+            F.sum(F.col("__m") * F.col("__m")).alias("__s2"),
+        )
+    )
+    nd = F.col("__n").cast("double")
+    # per-group: mean (micro) and within-group sum of squares
+    group_terms = per.select(
+        "__n",
+        (F.col("__s").cast("double") / nd).alias("__mean"),
+        (
+            F.col("__s2").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / nd
+        ).alias("__ssw"),
+        F.col("__s").cast("double").alias("__sd"),
+    )
+    tot = group_terms.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum("__sd").alias("__gs"),
+        F.sum(F.col("__n") * F.col("__mean") * F.col("__mean")).alias(
+            "__snm2"
+        ),
+        F.sum("__ssw").alias("__ssw_t"),
+    )
+    nn = F.col("n").cast("double")
+    ssb = F.col("__snm2") - F.col("__gs") * F.col("__gs") / nn
+    ssw = F.col("__ssw_t")
+    dofb = (F.col("k") - 1).cast("double")
+    dofw = (F.col("n") - F.col("k")).cast("double")
+    f_stat = F.when(
+        (dofb > 0) & (dofw > 0) & (ssw > 0),
+        (ssb / dofb) / (ssw / dofw),
+    )
+    eta = F.when(ssb + ssw > 0, ssb / (ssb + ssw))
+    # micro-unit scaling cancels in both ratios
+    return tot.select(
+        "k",
+        "n",
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"),
+        (F.col("k") - 1).alias("dof_between"),
+        (F.col("n") - F.col("k")).alias("dof_within"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group extension of
+    :func:`mann_whitney_u`: do the k distributions differ in location,
+    with no normality assumption.  Average-rank ties and the standard
+    tie-correction divisor.
+
+    Scale shape: the distinct-value collapse again — one hash
+    aggregate to (value, group, count) cells, a value-level table
+    (bounded by VALUE CARDINALITY) whose cumulative window yields the
+    global average ranks, a broadcast-sized join back onto the cells,
+    and one k-row aggregate.  Doubled ranks are integers summed as
+    DECIMAL(38,0): exact until the final H division.
+
+    Returns one row: (k, n, h_stat, dof) with h_stat tie-corrected.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    cells = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .select(v.alias("__v"), g.alias("__g"))
+        .groupBy("__v", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vals = cells.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    dbl_rank = 2 * F.sum("__t").over(w) - (F.col("__t") - 1)
+    ranked_vals = vals.select(
+        "__v", "__t", dbl_rank.alias("__r2")
+    )
+    joined = cells.join(ranked_vals, "__v")
+    per_group = joined.groupBy("__g").agg(
+        F.sum("__c").alias("__n"),
+        F.sum(
+            F.col("__c").cast("decimal(38,0)") * F.col("__r2")
+        ).alias("__r2sum"),
+    )
+    ties = ranked_vals.groupBy().agg(
+        F.sum(
+            (
+                F.col("__t").cast("decimal(38,0)")
+                * F.col("__t")
+                * F.col("__t")
+                - F.col("__t")
+            )
+        ).alias("__tie")
+    )
+    tot = per_group.crossJoin(F.broadcast(ties)).groupBy("__tie").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").alias("n"),
+        # sum over groups of R_i^2 / n_i with doubled ranks:
+        # (r2sum/2)^2 / n  ->  r2sum^2 / (4 n)
+        F.sum(
+            F.col("__r2sum").cast("double")
+            * F.col("__r2sum").cast("double")
+            / (4.0 * F.col("__n").cast("double"))
+        ).alias("__sr2"),
+    )
+    nn = F.col("n").cast("double")
+    h_raw = 12.0 / (nn * (nn + 1)) * F.col("__sr2") - 3.0 * (nn + 1)
+    corr = 1.0 - F.col("__tie").cast("double") / (nn * nn * nn - nn)
+    h = F.when((nn > 1) & (corr > 0), h_raw / corr)
+    return tot.select(
+        "k",
+        "n",
+        F.round(h, 6).alias("h_stat"),
+        (F.col("k") - 1).alias("dof"),
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    band_col: str,
+    t_max: float = 0.25,
+) -> DataFrame:
+    """t-closeness audit — the distributional extension of
+    :func:`l_diversity_audit`: a quasi-identifier group can be large
+    AND diverse yet still leak, because its sensitive-attribute
+    DISTRIBUTION differs sharply from the table's (e.g. one segment
+    is overwhelmingly in the top balance band).  Computes, per QI
+    group, the Earth Mover's Distance between the group's and the
+    global distribution over the ORDERED sensitive bands (the
+    standard ordered-attribute EMD: mean absolute CDF gap), and flags
+    groups with EMD > ``t_max``.
+
+    Scale shape: one hash aggregate to (QI, band) cells; a
+    dimension-sized zero-filled grid (distinct QI groups × distinct
+    bands, both cross-joined AFTER collapsing — never the raw rows);
+    per-group cumulative windows over the ≤|bands| grid rows.  The
+    CDF gap is carried as the exact integer |cum_g·n_all − cum_all·n_g|
+    over the constant denominator n_g·n_all, summed exactly and
+    divided ONCE — engines agree to the last bit before the 6-dp
+    round.
+
+    Returns flagged groups: (*quasi_cols, n, emd).
+    """
+    qi = [F.col(c) for c in quasi_cols]
+    cells = (
+        df.filter(
+            F.col(band_col).isNotNull()
+            & qi[0].isNotNull()  # guards compose below for the rest
+        )
+        .select(*[c.alias(f"__q{i}") for i, c in enumerate(qi)], F.col(band_col).alias("__b"))
+    )
+    for i in range(1, len(quasi_cols)):
+        cells = cells.filter(F.col(f"__q{i}").isNotNull())
+    qcols = [f"__q{i}" for i in range(len(quasi_cols))]
+    counts = cells.groupBy(*qcols, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    groups = counts.groupBy(*qcols).agg(F.sum("__c").alias("__ng"))
+    bands = counts.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    grid = groups.crossJoin(F.broadcast(bands.select("__b")))
+    filled = grid.join(counts, [*qcols, "__b"], "left").select(
+        *qcols,
+        "__b",
+        "__ng",
+        F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+    )
+    wg = (
+        Window.partitionBy(*qcols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    with_glob = filled.join(F.broadcast(bands), "__b").withColumn(
+        "__cum_g", F.sum("__c").over(wg)
+    )
+    # global cumulative per band derives from the band dimension table;
+    # the global scalars (n_all, band count m) stay IN-PLANE as a
+    # broadcast one-row table rather than eager driver count() jobs
+    band_cum = bands.select(
+        "__b", F.sum("__cb").over(wa).alias("__cum_all")
+    )
+    tot = bands.groupBy().agg(
+        F.sum("__cb").alias("__n_all"), F.count(F.lit(1)).alias("__m")
+    )
+    joined = with_glob.join(F.broadcast(band_cum), "__b").crossJoin(
+        F.broadcast(tot)
+    )
+    num = F.abs(
+        F.col("__cum_g").cast("decimal(38,0)") * F.col("__n_all")
+        - F.col("__cum_all").cast("decimal(38,0)") * F.col("__ng")
+    )
+    per_group = joined.groupBy(*qcols, "__ng", "__n_all", "__m").agg(
+        F.sum(num).alias("__num")
+    )
+    emd = F.col("__num").cast("double") / (
+        F.col("__ng").cast("double")
+        * F.col("__n_all")
+        * F.greatest(F.col("__m") - 1, F.lit(1))
+    )
+    out = per_group.select(
+        *[
+            F.col(f"__q{i}").alias(c)
+            for i, c in enumerate(quasi_cols)
+        ],
+        F.col("__ng").alias("n"),
+        F.round(emd, 6).alias("emd"),
+    )
+    return out.filter(F.col("emd") > t_max)
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns,
+    plus both marginal entropies and the sqrt-normalized NMI — the
+    information-theoretic sibling of :func:`chi_square_assoc`: chi²
+    answers "is there ANY association", MI answers "how many nats
+    does knowing x buy about y", which is comparable across column
+    pairs and is what a feature-selection or leakage sweep ranks by.
+
+    Scale shape: identical to chi_square_assoc — ONE contingency
+    aggregate to |X|×|Y| cells (map-side combined), margins derived
+    FROM the cell table and broadcast back; the corpus is scanned
+    once and everything after is dimension-sized.  MI terms are
+    ``(c/n)·ln(c·n/(rx·cy))`` with integer counts cast to double —
+    the ln/round-6 discipline every entropy row in this repo already
+    uses.
+
+    Returns one row: (n, h_x, h_y, mi_nats, nmi).
+    """
+    cells = (
+        df.select(F.col(x_col).alias("a"), F.col(y_col).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.groupBy().agg(F.sum("o").alias("n"))
+    joined = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("o").cast("double")
+    nn = F.col("n").cast("double")
+    mi_term = o / nn * F.log(
+        o * nn / (F.col("ra").cast("double") * F.col("cb").cast("double"))
+    )
+    # marginal entropies from the margins of the SAME cell table; the
+    # derivation H = ln(n) - sum(r·ln r)/n avoids a second margin join
+    hx_term = F.col("ra").cast("double") * F.log(F.col("ra").cast("double"))
+    hy_term = F.col("cb").cast("double") * F.log(F.col("cb").cast("double"))
+    hx = (
+        ra.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg((F.log(F.col("n").cast("double"))
+              - F.sum(hx_term) / F.col("n").cast("double")).alias("h_x"))
+    )
+    hy = (
+        cb.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg((F.log(F.col("n").cast("double"))
+              - F.sum(hy_term) / F.col("n").cast("double")).alias("h_y"))
+    )
+    mi = joined.groupBy("n").agg(F.sum(mi_term).alias("mi"))
+    out = mi.join(hx, "n").join(hy, "n")
+    nmi = F.when(
+        (F.col("h_x") > 0) & (F.col("h_y") > 0),
+        F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")),
+    )
+    return out.select(
+        "n",
+        F.round("h_x", 6).alias("h_x"),
+        F.round("h_y", 6).alias("h_y"),
+        F.round("mi", 6).alias("mi_nats"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def feature_info_gain(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    bins: int = 8,
+) -> DataFrame:
+    """Information gain of each (equi-width-binned) numeric feature
+    about a categorical label — the one-pass feature-relevance sweep:
+    IG = H(label) − H(label | feature bin), plus the gain ratio
+    (IG / feature-bin entropy) that penalizes features that cheat by
+    splitting into many tiny bins.
+
+    Scale shape: the features MELT into (feature, value, label) rows
+    — k× the row count but ONE scan and one shuffle for all features
+    instead of k scans; per-feature [min, max] is a k-row aggregate
+    broadcast back for binning; then one (feature, bin, label) hash
+    aggregate, after which everything is dimension-sized.  Rows where
+    a feature is NULL drop from THAT feature's accounting only.
+
+    Returns one row per feature: (feature, n, h_label, info_gain,
+    gain_ratio), ordered by info_gain descending.
+    """
+    pairs: list = []
+    for c in feature_cols:
+        pairs.extend([F.lit(c), F.col(c).cast("double")])
+    melted = df.select(
+        F.col(label_col).alias("__y"),
+        F.stack(F.lit(len(feature_cols)), *pairs).alias("__f", "__v"),
+    ).filter(F.col("__y").isNotNull() & F.col("__v").isNotNull())
+    ranges = melted.groupBy("__f").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = melted.join(F.broadcast(ranges), "__f").select(
+        "__f",
+        "__y",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / bins)
+                ).cast("int"),
+                F.lit(bins - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("__b"),
+    )
+    cells = binned.groupBy("__f", "__b", "__y").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_bin = cells.groupBy("__f", "__b").agg(
+        F.sum("__c").alias("__nb"),
+        F.sum(
+            F.col("__c").cast("double")
+            * F.log(F.col("__c").cast("double"))
+        ).alias("__clnc"),
+    )
+    per_label = cells.groupBy("__f", "__y").agg(F.sum("__c").alias("__nl"))
+    per_feat = per_bin.groupBy("__f").agg(F.sum("__nb").alias("n"))
+    nb = F.col("__nb").cast("double")
+    # H(label | bin) = sum_b (nb/n)·(ln nb − clnc/nb)
+    #               = ( sum_b nb·ln nb − sum_b clnc ) / n
+    cond = per_bin.groupBy("__f").agg(
+        F.sum(nb * F.log(nb)).alias("__nblnnb"),
+        F.sum("__clnc").alias("__sclnc"),
+    )
+    nl = F.col("__nl").cast("double")
+    lab = per_label.groupBy("__f").agg(
+        F.sum(nl * F.log(nl)).alias("__nllnnl")
+    )
+    j = per_feat.join(cond, "__f").join(lab, "__f")
+    nn = F.col("n").cast("double")
+    h_label = F.log(nn) - F.col("__nllnnl") / nn
+    h_cond = (F.col("__nblnnb") - F.col("__sclnc")) / nn
+    h_feat = F.log(nn) - F.col("__nblnnb") / nn
+    ig = h_label - h_cond
+    ratio = F.when(h_feat > 0, ig / h_feat)
+    return j.select(
+        F.col("__f").alias("feature"),
+        "n",
+        F.round(h_label, 6).alias("h_label"),
+        F.round(ig, 6).alias("info_gain"),
+        F.round(ratio, 6).alias("gain_ratio"),
+    ).orderBy(F.col("info_gain").desc(), "feature")

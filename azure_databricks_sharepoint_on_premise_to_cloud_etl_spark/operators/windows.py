@@ -766,3 +766,64 @@ def max_drawdown(
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+def volume_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    price_col: str,
+    qty_col: str,
+    notional_col: str | None = None,
+) -> DataFrame:
+    """Volume-weighted average price per key — the execution-quality
+    twin of :func:`time_weighted_avg`: TWAP weights by elapsed time,
+    VWAP by traded size, and the gap between VWAP and the simple
+    per-row mean price is the standard size-bias diagnostic (big lots
+    trading at different prices than small ones).
+
+    ``notional_col``, when the table already carries price×qty (e.g.
+    an extended-price column), is used directly so the numerator stays
+    exact 2-dp arithmetic; otherwise the product is formed here.
+
+    Scale shape: ONE map-side-combined hash aggregate to |keys| rows —
+    no window, no second scan.  All three sums run on exact micro-cent
+    integers (DECIMAL(38,0)); the two divisions happen once, on the
+    key-sized result.
+
+    Returns (*key_cols, n, total_qty, vwap, avg_price, size_bias).
+    """
+    cents = lambda c: F.round(c * 100).cast("decimal(38,0)")  # noqa: E731
+    notional = (
+        cents(F.col(notional_col))
+        if notional_col
+        else F.round(
+            F.col(price_col) * F.col(qty_col) * 100
+        ).cast("decimal(38,0)")
+    )
+    base = df.filter(
+        F.col(price_col).isNotNull() & F.col(qty_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.round(F.col(qty_col)).cast("decimal(38,0)").alias("__q"),
+        notional.alias("__nc"),
+        cents(F.col(price_col)).alias("__pc"),
+    )
+    agg = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__q").alias("__sq"),
+        F.sum("__nc").alias("__sn"),
+        F.sum("__pc").alias("__sp"),
+    )
+    vwap = F.when(
+        F.col("__sq") > 0,
+        F.col("__sn").cast("double") / 100.0 / F.col("__sq").cast("double"),
+    )
+    avg_price = F.col("__sp").cast("double") / 100.0 / F.col("n")
+    return agg.select(
+        *key_cols,
+        "n",
+        F.col("__sq").cast("long").alias("total_qty"),
+        F.round(vwap, 6).alias("vwap"),
+        F.round(avg_price, 6).alias("avg_price"),
+        F.round(vwap - avg_price, 6).alias("size_bias"),
+    )

@@ -13427,3 +13427,478 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 6: rank statistics, privacy EMD, VWAP ---
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag — distinct-value collapse per axis, partitioned rank
+    windows, exact doubled-rank moments
+    (``stats.spearman_corr``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.spearman_corr(
+        li, "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH base AS (
+    SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_extendedprice IS NOT NULL
+),
+bx AS (SELECT g, x, count(*) AS t FROM base GROUP BY 1, 2),
+rx AS (
+    SELECT g, x,
+           2 * sum(t) OVER (PARTITION BY g ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) - (t - 1) AS r
+    FROM bx
+),
+by_ AS (SELECT g, y, count(*) AS t FROM base GROUP BY 1, 2),
+ry AS (
+    SELECT g, y,
+           2 * sum(t) OVER (PARTITION BY g ORDER BY y
+                            ROWS UNBOUNDED PRECEDING) - (t - 1) AS r
+    FROM by_
+),
+j AS (
+    SELECT b.g, rx.r AS rxv, ry.r AS ryv
+    FROM base b
+    JOIN rx ON b.g = rx.g AND b.x = rx.x
+    JOIN ry ON b.g = ry.g AND b.y = ry.y
+),
+m AS (
+    SELECT g, count(*) AS n,
+           sum(CAST(rxv AS HUGEINT)) AS sx,
+           sum(CAST(ryv AS HUGEINT)) AS sy,
+           sum(CAST(rxv AS HUGEINT) * rxv) AS sxx,
+           sum(CAST(ryv AS HUGEINT) * ryv) AS syy,
+           sum(CAST(rxv AS HUGEINT) * ryv) AS sxy
+    FROM j GROUP BY 1
+)
+SELECT g AS l_returnflag, n,
+       round(
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END, 6) AS rho
+FROM m
+"""
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of account balance across market segments —
+    one k-row hash aggregate, exact micro-unit moments
+    (``stats.anova_f``)."""
+    from .operators import stats
+
+    c = rebalance(load_table(spark, sf_dir, "customer"))
+    return stats.anova_f(c, "c_acctbal", "c_mktsegment")
+
+
+ORACLE_ANOVA = """
+WITH per AS (
+    SELECT c_mktsegment,
+           count(*) AS n,
+           sum(CAST(round(c_acctbal * 1000000) AS HUGEINT)) AS s,
+           sum(CAST(round(c_acctbal * 1000000) AS HUGEINT)
+               * CAST(round(c_acctbal * 1000000) AS HUGEINT)) AS s2
+    FROM customer
+    WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+    GROUP BY 1
+),
+terms AS (
+    SELECT n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(s2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS ssw,
+           CAST(s AS DOUBLE) AS sd
+    FROM per
+),
+tot AS (
+    SELECT count(*) AS k, sum(n) AS n, sum(sd) AS gs,
+           sum(n * mean * mean) AS snm2, sum(ssw) AS ssw_t
+    FROM terms
+)
+SELECT k, n,
+       round(CASE WHEN k > 1 AND n > k
+                   AND ssw_t > 0
+                  THEN ((snm2 - gs * gs / CAST(n AS DOUBLE)) / (k - 1))
+                       / (ssw_t / (n - k)) END, 6) AS f_stat,
+       round(CASE WHEN (snm2 - gs * gs / CAST(n AS DOUBLE)) + ssw_t > 0
+                  THEN (snm2 - gs * gs / CAST(n AS DOUBLE))
+                       / ((snm2 - gs * gs / CAST(n AS DOUBLE)) + ssw_t)
+             END, 6) AS eta_sq,
+       k - 1 AS dof_between,
+       n - k AS dof_within
+FROM tot
+"""
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H of event value across the five event types —
+    the k-group rank test on the distinct-value collapse
+    (``stats.kruskal_wallis``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return stats.kruskal_wallis(e, "value", "event_type")
+
+
+ORACLE_KRUSKAL = """
+WITH cells AS (
+    SELECT value AS v, event_type AS g, count(*) AS c
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+vals AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+ranked AS (
+    SELECT v, t,
+           2 * sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - (t - 1) AS r2
+    FROM vals
+),
+per_group AS (
+    SELECT g, sum(c) AS n,
+           sum(CAST(c * r2 AS HUGEINT)) AS r2sum
+    FROM cells JOIN ranked USING (v)
+    GROUP BY 1
+),
+ties AS (
+    SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie FROM ranked
+),
+tot AS (
+    SELECT count(*) AS k, sum(n) AS n,
+           sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+               / (4.0 * CAST(n AS DOUBLE))) AS sr2,
+           any_value(tie) AS tie
+    FROM per_group CROSS JOIN ties
+)
+SELECT k, n,
+       round(CASE WHEN n > 1
+                   AND 1.0 - CAST(tie AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * n * n - n) > 0
+                  THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr2
+                        - 3.0 * (n + 1))
+                       / (1.0 - CAST(tie AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n))
+             END, 6) AS h_stat,
+       k - 1 AS dof
+FROM tot
+"""
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the customer release (QI = nation ×
+    segment, sensitive = $2k balance band): flags groups whose
+    banded-balance DISTRIBUTION strays from the table's by EMD >
+    0.06 — the leak l-diversity's distinct-count can't see
+    (``stats.t_closeness_audit``)."""
+    from .operators import stats
+
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.filter(F.col("c_acctbal").isNotNull()).withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("int")
+    )
+    return stats.t_closeness_audit(
+        banded, ["c_nationkey", "c_mktsegment"], "bal_band", t_max=0.06
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+ORACLE_T_CLOSENESS = """
+WITH cells AS (
+    SELECT c_nationkey AS q0, c_mktsegment AS q1,
+           CAST(floor(c_acctbal / 2000) AS INTEGER) AS b,
+           count(*) AS c
+    FROM customer
+    WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+      AND c_acctbal IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+groups AS (SELECT q0, q1, sum(c) AS ng FROM cells GROUP BY 1, 2),
+bands AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT sum(cb) AS n_all, count(*) AS m FROM bands),
+grid AS (SELECT g.q0, g.q1, g.ng, b.b FROM groups g CROSS JOIN bands b),
+filled AS (
+    SELECT grid.q0, grid.q1, grid.ng, grid.b, coalesce(c.c, 0) AS c
+    FROM grid LEFT JOIN cells c
+      ON grid.q0 = c.q0 AND grid.q1 = c.q1 AND grid.b = c.b
+),
+cum AS (
+    SELECT q0, q1, ng, b,
+           sum(c) OVER (PARTITION BY q0, q1 ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS cg
+    FROM filled
+),
+bcum AS (
+    SELECT b, sum(cb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS ca
+    FROM bands
+),
+emds AS (
+    SELECT q0, q1, ng,
+           CAST(sum(abs(CAST(cg AS HUGEINT) * t.n_all
+                        - CAST(ca AS HUGEINT) * ng)) AS DOUBLE)
+           / (CAST(ng AS DOUBLE) * t.n_all
+              * greatest(t.m - 1, 1)) AS emd
+    FROM cum JOIN bcum USING (b) CROSS JOIN tot t
+    GROUP BY q0, q1, ng, t.n_all, t.m
+)
+SELECT q0 AS c_nationkey, q1 AS c_mktsegment, ng AS n,
+       round(emd, 6) AS emd
+FROM emds
+WHERE round(emd, 6) > 0.06
+ORDER BY 1, 2
+"""
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average unit price per (return flag, ship
+    month) vs the simple mean — the size-bias diagnostic, one exact
+    micro-cent hash aggregate (``windows.volume_weighted_avg``)."""
+    from .operators import windows as w
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    priced = li.filter(
+        F.col("l_quantity").isNotNull() & (F.col("l_quantity") > 0)
+    ).select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return w.volume_weighted_avg(
+        priced,
+        ["l_returnflag", "ship_month"],
+        "unit_price",
+        "l_quantity",
+        notional_col="l_extendedprice",
+    )
+
+
+ORACLE_VWAP = """
+WITH base AS (
+    SELECT l_returnflag,
+           strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(round(l_quantity) AS HUGEINT) AS q,
+           CAST(round(l_extendedprice * 100) AS HUGEINT) AS nc,
+           CAST(round((l_extendedprice / l_quantity) * 100)
+                AS HUGEINT) AS pc
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_quantity > 0
+      AND l_extendedprice IS NOT NULL
+),
+agg AS (
+    SELECT l_returnflag, ship_month, count(*) AS n,
+           sum(q) AS sq, sum(nc) AS sn, sum(pc) AS sp
+    FROM base GROUP BY 1, 2
+)
+SELECT l_returnflag, ship_month, n,
+       CAST(sq AS BIGINT) AS total_qty,
+       round(CASE WHEN sq > 0
+                  THEN CAST(sn AS DOUBLE) / 100.0 / CAST(sq AS DOUBLE)
+             END, 6) AS vwap,
+       round(CAST(sp AS DOUBLE) / 100.0 / n, 6) AS avg_price,
+       round(CASE WHEN sq > 0
+                  THEN CAST(sn AS DOUBLE) / 100.0 / CAST(sq AS DOUBLE)
+             END
+             - CAST(sp AS DOUBLE) / 100.0 / n, 6) AS size_bias
+FROM agg
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "spearman_corr": q_spearman_corr,
+        "anova_f": q_anova_f,
+        "kruskal_wallis": q_kruskal_wallis,
+        "t_closeness": q_t_closeness,
+        "vwap": q_vwap,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "spearman_corr": ORACLE_SPEARMAN,
+        "anova_f": ORACLE_ANOVA,
+        "kruskal_wallis": ORACLE_KRUSKAL,
+        "t_closeness": ORACLE_T_CLOSENESS,
+        "vwap": ORACLE_VWAP,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 7: information-theoretic association ---
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between return flag and line status — one
+    contingency aggregate, margins derived from the cell table
+    (``stats.mutual_information``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.mutual_information(li, "l_returnflag", "l_linestatus")
+
+
+ORACLE_MUTUAL_INFO = """
+WITH cells AS (
+    SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM cells),
+mi AS (
+    SELECT t.n,
+           sum(CAST(c.o AS DOUBLE) / CAST(t.n AS DOUBLE)
+               * ln(CAST(c.o AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+           ) AS mi
+    FROM cells c
+    JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot t
+    GROUP BY t.n
+),
+hx AS (
+    SELECT t.n,
+           ln(CAST(t.n AS DOUBLE))
+               - sum(CAST(ra AS DOUBLE) * ln(CAST(ra AS DOUBLE)))
+                 / CAST(t.n AS DOUBLE) AS h_x
+    FROM ra CROSS JOIN tot t GROUP BY t.n
+),
+hy AS (
+    SELECT t.n,
+           ln(CAST(t.n AS DOUBLE))
+               - sum(CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE)))
+                 / CAST(t.n AS DOUBLE) AS h_y
+    FROM cb CROSS JOIN tot t GROUP BY t.n
+)
+SELECT mi.n,
+       round(h_x, 6) AS h_x,
+       round(h_y, 6) AS h_y,
+       round(mi, 6) AS mi_nats,
+       round(CASE WHEN h_x > 0 AND h_y > 0
+                  THEN mi / sqrt(h_x * h_y) END, 6) AS nmi
+FROM mi JOIN hx USING (n) JOIN hy USING (n)
+"""
+
+
+def q_feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of ship month, quantity, and discount about
+    the return flag — melt-once, bin equi-width, one cell aggregate
+    (``stats.feature_info_gain``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).withColumn(
+        "ship_month", F.month("l_shipdate").cast("double")
+    )
+    return stats.feature_info_gain(
+        li,
+        ["ship_month", "l_quantity", "l_discount"],
+        "l_returnflag",
+        bins=8,
+    )
+
+
+ORACLE_INFO_GAIN = """
+WITH melted AS (
+    SELECT 'ship_month' AS f, CAST(month(l_shipdate) AS DOUBLE) AS v,
+           l_returnflag AS y
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+    UNION ALL
+    SELECT 'l_quantity', CAST(l_quantity AS DOUBLE), l_returnflag
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    UNION ALL
+    SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+),
+ranges AS (SELECT f, min(v) AS lo, max(v) AS hi FROM melted GROUP BY 1),
+binned AS (
+    SELECT m.f, m.y,
+           CASE WHEN r.hi > r.lo
+                THEN least(CAST(floor((m.v - r.lo)
+                                      / ((r.hi - r.lo) / 8))
+                           AS INTEGER), 7)
+                ELSE 0 END AS b
+    FROM melted m JOIN ranges r USING (f)
+),
+cells AS (SELECT f, b, y, count(*) AS c FROM binned GROUP BY 1, 2, 3),
+per_bin AS (
+    SELECT f, b, sum(c) AS nb,
+           sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+    FROM cells GROUP BY 1, 2
+),
+per_label AS (SELECT f, y, sum(c) AS nl FROM cells GROUP BY 1, 2),
+per_feat AS (SELECT f, sum(nb) AS n FROM per_bin GROUP BY 1),
+cond AS (
+    SELECT f,
+           sum(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE))) AS nblnnb,
+           sum(clnc) AS sclnc
+    FROM per_bin GROUP BY 1
+),
+lab AS (
+    SELECT f,
+           sum(CAST(nl AS DOUBLE) * ln(CAST(nl AS DOUBLE))) AS nllnnl
+    FROM per_label GROUP BY 1
+)
+SELECT p.f AS feature, p.n,
+       round(ln(CAST(p.n AS DOUBLE)) - lab.nllnnl / CAST(p.n AS DOUBLE),
+             6) AS h_label,
+       round((ln(CAST(p.n AS DOUBLE)) - lab.nllnnl / CAST(p.n AS DOUBLE))
+             - (cond.nblnnb - cond.sclnc) / CAST(p.n AS DOUBLE),
+             6) AS info_gain,
+       round(CASE WHEN ln(CAST(p.n AS DOUBLE))
+                       - cond.nblnnb / CAST(p.n AS DOUBLE) > 0
+                  THEN ((ln(CAST(p.n AS DOUBLE))
+                         - lab.nllnnl / CAST(p.n AS DOUBLE))
+                        - (cond.nblnnb - cond.sclnc)
+                          / CAST(p.n AS DOUBLE))
+                       / (ln(CAST(p.n AS DOUBLE))
+                          - cond.nblnnb / CAST(p.n AS DOUBLE))
+             END, 6) AS gain_ratio
+FROM per_feat p JOIN cond USING (f) JOIN lab USING (f)
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "mutual_information": q_mutual_information,
+        "feature_info_gain": q_feature_info_gain,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "mutual_information": ORACLE_MUTUAL_INFO,
+        "feature_info_gain": ORACLE_INFO_GAIN,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -195,6 +195,15 @@ BENCH_QUERIES = [
     # round-10 widening batch 5
     "join_size_estimate",
     "l_diversity",
+    # round-10 widening batch 6
+    "spearman_corr",
+    "anova_f",
+    "kruskal_wallis",
+    "t_closeness",
+    "vwap",
+    # round-10 widening batch 7
+    "mutual_information",
+    "feature_info_gain",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -325,6 +334,13 @@ TOTAL_EXCLUDED = {
     "pca_top_component",
     "join_size_estimate",
     "l_diversity",
+    "spearman_corr",
+    "anova_f",
+    "kruskal_wallis",
+    "t_closeness",
+    "vwap",
+    "mutual_information",
+    "feature_info_gain",
 }
 
 
