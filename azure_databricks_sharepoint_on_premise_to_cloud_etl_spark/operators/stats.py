@@ -2646,3 +2646,137 @@ def feature_info_gain(
         F.round(ig, 6).alias("info_gain"),
         F.round(ratio, 6).alias("gain_ratio"),
     ).orderBy(F.col("info_gain").desc(), "feature")
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's tau-b between two LOW-CARDINALITY ordinal columns —
+    the concordance coefficient reviewers ask for alongside
+    :func:`spearman_corr` when both measures are coarse ordinal
+    scales (star ratings, discount tiers, quantity bands) and tie
+    handling dominates.
+
+    Scale shape: the corpus collapses to an |X|×|Y| contingency cell
+    table in ONE hash aggregate; concordant/discordant mass then
+    comes from a CELL-PAIR join (`a.x < b.x`) — a broadcast
+    nested-loop bounded by the VALUE DOMAIN squared, never by rows.
+    That makes this operator right for enumerable ordinals (≲1k
+    distinct per axis — 1M cell pairs) and wrong for continuous
+    measures, where :func:`spearman_corr` is the tool; the docstring
+    contract mirrors the percentile operators' enumerable-measure
+    trade.  All pair mass is integer-exact in DECIMAL(38,0); tau-b's
+    one division happens on the final row.
+
+    Returns one row: (n, concordant, discordant, tau_b).
+    """
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+    mass = (F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+    cd = pairs.groupBy().agg(
+        F.sum(F.when(F.col("yb") > F.col("ya"), mass)).alias("__conc"),
+        F.sum(F.when(F.col("yb") < F.col("ya"), mass)).alias("__disc"),
+    )
+    tx = cells.groupBy("x").agg(F.sum("c").alias("t"))
+    ty = cells.groupBy("y").agg(F.sum("c").alias("t"))
+    half = lambda t: (  # noqa: E731 - t(t-1)/2 in exact decimals
+        t.cast("decimal(38,0)") * (t - 1) / 2
+    ).cast("decimal(38,0)")
+    tiex = tx.groupBy().agg(
+        F.sum(half(F.col("t"))).alias("__n1"),
+        F.sum("t").alias("n"),
+    )
+    tiey = ty.groupBy().agg(F.sum(half(F.col("t"))).alias("__n2"))
+    j = cd.crossJoin(F.broadcast(tiex)).crossJoin(F.broadcast(tiey))
+    nn = F.col("n").cast("double")
+    n0 = nn * (nn - 1) / 2.0
+    conc = F.coalesce(F.col("__conc"), F.lit(0)).cast("double")
+    disc = F.coalesce(F.col("__disc"), F.lit(0)).cast("double")
+    denom = (n0 - F.col("__n1").cast("double")) * (
+        n0 - F.col("__n2").cast("double")
+    )
+    tau = F.when(denom > 0, (conc - disc) / F.sqrt(denom))
+    return j.select(
+        "n",
+        F.coalesce(F.col("__conc"), F.lit(0)).cast("long").alias(
+            "concordant"
+        ),
+        F.coalesce(F.col("__disc"), F.lit(0)).cast("long").alias(
+            "discordant"
+        ),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+def empirical_bayes_rates(
+    df: DataFrame,
+    key_cols: list[str],
+    success_expr,
+    min_n: int = 1,
+) -> DataFrame:
+    """Beta-binomial empirical-Bayes shrinkage of per-entity rates —
+    what a ranking should use instead of the raw conversion/return
+    rate: small-sample entities pull toward the population prior, so
+    a 1-for-1 seller no longer outranks a 980-for-1000 one.  The
+    prior (alpha, beta) is fit by method of moments on the observed
+    per-entity rates; the posterior mean is
+    ``(successes + alpha) / (n + alpha + beta)``.
+
+    The moments-fit sibling of the distribution-free Wilson-bound
+    ranking already in the repo: Wilson gives a conservative bound
+    per entity in isolation; EB borrows strength ACROSS entities,
+    which is the better estimator when entities share a regime.
+
+    Scale shape: one hash aggregate to |entities| rows; the prior fit
+    is one more aggregate over THAT table (two moments), broadcast
+    back as a one-row table — the corpus is scanned once.  Rates are
+    exact ratios of integer counts; the moment arithmetic runs in
+    doubles on the entity table, mirrored exactly by the oracle.
+
+    Returns (*key_cols, n, successes, raw_rate, shrunk_rate) for
+    entities with ``n >= min_n``; degenerate priors (zero variance
+    across entities) yield NULL shrunk_rate rather than a failure.
+    """
+    per = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(success_expr.cast("long")), F.lit(0)
+            ).alias("successes"),
+        )
+        .filter(F.col("n") >= min_n)
+    )
+    rate = F.col("successes").cast("double") / F.col("n").cast("double")
+    rated = per.withColumn("raw_rate", rate)
+    prior = rated.groupBy().agg(
+        F.avg("raw_rate").alias("__m"),
+        F.var_samp("raw_rate").alias("__v"),
+    )
+    joined = rated.crossJoin(F.broadcast(prior))
+    m = F.col("__m")
+    v = F.col("__v")
+    ab = F.when((v > 0) & (m > 0) & (m < 1), m * (1 - m) / v - 1)
+    alpha = m * ab
+    beta = (1 - m) * ab
+    shrunk = F.when(
+        ab > 0,
+        (F.col("successes").cast("double") + alpha)
+        / (F.col("n").cast("double") + alpha + beta),
+    )
+    return joined.select(
+        *key_cols,
+        "n",
+        "successes",
+        F.round("raw_rate", 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )

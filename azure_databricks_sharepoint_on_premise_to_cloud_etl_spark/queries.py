@@ -13902,3 +13902,132 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 8: concordance + shrinkage ranking ---
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and discount tier — contingency
+    collapse + domain-bounded cell-pair join
+    (``stats.kendall_tau``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        "l_quantity",
+        F.round(F.col("l_discount") * 100).cast("int").alias(
+            "discount_pct"
+        ),
+    )
+    return stats.kendall_tau(li, "l_quantity", "discount_pct")
+
+
+ORACLE_KENDALL = """
+WITH cells AS (
+    SELECT l_quantity AS x,
+           CAST(round(l_discount * 100) AS INTEGER) AS y,
+           count(*) AS c
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    GROUP BY 1, 2
+),
+cd AS (
+    SELECT
+        sum(CASE WHEN b.y > a.y
+                 THEN CAST(a.c AS HUGEINT) * b.c END) AS conc,
+        sum(CASE WHEN b.y < a.y
+                 THEN CAST(a.c AS HUGEINT) * b.c END) AS disc
+    FROM cells a JOIN cells b ON a.x < b.x
+),
+tx AS (SELECT x, sum(c) AS t FROM cells GROUP BY 1),
+ty AS (SELECT y, sum(c) AS t FROM cells GROUP BY 1),
+tiex AS (
+    SELECT sum((CAST(t AS HUGEINT) * (t - 1)) // 2) AS n1,
+           sum(t) AS n
+    FROM tx
+),
+tiey AS (SELECT sum((CAST(t AS HUGEINT) * (t - 1)) // 2) AS n2 FROM ty)
+SELECT n,
+       CAST(coalesce(conc, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(disc, 0) AS BIGINT) AS discordant,
+       round(CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                        / 2.0 - CAST(n1 AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                          / 2.0 - CAST(n2 AS DOUBLE)) > 0
+                  THEN (CAST(coalesce(conc, 0) AS DOUBLE)
+                        - CAST(coalesce(disc, 0) AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1) / 2.0
+                               - CAST(n1 AS DOUBLE))
+                              * (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1) / 2.0
+                                 - CAST(n2 AS DOUBLE)))
+             END, 6) AS tau_b
+FROM cd CROSS JOIN tiex CROSS JOIN tiey
+"""
+
+
+def q_empirical_bayes_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Beta-binomial shrunk per-supplier return rates — one entity
+    aggregate + a method-of-moments prior fit on the entity table
+    (``stats.empirical_bayes_rates``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.empirical_bayes_rates(
+        li,
+        ["l_suppkey"],
+        (F.col("l_returnflag") == "R"),
+        min_n=5,
+    )
+
+
+ORACLE_EB_RATES = """
+WITH per AS (
+    SELECT l_suppkey, count(*) AS n,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS successes
+    FROM lineitem
+    GROUP BY 1
+    HAVING count(*) >= 5
+),
+rated AS (
+    SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate
+    FROM per
+),
+prior AS (
+    SELECT avg(raw_rate) AS m, var_samp(raw_rate) AS v FROM rated
+)
+SELECT l_suppkey, n, successes,
+       round(raw_rate, 6) AS raw_rate,
+       round(CASE WHEN v > 0 AND m > 0 AND m < 1
+                   AND m * (1 - m) / v - 1 > 0
+                  THEN (CAST(successes AS DOUBLE)
+                        + m * (m * (1 - m) / v - 1))
+                       / (CAST(n AS DOUBLE)
+                          + m * (m * (1 - m) / v - 1)
+                          + (1 - m) * (m * (1 - m) / v - 1))
+             END, 6) AS shrunk_rate
+FROM rated CROSS JOIN prior
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "kendall_tau": q_kendall_tau,
+        "empirical_bayes_rates": q_empirical_bayes_rates,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "kendall_tau": ORACLE_KENDALL,
+        "empirical_bayes_rates": ORACLE_EB_RATES,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     # round-10 widening batch 7
     "mutual_information",
     "feature_info_gain",
+    # round-10 widening batch 8
+    "kendall_tau",
+    "empirical_bayes_rates",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -341,6 +344,8 @@ TOTAL_EXCLUDED = {
     "vwap",
     "mutual_information",
     "feature_info_gain",
+    "kendall_tau",
+    "empirical_bayes_rates",
 }
 
 

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.stats import (
     anova_f,
+    empirical_bayes_rates,
     feature_info_gain,
+    kendall_tau,
     mutual_information,
     kruskal_wallis,
     spearman_corr,
@@ -243,3 +245,65 @@ def test_info_gain_constant_feature_guarded(spark):
     # single bin: no information, and gain_ratio guarded NULL
     assert r["info_gain"] == pytest.approx(0.0, abs=1e-9)
     assert r["gain_ratio"] is None
+
+
+# ------------------------------------- concordance + shrinkage pair
+
+
+def test_kendall_tau_textbook_no_ties(spark):
+    # y by x-order = [3,4,1,2,5]: C = 6, D = 4, tau = 0.2
+    df = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 1), (4, 2), (5, 5)], "x INT, y INT"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["n"] == 5
+    assert r["concordant"] == 6 and r["discordant"] == 4
+    assert r["tau_b"] == pytest.approx(0.2, abs=1e-9)
+
+
+def test_kendall_tau_b_tie_correction(spark):
+    # x = [1,1,2,2], y = [1,2,3,4]: C = 4, D = 0, n1 = 2, n2 = 0
+    # tau_b = 4 / sqrt((6-2)*(6-0)) = 0.816497
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (2, 4)], "x INT, y INT"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["concordant"] == 4 and r["discordant"] == 0
+    assert r["tau_b"] == pytest.approx(0.816497, abs=1e-6)
+
+
+def test_kendall_tau_perfect_inverse(spark):
+    df = spark.createDataFrame(
+        [(i, 10 - i) for i in range(10)], "x INT, y INT"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["tau_b"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_empirical_bayes_shrinks_small_samples(spark):
+    # a 1-for-1 entity must NOT outrank a 980-for-1000 one after
+    # shrinkage, even though its raw rate is higher
+    rows = [("A", 1)]  # 1/1
+    rows += [("B", 1)] * 980 + [("B", 0)] * 20  # 980/1000
+    for e in "cdefghij":
+        rows += [(e, 1)] * 2 + [(e, 0)] * 8  # 0.2 background
+    df = spark.createDataFrame(rows, "k STRING, s INT")
+    out = {
+        r["k"]: r
+        for r in empirical_bayes_rates(
+            df, ["k"], F.col("s") == 1, min_n=1
+        ).collect()
+    }
+    assert out["A"]["raw_rate"] == pytest.approx(1.0)
+    assert out["A"]["shrunk_rate"] < out["B"]["shrunk_rate"]
+    # big-sample entity barely moves
+    assert abs(out["B"]["shrunk_rate"] - 0.98) < 0.01
+
+
+def test_empirical_bayes_degenerate_prior_null(spark):
+    # every entity has the same rate: zero variance -> guarded NULL
+    rows = [(e, s) for e in "abc" for s in (1, 0)]
+    df = spark.createDataFrame(rows, "k STRING, s INT")
+    out = empirical_bayes_rates(df, ["k"], F.col("s") == 1).collect()
+    assert all(r["shrunk_rate"] is None for r in out)
+    assert all(r["raw_rate"] == pytest.approx(0.5) for r in out)

@@ -369,6 +369,25 @@ HEAVY = [
     # collapse); l-diversity is one quasi-column hash aggregate
     "join_size_estimate",
     "l_diversity",
+    # round-10 widening batch 6/7: spearman's rank joins shuffle on
+    # (group, value) so volume is row-linear (expect ~linear);
+    # anova/kruskal/mutual-info/info-gain collapse to dimension-sized
+    # cell tables after one scan (expect flat-to-sublinear); the
+    # t-closeness grid is |QI|x|bands| regardless of rows; vwap is one
+    # hash aggregate
+    "spearman_corr",
+    "anova_f",
+    "kruskal_wallis",
+    "t_closeness",
+    "vwap",
+    "mutual_information",
+    "feature_info_gain",
+    # round-10 widening batch 8: kendall's cell-pair join is bounded
+    # by the value domain squared regardless of rows (expect flat
+    # collapse over a linear scan); EB shrinkage is two chained
+    # entity-sized aggregates
+    "kendall_tau",
+    "empirical_bayes_rates",
 ]
 
 ALL_TABLES = (
