@@ -1589,3 +1589,78 @@ def hits(
     result._cc_checkpoint_dir = None
     result._extra_ckpts = []
     return result
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Newman degree assortativity of the undirected graph: the
+    Pearson correlation between the degrees at the two ends of every
+    edge — positive means hubs attach to hubs (social-network shape),
+    negative means hubs attach to leaves (hub-and-spoke /
+    infrastructure shape).  The one-number summary that tells you
+    whether hub-pruning (the max_degree gates in neighbor_jaccard /
+    adamic_adar) will bite.
+
+    Each undirected edge contributes BOTH orientations (the standard
+    convention, making the measure symmetric); self-loops are dropped
+    and duplicate edges collapse first.
+
+    Scale shape: symmetrize+distinct (one shuffle), one degree
+    aggregate, two broadcast-or-shuffle degree joins keyed on node,
+    then ONE scalar aggregate of exact integer sums (degrees are
+    ints; sum(d_u * d_v) over E edges at degree ≤ 1e6 stays inside
+    DECIMAL(38,0) headroom by ~20 orders) with the correlation
+    assembled in doubles on the single output row — engine-exact.
+    The symmetrized edge table is eagerly ``localCheckpoint``-ed —
+    degree, pair, and node-count stages all reference it, and without
+    cutting lineage each reference re-executes the caller's upstream
+    edge build (for a co-purchase graph, the basket self-join).  Call
+    ``release_components(result)`` after consuming the single output
+    row to free the checkpointed blocks.
+
+    Returns one row: (n_nodes, n_directed_edges, assortativity).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        e.select("u", "v")
+        .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    pairs = sym.join(du, "u").join(dv, "v")
+    x = F.col("du").cast("decimal(38,0)")
+    y = F.col("dv").cast("decimal(38,0)")
+    tot = pairs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_directed_edges"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sx2"),
+        F.sum(y * y).alias("__sy2"),
+    )
+    n_nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    joined = tot.crossJoin(F.broadcast(n_nodes))
+    n = F.col("n_directed_edges").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sx2 = F.col("__sx2").cast("double")
+    sy2 = F.col("__sy2").cast("double")
+    num = n * sxy - sx * sy
+    den2 = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    r = F.when(den2 > 0, num / F.sqrt(den2))
+    result = joined.select(
+        "n_nodes",
+        "n_directed_edges",
+        F.round(r, 6).alias("assortativity"),
+    )
+    result._extra_ckpts = [sym]
+    return result

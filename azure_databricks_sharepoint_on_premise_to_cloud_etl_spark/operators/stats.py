@@ -2780,3 +2780,180 @@ def empirical_bayes_rates(
         F.round("raw_rate", 6).alias("raw_rate"),
         F.round(shrunk, 6).alias("shrunk_rate"),
     )
+
+
+def levene_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity across k groups:
+    one-way ANOVA on ``|x - median(group)|`` — the gate run before
+    trusting a pooled-variance t-test/ANOVA, and the robust (median-
+    centered) variant recommended over Levene's original mean-centered
+    form for skewed business measures.
+
+    Scale shape: group medians come from the histogram-exact
+    percentile collapse (distinct values per group, not rows), are
+    broadcast back (k rows), and the absolute deviations feed the same
+    exact micro-unit ANOVA reduction as ``anova_f`` — the corpus is
+    scanned twice, shuffled only as value-histogram cells, and every
+    sum is integer-exact until the final divisions.
+
+    Returns one row: (k, n, w_stat, dof_between, dof_within).
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    base = df.filter(v.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    med = group_percentiles_exact(
+        base, ["__g"], "__v", {"__med": 0.5}
+    )
+    z = (
+        base.join(F.broadcast(med), "__g")
+        .select(
+            "__g",
+            F.abs(F.col("__v") - F.col("__med")).alias("__z"),
+        )
+    )
+    out = anova_f(z, "__z", "__g")
+    return out.select(
+        "k",
+        "n",
+        F.col("f_stat").alias("w_stat"),
+        "dof_between",
+        "dof_within",
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Jarque–Bera normality statistic per group from exact integer
+    raw moments: ``JB = n/6 * (S^2 + (K-3)^2/4)`` with skewness
+    ``S = m3/m2^1.5`` and kurtosis ``K = m4/m2^2`` (biased/population
+    moments, scipy.stats.jarque_bera's convention).  The screen run
+    before parametric assumptions (z-intervals, control charts) are
+    applied to a measure.
+
+    Scale shape: ONE map-side-combined hash aggregate collapses the
+    corpus to k rows of integral power sums (value cast to long —
+    integral measures like quantities/counts/scores, the common JB
+    input); central moments derive from raw sums per k-row algebra in
+    doubles, so both engines compute identical statistics.  The 4th
+    power bounds the domain: |value| <= ~2e8 keeps sum(v^4) inside
+    DECIMAL(38,0) at a billion rows.
+
+    Returns per group: (group..., n, skewness, kurtosis, jb_stat).
+    """
+    group_cols = group_cols or []
+    v0 = F.col(value_col)
+    lv = v0.cast("long")
+    d = lv.cast("decimal(38,0)")
+    per = (
+        df.filter(v0.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("__s1"),
+            F.sum(d * d).alias("__s2"),
+            F.sum(d * d * d).alias("__s3"),
+            F.sum(d * d * d * d).alias("__s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("__s1").cast("double") / n
+    r2 = F.col("__s2").cast("double") / n
+    r3 = F.col("__s3").cast("double") / n
+    r4 = F.col("__s4").cast("double") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+    m4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+    skew = F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5)))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2))
+    jb = F.when(
+        m2 > 0,
+        n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0),
+    )
+    return per.select(
+        *group_cols,
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of a sequence around
+    its median: too FEW runs of above/below-median values means
+    trending/clustering, too MANY means oscillation — the check that a
+    'stable' daily metric is actually noise and not a slow drift the
+    mean disguises.
+
+    Values equal to the median are excluded (the standard treatment).
+    ``z`` is the normal approximation
+    ``(runs - mu) / sigma`` with ``mu = 2*n1*n2/(n1+n2) + 1``.
+
+    Scale shape: per-group medians via the histogram-exact percentile
+    collapse; signs and run boundaries via ONE lag window per group
+    (each group's series sorts within its own partition — the global
+    single-series case is a deliberately small input like a daily
+    rollup, documented at the call site); the statistic derives from
+    one k-row aggregate of exact integer counts.
+
+    Returns per group: (group..., n_above, n_below, runs, z).
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull()).select(
+        *group_cols, F.col(order_col).alias("__o"), v.alias("__v")
+    )
+    med = group_percentiles_exact(base, group_cols, "__v", {"__med": 0.5})
+    joined = (
+        base.join(F.broadcast(med), group_cols)
+        if group_cols
+        else base.crossJoin(F.broadcast(med))
+    )
+    signed = joined.filter(F.col("__v") != F.col("__med")).withColumn(
+        "__sign", (F.col("__v") > F.col("__med")).cast("int")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__o")
+    marked = signed.withColumn(
+        "__new_run",
+        F.when(
+            F.lag("__sign").over(w).isNull()
+            | (F.lag("__sign").over(w) != F.col("__sign")),
+            1,
+        ).otherwise(0),
+    )
+    per = marked.groupBy(*group_cols).agg(
+        F.sum("__sign").cast("long").alias("n_above"),
+        F.sum(1 - F.col("__sign")).cast("long").alias("n_below"),
+        F.sum("__new_run").cast("long").alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nt = n1 + n2
+    mu = 2.0 * n1 * n2 / nt + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nt)
+        / (nt * nt * (nt - 1.0))
+    )
+    z = F.when(
+        (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0),
+        (F.col("runs").cast("double") - mu) / F.sqrt(var),
+    )
+    return per.select(
+        *group_cols,
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(z, 6).alias("z"),
+    )

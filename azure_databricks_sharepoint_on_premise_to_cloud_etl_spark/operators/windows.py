@@ -827,3 +827,142 @@ def volume_weighted_avg(
         F.round(avg_price, 6).alias("avg_price"),
         F.round(vwap - avg_price, 6).alias("size_bias"),
     )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    window: int = 20,
+    k: float = 2.0,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bollinger bands over an ordered series: rolling mean ± k rolling
+    sample-stddevs over the trailing ``window`` rows, plus a breakout
+    label (``high``/``low``/``in``) — the volatility-normalized
+    anomaly channel for daily revenue/volume series.  Rows without a
+    full window get NULL bands (no half-window estimates).
+
+    Scale shape: values are carried as exact micro-unit integers
+    (round(v*1e6) as DECIMAL(38,0)); the window sums s and s² are
+    integer-exact, so mean/stddev/bands are identical doubles in any
+    engine.  Per-group series sort inside their own partitions; the
+    single-global-series form is for already-collapsed rollups (days,
+    not raw rows), documented at call sites.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    micro = F.round(v * 1_000_000).cast("decimal(38,0)")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        v.alias("__v"),
+        micro.alias("__m"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__o")
+        .rowsBetween(-(window - 1), 0)
+    )
+    agged = base.select(
+        *group_cols,
+        "__o",
+        "__v",
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+        F.sum("__m").over(w).alias("__s"),
+        F.sum(F.col("__m") * F.col("__m")).over(w).alias("__s2"),
+    )
+    nw = float(window)
+    full = F.col("__cnt") == window
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mid_micro = s / nw
+    var_micro = (s2 - s * s / nw) / (nw - 1.0)
+    std = F.sqrt(F.greatest(var_micro, F.lit(0.0))) / 1_000_000.0
+    mid = mid_micro / 1_000_000.0
+    upper = mid + F.lit(float(k)) * std
+    lower = mid - F.lit(float(k)) * std
+    return agged.select(
+        *group_cols,
+        F.col("__o").alias(order_col),
+        F.col("__v").alias(value_col),
+        F.round(F.when(full, mid), 6).alias("mid"),
+        F.round(F.when(full, upper), 6).alias("upper"),
+        F.round(F.when(full, lower), 6).alias("lower"),
+        F.when(~full, F.lit(None).cast("string"))
+        .when(F.col("__v") > upper, F.lit("high"))
+        .when(F.col("__v") < lower, F.lit("low"))
+        .otherwise(F.lit("in"))
+        .alias("signal"),
+    )
+
+
+def rsi_cutler(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int = 14,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cutler's RSI (simple-moving-average relative strength index)
+    over an ordered series: ``100 * sum(gains) / (sum(gains) +
+    sum(losses))`` across the trailing ``period`` diffs — the bounded
+    momentum oscillator; unlike Wilder's recursive smoothing this form
+    is a pure window aggregate (no recurrence), so it parallelizes and
+    has an exact SQL twin.  Rows without ``period`` trailing diffs get
+    NULL; an all-flat window (no gains or losses) also yields NULL.
+
+    Scale shape: diffs of exact micro-unit integers through one lag +
+    one trailing-rows window per group; integer-exact sums until the
+    single final division.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    micro = F.round(v * 1_000_000).cast("decimal(38,0)")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        v.alias("__v"),
+        micro.alias("__m"),
+    )
+    wlag = Window.partitionBy(*group_cols).orderBy("__o")
+    zero = F.lit(0).cast("decimal(38,0)")
+    diffed = base.withColumn(
+        "__d", F.col("__m") - F.lag("__m").over(wlag)
+    ).select(
+        *group_cols,
+        "__o",
+        "__v",
+        F.when(F.col("__d") > 0, F.col("__d")).otherwise(zero).alias(
+            "__gain"
+        ),
+        F.when(F.col("__d") < 0, -F.col("__d")).otherwise(zero).alias(
+            "__loss"
+        ),
+        F.col("__d").isNotNull().cast("int").alias("__has_d"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__o")
+        .rowsBetween(-(period - 1), 0)
+    )
+    agged = diffed.select(
+        *group_cols,
+        "__o",
+        "__v",
+        F.sum("__has_d").over(w).alias("__nd"),
+        F.sum("__gain").over(w).alias("__sg"),
+        F.sum("__loss").over(w).alias("__sl"),
+    )
+    sg = F.col("__sg").cast("double")
+    sl = F.col("__sl").cast("double")
+    rsi = F.when(
+        (F.col("__nd") == period) & (sg + sl > 0),
+        100.0 * sg / (sg + sl),
+    )
+    return agged.select(
+        *group_cols,
+        F.col("__o").alias(order_col),
+        F.col("__v").alias(value_col),
+        F.round(rsi, 6).alias("rsi"),
+    )

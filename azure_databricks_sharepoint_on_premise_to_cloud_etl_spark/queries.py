@@ -14031,3 +14031,410 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 9: diagnostics + indicators + topology ---
+
+
+def q_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test of extended price
+    across return flags — histogram-exact group medians feeding the
+    micro-unit ANOVA reduction (``stats.levene_test``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.levene_test(li, "l_extendedprice", "l_returnflag")
+
+
+ORACLE_LEVENE = """
+WITH meds AS (
+    SELECT l_returnflag AS g,
+           quantile_cont(l_extendedprice, 0.5) AS med
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    GROUP BY 1
+),
+z AS (
+    SELECT l.l_returnflag AS g,
+           CAST(round(abs(l.l_extendedprice - m.med) * 1000000)
+                AS HUGEINT) AS zm
+    FROM lineitem l JOIN meds m ON l.l_returnflag = m.g
+    WHERE l.l_extendedprice IS NOT NULL
+),
+per AS (
+    SELECT g, count(*) AS n, sum(zm) AS s, sum(zm * zm) AS s2
+    FROM z GROUP BY 1
+),
+terms AS (
+    SELECT n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(s2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS ssw,
+           CAST(s AS DOUBLE) AS sd
+    FROM per
+),
+tot AS (
+    SELECT count(*) AS k, sum(n) AS n, sum(sd) AS gs,
+           sum(n * mean * mean) AS snm2, sum(ssw) AS ssw_t
+    FROM terms
+)
+SELECT k, n,
+       round(CASE WHEN k > 1 AND n > k AND ssw_t > 0
+                  THEN ((snm2 - gs * gs / CAST(n AS DOUBLE)) / (k - 1))
+                       / (ssw_t / (n - k)) END, 6) AS w_stat,
+       k - 1 AS dof_between,
+       n - k AS dof_within
+FROM tot
+"""
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality screen of quantity per return flag —
+    ONE hash aggregate of exact integral power sums
+    (``stats.jarque_bera``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.jarque_bera(li, "l_quantity", ["l_returnflag"])
+
+
+ORACLE_JARQUE_BERA = """
+WITH per AS (
+    SELECT l_returnflag, count(*) AS n,
+           sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s1,
+           sum(CAST(l_quantity AS HUGEINT)
+               * CAST(l_quantity AS BIGINT)) AS s2,
+           sum(CAST(l_quantity AS HUGEINT)
+               * CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS s3,
+           sum(CAST(l_quantity AS HUGEINT)
+               * CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS s4
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL
+    GROUP BY 1
+),
+mom AS (
+    SELECT l_returnflag, n,
+           CAST(s1 AS DOUBLE) / n AS m1,
+           CAST(s2 AS DOUBLE) / n AS r2,
+           CAST(s3 AS DOUBLE) / n AS r3,
+           CAST(s4 AS DOUBLE) / n AS r4
+    FROM per
+),
+cm AS (
+    SELECT l_returnflag, n,
+           r2 - m1 * m1 AS m2,
+           r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3,
+           r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+              - 3 * m1 * m1 * m1 * m1 AS m4
+    FROM mom
+)
+SELECT l_returnflag, n,
+       round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6)
+           AS skewness,
+       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END, 6) AS kurtosis,
+       round(CASE WHEN m2 > 0 THEN
+             CAST(n AS DOUBLE) / 6.0
+             * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5))
+                + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                  / 4.0) END, 6) AS jb_stat
+FROM cm
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz randomness check of the daily revenue series per
+    order priority — exact-cent daily collapse, then one lag window
+    per priority (``stats.runs_test``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    daily = (
+        o.groupBy("o_orderpriority", "o_orderdate")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("rev")
+        )
+    )
+    return stats.runs_test(
+        daily, "o_orderdate", "rev", ["o_orderpriority"]
+    )
+
+
+ORACLE_RUNS_TEST = """
+WITH daily AS (
+    SELECT o_orderpriority AS g, o_orderdate AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS rev
+    FROM orders
+    GROUP BY 1, 2
+),
+meds AS (
+    SELECT g, quantile_cont(rev, 0.5) AS med FROM daily GROUP BY 1
+),
+signed AS (
+    SELECT daily.g, d,
+           CASE WHEN rev > med THEN 1 ELSE 0 END AS sign
+    FROM daily JOIN meds ON daily.g = meds.g
+    WHERE rev <> med
+),
+marked AS (
+    SELECT g, sign,
+           CASE WHEN lag(sign) OVER (PARTITION BY g ORDER BY d)
+                     IS DISTINCT FROM sign
+                THEN 1 ELSE 0 END AS new_run
+    FROM signed
+),
+per AS (
+    SELECT g AS o_orderpriority,
+           sum(sign) AS n_above,
+           sum(1 - sign) AS n_below,
+           sum(new_run) AS runs
+    FROM marked GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(n_above AS BIGINT) AS n_above,
+       CAST(n_below AS BIGINT) AS n_below,
+       CAST(runs AS BIGINT) AS runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0
+                   AND 2.0 * n_above * n_below
+                       * (2.0 * n_above * n_below - (n_above + n_below))
+                       / ((n_above + n_below) * (n_above + n_below)
+                          * (n_above + n_below - 1.0)) > 0
+                  THEN (CAST(runs AS DOUBLE)
+                        - (2.0 * n_above * n_below
+                           / (n_above + n_below) + 1.0))
+                       / sqrt(2.0 * n_above * n_below
+                              * (2.0 * n_above * n_below
+                                 - (n_above + n_below))
+                              / ((n_above + n_below)
+                                 * (n_above + n_below)
+                                 * (n_above + n_below - 1.0)))
+             END, 6) AS z
+FROM per
+"""
+
+
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Bollinger channel with breakout labels over the global
+    daily revenue series — exact-cent daily collapse, micro-unit
+    window sums (``windows.bollinger_bands``)."""
+    from .operators.windows import bollinger_bands
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    daily = o.groupBy("o_orderdate").agg(
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("rev")
+    )
+    return bollinger_bands(daily, "o_orderdate", "rev", window=20, k=2.0)
+
+
+ORACLE_BOLLINGER = """
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS rev
+    FROM orders
+    GROUP BY 1
+),
+m AS (
+    SELECT d, rev,
+           CAST(round(rev * 1000000) AS HUGEINT) AS mi
+    FROM daily
+),
+agged AS (
+    SELECT d, rev,
+           count(*) OVER w AS cnt,
+           sum(mi) OVER w AS s,
+           sum(mi * mi) OVER w AS s2
+    FROM m
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+bands AS (
+    SELECT d, rev, cnt,
+           CAST(s AS DOUBLE) / 20.0 / 1000000.0 AS mid,
+           sqrt(greatest(
+               (CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 20.0)
+               / 19.0, 0.0)) / 1000000.0 AS std
+    FROM agged
+)
+SELECT d AS o_orderdate, rev,
+       round(CASE WHEN cnt = 20 THEN mid END, 6) AS mid,
+       round(CASE WHEN cnt = 20 THEN mid + 2.0 * std END, 6) AS upper,
+       round(CASE WHEN cnt = 20 THEN mid - 2.0 * std END, 6) AS lower,
+       CASE WHEN cnt <> 20 THEN NULL
+            WHEN rev > mid + 2.0 * std THEN 'high'
+            WHEN rev < mid - 2.0 * std THEN 'low'
+            ELSE 'in' END AS signal
+FROM bands
+"""
+
+
+def q_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period Cutler RSI of the daily revenue series per order
+    priority — exact micro-unit diffs through one lag + one trailing
+    window per priority (``windows.rsi_cutler``)."""
+    from .operators.windows import rsi_cutler
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    daily = (
+        o.groupBy("o_orderpriority", "o_orderdate")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("rev")
+        )
+    )
+    return rsi_cutler(
+        daily, "o_orderdate", "rev", period=14,
+        group_cols=["o_orderpriority"],
+    )
+
+
+ORACLE_RSI = """
+WITH daily AS (
+    SELECT o_orderpriority AS g, o_orderdate AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS rev
+    FROM orders
+    GROUP BY 1, 2
+),
+m AS (
+    SELECT g, d, rev,
+           CAST(round(rev * 1000000) AS HUGEINT) AS mi
+    FROM daily
+),
+diffed AS (
+    SELECT g, d, rev,
+           mi - lag(mi) OVER (PARTITION BY g ORDER BY d) AS df
+    FROM m
+),
+gl AS (
+    SELECT g, d, rev,
+           CASE WHEN df > 0 THEN df ELSE 0 END AS gain,
+           CASE WHEN df < 0 THEN -df ELSE 0 END AS loss,
+           CASE WHEN df IS NULL THEN 0 ELSE 1 END AS has_d
+    FROM diffed
+),
+agged AS (
+    SELECT g, d, rev,
+           sum(has_d) OVER w AS nd,
+           sum(gain) OVER w AS sg,
+           sum(loss) OVER w AS sl
+    FROM gl
+    WINDOW w AS (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT g AS o_orderpriority, d AS o_orderdate, rev,
+       round(CASE WHEN nd = 14 AND CAST(sg AS DOUBLE)
+                       + CAST(sl AS DOUBLE) > 0
+                  THEN 100.0 * CAST(sg AS DOUBLE)
+                       / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE))
+             END, 6) AS rsi
+FROM agged
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the ≥2-support part co-purchase
+    graph — do hub parts co-sell with other hubs?  One scalar
+    aggregate of exact integer degree sums
+    (``graph.degree_assortativity``)."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return graph.degree_assortativity(edges, "src", "dst")
+
+
+ORACLE_ASSORTATIVITY = """
+WITH e0 AS MATERIALIZED (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS MATERIALIZED (
+    SELECT a AS u, b AS v FROM e0 UNION SELECT b AS u, a AS v FROM e0
+),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+pairs AS (
+    SELECT du.d AS x, dv.d AS y
+    FROM sym JOIN deg du ON sym.u = du.u JOIN deg dv ON sym.v = dv.u
+),
+tot AS (
+    SELECT count(*) AS ne,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sx2,
+           sum(CAST(y AS HUGEINT) * y) AS sy2
+    FROM pairs
+),
+nn AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT n_nodes, ne AS n_directed_edges,
+       round(CASE WHEN (ne * CAST(sx2 AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (ne * CAST(sy2 AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                  THEN (ne * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((ne * CAST(sx2 AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (ne * CAST(sy2 AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)))
+             END, 6) AS assortativity
+FROM tot CROSS JOIN nn
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "levene_variance": q_levene_variance,
+        "jarque_bera": q_jarque_bera,
+        "runs_test": q_runs_test,
+        "bollinger_bands": q_bollinger_bands,
+        "rsi_indicator": q_rsi_indicator,
+        "degree_assortativity": q_degree_assortativity,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "levene_variance": ORACLE_LEVENE,
+        "jarque_bera": ORACLE_JARQUE_BERA,
+        "runs_test": ORACLE_RUNS_TEST,
+        "bollinger_bands": ORACLE_BOLLINGER,
+        "rsi_indicator": ORACLE_RSI,
+        "degree_assortativity": ORACLE_ASSORTATIVITY,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

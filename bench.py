@@ -207,6 +207,13 @@ BENCH_QUERIES = [
     # round-10 widening batch 8
     "kendall_tau",
     "empirical_bayes_rates",
+    # round-10 widening batch 9
+    "levene_variance",
+    "jarque_bera",
+    "runs_test",
+    "bollinger_bands",
+    "rsi_indicator",
+    "degree_assortativity",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -346,6 +353,12 @@ TOTAL_EXCLUDED = {
     "feature_info_gain",
     "kendall_tau",
     "empirical_bayes_rates",
+    "levene_variance",
+    "jarque_bera",
+    "runs_test",
+    "bollinger_bands",
+    "rsi_indicator",
+    "degree_assortativity",
 }
 
 
