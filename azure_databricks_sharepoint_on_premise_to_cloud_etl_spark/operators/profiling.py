@@ -146,3 +146,101 @@ def fk_integrity(
     for o in outs[1:]:
         result = result.unionAll(o)
     return result.orderBy("relation")
+
+
+def expectation_audit(
+    df: DataFrame, expectations: list[dict]
+) -> DataFrame:
+    """Row-level data-quality expectations evaluated in ONE scan —
+    the publish gate richer than :func:`check_constraints` (which
+    audits a column *profile*): each expectation counts its violating
+    ROWS, so the report says "142 of 1.5M orders break the price
+    range", not just "a profile stat is off".
+
+    ``expectations`` is a list of dicts::
+
+        {"column": c, "kind": "not_null"}
+        {"column": c, "kind": "range", "lo": x, "hi": y}
+        {"column": c, "kind": "in_set", "values": [...]}
+        {"column": c, "kind": "regexp", "pattern": r"..."}
+        {"column": c, "kind": "unique"}
+
+    NULLs only violate ``not_null`` (the other kinds skip them, so a
+    nullable column wants both expectations — standard
+    expectation-suite semantics).
+
+    Scale shape: every row-level expectation is a conditional-sum
+    column of the SAME single hash aggregate (map-side combined, one
+    scan regardless of suite size); ``unique`` rides the same
+    aggregate as ``count - count_distinct``.  The one aggregate row
+    is then exploded to one output row per expectation — driver-free
+    and constant-sized.
+
+    Returns one row per expectation:
+    (column, expectation, detail, n_rows, n_violations,
+    violation_rate, passed).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    metas = []
+    for i, ex in enumerate(expectations):
+        c = F.col(ex["column"])
+        kind = ex["kind"]
+        if kind == "not_null":
+            cond = c.isNull()
+            detail = ""
+        elif kind == "range":
+            lo, hi = ex["lo"], ex["hi"]
+            cond = c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))
+            detail = f"[{lo}, {hi}]"
+        elif kind == "in_set":
+            vals = list(ex["values"])
+            cond = c.isNotNull() & ~c.isin(vals)
+            detail = f"{len(vals)} allowed"
+        elif kind == "regexp":
+            pat = ex["pattern"]
+            cond = c.isNotNull() & ~c.rlike(pat)
+            detail = pat
+        elif kind == "unique":
+            cond = None
+            detail = ""
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+        if cond is None:
+            aggs.append(
+                (F.count(c) - F.count_distinct(c)).alias(f"__v{i}")
+            )
+        else:
+            aggs.append(
+                F.coalesce(
+                    F.sum(cond.cast("long")), F.lit(0)
+                ).alias(f"__v{i}")
+            )
+        metas.append((ex["column"], kind, detail))
+    one = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(col).alias("column"),
+            F.lit(kind).alias("expectation"),
+            F.lit(detail).alias("detail"),
+            F.col(f"__v{i}").cast("long").alias("n_violations"),
+        )
+        for i, (col, kind, detail) in enumerate(metas)
+    ]
+    exploded = one.select(
+        F.col("__n").alias("n_rows"),
+        F.explode(F.array(*entries)).alias("__e"),
+    )
+    rate = F.col("__e.n_violations").cast("double") / F.col(
+        "n_rows"
+    ).cast("double")
+    return exploded.select(
+        F.col("__e.column").alias("column"),
+        F.col("__e.expectation").alias("expectation"),
+        F.col("__e.detail").alias("detail"),
+        "n_rows",
+        F.col("__e.n_violations").alias("n_violations"),
+        F.round(
+            F.when(F.col("n_rows") > 0, rate).otherwise(F.lit(0.0)), 6
+        ).alias("violation_rate"),
+        (F.col("__e.n_violations") == 0).alias("passed"),
+    )

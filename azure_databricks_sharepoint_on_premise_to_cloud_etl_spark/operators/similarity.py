@@ -786,3 +786,82 @@ def project_onto_component(
     return df.select(
         F.col(id_col), F.round(score, round_digits).alias("pc1_score")
     )
+
+
+def semantic_outlier(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    emb_col: str,
+    bottom_frac: float = 0.1,
+) -> DataFrame:
+    """Flag embeddings far from their group's centroid — the
+    mislabeled-data / off-topic-document screen: per group, compute
+    the mean vector, score every member by cosine similarity to it,
+    and mark the bottom ``bottom_frac`` quantile (ties inclusive) as
+    outliers.
+
+    Scale shape: one posexplode (rows × dim), ONE (group, dim)
+    centroid aggregate (groups·dim rows — broadcast back), one
+    per-row dot/norm aggregate keyed on the id (map-side combined),
+    and a histogram-exact per-group quantile over the ROUNDED scores
+    (6 dp — the rounding happens before the cutoff so the flag
+    boundary is engine-exact).  No pairwise joins anywhere: cost is
+    O(rows · dim), the same as a scan.
+
+    Returns (id, group, cos_centroid, cutoff, is_outlier).
+    """
+    if not 0.0 < bottom_frac < 1.0:
+        raise ValueError(f"bottom_frac {bottom_frac} outside (0, 1)")
+    from .stats import group_percentiles_exact
+
+    x = (
+        df.filter(
+            F.col(emb_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__g"),
+            F.posexplode(emb_col).alias("__i", "__v"),
+        )
+        .withColumn("__v", F.col("__v").cast("double"))
+    )
+    cent = x.groupBy("__g", "__i").agg(F.avg("__v").alias("__c"))
+    cnorm = cent.groupBy("__g").agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("__cc")
+    )
+    per_doc = (
+        x.join(F.broadcast(cent), ["__g", "__i"])
+        .groupBy("__id", "__g")
+        .agg(
+            F.sum(F.col("__v") * F.col("__c")).alias("__dot"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__vv"),
+        )
+    )
+    scored = per_doc.join(F.broadcast(cnorm), "__g").select(
+        "__id",
+        "__g",
+        F.round(
+            F.when(
+                (F.col("__vv") > 0) & (F.col("__cc") > 0),
+                F.col("__dot")
+                / F.sqrt(F.col("__vv") * F.col("__cc")),
+            ),
+            6,
+        ).alias("cos_centroid"),
+    )
+    cuts = group_percentiles_exact(
+        scored, ["__g"], "cos_centroid", {"cutoff": float(bottom_frac)}
+    ).select("__g", F.round(F.col("cutoff"), 6).alias("cutoff"))
+    return (
+        scored.join(F.broadcast(cuts), "__g")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            "cos_centroid",
+            "cutoff",
+            (F.col("cos_centroid") <= F.col("cutoff")).alias(
+                "is_outlier"
+            ),
+        )
+    )

@@ -2957,3 +2957,188 @@ def runs_test(
         "runs",
         F.round(z, 6).alias("z"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-square goodness-of-fit of the
+    observed per-arm unit counts against the design ratios — the FIRST
+    gate on any experiment readout (a 50/50 split observed at 52/48 on
+    a million units is broken randomization, and every downstream
+    t-test on it is garbage).
+
+    ``expected`` maps arm value -> design share (normalized here, so
+    ``{1: 1, 2: 1}`` means 50/50).  Arms in the design but absent from
+    the data count as observed 0.  Arms in the data but NOT in the
+    design are themselves a design violation: they are excluded from
+    the chi-square (which is defined over the declared arms) but
+    surfaced as ``n_undeclared`` > 0 — silently ignoring them would
+    hide exactly the bug this test exists to catch.
+
+    Scale shape: ONE hash aggregate to k arm rows; the design table is
+    a k-row literal broadcast; the statistic assembles on the single
+    output row from exact integer counts.
+
+    Returns one row: (k, n, n_undeclared, chi2, dof).
+    """
+    total = float(sum(expected.values()))
+    if total <= 0:
+        raise ValueError("expected shares must sum positive")
+    shares = [(k, float(v) / total) for k, v in expected.items()]
+    spark = df.sparkSession
+    design = spark.createDataFrame(shares, ["__arm", "__share"])
+    obs = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__arm"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    joined = design.join(obs, "__arm", "left").select(
+        "__share", F.coalesce(F.col("__o"), F.lit(0)).alias("__o")
+    )
+    declared = joined.groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__o").alias("n"),
+    )
+    undeclared = (
+        obs.join(F.broadcast(design), "__arm", "left_anti")
+        .groupBy()
+        .agg(F.coalesce(F.sum("__o"), F.lit(0)).alias("n_undeclared"))
+    )
+    terms = joined.crossJoin(F.broadcast(declared)).select(
+        "k",
+        "n",
+        (
+            F.pow(
+                F.col("__o").cast("double")
+                - F.col("__share") * F.col("n").cast("double"),
+                2,
+            )
+            / (F.col("__share") * F.col("n").cast("double"))
+        ).alias("__t"),
+    )
+    chi = terms.groupBy("k", "n").agg(
+        F.round(
+            F.when(F.col("n") > 0, F.sum("__t")), 6
+        ).alias("chi2")
+    )
+    return chi.crossJoin(F.broadcast(undeclared)).select(
+        "k",
+        "n",
+        "n_undeclared",
+        "chi2",
+        (F.col("k") - 1).alias("dof"),
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str = "target_enc",
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding: each row's category is
+    replaced by the mean target of the OTHER rows in that category,
+    shrunk toward the global mean by ``smoothing`` pseudo-counts —
+    the standard high-cardinality categorical feature that, unlike a
+    plain group mean, does not leak the row's own label into its own
+    feature:
+
+        enc_i = (sum(cat) - t_i + m * global_mean) / (n(cat) - 1 + m)
+
+    A singleton category (n=1) degrades cleanly to the global mean.
+
+    Scale shape: targets ride as exact micro-unit integers; ONE
+    category aggregate (map-side combined) plus one single-row global
+    aggregate, both broadcast back onto the corpus — the corpus
+    itself never shuffles, and the encoding is engine-exact doubles
+    from exact integer sums.
+    """
+    t = F.col(target_col)
+    micro = F.round(t * 1_000_000).cast("decimal(38,0)")
+    base = df.filter(
+        t.isNotNull() & F.col(cat_col).isNotNull()
+    ).withColumn("__tm", micro)
+    per_cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("__cn"),
+        F.sum("__tm").alias("__cs"),
+    )
+    glob = base.groupBy().agg(
+        F.count(F.lit(1)).alias("__gn"),
+        F.sum("__tm").alias("__gs"),
+    )
+    gmean = F.col("__gs").cast("double") / F.col("__gn").cast("double")
+    m = F.lit(float(smoothing))
+    enc_micro = (
+        F.col("__cs").cast("double")
+        - F.col("__tm").cast("double")
+        + m * gmean
+    ) / (F.col("__cn").cast("double") - 1.0 + m)
+    return (
+        base.join(F.broadcast(per_cat), cat_col)
+        .crossJoin(F.broadcast(glob))
+        .withColumn(out_col, F.round(enc_micro / 1_000_000.0, 6))
+        .drop("__cn", "__cs", "__gn", "__gs", "__tm")
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Differentially-private group counts: true counts plus Laplace
+    (1/epsilon) noise — the releasable histogram when the groups are
+    sensitive (count queries have L1 sensitivity 1, so Lap(1/eps)
+    gives eps-DP).  True counts are deliberately NOT in the output.
+
+    The noise is DETERMINISTIC per (group, salt): a portable 60-bit
+    md5 hash of the group key seeds the Park–Miller Lehmer generator
+    (:func:`_lehmer_uniform`), and the uniform becomes Laplace by
+    inverse CDF.  Deterministic noise is what a production release
+    pipeline wants — re-running the job must NOT average away the
+    privacy noise across releases (the classic averaging attack);
+    rotating ``salt`` is the deliberate act of spending more privacy
+    budget.
+
+    Scale shape: ONE hash aggregate to k group rows; noise is
+    per-group scalar arithmetic on those k rows.  Engine-exact: the
+    hash, the Lehmer rounds, and the inverse CDF are plain integer /
+    double expressions reproducible verbatim in any SQL engine.
+
+    Returns (group..., noisy_count) — noisy_count rounded to 6 dp and
+    floored at 0 (counts cannot be negative; one-sided clamping is
+    post-processing, which DP permits).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    from ..functions import portable_hash64
+
+    per = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    key_str = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    )
+    key = portable_hash64(key_str, seed=salt)
+    u = _lehmer_uniform(key)
+    # keep u away from exact 0 (ln(0) = -inf); 0.5/M is below any
+    # reachable nonzero Lehmer state
+    u = F.greatest(u, F.lit(0.5 / _LEHMER_M))
+    v = u - 0.5
+    b = 1.0 / float(epsilon)
+    noise = (
+        -F.lit(b)
+        * F.signum(v)
+        * F.log(1.0 - 2.0 * F.abs(v))
+    )
+    noisy = F.col("__n").cast("double") + noise
+    return per.select(
+        *group_cols,
+        F.round(F.greatest(noisy, F.lit(0.0)), 6).alias("noisy_count"),
+    )

@@ -14438,3 +14438,273 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 10: quality gates + feature/privacy ops ---
+
+
+_EXPECTATIONS = [
+    {"column": "o_orderkey", "kind": "not_null"},
+    {"column": "o_orderkey", "kind": "unique"},
+    {"column": "o_totalprice", "kind": "range", "lo": 0, "hi": 600000},
+    {
+        "column": "o_orderpriority",
+        "kind": "in_set",
+        "values": [
+            "1-URGENT",
+            "2-HIGH",
+            "3-MEDIUM",
+            "4-NOT SPECIFIED",
+            "5-LOW",
+        ],
+    },
+    {"column": "o_orderstatus", "kind": "regexp", "pattern": "^[FOP]$"},
+]
+
+
+def q_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-expectation data-quality suite over orders in ONE scan —
+    row-level violations per expectation
+    (``profiling.expectation_audit``)."""
+    from .operators.profiling import expectation_audit
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return expectation_audit(o, _EXPECTATIONS)
+
+
+ORACLE_EXPECTATION_AUDIT = """
+WITH agg AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+           count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+           sum(CASE WHEN o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0 OR o_totalprice > 600000)
+                    THEN 1 ELSE 0 END) AS v2,
+           sum(CASE WHEN o_orderpriority IS NOT NULL
+                     AND o_orderpriority NOT IN
+                         ('1-URGENT','2-HIGH','3-MEDIUM',
+                          '4-NOT SPECIFIED','5-LOW')
+                    THEN 1 ELSE 0 END) AS v3,
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND NOT regexp_matches(o_orderstatus, '^[FOP]$')
+                    THEN 1 ELSE 0 END) AS v4
+    FROM orders
+),
+rows_out AS (
+    SELECT 'o_orderkey' AS "column", 'not_null' AS expectation,
+           '' AS detail, n, CAST(v0 AS BIGINT) AS n_violations
+    FROM agg
+    UNION ALL
+    SELECT 'o_orderkey', 'unique', '', n, CAST(v1 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', 'range', '[0, 600000]', n,
+           CAST(v2 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 'o_orderpriority', 'in_set', '5 allowed', n,
+           CAST(v3 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 'o_orderstatus', 'regexp', '^[FOP]$', n,
+           CAST(v4 AS BIGINT) FROM agg
+)
+SELECT "column", expectation, detail, n AS n_rows, n_violations,
+       round(CASE WHEN n > 0
+                  THEN CAST(n_violations AS DOUBLE) / n
+                  ELSE 0.0 END, 6) AS violation_rate,
+       n_violations = 0 AS passed
+FROM rows_out
+"""
+
+
+def q_semantic_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-embedding screen: cosine to the per-label centroid,
+    bottom decile flagged — O(rows x dim), no pair joins
+    (``similarity.semantic_outlier``)."""
+    from .operators.similarity import semantic_outlier
+
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return semantic_outlier(
+        e, "vec_id", "label", "embedding", bottom_frac=0.1
+    )
+
+
+ORACLE_SEMANTIC_OUTLIER = """
+WITH x AS (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cent AS (
+    SELECT label, i, avg(v) AS c FROM x GROUP BY 1, 2
+),
+cnorm AS (SELECT label, sum(c * c) AS cc FROM cent GROUP BY 1),
+per AS (
+    SELECT vec_id, x.label, sum(v * c) AS dot, sum(v * v) AS vv
+    FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT vec_id, per.label,
+           round(CASE WHEN vv > 0 AND cc > 0
+                      THEN dot / sqrt(vv * cc) END, 6) AS cos_centroid
+    FROM per JOIN cnorm ON per.label = cnorm.label
+),
+cuts AS (
+    SELECT label, round(quantile_cont(cos_centroid, 0.1), 6) AS cutoff
+    FROM scored GROUP BY 1
+)
+SELECT vec_id, scored.label, cos_centroid, cutoff,
+       cos_centroid <= cutoff AS is_outlier
+FROM scored JOIN cuts ON scored.label = cuts.label
+"""
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate on a synthetic 50/50 split of event
+    users (arm = user_id mod 2) — one k-row aggregate
+    (``stats.srm_check``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    )
+    return stats.srm_check(e, "arm", {0: 0.5, 1: 0.5})
+
+
+ORACLE_SRM = """
+WITH obs AS (
+    SELECT user_id % 2 AS arm, count(*) AS o
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+),
+design AS (
+    SELECT * FROM (VALUES (0, 0.5), (1, 0.5)) d(arm, share)
+),
+j AS (
+    SELECT d.share, coalesce(o.o, 0) AS o
+    FROM design d LEFT JOIN obs o ON d.arm = o.arm
+),
+decl AS (SELECT count(*) AS k, sum(o) AS n FROM j),
+und AS (
+    SELECT coalesce(sum(o), 0) AS n_undeclared
+    FROM obs WHERE arm NOT IN (SELECT arm FROM design)
+)
+SELECT k, CAST(n AS BIGINT) AS n,
+       CAST(n_undeclared AS BIGINT) AS n_undeclared,
+       round(CASE WHEN n > 0 THEN (
+           SELECT sum(pow(CAST(o AS DOUBLE) - share * n, 2)
+                      / (share * n)) FROM j
+       ) END, 6) AS chi2,
+       k - 1 AS dof
+FROM decl CROSS JOIN und
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of return flag against
+    quantity — exact micro-unit sums, corpus never shuffles
+    (``stats.target_encode``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return stats.target_encode(
+        li, "l_returnflag", "l_quantity", smoothing=20.0
+    )
+
+
+ORACLE_TARGET_ENCODE = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(round(l_quantity * 1000000) AS HUGEINT) AS tm
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+),
+per AS (
+    SELECT l_returnflag, count(*) AS cn, sum(tm) AS cs
+    FROM base GROUP BY 1
+),
+g AS (SELECT count(*) AS gn, sum(tm) AS gs FROM base)
+SELECT l_orderkey, l_linenumber, base.l_returnflag, l_quantity,
+       round(((CAST(cs AS DOUBLE) - CAST(tm AS DOUBLE)
+               + 20.0 * (CAST(gs AS DOUBLE) / gn))
+              / (cn - 1.0 + 20.0)) / 1000000.0, 6) AS target_enc
+FROM base JOIN per ON base.l_returnflag = per.l_returnflag CROSS JOIN g
+"""
+
+
+_DP_SALT = 7
+_DP_EPS = 1.0
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP releasable histogram of orders per priority — counts
+    plus deterministic seeded Laplace(1/eps) noise
+    (``stats.dp_noisy_counts``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.dp_noisy_counts(
+        o, ["o_orderpriority"], epsilon=_DP_EPS, salt=_DP_SALT
+    )
+
+
+def _dp_oracle() -> str:
+    m = 2147483647
+    key = (
+        "CAST(concat('0x', substr(md5(concat('7:', "
+        "CAST(o_orderpriority AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH per AS (
+    SELECT o_orderpriority, count(*) AS n,
+           {key} % {m} AS s0
+    FROM orders
+    GROUP BY 1
+),
+lehmer AS (
+    SELECT o_orderpriority, n,
+           (((s0 * 48271) % {m}) * 48271 % {m}) * 48271 % {m} AS s3
+    FROM per
+),
+unif AS (
+    SELECT o_orderpriority, n,
+           greatest(CAST(s3 AS DOUBLE) / {float(m)!r},
+                    {0.5 / m!r}) AS u
+    FROM lehmer
+)
+SELECT o_orderpriority,
+       round(greatest(
+           CAST(n AS DOUBLE)
+           - {1.0 / _DP_EPS!r} * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)),
+           0.0), 6) AS noisy_count
+FROM unif
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "expectation_audit": q_expectation_audit,
+        "semantic_outlier": q_semantic_outlier,
+        "srm_check": q_srm_check,
+        "target_encode": q_target_encode,
+        "dp_noisy_counts": q_dp_noisy_counts,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "expectation_audit": ORACLE_EXPECTATION_AUDIT,
+        "semantic_outlier": ORACLE_SEMANTIC_OUTLIER,
+        "srm_check": ORACLE_SRM,
+        "target_encode": ORACLE_TARGET_ENCODE,
+        "dp_noisy_counts": _dp_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -214,6 +214,12 @@ BENCH_QUERIES = [
     "bollinger_bands",
     "rsi_indicator",
     "degree_assortativity",
+    # round-10 widening batch 10
+    "expectation_audit",
+    "semantic_outlier",
+    "srm_check",
+    "target_encode",
+    "dp_noisy_counts",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -359,6 +365,11 @@ TOTAL_EXCLUDED = {
     "bollinger_bands",
     "rsi_indicator",
     "degree_assortativity",
+    "expectation_audit",
+    "semantic_outlier",
+    "srm_check",
+    "target_encode",
+    "dp_noisy_counts",
 }
 
 
