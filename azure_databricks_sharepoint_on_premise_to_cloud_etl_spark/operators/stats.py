@@ -3142,3 +3142,165 @@ def dp_noisy_counts(
         *group_cols,
         F.round(F.greatest(noisy, F.lit(0.0)), 6).alias("noisy_count"),
     )
+
+
+# Abramowitz & Stegun 7.1.26 rational approximation of the standard
+# normal CDF (|error| < 7.5e-8): plain arithmetic + exp, so Spark and
+# any SQL oracle compute bit-identical doubles — unlike scipy lookups
+# there is nothing engine-specific to diverge.
+_NORM_B = (0.319381530, -0.356563782, 1.781477937,
+           -1.821255978, 1.330274429)
+_NORM_P = 0.2316419
+_SQRT_2PI = 2.5066282746310002
+
+
+def _normal_upper_tail(x: Column) -> Column:
+    """``1 - Phi(x)`` for x >= 0 (A&S 7.1.26) — computed directly so
+    two-sided p-values never round-trip through ``1 - (1 - u)``,
+    which is not an IEEE identity and would let Spark and a SQL
+    oracle disagree in the last ulp."""
+    t = 1.0 / (1.0 + F.lit(_NORM_P) * x)
+    poly = F.lit(0.0)
+    # Horner over b5..b1
+    for b in reversed(_NORM_B):
+        poly = (poly + F.lit(b)) * t
+    pdf = F.exp(-x * x / 2.0) / F.lit(_SQRT_2PI)
+    return pdf * poly
+
+
+def normal_cdf(z: Column) -> Column:
+    """Standard normal CDF Phi(z) via the A&S 7.1.26 polynomial —
+    the portable p-value backend for every z-statistic operator.
+    NULL z yields NULL."""
+    upper = _normal_upper_tail(F.abs(z))
+    return F.when(z >= 0, 1.0 - upper).otherwise(upper)
+
+
+def attach_pvalue(
+    df: DataFrame,
+    z_col: str,
+    out_col: str = "p_value",
+    sided: int = 2,
+) -> DataFrame:
+    """Append the normal-approximation p-value for an existing
+    z-statistic column: two-sided ``2 * (1 - Phi(|z|))`` or one-sided
+    upper-tail ``1 - Phi(z)``.  Rounded to 6 dp; NULL z stays NULL.
+
+    Scale shape: a pure per-row expression on what is invariably an
+    already-collapsed k-row statistic table — no shuffle, no scan.
+    """
+    if sided not in (1, 2):
+        raise ValueError(f"sided must be 1 or 2, got {sided}")
+    z = F.col(z_col)
+    if sided == 2:
+        p = 2.0 * _normal_upper_tail(F.abs(z))
+    else:
+        upper = _normal_upper_tail(F.abs(z))
+        p = F.when(z >= 0, upper).otherwise(1.0 - upper)
+    return df.withColumn(out_col, F.round(p, 6))
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over a family of tests:
+    ``q_i = min_{j >= i} (p_(j) * m / j)`` (capped at 1), plus the
+    reject-at-``alpha`` flag — the correction every segment-sweep
+    analysis needs once it runs one test per segment instead of one
+    test overall.
+
+    Scale shape: the input is a statistic table (one row per test),
+    so the two windows (rank ascending, running-min from the worst
+    p down) run over m test rows per family — thousands at most,
+    partitioned by ``group_cols`` when families are independent.
+    NULL p-values are excluded from the family (they neither consume
+    a rank nor can be rejected).
+
+    Adds: (rank, q_value, reject).
+    """
+    group_cols = group_cols or []
+    base = df.filter(F.col(p_col).isNotNull())
+    w_rank = Window.partitionBy(*group_cols).orderBy(
+        F.col(p_col).asc(), *[F.col(c) for c in base.columns
+                              if c != p_col and c not in group_cols]
+    )
+    w_all = Window.partitionBy(*group_cols)
+    w_tailmin = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = base.withColumn(
+        "__rank", F.row_number().over(w_rank)
+    ).withColumn("__m", F.count(F.lit(1)).over(w_all))
+    raw = (
+        F.col(p_col)
+        * F.col("__m").cast("double")
+        / F.col("__rank").cast("double")
+    )
+    adjusted = ranked.withColumn(
+        "q_value",
+        F.round(F.least(F.min(raw).over(w_tailmin), F.lit(1.0)), 6),
+    )
+    return adjusted.select(
+        *[c for c in base.columns],
+        F.col("__rank").alias("rank"),
+        "q_value",
+        (F.col("q_value") <= F.lit(float(alpha))).alias("reject"),
+    )
+
+
+def one_vs_rest_rate_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_expr: Column,
+) -> DataFrame:
+    """Per-group one-vs-rest two-proportion z-test: does THIS
+    segment's success rate differ from everyone else's — the segment
+    sweep that precedes a :func:`bh_adjust` correction (k segments =
+    k tests).  Pooled-variance z with the lazy-CASE guard on
+    degenerate arms (empty rest, all-success pools).
+
+    Scale shape: ONE hash aggregate to k group rows; the global
+    totals derive from those k rows and broadcast back — the corpus
+    is scanned once, and every count is integer-exact.
+
+    Returns per group: (group, n, successes, rate, rest_rate, z).
+    """
+    per = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(success_expr.cast("long")), F.lit(0)
+            ).alias("successes"),
+        )
+    )
+    tot = per.groupBy().agg(
+        F.sum("n").alias("__nt"), F.sum("successes").alias("__st")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n1 = F.col("n").cast("double")
+    s1 = F.col("successes").cast("double")
+    n2 = (F.col("__nt") - F.col("n")).cast("double")
+    s2 = (F.col("__st") - F.col("successes")).cast("double")
+    r1 = F.when(F.col("n") > 0, s1 / n1)
+    r2 = F.when(n2 > 0, s2 / n2)
+    pool = (s1 + s2) / (n1 + n2)
+    se2 = pool * (1.0 - pool) * (1.0 / n1 + 1.0 / n2)
+    z = F.when(
+        (F.col("n") > 0) & (n2 > 0) & (se2 > 0),
+        (r1 - r2) / F.sqrt(se2),
+    )
+    return j.select(
+        group_col,
+        "n",
+        "successes",
+        F.round(r1, 6).alias("rate"),
+        F.round(r2, 6).alias("rest_rate"),
+        F.round(z, 6).alias("z"),
+    )

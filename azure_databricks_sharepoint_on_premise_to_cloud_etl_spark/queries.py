@@ -14708,3 +14708,161 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 11: multiple-testing inference ---
+
+
+def q_rate_ztest_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest two-proportion z per order priority (success =
+    fulfilled status 'F') — ONE k-row aggregate, exact counts
+    (``stats.one_vs_rest_rate_ztest``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.one_vs_rest_rate_ztest(
+        o, "o_orderpriority", (F.col("o_orderstatus") == "F")
+    )
+
+
+ORACLE_RATE_ZTEST = """
+WITH per AS (
+    SELECT o_orderpriority, count(*) AS n,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS successes
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt, sum(successes) AS st FROM per)
+SELECT o_orderpriority, n,
+       CAST(successes AS BIGINT) AS successes,
+       round(CASE WHEN n > 0
+                  THEN CAST(successes AS DOUBLE) / n END, 6) AS rate,
+       round(CASE WHEN nt - n > 0
+                  THEN CAST(st - successes AS DOUBLE) / (nt - n)
+             END, 6) AS rest_rate,
+       round(CASE WHEN n > 0 AND nt - n > 0
+                   AND (CAST(st AS DOUBLE) / nt)
+                       * (1.0 - CAST(st AS DOUBLE) / nt)
+                       * (1.0 / n + 1.0 / (nt - n)) > 0
+                  THEN (CAST(successes AS DOUBLE) / n
+                        - CAST(st - successes AS DOUBLE) / (nt - n))
+                       / sqrt((CAST(st AS DOUBLE) / nt)
+                              * (1.0 - CAST(st AS DOUBLE) / nt)
+                              * (1.0 / n + 1.0 / (nt - n)))
+             END, 6) AS z
+FROM per CROSS JOIN tot
+"""
+
+
+# 1 - Phi(|z|) via A&S 7.1.26, as a SQL fragment parameterized on the
+# (already-absolute) argument expression — the literal twin of
+# stats.normal_cdf
+def _sql_upper_tail(x: str) -> str:
+    t = f"(1.0 / (1.0 + 0.2316419 * {x}))"
+    poly = (
+        f"((((1.330274429 * {t} - 1.821255978) * {t} + 1.781477937)"
+        f" * {t} - 0.356563782) * {t} + 0.319381530) * {t}"
+    )
+    pdf = f"(exp(-({x}) * ({x}) / 2.0) / 2.5066282746310002)"
+    return f"({pdf} * ({poly}))"
+
+
+def q_multiple_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full segment-sweep inference chain: per-priority
+    one-vs-rest z -> portable normal p-values -> Benjamini–Hochberg
+    FDR adjustment with reject flags
+    (``stats.attach_pvalue`` + ``stats.bh_adjust``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    zs = stats.one_vs_rest_rate_ztest(
+        o, "o_orderpriority", (F.col("o_orderstatus") == "F")
+    )
+    with_p = stats.attach_pvalue(zs, "z", sided=2)
+    return stats.bh_adjust(with_p, "p_value", alpha=0.05)
+
+
+def _multiple_testing_oracle() -> str:
+    upper = _sql_upper_tail("abs(z)")
+    return f"""
+WITH per AS (
+    SELECT o_orderpriority, count(*) AS n,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS successes
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt, sum(successes) AS st FROM per),
+zs AS (
+    SELECT o_orderpriority, n,
+           CAST(successes AS BIGINT) AS successes,
+           round(CASE WHEN n > 0
+                      THEN CAST(successes AS DOUBLE) / n END, 6)
+               AS rate,
+           round(CASE WHEN nt - n > 0
+                      THEN CAST(st - successes AS DOUBLE) / (nt - n)
+                 END, 6) AS rest_rate,
+           round(CASE WHEN n > 0 AND nt - n > 0
+                       AND (CAST(st AS DOUBLE) / nt)
+                           * (1.0 - CAST(st AS DOUBLE) / nt)
+                           * (1.0 / n + 1.0 / (nt - n)) > 0
+                      THEN (CAST(successes AS DOUBLE) / n
+                            - CAST(st - successes AS DOUBLE)
+                              / (nt - n))
+                           / sqrt((CAST(st AS DOUBLE) / nt)
+                                  * (1.0 - CAST(st AS DOUBLE) / nt)
+                                  * (1.0 / n + 1.0 / (nt - n)))
+                 END, 6) AS z
+    FROM per CROSS JOIN tot
+),
+withp AS (
+    SELECT *,
+           round(CASE WHEN z IS NOT NULL
+                      THEN 2.0 * {upper} END, 6) AS p_value
+    FROM zs
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               ORDER BY p_value, o_orderpriority, n, successes,
+                        rate, rest_rate, z) AS rank,
+           count(*) OVER () AS m
+    FROM withp
+    WHERE p_value IS NOT NULL
+)
+SELECT o_orderpriority, n, successes, rate, rest_rate, z, p_value,
+       CAST(rank AS INTEGER) AS rank,
+       round(least(
+           min(p_value * m / rank) OVER (
+               ORDER BY rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           1.0), 6) AS q_value,
+       round(least(
+           min(p_value * m / rank) OVER (
+               ORDER BY rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           1.0), 6) <= 0.05 AS reject
+FROM ranked
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "rate_ztest_sweep": q_rate_ztest_sweep,
+        "multiple_testing": q_multiple_testing,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "rate_ztest_sweep": ORACLE_RATE_ZTEST,
+        "multiple_testing": _multiple_testing_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     "srm_check",
     "target_encode",
     "dp_noisy_counts",
+    # round-10 widening batch 11
+    "rate_ztest_sweep",
+    "multiple_testing",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -370,6 +373,8 @@ TOTAL_EXCLUDED = {
     "srm_check",
     "target_encode",
     "dp_noisy_counts",
+    "rate_ztest_sweep",
+    "multiple_testing",
 }
 
 

@@ -388,6 +388,25 @@ HEAVY = [
     # entity-sized aggregates
     "kendall_tau",
     "empirical_bayes_rates",
+    # round-10 widening batches 9/10: levene/jarque-bera/srm collapse
+    # to k-group moment rows after one scan (expect flat-to-sublinear
+    # over a linear scan); runs/bollinger/rsi window over DAY-grain
+    # series whose length is fixture-constant (expect flat);
+    # assortativity is edge-linear after the basket self-join;
+    # expectation_audit is ONE scan regardless of suite size;
+    # semantic_outlier is rows x dim; target_encode is one category
+    # aggregate broadcast back; dp counts collapse to k rows
+    "levene_variance",
+    "jarque_bera",
+    "runs_test",
+    "bollinger_bands",
+    "rsi_indicator",
+    "degree_assortativity",
+    "expectation_audit",
+    "semantic_outlier",
+    "srm_check",
+    "target_encode",
+    "dp_noisy_counts",
 ]
 
 ALL_TABLES = (
