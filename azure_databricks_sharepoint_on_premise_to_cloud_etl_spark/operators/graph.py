@@ -1664,3 +1664,88 @@ def degree_assortativity(
     )
     result._extra_ckpts = [sym]
     return result
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Sampled harmonic centrality: ``C_H(v) = Σ_s 1/d(s, v)`` over a
+    pinned SOURCE SAMPLE, distances capped at ``max_hops`` — the
+    practical form of closeness/harmonic centrality at scale (exact
+    all-pairs is O(V·E); a fixed source sample with a hop cap is the
+    standard estimator, and because the sample is an input the
+    result is deterministic and oracle-checkable).
+
+    Scale shape: a LABELED delta-frontier BFS — identical structure
+    to :func:`bfs_distances` but keyed on (source, node), so the k
+    sources expand as k interleaved frontiers over ONE static
+    checkpointed symmetrized edge table; cost is O(k · edges within
+    the hop cap), the settled probe rides each hop's checkpoint job
+    as an Observation, and superseded distance generations are
+    released (two-generation storage bound).  Call
+    ``release_components(result)`` after consuming.
+
+    Returns ``(node, n_sources, harmonic)`` for every node reached by
+    at least one source at distance >= 1 (sources do not score
+    themselves; unreached node/source pairs contribute 0 by absence).
+    """
+    a, b = F.col(src), F.col(dst)
+    e0 = edges.select(a.alias("u"), b.alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = (
+        e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"), F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("s", "node")
+    from pyspark.sql import Observation
+
+    for h in range(1, max_hops + 1):
+        neigh = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select("s", F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = neigh.join(
+            dist.select("s", "node"), ["s", "node"], "left_anti"
+        ).withColumn("hops", F.lit(h))
+        obs = Observation()
+        nxt = (
+            dist.unionAll(fresh)
+            .observe(
+                obs, F.sum((F.col("hops") == h).cast("long")).alias("__nf")
+            )
+            .localCheckpoint(eager=True)
+        )
+        settled = int(obs.get["__nf"] or 0) == 0
+        _release_local_checkpoint(dist)
+        dist = nxt
+        if settled:
+            break
+        frontier = dist.filter(F.col("hops") == h).select("s", "node")
+    result = (
+        dist.filter(F.col("hops") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(
+                F.sum(1.0 / F.col("hops").cast("double")), 6
+            ).alias("harmonic"),
+        )
+    )
+    result._cc_final_generation = sym
+    result._extra_ckpts = [dist]
+    result._cc_checkpoint_dir = None
+    return result

@@ -966,3 +966,74 @@ def rsi_cutler(
         F.col("__v").alias(value_col),
         F.round(rsi, 6).alias("rsi"),
     )
+
+
+def rolling_slope(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    window: int = 14,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rolling OLS slope over the trailing ``window`` rows of an
+    ordered series (x = row position, equally spaced) — the local
+    trend detector: sign flips mark inflections, magnitude is
+    units-per-step, and unlike a first difference it is not whipsawed
+    by single-row noise.  Rows without a full window get NULL.
+
+    Scale shape: the value rides as an exact micro-unit integer and
+    the row index as an integer, so ALL four window sums (Σy, Σxy,
+    Σx, Σx²) are integer-exact decimals; the slope assembles per row
+    in doubles — engine-identical.  Slope is invariant to the x
+    origin, so the absolute row index works directly.  Per-group
+    series sort inside their own partitions; the single-global form
+    is for already-collapsed rollups, documented at call sites.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    micro = F.round(v * 1_000_000).cast("decimal(38,0)")
+    wo = Window.partitionBy(*group_cols).orderBy("__o")
+    base = (
+        df.filter(v.isNotNull())
+        .select(
+            *group_cols,
+            F.col(order_col).alias("__o"),
+            v.alias("__v"),
+            micro.alias("__m"),
+        )
+        .withColumn(
+            "__i",
+            F.row_number().over(wo).cast("decimal(38,0)"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__o")
+        .rowsBetween(-(window - 1), 0)
+    )
+    agged = base.select(
+        *group_cols,
+        "__o",
+        "__v",
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+        F.sum("__m").over(w).alias("__sy"),
+        F.sum(F.col("__i") * F.col("__m")).over(w).alias("__sxy"),
+        F.sum("__i").over(w).alias("__sx"),
+        F.sum(F.col("__i") * F.col("__i")).over(w).alias("__sx2"),
+    )
+    n = F.lit(float(window))
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sx = F.col("__sx").cast("double")
+    sx2 = F.col("__sx2").cast("double")
+    den = n * sx2 - sx * sx
+    slope_micro = F.when(
+        (F.col("__cnt") == window) & (den > 0),
+        (n * sxy - sx * sy) / den,
+    )
+    return agged.select(
+        *group_cols,
+        F.col("__o").alias(order_col),
+        F.col("__v").alias(value_col),
+        F.round(slope_micro / 1_000_000.0, 6).alias("slope"),
+    )

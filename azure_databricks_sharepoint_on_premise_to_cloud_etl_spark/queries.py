@@ -14866,3 +14866,188 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 12: centrality, trend, reshape ---
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality over the part–supplier graph from
+    the seed parts (l_partkey % 500 = 1), hops ≤ 4 — k interleaved
+    delta-frontier BFS over one checkpointed edge table
+    (``graph.harmonic_centrality``)."""
+    from .operators import graph
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = li.filter(F.col("l_partkey") % 500 == 1).select(
+        F.col("l_partkey").alias("node")
+    )
+    return graph.harmonic_centrality(edges, seeds, max_hops=4)
+
+
+def _harmonic_oracle(max_hops: int = 4) -> str:
+    parts = [
+        "edges AS MATERIALIZED ("
+        "SELECT DISTINCT l_partkey AS u, 10000000 + l_suppkey AS v "
+        "FROM lineitem UNION "
+        "SELECT DISTINCT 10000000 + l_suppkey AS u, l_partkey AS v "
+        "FROM lineitem)",
+        "d0 AS (SELECT DISTINCT l_partkey AS s, l_partkey AS node, "
+        "0 AS hops FROM lineitem WHERE l_partkey % 500 = 1)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS (SELECT DISTINCT p.s, e.v AS node FROM edges e "
+            f"JOIN d{h-1} p ON e.u = p.node AND p.hops = {h-1} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM d{h-1} x "
+            f"WHERE x.s = p.s AND x.node = e.v))"
+        )
+        parts.append(
+            f"d{h} AS (SELECT s, node, hops FROM d{h-1} "
+            f"UNION ALL SELECT s, node, {h} AS hops FROM f{h})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT node, count(*) AS n_sources,
+       round(sum(1.0 / hops), 6) AS harmonic
+FROM d{max_hops} WHERE hops > 0 GROUP BY 1"""
+    )
+
+
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling OLS trend of daily revenue per order priority —
+    integer-exact window sums, doubles only on the per-row assembly
+    (``windows.rolling_slope``)."""
+    from .operators.windows import rolling_slope
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    daily = (
+        o.groupBy("o_orderpriority", "o_orderdate")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("rev")
+        )
+    )
+    return rolling_slope(
+        daily, "o_orderdate", "rev", window=14,
+        group_cols=["o_orderpriority"],
+    )
+
+
+ORACLE_ROLLING_SLOPE = """
+WITH daily AS (
+    SELECT o_orderpriority AS g, o_orderdate AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS rev
+    FROM orders
+    GROUP BY 1, 2
+),
+m AS (
+    SELECT g, d, rev,
+           CAST(round(rev * 1000000) AS HUGEINT) AS mi,
+           CAST(row_number() OVER (PARTITION BY g ORDER BY d)
+                AS HUGEINT) AS i
+    FROM daily
+),
+agged AS (
+    SELECT g, d, rev,
+           count(*) OVER w AS cnt,
+           sum(mi) OVER w AS sy,
+           sum(i * mi) OVER w AS sxy,
+           sum(i) OVER w AS sx,
+           sum(i * i) OVER w AS sx2
+    FROM m
+    WINDOW w AS (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT g AS o_orderpriority, d AS o_orderdate, rev,
+       round(CASE WHEN cnt = 14
+                   AND 14.0 * CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                  THEN ((14.0 * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (14.0 * CAST(sx2 AS DOUBLE)
+                           - CAST(sx AS DOUBLE)
+                             * CAST(sx AS DOUBLE)))
+                       / 1000000.0
+             END, 6) AS slope
+FROM agged
+"""
+
+
+def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-priority KPI row melted to long (metric, value) —
+    explode-based UNPIVOT, no shuffle (``reshape.melt``)."""
+    from .operators.reshape import melt
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            (cents.cast("double") / 100.0)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return melt(
+        wide,
+        ["o_orderpriority"],
+        ["n_orders", "avg_price", "max_price"],
+        var_name="metric",
+        value_name="value",
+    )
+
+
+ORACLE_MELT = """
+WITH wide AS (
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round((CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0)
+                 / CAST(count(*) AS DOUBLE), 6) AS avg_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric,
+       CAST(n_orders AS DOUBLE) AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_price', CAST(max_price AS DOUBLE)
+FROM wide
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "harmonic_centrality": q_harmonic_centrality,
+        "rolling_slope": q_rolling_slope,
+        "melt_metrics": q_melt_metrics,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "harmonic_centrality": _harmonic_oracle(),
+        "rolling_slope": ORACLE_ROLLING_SLOPE,
+        "melt_metrics": ORACLE_MELT,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

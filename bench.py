@@ -223,6 +223,10 @@ BENCH_QUERIES = [
     # round-10 widening batch 11
     "rate_ztest_sweep",
     "multiple_testing",
+    # round-10 widening batch 12
+    "harmonic_centrality",
+    "rolling_slope",
+    "melt_metrics",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -375,6 +379,9 @@ TOTAL_EXCLUDED = {
     "dp_noisy_counts",
     "rate_ztest_sweep",
     "multiple_testing",
+    "harmonic_centrality",
+    "rolling_slope",
+    "melt_metrics",
 }
 
 

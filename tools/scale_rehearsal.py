@@ -407,6 +407,16 @@ HEAVY = [
     "srm_check",
     "target_encode",
     "dp_noisy_counts",
+    # round-10 widening batches 11/12: the inference sweep collapses
+    # to k arms (flat); harmonic centrality's labeled BFS is
+    # O(seeds x edges-within-cap) and the seed count grows with the
+    # replicated part domain (expect ~linear); rolling_slope/melt run
+    # over day-grain or k-row collapses (flat)
+    "rate_ztest_sweep",
+    "multiple_testing",
+    "harmonic_centrality",
+    "rolling_slope",
+    "melt_metrics",
 ]
 
 ALL_TABLES = (
