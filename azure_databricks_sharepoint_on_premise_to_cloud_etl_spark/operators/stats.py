@@ -3304,3 +3304,215 @@ def one_vs_rest_rate_ztest(
         F.round(r2, 6).alias("rest_rate"),
         F.round(z, 6).alias("z"),
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    order_col: str,
+    actual_col: str,
+    forecast_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forecast scoring over an (actual, forecast) series: MAE, RMSE,
+    MAPE (zero-actual rows excluded from MAPE only), sMAPE
+    (both-zero terms contribute 0), and MASE — MAE scaled by the
+    in-sample naive-1 benchmark ``mean |y_t - y_{t-1}|``, the
+    scale-free metric that makes accuracy comparable ACROSS series
+    and exposes models that fail to beat "predict yesterday".
+
+    Scale shape: one lag window per group for the naive denominator,
+    then ONE hash aggregate to k rows; values ride as exact micro-unit
+    integers so every error sum is engine-exact until the final
+    divisions.
+
+    Returns per group: (group..., n, mae, rmse, mape, smape, mase).
+    """
+    group_cols = group_cols or []
+    a = F.col(actual_col)
+    f_ = F.col(forecast_col)
+    am = F.round(a * 1_000_000).cast("decimal(38,0)")
+    fm = F.round(f_ * 1_000_000).cast("decimal(38,0)")
+    base = df.filter(a.isNotNull() & f_.isNotNull()).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        am.alias("__a"),
+        fm.alias("__f"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__o")
+    staged = base.withColumn(
+        "__naive_err",
+        F.abs(F.col("__a") - F.lag("__a").over(w)),
+    )
+    err = F.abs(F.col("__a") - F.col("__f"))
+    ad = F.col("__a").cast("double")
+    errd = err.cast("double")
+    denom = F.abs(F.col("__a")) + F.abs(F.col("__f"))
+    smape_term = F.when(
+        denom > 0, 2.0 * errd / denom.cast("double")
+    ).otherwise(F.lit(0.0))
+    per = staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(err).alias("__sae"),
+        F.sum(err * err).alias("__sse"),
+        F.sum(
+            F.when(F.col("__a") != 0, errd / F.abs(ad))
+        ).alias("__sape"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") != 0, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("__n_nonzero"),
+        F.sum(smape_term).alias("__ssmape"),
+        F.sum("__naive_err").alias("__snaive"),
+        F.count("__naive_err").alias("__n_naive"),
+    )
+    n = F.col("n").cast("double")
+    mae_micro = F.col("__sae").cast("double") / n
+    rmse_micro = F.sqrt(F.col("__sse").cast("double") / n)
+    mape = F.when(
+        F.col("__n_nonzero") > 0,
+        F.col("__sape") / F.col("__n_nonzero").cast("double"),
+    )
+    smape = F.col("__ssmape") / n
+    naive_mae = F.when(
+        F.col("__n_naive") > 0,
+        F.col("__snaive").cast("double")
+        / F.col("__n_naive").cast("double"),
+    )
+    mase = F.when(naive_mae > 0, mae_micro / naive_mae)
+    return per.select(
+        *group_cols,
+        "n",
+        F.round(mae_micro / 1_000_000.0, 6).alias("mae"),
+        F.round(rmse_micro / 1_000_000.0, 6).alias("rmse"),
+        F.round(mape, 6).alias("mape"),
+        F.round(smape, 6).alias("smape"),
+        F.round(mase, 6).alias("mase"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table: rank by model score descending,
+    cut into ``n_buckets`` equal-count tiles, and report how much of
+    the positive class each cumulative prefix captures — the business
+    reading of a ranking model ("the top 20% of scores reach 61% of
+    the buyers, lift 3.05").
+
+    Determinism: the total order is (score desc, id asc), so tile
+    boundaries are engine-independent.  The total sort is ONE
+    partition — this is the exact-rank surface for bounded scoring
+    sets (campaign audiences, eval samples); at full-corpus scale cut
+    by approx-quantile thresholds instead (quality_quantile_filter's
+    pattern) and aggregate per threshold bucket.
+
+    Returns per bucket: (bucket, n, positives, cum_positives,
+    capture_rate, cum_capture_rate, lift).
+    """
+    w = Window.orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    labeled = df.select(
+        F.col(label_col).cast("long").alias("__y"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    per = labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("__y"), F.lit(0)).alias("positives"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.groupBy().agg(
+        F.sum("n").alias("__nt"), F.sum("positives").alias("__pt")
+    )
+    cum = per.withColumn(
+        "cum_positives", F.sum("positives").over(wb)
+    ).withColumn("__cum_n", F.sum("n").over(wb)).crossJoin(
+        F.broadcast(tot)
+    )
+    cap = F.when(
+        F.col("__pt") > 0,
+        F.col("positives").cast("double") / F.col("__pt").cast("double"),
+    )
+    cum_cap = F.when(
+        F.col("__pt") > 0,
+        F.col("cum_positives").cast("double")
+        / F.col("__pt").cast("double"),
+    )
+    pop_share = F.col("__cum_n").cast("double") / F.col("__nt").cast(
+        "double"
+    )
+    lift = F.when(pop_share > 0, cum_cap / pop_share)
+    return cum.select(
+        "bucket",
+        "n",
+        "positives",
+        "cum_positives",
+        F.round(cap, 6).alias("capture_rate"),
+        F.round(cum_cap, 6).alias("cum_capture_rate"),
+        F.round(lift, 6).alias("lift"),
+    ).orderBy("bucket")
+
+
+def weighted_mean_ess(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Design-weighted mean and variance with Kish effective sample
+    size: ``ESS = (Σw)² / Σw²`` and the design effect ``n / ESS`` —
+    the survey-statistics summary that says how much information the
+    weighting threw away (deff 2 = your million weighted rows carry
+    half a million rows of evidence).
+
+    Scale shape: ONE hash aggregate per group; values and weights
+    ride as exact micro-unit integers, every sum is engine-exact, and
+    the weighted moments assemble in doubles on k rows.  Rows with
+    NULL or non-positive weight are excluded (a zero/negative design
+    weight is a spec error, not data).
+
+    Returns per group: (group..., n, sum_weight, wmean, wvar, ess,
+    deff).
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col)
+    wt = F.col(weight_col)
+    vm = F.round(v * 1_000_000).cast("decimal(38,0)")
+    wm = F.round(wt * 1_000_000).cast("decimal(38,0)")
+    base = df.filter(
+        v.isNotNull() & wt.isNotNull() & (wt > 0)
+    ).select(*group_cols, vm.alias("__v"), wm.alias("__w"))
+    per = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
+        F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+        F.sum(
+            F.col("__w") * F.col("__v") * F.col("__v")
+        ).alias("__swv2"),
+    )
+    sw = F.col("__sw").cast("double")
+    sw2 = F.col("__sw2").cast("double")
+    swv = F.col("__swv").cast("double")
+    swv2 = F.col("__swv2").cast("double")
+    wmean_micro = swv / sw
+    wvar_micro2 = swv2 / sw - wmean_micro * wmean_micro
+    ess = F.when(sw2 > 0, sw * sw / sw2)
+    deff = F.when(ess > 0, F.col("n").cast("double") / ess)
+    return per.select(
+        *group_cols,
+        "n",
+        F.round(sw / 1_000_000.0, 6).alias("sum_weight"),
+        F.round(wmean_micro / 1_000_000.0, 6).alias("wmean"),
+        F.round(
+            F.greatest(wvar_micro2, F.lit(0.0)) / 1.0e12, 6
+        ).alias("wvar"),
+        F.round(ess, 6).alias("ess"),
+        F.round(deff, 6).alias("deff"),
+    )

@@ -1365,3 +1365,48 @@ def unigram_sampling_table(
         run, "_persisted_intermediates", []
     )
     return out
+
+
+def readability_score(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document from
+    the classic regex heuristics — the readability gate a curated
+    text corpus runs next to quality_score (too-hard and too-trivial
+    documents both get down-weighted in curriculum mixes):
+
+    - words  = runs of ASCII letters
+    - sentences = runs of ``.!?`` (min 1)
+    - syllables = vowel-group runs (min 1 per word — the standard
+      cheap approximation; hyphenation dictionaries don't beat it by
+      enough to justify a UDF)
+
+    ``flesch = 206.835 - 1.015 (w/s) - 84.6 (syl/w)``;
+    ``fk_grade = 0.39 (w/s) + 11.8 (syl/w) - 15.59``.
+
+    Scale shape: three regexp counts per row — pure codegen scan, no
+    shuffle, no UDF.  Documents with zero words get NULL scores.
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syl = F.greatest(
+        F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), words
+    )
+    wd = words.cast("double")
+    wps = wd / sentences.cast("double")
+    spw = syl.cast("double") / wd
+    flesch = F.when(
+        words > 0, 206.835 - 1.015 * wps - 84.6 * spw
+    )
+    fk = F.when(words > 0, 0.39 * wps + 11.8 * spw - 15.59)
+    return df.select(
+        *df.columns,
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        F.round(fk, 6).alias("fk_grade"),
+    )

@@ -15051,3 +15051,270 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 13: forecast scoring, lift, survey stats,
+# readability ---
+
+
+def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the 7-day seasonal-naive forecast of daily revenue per
+    priority with the full metric set (MAE/RMSE/MAPE/sMAPE/MASE) —
+    date-join alignment, exact micro-unit error sums
+    (``stats.forecast_accuracy``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("actual")
+    )
+    shifted = daily.select(
+        "o_orderpriority",
+        F.date_add(F.col("o_orderdate"), 7).alias("o_orderdate"),
+        F.col("actual").alias("forecast"),
+    )
+    joined = daily.join(
+        shifted, ["o_orderpriority", "o_orderdate"]
+    )
+    return stats.forecast_accuracy(
+        joined, "o_orderdate", "actual", "forecast",
+        group_cols=["o_orderpriority"],
+    )
+
+
+ORACLE_FORECAST_ACCURACY = """
+WITH daily AS (
+    SELECT o_orderpriority AS g, o_orderdate AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS actual
+    FROM orders GROUP BY 1, 2
+),
+joined AS (
+    SELECT a.g, a.d,
+           CAST(round(a.actual * 1000000) AS HUGEINT) AS am,
+           CAST(round(f.actual * 1000000) AS HUGEINT) AS fm
+    FROM daily a
+    JOIN daily f ON a.g = f.g AND a.d = f.d + INTERVAL 7 DAY
+),
+staged AS (
+    SELECT g, am, fm,
+           abs(am - lag(am) OVER (PARTITION BY g ORDER BY d))
+               AS naive_err,
+           abs(am - fm) AS err
+    FROM joined
+),
+per AS (
+    SELECT g, count(*) AS n,
+           sum(err) AS sae,
+           sum(err * err) AS sse,
+           sum(CASE WHEN am <> 0
+                    THEN CAST(err AS DOUBLE) / abs(CAST(am AS DOUBLE))
+               END) AS sape,
+           sum(CASE WHEN am <> 0 THEN 1 ELSE 0 END) AS n_nonzero,
+           sum(CASE WHEN abs(am) + abs(fm) > 0
+                    THEN 2.0 * CAST(err AS DOUBLE)
+                         / CAST(abs(am) + abs(fm) AS DOUBLE)
+                    ELSE 0.0 END) AS ssmape,
+           sum(naive_err) AS snaive,
+           count(naive_err) AS n_naive
+    FROM staged GROUP BY 1
+)
+SELECT g AS o_orderpriority, n,
+       round(CAST(sae AS DOUBLE) / n / 1000000.0, 6) AS mae,
+       round(sqrt(CAST(sse AS DOUBLE) / n) / 1000000.0, 6) AS rmse,
+       round(CASE WHEN n_nonzero > 0
+                  THEN sape / n_nonzero END, 6) AS mape,
+       round(ssmape / n, 6) AS smape,
+       round(CASE WHEN n_naive > 0
+                   AND CAST(snaive AS DOUBLE) / n_naive > 0
+                  THEN (CAST(sae AS DOUBLE) / n)
+                       / (CAST(snaive AS DOUBLE) / n_naive)
+             END, 6) AS mase
+FROM per
+"""
+
+
+def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift of an activity-count ranking against the
+    did-purchase label — how much of the buyer base the top score
+    tiles capture (``stats.cumulative_gains``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    users = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("label"),
+    )
+    return stats.cumulative_gains(
+        users, "score", "label", "user_id", n_buckets=10
+    )
+
+
+ORACLE_CUM_GAINS = """
+WITH users AS (
+    SELECT user_id, count(*) AS score,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+    FROM events GROUP BY 1
+),
+tiled AS (
+    SELECT y, ntile(10) OVER (ORDER BY score DESC, user_id ASC)
+               AS bucket
+    FROM users
+),
+per AS (
+    SELECT bucket, count(*) AS n, sum(y) AS positives
+    FROM tiled GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt, sum(positives) AS pt FROM per),
+cum AS (
+    SELECT bucket, n, positives,
+           sum(positives) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_positives,
+           sum(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n
+    FROM per
+)
+SELECT bucket, n,
+       CAST(positives AS BIGINT) AS positives,
+       CAST(cum_positives AS BIGINT) AS cum_positives,
+       round(CASE WHEN pt > 0
+                  THEN CAST(positives AS DOUBLE) / pt END, 6)
+           AS capture_rate,
+       round(CASE WHEN pt > 0
+                  THEN CAST(cum_positives AS DOUBLE) / pt END, 6)
+           AS cum_capture_rate,
+       round(CASE WHEN cum_n > 0 AND pt > 0
+                  THEN (CAST(cum_positives AS DOUBLE) / pt)
+                       / (CAST(cum_n AS DOUBLE) / nt) END, 6) AS lift
+FROM cum CROSS JOIN tot
+"""
+
+
+def q_weighted_mean_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price statistics per return flag with Kish
+    effective sample size and design effect — one exact-integer
+    aggregate (``stats.weighted_mean_ess``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.weighted_mean_ess(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+
+
+ORACLE_WEIGHTED_ESS = """
+WITH base AS (
+    SELECT l_returnflag,
+           CAST(round(l_extendedprice * 1000000) AS HUGEINT) AS v,
+           CAST(round(l_quantity * 1000000) AS HUGEINT) AS w
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_quantity > 0
+),
+per AS (
+    SELECT l_returnflag, count(*) AS n,
+           sum(w) AS sw, sum(w * w) AS sw2,
+           sum(w * v) AS swv, sum(w * v * v) AS swv2
+    FROM base GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round(CAST(sw AS DOUBLE) / 1000000.0, 6) AS sum_weight,
+       round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)
+             / 1000000.0, 6) AS wmean,
+       round(greatest(
+           CAST(swv2 AS DOUBLE) / CAST(sw AS DOUBLE)
+           - (CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE))
+             * (CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)), 0.0)
+           / 1000000000000.0, 6) AS wvar,
+       round(CASE WHEN sw2 > 0
+                  THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                       / CAST(sw2 AS DOUBLE) END, 6) AS ess,
+       round(CASE WHEN sw2 > 0
+                   AND CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                       / CAST(sw2 AS DOUBLE) > 0
+                  THEN CAST(n AS DOUBLE)
+                       / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                          / CAST(sw2 AS DOUBLE)) END, 6) AS deff
+FROM per
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch–Kincaid readability per document from pure
+    regexp counts — codegen scan, no UDF
+    (``text.readability_score``)."""
+    from .operators import text as t
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return t.readability_score(d).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch", "fk_grade",
+    )
+
+
+ORACLE_READABILITY = """
+WITH c AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS raw_syl
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_words, n_sentences,
+           greatest(raw_syl, n_words) AS n_syllables
+    FROM c
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_sentences AS INTEGER) AS n_sentences,
+       CAST(n_syllables AS INTEGER) AS n_syllables,
+       round(CASE WHEN n_words > 0
+                  THEN 206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+             END, 6) AS flesch,
+       round(CASE WHEN n_words > 0
+                  THEN 0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                       - 15.59
+             END, 6) AS fk_grade
+FROM s
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "forecast_accuracy": q_forecast_accuracy,
+        "cumulative_gains": q_cumulative_gains,
+        "weighted_mean_ess": q_weighted_mean_ess,
+        "readability": q_readability,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "forecast_accuracy": ORACLE_FORECAST_ACCURACY,
+        "cumulative_gains": ORACLE_CUM_GAINS,
+        "weighted_mean_ess": ORACLE_WEIGHTED_ESS,
+        "readability": ORACLE_READABILITY,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

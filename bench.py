@@ -227,6 +227,11 @@ BENCH_QUERIES = [
     "harmonic_centrality",
     "rolling_slope",
     "melt_metrics",
+    # round-10 widening batch 13
+    "forecast_accuracy",
+    "cumulative_gains",
+    "weighted_mean_ess",
+    "readability",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -382,6 +387,10 @@ TOTAL_EXCLUDED = {
     "harmonic_centrality",
     "rolling_slope",
     "melt_metrics",
+    "forecast_accuracy",
+    "cumulative_gains",
+    "weighted_mean_ess",
+    "readability",
 }
 
 

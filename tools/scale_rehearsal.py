@@ -417,6 +417,14 @@ HEAVY = [
     "harmonic_centrality",
     "rolling_slope",
     "melt_metrics",
+    # round-10 widening batch 13: forecast scoring and survey stats
+    # collapse to k rows (flat); gains sorts the user table (grows
+    # with users, one-partition exact-rank surface, expect ~linear);
+    # readability is a pure regexp scan (linear in text volume)
+    "forecast_accuracy",
+    "cumulative_gains",
+    "weighted_mean_ess",
+    "readability",
 ]
 
 ALL_TABLES = (
