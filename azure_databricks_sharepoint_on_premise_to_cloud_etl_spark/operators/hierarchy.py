@@ -98,3 +98,95 @@ def coalesce_fallback_columns(
     for out_col, (lc, rc) in fallback_cols.items():
         j = j.withColumn(out_col, F.coalesce(F.col(lc), F.col(rc)))
     return j
+
+
+def bom_rollup(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int,
+    parent_col: str = "parent",
+    child_col: str = "child",
+    qty_col: str = "qty",
+    root_col: str = "node",
+) -> DataFrame:
+    """Multi-level bill-of-materials explosion: total demand for
+    every component under each root assembly, per-unit quantities
+    MULTIPLYING down the tree and summing across alternative paths —
+    the recursive-hierarchy aggregate behind parts explosion, cost
+    rollups, and org-tree allocation.  Depth is hard-capped at
+    ``max_depth`` (the cycle guard: a BOM is a DAG, but a data bug
+    that introduces a cycle must cost bounded work, not an infinite
+    loop).
+
+    Scale shape: level-synchronous frontier iteration — each level is
+    ONE equi-join of the current frontier against the static
+    ``localCheckpoint``-ed edge table keyed on the parent, with a
+    (root, node) pre-aggregate per level so parallel paths collapse
+    BEFORE the next multiply (the frontier never exceeds distinct
+    (root, component) pairs).  Every level is checkpointed too —
+    without the lineage cut each level re-derives all its
+    predecessors once per downstream reference, turning d levels into
+    O(d²) re-scans of the caller's edge build.  Quantities ride as
+    DECIMAL(38,0) products of integer per-unit counts — exact at any
+    depth that fits 38 digits.  Call
+    ``graph.release_components(result)`` after consuming to free the
+    checkpointed level blocks.
+
+    Returns (root, component, total_qty) for every component strictly
+    below a root, all path contributions summed.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    e = edges.select(
+        F.col(parent_col).alias("__p"),
+        F.col(child_col).alias("__c"),
+        F.col(qty_col).cast("decimal(38,0)").alias("__q"),
+    ).localCheckpoint(eager=True)
+    frontier = roots.select(
+        F.col(root_col).alias("__root"),
+        F.col(root_col).alias("__node"),
+        F.lit(1).cast("decimal(38,0)").alias("__mult"),
+    )
+    ckpts = [e]
+    steps = []
+    from pyspark.sql import Observation
+
+    for _ in range(max_depth):
+        # the emptiness probe rides the checkpoint job as an
+        # Observation (the bfs_distances trick) so frontier
+        # exhaustion stops the loop without a second job per level
+        obs = Observation()
+        step = (
+            frontier.join(e, frontier["__node"] == e["__p"])
+            .select(
+                "__root",
+                F.col("__c").alias("__node"),
+                (F.col("__mult") * F.col("__q")).alias("__mult"),
+            )
+            .groupBy("__root", "__node")
+            .agg(F.sum("__mult").alias("__mult"))
+            .observe(obs, F.count(F.lit(1)).alias("__n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["__n"] or 0) == 0:
+            break
+        ckpts.append(step)
+        steps.append(step)
+        frontier = step
+    if not steps:
+        # no root has any children: empty result with the right schema
+        steps = [frontier.limit(0)]
+    total = steps[0]
+    for step in steps[1:]:
+        total = total.unionAll(step)
+    result = (
+        total.groupBy("__root", "__node")
+        .agg(F.sum("__mult").alias("total_qty"))
+        .select(
+            F.col("__root").alias("root"),
+            F.col("__node").alias("component"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+    result._extra_ckpts = ckpts
+    return result

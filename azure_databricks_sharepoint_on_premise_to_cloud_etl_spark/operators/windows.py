@@ -1037,3 +1037,116 @@ def rolling_slope(
         F.col("__v").alias(value_col),
         F.round(slope_micro / 1_000_000.0, 6).alias("slope"),
     )
+
+
+def prorate(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    total_col: str,
+    key_col: str,
+    out_col: str = "allocated",
+) -> DataFrame:
+    """Largest-remainder proration: split each group's integer total
+    (cents, units) across its members in proportion to weights so the
+    parts SUM BACK TO THE TOTAL EXACTLY — the allocation every
+    finance/ledger pipeline needs, where naive ``round(total*w/W)``
+    leaves pennies missing or invented.
+
+    Each member gets ``floor(total*w/W)``; the leftover ``total -
+    Σfloor`` units go one each to the largest fractional remainders
+    (ties broken by ``key_col`` ascending — deterministic and
+    oracle-reproducible).  NULL weights count as zero; a group whose
+    weights are ALL zero falls back to uniform proration (every
+    member weight 1), so the invariant Σallocated = total holds for
+    every group unconditionally.
+
+    Scale shape: one group aggregate for W, broadcast back; ONE rank
+    window per group over its members (groups are small — line items
+    per order, accounts per ledger); every quantity is integer-exact
+    (the fractional remainder is compared as the integer
+    ``total*w mod W``, never a float; the exact floor is derived as
+    ``(num - num mod W) / W`` because Spark decimal division ROUNDS).
+    """
+    w = F.coalesce(
+        F.col(weight_col).cast("decimal(38,0)"), F.lit(0)
+    )
+    t = F.col(total_col).cast("decimal(38,0)")
+    base = df.withColumn("__w", w)
+    sums = base.groupBy(*group_cols).agg(
+        F.sum("__w").alias("__Wsum")
+    )
+    j = base.join(sums, group_cols)
+    one = F.lit(1).cast("decimal(38,0)")
+    w_eff = F.when(F.col("__Wsum") > 0, F.col("__w")).otherwise(one)
+    cnt_w = Window.partitionBy(*group_cols)
+    W_eff = F.when(
+        F.col("__Wsum") > 0, F.col("__Wsum")
+    ).otherwise(F.count(F.lit(1)).over(cnt_w).cast("decimal(38,0)"))
+    num = t * w_eff
+    rem = F.pmod(num, W_eff)
+    fl = ((num - rem) / W_eff).cast("decimal(38,0)")
+    staged = j.select(
+        *df.columns,
+        fl.alias("__fl"),
+        rem.alias("__rem"),
+        (
+            t
+            - F.sum(fl).over(
+                Window.partitionBy(*group_cols)
+            )
+        ).alias("__left"),
+    )
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col("__rem").desc(), F.col(key_col).asc()
+    )
+    ranked = staged.withColumn("__rk", F.row_number().over(wr))
+    alloc = F.col("__fl") + F.when(
+        F.col("__rk") <= F.col("__left"), 1
+    ).otherwise(0)
+    return ranked.select(
+        *df.columns, alloc.cast("long").alias(out_col)
+    )
+
+
+def topk_others(
+    df: DataFrame,
+    group_cols: list[str],
+    label_col: str,
+    value_col: str,
+    k: int,
+    other_label: str = "OTHER",
+) -> DataFrame:
+    """Top-k labels per group by value with the tail rolled into one
+    ``OTHER`` row — the reporting cut every dashboard query wants
+    ("top 5 products per region, everything else as one bar").
+    Deterministic order (value desc, label asc) so the k-boundary is
+    engine-independent; groups with ≤ k labels emit no OTHER row.
+
+    Scale shape: assumes a PRE-AGGREGATED (group, label, value) table
+    (the caller's groupBy), so the rank window runs over label
+    cardinality per group, not raw rows; the tail collapses in the
+    same pass via a conditional re-aggregate.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).desc(), F.col(label_col).asc()
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    top = ranked.filter(F.col("__rk") <= k).select(
+        *group_cols,
+        F.col(label_col),
+        F.col(value_col),
+        F.col("__rk").alias("rank"),
+    )
+    others = (
+        ranked.filter(F.col("__rk") > k)
+        .groupBy(*group_cols)
+        .agg(F.sum(value_col).alias(value_col))
+        .select(
+            *group_cols,
+            F.lit(other_label).alias(label_col),
+            F.col(value_col),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+    return top.unionAll(others)

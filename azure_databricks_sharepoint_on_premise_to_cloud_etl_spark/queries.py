@@ -15318,3 +15318,215 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 14: hierarchy explosion, allocation,
+# reporting rollup ---
+
+
+_BOM_ROOTS = (1, 2, 3)
+_BOM_DEPTH = 12
+
+
+def _bom_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary-tree BOM synthesized from the part table:
+    part p needs 2p and 2p+1 (when they exist), qty = child % 3 + 1."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    mx = p.agg(F.max("p_partkey").alias("__mx"))
+    kids = p.crossJoin(F.broadcast(mx)).select(
+        F.col("p_partkey").alias("parent"),
+        F.col("__mx"),
+    )
+    left = kids.filter(2 * F.col("parent") <= F.col("__mx")).select(
+        "parent",
+        (2 * F.col("parent")).alias("child"),
+    )
+    right = kids.filter(
+        2 * F.col("parent") + 1 <= F.col("__mx")
+    ).select(
+        "parent",
+        (2 * F.col("parent") + 1).alias("child"),
+    )
+    return left.unionAll(right).withColumn(
+        "qty", F.pmod(F.col("child"), F.lit(3)) + 1
+    )
+
+
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts explosion over the synthesized binary BOM from roots
+    {1,2,3}: total component demand with quantities multiplying down
+    12 levels — level-synchronous frontier joins with per-level path
+    collapse (``hierarchy.bom_rollup``)."""
+    from .operators.hierarchy import bom_rollup
+
+    edges = _bom_edges(spark, sf_dir)
+    roots = spark.createDataFrame(
+        [(r,) for r in _BOM_ROOTS], "node LONG"
+    )
+    return bom_rollup(edges, roots, max_depth=_BOM_DEPTH)
+
+
+ORACLE_BOM = f"""
+WITH RECURSIVE e AS (
+    SELECT p_partkey AS parent, 2 * p_partkey AS child,
+           (2 * p_partkey) % 3 + 1 AS qty
+    FROM part
+    WHERE 2 * p_partkey <= (SELECT max(p_partkey) FROM part)
+    UNION ALL
+    SELECT p_partkey, 2 * p_partkey + 1,
+           (2 * p_partkey + 1) % 3 + 1
+    FROM part
+    WHERE 2 * p_partkey + 1 <= (SELECT max(p_partkey) FROM part)
+),
+paths(root, node, mult, depth) AS (
+    SELECT p_partkey, p_partkey, CAST(1 AS HUGEINT), 0
+    FROM part WHERE p_partkey IN {_BOM_ROOTS}
+    UNION ALL
+    SELECT paths.root, e.child, paths.mult * e.qty, paths.depth + 1
+    FROM paths JOIN e ON e.parent = paths.node
+    WHERE paths.depth < {_BOM_DEPTH}
+)
+SELECT root, node AS component, CAST(sum(mult) AS BIGINT) AS total_qty
+FROM paths WHERE depth > 0 GROUP BY 1, 2
+"""
+
+
+def q_prorate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate each order's exact cent total across its line items
+    in proportion to quantity, largest-remainder exact — Σallocated
+    reconciles to the order total per group
+    (``windows.prorate``)."""
+    from .operators.windows import prorate
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        # tie-break key: (linenumber, partkey, suppkey) is the unique
+        # line identity in this data; packed as one ordered integer
+        (
+            F.col("l_linenumber").cast("long") * 1_000_000_000_000
+            + F.col("l_partkey").cast("long") * 1_000_000
+            + F.col("l_suppkey").cast("long")
+        ).alias("line_key"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    joined = li.join(o, "l_orderkey")
+    return prorate(
+        joined,
+        ["l_orderkey"],
+        "l_quantity",
+        "total_cents",
+        "line_key",
+    )
+
+
+ORACLE_PRORATE = """
+WITH joined AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS HUGEINT) AS w,
+           CAST(round(o.o_totalprice * 100) AS HUGEINT) AS t,
+           l.l_quantity,
+           CAST(l.l_linenumber AS BIGINT) * 1000000000000
+             + CAST(l.l_partkey AS BIGINT) * 1000000
+             + CAST(l.l_suppkey AS BIGINT) AS line_key
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sums AS (
+    SELECT l_orderkey, sum(w) AS w_tot, count(*) AS m
+    FROM joined GROUP BY 1
+),
+staged AS (
+    SELECT j.l_orderkey, j.l_linenumber, j.l_quantity, j.t, j.line_key,
+           CASE WHEN s.w_tot > 0 THEN j.w ELSE 1 END AS w_e,
+           CASE WHEN s.w_tot > 0 THEN s.w_tot ELSE s.m END AS w_cap
+    FROM joined j JOIN sums s ON j.l_orderkey = s.l_orderkey
+),
+shares AS (
+    SELECT *, (t * w_e) % w_cap AS rem,
+           (t * w_e - (t * w_e) % w_cap) // w_cap AS fl
+    FROM staged
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY rem DESC, line_key ASC) AS rk,
+           t - sum(fl) OVER (PARTITION BY l_orderkey) AS leftover
+    FROM shares
+)
+SELECT l_orderkey, l_linenumber, l_quantity, line_key,
+       CAST(t AS BIGINT) AS total_cents,
+       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS allocated
+FROM ranked
+"""
+
+
+def q_topk_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts by revenue cents per return flag with the tail
+    rolled into OTHER — the dashboard cut over a pre-aggregated
+    (group, label, value) table (``windows.topk_others``)."""
+    from .operators.windows import topk_others
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    per = li.groupBy(
+        "l_returnflag",
+        F.col("l_partkey").cast("string").alias("part"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rev_cents")
+    )
+    return topk_others(
+        per, ["l_returnflag"], "part", "rev_cents", k=5
+    )
+
+
+ORACLE_TOPK_OTHERS = """
+WITH per AS (
+    SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS part,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS rev_cents
+    FROM lineitem
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        ORDER BY rev_cents DESC, part ASC) AS rk
+    FROM per
+)
+SELECT l_returnflag, part, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(rk AS INTEGER) AS rank
+FROM ranked WHERE rk <= 5
+UNION ALL
+SELECT l_returnflag, 'OTHER',
+       CAST(sum(rev_cents) AS BIGINT), CAST(NULL AS INTEGER)
+FROM ranked WHERE rk > 5
+GROUP BY l_returnflag
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "bom_rollup": q_bom_rollup,
+        "prorate_order_lines": q_prorate_order_lines,
+        "topk_others": q_topk_others,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "bom_rollup": ORACLE_BOM,
+        "prorate_order_lines": ORACLE_PRORATE,
+        "topk_others": ORACLE_TOPK_OTHERS,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -232,6 +232,10 @@ BENCH_QUERIES = [
     "cumulative_gains",
     "weighted_mean_ess",
     "readability",
+    # round-10 widening batch 14
+    "bom_rollup",
+    "prorate_order_lines",
+    "topk_others",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -391,6 +395,9 @@ TOTAL_EXCLUDED = {
     "cumulative_gains",
     "weighted_mean_ess",
     "readability",
+    "bom_rollup",
+    "prorate_order_lines",
+    "topk_others",
 }
 
 

@@ -425,6 +425,13 @@ HEAVY = [
     "cumulative_gains",
     "weighted_mean_ess",
     "readability",
+    # round-10 widening batch 14: the BOM tree grows with the part
+    # domain (edge-linear per level); prorate windows over per-order
+    # line groups (row-linear); topk_others windows over (flag, part)
+    # label cardinality
+    "bom_rollup",
+    "prorate_order_lines",
+    "topk_others",
 ]
 
 ALL_TABLES = (
