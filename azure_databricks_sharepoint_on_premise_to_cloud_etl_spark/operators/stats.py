@@ -3516,3 +3516,142 @@ def weighted_mean_ess(
         F.round(ess, 6).alias("ess"),
         F.round(deff, 6).alias("deff"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    alpha: float = 0.1,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split-conformal prediction intervals: the (1-alpha) empirical
+    quantile of calibration |residuals| becomes a symmetric band
+    around every prediction — the distribution-free coverage
+    guarantee (≥ 1-alpha on exchangeable data) that turns any point
+    forecaster into an interval forecaster.  Conformal needs the
+    ORDER STATISTIC at rank ``ceil((n+1)(1-alpha))`` (not an
+    interpolated quantile); ranks beyond n clamp to the max residual.
+
+    Rows with NULL actual are scoring rows: they get intervals but do
+    not contribute to calibration.
+
+    Scale shape: residuals ride as exact micro-unit integers; the
+    per-group quantile comes from the value-histogram collapse
+    (shuffle = distinct residuals, not rows) and broadcasts back as
+    one row per group — the corpus itself never shuffles.
+
+    Adds (pred_lo, pred_hi, conf_width) to the input columns.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha {alpha} outside (0, 1)")
+    group_cols = group_cols or []
+    a = F.col(actual_col)
+    p = F.col(pred_col)
+    rm = F.abs(
+        F.round(a * 1_000_000).cast("decimal(38,0)")
+        - F.round(p * 1_000_000).cast("decimal(38,0)")
+    )
+    calib = df.filter(a.isNotNull() & p.isNotNull()).select(
+        *group_cols, rm.alias("__r")
+    )
+    hist = calib.groupBy(*group_cols, "__r").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = hist.withColumn(
+        "__cum", F.sum("__c").over(w_cum)
+    ).withColumn("__n", F.sum("__c").over(w_all))
+    k = F.ceil(
+        (F.col("__n") + 1).cast("double") * F.lit(1.0 - float(alpha))
+    )
+    # the k-th order statistic: smallest residual whose cum >= k;
+    # k > n (tiny calibration sets) clamps to the max residual
+    qhat = ranked.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.min(F.when(F.col("__cum") >= k, F.col("__r"))),
+            F.max("__r"),
+        ).alias("__qhat")
+    )
+    joined = (
+        df.join(F.broadcast(qhat), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(qhat))
+    )
+    width = F.col("__qhat").cast("double") / 1_000_000.0
+    return joined.select(
+        *df.columns,
+        F.round(p - width, 6).alias("pred_lo"),
+        F.round(p + width, 6).alias("pred_hi"),
+        F.round(width, 6).alias("conf_width"),
+    )
+
+
+def qini_curve(
+    df: DataFrame,
+    treatment_col: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini curve for uplift ranking: cut BOTH arms by the model
+    score into equal tiles and report, per cumulative prefix, the
+    incremental conversions ``cum_pt - cum_pc * cum_nt/cum_nc`` and
+    the uplift rate difference — the evaluation that separates "model
+    finds persuadables" from "model finds sure things" (which a plain
+    gains chart cannot).
+
+    Determinism: total order (score desc, id asc); the exact-rank
+    surface for bounded eval sets, same contract as
+    :func:`cumulative_gains`.
+
+    Returns per bucket: (bucket, n_treated, n_control, pos_treated,
+    pos_control, cum_qini, cum_uplift).
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    t = F.col(treatment_col).cast("long")
+    y = F.col(label_col).cast("long")
+    tiled = df.select(
+        t.alias("__t"),
+        y.alias("__y"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+    per = tiled.groupBy("bucket").agg(
+        F.sum("__t").alias("n_treated"),
+        F.sum(1 - F.col("__t")).alias("n_control"),
+        F.sum(F.col("__t") * F.col("__y")).alias("pos_treated"),
+        F.sum((1 - F.col("__t")) * F.col("__y")).alias("pos_control"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        per.withColumn("__cnt", F.sum("n_treated").over(wb))
+        .withColumn("__cnc", F.sum("n_control").over(wb))
+        .withColumn("__cpt", F.sum("pos_treated").over(wb))
+        .withColumn("__cpc", F.sum("pos_control").over(wb))
+    )
+    cnt = F.col("__cnt").cast("double")
+    cnc = F.col("__cnc").cast("double")
+    cpt = F.col("__cpt").cast("double")
+    cpc = F.col("__cpc").cast("double")
+    qini = F.when(F.col("__cnc") > 0, cpt - cpc * cnt / cnc)
+    uplift = F.when(
+        (F.col("__cnt") > 0) & (F.col("__cnc") > 0),
+        cpt / cnt - cpc / cnc,
+    )
+    return cum.select(
+        "bucket",
+        "n_treated",
+        "n_control",
+        "pos_treated",
+        "pos_control",
+        F.round(qini, 6).alias("cum_qini"),
+        F.round(uplift, 6).alias("cum_uplift"),
+    ).orderBy("bucket")

@@ -15530,3 +15530,164 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 15: conformal intervals, uplift curve ---
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% split-conformal bands around the group-mean price predictor
+    per order priority — order-statistic quantile from the residual
+    histogram collapse (``stats.conformal_interval``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    means = o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("double")
+            / 100.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pred")
+    )
+    scored = o.join(F.broadcast(means), "o_orderpriority")
+    return stats.conformal_interval(
+        scored, "o_totalprice", "pred", alpha=0.1,
+        group_cols=["o_orderpriority"],
+    )
+
+
+ORACLE_CONFORMAL = """
+WITH means AS (
+    SELECT o_orderpriority,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / count(*), 6) AS pred
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, m.pred
+    FROM orders o JOIN means m ON o.o_orderpriority = m.o_orderpriority
+),
+resid AS (
+    SELECT o_orderpriority,
+           abs(CAST(round(o_totalprice * 1000000) AS HUGEINT)
+               - CAST(round(pred * 1000000) AS HUGEINT)) AS r
+    FROM scored
+),
+hist AS (
+    SELECT o_orderpriority, r, count(*) AS c
+    FROM resid GROUP BY 1, 2
+),
+ranked AS (
+    SELECT o_orderpriority, r,
+           sum(c) OVER (PARTITION BY o_orderpriority ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           sum(c) OVER (PARTITION BY o_orderpriority) AS n
+    FROM hist
+),
+qhat AS (
+    SELECT o_orderpriority,
+           coalesce(
+               min(CASE WHEN cum >= ceil((n + 1) * 0.9)
+                        THEN r END),
+               max(r)) AS q
+    FROM ranked GROUP BY 1
+)
+SELECT s.o_orderpriority, s.o_orderkey, s.o_totalprice, s.pred,
+       round(s.pred - CAST(q AS DOUBLE) / 1000000.0, 6) AS pred_lo,
+       round(s.pred + CAST(q AS DOUBLE) / 1000000.0, 6) AS pred_hi,
+       round(CAST(q AS DOUBLE) / 1000000.0, 6) AS conf_width
+FROM scored s JOIN qhat ON s.o_orderpriority = qhat.o_orderpriority
+"""
+
+
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift deciles of the activity-count ranking: synthetic
+    treatment = even user id, outcome = purchased
+    (``stats.qini_curve``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    users = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("label"),
+    ).withColumn(
+        "treated", (F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    )
+    return stats.qini_curve(
+        users, "treated", "score", "label", "user_id", n_buckets=10
+    )
+
+
+ORACLE_QINI = """
+WITH users AS (
+    SELECT user_id, count(*) AS score,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y,
+           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+    FROM events GROUP BY 1
+),
+tiled AS (
+    SELECT t, y,
+           ntile(10) OVER (ORDER BY score DESC, user_id ASC) AS bucket
+    FROM users
+),
+per AS (
+    SELECT bucket,
+           sum(t) AS n_treated,
+           sum(1 - t) AS n_control,
+           sum(t * y) AS pos_treated,
+           sum((1 - t) * y) AS pos_control
+    FROM tiled GROUP BY 1
+),
+cum AS (
+    SELECT *,
+           sum(n_treated) OVER w AS cnt,
+           sum(n_control) OVER w AS cnc,
+           sum(pos_treated) OVER w AS cpt,
+           sum(pos_control) OVER w AS cpc
+    FROM per
+    WINDOW w AS (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bucket,
+       CAST(n_treated AS BIGINT) AS n_treated,
+       CAST(n_control AS BIGINT) AS n_control,
+       CAST(pos_treated AS BIGINT) AS pos_treated,
+       CAST(pos_control AS BIGINT) AS pos_control,
+       round(CASE WHEN cnc > 0
+                  THEN CAST(cpt AS DOUBLE)
+                       - CAST(cpc AS DOUBLE) * cnt / cnc END, 6)
+           AS cum_qini,
+       round(CASE WHEN cnt > 0 AND cnc > 0
+                  THEN CAST(cpt AS DOUBLE) / cnt
+                       - CAST(cpc AS DOUBLE) / cnc END, 6)
+           AS cum_uplift
+FROM cum
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "conformal_interval": q_conformal_interval,
+        "qini_curve": q_qini_curve,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "conformal_interval": ORACLE_CONFORMAL,
+        "qini_curve": ORACLE_QINI,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "bom_rollup",
     "prorate_order_lines",
     "topk_others",
+    # round-10 widening batch 15
+    "conformal_interval",
+    "qini_curve",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -398,6 +401,8 @@ TOTAL_EXCLUDED = {
     "bom_rollup",
     "prorate_order_lines",
     "topk_others",
+    "conformal_interval",
+    "qini_curve",
 }
 
 

@@ -432,6 +432,11 @@ HEAVY = [
     "bom_rollup",
     "prorate_order_lines",
     "topk_others",
+    # round-10 widening batch 15: conformal collapses residuals to a
+    # value histogram (flat-to-sublinear over a linear scan); qini
+    # sorts the user table (exact-rank surface, ~linear)
+    "conformal_interval",
+    "qini_curve",
 ]
 
 ALL_TABLES = (
