@@ -3655,3 +3655,153 @@ def qini_curve(
         F.round(qini, 6).alias("cum_qini"),
         F.round(uplift, 6).alias("cum_uplift"),
     ).orderBy("bucket")
+
+
+def price_index(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    price_cents_col: str,
+    qty_col: str,
+    base_period,
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices per period against a
+    fixed base period — the composite "are prices up 3% on last
+    January's basket" number, weighting each item by base-period
+    (Laspeyres) or current-period (Paasche) quantities, with Fisher
+    the geometric mean of the two.  Only items present in BOTH the
+    base and the comparison period enter (the standard matched-items
+    convention).
+
+    Scale shape: the corpus collapses to (period, item) cells in ONE
+    hash aggregate — unit price as round(cents*1e4/qty) micro-price
+    ints (a constant scaling that cancels in every ratio), quantities
+    as ints — the base-period slice broadcasts back, and each index
+    is a ratio of exact DECIMAL(38,0) term sums, so any engine lands
+    on identical doubles.
+
+    Returns per period: (period, n_items, laspeyres, paasche, fisher).
+    """
+    cells = (
+        df.filter(
+            F.col(period_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(qty_col).isNotNull()
+            & (F.col(qty_col) > 0)
+        )
+        .groupBy(
+            F.col(period_col).alias("__per"),
+            F.col(item_col).alias("__item"),
+        )
+        .agg(
+            F.sum(F.col(price_cents_col).cast("long")).alias("__cents"),
+            F.sum(F.col(qty_col).cast("long")).alias("__qty"),
+        )
+        .select(
+            "__per",
+            "__item",
+            F.round(
+                F.col("__cents").cast("double")
+                * 10_000.0
+                / F.col("__qty").cast("double")
+            )
+            .cast("decimal(38,0)")
+            .alias("__p"),
+            F.col("__qty").cast("decimal(38,0)").alias("__q"),
+        )
+    )
+    base = cells.filter(F.col("__per") == F.lit(base_period)).select(
+        "__item",
+        F.col("__p").alias("__p0"),
+        F.col("__q").alias("__q0"),
+    )
+    j = cells.join(F.broadcast(base), "__item")
+    per = j.groupBy("__per").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("__p") * F.col("__q0")).alias("__ptq0"),
+        F.sum(F.col("__p0") * F.col("__q0")).alias("__p0q0"),
+        F.sum(F.col("__p") * F.col("__q")).alias("__ptqt"),
+        F.sum(F.col("__p0") * F.col("__q")).alias("__p0qt"),
+    )
+    lasp = F.when(
+        F.col("__p0q0") > 0,
+        F.col("__ptq0").cast("double") / F.col("__p0q0").cast("double"),
+    )
+    paas = F.when(
+        F.col("__p0qt") > 0,
+        F.col("__ptqt").cast("double") / F.col("__p0qt").cast("double"),
+    )
+    fisher = F.when(
+        lasp.isNotNull() & paas.isNotNull(), F.sqrt(lasp * paas)
+    )
+    return per.select(
+        F.col("__per").alias(period_col),
+        "n_items",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(fisher, 6).alias("fisher"),
+    )
+
+
+def xyz_classification(
+    df: DataFrame,
+    item_col: str,
+    period_col: str,
+    value_col: str,
+    x_max: float = 0.5,
+    y_max: float = 1.0,
+) -> DataFrame:
+    """XYZ demand-variability classes: per item, the coefficient of
+    variation of per-period totals — X (steady, CV ≤ x_max) forecasts
+    well and carries low safety stock, Z (erratic, CV > y_max) does
+    not — the partner cut to ABC value classes in inventory planning.
+    Periods with no activity for an item simply don't exist in the
+    series (the standard simplification; zero-fill first via
+    resample_ffill when absence means zero).
+
+    Scale shape: one (item, period) collapse, then ONE item-level
+    aggregate of exact micro-unit sums; CV assembles per item in
+    doubles (population stddev, the inventory convention).
+
+    Returns per item: (item, n_periods, mean_demand, cv, xyz_class).
+    """
+    per = (
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(period_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("__item"),
+            F.col(period_col).alias("__per"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col(value_col) * 1_000_000).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__v")
+        )
+    )
+    item = per.groupBy("__item").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+    )
+    n = F.col("n_periods").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mean * mean
+    cv = F.when(
+        mean != 0, F.sqrt(F.greatest(var, F.lit(0.0))) / F.abs(mean)
+    )
+    cls = (
+        F.when(cv.isNull(), F.lit(None).cast("string"))
+        .when(cv <= x_max, F.lit("X"))
+        .when(cv <= y_max, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    return item.select(
+        F.col("__item").alias(item_col),
+        "n_periods",
+        F.round(mean / 1_000_000.0, 6).alias("mean_demand"),
+        F.round(cv, 6).alias("cv"),
+        cls.alias("xyz_class"),
+    )

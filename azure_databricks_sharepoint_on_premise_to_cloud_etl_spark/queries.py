@@ -15691,3 +15691,146 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 16: price indices, demand variability ---
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres/Paasche/Fisher part-price indices vs the
+    1995-01 basket — matched items, exact integer term sums
+    (``stats.price_index``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.date_trunc("month", F.col("l_shipdate"))
+        .cast("date")
+        .alias("month"),
+        F.col("l_partkey"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity"),
+    )
+    import datetime as _dt
+
+    return stats.price_index(
+        li, "month", "l_partkey", "cents", "l_quantity",
+        base_period=_dt.date(1995, 1, 1),
+    )
+
+
+ORACLE_PRICE_INDEX = """
+WITH cells AS (
+    SELECT date_trunc('month', l_shipdate) AS per, l_partkey AS item,
+           CAST(round(CAST(sum(CAST(round(l_extendedprice * 100)
+                                    AS BIGINT)) AS DOUBLE)
+                      * 10000.0 / sum(CAST(l_quantity AS BIGINT)))
+                AS HUGEINT) AS p,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q
+    FROM lineitem
+    WHERE l_shipdate IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_quantity IS NOT NULL AND l_quantity > 0
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT item, p AS p0, q AS q0 FROM cells
+    WHERE per = DATE '1995-01-01'
+),
+j AS (
+    SELECT c.per, count(*) AS n_items,
+           sum(c.p * b.q0) AS ptq0,
+           sum(b.p0 * b.q0) AS p0q0,
+           sum(c.p * c.q) AS ptqt,
+           sum(b.p0 * c.q) AS p0qt
+    FROM cells c JOIN base b ON c.item = b.item
+    GROUP BY 1
+)
+SELECT CAST(per AS DATE) AS month, n_items,
+       round(CASE WHEN p0q0 > 0
+                  THEN CAST(ptq0 AS DOUBLE) / CAST(p0q0 AS DOUBLE)
+             END, 6) AS laspeyres,
+       round(CASE WHEN p0qt > 0
+                  THEN CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE)
+             END, 6) AS paasche,
+       round(CASE WHEN p0q0 > 0 AND p0qt > 0
+                  THEN sqrt((CAST(ptq0 AS DOUBLE)
+                             / CAST(p0q0 AS DOUBLE))
+                            * (CAST(ptqt AS DOUBLE)
+                               / CAST(p0qt AS DOUBLE)))
+             END, 6) AS fisher
+FROM j
+"""
+
+
+def q_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classes per part from monthly quantity
+    CV — one cell collapse + one item aggregate
+    (``stats.xyz_classification``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.col("l_partkey"),
+        F.date_trunc("month", F.col("l_shipdate"))
+        .cast("date")
+        .alias("month"),
+        F.col("l_quantity"),
+    )
+    return stats.xyz_classification(
+        li, "l_partkey", "month", "l_quantity"
+    )
+
+
+ORACLE_XYZ = """
+WITH per AS (
+    SELECT l_partkey AS item, date_trunc('month', l_shipdate) AS per,
+           sum(CAST(round(l_quantity * 1000000) AS HUGEINT)) AS v
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+    GROUP BY 1, 2
+),
+item AS (
+    SELECT item, count(*) AS n_periods,
+           sum(v) AS s, sum(v * v) AS s2
+    FROM per GROUP BY 1
+),
+cvd AS (
+    SELECT item, n_periods,
+           CAST(s AS DOUBLE) / n_periods AS mean,
+           CASE WHEN CAST(s AS DOUBLE) / n_periods <> 0
+                THEN sqrt(greatest(
+                         CAST(s2 AS DOUBLE) / n_periods
+                         - (CAST(s AS DOUBLE) / n_periods)
+                           * (CAST(s AS DOUBLE) / n_periods), 0.0))
+                     / abs(CAST(s AS DOUBLE) / n_periods)
+           END AS cv
+    FROM item
+)
+SELECT item AS l_partkey, n_periods,
+       round(mean / 1000000.0, 6) AS mean_demand,
+       round(cv, 6) AS cv,
+       CASE WHEN cv IS NULL THEN NULL
+            WHEN cv <= 0.5 THEN 'X'
+            WHEN cv <= 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM cvd
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "price_index": q_price_index,
+        "xyz_classification": q_xyz_classification,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "price_index": ORACLE_PRICE_INDEX,
+        "xyz_classification": ORACLE_XYZ,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     # round-10 widening batch 15
     "conformal_interval",
     "qini_curve",
+    # round-10 widening batch 16
+    "price_index",
+    "xyz_classification",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -403,6 +406,8 @@ TOTAL_EXCLUDED = {
     "topk_others",
     "conformal_interval",
     "qini_curve",
+    "price_index",
+    "xyz_classification",
 }
 
 

@@ -437,6 +437,10 @@ HEAVY = [
     # sorts the user table (exact-rank surface, ~linear)
     "conformal_interval",
     "qini_curve",
+    # round-10 widening batch 16: both collapse to (period, item) /
+    # item cells in one scan (flat-to-sublinear)
+    "price_index",
+    "xyz_classification",
 ]
 
 ALL_TABLES = (
