@@ -3805,3 +3805,228 @@ def xyz_classification(
         F.round(cv, 6).alias("cv"),
         cls.alias("xyz_class"),
     )
+
+
+def ols2_fit(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-feature OLS with intercept per group, solved in closed form
+    (Cramer's rule on the centered normal equations) — the "trend plus
+    one covariate" regression (demand ~ time + price, revenue ~ spend
+    + seasonality) that :func:`group_ols`'s single feature can't
+    express, without driver-side matrix math.
+
+    Scale shape: ONE hash aggregate of exact micro-unit raw sums (9
+    cross-moments); the 2x2 solve runs per k-row group in doubles, so
+    any engine lands on identical coefficients.  Collinear features
+    (zero determinant) yield NULL coefficients rather than exploding.
+
+    Returns per group: (group..., n, b0, b1, b2, r2).
+    """
+    group_cols = group_cols or []
+    cols = {"y": y_col, "x1": x1_col, "x2": x2_col}
+    conds = [F.col(c).isNotNull() for c in cols.values()]
+    base = df.filter(
+        conds[0] & conds[1] & conds[2]
+    ).select(
+        *group_cols,
+        *[
+            F.round(F.col(c) * 1_000_000)
+            .cast("decimal(38,0)")
+            .alias(f"__{k}")
+            for k, c in cols.items()
+        ],
+    )
+    y, x1, x2 = F.col("__y"), F.col("__x1"), F.col("__x2")
+    per = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("__sy"),
+        F.sum(x1).alias("__s1"),
+        F.sum(x2).alias("__s2"),
+        F.sum(x1 * x1).alias("__s11"),
+        F.sum(x2 * x2).alias("__s22"),
+        F.sum(x1 * x2).alias("__s12"),
+        F.sum(x1 * y).alias("__s1y"),
+        F.sum(x2 * y).alias("__s2y"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # centered sums of squares / cross products
+    s11 = d("__s11") - d("__s1") * d("__s1") / n
+    s22 = d("__s22") - d("__s2") * d("__s2") / n
+    s12 = d("__s12") - d("__s1") * d("__s2") / n
+    s1y = d("__s1y") - d("__s1") * d("__sy") / n
+    s2y = d("__s2y") - d("__s2") * d("__sy") / n
+    syy = d("__syy") - d("__sy") * d("__sy") / n
+    det = s11 * s22 - s12 * s12
+    b1 = F.when(det > 0, (s1y * s22 - s2y * s12) / det)
+    b2 = F.when(det > 0, (s2y * s11 - s1y * s12) / det)
+    # micro scaling cancels in b1/b2 (micro²/micro²); b0 in value units
+    b0 = (d("__sy") / n - b1 * d("__s1") / n - b2 * d("__s2") / n) / 1_000_000.0
+    r2 = F.when(
+        det.isNotNull() & (syy > 0) & (det > 0),
+        (b1 * s1y + b2 * s2y) / syy,
+    )
+    return per.select(
+        *group_cols,
+        "n",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Partial correlation r(x, y | z): the x–y association with the
+    confounder z regressed out of both — the one-number check that a
+    striking correlation isn't just both measures riding the same
+    third variable (volume, time, store size):
+
+        r_xy.z = (r_xy - r_xz * r_yz)
+                 / sqrt((1 - r_xz²) (1 - r_yz²))
+
+    Scale shape: ONE hash aggregate of exact micro-unit raw sums per
+    group; the three pairwise Pearson correlations and the partial
+    assemble per k-row group in doubles.  Degenerate cases (any
+    variance zero, |r_xz| or |r_yz| = 1) yield NULL.
+
+    Returns per group: (group..., n, r_xy, r_xz, r_yz, r_xy_given_z).
+    """
+    group_cols = group_cols or []
+    cols = {"x": x_col, "y": y_col, "z": z_col}
+    conds = [F.col(c).isNotNull() for c in cols.values()]
+    base = df.filter(conds[0] & conds[1] & conds[2]).select(
+        *group_cols,
+        *[
+            F.round(F.col(c) * 1_000_000)
+            .cast("decimal(38,0)")
+            .alias(f"__{k}")
+            for k, c in cols.items()
+        ],
+    )
+    x, y, z = F.col("__x"), F.col("__y"), F.col("__z")
+    per = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(z).alias("__sz"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(z * z).alias("__szz"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * z).alias("__sxz"),
+        F.sum(y * z).alias("__syz"),
+    )
+    n = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def _c(sab, sa, sb):
+        return d(sab) - d(sa) * d(sb) / n
+
+    cxx = _c("__sxx", "__sx", "__sx")
+    cyy = _c("__syy", "__sy", "__sy")
+    czz = _c("__szz", "__sz", "__sz")
+    cxy = _c("__sxy", "__sx", "__sy")
+    cxz = _c("__sxz", "__sx", "__sz")
+    cyz = _c("__syz", "__sy", "__sz")
+
+    def _r(cab, caa, cbb):
+        return F.when((caa > 0) & (cbb > 0), cab / F.sqrt(caa * cbb))
+
+    rxy = _r(cxy, cxx, cyy)
+    rxz = _r(cxz, cxx, czz)
+    ryz = _r(cyz, cyy, czz)
+    den2 = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    pr = F.when(den2 > 0, (rxy - rxz * ryz) / F.sqrt(den2))
+    return per.select(
+        *group_cols,
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(pr, 6).alias("r_xy_given_z"),
+    )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Restricted mean survival time to horizon ``tau``: the area
+    under the Kaplan–Meier curve on [0, tau] — "expected event-free
+    time in the first tau days", the modern report when proportional
+    hazards don't hold.  Built on :func:`kaplan_meier`; the integral
+    is exact over the step function: each inter-event segment
+    contributes S(previous step) x segment length, plus the tail
+    S(last step ≤ tau) x (tau - last step).
+
+    Groups with NO events inside [0, tau] are absent from the KM
+    table and hence from the output; their RMST is tau by definition
+    (the caller's join-with-default, documented rather than guessed).
+
+    Scale shape: the KM collapse (distinct durations, not subjects),
+    then one lag window + ONE aggregate per group; survival (already
+    6-dp) and durations ride as exact integers so the area sums are
+    engine-exact.
+
+    Returns per group: (group..., n_steps, rmst).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    group_cols = group_cols or []
+    km = kaplan_meier(df, duration_col, event_col, group_cols)
+    steps = km.filter(F.col("duration") <= F.lit(float(tau))).select(
+        *group_cols,
+        F.round(F.col("duration") * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("__t"),
+        F.round(F.col("survival") * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("__s6"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__t")
+    one6 = F.lit(1_000_000).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    staged = steps.select(
+        *group_cols,
+        "__t",
+        "__s6",
+        F.coalesce(F.lag("__t").over(w), zero).alias("__tp"),
+        F.coalesce(F.lag("__s6").over(w), one6).alias("__sp"),
+    ).withColumn(
+        "__area", F.col("__sp") * (F.col("__t") - F.col("__tp"))
+    )
+    tau6 = F.lit(int(round(float(tau) * 1_000_000))).cast(
+        "decimal(38,0)"
+    )
+    per = staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("__area").alias("__a"),
+        F.max("__t").alias("__tl"),
+        F.max_by("__s6", "__t").alias("__sl"),
+    )
+    total = (
+        F.col("__a").cast("double")
+        + F.col("__sl").cast("double")
+        * (tau6 - F.col("__tl")).cast("double")
+    )
+    return per.filter(F.col("n_steps") > 0).select(
+        *group_cols,
+        "n_steps",
+        F.round(total / 1.0e12, 6).alias("rmst"),
+    )

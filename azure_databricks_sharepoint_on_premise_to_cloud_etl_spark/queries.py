@@ -15834,3 +15834,245 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 17: multiple regression, confounder
+# control, restricted mean survival ---
+
+
+def q_ols2_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS per priority: daily revenue ~ day index +
+    day-of-week — closed-form Cramer solve on exact micro sums
+    (``stats.ols2_fit``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("rev")
+    ).select(
+        "o_orderpriority",
+        "rev",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("double").alias("day_idx"),
+        F.dayofweek("o_orderdate").cast("double").alias("dow"),
+    )
+    return stats.ols2_fit(
+        daily, "rev", "day_idx", "dow", ["o_orderpriority"]
+    )
+
+
+ORACLE_OLS2 = """
+WITH daily AS (
+    SELECT o_orderpriority AS g,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS rev,
+           date_diff('day', DATE '1992-01-01', o_orderdate) AS day_idx,
+           dayofweek(o_orderdate) + 1 AS dow
+    FROM orders GROUP BY o_orderpriority, o_orderdate
+),
+m AS (
+    SELECT g,
+           CAST(round(rev * 1000000) AS HUGEINT) AS y,
+           CAST(round(day_idx * 1000000) AS HUGEINT) AS x1,
+           CAST(round(dow * 1000000) AS HUGEINT) AS x2
+    FROM daily
+),
+per AS (
+    SELECT g, count(*) AS n,
+           sum(y) AS sy, sum(x1) AS s1, sum(x2) AS s2,
+           sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+           sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+           sum(x2 * y) AS s2y, sum(y * y) AS syy
+    FROM m GROUP BY 1
+),
+c AS (
+    SELECT g, n,
+           CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(s1 AS DOUBLE) / n AS c11,
+           CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+               * CAST(s2 AS DOUBLE) / n AS c22,
+           CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(s2 AS DOUBLE) / n AS c12,
+           CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(sy AS DOUBLE) / n AS c1y,
+           CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+               * CAST(sy AS DOUBLE) / n AS c2y,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / n AS cyy,
+           CAST(sy AS DOUBLE) AS syd, CAST(s1 AS DOUBLE) AS s1d,
+           CAST(s2 AS DOUBLE) AS s2d
+    FROM per
+),
+solved AS (
+    SELECT g, n, cyy, c1y, c2y,
+           CASE WHEN c11 * c22 - c12 * c12 > 0
+                THEN (c1y * c22 - c2y * c12)
+                     / (c11 * c22 - c12 * c12) END AS b1,
+           CASE WHEN c11 * c22 - c12 * c12 > 0
+                THEN (c2y * c11 - c1y * c12)
+                     / (c11 * c22 - c12 * c12) END AS b2,
+           syd, s1d, s2d
+    FROM c
+)
+SELECT g AS o_orderpriority, n,
+       round((syd / n - b1 * s1d / n - b2 * s2d / n)
+             / 1000000.0, 6) AS b0,
+       round(b1, 6) AS b1,
+       round(b2, 6) AS b2,
+       round(CASE WHEN b1 IS NOT NULL AND cyy > 0
+                  THEN (b1 * c1y + b2 * c2y) / cyy END, 6) AS r2
+FROM solved
+"""
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity–price correlation with tax partialled out, per return
+    flag — one aggregate of exact cross-moments
+    (``stats.partial_corr``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.partial_corr(
+        li, "l_quantity", "l_extendedprice", "l_tax", ["l_returnflag"]
+    )
+
+
+ORACLE_PARTIAL_CORR = """
+WITH m AS (
+    SELECT l_returnflag AS g,
+           CAST(round(l_quantity * 1000000) AS HUGEINT) AS x,
+           CAST(round(l_extendedprice * 1000000) AS HUGEINT) AS y,
+           CAST(round(l_tax * 1000000) AS HUGEINT) AS z
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_tax IS NOT NULL
+),
+per AS (
+    SELECT g, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+           sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+    FROM m GROUP BY 1
+),
+c AS (
+    SELECT g, n,
+           CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / n AS cxx,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / n AS cyy,
+           CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+               * CAST(sz AS DOUBLE) / n AS czz,
+           CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sy AS DOUBLE) / n AS cxy,
+           CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sz AS DOUBLE) / n AS cxz,
+           CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sz AS DOUBLE) / n AS cyz
+    FROM per
+),
+r AS (
+    SELECT g, n,
+           CASE WHEN cxx > 0 AND cyy > 0
+                THEN cxy / sqrt(cxx * cyy) END AS rxy,
+           CASE WHEN cxx > 0 AND czz > 0
+                THEN cxz / sqrt(cxx * czz) END AS rxz,
+           CASE WHEN cyy > 0 AND czz > 0
+                THEN cyz / sqrt(cyy * czz) END AS ryz
+    FROM c
+)
+SELECT g AS l_returnflag, n,
+       round(rxy, 6) AS r_xy,
+       round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                  THEN (rxy - rxz * ryz)
+                       / sqrt((1.0 - rxz * rxz)
+                              * (1.0 - ryz * ryz)) END, 6)
+           AS r_xy_given_z
+FROM r
+"""
+
+
+_RMST_TAU = 30.0
+
+
+def q_rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean time-to-conversion within 30 days — the area
+    under the KM curve built from the same censoring-aware subject
+    table as ``kaplan_meier`` (``stats.rmst``)."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__tlast"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__tconv"),
+    )
+    subjects = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("__tconv"), F.col("__tlast")), F.col("__t0")
+        ).alias("duration"),
+        F.col("__tconv").isNotNull().cast("int").alias("event"),
+    )
+    return stats.rmst(subjects, "duration", "event", tau=_RMST_TAU)
+
+
+ORACLE_RMST = f"""
+WITH km AS ({ORACLE_KAPLAN_MEIER.replace('"', '"')}
+),
+steps AS (
+    SELECT CAST(round(duration * 1000000) AS HUGEINT) AS t,
+           CAST(round(survival * 1000000) AS HUGEINT) AS s6
+    FROM km WHERE duration <= {_RMST_TAU!r}
+),
+staged AS (
+    SELECT t, s6,
+           coalesce(lag(t) OVER (ORDER BY t),
+                    CAST(0 AS HUGEINT)) AS tp,
+           coalesce(lag(s6) OVER (ORDER BY t),
+                    CAST(1000000 AS HUGEINT)) AS sp
+    FROM steps
+),
+per AS (
+    SELECT count(*) AS n_steps,
+           sum(sp * (t - tp)) AS a,
+           max(t) AS tl,
+           max_by(s6, t) AS sl
+    FROM staged
+)
+SELECT n_steps,
+       round((CAST(a AS DOUBLE)
+              + CAST(sl AS DOUBLE)
+                * ({int(_RMST_TAU * 1_000_000)} - CAST(tl AS DOUBLE)))
+             / 1e12, 6) AS rmst
+FROM per
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "ols2_trend": q_ols2_trend,
+        "partial_corr": q_partial_corr,
+        "rmst_survival": q_rmst_survival,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "ols2_trend": ORACLE_OLS2,
+        "partial_corr": ORACLE_PARTIAL_CORR,
+        "rmst_survival": ORACLE_RMST,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -242,6 +242,10 @@ BENCH_QUERIES = [
     # round-10 widening batch 16
     "price_index",
     "xyz_classification",
+    # round-10 widening batch 17
+    "ols2_trend",
+    "partial_corr",
+    "rmst_survival",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -408,6 +412,9 @@ TOTAL_EXCLUDED = {
     "qini_curve",
     "price_index",
     "xyz_classification",
+    "ols2_trend",
+    "partial_corr",
+    "rmst_survival",
 }
 
 

@@ -441,6 +441,12 @@ HEAVY = [
     # item cells in one scan (flat-to-sublinear)
     "price_index",
     "xyz_classification",
+    # round-10 widening batch 17: all three collapse to k-row moment
+    # tables after one scan (flat-to-sublinear); rmst windows over
+    # the distinct-duration KM table
+    "ols2_trend",
+    "partial_corr",
+    "rmst_survival",
 ]
 
 ALL_TABLES = (
