@@ -4030,3 +4030,65 @@ def rmst(
         "n_steps",
         F.round(total / 1.0e12, 6).alias("rmst"),
     )
+
+
+def dp_noisy_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    clip_lo: float,
+    clip_hi: float,
+    epsilon: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Differentially-private group sums: values CLIPPED to
+    ``[clip_lo, clip_hi]`` (bounding each row's contribution — the
+    sensitivity — is what makes the guarantee hold; unclipped sums
+    have unbounded sensitivity and no epsilon), summed per group, plus
+    Laplace((hi-lo)/epsilon) noise from the same deterministic
+    md5-seeded Lehmer generator as :func:`dp_noisy_counts` (domain-
+    separated with a ``sum:`` prefix so count and sum releases of the
+    same group draw independent noise).
+
+    Scale shape: ONE hash aggregate of exact micro-unit clipped sums;
+    noise is per-group scalar arithmetic on the k rows.
+
+    Returns (group..., noisy_sum) — true sums deliberately omitted.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if not clip_lo < clip_hi:
+        raise ValueError(
+            f"clip_lo {clip_lo} must be < clip_hi {clip_hi}"
+        )
+    from ..functions import portable_hash64
+
+    v = F.col(value_col)
+    clipped = F.least(
+        F.greatest(v, F.lit(float(clip_lo))), F.lit(float(clip_hi))
+    )
+    micro = F.round(clipped * 1_000_000).cast("decimal(38,0)")
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.sum(micro).alias("__s"))
+    )
+    key_str = F.concat(
+        F.lit("sum:"),
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in group_cols]
+        ),
+    )
+    key = portable_hash64(key_str, seed=salt)
+    u = F.greatest(
+        _lehmer_uniform(key), F.lit(0.5 / _LEHMER_M)
+    )
+    vshift = u - 0.5
+    b = (float(clip_hi) - float(clip_lo)) / float(epsilon)
+    noise = (
+        -F.lit(b) * F.signum(vshift) * F.log(1.0 - 2.0 * F.abs(vshift))
+    )
+    noisy = F.col("__s").cast("double") / 1_000_000.0 + noise
+    return per.select(
+        *group_cols, F.round(noisy, 6).alias("noisy_sum")
+    )

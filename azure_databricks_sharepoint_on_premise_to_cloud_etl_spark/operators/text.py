@@ -1410,3 +1410,77 @@ def readability_score(
         F.round(flesch, 6).alias("flesch"),
         F.round(fk, 6).alias("fk_grade"),
     )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sents_per_chunk: int = 5,
+    stride: int = 4,
+) -> DataFrame:
+    """Sentence-boundary chunking: split each document into sentences
+    (runs ending in ``.!?`` or the ragged tail) and window them
+    ``sents_per_chunk`` at a time advancing ``stride`` — the RAG-prep
+    alternative to token-window chunking (``doc_chunks``) when chunks
+    must not cut mid-sentence.  A document with fewer sentences than
+    one chunk yields exactly one whole-doc chunk.
+
+    Scale shape: all native HOFs — one regex split, ``sequence`` +
+    ``explode`` for chunk ids, ``slice`` to cut — narrow end to end,
+    no shuffle, no UDF.
+
+    Returns (id, chunk_id, n_sentences, chunk_text).
+    """
+    if sents_per_chunk < 1 or stride < 1:
+        raise ValueError("sents_per_chunk and stride must be >= 1")
+    # sentences = maximal non-terminator runs plus their trailing
+    # [.!?] run, via regexp_extract_all — lookbehind-free so the RE2
+    # oracle engines (DuckDB) match Java's behavior exactly
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
+            ),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    t = df.select(
+        F.col(id_col), sents.alias("__s")
+    ).withColumn("__n", F.size("__s"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.lit(1)
+        + F.floor(
+            (
+                F.col("__n")
+                - F.lit(sents_per_chunk)
+                + F.lit(stride)
+                - 1
+            )
+            / F.lit(stride)
+        ),
+    ).cast("int")
+    exploded = t.select(
+        id_col,
+        "__s",
+        "__n",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.least(
+            F.lit(sents_per_chunk), F.col("__n") - start
+        ).alias("n_sentences"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__s"), start + F.lit(1), F.lit(sents_per_chunk)
+            ),
+        ).alias("chunk_text"),
+    )

@@ -16076,3 +16076,155 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 18: sentence chunking, pseudonymization,
+# DP sums ---
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary RAG chunks (5 sentences per chunk, stride 4)
+    over the document corpus — native HOFs end to end
+    (``text.sentence_chunks``)."""
+    from .operators import text as t
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return t.sentence_chunks(
+        d, "text", "doc_id", sents_per_chunk=5, stride=4
+    )
+
+
+ORACLE_SENTENCE_CHUNKS = """
+WITH sents AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(
+                   regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                   x -> trim(x)),
+               x -> x <> '') AS s
+    FROM documents
+),
+sized AS (SELECT doc_id, s, len(s) AS n FROM sents),
+idx AS (
+    SELECT doc_id, s, n,
+           unnest(range(0, CAST(greatest(1,
+               1 + floor((n - 5 + 4 - 1) / 4.0)) AS BIGINT)))
+               AS chunk_id
+    FROM sized
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(least(5, n - chunk_id * 4) AS INTEGER) AS n_sentences,
+       array_to_string(s[chunk_id * 4 + 1 : chunk_id * 4 + 5], ' ')
+           AS chunk_text
+FROM idx
+"""
+
+
+_PSEUDO_SALT = 13
+
+
+def q_pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of customer name and account balance —
+    stable portable-hash tokens, NULL-preserving
+    (``sources.cleanser.pseudonymize``)."""
+    from .sources.cleanser import pseudonymize
+
+    c = rebalance(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return pseudonymize(c, ["c_name"], salt=_PSEUDO_SALT)
+
+
+def _pseudonymize_oracle() -> str:
+    h = _duck_hash("CAST(c_name AS VARCHAR)", _PSEUDO_SALT)
+    return f"""
+SELECT c_custkey,
+       CASE WHEN c_name IS NOT NULL
+            THEN concat('P', CAST({h} AS VARCHAR)) END AS c_name,
+       c_mktsegment
+FROM customer
+"""
+
+
+_DPS_SALT = 7
+_DPS_EPS = 1.0
+_DPS_LO = 0.0
+_DPS_HI = 500_000.0
+
+
+def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP revenue release per priority: clipped order totals,
+    exact micro sums, deterministic Laplace((hi-lo)/eps)
+    (``stats.dp_noisy_sum``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.dp_noisy_sum(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        clip_lo=_DPS_LO,
+        clip_hi=_DPS_HI,
+        epsilon=_DPS_EPS,
+        salt=_DPS_SALT,
+    )
+
+
+def _dp_sum_oracle() -> str:
+    m = 2147483647
+    key = (
+        "CAST(concat('0x', substr(md5(concat('7:sum:', "
+        "CAST(o_orderpriority AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    b = (_DPS_HI - _DPS_LO) / _DPS_EPS
+    return f"""
+WITH per AS (
+    SELECT o_orderpriority,
+           sum(CAST(round(least(greatest(o_totalprice, {_DPS_LO!r}),
+                                {_DPS_HI!r}) * 1000000) AS HUGEINT))
+               AS s,
+           {key} % {m} AS s0
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+lehmer AS (
+    SELECT o_orderpriority, s,
+           (((s0 * 48271) % {m}) * 48271 % {m}) * 48271 % {m} AS s3
+    FROM per
+),
+unif AS (
+    SELECT o_orderpriority, s,
+           greatest(CAST(s3 AS DOUBLE) / {float(m)!r},
+                    {0.5 / m!r}) AS u
+    FROM lehmer
+)
+SELECT o_orderpriority,
+       round(CAST(s AS DOUBLE) / 1000000.0
+             - {b!r} * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_sum
+FROM unif
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "sentence_chunks": q_sentence_chunks,
+        "pseudonymize_keys": q_pseudonymize_keys,
+        "dp_noisy_sum": q_dp_noisy_sum,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "sentence_chunks": ORACLE_SENTENCE_CHUNKS,
+        "pseudonymize_keys": _pseudonymize_oracle(),
+        "dp_noisy_sum": _dp_sum_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

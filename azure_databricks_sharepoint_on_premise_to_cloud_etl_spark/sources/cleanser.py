@@ -62,3 +62,41 @@ def cleanse_file(in_path: str, out_path: str, drop_header: bool = True) -> None:
     text = cleanse_csv_text(strip_bare_newlines(decode_bytes(raw)), drop_header)
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(text)
+
+
+def pseudonymize(
+    df,
+    cols: list[str],
+    salt: int = 0,
+    prefix: str = "P",
+):
+    """Keyed pseudonymization: replace each listed column's value with
+    ``prefix + portable-60-bit-hash(salt, value)`` — stable (the same
+    value maps to the same pseudonym everywhere, so joins and
+    group-bys still line up across tables sharing the salt),
+    non-reversible without the salt, NULL-preserving.  The
+    tokenization step a dataset goes through before leaving its
+    trust boundary; rotate ``salt`` per data-sharing agreement.
+
+    Scale shape: pure per-row hash expressions — codegen scan, no
+    shuffle, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import portable_hash64
+
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(
+                    F.lit(prefix),
+                    portable_hash64(
+                        F.col(c).cast("string"), seed=salt
+                    ).cast("string"),
+                ),
+            ),
+        )
+    return out

@@ -246,6 +246,10 @@ BENCH_QUERIES = [
     "ols2_trend",
     "partial_corr",
     "rmst_survival",
+    # round-10 widening batch 18
+    "sentence_chunks",
+    "pseudonymize_keys",
+    "dp_noisy_sum",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -415,6 +419,9 @@ TOTAL_EXCLUDED = {
     "ols2_trend",
     "partial_corr",
     "rmst_survival",
+    "sentence_chunks",
+    "pseudonymize_keys",
+    "dp_noisy_sum",
 }
 
 

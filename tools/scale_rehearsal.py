@@ -447,6 +447,12 @@ HEAVY = [
     "ols2_trend",
     "partial_corr",
     "rmst_survival",
+    # round-10 widening batch 18: sentence chunking and
+    # pseudonymization are pure codegen scans (linear, no shuffle);
+    # dp sums collapse to k rows
+    "sentence_chunks",
+    "pseudonymize_keys",
+    "dp_noisy_sum",
 ]
 
 ALL_TABLES = (
