@@ -803,3 +803,117 @@ def period_overlap(
             F.round(F.col("n_shared") / F.col("n"), 6).alias("retained"),
         )
     )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    channels: list[str],
+    halflife_days: float = 7.0,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-decay multi-touch attribution: each preceding touch earns
+    credit proportional to ``2^(-Δt / halflife)`` where ``Δt`` is the
+    gap to the conversion — yesterday's click outranks last month's,
+    the recency-weighted middle ground between linear and last-touch.
+
+    Scale shape — the :func:`linear_attribution` trick survives the
+    weighting because the decay FACTORS: ``2^(-(T-t)/h) = 2^(-T/h) ·
+    2^(t/h)`` and the conversion-time term cancels in every credit
+    share, so per-channel credit is a cumulative conditional SUM of
+    ``2^((t - t_min_user)/h)`` over ONE user-keyed window (the
+    per-user anchor keeps the exponent bounded by the user's activity
+    span) — no conversion×touch range join, work linear in events ×
+    |channels|.  Untouched conversions attribute to ``'(none)'``;
+    tie rule matches linear_attribution (a touch at the conversion
+    timestamp is visible to it).
+
+    Output: (channel, n_conversions, attributed_value).
+    """
+    is_conv = F.col(type_col) == conversion_type
+    # NTZ-safe epoch micros: cast through TIMESTAMP (session tz is
+    # pinned UTC repo-wide, so this matches DuckDB epoch_us on naive
+    # timestamps)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tagged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        us.alias("__us"),
+        is_conv.cast("int").alias("__is_c"),
+        F.col(type_col).alias("__t"),
+        F.when(~is_conv, F.col("event_id")).alias("__tid"),
+        F.when(is_conv, F.col(value_col)).alias("__val"),
+    )
+    w_user = Window.partitionBy(key_col)
+    anchored = tagged.withColumn(
+        "__w",
+        F.pow(
+            F.lit(2.0),
+            (F.col("__us") - F.min("__us").over(w_user)).cast("double")
+            / 86_400_000_000.0
+            / F.lit(float(halflife_days)),
+        ),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col(ts_col),
+            F.col("__is_c"),
+            F.coalesce(F.col("__tid"), F.lit(-1)),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sum_cols = {
+        ch: F.sum(
+            F.when(
+                (F.col("__is_c") == 0) & (F.col("__t") == ch),
+                F.col("__w"),
+            )
+        ).over(w)
+        for ch in channels
+    }
+    conv = (
+        anchored.select(
+            "*",
+            *[
+                F.coalesce(c, F.lit(0.0)).alias(f"__s_{i}")
+                for i, c in enumerate(sum_cols.values())
+            ],
+        )
+        .filter(F.col("__is_c") == 1)
+        .withColumn(
+            "__tot", sum(F.col(f"__s_{i}") for i in range(len(channels)))
+        )
+    )
+    stack_args = ", ".join(
+        f"'{ch}', __s_{i}" for i, ch in enumerate(channels)
+    )
+    credited = (
+        conv.filter(F.col("__tot") > 0)
+        .selectExpr(
+            "__val",
+            "__tot",
+            f"stack({len(channels)}, {stack_args}) AS (channel, __s)",
+        )
+        .filter(F.col("__s") > 0)
+        .select(
+            "channel",
+            (F.col("__val") * F.col("__s") / F.col("__tot")).alias(
+                "__credit"
+            ),
+        )
+    )
+    untouched = conv.filter(F.col("__tot") == 0).select(
+        F.lit("(none)").alias("channel"), F.col("__val").alias("__credit")
+    )
+    return (
+        credited.unionAll(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("__credit"), 4).alias("attributed_value"),
+        )
+    )

@@ -865,3 +865,146 @@ def semantic_outlier(
             ),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str,
+    id_col: str,
+    emb_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking of a per-query candidate
+    set: greedily pick the item maximizing ``lam * relevance -
+    (1-lam) * max_sim_to_already_selected`` — the standard RAG/search
+    diversification that stops a retriever from returning five
+    paraphrases of the same passage.
+
+    Scale shape: MMR is inherently sequential in k, but everything
+    INSIDE a round is bounded by the candidate set (N per query,
+    typically ≤ a few dozen from an ANN stage): pairwise candidate
+    similarities are computed ONCE (per-query N² rows, never
+    corpus-pairs) and localCheckpoint-ed together with the relevance
+    table so the k-1 selection rounds — one max-penalty aggregate +
+    one window argmax each — do not re-derive the caller's retrieval
+    pipeline per round.  Call ``graph.release_components(result)``
+    after consuming.
+
+    Determinism: similarities, relevances, and round scores are
+    rounded to 6 dp before every comparison, ties broken by id
+    ascending — oracle-reproducible selection.
+
+    Returns (query, rank, id, mmr_score): rank 1..k per query (fewer
+    if the query has fewer candidates).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam {lam} outside [0, 1]")
+    q, c = query_col, id_col
+    a = candidates.select(
+        F.col(q).alias("__q"),
+        F.col(c).alias("__a"),
+        F.col(emb_col).alias("__ea"),
+    )
+    b = candidates.select(
+        F.col(q).alias("__q"),
+        F.col(c).alias("__b"),
+        F.col(emb_col).alias("__eb"),
+    )
+    sims = (
+        a.join(b, "__q")
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            "__q",
+            "__a",
+            "__b",
+            F.round(cosine_sim(F.col("__ea"), F.col("__eb")), 6).alias(
+                "__s"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rel = candidates.select(
+        F.col(q).alias("__q"),
+        F.col(c).alias("__c"),
+        F.round(F.col(rel_col), 6).alias("__r"),
+    ).localCheckpoint(eager=True)
+    w1 = Window.partitionBy("__q").orderBy(
+        F.col("__r").desc(), F.col("__c").asc()
+    )
+    picked = (
+        rel.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__q",
+            F.lit(1).alias("rank"),
+            "__c",
+            F.col("__r").alias("mmr_score"),
+        )
+        # each round references the running selection TWICE (penalty
+        # join + anti join); without a lineage cut per round the lazy
+        # plan doubles every iteration (2^k subtrees — OOMs the
+        # planner long before data size matters)
+        .localCheckpoint(eager=True)
+    )
+    ckpts = [sims, rel, picked]
+    rounds = [picked]
+    selected = picked.select("__q", "__c")
+    from pyspark.sql import Observation
+
+    for i in range(2, k + 1):
+        pen = (
+            sims.join(
+                selected.withColumnRenamed("__c", "__b"),
+                ["__q", "__b"],
+            )
+            .groupBy("__q", "__a")
+            .agg(F.max("__s").alias("__p"))
+        )
+        remaining = rel.join(selected, ["__q", "__c"], "left_anti")
+        scored = remaining.join(
+            pen.withColumnRenamed("__a", "__c"), ["__q", "__c"], "left"
+        ).withColumn(
+            "__score",
+            F.round(
+                F.lit(float(lam)) * F.col("__r")
+                - F.lit(1.0 - float(lam))
+                * F.coalesce(F.col("__p"), F.lit(0.0)),
+                6,
+            ),
+        )
+        wi = Window.partitionBy("__q").orderBy(
+            F.col("__score").desc(), F.col("__c").asc()
+        )
+        obs = Observation()
+        pick_i = (
+            scored.withColumn("__rn", F.row_number().over(wi))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "__q",
+                F.lit(i).alias("rank"),
+                "__c",
+                F.col("__score").alias("mmr_score"),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("__n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["__n"] or 0) == 0:
+            break  # every query exhausted its candidates
+        ckpts.append(pick_i)
+        rounds.append(pick_i)
+        selected = selected.unionAll(pick_i.select("__q", "__c"))
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    result = out.select(
+        F.col("__q").alias(query_col),
+        "rank",
+        F.col("__c").alias(id_col),
+        "mmr_score",
+    )
+    result._extra_ckpts = ckpts
+    return result

@@ -16228,3 +16228,215 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 19: recency attribution, MMR rerank ---
+
+
+_TDA_HALFLIFE = 7.0
+
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (7-day half-life) — the
+    factored-decay cumulative window, no conversion×touch range join
+    (``funnels.time_decay_attribution``)."""
+    from .operators import funnels
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return funnels.time_decay_attribution(
+        e,
+        "purchase",
+        channels=["view", "click", "signup", "error"],
+        halflife_days=_TDA_HALFLIFE,
+    )
+
+
+ORACLE_TIME_DECAY = f"""
+WITH tmin AS (
+    SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+),
+conv AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+per AS (
+    SELECT c.event_id, c.value, t.event_type AS channel,
+           sum(pow(2.0,
+                   CAST(epoch_us(t.ts) - m.t0 AS DOUBLE)
+                   / 86400000000.0 / {_TDA_HALFLIFE!r})) AS s,
+           sum(sum(pow(2.0,
+                   CAST(epoch_us(t.ts) - m.t0 AS DOUBLE)
+                   / 86400000000.0 / {_TDA_HALFLIFE!r})))
+               OVER (PARTITION BY c.event_id) AS tot
+    FROM conv c
+    JOIN events t ON t.user_id = c.user_id AND t.ts <= c.ts
+     AND t.event_type <> 'purchase'
+    JOIN tmin m ON m.user_id = c.user_id
+    GROUP BY 1, 2, 3
+),
+cred AS (
+    SELECT channel, value * s / tot AS credit FROM per
+    UNION ALL
+    SELECT '(none)' AS channel, c.value AS credit FROM conv c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events t
+        WHERE t.user_id = c.user_id AND t.ts <= c.ts
+          AND t.event_type <> 'purchase')
+)
+SELECT channel, count(*) AS n_conversions,
+       round(sum(credit), 4) AS attributed_value
+FROM cred GROUP BY 1
+"""
+
+
+_MMR_K = 5
+_MMR_LAM = 0.7
+_MMR_TOPN = 20
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification of the top-20 cosine candidates for three
+    probe vectors — pair sims computed once, k-1 bounded selection
+    rounds (``similarity.mmr_rerank``)."""
+    from .operators.similarity import cosine_sim, mmr_rerank
+
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__eq"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding")
+    )
+    scored = probes.crossJoin(corpus).select(
+        "query_id",
+        "cand_id",
+        "embedding",
+        F.round(
+            cosine_sim(F.col("__eq"), F.col("embedding")), 6
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id").asc()
+    )
+    cands = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _MMR_TOPN)
+        .drop("__rn")
+    )
+    return mmr_rerank(
+        cands, "query_id", "cand_id", "embedding", "rel",
+        k=_MMR_K, lam=_MMR_LAM,
+    )
+
+
+def _mmr_oracle() -> str:
+    lam = repr(float(_MMR_LAM))
+    one_m = repr(1.0 - float(_MMR_LAM))
+    parts = [
+        """probes AS (
+    SELECT vec_id AS q, embedding AS eq FROM embeddings
+    WHERE vec_id < 3)""",
+        """corpus AS (
+    SELECT vec_id AS c, embedding AS ec FROM embeddings)""",
+        """relterms AS (
+    SELECT q, c, sum(av * bv) AS dot,
+           sum(av * av) AS na, sum(bv * bv) AS nb
+    FROM (SELECT q, c,
+                 CAST(unnest(eq) AS DOUBLE) AS av,
+                 CAST(unnest(ec) AS DOUBLE) AS bv
+          FROM probes, corpus)
+    GROUP BY 1, 2)""",
+        """rel0 AS (
+    SELECT q, c,
+           round(CASE WHEN na > 0 AND nb > 0
+                      THEN dot / sqrt(na * nb) END, 6) AS r
+    FROM relterms)""",
+        f"""cands AS (
+    SELECT q, c, r FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q ORDER BY r DESC, c ASC) AS rn
+        FROM rel0) WHERE rn <= {_MMR_TOPN})""",
+        """cands_emb AS (
+    SELECT cands.q, cands.c, cands.r, corpus.ec
+    FROM cands JOIN corpus ON cands.c = corpus.c)""",
+        """sims AS (
+    SELECT q, a, b,
+           round(CASE WHEN na > 0 AND nb > 0
+                      THEN dot / sqrt(na * nb) END, 6) AS s
+    FROM (SELECT q, a, b, sum(av * bv) AS dot,
+                 sum(av * av) AS na, sum(bv * bv) AS nb
+          FROM (SELECT x.q, x.c AS a, y.c AS b,
+                       CAST(unnest(x.ec) AS DOUBLE) AS av,
+                       CAST(unnest(y.ec) AS DOUBLE) AS bv
+                FROM cands_emb x JOIN cands_emb y
+                  ON x.q = y.q AND x.c <> y.c)
+          GROUP BY 1, 2, 3))""",
+        """sel1 AS (
+    SELECT q, 1 AS rank, c, r AS score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q ORDER BY r DESC, c ASC) AS rn
+        FROM cands) WHERE rn = 1)""",
+        """selected1 AS (SELECT q, c FROM sel1)""",
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""pen{i} AS (
+    SELECT s.q, s.a AS c, max(s.s) AS p
+    FROM sims s JOIN selected{i-1} t ON s.q = t.q AND s.b = t.c
+    GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""scored{i} AS (
+    SELECT cands.q, cands.c,
+           round({lam} * cands.r
+                 - {one_m} * coalesce(pen{i}.p, 0.0), 6) AS score
+    FROM cands LEFT JOIN pen{i}
+      ON cands.q = pen{i}.q AND cands.c = pen{i}.c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM selected{i-1} t
+        WHERE t.q = cands.q AND t.c = cands.c))"""
+        )
+        parts.append(
+            f"""sel{i} AS (
+    SELECT q, {i} AS rank, c, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q ORDER BY score DESC, c ASC) AS rn
+        FROM scored{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""selected{i} AS (
+    SELECT q, c FROM selected{i-1}
+    UNION ALL SELECT q, c FROM sel{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT q, rank, c, score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT q AS query_id, CAST(rank AS INTEGER) AS rank,
+       c AS cand_id, score AS mmr_score
+FROM ({union})"""
+    )
+
+
+AUX_QUERIES.update(
+    {
+        "time_decay_attribution": q_time_decay_attribution,
+        "mmr_rerank": q_mmr_rerank,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "time_decay_attribution": ORACLE_TIME_DECAY,
+        "mmr_rerank": _mmr_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "sentence_chunks",
     "pseudonymize_keys",
     "dp_noisy_sum",
+    # round-10 widening batch 19
+    "time_decay_attribution",
+    "mmr_rerank",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite
@@ -422,6 +425,8 @@ TOTAL_EXCLUDED = {
     "sentence_chunks",
     "pseudonymize_keys",
     "dp_noisy_sum",
+    "time_decay_attribution",
+    "mmr_rerank",
 }
 
 

@@ -453,6 +453,11 @@ HEAVY = [
     "sentence_chunks",
     "pseudonymize_keys",
     "dp_noisy_sum",
+    # round-10 widening batch 19: time-decay rides the one-window
+    # attribution shape (row-linear); MMR's per-round work is bounded
+    # by candidates x queries (flat in corpus size)
+    "time_decay_attribution",
+    "mmr_rerank",
 ]
 
 ALL_TABLES = (
