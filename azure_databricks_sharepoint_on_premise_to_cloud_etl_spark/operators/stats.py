@@ -4092,3 +4092,308 @@ def dp_noisy_sum(
     return per.select(
         *group_cols, F.round(noisy, 6).alias("noisy_sum")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical
+    label columns — the standard chance-corrected agreement score for
+    label-quality audits (two annotation models, a model vs a human
+    pass, or a heuristic vs a gold column).
+
+    Scale shape: ONE hash aggregate collapses the corpus to the
+    (a, b) contingency cells (bounded by the category-pair
+    cardinality, not the row count); marginals and the final scalar
+    are computed on those k² rows with broadcast-sized joins.  No
+    window over the corpus, no second scan.
+
+    Cross-engine determinism: observed and expected agreement are
+    rounded to 6 decimals FIRST, then kappa is derived from the
+    rounded shares.  Degenerate shapes (empty input, or expected
+    agreement = 1 when both raters are constant and identical) yield
+    NULL kappa via the lazy-CASE discipline rather than an ANSI
+    DIVIDE_BY_ZERO.
+
+    Returns one row: (n, p_observed, p_expected, kappa).
+    """
+    a = F.col(rater_a_col)
+    b = F.col(rater_b_col)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    marg_a = cells.groupBy(F.col("__a").alias("__cat")).agg(
+        F.sum("__c").alias("__ra")
+    )
+    marg_b = cells.groupBy(F.col("__b").alias("__cat")).agg(
+        F.sum("__c").alias("__cb")
+    )
+    # expected agreement sums row_marginal x col_marginal PER CATEGORY
+    # (full outer: a category one rater never uses contributes 0)
+    exp = marg_a.join(marg_b, "__cat", "full_outer").agg(
+        F.sum(
+            F.coalesce(F.col("__ra"), F.lit(0)).cast("double")
+            * F.coalesce(F.col("__cb"), F.lit(0)).cast("double")
+        ).alias("__exp_num")
+    )
+    m = cells.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias(
+            "__agree"
+        ),
+    ).crossJoin(F.broadcast(exp))
+    n = F.col("n").cast("double")
+    po = F.round(
+        F.when(n > 0, F.coalesce(F.col("__agree"), F.lit(0)) / n), 6
+    )
+    pe = F.round(F.when(n > 0, F.col("__exp_num") / (n * n)), 6)
+    out = m.select(
+        "n", po.alias("p_observed"), pe.alias("p_expected")
+    )
+    kappa = F.when(
+        F.col("p_expected") < 1.0,
+        (F.col("p_observed") - F.col("p_expected"))
+        / (1.0 - F.col("p_expected")),
+    )
+    return out.select(
+        "n",
+        "p_observed",
+        "p_expected",
+        F.round(kappa, 4).alias("kappa"),
+    )
+
+
+def classification_loss(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Probabilistic-classifier loss scoreboard: log-loss (cross
+    entropy) and Brier score in ONE aggregate — the two proper scoring
+    rules every model-quality gate wants next to ROC-AUC (sharpness
+    AND calibration, where AUC sees only ranking).
+
+    Scale shape: one conditional hash aggregate over the corpus
+    (map-side partial combine), pure arithmetic on the one-row result.
+
+    Probabilities are clamped to ``[eps, 1-eps]`` before the log so a
+    hard 0/1 prediction on a wrong label costs a large finite penalty
+    instead of poisoning the mean with infinity.  Per-row terms are
+    aggregated at full precision; the three means are rounded at the
+    end (6 decimals) for cross-engine agreement.
+
+    Returns one row: (n, base_rate, log_loss, brier).
+    """
+    if not 0 < eps < 0.5:
+        raise ValueError(f"eps must be in (0, 0.5), got {eps}")
+    y = F.col(label_col).cast("double")
+    p = F.least(
+        F.greatest(F.col(prob_col).cast("double"), F.lit(float(eps))),
+        F.lit(1.0 - float(eps)),
+    )
+    ll = -(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))
+    br = (p - y) * (p - y)
+    return (
+        df.filter(
+            F.col(label_col).isNotNull() & F.col(prob_col).isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(y), 6).alias("base_rate"),
+            F.round(F.avg(ll), 6).alias("log_loss"),
+            F.round(F.avg(br), 6).alias("brier"),
+        )
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value per category of
+    a feature against a binary label — the credit-scoring-lineage
+    feature-screening pair (IV ranks predictive power; WOE is the
+    monotone encoding logistic models consume).
+
+    Scale shape: ONE hash aggregate collapses the corpus to k category
+    rows (positive/negative counts via conditional sums, map-side
+    combined); distributions, WOE, and the IV total are arithmetic on
+    those k rows.  The ``iv_total`` column is a single-partition
+    window over the k CATEGORY rows — never over the corpus.
+
+    Laplace smoothing (default 0.5) is added per cell against the
+    smoothed totals, so empty cells (a category with no positives)
+    get a finite WOE instead of ±infinity; ``smoothing=0`` restores
+    the raw estimator and NULLs the degenerate cells via lazy CASE.
+    Distributions are rounded to 6 decimals FIRST, then WOE/IV derive
+    from the rounded shares (cross-engine determinism).
+
+    Returns one row per category: (category, n, n_pos, n_neg, woe,
+    iv_term, iv_total).
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    s = float(smoothing)
+    y = F.col(label_col).cast("double")
+    per = (
+        df.filter(F.col(feature_col).isNotNull() & y.isNotNull())
+        .groupBy(F.col(feature_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(y != 0, 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).alias("n_neg"),
+        )
+    )
+    w_all = Window.partitionBy()
+    k = F.count(F.lit(1)).over(w_all)
+    pos_tot = F.sum("n_pos").over(w_all).cast("double")
+    neg_tot = F.sum("n_neg").over(w_all).cast("double")
+    dist_pos = F.round(
+        F.when(
+            pos_tot + s * k > 0,
+            (F.col("n_pos") + s) / (pos_tot + s * k),
+        ),
+        6,
+    )
+    dist_neg = F.round(
+        F.when(
+            neg_tot + s * k > 0,
+            (F.col("n_neg") + s) / (neg_tot + s * k),
+        ),
+        6,
+    )
+    per = per.select(
+        "category",
+        "n",
+        "n_pos",
+        "n_neg",
+        dist_pos.alias("__dp"),
+        dist_neg.alias("__dn"),
+    )
+    woe = F.round(
+        F.when(
+            (F.col("__dp") > 0) & (F.col("__dn") > 0),
+            F.log(F.col("__dp") / F.col("__dn")),
+        ),
+        6,
+    )
+    per = per.withColumn("woe", woe).withColumn(
+        "iv_term",
+        F.round((F.col("__dp") - F.col("__dn")) * F.col("woe"), 6),
+    )
+    return per.select(
+        "category",
+        "n",
+        "n_pos",
+        "n_neg",
+        "woe",
+        "iv_term",
+        F.round(F.sum("iv_term").over(w_all), 6).alias("iv_total"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test per group — the
+    distribution-free "is this series trending?" check (sign-based, so
+    robust to outliers and any monotone transform), with the standard
+    tie-corrected normal approximation.
+
+    S = Σ_{i<j} sign(v_j − v_i) over time-ordered pairs;
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 over tie groups t;
+    z applies the ±1 continuity correction.
+
+    Scale shape: pair enumeration is a WITHIN-GROUP self-join (equi on
+    the group key, so it shuffles once on the key and never crosses
+    groups).  Like :func:`theil_sen_trend`, this is O(n²) in the GROUP
+    size and is meant for pre-aggregated bounded series (daily/monthly
+    rollups — hundreds of points), where n² is trivial; the corpus
+    reduction that produces the series is the caller's one big
+    aggregate.  Tie groups come from a second small per-(group, value)
+    count.  Times must be distinct within a group (pre-aggregate to
+    the series grain first); equal-time pairs are excluded.
+
+    Returns one row per group: (group, n, s_stat, var_s, z).
+    """
+    g = F.col(group_col)
+    pts = df.filter(
+        g.isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        g.alias("__g"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    lhs = pts.select(
+        F.col("__g"), F.col("__t").alias("__t1"), F.col("__v").alias("__v1")
+    )
+    rhs = pts.select(
+        F.col("__g"), F.col("__t").alias("__t2"), F.col("__v").alias("__v2")
+    )
+    pairs = lhs.join(rhs, "__g").filter(F.col("__t1") < F.col("__t2"))
+    s_df = pairs.groupBy("__g").agg(
+        F.sum(
+            F.signum(F.col("__v2") - F.col("__v1")).cast("long")
+        ).alias("s_stat")
+    )
+    n_df = pts.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        pts.groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("__tie_sum")
+        )
+    )
+    m = (
+        n_df.join(s_df, "__g", "left")
+        .join(ties, "__g", "left")
+        .select(
+            F.col("__g").alias("grp"),
+            "n",
+            F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+            F.round(
+                (
+                    F.col("n").cast("double")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("__tie_sum"), F.lit(0)).cast(
+                        "double"
+                    )
+                )
+                / 18.0,
+                6,
+            ).alias("var_s"),
+        )
+    )
+    s = F.col("s_stat").cast("double")
+    z = F.when(
+        (F.col("var_s") > 0) & (s > 0),
+        (s - 1) / F.sqrt(F.col("var_s")),
+    ).when(
+        (F.col("var_s") > 0) & (s < 0),
+        (s + 1) / F.sqrt(F.col("var_s")),
+    ).when(F.col("var_s") > 0, F.lit(0.0))
+    return m.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "s_stat",
+        "var_s",
+        F.round(z, 4).alias("z"),
+    )

@@ -16440,3 +16440,220 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 20: agreement, proper scoring, WOE/IV,
+# --- Mann-Kendall trend
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the recorded order status and a
+    date-derived heuristic status — chance-corrected label agreement
+    from one contingency collapse (``stats.cohens_kappa``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders")).withColumn(
+        "heur_status",
+        F.when(F.year("o_orderdate") < 1995, F.lit("F")).otherwise(
+            F.lit("O")
+        ),
+    )
+    return stats.cohens_kappa(o, "o_orderstatus", "heur_status")
+
+
+ORACLE_COHENS_KAPPA = """
+WITH base AS (
+    SELECT o_orderstatus AS a,
+           CASE WHEN year(o_orderdate) < 1995 THEN 'F' ELSE 'O' END AS b
+    FROM orders
+),
+cells AS (SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT a AS cat, sum(c) AS ra FROM cells GROUP BY 1),
+mb AS (SELECT b AS cat, sum(c) AS cb FROM cells GROUP BY 1),
+e AS (
+    SELECT sum(CAST(coalesce(ra, 0) AS DOUBLE)
+               * CAST(coalesce(cb, 0) AS DOUBLE)) AS expnum
+    FROM ma FULL OUTER JOIN mb USING (cat)
+),
+t AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n,
+           sum(CASE WHEN a = b THEN c END) AS agree
+    FROM cells
+),
+r AS (
+    SELECT n,
+           round(coalesce(agree, 0) / CAST(n AS DOUBLE), 6) AS p_observed,
+           round(expnum / (CAST(n AS DOUBLE) * n), 6) AS p_expected
+    FROM t CROSS JOIN e
+)
+SELECT n, p_observed, p_expected,
+       round(CASE WHEN p_expected < 1.0
+             THEN (p_observed - p_expected) / (1.0 - p_expected) END,
+             4) AS kappa
+FROM r
+"""
+
+
+def q_classification_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-loss + Brier score of a deterministic discount-logit
+    "returned?" classifier over lineitem — both proper scoring rules
+    in one conditional aggregate (``stats.classification_loss``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.round(
+            1.0
+            / (1.0 + F.exp(-(F.col("l_discount") - 0.05) * 30.0)),
+            6,
+        ).alias("p"),
+    )
+    return stats.classification_loss(li, "y", "p")
+
+
+ORACLE_CLASSIFICATION_LOSS = """
+WITH scored AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+           least(greatest(
+               round(1.0 / (1.0 + exp(-(l_discount - 0.05) * 30.0)), 6),
+               0.000001), 0.999999) AS p
+    FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(avg(y), 6) AS base_rate,
+       round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS log_loss,
+       round(avg((p - y) * (p - y)), 6) AS brier
+FROM scored
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE encoding + Information Value of order priority against the
+    finished-order label — one category collapse, smoothed cells
+    (``stats.woe_iv``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .alias("finished"),
+    )
+    return stats.woe_iv(o, "o_orderpriority", "finished", smoothing=0.5)
+
+
+ORACLE_WOE_IV = """
+WITH per AS (
+    SELECT o_orderpriority AS category,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_neg
+    FROM orders GROUP BY 1
+),
+d AS (
+    SELECT category, n, n_pos, n_neg,
+           round((n_pos + 0.5)
+                 / (sum(n_pos) OVER () + 0.5 * count(*) OVER ()), 6)
+               AS dp,
+           round((n_neg + 0.5)
+                 / (sum(n_neg) OVER () + 0.5 * count(*) OVER ()), 6)
+               AS dn
+    FROM per
+),
+w AS (
+    SELECT category, n, n_pos, n_neg, dp, dn,
+           round(CASE WHEN dp > 0 AND dn > 0 THEN ln(dp / dn) END, 6)
+               AS woe
+    FROM d
+),
+iv AS (
+    SELECT category, n, n_pos, n_neg, woe,
+           round((dp - dn) * woe, 6) AS iv_term
+    FROM w
+)
+SELECT category, n, n_pos, n_neg, woe, iv_term,
+       round(sum(iv_term) OVER (), 6) AS iv_total
+FROM iv
+"""
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the MONTHLY order-count
+    series per priority class — corpus collapses to ~85 points per
+    group first, then the within-group pair join is trivial
+    (``stats.mann_kendall``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    series = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    return stats.mann_kendall(
+        series, "o_orderpriority", "month", "n_orders"
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH s AS (
+    SELECT o_orderpriority AS g,
+           date_trunc('month', o_orderdate) AS t,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM orders GROUP BY 1, 2
+),
+p AS (
+    SELECT a.g,
+           CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat
+    FROM s a JOIN s b ON a.g = b.g AND a.t < b.t
+    GROUP BY 1
+),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+ties AS (
+    SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tie
+    FROM (SELECT g, v, count(*) AS t FROM s GROUP BY 1, 2)
+    GROUP BY 1
+),
+m AS (
+    SELECT n.g, n.n,
+           coalesce(p.s_stat, 0) AS s_stat,
+           round((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                  - CAST(coalesce(ties.tie, 0) AS DOUBLE)) / 18.0, 6)
+               AS var_s
+    FROM n LEFT JOIN p USING (g) LEFT JOIN ties USING (g)
+)
+SELECT g AS o_orderpriority, n, s_stat, var_s,
+       round(CASE
+           WHEN var_s > 0 AND s_stat > 0
+               THEN (s_stat - 1) / sqrt(var_s)
+           WHEN var_s > 0 AND s_stat < 0
+               THEN (s_stat + 1) / sqrt(var_s)
+           WHEN var_s > 0 THEN 0.0 END, 4) AS z
+FROM m
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "cohens_kappa": q_cohens_kappa,
+        "classification_loss": q_classification_loss,
+        "woe_iv": q_woe_iv,
+        "mann_kendall": q_mann_kendall,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "cohens_kappa": ORACLE_COHENS_KAPPA,
+        "classification_loss": ORACLE_CLASSIFICATION_LOSS,
+        "woe_iv": ORACLE_WOE_IV,
+        "mann_kendall": ORACLE_MANN_KENDALL,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
