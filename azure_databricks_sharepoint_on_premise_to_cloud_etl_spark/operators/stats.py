@@ -4397,3 +4397,478 @@ def mann_kendall(
         "var_s",
         F.round(z, 4).alias("z"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    threshold: float = 10.0,
+) -> DataFrame:
+    """Page–Hinkley upward-drift statistic per group — the sequential
+    change detector that complements :func:`cusum_drift` (PH tracks a
+    RUNNING mean, so it adapts to slow baseline wander and alarms only
+    on abrupt upward shifts; run it on ``-x`` for the downward side).
+
+    ``m_t = Σ_{i≤t} (x_i − x̄_i − δ)`` with ``x̄_i`` the running mean
+    of the first i points; ``PH_t = m_t − min_{i≤t} m_i``;
+    drift flagged where ``PH_t > threshold``.
+
+    Scale shape: three stacked cumulative windows per group (running
+    avg, running sum, running min), each partitioned on the group key
+    and ordered by time — ONE shuffle on the key, no self-join, no
+    corpus-wide window.  Meant for the per-series grain (a metric
+    collapsed to minutes/days first), like every sequential detector.
+
+    Cross-engine determinism: the per-row deviation term is rounded
+    to 6 decimals BEFORE the cumulative sum, so both engines fold
+    identical doubles in the identical window order.  Times must be
+    unique within a group (pre-aggregate to the series grain).
+
+    Returns (group, time, value, ph_stat, drift) for every point.
+    """
+    g = F.col(group_col)
+    w_cum = Window.partitionBy(g).orderBy(F.col(time_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    x = F.col(value_col).cast("double")
+    term = F.round(x - F.avg(x).over(w_cum) - F.lit(float(delta)), 6)
+    base = df.filter(
+        g.isNotNull() & F.col(time_col).isNotNull() & x.isNotNull()
+    ).withColumn("__term", term)
+    m = F.sum("__term").over(w_cum)
+    staged = base.withColumn("__m", m).withColumn(
+        "ph_stat", F.round(F.col("__m") - F.min("__m").over(w_cum), 6)
+    )
+    return staged.select(
+        group_col,
+        time_col,
+        value_col,
+        "ph_stat",
+        (F.col("ph_stat") > F.lit(float(threshold))).alias("drift"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate — the additive sibling
+    of :func:`kaplan_meier` (``H(t) = Σ_{t_j ≤ t} d_j / n_j``), with
+    the standard variance ``Σ d_j / n_j²``.  Preferred over −ln(KM)
+    for small risk sets and the input to hazard-ratio eyeballing.
+
+    Input/output grain and the scale shape are exactly
+    :func:`kaplan_meier`'s: collapse subjects to the DISTINCT
+    (group, duration) table in one hash aggregate (shuffle volume =
+    distinct durations), then per-group cumulative windows over that
+    small table; censored rows deplete the risk set but add 0 hazard.
+
+    Returns ``(group..., duration, n_risk, n_events, cum_hazard,
+    na_var)`` at event times only.
+    """
+    g = list(group_cols or [])
+    t = F.col(duration_col)
+    collapsed = df.groupBy(*g, t.alias("duration")).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).alias("__removed"),
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
+    w_cum = w_all.orderBy(F.col("duration").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = w_all.orderBy(F.col("duration").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = collapsed.select(
+        *g,
+        "duration",
+        "n_events",
+        (
+            F.sum("__removed").over(w_all)
+            - F.coalesce(F.sum("__removed").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    return (
+        staged.withColumn("__h", d / n)
+        .withColumn("__v", d / (n * n))
+        .withColumn("cum_hazard", F.round(F.sum("__h").over(w_cum), 6))
+        .withColumn("na_var", F.round(F.sum("__v").over(w_cum), 6))
+        .filter(F.col("n_events") > 0)
+        .select(
+            *g, "duration", "n_risk", "n_events", "cum_hazard", "na_var"
+        )
+    )
+
+
+def control_chart_violations(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Western Electric control-chart rules per series: flag the point
+    that COMPLETES each pattern — R1: |z| > 3; R2: ≥2 of the last 3
+    beyond 2σ on one side (current point beyond 2σ on that side);
+    R3: ≥4 of the last 5 beyond 1σ on one side (current beyond 1σ);
+    R4: 8 consecutive points on one side of the center line.
+
+    Control limits are the per-group mean and SAMPLE stddev (rounded
+    to 6 decimals first — cross-engine determinism), broadcast-joined
+    back; z is rounded to 6 before the rule comparisons so boundary
+    points classify identically in any engine.
+
+    Scale shape: one hash aggregate for the limits (k group rows,
+    broadcast), then fixed-width trailing ROW windows (3/5/8) per
+    group — one shuffle on the group key, no self-joins; window state
+    is O(8) per partition stream.  Constant series (stddev 0) emit
+    nothing rather than dividing by zero.
+
+    Returns violating points only: (group, time, value, z, r1, r2,
+    r3, r4).
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    limits = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.round(F.avg(x), 6).alias("__mu"),
+            F.round(F.stddev_samp(x), 6).alias("__sd"),
+        )
+    )
+    base = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .join(
+            F.broadcast(limits), F.col(group_col) == F.col("__g")
+        )
+        .filter(F.col("__sd") > 0)
+        .withColumn(
+            "z", F.round((x - F.col("__mu")) / F.col("__sd"), 6)
+        )
+    )
+    w3 = Window.partitionBy(g).orderBy(F.col(time_col).asc()).rowsBetween(-2, 0)
+    w5 = Window.partitionBy(g).orderBy(F.col(time_col).asc()).rowsBetween(-4, 0)
+    w8 = Window.partitionBy(g).orderBy(F.col(time_col).asc()).rowsBetween(-7, 0)
+    z = F.col("z")
+    hi2 = F.sum((z > 2).cast("int")).over(w3)
+    lo2 = F.sum((z < -2).cast("int")).over(w3)
+    hi1 = F.sum((z > 1).cast("int")).over(w5)
+    lo1 = F.sum((z < -1).cast("int")).over(w5)
+    pos8 = F.sum((z > 0).cast("int")).over(w8)
+    neg8 = F.sum((z < 0).cast("int")).over(w8)
+    n8 = F.count(F.lit(1)).over(w8)
+    flagged = base.select(
+        group_col,
+        time_col,
+        value_col,
+        "z",
+        (F.abs(z) > 3).alias("r1"),
+        (((hi2 >= 2) & (z > 2)) | ((lo2 >= 2) & (z < -2))).alias("r2"),
+        (((hi1 >= 4) & (z > 1)) | ((lo1 >= 4) & (z < -1))).alias("r3"),
+        ((n8 == 8) & ((pos8 == 8) | (neg8 == 8))).alias("r4"),
+    )
+    return flagged.filter("r1 OR r2 OR r3 OR r4")
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Bias-corrected Cramér's V between two categorical columns — the
+    bounded [0,1] effect size that makes chi-square association
+    comparable across tables of different shape (Bergsma 2013
+    correction: φ²₊ = max(0, φ² − (r−1)(c−1)/(n−1)), with shrunken
+    row/column counts).
+
+    Scale shape: ONE hash aggregate to the (a, b) contingency cells,
+    marginals via two k-row re-aggregations broadcast-joined back,
+    chi-square summed over observed cells PLUS the closed-form mass of
+    the structurally-empty cells (Σ E over missing cells = n − Σ E
+    over observed cells, so no dense r×c expansion is materialized).
+
+    Returns one row: (n, r_cats, c_cats, chi2, v_corrected).
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    j = cells.join(F.broadcast(ma), "__a").join(F.broadcast(mb), "__b")
+    m = j.agg(
+        F.sum("__c").alias("n"),
+        F.countDistinct("__a").alias("r_cats"),
+        F.countDistinct("__b").alias("c_cats"),
+        F.sum(
+            F.col("__c").cast("double")
+            * F.col("__c")
+            / (
+                F.col("__ra").cast("double")
+                * F.col("__cb")
+            )
+        ).alias("__oe"),
+    )
+    # chi2 = n * (sum(O^2/E')/n - 1) where E'=ra*cb/n: the observed-
+    # cell identity that never materializes empty cells
+    n = F.col("n").cast("double")
+    chi2 = F.round(n * (F.col("__oe") - 1.0), 6)
+    staged = m.select("n", "r_cats", "c_cats", chi2.alias("chi2"))
+    phi2 = F.col("chi2") / F.col("n")
+    r = F.col("r_cats").cast("double")
+    c = F.col("c_cats").cast("double")
+    nn = F.col("n").cast("double")
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (r - 1) * (c - 1) / (nn - 1)
+    )
+    rc = r - (r - 1) * (r - 1) / (nn - 1)
+    cc = c - (c - 1) * (c - 1) / (nn - 1)
+    denom = F.least(rc - 1, cc - 1)
+    v = F.when(
+        (F.col("n") > 1) & (denom > 0), F.sqrt(phi2c / denom)
+    )
+    return staged.select(
+        "n", "r_cats", "c_cats", "chi2", F.round(v, 4).alias("v_corrected")
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) plus Hedges'
+    g small-sample correction ``J ≈ 1 − 3/(4·dof − 1)`` — the effect
+    size every A/B readout should carry next to the
+    :func:`welch_t_test` p-value (significance without magnitude is
+    how tiny-but-significant launches happen).
+
+    Scale shape: ONE conditional hash aggregate (count/mean/variance
+    per arm via ``when`` columns, map-side combined), then scalar
+    arithmetic on the one-row result — :func:`welch_t_test`'s exact
+    discipline, including rounding the per-arm moments to 6 decimals
+    before deriving d.  Degenerate shapes (an arm with < 2 rows, or
+    zero pooled variance) yield NULL d via lazy CASE.
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, pooled_sd, d,
+    hedges_g).
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    arm_a = F.when(g == F.lit(group_a), v)
+    arm_b = F.when(g == F.lit(group_b), v)
+    m = df.filter(v.isNotNull() & g.isin(group_a, group_b)).agg(
+        F.count(arm_a).alias("n_a"),
+        F.count(arm_b).alias("n_b"),
+        F.round(F.avg(arm_a), 6).alias("mean_a"),
+        F.round(F.avg(arm_b), 6).alias("mean_b"),
+        F.round(F.var_samp(arm_a), 6).alias("__va"),
+        F.round(F.var_samp(arm_b), 6).alias("__vb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    dof = na + nb - 2
+    pooled = F.when(
+        (na > 1) & (nb > 1) & (dof > 0),
+        F.sqrt(
+            ((na - 1) * F.col("__va") + (nb - 1) * F.col("__vb")) / dof
+        ),
+    )
+    staged = m.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(pooled, 6).alias("pooled_sd"),
+    )
+    d = F.when(
+        F.col("pooled_sd") > 0,
+        (F.col("mean_a") - F.col("mean_b")) / F.col("pooled_sd"),
+    )
+    na2 = F.col("n_a").cast("double")
+    nb2 = F.col("n_b").cast("double")
+    jf = 1.0 - 3.0 / (4.0 * (na2 + nb2 - 2) - 1.0)
+    return staged.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "pooled_sd",
+        F.round(d, 4).alias("d"),
+        F.round(d * jf, 4).alias("hedges_g"),
+    )
+
+
+def burstiness(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    min_events: int = 3,
+) -> DataFrame:
+    """Goh–Barabási burstiness ``B = (σ − μ)/(σ + μ)`` of the
+    inter-arrival gaps per entity, plus the dispersion index
+    ``σ²/μ`` — the standard bot/scraper fingerprint in event streams
+    (B → −1 periodic cron-like traffic, B ≈ 0 Poisson humans,
+    B → 1 extreme bursts), and a core training-data hygiene signal
+    (machine-generated docs arrive periodically).
+
+    Scale shape: one ``lag`` window per entity (single shuffle on the
+    entity key) to form gaps, then one hash aggregate to per-entity
+    moments — the :func:`interarrival_stats` discipline.  Entities
+    with fewer than ``min_events`` events (< 2 gaps) are dropped
+    rather than emitting NULL-variance rows.
+
+    Cross-engine determinism: gap moments are rounded to 6 decimals
+    FIRST; B and dispersion derive from the rounded moments, with
+    lazy-CASE guards on σ + μ > 0 and μ > 0.
+
+    Returns (entity, n_events, mean_gap_s, sd_gap_s, burstiness,
+    dispersion).
+    """
+    if min_events < 3:
+        raise ValueError(
+            f"min_events must be >= 3 (need >= 2 gaps), got {min_events}"
+        )
+    e = F.col(entity_col)
+    w = Window.partitionBy(e).orderBy(F.col(time_col).asc())
+    gap = (
+        F.unix_timestamp(F.col(time_col))
+        - F.unix_timestamp(F.lag(time_col).over(w))
+    ).cast("double")
+    staged = (
+        df.filter(e.isNotNull() & F.col(time_col).isNotNull())
+        .withColumn("__gap", gap)
+        .groupBy(e.alias("entity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("__gap"), 6).alias("mean_gap_s"),
+            F.round(F.stddev_samp("__gap"), 6).alias("sd_gap_s"),
+        )
+        .filter(F.col("n_events") >= min_events)
+    )
+    mu = F.col("mean_gap_s")
+    sd = F.col("sd_gap_s")
+    return staged.select(
+        "entity",
+        "n_events",
+        "mean_gap_s",
+        "sd_gap_s",
+        F.round(
+            F.when(sd + mu > 0, (sd - mu) / (sd + mu)), 4
+        ).alias("burstiness"),
+        F.round(F.when(mu > 0, sd * sd / mu), 4).alias("dispersion"),
+    )
+
+
+def chisq_gof(
+    df: DataFrame,
+    cat_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """Chi-square goodness-of-fit of a categorical column against a
+    declared expected distribution — the generic sibling of
+    :func:`benford_first_digit` and :func:`srm_check` (traffic-split
+    audits, label-mix contracts, stratification checks).
+
+    Only the declared categories are tested (rows outside ``expected``
+    are excluded, mirroring how a declared contract is audited);
+    probabilities must be positive and are renormalized to sum to 1,
+    so callers can pass raw weights.
+
+    Scale shape: ONE conditional hash aggregate to the k declared
+    category counts (map-side combined), then scalar arithmetic.
+
+    Returns one row: (n, k_cats, chi2, dof).
+    """
+    if not expected:
+        raise ValueError("expected distribution must be non-empty")
+    if any(p <= 0 for p in expected.values()):
+        raise ValueError("expected probabilities must be positive")
+    tot = float(sum(expected.values()))
+    cats = sorted(expected)
+    c = F.col(cat_col)
+    counts = [
+        F.count(F.when(c == F.lit(cat), 1)).alias(f"__c{i}")
+        for i, cat in enumerate(cats)
+    ]
+    m = df.filter(c.isin(cats)).agg(*counts)
+    n = sum(F.col(f"__c{i}") for i in range(len(cats))).alias("n")
+    staged = m.select(n.cast("long").alias("n"), *[
+        F.col(f"__c{i}") for i in range(len(cats))
+    ])
+    nn = F.col("n").cast("double")
+    chi2 = None
+    for i, cat in enumerate(cats):
+        p = float(expected[cat]) / tot
+        e_i = nn * F.lit(p)
+        term = (F.col(f"__c{i}").cast("double") - e_i) ** 2 / e_i
+        chi2 = term if chi2 is None else chi2 + term
+    return staged.select(
+        "n",
+        F.lit(len(cats)).cast("long").alias("k_cats"),
+        F.round(F.when(F.col("n") > 0, chi2), 6).alias("chi2"),
+        F.lit(len(cats) - 1).cast("long").alias("dof"),
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected + maximum calibration error (ECE / MCE) over
+    equal-width probability bins — the scalar summary of
+    :func:`calibration_bins` that model-quality gates threshold on
+    (|avg confidence − empirical accuracy|, weighted by bin mass).
+
+    Scale shape: one hash aggregate to ≤ ``bins`` rows keyed by
+    ``floor(p·bins)`` (p = 1.0 clamps into the top bin), then a
+    single-partition reduce over those k bin rows — never over the
+    corpus.
+
+    Cross-engine determinism: per-bin confidence and accuracy are
+    rounded to 6 decimals FIRST; ECE/MCE derive from the rounded
+    per-bin values.
+
+    Returns one row: (n, n_bins_used, ece, mce).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    b = F.least(
+        F.floor(p * bins).cast("int"), F.lit(bins - 1)
+    )
+    per = (
+        df.filter(
+            y.isNotNull() & p.isNotNull() & (p >= 0) & (p <= 1)
+        )
+        .groupBy(b.alias("__bin"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.avg(p), 6).alias("__conf"),
+            F.round(F.avg(y), 6).alias("__acc"),
+        )
+    )
+    gap = F.abs(F.col("__conf") - F.col("__acc"))
+    return per.agg(
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.round(
+            F.sum(gap * F.col("__n")) / F.sum("__n"), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )

@@ -16657,3 +16657,555 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 21: sequential drift, hazard curve,
+# --- control-chart rules, categorical/continuous effect sizes
+
+
+_PH_DELTA = 0.5
+_PH_THRESHOLD = 20.0
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift monitor on the DAILY event-count
+    series per event type — corpus collapses to the day grain first,
+    then three stacked cumulative windows per series
+    (``stats.page_hinkley``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    series = e.groupBy(
+        "event_type",
+        F.to_date(F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return stats.page_hinkley(
+        series,
+        "event_type",
+        "day",
+        "n_events",
+        delta=_PH_DELTA,
+        threshold=_PH_THRESHOLD,
+    )
+
+
+ORACLE_PAGE_HINKLEY = f"""
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS DOUBLE) AS n_events
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type, day, n_events,
+           round(n_events
+                 - avg(n_events) OVER (PARTITION BY event_type
+                       ORDER BY day ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - {_PH_DELTA!r}, 6) AS term
+    FROM s
+),
+m AS (
+    SELECT event_type, day, n_events,
+           sum(term) OVER (PARTITION BY event_type ORDER BY day ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+    FROM t
+)
+SELECT event_type, day, n_events,
+       round(mm - min(mm) OVER (PARTITION BY event_type ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS ph_stat,
+       (round(mm - min(mm) OVER (PARTITION BY event_type ORDER BY day ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        > {_PH_THRESHOLD!r}) AS drift
+FROM m
+"""
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase (same
+    censoring-aware subject table as the Kaplan-Meier query) —
+    distinct-duration collapse + cumulative windows
+    (``stats.nelson_aalen``)."""
+    from .operators import stats
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__tlast"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__tconv"),
+    )
+    subjects = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("__tconv"), F.col("__tlast")), F.col("__t0")
+        ).alias("duration"),
+        F.col("__tconv").isNotNull().cast("int").alias("event"),
+    )
+    return stats.nelson_aalen(subjects, "duration", "event")
+
+
+ORACLE_NELSON_AALEN = """
+WITH per_user AS (
+    SELECT user_id, min(ts) AS t0, max(ts) AS tlast,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tconv
+    FROM events GROUP BY 1
+),
+subj AS (
+    SELECT date_diff('day', t0::DATE, coalesce(tconv, tlast)::DATE)
+               AS duration,
+           CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS event
+    FROM per_user
+),
+collapsed AS (
+    SELECT duration, CAST(sum(event) AS BIGINT) AS n_events,
+           count(*) AS removed
+    FROM subj GROUP BY 1
+),
+staged AS (
+    SELECT duration, n_events,
+           CAST(sum(removed) OVER () -
+           coalesce(sum(removed) OVER (ORDER BY duration ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+    FROM collapsed
+)
+SELECT duration, n_risk, n_events,
+       round(sum(n_events * 1.0 / n_risk) OVER (ORDER BY duration ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS cum_hazard,
+       round(sum(n_events * 1.0 / (CAST(n_risk AS DOUBLE) * n_risk))
+             OVER (ORDER BY duration ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS na_var
+FROM staged
+QUALIFY n_events > 0
+"""
+
+
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric rule violations on the DAILY total event value
+    per event type, with a deterministic regime shift injected on
+    days 20-27 (2x scale — eight consecutive elevated points, so the
+    fixture exercises the run rules, not just R1) — limits from one
+    aggregate, trailing 3/5/8-row rule windows
+    (``stats.control_chart_violations``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    series = e.groupBy(
+        "event_type",
+        F.to_date(F.col("ts")).alias("day"),
+    ).agg(
+        F.round(
+            F.sum("value")
+            * F.when(
+                F.dayofmonth(F.min("ts")).between(20, 27), 2.0
+            ).otherwise(1.0),
+            4,
+        ).alias("day_value")
+    )
+    return stats.control_chart_violations(
+        series, "event_type", "day", "day_value"
+    )
+
+
+ORACLE_CONTROL_CHART = """
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           round(sum(value)
+                 * CASE WHEN day(min(ts)) BETWEEN 20 AND 27
+                   THEN 2.0 ELSE 1.0 END,
+                 4) AS day_value
+    FROM events GROUP BY 1, 2
+),
+lim AS (
+    SELECT event_type AS g, round(avg(day_value), 6) AS mu,
+           round(stddev_samp(day_value), 6) AS sd
+    FROM s GROUP BY 1
+),
+z AS (
+    SELECT s.event_type, s.day, s.day_value,
+           round((s.day_value - lim.mu) / lim.sd, 6) AS z
+    FROM s JOIN lim ON s.event_type = lim.g
+    WHERE lim.sd > 0
+),
+rules AS (
+    SELECT event_type, day, day_value, z,
+           (abs(z) > 3) AS r1,
+           ((sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 >= 2
+             AND z > 2)
+            OR (sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 >= 2
+             AND z < -2)) AS r2,
+           ((sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+             AND z > 1)
+            OR (sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 >= 4
+             AND z < -1)) AS r3,
+           (count(*) OVER w8 = 8
+            AND (sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 = 8
+                 OR sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 = 8))
+               AS r4
+    FROM z
+    WINDOW w3 AS (PARTITION BY event_type ORDER BY day ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           w5 AS (PARTITION BY event_type ORDER BY day ASC
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w8 AS (PARTITION BY event_type ORDER BY day ASC
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM rules WHERE r1 OR r2 OR r3 OR r4
+"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected Cramer's V between order priority and order
+    status — contingency collapse, closed-form empty-cell mass
+    (``stats.cramers_v``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+
+ORACLE_CRAMERS_V = """
+WITH cells AS (
+    SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS c
+    FROM orders GROUP BY 1, 2
+),
+ma AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+m AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(DISTINCT cells.a) AS BIGINT) AS r_cats,
+           CAST(count(DISTINCT cells.b) AS BIGINT) AS c_cats,
+           sum(CAST(c AS DOUBLE) * c / (CAST(ra AS DOUBLE) * cb)) AS oe
+    FROM cells JOIN ma ON cells.a = ma.a JOIN mb ON cells.b = mb.b
+),
+staged AS (
+    SELECT n, r_cats, c_cats,
+           round(CAST(n AS DOUBLE) * (oe - 1.0), 6) AS chi2
+    FROM m
+)
+SELECT n, r_cats, c_cats, chi2,
+       round(CASE WHEN n > 1
+                   AND least(r_cats - (r_cats - 1.0) * (r_cats - 1.0)
+                                 / (n - 1.0),
+                             c_cats - (c_cats - 1.0) * (c_cats - 1.0)
+                                 / (n - 1.0)) - 1.0 > 0
+             THEN sqrt(greatest(0.0,
+                      chi2 / n
+                      - (r_cats - 1.0) * (c_cats - 1.0) / (n - 1.0))
+                  / (least(r_cats - (r_cats - 1.0) * (r_cats - 1.0)
+                               / (n - 1.0),
+                           c_cats - (c_cats - 1.0) * (c_cats - 1.0)
+                               / (n - 1.0)) - 1.0))
+             END, 4) AS v_corrected
+FROM staged
+"""
+
+
+_CD_A = "1-URGENT"
+_CD_B = "5-LOW"
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g for order totals, urgent vs low priority
+    — one conditional aggregate, moments rounded before deriving
+    (``stats.cohens_d``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.cohens_d(o, "o_totalprice", "o_orderpriority", _CD_A, _CD_B)
+
+
+ORACLE_COHENS_D = f"""
+WITH m AS (
+    SELECT CAST(count(CASE WHEN o_orderpriority = '{_CD_A}'
+                      THEN o_totalprice END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN o_orderpriority = '{_CD_B}'
+                      THEN o_totalprice END) AS BIGINT) AS n_b,
+           round(avg(CASE WHEN o_orderpriority = '{_CD_A}'
+                     THEN o_totalprice END), 6) AS mean_a,
+           round(avg(CASE WHEN o_orderpriority = '{_CD_B}'
+                     THEN o_totalprice END), 6) AS mean_b,
+           round(var_samp(CASE WHEN o_orderpriority = '{_CD_A}'
+                          THEN o_totalprice END), 6) AS va,
+           round(var_samp(CASE WHEN o_orderpriority = '{_CD_B}'
+                          THEN o_totalprice END), 6) AS vb
+    FROM orders
+    WHERE o_orderpriority IN ('{_CD_A}', '{_CD_B}')
+),
+staged AS (
+    SELECT n_a, n_b, mean_a, mean_b,
+           round(CASE WHEN n_a > 1 AND n_b > 1 AND n_a + n_b - 2 > 0
+                 THEN sqrt(((n_a - 1) * va + (n_b - 1) * vb)
+                           / (n_a + n_b - 2.0)) END, 6) AS pooled_sd
+    FROM m
+)
+SELECT n_a, n_b, mean_a, mean_b, pooled_sd,
+       round(CASE WHEN pooled_sd > 0
+             THEN (mean_a - mean_b) / pooled_sd END, 4) AS d,
+       round(CASE WHEN pooled_sd > 0
+             THEN (mean_a - mean_b) / pooled_sd
+                  * (1.0 - 3.0 / (4.0 * (n_a + n_b - 2) - 1.0)) END, 4)
+           AS hedges_g
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "page_hinkley": q_page_hinkley,
+        "nelson_aalen": q_nelson_aalen,
+        "control_chart": q_control_chart,
+        "cramers_v": q_cramers_v,
+        "cohens_d": q_cohens_d,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "page_hinkley": ORACLE_PAGE_HINKLEY,
+        "nelson_aalen": ORACLE_NELSON_AALEN,
+        "control_chart": ORACLE_CONTROL_CHART,
+        "cramers_v": ORACLE_CRAMERS_V,
+        "cohens_d": ORACLE_COHENS_D,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 22: burstiness, GOF, calibration scalar,
+# --- rank-biased overlap
+
+
+_BURST_MIN_EVENTS = 5
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness + dispersion of per-user inter-arrival
+    gaps (>= 5 events) — one lag window, one aggregate, the bot/
+    machine-traffic fingerprint (``stats.burstiness``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return stats.burstiness(
+        e, "user_id", "ts", min_events=_BURST_MIN_EVENTS
+    )
+
+
+ORACLE_BURSTINESS = f"""
+WITH gaps AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts ASC) AS gap
+    FROM events
+),
+per AS (
+    SELECT user_id AS entity,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(CAST(gap AS DOUBLE)), 6) AS mean_gap_s,
+           round(stddev_samp(CAST(gap AS DOUBLE)), 6) AS sd_gap_s
+    FROM gaps GROUP BY 1
+    HAVING count(*) >= {_BURST_MIN_EVENTS}
+)
+SELECT entity, n_events, mean_gap_s, sd_gap_s,
+       round(CASE WHEN sd_gap_s + mean_gap_s > 0
+             THEN (sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s)
+             END, 4) AS burstiness,
+       round(CASE WHEN mean_gap_s > 0
+             THEN sd_gap_s * sd_gap_s / mean_gap_s END, 4) AS dispersion
+FROM per
+"""
+
+
+def q_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the order-priority mix against
+    the uniform five-way contract — one conditional aggregate
+    (``stats.chisq_gof``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.chisq_gof(
+        o,
+        "o_orderpriority",
+        {
+            "1-URGENT": 0.2,
+            "2-HIGH": 0.2,
+            "3-MEDIUM": 0.2,
+            "4-NOT SPECIFIED": 0.2,
+            "5-LOW": 0.2,
+        },
+    )
+
+
+ORACLE_CHISQ_GOF = """
+WITH counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS c1,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+               AS c2,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+               AS c3,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+               THEN 1 ELSE 0 END) AS c4,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+               AS c5
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                              '4-NOT SPECIFIED', '5-LOW')
+)
+SELECT n, CAST(5 AS BIGINT) AS k_cats,
+       round(CASE WHEN n > 0 THEN
+             (c1 - n * 0.2) * (c1 - n * 0.2) / (n * 0.2)
+           + (c2 - n * 0.2) * (c2 - n * 0.2) / (n * 0.2)
+           + (c3 - n * 0.2) * (c3 - n * 0.2) / (n * 0.2)
+           + (c4 - n * 0.2) * (c4 - n * 0.2) / (n * 0.2)
+           + (c5 - n * 0.2) * (c5 - n * 0.2) / (n * 0.2) END, 6)
+           AS chi2,
+       CAST(4 AS BIGINT) AS dof
+FROM counts
+"""
+
+
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected/maximum calibration error of the discount-logit
+    "returned?" classifier (same scorer as classification_loss) over
+    10 equal-width bins (``stats.expected_calibration_error``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("l_discount") - 0.05) * 30.0)), 6
+        ).alias("p"),
+    )
+    return stats.expected_calibration_error(li, "y", "p", bins=10)
+
+
+ORACLE_ECE = """
+WITH scored AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+           round(1.0 / (1.0 + exp(-(l_discount - 0.05) * 30.0)), 6) AS p
+    FROM lineitem
+),
+binned AS (
+    SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+           count(*) AS bn,
+           round(avg(p), 6) AS conf,
+           round(avg(y), 6) AS acc
+    FROM scored GROUP BY 1
+)
+SELECT CAST(sum(bn) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       round(sum(abs(conf - acc) * bn) / sum(bn), 6) AS ece,
+       round(max(abs(conf - acc)), 6) AS mce
+FROM binned
+"""
+
+
+_RBO_K = 20
+_RBO_P = 0.9
+
+
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO@20 between the revenue-ranked and quantity-ranked part
+    lists per return flag — depth spine + cumulative window, nothing
+    quadratic (``similarity.rbo_overlap``)."""
+    from .operators.similarity import rbo_overlap
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    per_part = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            4,
+        ).alias("rev"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    w_rev = Window.partitionBy("l_returnflag").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    )
+    w_qty = Window.partitionBy("l_returnflag").orderBy(
+        F.col("qty").desc(), F.col("l_partkey").asc()
+    )
+    ranked = per_part.select(
+        "l_returnflag",
+        F.row_number().over(w_rev).alias("rank_rev"),
+        F.row_number().over(w_qty).alias("rank_qty"),
+    )
+    return rbo_overlap(
+        ranked, "l_returnflag", "rank_rev", "rank_qty", k=_RBO_K, p=_RBO_P
+    )
+
+
+def _rbo_oracle() -> str:
+    return f"""
+WITH per_part AS (
+    SELECT l_returnflag, l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev,
+           sum(l_quantity) AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+    SELECT l_returnflag,
+           row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY rev DESC, l_partkey ASC) AS rank_rev,
+           row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY qty DESC, l_partkey ASC) AS rank_qty
+    FROM per_part
+),
+common AS (
+    SELECT l_returnflag AS g,
+           greatest(rank_rev, rank_qty) AS m
+    FROM ranked
+    WHERE rank_rev <= {_RBO_K} AND rank_qty <= {_RBO_K}
+),
+per_m AS (SELECT g, m, count(*) AS c FROM common GROUP BY 1, 2),
+spine AS (
+    SELECT DISTINCT l_returnflag AS g, CAST(d.range AS BIGINT) AS d
+    FROM ranked, range(1, {_RBO_K} + 1) d
+),
+joined AS (
+    SELECT spine.g, spine.d, coalesce(per_m.c, 0) AS c
+    FROM spine LEFT JOIN per_m
+        ON spine.g = per_m.g AND spine.d = per_m.m
+),
+cum AS (
+    SELECT g, d,
+           sum(c) OVER (PARTITION BY g ORDER BY d ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_d
+    FROM joined
+)
+SELECT g AS l_returnflag, CAST({_RBO_K} AS BIGINT) AS k,
+       round({1.0 - _RBO_P!r} * sum(pow({_RBO_P!r}, d - 1)
+             * CAST(x_d AS DOUBLE) / d), 6) AS rbo
+FROM cum GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "burstiness": q_burstiness,
+        "chisq_gof": q_chisq_gof,
+        "ece_calibration": q_ece,
+        "rbo_overlap": q_rbo_overlap,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "burstiness": ORACLE_BURSTINESS,
+        "chisq_gof": ORACLE_CHISQ_GOF,
+        "ece_calibration": ORACLE_ECE,
+        "rbo_overlap": _rbo_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
