@@ -1088,3 +1088,165 @@ def rbo_overlap(
             ),
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Per-label mean embedding (class centroid), computed by
+    position-exploding the vectors into ONE hash aggregate keyed on
+    (label, dim) — shuffle volume is k·d rows, not the corpus — and
+    re-assembling the array with an order-pinned collect.
+
+    Per-dim means are rounded to 6 decimals (the moment-first
+    determinism discipline: downstream cosine/distance math derives
+    from rounded centroids, so engines agree).
+
+    Returns (label, centroid array<double>, n_vecs).
+    """
+    lbl = F.col(label_col)
+    per_dim = (
+        df.filter(lbl.isNotNull() & F.col(emb_col).isNotNull())
+        .select(
+            lbl.alias("__l"),
+            F.posexplode(F.col(emb_col)).alias("__d", "__v"),
+        )
+        .groupBy("__l", "__d")
+        .agg(
+            F.round(F.avg(F.col("__v").cast("double")), 6).alias("__m"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return (
+        per_dim.groupBy(F.col("__l").alias("label"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__d", "__m"))
+                ),
+                lambda s: s["__m"],
+            ).alias("centroid"),
+            F.max("__n").alias("n_vecs"),
+        )
+    )
+
+
+def rocchio_assign(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Rocchio / nearest-centroid label audit: assign every vector to
+    its cosine-nearest CLASS CENTROID and emit the confusion matrix
+    against the recorded label — the cheap embedding-quality check
+    that catches label noise and collapsed classes before anyone
+    trains on the table (diagonal mass ≈ separable classes).
+
+    Scale shape: centroids collapse to k·d rows
+    (:func:`label_centroids`); the corpus then meets only the k
+    centroids via an explicitly-broadcast nested-loop (k ≤ dozens —
+    never vector×vector), argmax per vector with a deterministic
+    label-ascending tiebreak, and one final (label, assigned) count.
+
+    Returns (label, assigned_label, n_vecs) confusion cells.
+    """
+    cents = label_centroids(df, label_col, emb_col).select(
+        F.col("label").alias("__cl"), "centroid"
+    )
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(emb_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__true"),
+        F.col(emb_col).alias("__e"),
+    )
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "__cos", F.round(cosine_sim(F.col("__e"), F.col("centroid")), 6)
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__cos").desc(), F.col("__cl").asc()
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        best.groupBy(
+            F.col("__true").alias("label"),
+            F.col("__cl").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Centroid-based (simplified) silhouette per label: for each
+    vector, ``a`` = euclidean distance to its OWN class centroid,
+    ``b`` = distance to the nearest OTHER centroid,
+    ``s = (b − a)/max(a, b)`` — the O(n·k) clustering-quality score
+    that replaces the O(n²) exact silhouette at corpus scale (the
+    standard large-N practice, e.g. sklearn's centroid shortcut).
+
+    Scale shape: identical to :func:`rocchio_assign` — k·d centroid
+    collapse, broadcast nested-loop against k centroids, one window
+    to pick the nearest-other distance, one final per-label mean.
+    Distances are rounded to 6 decimals before the ratio (lazy-CASE
+    guarded on max(a,b) > 0); requires ≥ 2 labels (raises otherwise
+    at plan-build time is impossible — emits NULL silhouette rows
+    instead when a vector has no "other" centroid).
+
+    Returns (label, n_vecs, avg_silhouette).
+    """
+    cents = label_centroids(df, label_col, emb_col).select(
+        F.col("label").alias("__cl"), "centroid"
+    )
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(emb_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__true"),
+        F.col(emb_col).alias("__e"),
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__e"),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    scored = base.join(F.broadcast(cents)).withColumn("__dist", dist)
+    own = scored.filter(F.col("__true") == F.col("__cl")).select(
+        "__id", F.col("__true").alias("__lbl"), F.col("__dist").alias("__a")
+    )
+    others = (
+        scored.filter(F.col("__true") != F.col("__cl"))
+        .groupBy("__id")
+        .agg(F.min("__dist").alias("__b"))
+    )
+    s = F.when(
+        F.greatest(F.col("__a"), F.col("__b")) > 0,
+        (F.col("__b") - F.col("__a"))
+        / F.greatest(F.col("__a"), F.col("__b")),
+    ).otherwise(F.lit(0.0))
+    per_vec = own.join(others, "__id", "left").select(
+        "__lbl", F.when(F.col("__b").isNotNull(), F.round(s, 6)).alias("__s")
+    )
+    return per_vec.groupBy(F.col("__lbl").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("__s"), 6).alias("avg_silhouette"),
+    )

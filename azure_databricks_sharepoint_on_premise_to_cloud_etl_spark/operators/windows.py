@@ -1150,3 +1150,86 @@ def topk_others(
         )
     )
     return top.unionAll(others)
+
+
+def croston_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    period_col: str,
+    demand_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (spare parts, long-tail
+    SKUs — series that are mostly zeros, where plain EWMA decays to
+    nonsense between demands): smooth the NON-ZERO demand sizes and
+    the inter-demand intervals separately, forecast their ratio
+    ``ẑ/p̂`` per period.
+
+    This is the adjust-corrected (finite-window) EWMA variant — both
+    smoothers use :func:`ewma_smooth`'s closed form
+    ``Σ(1-α)^(t-i)·x_i / Σ(1-α)^(t-i)`` rather than the textbook
+    init-biased recursion, so it is expressible as ONE cumulative
+    window and engine-deterministic at ``alpha=0.5`` (power-of-two
+    weights, the ewma_smooth determinism contract).
+
+    Input grain: one row per (key, integer period) with the period's
+    demand; zero/NULL-demand periods may be present or absent (they
+    are ignored either way).  The first demand has no defined
+    interval, so ``p̂`` smooths from the second demand on; keys with a
+    single demand get NULL ``p_hat``/``forecast`` via lazy CASE.
+
+    Scale shape: one filter, one lag window, two cumulative sums, one
+    top-1-per-key window — all on the same key partitioning (single
+    shuffle), over the non-zero-demand rows only (the point of
+    Croston: that table is SPARSE).
+
+    Returns one row per key: (key..., n_demands, z_hat, p_hat,
+    forecast).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    r = 1.0 - alpha
+    d = F.col(demand_col).cast("double")
+    nz = df.filter(d.isNotNull() & (d > 0)).select(
+        *key_cols,
+        F.col(period_col).cast("long").alias("__p"),
+        d.alias("__z"),
+    )
+    w_ord = Window.partitionBy(*key_cols).orderBy(F.col("__p").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = nz.withColumn(
+        "__gap", (F.col("__p") - F.lag("__p").over(w_ord)).cast("double")
+    ).withColumn("__i", F.row_number().over(w_ord) - F.lit(1))
+    # adjust-EWMA closed form (ewma_smooth): terms ride (1-a)^(-i)
+    zk = F.pow(F.lit(r), -F.col("__i"))
+    z_num = F.sum(F.col("__z") * zk).over(w_cum)
+    z_den = F.sum(zk).over(w_cum)
+    # interval smoother skips the first (undefined-gap) demand
+    g_num = F.sum(
+        F.when(F.col("__gap").isNotNull(), F.col("__gap") * zk)
+    ).over(w_cum)
+    g_den = F.sum(F.when(F.col("__gap").isNotNull(), zk)).over(w_cum)
+    smoothed = staged.select(
+        *key_cols,
+        F.row_number().over(
+            Window.partitionBy(*key_cols).orderBy(F.col("__p").desc())
+        ).alias("__last"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*key_cols)
+        ).alias("n_demands"),
+        F.round(z_num / z_den, 6).alias("z_hat"),
+        F.round(
+            F.when(g_den > 0, g_num / g_den), 6
+        ).alias("p_hat"),
+    )
+    out = smoothed.filter(F.col("__last") == 1).select(
+        *key_cols,
+        "n_demands",
+        "z_hat",
+        "p_hat",
+        F.round(
+            F.when(F.col("p_hat") > 0, F.col("z_hat") / F.col("p_hat")),
+            6,
+        ).alias("forecast"),
+    )
+    return out

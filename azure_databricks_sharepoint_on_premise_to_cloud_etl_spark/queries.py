@@ -17209,3 +17209,175 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 23: Croston, Rocchio audit, silhouette
+
+
+_CROSTON_MAX_PART = 200
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per part (daily shipped
+    quantity, parts < 200 — sparse series by construction) — the
+    adjust-EWMA closed form, one window stack per key
+    (``windows.croston_forecast``)."""
+    from .operators.windows import croston_forecast
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_partkey") < _CROSTON_MAX_PART
+    )
+    daily = li.groupBy(
+        "l_partkey",
+        F.datediff(
+            F.col("l_shipdate"), F.lit("1992-01-01").cast("date")
+        ).alias("period"),
+    ).agg(F.sum("l_quantity").alias("demand"))
+    return croston_forecast(daily, ["l_partkey"], "period", "demand")
+
+
+ORACLE_CROSTON = f"""
+WITH daily AS (
+    SELECT l_partkey,
+           date_diff('day', DATE '1992-01-01', l_shipdate::DATE)
+               AS period,
+           sum(l_quantity) AS demand
+    FROM lineitem
+    WHERE l_partkey < {_CROSTON_MAX_PART}
+    GROUP BY 1, 2
+),
+nz AS (
+    SELECT l_partkey, period, CAST(demand AS DOUBLE) AS z,
+           CAST(period - lag(period) OVER (PARTITION BY l_partkey
+                ORDER BY period ASC) AS DOUBLE) AS gap,
+           row_number() OVER (PARTITION BY l_partkey
+               ORDER BY period ASC) - 1 AS i
+    FROM daily WHERE demand > 0
+),
+agg AS (
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_demands,
+           round(sum(z * pow(2.0, i)) / sum(pow(2.0, i)), 6) AS z_hat,
+           round(CASE WHEN sum(CASE WHEN gap IS NOT NULL
+                                    THEN pow(2.0, i) END) > 0
+                 THEN sum(CASE WHEN gap IS NOT NULL
+                          THEN gap * pow(2.0, i) END)
+                      / sum(CASE WHEN gap IS NOT NULL
+                            THEN pow(2.0, i) END) END, 6) AS p_hat
+    FROM nz GROUP BY 1
+)
+SELECT l_partkey, n_demands, z_hat, p_hat,
+       round(CASE WHEN p_hat > 0 THEN z_hat / p_hat END, 6) AS forecast
+FROM agg
+"""
+
+
+_DUCK_CENTROIDS = """
+dims AS (
+    SELECT label, r.i AS i,
+           round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS m
+    FROM embeddings, range(1, 65) r(i)
+    GROUP BY 1, 2
+),
+cents AS (
+    SELECT label AS cl, list(m ORDER BY i) AS centroid
+    FROM dims GROUP BY 1
+)"""
+
+
+def q_rocchio_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) confusion matrix of the embeddings
+    table against its labels — k-centroid broadcast, never
+    vector-by-vector (``similarity.rocchio_assign``)."""
+    from .operators.similarity import rocchio_assign
+
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return rocchio_assign(e, "vec_id", "label", "embedding")
+
+
+ORACLE_ROCCHIO = f"""
+WITH {_DUCK_CENTROIDS},
+scored AS (
+    SELECT e.vec_id, e.label AS tru, c.cl,
+           round({_DUCK_COSINE.format(a="e.embedding", b="c.centroid")},
+                 6) AS cos
+    FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+    SELECT vec_id, tru, cl,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, cl ASC) AS rn
+    FROM scored
+)
+SELECT tru AS label, cl AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette clustering quality per label over the
+    embeddings table — O(n*k) centroid shortcut, distances rounded
+    before the ratio (``similarity.centroid_silhouette``)."""
+    from .operators.similarity import centroid_silhouette
+
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return centroid_silhouette(e, "vec_id", "label", "embedding")
+
+
+_DUCK_EUCLID = (
+    "sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+    "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))"
+)
+
+
+ORACLE_SILHOUETTE = f"""
+WITH {_DUCK_CENTROIDS},
+scored AS (
+    SELECT e.vec_id, e.label AS tru, c.cl,
+           round({_DUCK_EUCLID.format(a="e.embedding", b="c.centroid")},
+                 6) AS dist
+    FROM embeddings e CROSS JOIN cents c
+),
+own AS (
+    SELECT vec_id, tru AS lbl, dist AS a
+    FROM scored WHERE tru = cl
+),
+others AS (
+    SELECT vec_id, min(dist) AS b
+    FROM scored WHERE tru <> cl GROUP BY 1
+),
+per_vec AS (
+    SELECT own.lbl,
+           CASE WHEN others.b IS NOT NULL THEN
+               round(CASE WHEN greatest(own.a, others.b) > 0
+                     THEN (others.b - own.a) / greatest(own.a, others.b)
+                     ELSE 0.0 END, 6) END AS s
+    FROM own LEFT JOIN others USING (vec_id)
+)
+SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(s), 6) AS avg_silhouette
+FROM per_vec GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "croston_forecast": q_croston,
+        "rocchio_assign": q_rocchio_assign,
+        "centroid_silhouette": q_centroid_silhouette,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "croston_forecast": ORACLE_CROSTON,
+        "rocchio_assign": ORACLE_ROCCHIO,
+        "centroid_silhouette": ORACLE_SILHOUETTE,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
