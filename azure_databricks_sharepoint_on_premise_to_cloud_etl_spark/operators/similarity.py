@@ -1163,7 +1163,7 @@ def rocchio_assign(
         F.col(label_col).alias("__true"),
         F.col(emb_col).alias("__e"),
     )
-    scored = base.join(F.broadcast(cents)).withColumn(
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "__cos", F.round(cosine_sim(F.col("__e"), F.col("centroid")), 6)
     )
     w = Window.partitionBy("__id").orderBy(
@@ -1229,7 +1229,7 @@ def centroid_silhouette(
         ),
         6,
     )
-    scored = base.join(F.broadcast(cents)).withColumn("__dist", dist)
+    scored = base.crossJoin(F.broadcast(cents)).withColumn("__dist", dist)
     own = scored.filter(F.col("__true") == F.col("__cl")).select(
         "__id", F.col("__true").alias("__lbl"), F.col("__dist").alias("__a")
     )
