@@ -917,3 +917,75 @@ def time_decay_attribution(
             F.round(F.sum("__credit"), 4).alias("attributed_value"),
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    entity_col: str,
+    item_col: str,
+    min_both: int = 1,
+) -> DataFrame:
+    """Item co-occurrence lift matrix at the ENTITY grain: for every
+    unordered item pair, ``lift = P(a,b) / (P(a)·P(b))`` over entities
+    (users, sessions, baskets) — the "which behaviors travel
+    together?" readout behind cross-sell and feature-bundling calls
+    (lift > 1 = the pair co-occurs beyond chance).
+
+    Scale shape: the corpus collapses to DISTINCT (entity, item)
+    first (hash aggregate, shuffle volume = entity-item incidences);
+    pairs come from a WITHIN-ENTITY self-join (equi on the entity key,
+    ``item_a < item_b`` so each pair counts once) — quadratic only in
+    the per-entity item count, which is the bounded dimension
+    (catalog facets, event types), never in entities.  Item marginals
+    broadcast back onto the k² pair rows.
+
+    Returns (item_a, item_b, n_both, support, lift), pairs with
+    ``n_both >= min_both``.
+    """
+    e = F.col(entity_col)
+    i = F.col(item_col)
+    inc = (
+        df.filter(e.isNotNull() & i.isNotNull())
+        .select(e.alias("__e"), i.alias("__i"))
+        .distinct()
+    )
+    u_row = inc.select("__e").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__u")
+    )
+    item_counts = inc.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__ci")
+    )
+    lhs = inc.select("__e", F.col("__i").alias("item_a"))
+    rhs = inc.select("__e", F.col("__i").alias("item_b"))
+    pairs = (
+        lhs.join(rhs, "__e")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= int(min_both))
+    )
+    ca = item_counts.select(
+        F.col("__i").alias("item_a"), F.col("__ci").alias("__ca")
+    )
+    cb = item_counts.select(
+        F.col("__i").alias("item_b"), F.col("__ci").alias("__cb")
+    )
+    joined = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(u_row))
+    )
+    return joined.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("__u"), 6).alias(
+            "support"
+        ),
+        F.round(
+            F.col("__u")
+            * F.col("n_both")
+            / (F.col("__ca").cast("double") * F.col("__cb")),
+            4,
+        ).alias("lift"),
+    )

@@ -244,3 +244,83 @@ def expectation_audit(
         ).alias("violation_rate"),
         (F.col("__e.n_violations") == 0).alias("passed"),
     )
+
+
+def capture_recapture(
+    df,
+    source_col: str,
+    key_col: str,
+    source_a: str,
+    source_b: str,
+):
+    """Chapman capture–recapture estimate of the TRUE population size
+    behind two overlapping samples — the ecology estimator repurposed
+    for corpus ops: how many distinct documents/shingles/entities
+    exist in the wild, given two crawls that each saw a subset?
+    (``N̂ = (n₁+1)(n₂+1)/(m+1) − 1``, the bias-corrected
+    Lincoln–Petersen; m = keys seen by BOTH sources.)
+
+    Assumes the two samples are (approximately) independent captures —
+    the standard caveat; correlated crawls bias N̂ low.
+
+    Scale shape: one hash aggregate keyed on the capture key (the
+    exact-dedup shuffle: volume = distinct keys, map-side combined
+    max-flags), then a single-row reduce.  Variance is Chapman's
+    closed form; the 95% CI is the normal approximation, lazy-CASE
+    guarded for degenerate shapes (no overlap keeps the estimate but
+    the CI needs m ≥ 1 to be meaningful).
+
+    Returns one row: (n_a, n_b, n_both, n_hat, se_hat, ci_low,
+    ci_high).
+    """
+    from pyspark.sql import functions as F
+
+    s = F.col(source_col)
+    per_key = (
+        df.filter(s.isin(source_a, source_b))
+        .groupBy(key_col)
+        .agg(
+            F.max((s == source_a).cast("int")).alias("__a"),
+            F.max((s == source_b).cast("int")).alias("__b"),
+        )
+    )
+    m = per_key.agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum("__b").cast("long").alias("n_b"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n_both"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    mm = F.col("n_both").cast("double")
+    n_hat = (n1 + 1) * (n2 + 1) / (mm + 1) - 1
+    var = (
+        (n1 + 1)
+        * (n2 + 1)
+        * (n1 - mm)
+        * (n2 - mm)
+        / ((mm + 1) * (mm + 1) * (mm + 2))
+    )
+    se = F.when(var >= 0, F.sqrt(var))
+    staged = m.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(n_hat, 2).alias("n_hat"),
+        F.round(se, 2).alias("se_hat"),
+    )
+    return staged.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_hat",
+        "se_hat",
+        F.round(
+            F.greatest(
+                F.col("n_hat") - 1.96 * F.col("se_hat"), F.lit(0.0)
+            ),
+            2,
+        ).alias("ci_low"),
+        F.round(F.col("n_hat") + 1.96 * F.col("se_hat"), 2).alias(
+            "ci_high"
+        ),
+    )

@@ -1484,3 +1484,138 @@ def sentence_chunks(
             ),
         ).alias("chunk_text"),
     )
+
+
+def unseen_mass(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good–Turing unseen-probability mass per corpus slice: the
+    fraction of the NEXT sample expected to be word types never seen
+    in this slice (``P₀ = N₁/N``, Good 1953), plus the adjusted
+    singleton count ``r*₁ = 2·N₂/N₁`` — the quick answer to "has this
+    source saturated its vocabulary or will more crawl keep finding
+    new words?", which is exactly the marginal-value-of-data question
+    a training-data pipeline asks before buying more of a source.
+
+    Scale shape: explode to (slice, word) then TWO stacked hash
+    aggregates — word counts (shuffle volume = distinct words per
+    slice), then the frequency-of-frequencies collapse per slice.
+    Nothing corpus-grain crosses the wire twice.
+
+    Returns one row per slice: (group, n_tokens, vocab, n_singletons,
+    n_doubletons, p_unseen, r_star_1).
+    """
+    g = F.col(group_col)
+    words = (
+        df.filter(g.isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            g.alias("__g"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+    )
+    counts = words.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per = counts.groupBy(F.col("__g").alias(group_col)).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("n_singletons"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("n_doubletons"),
+    )
+    n = F.col("n_tokens").cast("double")
+    n1 = F.col("n_singletons").cast("double")
+    n2 = F.col("n_doubletons").cast("double")
+    return per.select(
+        group_col,
+        "n_tokens",
+        "vocab",
+        "n_singletons",
+        "n_doubletons",
+        F.round(F.when(n > 0, n1 / n), 6).alias("p_unseen"),
+        F.round(F.when(n1 > 0, 2.0 * n2 / n1), 6).alias("r_star_1"),
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law fit ``V = k·N^β`` across corpus slices: each slice
+    contributes one (log N, log V) point (N = tokens, V = vocabulary)
+    and a two-parameter OLS across the slices estimates β (typically
+    0.4–0.6 for natural text; β near 0 = closed vocabulary / template
+    spam, β near 1 = ID-like token soup) — a one-row corpus
+    diagnostic for tokenizer and dedup planning.
+
+    Scale shape: the corpus collapses to one (N, V) row per slice
+    (same two-aggregate stack as :func:`unseen_mass`); the OLS runs
+    over the k slice points in a single-row reduce.  Log points are
+    rounded to 6 decimals FIRST (cross-engine determinism); slopes
+    guard on positive x-variance via lazy CASE.
+
+    Returns one row: (n_slices, beta, k_coef, r2).
+    """
+    g = F.col(group_col)
+    words = (
+        df.filter(g.isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            g.alias("__g"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+    )
+    per = (
+        words.groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+        .select(
+            F.round(F.log(F.col("__n").cast("double")), 6).alias("__x"),
+            F.round(F.log(F.col("__v").cast("double")), 6).alias("__y"),
+        )
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_slices"),
+        F.round(F.avg("__x"), 6).alias("__mx"),
+        F.round(F.avg("__y"), 6).alias("__my"),
+        F.round(F.covar_samp("__x", "__y"), 6).alias("__cxy"),
+        F.round(F.var_samp("__x"), 6).alias("__vx"),
+        F.round(F.var_samp("__y"), 6).alias("__vy"),
+    )
+    beta = F.when(
+        (F.col("n_slices") > 1) & (F.col("__vx") > 0),
+        F.col("__cxy") / F.col("__vx"),
+    )
+    staged = m.select(
+        "n_slices",
+        F.round(beta, 6).alias("beta"),
+        F.col("__mx"),
+        F.col("__my"),
+        F.col("__cxy"),
+        F.col("__vx"),
+        F.col("__vy"),
+    )
+    r2 = F.when(
+        (F.col("__vx") > 0) & (F.col("__vy") > 0),
+        (F.col("__cxy") * F.col("__cxy"))
+        / (F.col("__vx") * F.col("__vy")),
+    )
+    return staged.select(
+        "n_slices",
+        F.round(F.col("beta"), 4).alias("beta"),
+        F.round(
+            F.exp(F.col("__my") - F.col("beta") * F.col("__mx")), 4
+        ).alias("k_coef"),
+        F.round(r2, 4).alias("r2"),
+    )

@@ -17381,3 +17381,219 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 24: population estimation, vocabulary
+# --- economics, co-occurrence lift
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the distinct word-trigram
+    population from two crawl sources (src0 vs src1) — exact-dedup
+    shuffle on the capture key, then a single-row reduce
+    (``profiling.capture_recapture``)."""
+    from .operators.profiling import capture_recapture
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "w"
+        ),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    grams = (
+        toks.withColumn("w1", F.lead("w", 1).over(w_doc))
+        .withColumn("w2", F.lead("w", 2).over(w_doc))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "source",
+            F.concat_ws(" ", "w", "w1", "w2").alias("gram"),
+        )
+    )
+    return capture_recapture(grams, "source", "gram", "src0", "src1")
+
+
+ORACLE_CAPTURE_RECAPTURE = """
+WITH toks AS (
+    SELECT doc_id, source,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+           unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE source IN ('src0', 'src1')
+),
+grams AS (
+    SELECT source,
+           w || ' ' || lead(w, 1) OVER win || ' '
+             || lead(w, 2) OVER win AS gram
+    FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(w, 2) OVER win IS NOT NULL
+),
+per AS (
+    SELECT gram,
+           max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+           max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+    FROM grams GROUP BY 1
+),
+m AS (
+    SELECT CAST(sum(a) AS BIGINT) AS n_a,
+           CAST(sum(b) AS BIGINT) AS n_b,
+           CAST(sum(a * b) AS BIGINT) AS n_both
+    FROM per
+),
+staged AS (
+    SELECT n_a, n_b, n_both,
+           round((n_a + 1.0) * (n_b + 1.0) / (n_both + 1.0) - 1.0, 2)
+               AS n_hat,
+           round(CASE WHEN (n_a + 1.0) * (n_b + 1.0) * (n_a - n_both)
+                           * (n_b - n_both) >= 0
+                 THEN sqrt((n_a + 1.0) * (n_b + 1.0)
+                           * (n_a - n_both) * (n_b - n_both)
+                           / ((n_both + 1.0) * (n_both + 1.0)
+                              * (n_both + 2.0))) END, 2) AS se_hat
+    FROM m
+)
+SELECT n_a, n_b, n_both, n_hat, se_hat,
+       round(greatest(n_hat - 1.96 * se_hat, 0.0), 2) AS ci_low,
+       round(n_hat + 1.96 * se_hat, 2) AS ci_high
+FROM staged
+"""
+
+
+def q_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-vocabulary mass per crawl source — two
+    stacked hash aggregates, the marginal-value-of-more-data readout
+    (``text.unseen_mass``)."""
+    from .operators.text import unseen_mass
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return unseen_mass(d, "source")
+
+
+ORACLE_UNSEEN_MASS = """
+WITH words AS (
+    SELECT source AS g, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+),
+counts AS (
+    SELECT g, w, count(*) AS c FROM words WHERE w <> '' GROUP BY 1, 2
+),
+per AS (
+    SELECT g AS source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doubletons
+    FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, vocab, n_singletons, n_doubletons,
+       round(CASE WHEN n_tokens > 0
+             THEN n_singletons * 1.0 / n_tokens END, 6) AS p_unseen,
+       round(CASE WHEN n_singletons > 0
+             THEN 2.0 * n_doubletons / n_singletons END, 6) AS r_star_1
+FROM per
+"""
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift over users — distinct-incidence
+    collapse, within-entity pair join, broadcast marginals
+    (``funnels.cooccurrence_lift``)."""
+    from .operators.funnels import cooccurrence_lift
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return cooccurrence_lift(e, "user_id", "event_type")
+
+
+ORACLE_COOCCURRENCE_LIFT = """
+WITH inc AS (
+    SELECT DISTINCT user_id AS e, event_type AS i FROM events
+),
+u AS (SELECT CAST(count(DISTINCT e) AS DOUBLE) AS u FROM inc),
+ic AS (SELECT i, count(*) AS ci FROM inc GROUP BY 1),
+pairs AS (
+    SELECT a.i AS item_a, b.i AS item_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM inc a JOIN inc b ON a.e = b.e AND a.i < b.i
+    GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_both,
+       round(n_both / u.u, 6) AS support,
+       round(u.u * n_both / (ca.ci * 1.0 * cb.ci), 4) AS lift
+FROM pairs
+JOIN ic ca ON pairs.item_a = ca.i
+JOIN ic cb ON pairs.item_b = cb.i
+CROSS JOIN u
+"""
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law V = k*N^beta fit across the 20 crawl sources — slice
+    collapse then a single-row OLS (``text.heaps_law_fit``)."""
+    from .operators.text import heaps_law_fit
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return heaps_law_fit(d, "source")
+
+
+ORACLE_HEAPS_LAW = """
+WITH words AS (
+    SELECT source AS g, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+),
+counts AS (
+    SELECT g, w, count(*) AS c FROM words WHERE w <> '' GROUP BY 1, 2
+),
+pts AS (
+    SELECT round(ln(CAST(sum(c) AS DOUBLE)), 6) AS x,
+           round(ln(CAST(count(*) AS DOUBLE)), 6) AS y
+    FROM counts GROUP BY g
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_slices,
+           round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+           round(covar_samp(x, y), 6) AS cxy,
+           round(var_samp(x), 6) AS vx,
+           round(var_samp(y), 6) AS vy
+    FROM pts
+),
+staged AS (
+    SELECT n_slices, mx, my, cxy, vx, vy,
+           round(CASE WHEN n_slices > 1 AND vx > 0
+                 THEN cxy / vx END, 6) AS beta6
+    FROM m
+)
+SELECT n_slices,
+       round(beta6, 4) AS beta,
+       round(exp(my - beta6 * mx), 4) AS k_coef,
+       round(CASE WHEN vx > 0 AND vy > 0
+             THEN cxy * cxy / (vx * vy) END, 4) AS r2
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "capture_recapture": q_capture_recapture,
+        "unseen_mass": q_unseen_mass,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "heaps_law": q_heaps_law,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "capture_recapture": ORACLE_CAPTURE_RECAPTURE,
+        "unseen_mass": ORACLE_UNSEEN_MASS,
+        "cooccurrence_lift": ORACLE_COOCCURRENCE_LIFT,
+        "heaps_law": ORACLE_HEAPS_LAW,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
