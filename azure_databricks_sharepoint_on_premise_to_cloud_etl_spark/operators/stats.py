@@ -4872,3 +4872,257 @@ def expected_calibration_error(
         ).alias("ece"),
         F.round(F.max(gap), 6).alias("mce"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED classifier comparison — the correct
+    significance check when two models are scored on the SAME
+    examples (a two-proportion z-test ignores the pairing and wastes
+    power): only the discordant cells matter,
+    ``χ² = (|n₀₁ − n₁₀| − 1)² / (n₀₁ + n₁₀)`` (continuity-corrected).
+
+    Scale shape: ONE conditional hash aggregate over the corpus to
+    the four agreement cells (map-side combined), scalar arithmetic
+    after.  No discordant pairs (models disagree nowhere) yields NULL
+    chi2 via lazy CASE.
+
+    Returns one row: (n, n_both_right, n_a_only, n_b_only,
+    n_both_wrong, chi2).
+    """
+    a = F.col(correct_a_col).cast("boolean")
+    b = F.col(correct_b_col).cast("boolean")
+    m = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & b).cast("long")).alias("n_both_right"),
+        F.sum((a & ~b).cast("long")).alias("n_a_only"),
+        F.sum((~a & b).cast("long")).alias("n_b_only"),
+        F.sum((~a & ~b).cast("long")).alias("n_both_wrong"),
+    )
+    d = (
+        F.col("n_a_only").cast("double")
+        + F.col("n_b_only").cast("double")
+    )
+    diff = F.abs(
+        F.col("n_a_only").cast("double") - F.col("n_b_only")
+    )
+    chi2 = F.when(d > 0, (diff - 1) * (diff - 1) / d)
+    return m.select(
+        "n",
+        "n_both_right",
+        "n_a_only",
+        "n_b_only",
+        "n_both_wrong",
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa for MULTI-rater categorical agreement (three
+    annotation models over the same items, ensemble-vote audits) —
+    the k-rater generalization of :func:`cohens_kappa` with anonymous
+    raters.  Input grain: one row per (item, rating); items must
+    carry exactly ``n_raters`` ratings — items with any other count
+    are EXCLUDED (Fleiss requires a constant panel size), and the
+    excluded count is reported.
+
+    ``P_i = (Σ_j n_ij² − n)/(n(n−1))``; ``P̄_e = Σ_j p_j²`` over the
+    global category shares; ``κ = (P̄ − P̄_e)/(1 − P̄_e)``.
+
+    Scale shape: two stacked hash aggregates — (item, category)
+    cells, then per-item qualification + P_i — plus a category-share
+    reduce; everything after the first collapse is cell-sized.  P̄
+    and P̄_e are rounded to 6 decimals FIRST; κ lazy-CASE-guards
+    P̄_e < 1.
+
+    Returns one row: (n_items, n_excluded_items, n_raters, p_bar,
+    p_e, kappa).
+    """
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    n = int(n_raters)
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("__it"),
+            F.col(category_col).alias("__cat"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_item = cells.groupBy("__it").agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sq"),
+    )
+    qualified = per_item.withColumn(
+        "__ok", (F.col("__n") == n).cast("int")
+    )
+    item_stats = qualified.agg(
+        F.sum("__ok").cast("long").alias("n_items"),
+        (F.count(F.lit(1)) - F.sum("__ok")).cast("long").alias(
+            "n_excluded_items"
+        ),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("__ok") == 1,
+                    (F.col("__sq").cast("double") - n)
+                    / (float(n) * (n - 1)),
+                )
+            ),
+            6,
+        ).alias("p_bar"),
+    )
+    ok_items = qualified.filter(F.col("__ok") == 1).select("__it")
+    shares = (
+        cells.join(ok_items, "__it")
+        .groupBy("__cat")
+        .agg(F.sum("__c").alias("__cj"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("__cj").cast("double"))
+                    * F.col("__cj")
+                ),
+                6,
+            ).alias("__sumsq"),
+            F.sum("__cj").alias("__tot"),
+        )
+    )
+    joined = item_stats.crossJoin(F.broadcast(shares))
+    p_e = F.round(
+        F.when(
+            F.col("__tot") > 0,
+            F.col("__sumsq")
+            / (F.col("__tot").cast("double") * F.col("__tot")),
+        ),
+        6,
+    )
+    staged = joined.select(
+        "n_items",
+        "n_excluded_items",
+        F.lit(n).cast("long").alias("n_raters"),
+        "p_bar",
+        p_e.alias("p_e"),
+    )
+    kappa = F.when(
+        F.col("p_e") < 1.0,
+        (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")),
+    )
+    return staged.select(
+        "n_items",
+        "n_excluded_items",
+        "n_raters",
+        "p_bar",
+        "p_e",
+        F.round(kappa, 4).alias("kappa"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation statistic of the
+    mean-centered series per group — the residual-independence check
+    behind every "is this KPI mean-reverting or trending?" question
+    (DW ≈ 2 independent, → 0 positively autocorrelated, → 4
+    alternating).
+
+    Residuals here are deviations from the GROUP mean (the
+    intercept-only model); pipe in pre-computed model residuals as
+    ``value_col`` for a real regression DW.
+
+    Scale shape: one hash aggregate for the per-group means
+    (broadcast back), one lag window per group, one final aggregate —
+    all on the group key, single shuffle.  Means are rounded to 6
+    decimals first; series need ≥ 2 points and non-zero residual
+    energy (lazy-CASE NULL otherwise).
+
+    Returns one row per group: (group, n, dw).
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    means = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(F.round(F.avg(x), 6).alias("__mu"))
+    )
+    base = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .join(F.broadcast(means), g == F.col("__g"))
+        .withColumn("__e", F.round(x - F.col("__mu"), 6))
+    )
+    w = Window.partitionBy("__g").orderBy(F.col(time_col).asc())
+    staged = base.withColumn("__de", F.col("__e") - F.lag("__e").over(w))
+    agg = staged.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__de") * F.col("__de")).alias("__num"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__den"),
+    )
+    dw = F.when(
+        (F.col("n") > 1) & (F.col("__den") > 0),
+        F.col("__num") / F.col("__den"),
+    )
+    return agg.select(group_col, "n", F.round(dw, 4).alias("dw"))
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Symmetric trimmed mean per group: drop the ``floor(n·trim)``
+    smallest and largest observations, average the rest — the robust
+    central-tendency KPI between the mean (outlier-hostage) and the
+    median (throws away 98% of the data), standard for latency and
+    revenue-per-user reporting.
+
+    Scale shape: one rank window per group (single shuffle on the
+    key) plus the group sizes via a count window on the same
+    partitioning, then one conditional aggregate.  Rank ties among
+    equal values are arbitrary but HARMLESS — trimming a different
+    copy of the same value leaves the sum unchanged, which is what
+    makes the result engine-deterministic without a unique tiebreak.
+
+    Returns (group, n, n_used, trimmed_mean, raw_mean).
+    """
+    if not 0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.filter(g.isNotNull() & x.isNotNull()).select(
+        g.alias("__g"), x.alias("__x")
+    )
+    w_rank = Window.partitionBy("__g").orderBy(F.col("__x").asc())
+    w_all = Window.partitionBy("__g")
+    staged = base.withColumn("__r", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    cut = F.floor(F.col("__n") * F.lit(float(trim)))
+    kept = F.when(
+        (F.col("__r") > cut) & (F.col("__r") <= F.col("__n") - cut),
+        F.col("__x"),
+    )
+    return (
+        staged.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.max("__n").alias("n"),
+            F.count(kept).alias("n_used"),
+            F.round(F.avg(kept), 6).alias("trimmed_mean"),
+            F.round(F.avg("__x"), 6).alias("raw_mean"),
+        )
+    )

@@ -17597,3 +17597,226 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 25: paired model tests, multi-rater
+# --- agreement, residual autocorrelation, robust means
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired comparison of two deterministic "returned?"
+    classifiers (discount-logit vs quantity threshold) on the same
+    lineitem rows — one conditional aggregate
+    (``stats.mcnemar_test``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        (F.col("l_returnflag") == "R").alias("y"),
+        (F.col("l_discount") > 0.05).alias("pred_a"),
+        (F.col("l_quantity") > 25).alias("pred_b"),
+    )
+    scored = li.select(
+        (F.col("pred_a") == F.col("y")).alias("ok_a"),
+        (F.col("pred_b") == F.col("y")).alias("ok_b"),
+    )
+    return stats.mcnemar_test(scored, "ok_a", "ok_b")
+
+
+ORACLE_MCNEMAR = """
+WITH scored AS (
+    SELECT ((l_discount > 0.05) = (l_returnflag = 'R')) AS ok_a,
+           ((l_quantity > 25) = (l_returnflag = 'R')) AS ok_b
+    FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ok_a AND ok_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both_right,
+       CAST(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_a_only,
+       CAST(sum(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_b_only,
+       CAST(sum(CASE WHEN NOT ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_both_wrong,
+       round(CASE WHEN sum(CASE WHEN ok_a <> ok_b THEN 1 ELSE 0 END) > 0
+             THEN (abs(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                       - sum(CASE WHEN NOT ok_a AND ok_b
+                             THEN 1 ELSE 0 END)) - 1.0)
+                  * (abs(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                       - sum(CASE WHEN NOT ok_a AND ok_b
+                             THEN 1 ELSE 0 END)) - 1.0)
+                  / sum(CASE WHEN ok_a <> ok_b THEN 1 ELSE 0 END)
+             END, 6) AS chi2
+FROM scored
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE heuristic order-status raters (the
+    recorded status, a date rule, a price rule) — one explode scan,
+    two cell-sized aggregates (``stats.fleiss_kappa``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    r1 = F.col("o_orderstatus")
+    r2 = F.when(F.year("o_orderdate") < 1995, F.lit("F")).otherwise(
+        F.lit("O")
+    )
+    r3 = F.when(F.col("o_totalprice") > 150000, F.lit("F")).otherwise(
+        F.lit("O")
+    )
+    ratings = o.select(
+        F.col("o_orderkey").alias("item"),
+        F.explode(F.array(r1, r2, r3)).alias("rating"),
+    )
+    return stats.fleiss_kappa(ratings, "item", "rating", n_raters=3)
+
+
+ORACLE_FLEISS = """
+WITH ratings AS (
+    SELECT o_orderkey AS item,
+           unnest([o_orderstatus,
+                   CASE WHEN year(o_orderdate) < 1995
+                        THEN 'F' ELSE 'O' END,
+                   CASE WHEN o_totalprice > 150000
+                        THEN 'F' ELSE 'O' END]) AS rating
+    FROM orders
+),
+cells AS (
+    SELECT item, rating, count(*) AS c FROM ratings GROUP BY 1, 2
+),
+per_item AS (
+    SELECT item, sum(c) AS n, sum(c * c) AS sq FROM cells GROUP BY 1
+),
+istats AS (
+    SELECT CAST(sum(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_items,
+           CAST(sum(CASE WHEN n = 3 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_excluded_items,
+           round(avg(CASE WHEN n = 3
+                 THEN (sq - 3.0) / (3.0 * 2.0) END), 6) AS p_bar
+    FROM per_item
+),
+shares AS (
+    SELECT round(sum(CAST(cj AS DOUBLE) * cj), 6) AS sumsq,
+           sum(cj) AS tot
+    FROM (
+        SELECT rating, sum(c) AS cj
+        FROM cells JOIN per_item USING (item)
+        WHERE per_item.n = 3
+        GROUP BY 1
+    )
+),
+staged AS (
+    SELECT n_items, n_excluded_items,
+           CAST(3 AS BIGINT) AS n_raters, p_bar,
+           round(CASE WHEN tot > 0
+                 THEN sumsq / (CAST(tot AS DOUBLE) * tot) END, 6) AS p_e
+    FROM istats CROSS JOIN shares
+)
+SELECT n_items, n_excluded_items, n_raters, p_bar, p_e,
+       round(CASE WHEN p_e < 1.0
+             THEN (p_bar - p_e) / (1.0 - p_e) END, 4) AS kappa
+FROM staged
+"""
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation of the mean-centered DAILY event
+    count per event type — one broadcast mean, one lag window
+    (``stats.durbin_watson``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    series = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return stats.durbin_watson(series, "event_type", "day", "n_events")
+
+
+ORACLE_DURBIN_WATSON = """
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2
+),
+mu AS (
+    SELECT event_type AS g, round(avg(v), 6) AS m FROM s GROUP BY 1
+),
+e AS (
+    SELECT s.event_type, s.day, round(s.v - mu.m, 6) AS e
+    FROM s JOIN mu ON s.event_type = mu.g
+),
+d AS (
+    SELECT event_type, e,
+           e - lag(e) OVER (PARTITION BY event_type ORDER BY day ASC)
+               AS de
+    FROM e
+),
+agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(de * de) AS num, sum(e * e) AS den
+    FROM d GROUP BY 1
+)
+SELECT event_type, n,
+       round(CASE WHEN n > 1 AND den > 0 THEN num / den END, 4) AS dw
+FROM agg
+"""
+
+
+_TRIM = 0.1
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order totals per priority — one rank
+    window, tie-invariant by construction
+    (``stats.trimmed_mean``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.trimmed_mean(
+        o, "o_orderpriority", "o_totalprice", trim=_TRIM
+    )
+
+
+ORACLE_TRIMMED_MEAN = f"""
+WITH ranked AS (
+    SELECT o_orderpriority AS g, o_totalprice AS x,
+           row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC) AS r,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+)
+SELECT g AS o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(count(CASE WHEN r > floor(n * {_TRIM!r})
+                  AND r <= n - floor(n * {_TRIM!r}) THEN 1 END)
+            AS BIGINT) AS n_used,
+       round(avg(CASE WHEN r > floor(n * {_TRIM!r})
+                 AND r <= n - floor(n * {_TRIM!r}) THEN x END), 6)
+           AS trimmed_mean,
+       round(avg(x), 6) AS raw_mean
+FROM ranked GROUP BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "mcnemar": q_mcnemar,
+        "fleiss_kappa": q_fleiss_kappa,
+        "durbin_watson": q_durbin_watson,
+        "trimmed_mean": q_trimmed_mean,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "mcnemar": ORACLE_MCNEMAR,
+        "fleiss_kappa": ORACLE_FLEISS,
+        "durbin_watson": ORACLE_DURBIN_WATSON,
+        "trimmed_mean": ORACLE_TRIMMED_MEAN,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -253,6 +253,31 @@ BENCH_QUERIES = [
     # round-10 widening batch 19
     "time_decay_attribution",
     "mmr_rerank",
+    # round-10 widening batch 20
+    "cohens_kappa",
+    "classification_loss",
+    "woe_iv",
+    "mann_kendall",
+    # round-10 widening batch 21
+    "page_hinkley",
+    "nelson_aalen",
+    "control_chart",
+    "cramers_v",
+    "cohens_d",
+    # round-10 widening batch 22
+    "burstiness",
+    "chisq_gof",
+    "ece_calibration",
+    "rbo_overlap",
+    # round-10 widening batch 23
+    "croston_forecast",
+    "rocchio_assign",
+    "centroid_silhouette",
+    # round-10 widening batch 24
+    "capture_recapture",
+    "unseen_mass",
+    "cooccurrence_lift",
+    "heaps_law",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

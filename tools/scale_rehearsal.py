@@ -458,6 +458,44 @@ HEAVY = [
     # by candidates x queries (flat in corpus size)
     "time_decay_attribution",
     "mmr_rerank",
+    # round-10 widening batch 20: kappa/V collapse to contingency
+    # cells, losses/GOF/effect sizes to one conditional aggregate
+    # (all flat-to-sublinear over a linear scan); mann_kendall's pair
+    # join is month-grain bounded per group (flat)
+    "cohens_kappa",
+    "classification_loss",
+    "woe_iv",
+    "mann_kendall",
+    # round-10 widening batch 21: PH/control-chart window over the
+    # DAY-grain series (fixture-constant length — expect flat over a
+    # linear collapse); NA shares KM's distinct-duration collapse
+    "page_hinkley",
+    "nelson_aalen",
+    "control_chart",
+    "cramers_v",
+    "cohens_d",
+    # round-10 widening batch 22: burstiness is one lag window + one
+    # aggregate on the user key (row-linear); ECE collapses to 10
+    # bins; RBO's spine is k x groups (flat over the part collapse)
+    "burstiness",
+    "chisq_gof",
+    "ece_calibration",
+    "rbo_overlap",
+    # round-10 widening batch 23: croston windows over per-part
+    # demand series (row-linear in the collapse); rocchio/silhouette
+    # are corpus x k-centroid broadcast meets (row-linear, constant
+    # build side)
+    "croston_forecast",
+    "rocchio_assign",
+    "centroid_silhouette",
+    # round-10 widening batch 24: capture-recapture and unseen-mass /
+    # heaps are shingle- or vocabulary-collapse shapes (linear scan,
+    # sublinear shuffle); co-occurrence pairs are bounded by the
+    # event-type domain squared
+    "capture_recapture",
+    "unseen_mass",
+    "cooccurrence_lift",
+    "heaps_law",
 ]
 
 ALL_TABLES = (
