@@ -5126,3 +5126,315 @@ def trimmed_mean(
             F.round(F.avg("__x"), 6).alias("raw_mean"),
         )
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    min_leaf: int = 1,
+) -> DataFrame:
+    """Optimal 1-D decision stump: the numeric threshold that
+    maximizes information gain against a binary label — the
+    feature-screening primitive behind tree ensembles and the fastest
+    "is this column predictive at all?" answer (reports the best
+    split, its gain, and the leaf rates).
+
+    Scale shape — the exact-percentiles discipline: collapse the
+    corpus to the DISTINCT feature-value table (one hash aggregate:
+    per-value n and positives; shuffle volume = value cardinality),
+    then ONE cumulative window over the sorted values computes every
+    candidate split's left/right counts, and one max-by reduce picks
+    the winner.  Entropies derive from 6-decimal-rounded shares.
+
+    Splits are evaluated as ``feature <= v`` at every distinct value
+    ``v`` (the last value yields an empty right leaf and is skipped);
+    leaves thinner than ``min_leaf`` are not considered.
+
+    Returns one row: (n, n_pos, base_entropy, threshold, gain,
+    left_n, left_rate, right_n, right_rate).
+    """
+    if min_leaf < 1:
+        raise ValueError(f"min_leaf must be >= 1, got {min_leaf}")
+    x = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("double")
+    per_val = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(y != 0, 1).otherwise(0)).alias("__p"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    staged = per_val.select(
+        "__v",
+        F.sum("__n").over(w_cum).alias("__ln"),
+        F.sum("__p").over(w_cum).alias("__lp"),
+        F.sum("__n").over(w_all).alias("__tn"),
+        F.sum("__p").over(w_all).alias("__tp"),
+    )
+
+    def _ent(p):
+        return F.when(
+            (p > 0) & (p < 1), -(p * F.log2(p) + (1 - p) * F.log2(1 - p))
+        ).otherwise(F.lit(0.0))
+
+    ln = F.col("__ln").cast("double")
+    rn = (F.col("__tn") - F.col("__ln")).cast("double")
+    lrate = F.round(F.col("__lp") / ln, 6)
+    rrate = F.round(
+        (F.col("__tp") - F.col("__lp")) / rn, 6
+    )
+    base_rate = F.round(
+        F.col("__tp").cast("double") / F.col("__tn"), 6
+    )
+    gain = F.round(
+        _ent(base_rate)
+        - (ln / F.col("__tn")) * _ent(lrate)
+        - (rn / F.col("__tn")) * _ent(rrate),
+        6,
+    )
+    cands = staged.filter(
+        (F.col("__ln") >= min_leaf)
+        & (F.col("__tn") - F.col("__ln") >= min_leaf)
+    ).select(
+        F.col("__tn").alias("n"),
+        F.col("__tp").alias("n_pos"),
+        F.round(_ent(base_rate), 6).alias("base_entropy"),
+        F.col("__v").alias("threshold"),
+        gain.alias("gain"),
+        F.col("__ln").alias("left_n"),
+        lrate.alias("left_rate"),
+        rn.cast("long").alias("right_n"),
+        rrate.alias("right_rate"),
+    )
+    w_best = Window.orderBy(
+        F.col("gain").desc(), F.col("threshold").asc()
+    )
+    return (
+        cands.withColumn("__rk", F.row_number().over(w_best))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def msprt_ab(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) for a
+    two-arm mean difference — the ALWAYS-VALID significance readout
+    (peek at the dashboard daily without inflating false positives,
+    the thing a fixed-horizon t-test cannot give you).  Normal mixture
+    prior N(0, τ²) over the effect; the likelihood ratio
+
+        Λ = sqrt(2σ̂²/(2σ̂² + n·τ²)) ·
+            exp(n²·τ²·(x̄_a − x̄_b)² / (4σ̂²·(2σ̂² + n·τ²)))
+
+    with n the per-arm harmonic-balanced size and σ̂² the pooled
+    variance; the always-valid p-value is min(1, 1/Λ).
+
+    Scale shape: ONE conditional hash aggregate (welch_t_test's
+    discipline, moments rounded to 6 first), scalar arithmetic after;
+    degenerate shapes (an arm < 2 rows, zero variance) yield NULL via
+    lazy CASE.  Λ is reported in log form too (large-n Λ overflows
+    doubles; log_lambda never does).
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, pooled_var,
+    log_lambda, p_always_valid).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    arm_a = F.when(g == F.lit(group_a), v)
+    arm_b = F.when(g == F.lit(group_b), v)
+    m = df.filter(v.isNotNull() & g.isin(group_a, group_b)).agg(
+        F.count(arm_a).alias("n_a"),
+        F.count(arm_b).alias("n_b"),
+        F.round(F.avg(arm_a), 6).alias("mean_a"),
+        F.round(F.avg(arm_b), 6).alias("mean_b"),
+        F.round(F.var_samp(arm_a), 6).alias("__va"),
+        F.round(F.var_samp(arm_b), 6).alias("__vb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pooled = F.when(
+        (na > 1) & (nb > 1),
+        ((na - 1) * F.col("__va") + (nb - 1) * F.col("__vb"))
+        / (na + nb - 2),
+    )
+    staged = m.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(pooled, 6).alias("pooled_var"),
+    )
+    n_h = 2.0 * na * nb / (na + nb)  # harmonic-balanced per-arm n
+    s2 = F.col("pooled_var")
+    t2 = float(tau) * float(tau)
+    d = F.col("mean_a") - F.col("mean_b")
+    denom = 2.0 * s2 + n_h * t2
+    log_lam = F.when(
+        (s2 > 0) & (na > 1) & (nb > 1),
+        0.5 * (F.log(2.0 * s2) - F.log(denom))
+        + (n_h * n_h * t2 * d * d) / (4.0 * s2 * denom),
+    )
+    staged2 = staged.withColumn("log_lambda", F.round(log_lam, 6))
+    p_av = F.when(
+        F.col("log_lambda").isNotNull(),
+        F.least(F.lit(1.0), F.exp(-F.col("log_lambda"))),
+    )
+    return staged2.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "pooled_var",
+        "log_lambda",
+        F.round(p_av, 6).alias("p_always_valid"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Odds ratio with the Woolf logit 95% CI for a 2×2
+    exposure/outcome table — the effect measure case-control readouts
+    and feature-flag incident reviews actually quote (``OR =
+    ad/bc``; ``CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d))``), with the
+    Haldane–Anscombe +0.5 correction applied automatically when any
+    cell is empty.
+
+    Scale shape: ONE conditional hash aggregate to the four cells,
+    scalar arithmetic after.
+
+    Returns one row: (n_11, n_10, n_01, n_00, odds_ratio, ci_low,
+    ci_high).
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    m = df.filter(e.isNotNull() & o.isNotNull()).agg(
+        F.sum((e & o).cast("long")).alias("n_11"),
+        F.sum((e & ~o).cast("long")).alias("n_10"),
+        F.sum((~e & o).cast("long")).alias("n_01"),
+        F.sum((~e & ~o).cast("long")).alias("n_00"),
+    )
+    any_zero = (
+        (F.col("n_11") == 0)
+        | (F.col("n_10") == 0)
+        | (F.col("n_01") == 0)
+        | (F.col("n_00") == 0)
+    )
+    adj = F.when(any_zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("n_11").cast("double") + adj
+    b = F.col("n_10").cast("double") + adj
+    c = F.col("n_01").cast("double") + adj
+    dd = F.col("n_00").cast("double") + adj
+    log_or = F.log((a * dd) / (b * c))
+    se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / dd)
+    staged = m.select(
+        "n_11",
+        "n_10",
+        "n_01",
+        "n_00",
+        F.round(log_or, 6).alias("__lor"),
+        F.round(se, 6).alias("__se"),
+    )
+    return staged.select(
+        "n_11",
+        "n_10",
+        "n_01",
+        "n_00",
+        F.round(F.exp(F.col("__lor")), 4).alias("odds_ratio"),
+        F.round(
+            F.exp(F.col("__lor") - 1.96 * F.col("__se")), 4
+        ).alias("ci_low"),
+        F.round(
+            F.exp(F.col("__lor") + 1.96 * F.col("__se")), 4
+        ).alias("ci_high"),
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    treat_col: str,
+    covariate_cols: list[str],
+) -> DataFrame:
+    """Standardized-mean-difference balance table between a treated
+    and a control arm, one row per covariate — the Table-1 diagnostic
+    every observational/causal readout needs before trusting a naive
+    comparison (``SMD = (m_t − m_c)/√((v_t + v_c)/2)``; |SMD| < 0.1
+    is the usual "balanced" convention, reported as a flag).
+
+    Scale shape: ONE conditional hash aggregate computes every
+    covariate's per-arm moments in a single corpus pass (2·k agg
+    expressions, map-side combined) — never k passes; the unpivot to
+    rows happens on the one-row result via a k-element stack.
+    Moments are rounded to 6 decimals first; zero-variance covariates
+    yield NULL SMD via lazy CASE.
+
+    Returns (covariate, n_treat, n_control, mean_treat, mean_control,
+    smd, balanced).
+    """
+    if not covariate_cols:
+        raise ValueError("covariate_cols must be non-empty")
+    t = F.col(treat_col).cast("boolean")
+    aggs = [
+        F.sum(t.cast("long")).alias("__nt"),
+        F.sum((~t).cast("long")).alias("__nc"),
+    ]
+    for c in covariate_cols:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.round(F.avg(F.when(t, v)), 6).alias(f"__mt_{c}"),
+            F.round(F.avg(F.when(~t, v)), 6).alias(f"__mc_{c}"),
+            F.round(F.var_samp(F.when(t, v)), 6).alias(f"__vt_{c}"),
+            F.round(F.var_samp(F.when(~t, v)), 6).alias(f"__vc_{c}"),
+        ]
+    m = df.filter(t.isNotNull()).agg(*aggs)
+    stack_args = []
+    for c in covariate_cols:
+        stack_args += [
+            f"'{c}'",
+            f"__mt_{c}",
+            f"__mc_{c}",
+            f"__vt_{c}",
+            f"__vc_{c}",
+        ]
+    rows = m.select(
+        "__nt",
+        "__nc",
+        F.expr(
+            f"stack({len(covariate_cols)}, {', '.join(stack_args)}) "
+            "AS (covariate, mean_treat, mean_control, __vt, __vc)"
+        ),
+    )
+    pooled = (F.col("__vt") + F.col("__vc")) / 2.0
+    smd = F.when(
+        pooled > 0,
+        (F.col("mean_treat") - F.col("mean_control")) / F.sqrt(pooled),
+    )
+    out = rows.select(
+        "covariate",
+        F.col("__nt").alias("n_treat"),
+        F.col("__nc").alias("n_control"),
+        "mean_treat",
+        "mean_control",
+        F.round(smd, 4).alias("smd"),
+    )
+    return out.withColumn(
+        "balanced",
+        F.when(F.col("smd").isNotNull(), F.abs(F.col("smd")) < 0.1),
+    )

@@ -17820,3 +17820,268 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 26: 1-D stump, always-valid AB, odds
+# --- ratio, covariate balance
+
+
+def _duck_ent(p: str) -> str:
+    return (
+        f"CASE WHEN {p} > 0 AND {p} < 1 THEN "
+        f"-({p} * log2({p}) + (1 - {p}) * log2(1 - {p})) ELSE 0.0 END"
+    )
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal information-gain split of the discount column against
+    the returned flag — distinct-value collapse + one cumulative
+    window (``stats.decision_stump``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        "l_discount",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return stats.decision_stump(li, "l_discount", "y")
+
+
+ORACLE_DECISION_STUMP = f"""
+WITH per AS (
+    SELECT l_discount AS v, count(*) AS n,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+    FROM lineitem GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           sum(n) OVER w AS ln, sum(p) OVER w AS lp,
+           sum(n) OVER () AS tn, sum(p) OVER () AS tp
+    FROM per
+    WINDOW w AS (ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+rates AS (
+    SELECT v, ln, lp, tn, tp,
+           round(lp * 1.0 / ln, 6) AS lrate,
+           round((tp - lp) * 1.0 / (tn - ln), 6) AS rrate,
+           round(tp * 1.0 / tn, 6) AS brate
+    FROM cum WHERE ln >= 1 AND tn - ln >= 1
+),
+scored AS (
+    SELECT CAST(tn AS BIGINT) AS n, CAST(tp AS BIGINT) AS n_pos,
+           round({_duck_ent('brate')}, 6) AS base_entropy,
+           v AS threshold,
+           round({_duck_ent('brate')}
+                 - (ln * 1.0 / tn) * ({_duck_ent('lrate')})
+                 - ((tn - ln) * 1.0 / tn) * ({_duck_ent('rrate')}),
+                 6) AS gain,
+           CAST(ln AS BIGINT) AS left_n, lrate AS left_rate,
+           CAST(tn - ln AS BIGINT) AS right_n, rrate AS right_rate
+    FROM rates
+)
+SELECT n, n_pos, base_entropy, threshold, gain, left_n, left_rate,
+       right_n, right_rate
+FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, threshold ASC)
+          AS rk FROM scored)
+WHERE rk = 1
+"""
+
+
+_MSPRT_TAU = 1000.0
+
+
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT on order totals, urgent vs low priority —
+    one conditional aggregate, log-space likelihood ratio
+    (``stats.msprt_ab``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.msprt_ab(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW",
+        tau=_MSPRT_TAU,
+    )
+
+
+ORACLE_MSPRT = f"""
+WITH m AS (
+    SELECT CAST(count(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN o_totalprice END) AS BIGINT) AS n_b,
+           round(avg(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice END), 6) AS mean_a,
+           round(avg(CASE WHEN o_orderpriority = '5-LOW'
+                     THEN o_totalprice END), 6) AS mean_b,
+           round(var_samp(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice END), 6) AS va,
+           round(var_samp(CASE WHEN o_orderpriority = '5-LOW'
+                          THEN o_totalprice END), 6) AS vb
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+staged AS (
+    SELECT n_a, n_b, mean_a, mean_b,
+           round(CASE WHEN n_a > 1 AND n_b > 1
+                 THEN ((n_a - 1) * va + (n_b - 1) * vb)
+                      / (n_a + n_b - 2.0) END, 6) AS pooled_var
+    FROM m
+),
+lam AS (
+    SELECT n_a, n_b, mean_a, mean_b, pooled_var,
+           round(CASE WHEN pooled_var > 0 AND n_a > 1 AND n_b > 1
+                 THEN 0.5 * (ln(2.0 * pooled_var)
+                      - ln(2.0 * pooled_var
+                           + (2.0 * n_a * n_b / (n_a + n_b))
+                             * {_MSPRT_TAU!r} * {_MSPRT_TAU!r}))
+                      + (pow(2.0 * n_a * n_b / (n_a + n_b), 2)
+                         * {_MSPRT_TAU!r} * {_MSPRT_TAU!r}
+                         * (mean_a - mean_b) * (mean_a - mean_b))
+                        / (4.0 * pooled_var
+                           * (2.0 * pooled_var
+                              + (2.0 * n_a * n_b / (n_a + n_b))
+                                * {_MSPRT_TAU!r} * {_MSPRT_TAU!r}))
+                 END, 6) AS log_lambda
+    FROM staged
+)
+SELECT n_a, n_b, mean_a, mean_b, pooled_var, log_lambda,
+       round(CASE WHEN log_lambda IS NOT NULL
+             THEN least(1.0, exp(-log_lambda)) END, 6)
+           AS p_always_valid
+FROM lam
+"""
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio (Woolf CI) of deep discounts on returns — one
+    four-cell aggregate (``stats.odds_ratio``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        (F.col("l_discount") > 0.05).alias("deep_discount"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+    )
+    return stats.odds_ratio(li, "deep_discount", "returned")
+
+
+ORACLE_ODDS_RATIO = """
+WITH m AS (
+    SELECT CAST(sum(CASE WHEN l_discount > 0.05
+                    AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_11,
+           CAST(sum(CASE WHEN l_discount > 0.05
+                    AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_10,
+           CAST(sum(CASE WHEN l_discount <= 0.05
+                    AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_01,
+           CAST(sum(CASE WHEN l_discount <= 0.05
+                    AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_00
+    FROM lineitem
+),
+adj AS (
+    SELECT n_11, n_10, n_01, n_00,
+           CASE WHEN n_11 = 0 OR n_10 = 0 OR n_01 = 0 OR n_00 = 0
+                THEN 0.5 ELSE 0.0 END AS h
+    FROM m
+),
+staged AS (
+    SELECT n_11, n_10, n_01, n_00,
+           round(ln(((n_11 + h) * (n_00 + h))
+                    / ((n_10 + h) * (n_01 + h))), 6) AS lor,
+           round(sqrt(1.0 / (n_11 + h) + 1.0 / (n_10 + h)
+                      + 1.0 / (n_01 + h) + 1.0 / (n_00 + h)), 6) AS se
+    FROM adj
+)
+SELECT n_11, n_10, n_01, n_00,
+       round(exp(lor), 4) AS odds_ratio,
+       round(exp(lor - 1.96 * se), 4) AS ci_low,
+       round(exp(lor + 1.96 * se), 4) AS ci_high
+FROM staged
+"""
+
+
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMD balance table for urgent-vs-rest orders over price and
+    order month — every covariate's moments in ONE corpus pass
+    (``stats.covariate_balance``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("treat"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.month("o_orderdate").cast("double").alias("order_month"),
+    )
+    return stats.covariate_balance(
+        o, "treat", ["totalprice", "order_month"]
+    )
+
+
+ORACLE_COVARIATE_BALANCE = """
+WITH m AS (
+    SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+           round(avg(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice END), 6) AS mt_p,
+           round(avg(CASE WHEN o_orderpriority <> '1-URGENT'
+                     THEN o_totalprice END), 6) AS mc_p,
+           round(var_samp(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice END), 6) AS vt_p,
+           round(var_samp(CASE WHEN o_orderpriority <> '1-URGENT'
+                          THEN o_totalprice END), 6) AS vc_p,
+           round(avg(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN month(o_orderdate) END), 6) AS mt_m,
+           round(avg(CASE WHEN o_orderpriority <> '1-URGENT'
+                     THEN month(o_orderdate) END), 6) AS mc_m,
+           round(var_samp(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN CAST(month(o_orderdate) AS DOUBLE) END),
+                 6) AS vt_m,
+           round(var_samp(CASE WHEN o_orderpriority <> '1-URGENT'
+                          THEN CAST(month(o_orderdate) AS DOUBLE) END),
+                 6) AS vc_m
+    FROM orders
+),
+rows_ AS (
+    SELECT 'totalprice' AS covariate, nt, nc, mt_p AS mean_treat,
+           mc_p AS mean_control, vt_p AS vt, vc_p AS vc FROM m
+    UNION ALL
+    SELECT 'order_month', nt, nc, mt_m, mc_m, vt_m, vc_m FROM m
+)
+SELECT covariate, nt AS n_treat, nc AS n_control, mean_treat,
+       mean_control,
+       round(CASE WHEN (vt + vc) / 2.0 > 0
+             THEN (mean_treat - mean_control) / sqrt((vt + vc) / 2.0)
+             END, 4) AS smd,
+       CASE WHEN (vt + vc) / 2.0 > 0
+            THEN abs(round(CASE WHEN (vt + vc) / 2.0 > 0
+                 THEN (mean_treat - mean_control)
+                      / sqrt((vt + vc) / 2.0) END, 4)) < 0.1
+            END AS balanced
+FROM rows_
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "decision_stump": q_decision_stump,
+        "msprt_ab": q_msprt,
+        "odds_ratio": q_odds_ratio,
+        "covariate_balance": q_covariate_balance,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "decision_stump": ORACLE_DECISION_STUMP,
+        "msprt_ab": ORACLE_MSPRT,
+        "odds_ratio": ORACLE_ODDS_RATIO,
+        "covariate_balance": ORACLE_COVARIATE_BALANCE,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

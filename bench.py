@@ -278,6 +278,16 @@ BENCH_QUERIES = [
     "unseen_mass",
     "cooccurrence_lift",
     "heaps_law",
+    # round-10 widening batch 25
+    "mcnemar",
+    "fleiss_kappa",
+    "durbin_watson",
+    "trimmed_mean",
+    # round-10 widening batch 26
+    "decision_stump",
+    "msprt_ab",
+    "odds_ratio",
+    "covariate_balance",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -496,6 +496,20 @@ HEAVY = [
     "unseen_mass",
     "cooccurrence_lift",
     "heaps_law",
+    # round-10 widening batch 25: mcnemar/odds collapse to four cells,
+    # fleiss to (item, cat) cells, DW to day-grain windows, trimmed
+    # mean to one rank window on the group key (row-linear)
+    "mcnemar",
+    "fleiss_kappa",
+    "durbin_watson",
+    "trimmed_mean",
+    # round-10 widening batch 26: stump collapses to the value domain,
+    # msprt/OR/balance to one conditional aggregate each (flat over a
+    # linear scan)
+    "decision_stump",
+    "msprt_ab",
+    "odds_ratio",
+    "covariate_balance",
 ]
 
 ALL_TABLES = (
