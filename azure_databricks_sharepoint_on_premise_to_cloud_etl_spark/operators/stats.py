@@ -5438,3 +5438,220 @@ def covariate_balance(
         "balanced",
         F.when(F.col("smd").isNotNull(), F.abs(F.col("smd")) < 0.1),
     )
+
+
+def tail_risk(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.95,
+) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall (CVaR) per group at level
+    ``q`` — the tail pair behind exposure dashboards and SLA-burn
+    reports (VaR answers "how bad is the q-quantile case"; ES answers
+    "how bad is the AVERAGE case beyond it", the coherent one).
+
+    VaR uses the exact order statistic ``x_(⌈q·n⌉)`` (no
+    interpolation — engine-identical by construction); ES averages
+    all observations ≥ VaR by VALUE, so rank ties among equal values
+    cannot change the result (the :func:`trimmed_mean` tie
+    discipline).
+
+    Scale shape: one rank window per group (single shuffle on the
+    key), the k VaR rows broadcast back, one conditional aggregate.
+    Returns (group, n, var_q, tail_n, es_q).
+    """
+    if not 0 < q < 1:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.filter(g.isNotNull() & x.isNotNull()).select(
+        g.alias("__g"), x.alias("__x")
+    )
+    w_rank = Window.partitionBy("__g").orderBy(F.col("__x").asc())
+    w_all = Window.partitionBy("__g")
+    ranked = base.withColumn("__r", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    var_rows = ranked.filter(
+        F.col("__r") == F.ceil(F.col("__n") * F.lit(float(q)))
+    ).select(
+        F.col("__g").alias("__vg"),
+        F.col("__x").alias("__var"),
+        F.col("__n").alias("__vn"),
+    )
+    joined = base.join(
+        F.broadcast(var_rows), F.col("__g") == F.col("__vg")
+    )
+    return (
+        joined.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.max("__vn").alias("n"),
+            F.round(F.max("__var"), 6).alias("var_q"),
+            F.count(
+                F.when(F.col("__x") >= F.col("__var"), 1)
+            ).alias("tail_n"),
+            F.round(
+                F.avg(F.when(F.col("__x") >= F.col("__var"), F.col("__x"))),
+                6,
+            ).alias("es_q"),
+        )
+    )
+
+
+def fixed_effects_ols(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-way fixed-effects (within) OLS: regress y on x after
+    absorbing entity AND period means — the workhorse panel estimator
+    that kills every time-invariant entity confounder and every
+    entity-invariant shock before estimating the slope
+    (``x̃ = x − x̄_i − x̄_t + x̄``; ``β = Σx̃ỹ / Σx̃²``), with the
+    classical SE on the within-residual dof ``n − N_i − N_t + 1``.
+
+    Scale shape: two keyed mean collapses (entity, period) broadcast
+    back onto one corpus pass, the grand mean rides a one-row
+    crossJoin, then ONE final aggregate — no window over the corpus,
+    three small shuffles.  All means rounded to 6 decimals first;
+    degenerate shapes (zero within-variance, non-positive dof) yield
+    NULL via lazy CASE.
+
+    Returns one row: (n, n_entities, n_periods, beta, se).
+    """
+    e = F.col(entity_col)
+    t = F.col(time_col)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(
+        e.isNotNull() & t.isNotNull() & x.isNotNull() & y.isNotNull()
+    ).select(e.alias("__e"), t.alias("__t"), x.alias("__x"), y.alias("__y"))
+    ent = base.groupBy("__e").agg(
+        F.round(F.avg("__x"), 6).alias("__xe"),
+        F.round(F.avg("__y"), 6).alias("__ye"),
+    )
+    per = base.groupBy("__t").agg(
+        F.round(F.avg("__x"), 6).alias("__xt"),
+        F.round(F.avg("__y"), 6).alias("__yt"),
+    )
+    grand = base.agg(
+        F.round(F.avg("__x"), 6).alias("__xg"),
+        F.round(F.avg("__y"), 6).alias("__yg"),
+    )
+    demeaned = (
+        base.join(F.broadcast(ent), "__e")
+        .join(F.broadcast(per), "__t")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "__e",
+            "__t",
+            (F.col("__x") - F.col("__xe") - F.col("__xt") + F.col("__xg")).alias(
+                "__xd"
+            ),
+            (F.col("__y") - F.col("__ye") - F.col("__yt") + F.col("__yg")).alias(
+                "__yd"
+            ),
+        )
+    )
+    m = demeaned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("__e").alias("n_entities"),
+        F.countDistinct("__t").alias("n_periods"),
+        F.round(F.sum(F.col("__xd") * F.col("__yd")), 6).alias("__sxy"),
+        F.round(F.sum(F.col("__xd") * F.col("__xd")), 6).alias("__sxx"),
+        F.round(F.sum(F.col("__yd") * F.col("__yd")), 6).alias("__syy"),
+    )
+    beta = F.when(F.col("__sxx") > 0, F.col("__sxy") / F.col("__sxx"))
+    staged = m.select(
+        "n",
+        "n_entities",
+        "n_periods",
+        F.round(beta, 6).alias("__b"),
+        "__sxy",
+        "__sxx",
+        "__syy",
+    )
+    dof = (
+        F.col("n").cast("double")
+        - F.col("n_entities")
+        - F.col("n_periods")
+        + 1
+    )
+    ssr = F.col("__syy") - F.col("__b") * F.col("__b") * F.col("__sxx")
+    se = F.when(
+        (F.col("__b").isNotNull()) & (dof > 0) & (ssr >= 0),
+        F.sqrt((ssr / dof) / F.col("__sxx")),
+    )
+    return staged.select(
+        "n",
+        "n_entities",
+        "n_periods",
+        F.round(F.col("__b"), 4).alias("beta"),
+        F.round(se, 4).alias("se"),
+    )
+
+
+def relative_risk(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Relative risk (risk ratio) with the Katz log 95% CI —
+    :func:`odds_ratio`'s sibling for cohort-style questions where the
+    outcome is common enough that odds exaggerate ("exposed users
+    convert RR× as often", not OR×).  ``RR = [a/(a+b)] / [c/(c+d)]``;
+    ``se(ln RR) = √(1/a − 1/(a+b) + 1/c − 1/(c+d))``;
+    Haldane +0.5 on every cell when a zero NUMERATOR cell (a or c)
+    would degenerate the ratio.
+
+    Scale shape: ONE conditional hash aggregate to four cells.
+
+    Returns one row: (n_exp_out, n_exp_no, n_unexp_out, n_unexp_no,
+    risk_exposed, risk_unexposed, relative_risk, ci_low, ci_high).
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    m = df.filter(e.isNotNull() & o.isNotNull()).agg(
+        F.sum((e & o).cast("long")).alias("n_exp_out"),
+        F.sum((e & ~o).cast("long")).alias("n_exp_no"),
+        F.sum((~e & o).cast("long")).alias("n_unexp_out"),
+        F.sum((~e & ~o).cast("long")).alias("n_unexp_no"),
+    )
+    any_zero = (F.col("n_exp_out") == 0) | (F.col("n_unexp_out") == 0)
+    adj = F.when(any_zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("n_exp_out").cast("double") + adj
+    b = F.col("n_exp_no").cast("double") + adj
+    c = F.col("n_unexp_out").cast("double") + adj
+    d = F.col("n_unexp_no").cast("double") + adj
+    r1 = a / (a + b)
+    r0 = c / (c + d)
+    staged = m.select(
+        "n_exp_out",
+        "n_exp_no",
+        "n_unexp_out",
+        "n_unexp_no",
+        F.round(r1, 6).alias("risk_exposed"),
+        F.round(r0, 6).alias("risk_unexposed"),
+        F.round(F.log(r1 / r0), 6).alias("__lrr"),
+        F.round(
+            F.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d)), 6
+        ).alias("__se"),
+    )
+    return staged.select(
+        "n_exp_out",
+        "n_exp_no",
+        "n_unexp_out",
+        "n_unexp_no",
+        "risk_exposed",
+        "risk_unexposed",
+        F.round(F.exp(F.col("__lrr")), 4).alias("relative_risk"),
+        F.round(
+            F.exp(F.col("__lrr") - 1.96 * F.col("__se")), 4
+        ).alias("ci_low"),
+        F.round(
+            F.exp(F.col("__lrr") + 1.96 * F.col("__se")), 4
+        ).alias("ci_high"),
+    )

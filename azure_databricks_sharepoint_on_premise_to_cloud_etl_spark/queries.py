@@ -18085,3 +18085,193 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 27: tail risk, panel FE, risk ratio
+
+
+_TR_Q = 0.95
+
+
+def q_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR(95) + expected shortfall of order totals per priority —
+    one rank window, value-based tail (``stats.tail_risk``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.tail_risk(o, "o_orderpriority", "o_totalprice", q=_TR_Q)
+
+
+ORACLE_TAIL_RISK = f"""
+WITH ranked AS (
+    SELECT o_orderpriority AS g, o_totalprice AS x,
+           row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC) AS r,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+v AS (
+    SELECT g, x AS var, n FROM ranked
+    WHERE r = CAST(ceil(n * {_TR_Q!r}) AS BIGINT)
+)
+SELECT ranked.g AS o_orderpriority,
+       CAST(max(v.n) AS BIGINT) AS n,
+       round(max(v.var), 6) AS var_q,
+       CAST(count(CASE WHEN ranked.x >= v.var THEN 1 END) AS BIGINT)
+           AS tail_n,
+       round(avg(CASE WHEN ranked.x >= v.var THEN ranked.x END), 6)
+           AS es_q
+FROM ranked JOIN v ON ranked.g = v.g
+GROUP BY 1
+"""
+
+
+def q_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects slope of daily revenue on daily event
+    count, entity = event type, period = day — two mean collapses,
+    one aggregate (``stats.fixed_effects_ols``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    panel = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("day_value"),
+    )
+    return stats.fixed_effects_ols(
+        panel, "event_type", "day", "n_events", "day_value"
+    )
+
+
+ORACLE_FIXED_EFFECTS = """
+WITH panel AS (
+    SELECT event_type AS e, CAST(ts AS DATE) AS t,
+           CAST(count(*) AS DOUBLE) AS x,
+           round(sum(value), 4) AS y
+    FROM events GROUP BY 1, 2
+),
+ent AS (
+    SELECT e, round(avg(x), 6) AS xe, round(avg(y), 6) AS ye
+    FROM panel GROUP BY 1
+),
+per AS (
+    SELECT t, round(avg(x), 6) AS xt, round(avg(y), 6) AS yt
+    FROM panel GROUP BY 1
+),
+grand AS (
+    SELECT round(avg(x), 6) AS xg, round(avg(y), 6) AS yg FROM panel
+),
+demeaned AS (
+    SELECT panel.e, panel.t,
+           panel.x - ent.xe - per.xt + grand.xg AS xd,
+           panel.y - ent.ye - per.yt + grand.yg AS yd
+    FROM panel JOIN ent USING (e) JOIN per USING (t) CROSS JOIN grand
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT e) AS BIGINT) AS n_entities,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_periods,
+           round(sum(xd * yd), 6) AS sxy,
+           round(sum(xd * xd), 6) AS sxx,
+           round(sum(yd * yd), 6) AS syy
+    FROM demeaned
+),
+staged AS (
+    SELECT n, n_entities, n_periods, sxy, sxx, syy,
+           round(CASE WHEN sxx > 0 THEN sxy / sxx END, 6) AS b
+    FROM m
+)
+SELECT n, n_entities, n_periods,
+       round(b, 4) AS beta,
+       round(CASE WHEN b IS NOT NULL
+                  AND n - n_entities - n_periods + 1 > 0
+                  AND syy - b * b * sxx >= 0
+             THEN sqrt(((syy - b * b * sxx)
+                        / (n - n_entities - n_periods + 1.0)) / sxx)
+             END, 4) AS se
+FROM staged
+"""
+
+
+def q_relative_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk ratio (Katz CI) of deep discounts on returns — the
+    cohort-framed twin of the odds-ratio query
+    (``stats.relative_risk``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        (F.col("l_discount") > 0.05).alias("deep_discount"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+    )
+    return stats.relative_risk(li, "deep_discount", "returned")
+
+
+ORACLE_RELATIVE_RISK = """
+WITH m AS (
+    SELECT CAST(sum(CASE WHEN l_discount > 0.05
+                    AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exp_out,
+           CAST(sum(CASE WHEN l_discount > 0.05
+                    AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exp_no,
+           CAST(sum(CASE WHEN l_discount <= 0.05
+                    AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unexp_out,
+           CAST(sum(CASE WHEN l_discount <= 0.05
+                    AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unexp_no
+    FROM lineitem
+),
+adj AS (
+    SELECT *, CASE WHEN n_exp_out = 0 OR n_unexp_out = 0
+                   THEN 0.5 ELSE 0.0 END AS h
+    FROM m
+),
+staged AS (
+    SELECT n_exp_out, n_exp_no, n_unexp_out, n_unexp_no,
+           round((n_exp_out + h) / (n_exp_out + h + n_exp_no + h), 6)
+               AS risk_exposed,
+           round((n_unexp_out + h)
+                 / (n_unexp_out + h + n_unexp_no + h), 6)
+               AS risk_unexposed,
+           round(ln(((n_exp_out + h)
+                     / (n_exp_out + h + n_exp_no + h))
+                    / ((n_unexp_out + h)
+                       / (n_unexp_out + h + n_unexp_no + h))), 6)
+               AS lrr,
+           round(sqrt(1.0 / (n_exp_out + h)
+                      - 1.0 / (n_exp_out + h + n_exp_no + h)
+                      + 1.0 / (n_unexp_out + h)
+                      - 1.0 / (n_unexp_out + h + n_unexp_no + h)), 6)
+               AS se
+    FROM adj
+)
+SELECT n_exp_out, n_exp_no, n_unexp_out, n_unexp_no,
+       risk_exposed, risk_unexposed,
+       round(exp(lrr), 4) AS relative_risk,
+       round(exp(lrr - 1.96 * se), 4) AS ci_low,
+       round(exp(lrr + 1.96 * se), 4) AS ci_high
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "tail_risk": q_tail_risk,
+        "fixed_effects": q_fixed_effects,
+        "relative_risk": q_relative_risk,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "tail_risk": ORACLE_TAIL_RISK,
+        "fixed_effects": ORACLE_FIXED_EFFECTS,
+        "relative_risk": ORACLE_RELATIVE_RISK,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

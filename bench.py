@@ -288,6 +288,10 @@ BENCH_QUERIES = [
     "msprt_ab",
     "odds_ratio",
     "covariate_balance",
+    # round-10 widening batch 27
+    "tail_risk",
+    "fixed_effects",
+    "relative_risk",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -510,6 +510,12 @@ HEAVY = [
     "msprt_ab",
     "odds_ratio",
     "covariate_balance",
+    # round-10 widening batch 27: tail_risk is one rank window on the
+    # group key (row-linear); FE is three keyed mean collapses + one
+    # aggregate; RR is a four-cell aggregate (flat)
+    "tail_risk",
+    "fixed_effects",
+    "relative_risk",
 ]
 
 ALL_TABLES = (
