@@ -18275,3 +18275,80 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 28: streaming Page-Hinkley drift monitor
+
+
+def _ph_series_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the DAY-grain per-type event-count series as a
+    MICROS-timestamp parquet dir for the file stream (the raw fixture
+    is TIMESTAMP(NANOS), which the pinned ``nanosAsLong`` conf would
+    surface as long and break the declared stream schema)."""
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("event_type").alias("series_key"),
+        F.to_date(F.col("ts")).cast("timestamp").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    d = tempfile.mkdtemp(prefix="stream_ph_series_")
+    series.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "series")
+    )
+    return os.path.join(d, "series")
+
+
+def _stream_plan_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_page_hinkley: file
+    stream over the day series -> applyInPandasWithState recursion
+    (state = four scalars per key)."""
+    from .streaming.stateful import streaming_page_hinkley
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _ph_series_stream_dir(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "series_key STRING, t TIMESTAMP, x DOUBLE"
+    ).parquet(src)
+    return streaming_page_hinkley(
+        stream, delta=_PH_DELTA, threshold=_PH_THRESHOLD
+    )
+
+
+def q_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch page_hinkley query: the same
+    day-grain series drained through the stateful recursion
+    (``streaming.stateful.streaming_page_hinkley``) — shares the
+    batch oracle, so the two formulations must agree exactly."""
+    import tempfile
+
+    from .streaming import incremental
+
+    agg = _stream_plan_page_hinkley(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_ph_ckpt_")
+    incremental.run_to_memory_sink(
+        agg, "stream_ph_out", ckpt, output_mode="append"
+    )
+    return spark.table("stream_ph_out").select(
+        F.col("series_key").alias("event_type"),
+        F.col("t").cast("date").alias("day"),
+        F.col("x").alias("n_events"),
+        "ph_stat",
+        "drift",
+    )
+
+
+AUX_QUERIES["streaming_page_hinkley"] = q_streaming_page_hinkley
+AUX_ORACLES["streaming_page_hinkley"] = ORACLE_PAGE_HINKLEY
+STREAMING_PLAN_BUILDERS["streaming_page_hinkley"] = (
+    _stream_plan_page_hinkley
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+assert set(STREAMING_PLAN_BUILDERS) == {
+    n for n in AUX_QUERIES if n.startswith("streaming_")
+}, "every streaming AUX query needs a pre-sink plan builder for the audit"

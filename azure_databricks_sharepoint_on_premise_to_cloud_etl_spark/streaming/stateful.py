@@ -188,3 +188,86 @@ def streaming_sequence_match(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PH_SCHEMA = (
+    "series_key STRING, t TIMESTAMP, x DOUBLE, ph_stat DOUBLE, "
+    "drift BOOLEAN"
+)
+PH_STATE_SCHEMA = "n LONG, sum_x DOUBLE, m DOUBLE, m_min DOUBLE"
+
+
+def _make_update_page_hinkley(delta: float, threshold: float):
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout path
+            state.remove()
+            return
+
+        n, sum_x, m, m_min = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("t")
+        out_t, out_x, out_ph = [], [], []
+        for t, x in zip(batch["t"], batch["x"]):
+            n += 1
+            sum_x += float(x)
+            term = round(float(x) - sum_x / n - delta, 6)
+            m += term
+            if n == 1 or m < m_min:
+                m_min = m
+            out_t.append(t)
+            out_x.append(float(x))
+            out_ph.append(round(m - m_min, 6))
+        state.update((n, sum_x, m, m_min))
+        yield pd.DataFrame(
+            {
+                "series_key": key[0],
+                "t": out_t,
+                "x": out_x,
+                "ph_stat": out_ph,
+                "drift": [p > threshold for p in out_ph],
+            }
+        )
+
+    return update
+
+
+def streaming_page_hinkley(
+    series: DataFrame,
+    delta: float = 0.0,
+    threshold: float = 10.0,
+) -> DataFrame:
+    """Streaming twin of ``stats.page_hinkley``: the Page–Hinkley
+    upward-drift statistic maintained ACROSS micro-batches with
+    applyInPandasWithState — per-key state is four scalars
+    (n, Σx, m, min m), so a metric stream alarms within the
+    micro-batch that crosses the threshold instead of waiting for a
+    batch recompute.
+
+    Input is the SERIES grain: columns (series_key STRING,
+    t TIMESTAMP, x DOUBLE) — pre-collapse raw events to
+    minutes/days upstream.  Batches must arrive in time order per key
+    (file-source ordering); rows within a batch are sorted here.
+    Emits every point with its PH statistic and drift flag — on a
+    single drained batch the output equals the batch operator row for
+    row (pinned by pytest).
+
+    State is O(1) per key regardless of stream length — the entire
+    point of the recursion over the batch twin's three stacked
+    windows.
+    """
+    return (
+        series.groupBy("series_key")
+        .applyInPandasWithState(
+            _make_update_page_hinkley(float(delta), float(threshold)),
+            outputStructType=PH_SCHEMA,
+            stateStructType=PH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
