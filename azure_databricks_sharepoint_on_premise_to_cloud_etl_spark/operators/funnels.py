@@ -989,3 +989,128 @@ def cooccurrence_lift(
             4,
         ).alias("lift"),
     )
+
+
+def behavior_entropy(
+    df: DataFrame,
+    entity_col: str,
+    action_col: str,
+) -> DataFrame:
+    """Shannon entropy of each entity's action distribution (bits) —
+    the behavioral-diversity fingerprint (entropy ≈ 0: single-action
+    bots and scrapers; high entropy: organically mixed usage), the
+    per-entity complement of the corpus-level token entropy.
+
+    Scale shape: two stacked hash aggregates — (entity, action)
+    counts, then the per-entity entropy fold — shuffle volume is the
+    incidence table, never the event grain twice.  Shares are rounded
+    to 6 decimals FIRST (cross-engine determinism).
+
+    Returns (entity, n_actions, n_distinct, entropy_bits).
+    """
+    e = F.col(entity_col)
+    a = F.col(action_col)
+    counts = (
+        df.filter(e.isNotNull() & a.isNotNull())
+        .groupBy(e.alias("__e"), a.alias("__a"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__e")
+    share = F.round(
+        F.col("__c").cast("double") / F.sum("__c").over(w), 6
+    )
+    staged = counts.withColumn("__p", share)
+    term = F.when(F.col("__p") > 0, -F.col("__p") * F.log2("__p")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        staged.groupBy(F.col("__e").alias(entity_col))
+        .agg(
+            F.sum("__c").alias("n_actions"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum(term), 6).alias("entropy_bits"),
+        )
+    )
+
+
+def markov_next_accuracy(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor: learn
+    argmax P(next | current) from the observed transition counts, then
+    score it on every transition — the honesty check that should
+    accompany any transition-matrix readout (a matrix nobody validates
+    predicts nothing).
+
+    In-sample by design (the standard quick look); feed a train/test
+    split upstream for out-of-sample rigor.  Prediction ties break to
+    the lexicographically smallest next state (deterministic).
+
+    Scale shape: one lag window per entity builds the transition
+    pairs (single shuffle on the entity key); counts collapse to the
+    state-domain-squared cell table; the argmax is a window over
+    those k² rows; scoring is one broadcast join of the k-row policy
+    back onto the pairs.
+
+    Returns one row per current state plus the overall row
+    (state = '(all)'): (state, predicted_next, n_transitions, n_hits,
+    accuracy).
+    """
+    e = F.col(entity_col)
+    order = [F.col(time_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(e).orderBy(*order)
+    pairs = (
+        df.filter(e.isNotNull() & F.col(state_col).isNotNull())
+        .withColumn("__next", F.lead(state_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(F.col(state_col).alias("__cur"), "__next")
+    )
+    cells = pairs.groupBy("__cur", "__next").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_best = Window.partitionBy("__cur").orderBy(
+        F.col("__c").desc(), F.col("__next").asc()
+    )
+    policy = (
+        cells.withColumn("__rk", F.row_number().over(w_best))
+        .filter(F.col("__rk") == 1)
+        .select("__cur", F.col("__next").alias("predicted_next"))
+    )
+    scored = pairs.join(F.broadcast(policy), "__cur").select(
+        "__cur",
+        "predicted_next",
+        (F.col("__next") == F.col("predicted_next")).cast("long").alias(
+            "__hit"
+        ),
+    )
+    per_state = scored.groupBy(
+        F.col("__cur").alias("state"), "predicted_next"
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("__hit").alias("n_hits"),
+    )
+    overall = scored.agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("__hit").alias("n_hits"),
+    ).select(
+        F.lit("(all)").alias("state"),
+        F.lit(None).cast("string").alias("predicted_next"),
+        "n_transitions",
+        "n_hits",
+    )
+    out = per_state.unionByName(overall)
+    return out.select(
+        "state",
+        "predicted_next",
+        "n_transitions",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_transitions"), 6
+        ).alias("accuracy"),
+    )

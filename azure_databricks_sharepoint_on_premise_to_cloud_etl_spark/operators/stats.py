@@ -5655,3 +5655,71 @@ def relative_risk(
             F.exp(F.col("__lrr") + 1.96 * F.col("__se")), 4
         ).alias("ci_high"),
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    group_col: str,
+    numer_col: str,
+    denom_col: str,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric
+    (clicks/views, revenue/sessions) aggregated per randomization
+    unit — the correct A/B machinery for per-user ratio KPIs, where
+    naively treating the pooled ratio as a mean of independent rows
+    understates variance (users, not events, are the i.i.d. unit):
+
+        r = Σn/Σd;  Var(r) ≈ (σ²_n − 2r·cov(n,d) + r²·σ²_d) / (N·d̄²)
+
+    Input grain: one row per (arm, unit) with the unit's numerator
+    and denominator totals (pre-collapse events upstream).
+
+    Scale shape: ONE hash aggregate per arm over the unit table
+    (moments + covariance, map-side combined), scalar arithmetic
+    after; moments rounded to 6 decimals first, lazy-CASE guards for
+    single-unit arms and zero denominators.
+
+    Returns one row per arm: (group, n_units, ratio, se, ci_low,
+    ci_high).
+    """
+    g = F.col(group_col)
+    n = F.col(numer_col).cast("double")
+    d = F.col(denom_col).cast("double")
+    m = (
+        df.filter(g.isNotNull() & n.isNotNull() & d.isNotNull())
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.round(F.avg(n), 6).alias("__mn"),
+            F.round(F.avg(d), 6).alias("__md"),
+            F.round(F.var_samp(n), 6).alias("__vn"),
+            F.round(F.var_samp(d), 6).alias("__vd"),
+            F.round(F.covar_samp(n, d), 6).alias("__cnd"),
+        )
+    )
+    r = F.when(F.col("__md") != 0, F.col("__mn") / F.col("__md"))
+    staged = m.withColumn("ratio", F.round(r, 6))
+    var = (
+        F.col("__vn")
+        - 2 * F.col("ratio") * F.col("__cnd")
+        + F.col("ratio") * F.col("ratio") * F.col("__vd")
+    ) / (
+        F.col("n_units").cast("double")
+        * F.col("__md")
+        * F.col("__md")
+    )
+    se = F.when(
+        (F.col("n_units") > 1)
+        & F.col("ratio").isNotNull()
+        & (var >= 0),
+        F.sqrt(var),
+    )
+    staged2 = staged.withColumn("se", F.round(se, 6))
+    return staged2.select(
+        group_col,
+        "n_units",
+        "ratio",
+        "se",
+        F.round(F.col("ratio") - 1.96 * F.col("se"), 6).alias("ci_low"),
+        F.round(F.col("ratio") + 1.96 * F.col("se"), 6).alias("ci_high"),
+    )

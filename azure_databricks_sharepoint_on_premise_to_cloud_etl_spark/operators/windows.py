@@ -1233,3 +1233,68 @@ def croston_forecast(
         ).alias("forecast"),
     )
     return out
+
+
+def local_peaks(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    neighbors: int = 2,
+    min_sigma: float = 1.0,
+) -> DataFrame:
+    """Local-maximum peak detection per series: a point is a peak when
+    it strictly exceeds its ``neighbors`` preceding AND following
+    points and sits at least ``min_sigma`` group-standard-deviations
+    above the group mean — the pragmatic spike finder for incident
+    review and launch-day retrospectives (plateau points tie their
+    neighbors and are correctly NOT peaks under strict inequality).
+
+    Scale shape: one fixed-width window pair per group (max over the
+    w preceding / w following rows, O(w) state) on a single key
+    shuffle, plus a broadcast of the per-group moments (rounded to 6
+    decimals first).  Series edges (fewer than ``neighbors`` points
+    on a side) cannot qualify — the window counts enforce it.
+
+    Returns peak rows only: (group, time, value, z).
+    """
+    if neighbors < 1:
+        raise ValueError(f"neighbors must be >= 1, got {neighbors}")
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    moments = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.round(F.avg(x), 6).alias("__mu"),
+            F.round(F.stddev_samp(x), 6).alias("__sd"),
+        )
+    )
+    w_before = (
+        Window.partitionBy(g)
+        .orderBy(F.col(time_col).asc())
+        .rowsBetween(-neighbors, -1)
+    )
+    w_after = (
+        Window.partitionBy(g)
+        .orderBy(F.col(time_col).asc())
+        .rowsBetween(1, neighbors)
+    )
+    staged = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .withColumn("__maxb", F.max(x).over(w_before))
+        .withColumn("__cntb", F.count(x).over(w_before))
+        .withColumn("__maxa", F.max(x).over(w_after))
+        .withColumn("__cnta", F.count(x).over(w_after))
+        .join(F.broadcast(moments), g == F.col("__g"))
+        .filter(F.col("__sd") > 0)
+        .withColumn("z", F.round((x - F.col("__mu")) / F.col("__sd"), 6))
+    )
+    peaks = staged.filter(
+        (F.col("__cntb") == neighbors)
+        & (F.col("__cnta") == neighbors)
+        & (x > F.col("__maxb"))
+        & (x > F.col("__maxa"))
+        & (F.col("z") >= F.lit(float(min_sigma)))
+    )
+    return peaks.select(group_col, time_col, value_col, "z")

@@ -18352,3 +18352,230 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
 assert set(STREAMING_PLAN_BUILDERS) == {
     n for n in AUX_QUERIES if n.startswith("streaming_")
 }, "every streaming AUX query needs a pre-sink plan builder for the audit"
+
+
+# --- round-10 widening batch 29: behavioral entropy, Markov backtest,
+# --- peak detection, ratio-metric CI
+
+
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user action-mix entropy over event types — two stacked
+    aggregates, the bot-vs-organic diversity fingerprint
+    (``funnels.behavior_entropy``)."""
+    from .operators.funnels import behavior_entropy
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return behavior_entropy(e, "user_id", "event_type")
+
+
+ORACLE_BEHAVIOR_ENTROPY = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+shares AS (
+    SELECT user_id, c,
+           round(c * 1.0 / sum(c) OVER (PARTITION BY user_id), 6) AS p
+    FROM counts
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_actions,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum(CASE WHEN p > 0 THEN -p * log2(p) ELSE 0.0 END), 6)
+           AS entropy_bits
+FROM shares GROUP BY 1
+"""
+
+
+def q_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample accuracy of the argmax first-order Markov next-event
+    predictor per user stream — lag pairs, cell-table argmax,
+    broadcast policy join (``funnels.markov_next_accuracy``)."""
+    from .operators.funnels import markov_next_accuracy
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return markov_next_accuracy(
+        e, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+ORACLE_MARKOV_NEXT = """
+WITH pairs AS (
+    SELECT event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+    FROM events
+    QUALIFY nxt IS NOT NULL
+),
+cells AS (SELECT cur, nxt, count(*) AS c FROM pairs GROUP BY 1, 2),
+policy AS (
+    SELECT cur, nxt AS predicted_next FROM (
+        SELECT *, row_number() OVER (PARTITION BY cur
+            ORDER BY c DESC, nxt ASC) AS rk FROM cells)
+    WHERE rk = 1
+),
+scored AS (
+    SELECT pairs.cur, policy.predicted_next,
+           CASE WHEN pairs.nxt = policy.predicted_next
+                THEN 1 ELSE 0 END AS hit
+    FROM pairs JOIN policy USING (cur)
+),
+per_state AS (
+    SELECT cur AS state, predicted_next,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(hit) AS BIGINT) AS n_hits
+    FROM scored GROUP BY 1, 2
+),
+overall AS (
+    SELECT '(all)' AS state, CAST(NULL AS VARCHAR) AS predicted_next,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(hit) AS BIGINT) AS n_hits
+    FROM scored
+),
+unioned AS (
+    SELECT * FROM per_state UNION ALL SELECT * FROM overall
+)
+SELECT state, predicted_next, n_transitions, n_hits,
+       round(n_hits * 1.0 / n_transitions, 6) AS accuracy
+FROM unioned
+"""
+
+
+_PEAK_NEIGHBORS = 2
+_PEAK_SIGMA = 1.0
+
+
+def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local maxima of the DAILY event-value series per type (2
+    neighbors each side, >= 1 sigma above the mean) — fixed-width
+    window pair on one key shuffle (``windows.local_peaks``)."""
+    from .operators.windows import local_peaks
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    series = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    return local_peaks(
+        series,
+        "event_type",
+        "day",
+        "day_value",
+        neighbors=_PEAK_NEIGHBORS,
+        min_sigma=_PEAK_SIGMA,
+    )
+
+
+ORACLE_LOCAL_PEAKS = f"""
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           round(sum(value), 4) AS day_value
+    FROM events GROUP BY 1, 2
+),
+mom AS (
+    SELECT event_type AS g, round(avg(day_value), 6) AS mu,
+           round(stddev_samp(day_value), 6) AS sd
+    FROM s GROUP BY 1
+),
+win AS (
+    SELECT s.event_type, s.day, s.day_value, mom.mu, mom.sd,
+           max(day_value) OVER wb AS maxb, count(day_value) OVER wb AS cntb,
+           max(day_value) OVER wa AS maxa, count(day_value) OVER wa AS cnta
+    FROM s JOIN mom ON s.event_type = mom.g
+    WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.day
+                  ROWS BETWEEN {_PEAK_NEIGHBORS} PRECEDING
+                  AND 1 PRECEDING),
+           wa AS (PARTITION BY s.event_type ORDER BY s.day
+                  ROWS BETWEEN 1 FOLLOWING
+                  AND {_PEAK_NEIGHBORS} FOLLOWING)
+)
+SELECT event_type, day, day_value,
+       round((day_value - mu) / sd, 6) AS z
+FROM win
+WHERE sd > 0 AND cntb = {_PEAK_NEIGHBORS} AND cnta = {_PEAK_NEIGHBORS}
+  AND day_value > maxb AND day_value > maxa
+  AND round((day_value - mu) / sd, 6) >= {_PEAK_SIGMA!r}
+"""
+
+
+def q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the per-user purchase-share ratio metric,
+    arms = user-id parity (the randomization-unit-correct A/B
+    machinery) — one unit collapse, one moment aggregate per arm
+    (``stats.ratio_metric_ci``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    units = e.groupBy(
+        F.col("user_id"),
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+    ).agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).cast("double").alias("n_purchases"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    return stats.ratio_metric_ci(units, "arm", "n_purchases", "n_events")
+
+
+ORACLE_RATIO_METRIC = """
+WITH units AS (
+    SELECT user_id,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+           CAST(count(*) AS DOUBLE) AS d
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+           round(avg(n), 6) AS mn, round(avg(d), 6) AS md,
+           round(var_samp(n), 6) AS vn, round(var_samp(d), 6) AS vd,
+           round(covar_samp(n, d), 6) AS cnd
+    FROM units GROUP BY 1
+),
+staged AS (
+    SELECT arm, n_units,
+           round(CASE WHEN md <> 0 THEN mn / md END, 6) AS ratio,
+           mn, md, vn, vd, cnd
+    FROM m
+),
+s2 AS (
+    SELECT arm, n_units, ratio,
+           round(CASE WHEN n_units > 1 AND ratio IS NOT NULL
+                      AND (vn - 2 * ratio * cnd + ratio * ratio * vd)
+                          / (n_units * md * md) >= 0
+                 THEN sqrt((vn - 2 * ratio * cnd
+                            + ratio * ratio * vd)
+                           / (n_units * md * md)) END, 6) AS se
+    FROM staged
+)
+SELECT arm, n_units, ratio, se,
+       round(ratio - 1.96 * se, 6) AS ci_low,
+       round(ratio + 1.96 * se, 6) AS ci_high
+FROM s2
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "behavior_entropy": q_behavior_entropy,
+        "markov_next_accuracy": q_markov_next_accuracy,
+        "local_peaks": q_local_peaks,
+        "ratio_metric_ci": q_ratio_metric_ci,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "behavior_entropy": ORACLE_BEHAVIOR_ENTROPY,
+        "markov_next_accuracy": ORACLE_MARKOV_NEXT,
+        "local_peaks": ORACLE_LOCAL_PEAKS,
+        "ratio_metric_ci": ORACLE_RATIO_METRIC,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

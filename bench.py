@@ -292,6 +292,11 @@ BENCH_QUERIES = [
     "tail_risk",
     "fixed_effects",
     "relative_risk",
+    # round-10 widening batches 28-29
+    "behavior_entropy",
+    "markov_next_accuracy",
+    "local_peaks",
+    "ratio_metric_ci",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -516,6 +516,13 @@ HEAVY = [
     "tail_risk",
     "fixed_effects",
     "relative_risk",
+    # round-10 widening batch 29: entropy/ratio collapse to incidence
+    # or unit tables (row-linear); markov backtest is one lag window +
+    # a state-domain-squared policy; peaks are day-grain windows
+    "behavior_entropy",
+    "markov_next_accuracy",
+    "local_peaks",
+    "ratio_metric_ci",
 ]
 
 ALL_TABLES = (
