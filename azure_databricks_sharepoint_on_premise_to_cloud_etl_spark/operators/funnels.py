@@ -1114,3 +1114,237 @@ def markov_next_accuracy(
             F.col("n_hits").cast("double") / F.col("n_transitions"), 6
         ).alias("accuracy"),
     )
+
+
+MARKOV_START = "__START__"
+MARKOV_CONV = "__CONV__"
+MARKOV_NULL = "__NULL__"
+
+
+def markov_journey_edges(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    channel_col: str,
+    conversion: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse raw events to the Markov-attribution transition-
+    probability cells: per entity, the ordered pre-conversion touch
+    sequence becomes START→first, touch→touch, and last→CONV/NULL
+    edges; probabilities are per-source-normalized counts rounded to
+    6 decimals.
+
+    Touches are events of any non-conversion channel strictly BEFORE
+    the entity's first conversion (all of them for non-converters);
+    a converter whose first event is the conversion contributes the
+    bare START→CONV edge.
+
+    Scale shape: one min-aggregate for conversion times, one lag/lead
+    window per entity (single shuffle on the key), then the count
+    collapse to the (channels+2)² cell table — the ONLY thing that
+    leaves the corpus grain.
+
+    Returns (src, dst, n_edges, p).
+    """
+    e = F.col(entity_col)
+    order = [F.col(time_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    conv_ts = df.filter(F.col(channel_col) == conversion).groupBy(
+        e.alias("__e")
+    ).agg(F.min(time_col).alias("__cts"))
+    base = df.filter(
+        e.isNotNull()
+        & F.col(channel_col).isNotNull()
+        & F.col(time_col).isNotNull()
+    )
+    touches = (
+        base.join(F.broadcast(conv_ts), e == F.col("__e"), "left")
+        .filter(
+            (F.col(channel_col) != conversion)
+            & (
+                F.col("__cts").isNull()
+                | (F.col(time_col) < F.col("__cts"))
+            )
+        )
+        .select(
+            e.alias("__u"),
+            F.col(time_col).alias("__t"),
+            *( [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else [] ),
+            F.col(channel_col).alias("__ch"),
+            F.col("__cts").isNotNull().alias("__converted"),
+        )
+    )
+    w_order = [F.col("__t").asc()] + (
+        [F.col("__tb").asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy("__u").orderBy(*w_order)
+    w_all = Window.partitionBy("__u")
+    seq = (
+        touches.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nxt", F.lead("__ch").over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    starts = seq.filter(F.col("__rn") == 1).select(
+        F.lit(MARKOV_START).alias("src"), F.col("__ch").alias("dst")
+    )
+    mids = seq.filter(F.col("__nxt").isNotNull()).select(
+        F.col("__ch").alias("src"), F.col("__nxt").alias("dst")
+    )
+    ends = seq.filter(F.col("__rn") == F.col("__n")).select(
+        F.col("__ch").alias("src"),
+        F.when(F.col("__converted"), F.lit(MARKOV_CONV))
+        .otherwise(F.lit(MARKOV_NULL))
+        .alias("dst"),
+    )
+    # converters whose first event IS the conversion: bare START->CONV
+    touched = touches.select("__u").distinct()
+    bare = (
+        conv_ts.join(
+            touched, F.col("__e") == touched["__u"], "left_anti"
+        ).select(
+            F.lit(MARKOV_START).alias("src"),
+            F.lit(MARKOV_CONV).alias("dst"),
+        )
+    )
+    edges = starts.unionByName(mids).unionByName(ends).unionByName(bare)
+    counts = edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    w_src = Window.partitionBy("src")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n_edges").cast("double") / F.sum("n_edges").over(w_src),
+            6,
+        ),
+    )
+
+
+def _markov_value_iteration(
+    probs: dict[tuple[str, str], float],
+    channels: list[str],
+    removed: str | None,
+    iterations: int,
+) -> float:
+    """Fixed-iteration conversion-probability solve, arithmetic-
+    deterministic: per state the update is the LEFT-ASSOCIATIVE sum
+    ``p(s→CONV)·1 + Σ_ch p(s→ch)·v_ch`` in declared channel order,
+    rounded to 9 decimals — the exact expression the generated DuckDB
+    oracle evaluates, so both engines produce identical doubles."""
+
+    def pr(s: str, t: str) -> float:
+        if removed is not None and (s == removed or t == removed):
+            return 0.0
+        return probs.get((s, t), 0.0)
+
+    states = [MARKOV_START] + [c for c in channels if c != removed]
+    v = {c: 0.0 for c in channels}
+    for _ in range(iterations):
+        new = {}
+        for s in states:
+            acc = pr(s, MARKOV_CONV) * 1.0
+            for ch in channels:
+                acc = acc + pr(s, ch) * v.get(ch, 0.0)
+            new[s] = round(acc, 9)
+        for s in states:
+            if s != MARKOV_START:
+                v[s] = new[s]
+        v_start = new[MARKOV_START]
+    return v_start
+
+
+def markov_attribution(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    channel_col: str,
+    conversion: str,
+    channels: list[str],
+    tiebreak_col: str | None = None,
+    iterations: int = 100,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    data-driven multi-touch model that asks, channel by channel,
+    "how much conversion probability disappears if this channel's
+    node is deleted from the journey graph?", then splits the
+    observed conversions by normalized removal effect.  The principled
+    upgrade over positional rules (linear/time-decay), sensitive to a
+    channel's GRAPH position rather than its timestamps.
+
+    Scale shape: the corpus collapses to the (channels+2)² transition
+    cells via :func:`markov_journey_edges` (windows on the entity
+    key); the absorbing-chain solves run DRIVER-SIDE on that
+    dimension-bounded cell table (the graph union-find precedent —
+    k+1 value iterations over ≤ (k+1) states each, microseconds for
+    any realistic channel count).  ``channels`` is DECLARED, not
+    inferred, pinning both the state order of the deterministic
+    arithmetic and the removal-scenario set.
+
+    Returns one row per channel: (channel, base_conv_prob,
+    conv_prob_without, removal_effect, attribution_share,
+    attributed_conversions).
+    """
+    if not channels:
+        raise ValueError("channels must be non-empty")
+    if conversion in channels:
+        raise ValueError("conversion must not be listed in channels")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    cells = markov_journey_edges(
+        df, entity_col, time_col, channel_col, conversion,
+        tiebreak_col=tiebreak_col,
+    )
+    # driver-side solve on the bounded cell table (collect is the
+    # point: (k+2)^2 rows, never corpus grain)
+    probs = {
+        (r["src"], r["dst"]): float(r["p"]) for r in cells.collect()
+    }
+    e = F.col(entity_col)
+    n_conv = (
+        df.filter(F.col(channel_col) == conversion)
+        .select(e.alias("__e"))
+        .distinct()
+        .count()
+    )
+    base_v = _markov_value_iteration(probs, channels, None, iterations)
+    rows = []
+    res = []
+    for ch in channels:
+        v_wo = _markov_value_iteration(probs, channels, ch, iterations)
+        re = (
+            round(max(0.0, 1.0 - v_wo / base_v), 6)
+            if base_v > 0
+            else None
+        )
+        res.append((ch, v_wo, re))
+    total_re = None
+    if base_v > 0:
+        acc = 0.0
+        for _, _, re in res:
+            acc = acc + re
+        total_re = acc
+    for ch, v_wo, re in res:
+        share = (
+            round(re / total_re, 6)
+            if total_re is not None and total_re > 0
+            else None
+        )
+        rows.append(
+            (
+                ch,
+                round(base_v, 9),
+                round(v_wo, 9),
+                re,
+                share,
+                round(share * n_conv, 4) if share is not None else None,
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "channel STRING, base_conv_prob DOUBLE, conv_prob_without "
+        "DOUBLE, removal_effect DOUBLE, attribution_share DOUBLE, "
+        "attributed_conversions DOUBLE",
+    )

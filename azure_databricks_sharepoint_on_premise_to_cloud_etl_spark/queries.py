@@ -18579,3 +18579,180 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 30: Markov removal-effect attribution
+
+
+_MARKOV_CHANNELS = ["view", "click", "signup", "error"]
+_MARKOV_ITER = 100
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user journeys (channels
+    = the four non-purchase event types) — corpus collapses to the
+    (k+2)^2 transition cells, absorbing-chain solves run driver-side
+    on that bounded table (``funnels.markov_attribution``)."""
+    from .operators.funnels import markov_attribution
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return markov_attribution(
+        e,
+        "user_id",
+        "ts",
+        "event_type",
+        "purchase",
+        channels=_MARKOV_CHANNELS,
+        tiebreak_col="event_id",
+        iterations=_MARKOV_ITER,
+    )
+
+
+def _markov_oracle() -> str:
+    """Generate the DuckDB twin of q_markov_attribution: the SAME
+    journey-edge construction, the SAME fixed-iteration value solve as
+    a recursive CTE over ONE wide row per removal scenario — every
+    sum is an explicit left-associative expression in declared channel
+    order, so the doubles match the driver-side Python bit for bit."""
+    chs = _MARKOV_CHANNELS
+    srcs = ["__START__"] + chs
+    tgts = ["__CONV__"] + chs
+
+    def col(s: str, t: str) -> str:
+        s_ = "start" if s == "__START__" else s
+        t_ = "conv" if t == "__CONV__" else t
+        return f"p_{s_}_{t_}"
+
+    pivot_cols = ",\n           ".join(
+        f"coalesce(max(CASE WHEN src = '{s}' AND dst = '{t}' "
+        f"THEN p END), 0.0) AS {col(s, t)}"
+        for s in srcs
+        for t in tgts
+    )
+    v_cols = ["v_start"] + [f"v_{c}" for c in chs]
+    init_vs = ", ".join(f"CAST(0.0 AS DOUBLE) AS {v}" for v in v_cols)
+
+    def update(s: str) -> str:
+        terms = [f"pv.{col(s, '__CONV__')} * 1.0"] + [
+            f"pv.{col(s, c)} * it.v_{c}" for c in chs
+        ]
+        return "round(" + " + ".join(terms) + ", 9)"
+
+    updates = ",\n           ".join(
+        f"{update(s)} AS {v}"
+        for s, v in zip(srcs, v_cols)
+    )
+    scen_union = " UNION ALL ".join(
+        [f"SELECT '__NONE__' AS removed"]
+        + [f"SELECT '{c}'" for c in chs]
+    )
+    wide_wo = ",\n           ".join(
+        f"(SELECT v_start FROM final WHERE removed = '{c}') AS w_{c}"
+        for c in chs
+    )
+    re_cols = ",\n           ".join(
+        f"CASE WHEN v > 0 THEN round(greatest(0.0, 1.0 - w_{c} / v), 6)"
+        f" END AS re_{c}"
+        for c in chs
+    )
+    total_re = " + ".join(f"re_{c}" for c in chs)
+    unpivot = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS channel, round(v, 9) AS base_conv_prob,
+       round(w_{c}, 9) AS conv_prob_without,
+       re_{c} AS removal_effect,
+       CASE WHEN total_re > 0 THEN round(re_{c} / total_re, 6) END
+           AS attribution_share,
+       CASE WHEN total_re > 0
+            THEN round(round(re_{c} / total_re, 6) * n_conv, 4) END
+           AS attributed_conversions
+FROM tot CROSS JOIN nconv"""
+        for c in chs
+    )
+    return f"""
+WITH RECURSIVE conv AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS cts
+    FROM events GROUP BY 1
+),
+touches AS (
+    SELECT e.user_id, e.ts, e.event_id, e.event_type AS ch,
+           (conv.cts IS NOT NULL) AS converted
+    FROM events e JOIN conv USING (user_id)
+    WHERE e.event_type <> 'purchase'
+      AND (conv.cts IS NULL OR e.ts < conv.cts)
+),
+seq AS (
+    SELECT user_id, ch, converted,
+           row_number() OVER w AS rn,
+           lead(ch) OVER w AS nxt,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM touches
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges_raw AS (
+    SELECT '__START__' AS src, ch AS dst FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT ch, CASE WHEN converted THEN '__CONV__' ELSE '__NULL__' END
+    FROM seq WHERE rn = n
+    UNION ALL
+    SELECT '__START__', '__CONV__'
+    FROM conv
+    WHERE cts IS NOT NULL
+      AND user_id NOT IN (SELECT DISTINCT user_id FROM touches)
+),
+counts AS (
+    SELECT src, dst, count(*) AS n_edges FROM edges_raw GROUP BY 1, 2
+),
+probs AS (
+    SELECT src, dst,
+           round(n_edges * 1.0
+                 / sum(n_edges) OVER (PARTITION BY src), 6) AS p
+    FROM counts
+),
+scenarios AS ({scen_union}),
+adj AS (
+    SELECT sc.removed, pr.src, pr.dst, pr.p
+    FROM probs pr CROSS JOIN scenarios sc
+    WHERE pr.src <> sc.removed AND pr.dst <> sc.removed
+),
+pmat AS MATERIALIZED (
+    SELECT removed,
+           {pivot_cols}
+    FROM adj GROUP BY removed
+),
+it AS (
+    SELECT 0 AS step, removed, {init_vs} FROM pmat
+    UNION ALL
+    SELECT it.step + 1, it.removed,
+           {updates}
+    FROM it JOIN pmat pv ON it.removed = pv.removed
+    WHERE it.step < {_MARKOV_ITER}
+),
+final AS (SELECT * FROM it WHERE step = {_MARKOV_ITER}),
+wide AS (
+    SELECT (SELECT v_start FROM final WHERE removed = '__NONE__') AS v,
+           {wide_wo}
+),
+re AS (
+    SELECT v, {', '.join(f'w_{c}' for c in chs)},
+           {re_cols}
+    FROM wide
+),
+tot AS (SELECT *, {total_re} AS total_re FROM re),
+nconv AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_conv
+    FROM events WHERE event_type = 'purchase'
+)
+{unpivot}
+"""
+
+
+AUX_QUERIES["markov_attribution"] = q_markov_attribution
+AUX_ORACLES["markov_attribution"] = _markov_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

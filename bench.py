@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "markov_next_accuracy",
     "local_peaks",
     "ratio_metric_ci",
+    # round-10 widening batch 30
+    "markov_attribution",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -523,6 +523,10 @@ HEAVY = [
     "markov_next_accuracy",
     "local_peaks",
     "ratio_metric_ci",
+    # round-10 widening batch 30: journey edges are one window pass on
+    # the entity key; the absorbing-chain solves are driver-side on
+    # the (k+2)^2 cell table (constant in corpus size)
+    "markov_attribution",
 ]
 
 ALL_TABLES = (
