@@ -324,3 +324,68 @@ def capture_recapture(
             "ci_high"
         ),
     )
+
+
+def functional_dependency_audit(
+    df,
+    lhs_cols: list[str],
+    rhs_col: str,
+):
+    """Audit a candidate functional dependency ``lhs → rhs`` — the
+    data-contract check behind "order id determines customer",
+    "SKU determines category": count LHS groups whose RHS is NOT
+    unique, plus the row mass trapped in those violating groups (the
+    practical severity — one dirty group of a million rows matters
+    more than a thousand two-row flips).
+
+    Scale shape: ONE hash aggregate keyed on the LHS (map-side
+    partial count-distinct via a two-level collapse: (lhs, rhs) cells
+    first, then per-lhs counts), one single-row reduce after — the
+    exact-dedup shuffle discipline, nothing corpus-grain twice.
+
+    Returns one row: (n_rows, n_groups, n_violating, violation_share,
+    n_rows_violating, row_violation_share).
+    """
+    from pyspark.sql import functions as F
+
+    if not lhs_cols:
+        raise ValueError("lhs_cols must be non-empty")
+    base = df.filter(F.col(rhs_col).isNotNull())
+    for c in lhs_cols:
+        base = base.filter(F.col(c).isNotNull())
+    cells = base.groupBy(*lhs_cols, rhs_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_lhs = cells.groupBy(*lhs_cols).agg(
+        F.sum("__c").alias("__rows"),
+        F.count(F.lit(1)).alias("__nrhs"),
+    )
+    m = per_lhs.agg(
+        F.sum("__rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("__nrhs") > 1).cast("long")).alias("n_violating"),
+        F.sum(
+            F.when(F.col("__nrhs") > 1, F.col("__rows")).otherwise(0)
+        ).cast("long").alias("n_rows_violating"),
+    )
+    return m.select(
+        "n_rows",
+        "n_groups",
+        "n_violating",
+        F.round(
+            F.when(
+                F.col("n_groups") > 0,
+                F.col("n_violating").cast("double") / F.col("n_groups"),
+            ),
+            6,
+        ).alias("violation_share"),
+        "n_rows_violating",
+        F.round(
+            F.when(
+                F.col("n_rows") > 0,
+                F.col("n_rows_violating").cast("double")
+                / F.col("n_rows"),
+            ),
+            6,
+        ).alias("row_violation_share"),
+    )

@@ -5723,3 +5723,143 @@ def ratio_metric_ci(
         F.round(F.col("ratio") - 1.96 * F.col("se"), 6).alias("ci_low"),
         F.round(F.col("ratio") + 1.96 * F.col("se"), 6).alias("ci_high"),
     )
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_bins: int = 10,
+    y_bins: int = 10,
+) -> DataFrame:
+    """Equi-width 2-D histogram (the hexbin-lite heatmap backend):
+    data-derived [min, max] per axis, ``x_bins × y_bins`` cells, top
+    edges inclusive — :func:`histogram`'s contract lifted to two
+    dimensions for density scatter replacements at corpus scale
+    (plotting N raw points dies at 10⁶; the cell table never exceeds
+    x_bins·y_bins rows).
+
+    Scale shape: one scalar min/max aggregate broadcast back, one
+    cell-keyed count with map-side partials; empty cells absent.
+    Edges use identical double arithmetic on any engine.
+
+    Returns (x_bin, y_bin, x_lo, x_hi, y_lo, y_hi, n).
+    """
+    if x_bins < 1 or y_bins < 1:
+        raise ValueError("x_bins and y_bins must be >= 1")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    bounds = base.agg(
+        F.min(x).alias("__xlo"),
+        F.max(x).alias("__xhi"),
+        F.min(y).alias("__ylo"),
+        F.max(y).alias("__yhi"),
+    )
+    xw = (F.col("__xhi") - F.col("__xlo")) / x_bins
+    yw = (F.col("__yhi") - F.col("__ylo")) / y_bins
+    xb = F.when(F.col("__xhi") == F.col("__xlo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("__xlo")) / xw).cast("int"),
+            F.lit(x_bins - 1),
+        )
+    )
+    yb = F.when(F.col("__yhi") == F.col("__ylo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((y - F.col("__ylo")) / yw).cast("int"),
+            F.lit(y_bins - 1),
+        )
+    )
+    cells = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            xb.alias("x_bin"),
+            yb.alias("y_bin"),
+            "__xlo",
+            "__xhi",
+            "__ylo",
+            "__yhi",
+        )
+        .groupBy("x_bin", "y_bin", "__xlo", "__xhi", "__ylo", "__yhi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    xspan = F.col("__xhi") - F.col("__xlo")
+    yspan = F.col("__yhi") - F.col("__ylo")
+    return cells.select(
+        "x_bin",
+        "y_bin",
+        F.round(
+            F.col("__xlo") + F.col("x_bin") * xspan / x_bins, 6
+        ).alias("x_lo"),
+        F.round(
+            F.col("__xlo") + (F.col("x_bin") + 1) * xspan / x_bins, 6
+        ).alias("x_hi"),
+        F.round(
+            F.col("__ylo") + F.col("y_bin") * yspan / y_bins, 6
+        ).alias("y_lo"),
+        F.round(
+            F.col("__ylo") + (F.col("y_bin") + 1) * yspan / y_bins, 6
+        ).alias("y_hi"),
+        "n",
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    taus: list[float] | None = None,
+) -> DataFrame:
+    """Quantile treatment effects: the per-quantile difference of the
+    two arms' EXACT order statistics (``x_(⌈τ·n⌉)``) — where a mean
+    lift hides distributional change (a launch that helps the median
+    user but crushes the p90 shows ZERO average effect), QTE shows
+    the whole curve.
+
+    Scale shape: one rank window per arm (single shuffle on the arm
+    key), the τ spine joins against the ⌈τ·n⌉ rank rows only — never
+    a corpus-grain second pass; :func:`tail_risk`'s order-statistic
+    discipline, so rank ties among equal values are harmless.
+
+    Returns one row per τ: (tau, n_a, n_b, q_a, q_b, qte).
+    """
+    taus = taus or [round(0.1 * i, 1) for i in range(1, 10)]
+    if not taus or any(not 0 < t < 1 for t in taus):
+        raise ValueError(f"taus must be in (0, 1), got {taus}")
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & g.isin(group_a, group_b)).select(
+        g.alias("__g"), v.alias("__x")
+    )
+    w_rank = Window.partitionBy("__g").orderBy(F.col("__x").asc())
+    w_all = Window.partitionBy("__g")
+    ranked = base.withColumn("__r", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    spine = df.sparkSession.createDataFrame(
+        [(float(t),) for t in taus], "tau DOUBLE"
+    )
+    hits = ranked.join(
+        F.broadcast(spine),
+        F.col("__r") == F.ceil(F.col("__n") * F.col("tau")),
+    )
+    pivoted = hits.groupBy("tau").agg(
+        F.max(F.when(F.col("__g") == group_a, F.col("__n"))).alias("n_a"),
+        F.max(F.when(F.col("__g") == group_b, F.col("__n"))).alias("n_b"),
+        F.round(
+            F.max(F.when(F.col("__g") == group_a, F.col("__x"))), 6
+        ).alias("q_a"),
+        F.round(
+            F.max(F.when(F.col("__g") == group_b, F.col("__x"))), 6
+        ).alias("q_b"),
+    )
+    return pivoted.select(
+        "tau",
+        "n_a",
+        "n_b",
+        "q_a",
+        "q_b",
+        F.round(F.col("q_a") - F.col("q_b"), 6).alias("qte"),
+    )

@@ -18756,3 +18756,154 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 31: FD audit, 2-D histogram, QTE
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the (false) contract "an order has one return flag" over
+    lineitem — two stacked collapses, one summary row
+    (``profiling.functional_dependency_audit``)."""
+    from .operators.profiling import functional_dependency_audit
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return functional_dependency_audit(li, ["l_orderkey"], "l_returnflag")
+
+
+ORACLE_FD_AUDIT = """
+WITH cells AS (
+    SELECT l_orderkey, l_returnflag, count(*) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+per AS (
+    SELECT l_orderkey, sum(c) AS rows_, count(*) AS nrhs
+    FROM cells GROUP BY 1
+),
+m AS (
+    SELECT CAST(sum(rows_) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(sum(CASE WHEN nrhs > 1 THEN rows_ ELSE 0 END)
+               AS BIGINT) AS n_rows_violating
+    FROM per
+)
+SELECT n_rows, n_groups, n_violating,
+       round(CASE WHEN n_groups > 0
+             THEN n_violating * 1.0 / n_groups END, 6)
+           AS violation_share,
+       n_rows_violating,
+       round(CASE WHEN n_rows > 0
+             THEN n_rows_violating * 1.0 / n_rows END, 6)
+           AS row_violation_share
+FROM m
+"""
+
+
+_H2D_XBINS = 10
+_H2D_YBINS = 10
+
+
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity x discount density grid over lineitem — the heatmap
+    backend, cells bounded by bins^2 not rows
+    (``stats.histogram2d``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.histogram2d(
+        li, "l_quantity", "l_discount", _H2D_XBINS, _H2D_YBINS
+    )
+
+
+ORACLE_HISTOGRAM2D = f"""
+WITH bounds AS (
+    SELECT min(l_quantity) AS xlo, max(l_quantity) AS xhi,
+           min(l_discount) AS ylo, max(l_discount) AS yhi
+    FROM lineitem
+),
+cells AS (
+    SELECT CASE WHEN xhi = xlo THEN 0 ELSE
+               least(CAST(floor((l_quantity - xlo)
+                     / ((xhi - xlo) / {_H2D_XBINS})) AS INTEGER),
+                     {_H2D_XBINS} - 1) END AS x_bin,
+           CASE WHEN yhi = ylo THEN 0 ELSE
+               least(CAST(floor((l_discount - ylo)
+                     / ((yhi - ylo) / {_H2D_YBINS})) AS INTEGER),
+                     {_H2D_YBINS} - 1) END AS y_bin,
+           xlo, xhi, ylo, yhi
+    FROM lineitem CROSS JOIN bounds
+)
+SELECT x_bin, y_bin,
+       round(xlo + x_bin * (xhi - xlo) / {_H2D_XBINS}, 6) AS x_lo,
+       round(xlo + (x_bin + 1) * (xhi - xlo) / {_H2D_XBINS}, 6) AS x_hi,
+       round(ylo + y_bin * (yhi - ylo) / {_H2D_YBINS}, 6) AS y_lo,
+       round(ylo + (y_bin + 1) * (yhi - ylo) / {_H2D_YBINS}, 6) AS y_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM cells
+GROUP BY 1, 2, xlo, xhi, ylo, yhi
+"""
+
+
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile treatment effects of urgent-vs-low priority on order
+    totals — exact order statistics per arm, tau spine join
+    (``stats.quantile_treatment_effect``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.quantile_treatment_effect(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+ORACLE_QTE = """
+WITH ranked AS (
+    SELECT o_orderpriority AS g, o_totalprice AS x,
+           row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC) AS r,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+taus AS (
+    SELECT round(0.1 * i, 1) AS tau FROM range(1, 10) t(i)
+),
+hits AS (
+    SELECT taus.tau, ranked.g, ranked.x, ranked.n
+    FROM ranked JOIN taus
+        ON ranked.r = CAST(ceil(ranked.n * taus.tau) AS BIGINT)
+),
+pivoted AS (
+    SELECT tau,
+           max(CASE WHEN g = '1-URGENT' THEN n END) AS n_a,
+           max(CASE WHEN g = '5-LOW' THEN n END) AS n_b,
+           round(max(CASE WHEN g = '1-URGENT' THEN x END), 6) AS q_a,
+           round(max(CASE WHEN g = '5-LOW' THEN x END), 6) AS q_b
+    FROM hits GROUP BY 1
+)
+SELECT tau, n_a, n_b, q_a, q_b, round(q_a - q_b, 6) AS qte
+FROM pivoted
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "fd_audit": q_fd_audit,
+        "histogram2d": q_histogram2d,
+        "quantile_treatment_effect": q_qte,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "fd_audit": ORACLE_FD_AUDIT,
+        "histogram2d": ORACLE_HISTOGRAM2D,
+        "quantile_treatment_effect": ORACLE_QTE,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -299,6 +299,10 @@ BENCH_QUERIES = [
     "ratio_metric_ci",
     # round-10 widening batch 30
     "markov_attribution",
+    # round-10 widening batch 31
+    "fd_audit",
+    "histogram2d",
+    "quantile_treatment_effect",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -527,6 +527,12 @@ HEAVY = [
     # the entity key; the absorbing-chain solves are driver-side on
     # the (k+2)^2 cell table (constant in corpus size)
     "markov_attribution",
+    # round-10 widening batch 31: FD audit is two stacked collapses;
+    # histogram2d is a bins^2-bounded cell count; QTE is one rank
+    # window per arm (row-linear)
+    "fd_audit",
+    "histogram2d",
+    "quantile_treatment_effect",
 ]
 
 ALL_TABLES = (
