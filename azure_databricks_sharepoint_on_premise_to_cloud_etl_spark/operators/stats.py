@@ -5841,10 +5841,20 @@ def quantile_treatment_effect(
     spine = df.sparkSession.createDataFrame(
         [(float(t),) for t in taus], "tau DOUBLE"
     )
-    hits = ranked.join(
-        F.broadcast(spine),
-        F.col("__r") == F.ceil(F.col("__n") * F.col("tau")),
+    # resolve each (arm, tau) to its TARGET RANK first (2 x |taus|
+    # rows), so the probe into the ranked corpus is a plain equi-join
+    # on (arm, rank) - broadcastable and audit-clean, no theta BNLJ
+    arm_n = ranked.groupBy("__g").agg(F.max("__n").alias("__an"))
+    targets = arm_n.crossJoin(F.broadcast(spine)).select(
+        "__g",
+        "tau",
+        F.ceil(F.col("__an") * F.col("tau")).cast("int").alias("__tr"),
     )
+    hits = ranked.join(
+        F.broadcast(targets),
+        (ranked["__g"] == targets["__g"])
+        & (F.col("__r") == F.col("__tr")),
+    ).drop(targets["__g"])
     pivoted = hits.groupBy("tau").agg(
         F.max(F.when(F.col("__g") == group_a, F.col("__n"))).alias("n_a"),
         F.max(F.when(F.col("__g") == group_b, F.col("__n"))).alias("n_b"),
