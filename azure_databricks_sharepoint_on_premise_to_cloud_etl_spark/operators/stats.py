@@ -5873,3 +5873,158 @@ def quantile_treatment_effect(
         "q_b",
         F.round(F.col("q_a") - F.col("q_b"), 6).alias("qte"),
     )
+
+
+def profit_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tp_value: float,
+    fp_cost: float,
+    fn_cost: float = 0.0,
+    tn_value: float = 0.0,
+) -> DataFrame:
+    """Expected-profit threshold sweep: for every candidate decision
+    threshold (predict positive when ``score >= t``), the confusion
+    counts and the business profit ``TP·v − FP·c − FN·c' + TN·v'`` —
+    what a precision-recall curve becomes once someone attaches money
+    to the quadrants, and the correct way to PICK an operating
+    threshold (argmax profit, flagged on the output).
+
+    Scale shape — the pr_threshold_sweep discipline: collapse the
+    corpus to the DISTINCT score table (one hash aggregate; shuffle
+    volume = score cardinality), then one descending cumulative
+    window computes every threshold's confusion simultaneously.
+
+    Returns one row per distinct score: (threshold, tp, fp, fn, tn,
+    profit, is_best); ``is_best`` marks the max-profit row (ties to
+    the highest threshold — the cheaper operating point).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    per = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(y != 0, 1).otherwise(0)).alias("__p"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    staged = per.select(
+        "threshold",
+        F.sum("__p").over(w_cum).alias("tp"),
+        (F.sum("__n").over(w_cum) - F.sum("__p").over(w_cum)).alias("fp"),
+        (F.sum("__p").over(w_all) - F.sum("__p").over(w_cum)).alias("fn"),
+        (
+            F.sum("__n").over(w_all)
+            - F.sum("__p").over(w_all)
+            - (F.sum("__n").over(w_cum) - F.sum("__p").over(w_cum))
+        ).alias("tn"),
+    )
+    profit = F.round(
+        F.col("tp") * F.lit(float(tp_value))
+        - F.col("fp") * F.lit(float(fp_cost))
+        - F.col("fn") * F.lit(float(fn_cost))
+        + F.col("tn") * F.lit(float(tn_value)),
+        6,
+    )
+    scored = staged.withColumn("profit", profit)
+    w_best = Window.orderBy(
+        F.col("profit").desc(), F.col("threshold").desc()
+    )
+    return scored.withColumn(
+        "is_best", F.row_number().over(w_best) == 1
+    )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    categories: list[str],
+    quadratic: bool = True,
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels (severity grades,
+    star ratings, priority tiers): disagreeing by one step is better
+    than disagreeing by five, which the plain :func:`cohens_kappa`
+    cannot see.  ``κ_w = 1 − Σ v_ij·O_ij / Σ v_ij·E_ij`` with penalty
+    ``v_ij = ((i−j)/(k−1))²`` (quadratic, the default) or ``|i−j|/(k−1)``
+    (linear); category ORDER is declared by the caller.
+
+    Scale shape: the :func:`cramers_v` collapse — one contingency-cell
+    aggregate, marginals as two k-row re-aggregations, and the
+    expected-disagreement mass from a k×k marginal cross join (never a
+    corpus-grain expansion).  Rows outside ``categories`` are
+    excluded; numerator/denominator are rounded to 6 decimals first.
+
+    Returns one row: (n, obs_penalty, exp_penalty, kappa_w).
+    """
+    if len(categories) < 2:
+        raise ValueError("categories must declare >= 2 ordered levels")
+    k = len(categories)
+    idx = {c: i for i, c in enumerate(categories)}
+
+    def _index(col: Column) -> Column:
+        expr = None
+        for c, i in idx.items():
+            expr = (
+                F.when(col == F.lit(c), F.lit(i))
+                if expr is None
+                else expr.when(col == F.lit(c), F.lit(i))
+            )
+        return expr
+
+    def _penalty(i: Column, j: Column) -> Column:
+        d = F.abs(i - j).cast("double") / (k - 1)
+        return d * d if quadratic else d
+
+    a = F.col(rater_a_col)
+    b = F.col(rater_b_col)
+    cells = (
+        df.filter(a.isin(categories) & b.isin(categories))
+        .groupBy(
+            _index(a).alias("__i"), _index(b).alias("__j")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ma = cells.groupBy(F.col("__i").alias("__mi")).agg(
+        F.sum("__c").alias("__ra")
+    )
+    mb = cells.groupBy(F.col("__j").alias("__mj")).agg(
+        F.sum("__c").alias("__cb")
+    )
+    n_row = cells.agg(F.sum("__c").alias("n"))
+    obs = cells.agg(
+        F.sum(
+            _penalty(F.col("__i"), F.col("__j"))
+            * F.col("__c").cast("double")
+        ).alias("__obs")
+    )
+    exp = ma.crossJoin(mb).agg(
+        F.sum(
+            _penalty(F.col("__mi"), F.col("__mj"))
+            * F.col("__ra").cast("double")
+            * F.col("__cb")
+        ).alias("__exp")
+    )
+    m = n_row.crossJoin(F.broadcast(obs)).crossJoin(F.broadcast(exp))
+    nn = F.col("n").cast("double")
+    obs_p = F.round(F.when(nn > 0, F.col("__obs") / nn), 6)
+    exp_p = F.round(F.when(nn > 0, F.col("__exp") / (nn * nn)), 6)
+    staged = m.select(
+        "n", obs_p.alias("obs_penalty"), exp_p.alias("exp_penalty")
+    )
+    kappa = F.when(
+        F.col("exp_penalty") > 0,
+        1.0 - F.col("obs_penalty") / F.col("exp_penalty"),
+    )
+    return staged.select(
+        "n",
+        "obs_penalty",
+        "exp_penalty",
+        F.round(kappa, 4).alias("kappa_w"),
+    )

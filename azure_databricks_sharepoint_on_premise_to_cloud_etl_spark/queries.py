@@ -18907,3 +18907,264 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 32: profit threshold sweep, weighted
+# --- kappa, ABC-XYZ inventory matrix
+
+
+_PC_TP, _PC_FP, _PC_FN = 10.0, 5.0, 2.0
+
+
+def q_profit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-profit sweep of the discount-logit returns classifier
+    (TP +10, FP -5, FN -2) — distinct-score collapse, one descending
+    cumulative window, argmax flagged (``stats.profit_curve``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("l_discount") - 0.05) * 30.0)), 6
+        ).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return stats.profit_curve(
+        li, "score", "y", tp_value=_PC_TP, fp_cost=_PC_FP, fn_cost=_PC_FN
+    )
+
+
+ORACLE_PROFIT_CURVE = f"""
+WITH scored AS (
+    SELECT round(1.0 / (1.0 + exp(-(l_discount - 0.05) * 30.0)), 6)
+               AS threshold,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+per AS (
+    SELECT threshold, count(*) AS n, sum(y) AS p
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT threshold,
+           sum(p) OVER w AS tp,
+           sum(n) OVER w - sum(p) OVER w AS fp,
+           sum(p) OVER () - sum(p) OVER w AS fn,
+           sum(n) OVER () - sum(p) OVER ()
+               - (sum(n) OVER w - sum(p) OVER w) AS tn
+    FROM per
+    WINDOW w AS (ORDER BY threshold DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+profits AS (
+    SELECT threshold, tp, fp, fn, tn,
+           round(tp * {_PC_TP!r} - fp * {_PC_FP!r} - fn * {_PC_FN!r}
+                 + tn * 0.0, 6) AS profit
+    FROM cum
+)
+SELECT threshold, tp, fp, fn, tn, profit,
+       row_number() OVER (ORDER BY profit DESC, threshold DESC) = 1
+           AS is_best
+FROM profits
+"""
+
+
+_WK_CATS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_WK_PRICE_CUTS = [60000.0, 110000.0, 160000.0, 220000.0]
+
+
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa between the ordinal order priority and
+    a price-derived ordinal tier — contingency collapse + k x k
+    marginal cross join (``stats.weighted_kappa``)."""
+    from .operators import stats
+
+    c1, c2, c3, c4 = _WK_PRICE_CUTS
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_orderpriority").alias("rater_a"),
+        F.when(F.col("o_totalprice") < c1, _WK_CATS[0])
+        .when(F.col("o_totalprice") < c2, _WK_CATS[1])
+        .when(F.col("o_totalprice") < c3, _WK_CATS[2])
+        .when(F.col("o_totalprice") < c4, _WK_CATS[3])
+        .otherwise(_WK_CATS[4])
+        .alias("rater_b"),
+    )
+    return stats.weighted_kappa(o, "rater_a", "rater_b", _WK_CATS)
+
+
+def _wkappa_oracle() -> str:
+    c1, c2, c3, c4 = _WK_PRICE_CUTS
+    idx_a = " ".join(
+        f"WHEN o_orderpriority = '{c}' THEN {i}"
+        for i, c in enumerate(_WK_CATS)
+    )
+    k = len(_WK_CATS)
+    return f"""
+WITH base AS (
+    SELECT CASE {idx_a} END AS i,
+           CASE WHEN o_totalprice < {c1!r} THEN 0
+                WHEN o_totalprice < {c2!r} THEN 1
+                WHEN o_totalprice < {c3!r} THEN 2
+                WHEN o_totalprice < {c4!r} THEN 3
+                ELSE 4 END AS j
+    FROM orders
+    WHERE o_orderpriority IN ({', '.join(f"'{c}'" for c in _WK_CATS)})
+),
+cells AS (SELECT i, j, count(*) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT i, sum(c) AS ra FROM cells GROUP BY 1),
+mb AS (SELECT j, sum(c) AS cb FROM cells GROUP BY 1),
+n_row AS (SELECT sum(c) AS n FROM cells),
+obs AS (
+    SELECT sum((abs(i - j) * 1.0 / {k - 1})
+               * (abs(i - j) * 1.0 / {k - 1}) * c) AS obs
+    FROM cells
+),
+ex AS (
+    SELECT sum((abs(ma.i - mb.j) * 1.0 / {k - 1})
+               * (abs(ma.i - mb.j) * 1.0 / {k - 1})
+               * CAST(ma.ra AS DOUBLE) * mb.cb) AS ex
+    FROM ma CROSS JOIN mb
+),
+staged AS (
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n > 0 THEN obs / n END, 6) AS obs_penalty,
+           round(CASE WHEN n > 0
+                 THEN ex / (CAST(n AS DOUBLE) * n) END, 6)
+               AS exp_penalty
+    FROM n_row CROSS JOIN obs CROSS JOIN ex
+)
+SELECT n, obs_penalty, exp_penalty,
+       round(CASE WHEN exp_penalty > 0
+             THEN 1.0 - obs_penalty / exp_penalty END, 4) AS kappa_w
+FROM staged
+"""
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (revenue Pareto) x XYZ (demand variability) inventory
+    policy matrix per part — the composition of two verified
+    classifiers joined on the part key, collapsed to the 9-cell
+    policy table with revenue shares."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    vals = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    abc = stats.abc_classification(
+        vals, "partkey", "rev", a_cut=_ABC_A_CUT, b_cut=_ABC_B_CUT,
+        value_round=4,
+    ).withColumnRenamed("key", "partkey")
+    xyz = stats.xyz_classification(
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month"),
+            "l_quantity",
+        ),
+        "l_partkey",
+        "month",
+        "l_quantity",
+    )
+    joined = abc.join(
+        xyz, abc["partkey"] == xyz["l_partkey"], "inner"
+    )
+    cellgrid = joined.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("value").alias("__rev"),
+    )
+    w_all = Window.partitionBy()
+    return cellgrid.select(
+        "abc_class",
+        "xyz_class",
+        "n_parts",
+        F.round(
+            F.col("__rev") / F.sum("__rev").over(w_all), 6
+        ).alias("revenue_share"),
+    )
+
+
+ORACLE_ABC_XYZ = f"""
+WITH v AS (
+    SELECT l_partkey AS partkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS value
+    FROM lineitem GROUP BY 1
+),
+r AS (
+    SELECT partkey, value,
+           sum(value) OVER (ORDER BY value DESC, partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(value) OVER () AS total
+    FROM v
+),
+abc AS (
+    SELECT partkey, value,
+           CASE WHEN total > 0 AND cum / total <= {_ABC_A_CUT} THEN 'A'
+                WHEN total > 0 AND cum / total <= {_ABC_B_CUT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+),
+per AS (
+    SELECT l_partkey AS item, date_trunc('month', l_shipdate) AS per,
+           sum(CAST(round(l_quantity * 1000000) AS HUGEINT)) AS v
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+    GROUP BY 1, 2
+),
+item AS (
+    SELECT item, count(*) AS n_periods, sum(v) AS s, sum(v * v) AS s2
+    FROM per GROUP BY 1
+),
+xyz AS (
+    SELECT item,
+           CASE WHEN CAST(s AS DOUBLE) / n_periods = 0 THEN NULL
+                WHEN sqrt(greatest(CAST(s2 AS DOUBLE) / n_periods
+                          - (CAST(s AS DOUBLE) / n_periods)
+                            * (CAST(s AS DOUBLE) / n_periods), 0.0))
+                     / abs(CAST(s AS DOUBLE) / n_periods) <= 0.5
+                    THEN 'X'
+                WHEN sqrt(greatest(CAST(s2 AS DOUBLE) / n_periods
+                          - (CAST(s AS DOUBLE) / n_periods)
+                            * (CAST(s AS DOUBLE) / n_periods), 0.0))
+                     / abs(CAST(s AS DOUBLE) / n_periods) <= 1.0
+                    THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM item
+),
+joined AS (
+    SELECT abc.abc_class, xyz.xyz_class, abc.value
+    FROM abc JOIN xyz ON abc.partkey = xyz.item
+),
+cellgrid AS (
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           sum(value) AS rev
+    FROM joined GROUP BY 1, 2
+)
+SELECT abc_class, xyz_class, n_parts,
+       round(rev / sum(rev) OVER (), 6) AS revenue_share
+FROM cellgrid
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "profit_curve": q_profit_curve,
+        "weighted_kappa": q_weighted_kappa,
+        "abc_xyz_matrix": q_abc_xyz_matrix,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "profit_curve": ORACLE_PROFIT_CURVE,
+        "weighted_kappa": _wkappa_oracle(),
+        "abc_xyz_matrix": ORACLE_ABC_XYZ,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

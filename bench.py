@@ -303,6 +303,10 @@ BENCH_QUERIES = [
     "fd_audit",
     "histogram2d",
     "quantile_treatment_effect",
+    # round-10 widening batch 32
+    "profit_curve",
+    "weighted_kappa",
+    "abc_xyz_matrix",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -533,6 +533,12 @@ HEAVY = [
     "fd_audit",
     "histogram2d",
     "quantile_treatment_effect",
+    # round-10 widening batch 32: profit sweep collapses to the score
+    # domain; weighted kappa to contingency cells; ABC-XYZ joins two
+    # part-sized classifier outputs
+    "profit_curve",
+    "weighted_kappa",
+    "abc_xyz_matrix",
 ]
 
 ALL_TABLES = (
