@@ -8,7 +8,7 @@ own aggregations.  Every operator is DuckDB-oracle-expressible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable_hash64, word_tokens
@@ -1618,4 +1618,239 @@ def heaps_law_fit(
             F.exp(F.col("__my") - F.col("beta") * F.col("__mx")), 4
         ).alias("k_coef"),
         F.round(r2, 4).alias("r2"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): hash every word ``k``-gram, then from
+    each window of ``w`` consecutive hashes keep the RIGHTMOST
+    minimum — the local fingerprinting scheme with the guarantee that
+    any shared substring of length ≥ w+k-1 grams yields at least one
+    shared fingerprint, at ~1/w the storage of full shingling.  The
+    positional complement of MinHash: MinHash estimates whole-document
+    similarity, winnowing localizes WHERE the overlap is.
+
+    Scale shape: grams via one posexplode + lead window per doc (the
+    capture-recapture construction); window membership via a bounded
+    w-way explode (each gram joins its w window starts — linear × w,
+    never quadratic); per-window rightmost-min via ONE min(struct)
+    aggregate keyed on (doc, window_start); fingerprints dedupe on
+    (doc, pos).  Hashes are the portable 60-bit md5 form, so a SQL
+    oracle computes identical values.
+
+    Returns (id, pos, gram_hash) — one row per selected fingerprint.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    from ..functions import portable_hash64
+
+    i = F.col(id_col)
+    toks = (
+        df.filter(i.isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            i.alias("__id"),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("__pos", "__w"),
+        )
+        .filter(F.col("__w") != "")
+    )
+    w_doc = Window.partitionBy("__id").orderBy(F.col("__pos").asc())
+    parts = [F.col("__w")] + [
+        F.lead("__w", j).over(w_doc) for j in range(1, k)
+    ]
+    grams = toks.select(
+        "__id",
+        F.row_number().over(w_doc).alias("__gpos"),
+        F.concat_ws(" ", *parts).alias("__gram"),
+        parts[-1].isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    hashed = grams.select(
+        "__id",
+        "__gpos",
+        portable_hash64(F.col("__gram")).alias("__h"),
+    )
+    # every gram at position p belongs to windows starting at
+    # p-w+1 .. p: a bounded w-way explode
+    member = hashed.select(
+        "__id",
+        "__gpos",
+        "__h",
+        F.explode(
+            F.sequence(
+                F.col("__gpos") - F.lit(int(w) - 1), F.col("__gpos")
+            )
+        ).alias("__s"),
+    ).filter(F.col("__s") >= 1)
+    # rightmost minimum per window: min on (hash, -pos) — the struct
+    # order makes the tiebreak explicit
+    picked = member.groupBy("__id", "__s").agg(
+        F.min(F.struct(F.col("__h"), (-F.col("__gpos")).alias("__np"))).alias(
+            "__m"
+        ),
+        F.count(F.lit(1)).alias("__wn"),
+    ).filter(F.col("__wn") == int(w))  # full windows only
+    return (
+        picked.select(
+            F.col("__id").alias(id_col),
+            (-F.col("__m.__np")).cast("long").alias("pos"),
+            F.col("__m.__h").alias("gram_hash"),
+        )
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Plagiarism-candidate pairs by SHARED winnowing fingerprints:
+    documents meet only through equal fingerprint hashes (an
+    equi-join on the hash — the LSH-band discipline, never all
+    pairs), pairs scored by how many distinct fingerprints they
+    share.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents BEFORE pairing — the tfidf_doc_similarity df-cap: a
+    ubiquitous fingerprint is boilerplate, carries no plagiarism
+    signal, and is the one thing that could make the hash-group join
+    quadratic.  The cap bounds every group's pair fan-out at
+    max_df², measured not argued (the rehearsal's rows_by_factor).
+
+    Returns (id_a, id_b, n_shared) with ``id_a < id_b`` and
+    ``n_shared >= min_shared``.
+    """
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        F.col(id_col).alias("__id"), "gram_hash"
+    ).distinct()
+    rare = (
+        fp.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= int(max_df))
+        .select("gram_hash")
+    )
+    fp = fp.join(rare, "gram_hash")
+    lhs = fp.select(F.col("__id").alias("id_a"), "gram_hash")
+    rhs = fp.select(F.col("__id").alias("id_b"), "gram_hash")
+    return (
+        lhs.join(rhs, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+
+
+def loso_source_value(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    eval_source: str | None = None,
+) -> DataFrame:
+    """Leave-one-source-out data valuation: how much does each
+    training source contribute to modeling a held-out slice?  Train
+    an add-1-smoothed unigram LM on ALL sources, and on
+    all-minus-each-source, score the held-out slice under both, and
+    report the log-likelihood the source's removal costs — the
+    cheapest defensible answer to "which crawls should we buy more
+    of?" (the aggregate-level cousin of Data Shapley, one evaluation
+    instead of 2^n).
+
+    The trick that makes LOO free: leave-one-out counts are
+    ``total − per-source`` — computed by SUBTRACTION from two
+    aggregate tables, never by retraining per source.  Held-out
+    tokens never join the training counts (the ``eval_source`` slice
+    is excluded from every model).
+
+    Scale shape: two vocabulary-sized count tables (per-source and
+    total, each one hash aggregate over the token stream), an
+    eval-tf table, and the scoring join is (sources × eval-vocab)
+    rows — dimension-bounded, the corpus is scanned twice and never
+    shuffled at token grain twice.  Log-probs are summed as exact
+    tf-weighted doubles and rounded at the end (6 decimals).
+
+    Returns one row per training source: (source, n_tokens,
+    loo_logprob, full_logprob, value) where ``value = full − loo``
+    (positive = removing this source HURTS the held-out fit).
+    """
+    s = F.col(source_col)
+    words = (
+        df.filter(s.isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            s.alias("__s"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+    )
+    if eval_source is None:
+        raise ValueError("eval_source must name the held-out slice")
+    train = words.filter(F.col("__s") != eval_source)
+    eval_tf = (
+        words.filter(F.col("__s") == eval_source)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    per_src = train.groupBy("__s", "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = per_src.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+    glob = train.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.countDistinct("__w").alias("__V"),
+    )
+    src_n = per_src.groupBy("__s").agg(F.sum("__c").alias("__Ns"))
+    # (source x eval-vocab) scoring grid: per-source counts are LEFT
+    # joined (a source that never saw a word contributes 0 to the
+    # subtraction), eval words unseen in training still score via
+    # smoothing
+    grid = (
+        src_n.crossJoin(F.broadcast(eval_tf))
+        .join(F.broadcast(totals), "__w", "left")
+        .join(
+            per_src.withColumnRenamed("__c", "__cs"),
+            ["__s", "__w"],
+            "left",
+        )
+        .crossJoin(F.broadcast(glob))
+    )
+    cw = F.coalesce(F.col("__cw"), F.lit(0)).cast("double")
+    cs = F.coalesce(F.col("__cs"), F.lit(0)).cast("double")
+    v = F.col("__V").cast("double")
+    n_full = F.col("__N").cast("double")
+    n_loo = n_full - F.col("__Ns")
+    full_lp = F.log((cw + 1.0) / (n_full + v))
+    loo_lp = F.log((cw - cs + 1.0) / (n_loo + v))
+    per_source = grid.groupBy(F.col("__s").alias(source_col)).agg(
+        F.sum("__tf").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__tf") * loo_lp) / F.sum("__tf"), 6
+        ).alias("loo_logprob"),
+        F.round(
+            F.sum(F.col("__tf") * full_lp) / F.sum("__tf"), 6
+        ).alias("full_logprob"),
+    )
+    return per_source.select(
+        source_col,
+        "n_tokens",
+        "loo_logprob",
+        "full_logprob",
+        F.round(
+            F.col("full_logprob") - F.col("loo_logprob"), 6
+        ).alias("value"),
     )

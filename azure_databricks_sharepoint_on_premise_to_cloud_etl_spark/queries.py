@@ -18957,8 +18957,8 @@ cum AS (
 ),
 profits AS (
     SELECT threshold, tp, fp, fn, tn,
-           round(tp * {_PC_TP!r} - fp * {_PC_FP!r} - fn * {_PC_FN!r}
-                 + tn * 0.0, 6) AS profit
+           round(CAST(tp * {_PC_TP!r} - fp * {_PC_FP!r}
+                 - fn * {_PC_FN!r} + tn * 0.0 AS DOUBLE), 6) AS profit
     FROM cum
 )
 SELECT threshold, tp, fp, fn, tn, profit,
@@ -19163,6 +19163,163 @@ AUX_ORACLES.update(
         "abc_xyz_matrix": ORACLE_ABC_XYZ,
     }
 )
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 33: winnowing (MOSS) fingerprint overlap
+
+
+_WIN_K, _WIN_W, _WIN_MAXDF, _WIN_MINSH = 3, 4, 10, 1
+_WIN_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-candidate pairs by shared winnowing fingerprints
+    over four crawl sources — rightmost-min window selection, df-cap
+    before the hash-group pairing (``text.winnow_overlap_pairs``)."""
+    from .operators.text import winnow_overlap_pairs
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source").isin(*_WIN_SOURCES)
+    )
+    return winnow_overlap_pairs(
+        d,
+        "doc_id",
+        "text",
+        k=_WIN_K,
+        w=_WIN_W,
+        min_shared=_WIN_MINSH,
+        max_df=_WIN_MAXDF,
+    )
+
+
+ORACLE_WINNOW_OVERLAP = f"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+           unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+    WHERE source IN ({', '.join(f"'{s}'" for s in _WIN_SOURCES)})
+),
+grams AS (
+    SELECT doc_id, row_number() OVER win AS gpos,
+           w || ' ' || lead(w, 1) OVER win || ' '
+             || lead(w, 2) OVER win AS gram
+    FROM toks WHERE w <> ''
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(w, 2) OVER win IS NOT NULL
+),
+hashed AS (
+    SELECT doc_id, gpos,
+           CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)
+               AS h
+    FROM grams
+),
+member AS (
+    SELECT doc_id, gpos, h, gpos - r.i AS s
+    FROM hashed CROSS JOIN range(0, {_WIN_W}) r(i)
+    WHERE gpos - r.i >= 1
+),
+picked AS (
+    SELECT doc_id, gpos, h
+    FROM (
+        SELECT doc_id, s, gpos, h,
+               row_number() OVER (PARTITION BY doc_id, s
+                   ORDER BY h ASC, gpos DESC) AS rn,
+               count(*) OVER (PARTITION BY doc_id, s) AS wn
+        FROM member
+    )
+    WHERE rn = 1 AND wn = {_WIN_W}
+),
+fps AS (SELECT DISTINCT doc_id, h FROM picked),
+rare AS (
+    SELECT h FROM fps GROUP BY h
+    HAVING count(*) <= {_WIN_MAXDF}
+),
+kept AS (SELECT fps.doc_id, fps.h FROM fps JOIN rare USING (h))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WIN_MINSH}
+"""
+
+
+AUX_QUERIES["winnow_overlap"] = q_winnow_overlap
+AUX_ORACLES["winnow_overlap"] = ORACLE_WINNOW_OVERLAP
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 34: leave-one-source-out data valuation
+
+
+_LOSO_EVAL = "src19"
+
+
+def q_loso_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out unigram-LM valuation of the 19 training
+    crawls against the held-out src19 slice — LOO models by count
+    SUBTRACTION, one (sources x eval-vocab) scoring grid
+    (``text.loso_source_value``)."""
+    from .operators.text import loso_source_value
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return loso_source_value(d, "source", "text", eval_source=_LOSO_EVAL)
+
+
+ORACLE_LOSO_VALUE = f"""
+WITH words AS (
+    SELECT source AS s, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+),
+clean AS (SELECT s, w FROM words WHERE w <> ''),
+train AS (SELECT * FROM clean WHERE s <> '{_LOSO_EVAL}'),
+eval_tf AS (
+    SELECT w, count(*) AS tf FROM clean
+    WHERE s = '{_LOSO_EVAL}' GROUP BY 1
+),
+per_src AS (SELECT s, w, count(*) AS c FROM train GROUP BY 1, 2),
+totals AS (SELECT w, sum(c) AS cw FROM per_src GROUP BY 1),
+gstats AS (
+    SELECT count(*) AS n, count(DISTINCT w) AS v FROM train
+),
+src_n AS (SELECT s, sum(c) AS ns FROM per_src GROUP BY 1),
+grid AS (
+    SELECT src_n.s, e.w, e.tf,
+           CAST(coalesce(t.cw, 0) AS DOUBLE) AS cw,
+           CAST(coalesce(p.c, 0) AS DOUBLE) AS cs,
+           CAST(src_n.ns AS DOUBLE) AS ns,
+           CAST(gstats.n AS DOUBLE) AS n, CAST(gstats.v AS DOUBLE) AS v
+    FROM src_n CROSS JOIN eval_tf e
+    LEFT JOIN totals t ON e.w = t.w
+    LEFT JOIN per_src p ON p.s = src_n.s AND p.w = e.w
+    CROSS JOIN gstats
+),
+scored AS (
+    SELECT s AS source,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln((cw - cs + 1.0) / (n - ns + v)))
+                 / sum(tf), 6) AS loo_logprob,
+           round(sum(tf * ln((cw + 1.0) / (n + v)))
+                 / sum(tf), 6) AS full_logprob
+    FROM grid GROUP BY 1
+)
+SELECT source, n_tokens, loo_logprob, full_logprob,
+       round(full_logprob - loo_logprob, 6) AS value
+FROM scored
+"""
+
+
+AUX_QUERIES["loso_source_value"] = q_loso_value
+AUX_ORACLES["loso_source_value"] = ORACLE_LOSO_VALUE
 
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "

@@ -307,6 +307,10 @@ BENCH_QUERIES = [
     "profit_curve",
     "weighted_kappa",
     "abc_xyz_matrix",
+    # round-10 widening batch 33
+    "winnow_overlap",
+    # round-10 widening batch 34
+    "loso_source_value",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -70,8 +70,11 @@ def test_wkappa_perfect_agreement_is_one(spark):
 
 
 def test_wkappa_near_miss_beats_far_miss(spark):
-    near = [("low", "mid")] * 10 + [("mid", "low")] * 10
-    far = [("low", "high")] * 10 + [("high", "low")] * 10
+    # same agreeing mass; the disagreements differ only in DISTANCE
+    # (all three categories active, so the weights don't scale out)
+    agree = [(c, c) for c in _CATS for _ in range(5)]
+    near = agree + [("low", "mid")] * 6 + [("mid", "low")] * 6
+    far = agree + [("low", "high")] * 6 + [("high", "low")] * 6
     k_near = weighted_kappa(
         spark.createDataFrame(near, "a STRING, b STRING"), "a", "b", _CATS
     ).collect()[0]["kappa_w"]

@@ -539,6 +539,13 @@ HEAVY = [
     "profit_curve",
     "weighted_kappa",
     "abc_xyz_matrix",
+    # round-10 widening batch 33: winnowing is a w-bounded explode +
+    # window-keyed min; pairing is df-capped hash groups (<= max_df^2
+    # fan-out per group by construction)
+    "winnow_overlap",
+    # round-10 widening batch 34: LOO by subtraction — two vocab-sized
+    # count tables; the scoring grid is sources x eval-vocab (bounded)
+    "loso_source_value",
 ]
 
 ALL_TABLES = (
