@@ -6028,3 +6028,171 @@ def weighted_kappa(
         "exp_penalty",
         F.round(kappa, 4).alias("kappa_w"),
     )
+
+
+# Acklam's rational approximation to the inverse normal CDF — pure
+# arithmetic, reproducible anywhere (|rel err| < 1.15e-9), used for
+# PLANNING constants (alpha/power quantiles), never in-plan.
+_PPF_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_PPF_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_PPF_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_PPF_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def norm_ppf(p: float) -> float:
+    """Driver-side inverse normal CDF (Acklam 2003) — the planning
+    twin of :func:`normal_cdf`; identical arithmetic wherever Python
+    floats run, so oracle generators can inline its output as a
+    literal."""
+    import math
+
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    a, b, c, d = _PPF_A, _PPF_B, _PPF_C, _PPF_D
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (
+            ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+            + c[5]
+        ) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(
+            ((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+            + c[5]
+        ) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (
+        ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+        + a[5]
+    ) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+
+
+def ab_power_plan(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    mde_rel: float = 0.1,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """A/B test power planning FROM the observed data: take the
+    baseline arm's conversion rate, posit a relative MDE, and report
+    the required per-arm sample size for the two-proportion z-test
+    plus the power the CURRENT sample already has — the "how much
+    longer must this run?" readout every experiment dashboard needs.
+
+    ``n = (z_{1−α/2} + z_{power})² · (p₁q₁ + p₂q₂) / (p₂ − p₁)²``;
+    achieved power = Φ(|Δ|/SE − z_{1−α/2}).  The z quantiles are
+    driver-side :func:`norm_ppf` constants inlined as literals (the
+    oracle generator inlines the SAME Python-computed values), so the
+    in-plan math is plain arithmetic plus :func:`normal_cdf`.
+
+    Scale shape: ONE conditional aggregate (baseline count/rate),
+    scalar arithmetic after; lazy-CASE guards for empty arms and
+    degenerate rates.
+
+    Returns one row: (n_a, p_base, p_target, z_alpha, z_power,
+    n_required_per_arm, power_at_current_n).
+    """
+    if not 0 < mde_rel:
+        raise ValueError(f"mde_rel must be positive, got {mde_rel}")
+    z_a = norm_ppf(1 - alpha / 2)
+    z_b = norm_ppf(power)
+    g = F.col(group_col)
+    y = F.col(success_col).cast("double")
+    m = df.filter(y.isNotNull() & (g == F.lit(group_a))).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.round(F.avg(y), 6).alias("p_base"),
+    )
+    p1 = F.col("p_base")
+    p2 = F.round(
+        F.least(p1 * F.lit(1.0 + float(mde_rel)), F.lit(0.999999)), 6
+    )
+    staged = m.select("n_a", "p_base", p2.alias("p_target"))
+    p1 = F.col("p_base")
+    p2 = F.col("p_target")
+    var_sum = p1 * (1 - p1) + p2 * (1 - p2)
+    delta = p2 - p1
+    n_req = F.when(
+        (delta != 0) & (p1 > 0) & (p1 < 1),
+        F.ceil(
+            F.lit((z_a + z_b) ** 2) * var_sum / (delta * delta)
+        ).cast("long"),
+    )
+    se_now = F.sqrt(var_sum / F.col("n_a"))
+    z_now = F.when(
+        (F.col("n_a") > 0) & (se_now > 0),
+        F.abs(delta) / se_now - F.lit(z_a),
+    )
+    return staged.select(
+        "n_a",
+        "p_base",
+        "p_target",
+        F.round(F.lit(z_a), 6).alias("z_alpha"),
+        F.round(F.lit(z_b), 6).alias("z_power"),
+        n_req.alias("n_required_per_arm"),
+        F.round(normal_cdf(z_now), 6).alias("power_at_current_n"),
+    )
+
+
+def holm_adjust(
+    df: DataFrame,
+    p_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm step-down adjustment — the FWER-controlling complement of
+    :func:`bh_adjust` (BH controls the false-discovery RATE; Holm
+    bounds the chance of even ONE false positive, uniformly more
+    powerful than plain Bonferroni): ``p̃_(i) = max_{j ≤ i}
+    min(1, (m−j+1)·p_(j))``.
+
+    Scale shape: same statistic-table discipline as bh_adjust — one
+    rank window and one running-max window over the m test rows per
+    family; NULL p-values excluded.
+
+    Adds: (rank, p_holm, reject).
+    """
+    group_cols = group_cols or []
+    base = df.filter(F.col(p_col).isNotNull())
+    w_rank = Window.partitionBy(*group_cols).orderBy(
+        F.col(p_col).asc(),
+        *[
+            F.col(c)
+            for c in base.columns
+            if c != p_col and c not in group_cols
+        ],
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = base.withColumn(
+        "rank", F.row_number().over(w_rank)
+    ).withColumn("__m", F.count(F.lit(1)).over(w_all))
+    raw = F.least(
+        F.lit(1.0),
+        F.col(p_col)
+        * (F.col("__m") - F.col("rank") + 1).cast("double"),
+    )
+    w_head = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranked.withColumn("__raw", raw)
+        .withColumn("p_holm", F.round(F.max("__raw").over(w_head), 6))
+        .withColumn("reject", F.col("p_holm") <= F.lit(float(alpha)))
+        .drop("__m", "__raw")
+    )

@@ -19325,3 +19325,167 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 35: power planning, Holm step-down
+
+
+_PP_MDE = 0.1
+
+
+def q_ab_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power plan for a +10%-relative purchase-rate MDE from the
+    even-user baseline arm — planning quantiles inlined from the
+    driver-side Acklam inverse normal (``stats.ab_power_plan``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return stats.ab_power_plan(e, "arm", "conv", "even", mde_rel=_PP_MDE)
+
+
+def _power_plan_oracle() -> str:
+    from .operators.stats import norm_ppf
+
+    z_a = norm_ppf(1 - 0.05 / 2)
+    z_b = norm_ppf(0.8)
+    upper = _sql_upper_tail("abs(znow)")
+    return f"""
+WITH m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_a,
+           round(avg(CASE WHEN event_type = 'purchase'
+                     THEN 1.0 ELSE 0.0 END), 6) AS p_base
+    FROM events WHERE user_id % 2 = 0
+),
+staged AS (
+    SELECT n_a, p_base,
+           round(least(p_base * {1.0 + _PP_MDE!r}, 0.999999), 6)
+               AS p_target
+    FROM m
+),
+calc AS (
+    SELECT n_a, p_base, p_target,
+           p_base * (1 - p_base) + p_target * (1 - p_target)
+               AS var_sum,
+           p_target - p_base AS delta
+    FROM staged
+),
+znow_t AS (
+    SELECT *,
+           CASE WHEN n_a > 0 AND sqrt(var_sum / n_a) > 0
+                THEN abs(delta) / sqrt(var_sum / n_a) - {z_a!r}
+           END AS znow
+    FROM calc
+)
+SELECT n_a, p_base, p_target,
+       round({z_a!r}, 6) AS z_alpha,
+       round({z_b!r}, 6) AS z_power,
+       CASE WHEN delta <> 0 AND p_base > 0 AND p_base < 1
+            THEN CAST(ceil({(0.0 + (z_a + z_b) ** 2)!r} * var_sum
+                      / (delta * delta)) AS BIGINT) END
+           AS n_required_per_arm,
+       round(CASE WHEN znow IS NULL THEN NULL
+                  WHEN znow >= 0 THEN 1.0 - {upper}
+                  ELSE {upper} END, 6) AS power_at_current_n
+FROM znow_t
+"""
+
+
+def q_holm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same one-vs-rest z sweep as multiple_testing, adjusted
+    with HOLM step-down (FWER) instead of BH (FDR)
+    (``stats.holm_adjust``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    zs = stats.one_vs_rest_rate_ztest(
+        o, "o_orderpriority", (F.col("o_orderstatus") == "F")
+    )
+    with_p = stats.attach_pvalue(zs, "z", sided=2)
+    return stats.holm_adjust(with_p, "p_value", alpha=0.05)
+
+
+def _holm_oracle() -> str:
+    upper = _sql_upper_tail("abs(z)")
+    return f"""
+WITH per AS (
+    SELECT o_orderpriority, count(*) AS n,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS successes
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt, sum(successes) AS st FROM per),
+zs AS (
+    SELECT o_orderpriority, n,
+           CAST(successes AS BIGINT) AS successes,
+           round(CASE WHEN n > 0
+                      THEN CAST(successes AS DOUBLE) / n END, 6)
+               AS rate,
+           round(CASE WHEN nt - n > 0
+                      THEN CAST(st - successes AS DOUBLE) / (nt - n)
+                 END, 6) AS rest_rate,
+           round(CASE WHEN n > 0 AND nt - n > 0
+                       AND (CAST(st AS DOUBLE) / nt)
+                           * (1.0 - CAST(st AS DOUBLE) / nt)
+                           * (1.0 / n + 1.0 / (nt - n)) > 0
+                      THEN (CAST(successes AS DOUBLE) / n
+                            - CAST(st - successes AS DOUBLE)
+                              / (nt - n))
+                           / sqrt((CAST(st AS DOUBLE) / nt)
+                                  * (1.0 - CAST(st AS DOUBLE) / nt)
+                                  * (1.0 / n + 1.0 / (nt - n)))
+                 END, 6) AS z
+    FROM per CROSS JOIN tot
+),
+withp AS (
+    SELECT *,
+           round(CASE WHEN z IS NOT NULL
+                      THEN 2.0 * {upper} END, 6) AS p_value
+    FROM zs
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               ORDER BY p_value, o_orderpriority, n, successes,
+                        rate, rest_rate, z) AS rank,
+           count(*) OVER () AS m
+    FROM withp
+    WHERE p_value IS NOT NULL
+)
+SELECT o_orderpriority, n, successes, rate, rest_rate, z, p_value,
+       CAST(rank AS INTEGER) AS rank,
+       round(max(least(1.0, p_value * (m - rank + 1))) OVER (
+               ORDER BY rank ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS p_holm,
+       round(max(least(1.0, p_value * (m - rank + 1))) OVER (
+               ORDER BY rank ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) <= 0.05 AS reject
+FROM ranked
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "ab_power_plan": q_ab_power_plan,
+        "holm_sweep": q_holm_sweep,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "ab_power_plan": _power_plan_oracle(),
+        "holm_sweep": _holm_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -311,6 +311,9 @@ BENCH_QUERIES = [
     "winnow_overlap",
     # round-10 widening batch 34
     "loso_source_value",
+    # round-10 widening batch 35
+    "ab_power_plan",
+    "holm_sweep",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

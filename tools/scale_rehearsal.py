@@ -546,6 +546,10 @@ HEAVY = [
     # round-10 widening batch 34: LOO by subtraction — two vocab-sized
     # count tables; the scoring grid is sources x eval-vocab (bounded)
     "loso_source_value",
+    # round-10 widening batch 35: one conditional aggregate + scalar
+    # planning math; holm runs over the k-row statistic table
+    "ab_power_plan",
+    "holm_sweep",
 ]
 
 ALL_TABLES = (
