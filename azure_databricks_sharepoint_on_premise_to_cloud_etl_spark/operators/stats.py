@@ -6196,3 +6196,164 @@ def holm_adjust(
         .withColumn("reject", F.col("p_holm") <= F.lit(float(alpha)))
         .drop("__m", "__raw")
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    success_col: str,
+    treatments: list[str],
+) -> DataFrame:
+    """Cochran's Q for k PAIRED binary treatments (did any of k
+    models/variants differ, scored on the same items?) — the k-way
+    generalization of :func:`mcnemar_test`:
+    ``Q = (k−1)·[k·ΣC_j² − N²] / (k·N − ΣR_i²)`` with C_j the
+    per-treatment success counts, R_i the per-item success counts,
+    N total successes; Q ~ χ²(k−1) under no-difference.
+
+    Only COMPLETE blocks count (items scored under every declared
+    treatment); incomplete items are excluded and reported.
+
+    Scale shape: one (item, treatment) cell collapse, one per-item
+    aggregate (qualify blocks + R_i moments), one per-treatment
+    aggregate over qualified blocks — all map-side-combined hash
+    aggregates, scalar arithmetic after; degenerate denominators
+    (all-success / all-failure) yield NULL Q via lazy CASE.
+
+    Returns one row: (n_items, n_excluded, k, q_stat, dof).
+    """
+    if len(treatments) < 2:
+        raise ValueError("treatments must declare >= 2 arms")
+    k = len(treatments)
+    t = F.col(treatment_col)
+    y = F.col(success_col).cast("int")
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & t.isin(treatments)
+            & y.isNotNull()
+        )
+        .groupBy(F.col(item_col).alias("__it"), t.alias("__t"))
+        .agg(F.max(y).alias("__y"))
+    )
+    per_item = cells.groupBy("__it").agg(
+        F.count(F.lit(1)).alias("__kt"),
+        F.sum("__y").alias("__r"),
+    )
+    qual = per_item.withColumn("__ok", (F.col("__kt") == k).cast("int"))
+    item_m = qual.agg(
+        F.sum("__ok").cast("long").alias("n_items"),
+        (F.count(F.lit(1)) - F.sum("__ok")).cast("long").alias(
+            "n_excluded"
+        ),
+        F.sum(F.when(F.col("__ok") == 1, F.col("__r"))).alias("__N"),
+        F.sum(
+            F.when(F.col("__ok") == 1, F.col("__r") * F.col("__r"))
+        ).alias("__r2"),
+    )
+    ok_items = qual.filter(F.col("__ok") == 1).select("__it")
+    treat_m = (
+        cells.join(ok_items, "__it")
+        .groupBy("__t")
+        .agg(F.sum("__y").alias("__cj"))
+        .agg(
+            F.sum(F.col("__cj") * F.col("__cj")).alias("__c2")
+        )
+    )
+    m = item_m.crossJoin(F.broadcast(treat_m))
+    n_tot = F.coalesce(F.col("__N"), F.lit(0)).cast("double")
+    denom = F.lit(float(k)) * n_tot - F.coalesce(
+        F.col("__r2"), F.lit(0)
+    ).cast("double")
+    q = F.when(
+        denom > 0,
+        (k - 1)
+        * (
+            F.lit(float(k))
+            * F.coalesce(F.col("__c2"), F.lit(0)).cast("double")
+            - n_tot * n_tot
+        )
+        / denom,
+    )
+    return m.select(
+        "n_items",
+        "n_excluded",
+        F.lit(k).cast("long").alias("k"),
+        F.round(q, 6).alias("q_stat"),
+        F.lit(k - 1).cast("long").alias("dof"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatments: list[str],
+) -> DataFrame:
+    """Friedman rank test for k paired CONTINUOUS treatments (k model
+    scores on the same examples, k pricing rules on the same SKUs):
+    rank within each block with AVERAGE ranks for ties, then
+    ``χ²_F = 12/(n·k·(k+1)) · Σ_j S_j² − 3·n·(k+1)`` (the classic
+    form; no tie-correction denominator — documented, both engines
+    compute identically).
+
+    Only complete blocks count; incomplete items excluded/reported.
+
+    Scale shape: one (item, treatment) cell collapse, one rank window
+    PER BLOCK (k rows each — the window runs over block size k, never
+    the corpus), per-treatment rank sums, scalar arithmetic after.
+
+    Returns one row: (n_items, n_excluded, k, chi2_f, dof).
+    """
+    if len(treatments) < 2:
+        raise ValueError("treatments must declare >= 2 arms")
+    k = len(treatments)
+    t = F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & t.isin(treatments)
+            & v.isNotNull()
+        )
+        .groupBy(F.col(item_col).alias("__it"), t.alias("__t"))
+        .agg(F.round(F.avg(v), 6).alias("__v"))
+    )
+    per_item = cells.groupBy("__it").agg(
+        F.count(F.lit(1)).alias("__kt")
+    )
+    qual = per_item.withColumn("__ok", (F.col("__kt") == k).cast("int"))
+    n_row = qual.agg(
+        F.sum("__ok").cast("long").alias("n_items"),
+        (F.count(F.lit(1)) - F.sum("__ok")).cast("long").alias(
+            "n_excluded"
+        ),
+    )
+    ok = qual.filter(F.col("__ok") == 1).select("__it")
+    blocks = cells.join(ok, "__it")
+    w_rank = Window.partitionBy("__it").orderBy(F.col("__v").asc())
+    w_tie = Window.partitionBy("__it", "__v")
+    ranked = blocks.withColumn(
+        "__rank",
+        F.rank().over(w_rank).cast("double")
+        + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0,
+    )
+    sums = ranked.groupBy("__t").agg(F.sum("__rank").alias("__s"))
+    agg = sums.agg(
+        F.sum(F.col("__s") * F.col("__s")).alias("__s2")
+    )
+    m = n_row.crossJoin(F.broadcast(agg))
+    n = F.col("n_items").cast("double")
+    chi2 = F.when(
+        F.col("n_items") > 0,
+        12.0 / (n * k * (k + 1)) * F.col("__s2") - 3.0 * n * (k + 1),
+    )
+    return m.select(
+        "n_items",
+        "n_excluded",
+        F.lit(k).cast("long").alias("k"),
+        F.round(chi2, 6).alias("chi2_f"),
+        F.lit(k - 1).cast("long").alias("dof"),
+    )

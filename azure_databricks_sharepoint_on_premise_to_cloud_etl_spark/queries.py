@@ -19489,3 +19489,182 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 36: k-paired tests (Cochran Q, Friedman)
+
+
+_CQ_T = ["disc_gate", "qty_gate", "tax_gate"]
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three deterministic "returned?" gates scored
+    on the SAME lineitem rows — cell collapse + two block aggregates
+    (``stats.cochran_q``)."""
+    from .operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    y = F.col("l_returnflag") == "R"
+    item = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    preds = F.array(
+        F.struct(
+            F.lit(_CQ_T[0]).alias("t"),
+            ((F.col("l_discount") > 0.05) == y).cast("int").alias("ok"),
+        ),
+        F.struct(
+            F.lit(_CQ_T[1]).alias("t"),
+            ((F.col("l_quantity") > 25) == y).cast("int").alias("ok"),
+        ),
+        F.struct(
+            F.lit(_CQ_T[2]).alias("t"),
+            ((F.col("l_tax") > 0.04) == y).cast("int").alias("ok"),
+        ),
+    )
+    scored = li.select(
+        item.alias("item"), F.explode(preds).alias("p")
+    ).select("item", F.col("p.t").alias("t"), F.col("p.ok").alias("ok"))
+    return stats.cochran_q(scored, "item", "t", "ok", _CQ_T)
+
+
+ORACLE_COCHRAN_Q = f"""
+WITH scored AS (
+    SELECT l_orderkey * 10 + l_linenumber AS item, '{_CQ_T[0]}' AS t,
+           CASE WHEN (l_discount > 0.05) = (l_returnflag = 'R')
+                THEN 1 ELSE 0 END AS ok
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey * 10 + l_linenumber, '{_CQ_T[1]}',
+           CASE WHEN (l_quantity > 25) = (l_returnflag = 'R')
+                THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey * 10 + l_linenumber, '{_CQ_T[2]}',
+           CASE WHEN (l_tax > 0.04) = (l_returnflag = 'R')
+                THEN 1 ELSE 0 END
+    FROM lineitem
+),
+cells AS (
+    SELECT item, t, max(ok) AS y FROM scored GROUP BY 1, 2
+),
+per_item AS (
+    SELECT item, count(*) AS kt, sum(y) AS r FROM cells GROUP BY 1
+),
+item_m AS (
+    SELECT CAST(sum(CASE WHEN kt = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_items,
+           CAST(sum(CASE WHEN kt = 3 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_excluded,
+           sum(CASE WHEN kt = 3 THEN r END) AS n_tot,
+           sum(CASE WHEN kt = 3 THEN r * r END) AS r2
+    FROM per_item
+),
+treat_m AS (
+    SELECT sum(cj * cj) AS c2 FROM (
+        SELECT cells.t, sum(cells.y) AS cj
+        FROM cells JOIN per_item USING (item)
+        WHERE per_item.kt = 3 GROUP BY 1
+    )
+)
+SELECT n_items, n_excluded, CAST(3 AS BIGINT) AS k,
+       round(CASE WHEN 3.0 * coalesce(n_tot, 0)
+                       - coalesce(r2, 0) > 0
+             THEN 2.0 * (3.0 * coalesce(c2, 0)
+                         - CAST(coalesce(n_tot, 0) AS DOUBLE)
+                           * coalesce(n_tot, 0))
+                  / (3.0 * coalesce(n_tot, 0) - coalesce(r2, 0))
+             END, 6) AS q_stat,
+       CAST(2 AS BIGINT) AS dof
+FROM item_m CROSS JOIN treat_m
+"""
+
+
+_FR_T = ["price_score", "inv_price_score", "calendar_score"]
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of three deterministic scoring rules over
+    the same orders — per-block rank windows over k rows
+    (``stats.friedman_test``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    scores = F.array(
+        F.struct(
+            F.lit(_FR_T[0]).alias("t"),
+            F.col("o_totalprice").alias("v"),
+        ),
+        F.struct(
+            F.lit(_FR_T[1]).alias("t"),
+            (500000.0 - F.col("o_totalprice")).alias("v"),
+        ),
+        F.struct(
+            F.lit(_FR_T[2]).alias("t"),
+            (F.dayofmonth("o_orderdate") * 10000.0).alias("v"),
+        ),
+    )
+    scored = o.select(
+        F.col("o_orderkey").alias("item"), F.explode(scores).alias("s")
+    ).select("item", F.col("s.t").alias("t"), F.col("s.v").alias("v"))
+    return stats.friedman_test(scored, "item", "t", "v", _FR_T)
+
+
+ORACLE_FRIEDMAN = f"""
+WITH scored AS (
+    SELECT o_orderkey AS item, '{_FR_T[0]}' AS t,
+           CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, '{_FR_T[1]}', 500000.0 - o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, '{_FR_T[2]}', day(o_orderdate) * 10000.0
+    FROM orders
+),
+cells AS (
+    SELECT item, t, round(avg(v), 6) AS v FROM scored GROUP BY 1, 2
+),
+per_item AS (SELECT item, count(*) AS kt FROM cells GROUP BY 1),
+n_row AS (
+    SELECT CAST(sum(CASE WHEN kt = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_items,
+           CAST(sum(CASE WHEN kt = 3 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_excluded
+    FROM per_item
+),
+ranked AS (
+    SELECT cells.item, cells.t,
+           rank() OVER (PARTITION BY cells.item ORDER BY cells.v ASC)
+               * 1.0
+           + (count(*) OVER (PARTITION BY cells.item, cells.v) - 1)
+             / 2.0 AS r
+    FROM cells JOIN per_item USING (item)
+    WHERE per_item.kt = 3
+),
+sums AS (SELECT t, sum(r) AS s FROM ranked GROUP BY 1),
+agg AS (SELECT sum(s * s) AS s2 FROM sums)
+SELECT n_items, n_excluded, CAST(3 AS BIGINT) AS k,
+       round(CASE WHEN n_items > 0
+             THEN 12.0 / (CAST(n_items AS DOUBLE) * 3 * 4) * s2
+                  - 3.0 * n_items * 4 END, 6) AS chi2_f,
+       CAST(2 AS BIGINT) AS dof
+FROM n_row CROSS JOIN agg
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "cochran_q": q_cochran_q,
+        "friedman": q_friedman,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "cochran_q": ORACLE_COCHRAN_Q,
+        "friedman": ORACLE_FRIEDMAN,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

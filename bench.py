@@ -314,6 +314,9 @@ BENCH_QUERIES = [
     # round-10 widening batch 35
     "ab_power_plan",
     "holm_sweep",
+    # round-10 widening batch 36
+    "cochran_q",
+    "friedman",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

@@ -550,6 +550,10 @@ HEAVY = [
     # planning math; holm runs over the k-row statistic table
     "ab_power_plan",
     "holm_sweep",
+    # round-10 widening batch 36: both collapse to (item, treatment)
+    # cells; friedman rank windows run over k-row blocks
+    "cochran_q",
+    "friedman",
 ]
 
 ALL_TABLES = (
