@@ -6357,3 +6357,164 @@ def friedman_test(
         F.round(chi2, 6).alias("chi2_f"),
         F.lit(k - 1).cast("long").alias("dof"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size between two groups —
+    ``δ = P(a > b) − P(a < b)`` in [−1, 1], the magnitude that should
+    accompany every :func:`mann_whitney_u` p-value (the
+    distribution-free sibling of :func:`cohens_d`; |δ| < .147
+    negligible / < .33 small / < .474 medium by Romano's thresholds,
+    reported as a label).
+
+    Derivation without any pair join: ``δ = 2·U_a/(n_a·n_b) − 1``
+    with the tie-averaged U from the same distinct-value collapse as
+    mann_whitney_u — one hash aggregate over value buckets, one
+    value-cardinality-bounded cumulative window, one scalar reduce.
+
+    Returns one row: (n_a, n_b, delta, magnitude).
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    buckets = (
+        df.filter(v.isNotNull() & g.isin(group_a, group_b))
+        .select(v.alias("__v"), g.alias("__g"))
+        .groupBy("__v")
+        .agg(
+            F.sum((F.col("__g") == F.lit(group_a)).cast("long")).alias(
+                "__a"
+            ),
+            F.sum((F.col("__g") == F.lit(group_b)).cast("long")).alias(
+                "__b"
+            ),
+        )
+        .withColumn("__t", F.col("__a") + F.col("__b"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    avg_rank = F.sum("__t").over(w) - (F.col("__t") - 1) / 2.0
+    ranked = buckets.select("__a", "__b", avg_rank.alias("__r"))
+    na = F.sum("__a")
+    nb = F.sum("__b")
+    u_a = F.sum(F.col("__a") * F.col("__r")) - na * (na + 1) / 2.0
+    m = ranked.groupBy().agg(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(
+            F.when(
+                (na > 0) & (nb > 0),
+                2.0 * u_a / (na.cast("double") * nb) - 1.0,
+            ),
+            6,
+        ).alias("delta"),
+    )
+    a = F.abs(F.col("delta"))
+    return m.select(
+        "n_a",
+        "n_b",
+        "delta",
+        F.when(a.isNull(), F.lit(None).cast("string"))
+        .when(a < 0.147, F.lit("negligible"))
+        .when(a < 0.33, F.lit("small"))
+        .when(a < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    l_sigma: float = 3.0,
+    baseline_frac: float = 0.5,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959) — the small-persistent-shift
+    detector that completes the SPC triad next to the Shewhart rules
+    (:func:`control_chart_violations`, big spikes) and Page–Hinkley
+    (:func:`page_hinkley`, sequential alarms): smooth each series
+    with the adjust-corrected EWMA and flag points outside
+    ``μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t}))`` — the exact finite-horizon
+    variance, so early points get their correctly TIGHTER limits.
+
+    Center/scale come from the PHASE-I prefix of each series (the
+    first ``baseline_frac`` of points, the in-control reference) —
+    whole-series moments would absorb the very shift the chart is
+    meant to catch.
+
+    Scale shape: :func:`~..windows.ewma_smooth`'s one cumulative
+    window per key plus a broadcast of the per-group PREFIX moments
+    (rounded to 6 first); ``alpha=0.5`` keeps the smoother's
+    power-of-two exactness (the ewma determinism contract).  Series
+    whose baseline has zero variance emit no rows.
+
+    Returns every point: (group, time, value, ewma, ucl, lcl,
+    out_of_control).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0 < baseline_frac <= 1:
+        raise ValueError(
+            f"baseline_frac must be in (0, 1], got {baseline_frac}"
+        )
+    from .windows import ewma_smooth
+
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    w_rank = Window.partitionBy(g).orderBy(F.col(time_col).asc())
+    w_grp = Window.partitionBy(g)
+    base = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .withColumn("__r", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+    )
+    phase1 = F.col("__r") <= F.ceil(
+        F.col("__n") * F.lit(float(baseline_frac))
+    )
+    moments = (
+        base.filter(phase1)
+        .groupBy(g.alias("__mg"))
+        .agg(
+            F.round(F.avg(x), 6).alias("__mu"),
+            F.round(F.stddev_samp(x), 6).alias("__sd"),
+        )
+    )
+    smoothed = ewma_smooth(
+        df.filter(g.isNotNull() & x.isNotNull()),
+        [group_col],
+        time_col,
+        value_col,
+        alpha=alpha,
+        out_col="__ewma",
+    )
+    w_ord = Window.partitionBy(g).orderBy(F.col(time_col).asc())
+    staged = (
+        smoothed.withColumn("__t", F.row_number().over(w_ord))
+        .join(F.broadcast(moments), g == F.col("__mg"))
+        .filter(F.col("__sd") > 0)
+    )
+    lam = float(alpha)
+    r = 1.0 - lam
+    width = F.lit(float(l_sigma)) * F.col("__sd") * F.sqrt(
+        F.lit(lam / (2.0 - lam))
+        * (1.0 - F.pow(F.lit(r), 2 * F.col("__t")))
+    )
+    out = staged.select(
+        group_col,
+        time_col,
+        value_col,
+        F.round(F.col("__ewma"), 6).alias("ewma"),
+        F.round(F.col("__mu") + width, 6).alias("ucl"),
+        F.round(F.col("__mu") - width, 6).alias("lcl"),
+    )
+    return out.withColumn(
+        "out_of_control",
+        (F.col("ewma") > F.col("ucl")) | (F.col("ewma") < F.col("lcl")),
+    )

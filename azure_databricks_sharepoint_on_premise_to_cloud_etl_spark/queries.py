@@ -19668,3 +19668,149 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-10 widening batch 37: Cliff's delta, EWMA control chart
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta for order totals, urgent vs low priority — the
+    ordinal effect size from the mann-whitney value-bucket collapse
+    (``stats.cliffs_delta``)."""
+    from .operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.cliffs_delta(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+ORACLE_CLIFFS_DELTA = """
+WITH buckets AS (
+    SELECT o_totalprice AS v,
+           sum(CASE WHEN o_orderpriority = '1-URGENT'
+               THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN o_orderpriority = '5-LOW'
+               THEN 1 ELSE 0 END) AS b
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    GROUP BY 1
+),
+ranked AS (
+    SELECT a, b,
+           sum(a + b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (a + b - 1) / 2.0 AS r
+    FROM buckets
+),
+m AS (
+    SELECT CAST(sum(a) AS BIGINT) AS n_a,
+           CAST(sum(b) AS BIGINT) AS n_b,
+           sum(a * r) AS ra
+    FROM ranked
+),
+d AS (
+    SELECT n_a, n_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN 2.0 * (ra - n_a * (n_a + 1) / 2.0)
+                      / (CAST(n_a AS DOUBLE) * n_b) - 1.0 END, 6)
+               AS delta
+    FROM m
+)
+SELECT n_a, n_b, delta,
+       CASE WHEN delta IS NULL THEN NULL
+            WHEN abs(delta) < 0.147 THEN 'negligible'
+            WHEN abs(delta) < 0.33 THEN 'small'
+            WHEN abs(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+_EWCC_L = 3.0
+
+
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event-count series per type
+    (alpha 0.5 — the bit-exact smoother; finite-horizon variance
+    limits) — one cumulative window + broadcast moments
+    (``stats.ewma_control_chart``)."""
+    from .operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    series = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return stats.ewma_control_chart(
+        series, "event_type", "day", "n_events", alpha=0.5,
+        l_sigma=_EWCC_L,
+    )
+
+
+ORACLE_EWMA_CHART = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS DOUBLE) AS n_events
+    FROM events GROUP BY 1, 2
+),
+ranked0 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY day) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+),
+mom AS (
+    SELECT event_type AS g, round(avg(n_events), 6) AS mu,
+           round(stddev_samp(n_events), 6) AS sd
+    FROM ranked0 WHERE r <= ceil(n * 0.5) GROUP BY 1
+),
+idx AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY day) - 1 AS i
+    FROM daily
+),
+s AS (
+    SELECT *,
+           sum(n_events * power(2.0, i))
+               OVER (PARTITION BY event_type ORDER BY i) AS num,
+           sum(power(2.0, i))
+               OVER (PARTITION BY event_type ORDER BY i) AS den
+    FROM idx
+),
+chart AS (
+    SELECT s.event_type, s.day, s.n_events,
+           round(num / den, 6) AS ewma,
+           round(mom.mu + {_EWCC_L!r} * mom.sd
+                 * sqrt((0.5 / 1.5)
+                        * (1.0 - power(0.5, 2 * (s.i + 1)))), 6)
+               AS ucl,
+           round(mom.mu - {_EWCC_L!r} * mom.sd
+                 * sqrt((0.5 / 1.5)
+                        * (1.0 - power(0.5, 2 * (s.i + 1)))), 6)
+               AS lcl
+    FROM s JOIN mom ON s.event_type = mom.g
+    WHERE mom.sd > 0
+)
+SELECT event_type, day, n_events, ewma, ucl, lcl,
+       (ewma > ucl OR ewma < lcl) AS out_of_control
+FROM chart
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "cliffs_delta": q_cliffs_delta,
+        "ewma_control_chart": q_ewma_control_chart,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "cliffs_delta": ORACLE_CLIFFS_DELTA,
+        "ewma_control_chart": ORACLE_EWMA_CHART,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -317,6 +317,9 @@ BENCH_QUERIES = [
     # round-10 widening batch 36
     "cochran_q",
     "friedman",
+    # round-10 widening batch 37
+    "cliffs_delta",
+    "ewma_control_chart",
 ]
 
 # Rows timed for attribution/coverage but EXCLUDED from the suite

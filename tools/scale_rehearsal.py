@@ -554,6 +554,10 @@ HEAVY = [
     # cells; friedman rank windows run over k-row blocks
     "cochran_q",
     "friedman",
+    # round-10 widening batch 37: value-bucket collapse + one window;
+    # EWMA chart is the bit-exact smoother + broadcast moments
+    "cliffs_delta",
+    "ewma_control_chart",
 ]
 
 ALL_TABLES = (
