@@ -1143,7 +1143,11 @@ def markov_journey_edges(
     Scale shape: one min-aggregate for conversion times, one lag/lead
     window per entity (single shuffle on the key), then the count
     collapse to the (channels+2)² cell table — the ONLY thing that
-    leaves the corpus grain.
+    leaves the corpus grain.  The conversion-time table is
+    CONVERTER-cardinality (per-entity, not dimension-bounded), so its
+    join is left UNHINTED — the planner (AQE) broadcasts it only when
+    runtime stats say it fits, and shuffle-joins on the entity key
+    otherwise.
 
     Returns (src, dst, n_edges, p).
     """
@@ -1160,7 +1164,7 @@ def markov_journey_edges(
         & F.col(time_col).isNotNull()
     )
     touches = (
-        base.join(F.broadcast(conv_ts), e == F.col("__e"), "left")
+        base.join(conv_ts, e == F.col("__e"), "left")
         .filter(
             (F.col(channel_col) != conversion)
             & (

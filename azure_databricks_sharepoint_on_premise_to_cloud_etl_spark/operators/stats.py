@@ -6100,11 +6100,18 @@ def ab_power_plan(
     oracle generator inlines the SAME Python-computed values), so the
     in-plan math is plain arithmetic plus :func:`normal_cdf`.
 
-    Scale shape: ONE conditional aggregate (baseline count/rate),
-    scalar arithmetic after; lazy-CASE guards for empty arms and
-    degenerate rates.
+    Scale shape: ONE conditional aggregate (both arm counts + the
+    baseline rate in a single pass), scalar arithmetic after;
+    lazy-CASE guards for empty arms and degenerate rates.
 
-    Returns one row: (n_a, p_base, p_target, z_alpha, z_power,
+    The achieved-power readout uses the HARMONIC per-arm size
+    ``n_h = 2·n_a·n_b/(n_a + n_b)`` (the same balancing
+    :func:`msprt_ab` uses), so imbalanced allocation is reflected
+    rather than silently treating the baseline arm's count as both
+    arms'.  With no non-baseline rows at all, power_at_current_n is
+    NULL (the experiment hasn't started).
+
+    Returns one row: (n_a, n_b, p_base, p_target, z_alpha, z_power,
     n_required_per_arm, power_at_current_n).
     """
     if not 0 < mde_rel:
@@ -6113,15 +6120,17 @@ def ab_power_plan(
     z_b = norm_ppf(power)
     g = F.col(group_col)
     y = F.col(success_col).cast("double")
-    m = df.filter(y.isNotNull() & (g == F.lit(group_a))).agg(
-        F.count(F.lit(1)).alias("n_a"),
-        F.round(F.avg(y), 6).alias("p_base"),
+    is_a = g == F.lit(group_a)
+    m = df.filter(y.isNotNull() & g.isNotNull()).agg(
+        F.count(F.when(is_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(~is_a, F.lit(1))).alias("n_b"),
+        F.round(F.avg(F.when(is_a, y)), 6).alias("p_base"),
     )
     p1 = F.col("p_base")
     p2 = F.round(
         F.least(p1 * F.lit(1.0 + float(mde_rel)), F.lit(0.999999)), 6
     )
-    staged = m.select("n_a", "p_base", p2.alias("p_target"))
+    staged = m.select("n_a", "n_b", "p_base", p2.alias("p_target"))
     p1 = F.col("p_base")
     p2 = F.col("p_target")
     var_sum = p1 * (1 - p1) + p2 * (1 - p2)
@@ -6132,13 +6141,17 @@ def ab_power_plan(
             F.lit((z_a + z_b) ** 2) * var_sum / (delta * delta)
         ).cast("long"),
     )
-    se_now = F.sqrt(var_sum / F.col("n_a"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n_h = F.lit(2.0) * na * nb / (na + nb)
+    se_now = F.sqrt(var_sum / n_h)
     z_now = F.when(
-        (F.col("n_a") > 0) & (se_now > 0),
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se_now > 0),
         F.abs(delta) / se_now - F.lit(z_a),
     )
     return staged.select(
         "n_a",
+        "n_b",
         "p_base",
         "p_target",
         F.round(F.lit(z_a), 6).alias("z_alpha"),
@@ -6214,6 +6227,12 @@ def cochran_q(
 
     Only COMPLETE blocks count (items scored under every declared
     treatment); incomplete items are excluded and reported.
+    DUPLICATE (item, treatment) rows — repeated measurements of the
+    same cell — are collapsed MAX-WINS (``F.max(success)``): one
+    success among the repeats scores the cell 1.  That is a
+    deliberate "ever succeeded" reading; if conflicting repeats
+    should instead invalidate the block, pre-filter
+    ``groupBy(item, treatment).count() > 1`` before calling.
 
     Scale shape: one (item, treatment) cell collapse, one per-item
     aggregate (qualify blocks + R_i moments), one per-treatment
@@ -6454,6 +6473,12 @@ def ewma_control_chart(
     (rounded to 6 first); ``alpha=0.5`` keeps the smoother's
     power-of-two exactness (the ewma determinism contract).  Series
     whose baseline has zero variance emit no rows.
+
+    INHERITED LENGTH BOUND: the smoother's closed-form weight
+    ``(1/(1−α))^i`` overflows to inf past ~1020 points per key at
+    α=0.5 (documented on :func:`~..windows.ewma_smooth`), silently
+    yielding NaN ewma/limits — pre-aggregate (e.g. daily → weekly)
+    so no key's series exceeds ~1000 points before charting.
 
     Returns every point: (group, time, value, ewma, ucl, lcl,
     out_of_control).

@@ -1783,7 +1783,9 @@ def loso_source_value(
     shuffled at token grain twice.  Log-probs are summed as exact
     tf-weighted doubles and rounded at the end (6 decimals).
 
-    Returns one row per training source: (source, n_tokens,
+    Returns one row per training source: (source, n_train_tokens —
+    the source's OWN training-token count, n_eval_tokens — the size
+    of the shared held-out eval slice, identical on every row,
     loo_logprob, full_logprob, value) where ``value = full − loo``
     (positive = removing this source HURTS the held-out fit).
     """
@@ -1837,7 +1839,8 @@ def loso_source_value(
     full_lp = F.log((cw + 1.0) / (n_full + v))
     loo_lp = F.log((cw - cs + 1.0) / (n_loo + v))
     per_source = grid.groupBy(F.col("__s").alias(source_col)).agg(
-        F.sum("__tf").cast("long").alias("n_tokens"),
+        F.max("__Ns").cast("long").alias("n_train_tokens"),
+        F.sum("__tf").cast("long").alias("n_eval_tokens"),
         F.round(
             F.sum(F.col("__tf") * loo_lp) / F.sum("__tf"), 6
         ).alias("loo_logprob"),
@@ -1847,7 +1850,8 @@ def loso_source_value(
     )
     return per_source.select(
         source_col,
-        "n_tokens",
+        "n_train_tokens",
+        "n_eval_tokens",
         "loo_logprob",
         "full_logprob",
         F.round(

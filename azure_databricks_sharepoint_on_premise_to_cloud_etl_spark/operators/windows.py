@@ -1183,6 +1183,12 @@ def croston_forecast(
     shuffle), over the non-zero-demand rows only (the point of
     Croston: that table is SPARSE).
 
+    INHERITED LENGTH BOUND: :func:`ewma_smooth`'s closed-form weight
+    ``(1/(1−α))^i`` overflows to inf past ~1020 NON-ZERO demands per
+    key at α=0.5, silently yielding NaN forecasts — cap or
+    pre-aggregate so no key exceeds ~1000 demand events (intermittent
+    series rarely do; a key that does isn't intermittent).
+
     Returns one row per key: (key..., n_demands, z_hat, p_hat,
     forecast).
     """

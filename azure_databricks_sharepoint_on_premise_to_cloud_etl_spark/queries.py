@@ -8594,7 +8594,7 @@ FROM cred GROUP BY 1
 """
 
 
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_canonical_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection — the step that turns near-dup
     CLUSTERS into a deduplicated corpus: per duplicate cluster keep
     the best document (longest text, ties to the smallest doc_id) and
@@ -8632,7 +8632,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _keep_best_oracle() -> str:
+def _canonical_by_size_oracle() -> str:
     pairs = _minhash_oracle().strip().rstrip(";")
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
@@ -8674,8 +8674,8 @@ AUX_QUERIES["ewma"] = q_ewma
 AUX_ORACLES["ewma"] = ORACLE_EWMA
 AUX_QUERIES["linear_attribution"] = q_linear_attribution
 AUX_ORACLES["linear_attribution"] = ORACLE_LINEAR_ATTRIBUTION
-AUX_QUERIES["dedup_keep_best"] = q_dedup_keep_best
-AUX_ORACLES["dedup_keep_best"] = _keep_best_oracle()
+AUX_QUERIES["dedup_keep_best"] = q_dedup_canonical_by_size
+AUX_ORACLES["dedup_keep_best"] = _canonical_by_size_oracle()
 
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
@@ -19305,14 +19305,16 @@ grid AS (
 ),
 scored AS (
     SELECT s AS source,
-           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(max(ns) AS BIGINT) AS n_train_tokens,
+           CAST(sum(tf) AS BIGINT) AS n_eval_tokens,
            round(sum(tf * ln((cw - cs + 1.0) / (n - ns + v)))
                  / sum(tf), 6) AS loo_logprob,
            round(sum(tf * ln((cw + 1.0) / (n + v)))
                  / sum(tf), 6) AS full_logprob
     FROM grid GROUP BY 1
 )
-SELECT source, n_tokens, loo_logprob, full_logprob,
+SELECT source, n_train_tokens, n_eval_tokens, loo_logprob,
+       full_logprob,
        round(full_logprob - loo_logprob, 6) AS value
 FROM scored
 """
@@ -19356,32 +19358,38 @@ def _power_plan_oracle() -> str:
     upper = _sql_upper_tail("abs(znow)")
     return f"""
 WITH m AS (
-    SELECT CAST(count(*) AS BIGINT) AS n_a,
-           round(avg(CASE WHEN event_type = 'purchase'
-                     THEN 1.0 ELSE 0.0 END), 6) AS p_base
-    FROM events WHERE user_id % 2 = 0
+    SELECT CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+               AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END)
+               AS BIGINT) AS n_b,
+           round(avg(CASE WHEN user_id % 2 = 0 THEN
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1.0 ELSE 0.0 END END), 6) AS p_base
+    FROM events
 ),
 staged AS (
-    SELECT n_a, p_base,
+    SELECT n_a, n_b, p_base,
            round(least(p_base * {1.0 + _PP_MDE!r}, 0.999999), 6)
                AS p_target
     FROM m
 ),
 calc AS (
-    SELECT n_a, p_base, p_target,
+    SELECT n_a, n_b, p_base, p_target,
            p_base * (1 - p_base) + p_target * (1 - p_target)
                AS var_sum,
-           p_target - p_base AS delta
+           p_target - p_base AS delta,
+           2.0 * n_a * n_b / (n_a + n_b) AS n_h
     FROM staged
 ),
 znow_t AS (
     SELECT *,
-           CASE WHEN n_a > 0 AND sqrt(var_sum / n_a) > 0
-                THEN abs(delta) / sqrt(var_sum / n_a) - {z_a!r}
+           CASE WHEN n_a > 0 AND n_b > 0
+                     AND sqrt(var_sum / n_h) > 0
+                THEN abs(delta) / sqrt(var_sum / n_h) - {z_a!r}
            END AS znow
     FROM calc
 )
-SELECT n_a, p_base, p_target,
+SELECT n_a, n_b, p_base, p_target,
        round({z_a!r}, 6) AS z_alpha,
        round({z_b!r}, 6) AS z_power,
        CASE WHEN delta <> 0 AND p_base > 0 AND p_base < 1

@@ -48,6 +48,11 @@ def test_loso_hand_computed_single_word(spark):
         math.log(3 / 5) - math.log(1 / 3), abs=1e-5
     )
     assert out["b"]["value"] < 0  # removing noise IMPROVES the fit
+    # per-source training-token counts vs the shared eval-slice size
+    assert out["a"]["n_train_tokens"] == 2
+    assert out["b"]["n_train_tokens"] == 1
+    assert out["a"]["n_eval_tokens"] == 1
+    assert out["b"]["n_eval_tokens"] == 1
 
 
 def test_loso_eval_never_trains(spark):

@@ -35,24 +35,55 @@ def test_ppf_tails_and_bounds():
 
 def test_power_plan_textbook_n(spark):
     # baseline 10%, +10% relative -> p2 = 0.11: classic n ~ 14,744
-    rows = [("a", 1)] * 100 + [("a", 0)] * 900
+    rows = (
+        [("a", 1)] * 100 + [("a", 0)] * 900 + [("b", 0)] * 1000
+    )
     df = spark.createDataFrame(rows, "g STRING, y INT")
     row = ab_power_plan(df, "g", "y", "a", mde_rel=0.1).collect()[0]
     assert row["p_base"] == pytest.approx(0.1)
     assert row["p_target"] == pytest.approx(0.11)
+    assert row["n_a"] == 1000 and row["n_b"] == 1000
     z = (norm_ppf(0.975) + norm_ppf(0.8)) ** 2
     expect = math.ceil(z * (0.1 * 0.9 + 0.11 * 0.89) / (0.01**2))
     assert row["n_required_per_arm"] == expect
-    # current n (1000) is far below required: power must be low
+    # current per-arm n (1000) is far below required: power is low
     assert row["power_at_current_n"] < 0.2
 
 
 def test_power_plan_large_effect_high_power(spark):
-    rows = [("a", 1)] * 500 + [("a", 0)] * 500
+    rows = (
+        [("a", 1)] * 500 + [("a", 0)] * 500 + [("b", 0)] * 1000
+    )
     df = spark.createDataFrame(rows, "g STRING, y INT")
     row = ab_power_plan(df, "g", "y", "a", mde_rel=0.5).collect()[0]
     assert row["n_required_per_arm"] < 1000
     assert row["power_at_current_n"] > 0.9
+
+
+def test_power_plan_imbalanced_arms_use_harmonic_n(spark):
+    # tiny non-baseline arm drags achieved power DOWN via the
+    # harmonic per-arm n, even with a large baseline
+    big = [("a", 1)] * 500 + [("a", 0)] * 500
+    df_bal = spark.createDataFrame(
+        big + [("b", 0)] * 1000, "g STRING, y INT"
+    )
+    df_imb = spark.createDataFrame(
+        big + [("b", 0)] * 20, "g STRING, y INT"
+    )
+    bal = ab_power_plan(df_bal, "g", "y", "a", mde_rel=0.5).collect()[0]
+    imb = ab_power_plan(df_imb, "g", "y", "a", mde_rel=0.5).collect()[0]
+    assert imb["n_b"] == 20
+    assert imb["power_at_current_n"] < bal["power_at_current_n"]
+
+
+def test_power_plan_missing_other_arm_null_power(spark):
+    rows = [("a", 1)] * 10 + [("a", 0)] * 90
+    df = spark.createDataFrame(rows, "g STRING, y INT")
+    row = ab_power_plan(df, "g", "y", "a", mde_rel=0.1).collect()[0]
+    assert row["n_b"] == 0
+    assert row["power_at_current_n"] is None
+    # planning outputs are still produced from the baseline arm
+    assert row["n_required_per_arm"] is not None
 
 
 def test_power_plan_bad_mde_raises(spark):
