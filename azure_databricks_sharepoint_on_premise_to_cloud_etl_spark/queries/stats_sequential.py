@@ -1,0 +1,1581 @@
+"""Query catalog — sequential monitors, attribution, k-paired tests (batches 28-37).
+
+Split from the former monolithic queries.py (round 11); the
+registry dicts are defined once (QUERIES/_EXTENSION_ORACLES in
+.core, AUX_QUERIES/AUX_ORACLES in .curation) and mutated by the
+registration statements each family module keeps.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table, rebalance, register_temp_views
+
+from .business import (
+    _ABC_A_CUT,
+    _ABC_B_CUT,
+)
+from .curation import (
+    AUX_ORACLES,
+    AUX_QUERIES,
+)
+from .retrieval import (
+    STREAMING_PLAN_BUILDERS,
+)
+from .stats_agreement import (
+    ORACLE_PAGE_HINKLEY,
+    _PH_DELTA,
+    _PH_THRESHOLD,
+)
+from .stats_rank import (
+    _sql_upper_tail,
+)
+
+# --- round-10 widening batch 28: streaming Page-Hinkley drift monitor
+
+
+def _ph_series_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the DAY-grain per-type event-count series as a
+    MICROS-timestamp parquet dir for the file stream (the raw fixture
+    is TIMESTAMP(NANOS), which the pinned ``nanosAsLong`` conf would
+    surface as long and break the declared stream schema)."""
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy(
+        F.col("event_type").alias("series_key"),
+        F.to_date(F.col("ts")).cast("timestamp").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    d = tempfile.mkdtemp(prefix="stream_ph_series_")
+    series.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "series")
+    )
+    return os.path.join(d, "series")
+
+
+def _stream_plan_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_page_hinkley: file
+    stream over the day series -> applyInPandasWithState recursion
+    (state = four scalars per key)."""
+    from ..streaming.stateful import streaming_page_hinkley
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _ph_series_stream_dir(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "series_key STRING, t TIMESTAMP, x DOUBLE"
+    ).parquet(src)
+    return streaming_page_hinkley(
+        stream, delta=_PH_DELTA, threshold=_PH_THRESHOLD
+    )
+
+
+def q_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch page_hinkley query: the same
+    day-grain series drained through the stateful recursion
+    (``streaming.stateful.streaming_page_hinkley``) — shares the
+    batch oracle, so the two formulations must agree exactly."""
+    import tempfile
+
+    from ..streaming import incremental
+
+    agg = _stream_plan_page_hinkley(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_ph_ckpt_")
+    incremental.run_to_memory_sink(
+        agg, "stream_ph_out", ckpt, output_mode="append"
+    )
+    return spark.table("stream_ph_out").select(
+        F.col("series_key").alias("event_type"),
+        F.col("t").cast("date").alias("day"),
+        F.col("x").alias("n_events"),
+        "ph_stat",
+        "drift",
+    )
+
+
+AUX_QUERIES["streaming_page_hinkley"] = q_streaming_page_hinkley
+AUX_ORACLES["streaming_page_hinkley"] = ORACLE_PAGE_HINKLEY
+STREAMING_PLAN_BUILDERS["streaming_page_hinkley"] = (
+    _stream_plan_page_hinkley
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+assert set(STREAMING_PLAN_BUILDERS) == {
+    n for n in AUX_QUERIES if n.startswith("streaming_")
+}, "every streaming AUX query needs a pre-sink plan builder for the audit"
+
+
+# --- round-10 widening batch 29: behavioral entropy, Markov backtest,
+# --- peak detection, ratio-metric CI
+
+
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user action-mix entropy over event types — two stacked
+    aggregates, the bot-vs-organic diversity fingerprint
+    (``funnels.behavior_entropy``)."""
+    from ..operators.funnels import behavior_entropy
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return behavior_entropy(e, "user_id", "event_type")
+
+
+ORACLE_BEHAVIOR_ENTROPY = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+shares AS (
+    SELECT user_id, c,
+           round(c * 1.0 / sum(c) OVER (PARTITION BY user_id), 6) AS p
+    FROM counts
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_actions,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum(CASE WHEN p > 0 THEN -p * log2(p) ELSE 0.0 END), 6)
+           AS entropy_bits
+FROM shares GROUP BY 1
+"""
+
+
+def q_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample accuracy of the argmax first-order Markov next-event
+    predictor per user stream — lag pairs, cell-table argmax,
+    broadcast policy join (``funnels.markov_next_accuracy``)."""
+    from ..operators.funnels import markov_next_accuracy
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return markov_next_accuracy(
+        e, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+ORACLE_MARKOV_NEXT = """
+WITH pairs AS (
+    SELECT event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+    FROM events
+    QUALIFY nxt IS NOT NULL
+),
+cells AS (SELECT cur, nxt, count(*) AS c FROM pairs GROUP BY 1, 2),
+policy AS (
+    SELECT cur, nxt AS predicted_next FROM (
+        SELECT *, row_number() OVER (PARTITION BY cur
+            ORDER BY c DESC, nxt ASC) AS rk FROM cells)
+    WHERE rk = 1
+),
+scored AS (
+    SELECT pairs.cur, policy.predicted_next,
+           CASE WHEN pairs.nxt = policy.predicted_next
+                THEN 1 ELSE 0 END AS hit
+    FROM pairs JOIN policy USING (cur)
+),
+per_state AS (
+    SELECT cur AS state, predicted_next,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(hit) AS BIGINT) AS n_hits
+    FROM scored GROUP BY 1, 2
+),
+overall AS (
+    SELECT '(all)' AS state, CAST(NULL AS VARCHAR) AS predicted_next,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(hit) AS BIGINT) AS n_hits
+    FROM scored
+),
+unioned AS (
+    SELECT * FROM per_state UNION ALL SELECT * FROM overall
+)
+SELECT state, predicted_next, n_transitions, n_hits,
+       round(n_hits * 1.0 / n_transitions, 6) AS accuracy
+FROM unioned
+"""
+
+
+_PEAK_NEIGHBORS = 2
+_PEAK_SIGMA = 1.0
+
+
+def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local maxima of the DAILY event-value series per type (2
+    neighbors each side, >= 1 sigma above the mean) — fixed-width
+    window pair on one key shuffle (``windows.local_peaks``)."""
+    from ..operators.windows import local_peaks
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    series = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    return local_peaks(
+        series,
+        "event_type",
+        "day",
+        "day_value",
+        neighbors=_PEAK_NEIGHBORS,
+        min_sigma=_PEAK_SIGMA,
+    )
+
+
+ORACLE_LOCAL_PEAKS = f"""
+WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           round(sum(value), 4) AS day_value
+    FROM events GROUP BY 1, 2
+),
+mom AS (
+    SELECT event_type AS g, round(avg(day_value), 6) AS mu,
+           round(stddev_samp(day_value), 6) AS sd
+    FROM s GROUP BY 1
+),
+win AS (
+    SELECT s.event_type, s.day, s.day_value, mom.mu, mom.sd,
+           max(day_value) OVER wb AS maxb, count(day_value) OVER wb AS cntb,
+           max(day_value) OVER wa AS maxa, count(day_value) OVER wa AS cnta
+    FROM s JOIN mom ON s.event_type = mom.g
+    WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.day
+                  ROWS BETWEEN {_PEAK_NEIGHBORS} PRECEDING
+                  AND 1 PRECEDING),
+           wa AS (PARTITION BY s.event_type ORDER BY s.day
+                  ROWS BETWEEN 1 FOLLOWING
+                  AND {_PEAK_NEIGHBORS} FOLLOWING)
+)
+SELECT event_type, day, day_value,
+       round((day_value - mu) / sd, 6) AS z
+FROM win
+WHERE sd > 0 AND cntb = {_PEAK_NEIGHBORS} AND cnta = {_PEAK_NEIGHBORS}
+  AND day_value > maxb AND day_value > maxa
+  AND round((day_value - mu) / sd, 6) >= {_PEAK_SIGMA!r}
+"""
+
+
+def q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the per-user purchase-share ratio metric,
+    arms = user-id parity (the randomization-unit-correct A/B
+    machinery) — one unit collapse, one moment aggregate per arm
+    (``stats.ratio_metric_ci``)."""
+    from ..operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    units = e.groupBy(
+        F.col("user_id"),
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+    ).agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).cast("double").alias("n_purchases"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    return stats.ratio_metric_ci(units, "arm", "n_purchases", "n_events")
+
+
+ORACLE_RATIO_METRIC = """
+WITH units AS (
+    SELECT user_id,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+           CAST(count(*) AS DOUBLE) AS d
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+           round(avg(n), 6) AS mn, round(avg(d), 6) AS md,
+           round(var_samp(n), 6) AS vn, round(var_samp(d), 6) AS vd,
+           round(covar_samp(n, d), 6) AS cnd
+    FROM units GROUP BY 1
+),
+staged AS (
+    SELECT arm, n_units,
+           round(CASE WHEN md <> 0 THEN mn / md END, 6) AS ratio,
+           mn, md, vn, vd, cnd
+    FROM m
+),
+s2 AS (
+    SELECT arm, n_units, ratio,
+           round(CASE WHEN n_units > 1 AND ratio IS NOT NULL
+                      AND (vn - 2 * ratio * cnd + ratio * ratio * vd)
+                          / (n_units * md * md) >= 0
+                 THEN sqrt((vn - 2 * ratio * cnd
+                            + ratio * ratio * vd)
+                           / (n_units * md * md)) END, 6) AS se
+    FROM staged
+)
+SELECT arm, n_units, ratio, se,
+       round(ratio - 1.96 * se, 6) AS ci_low,
+       round(ratio + 1.96 * se, 6) AS ci_high
+FROM s2
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "behavior_entropy": q_behavior_entropy,
+        "markov_next_accuracy": q_markov_next_accuracy,
+        "local_peaks": q_local_peaks,
+        "ratio_metric_ci": q_ratio_metric_ci,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "behavior_entropy": ORACLE_BEHAVIOR_ENTROPY,
+        "markov_next_accuracy": ORACLE_MARKOV_NEXT,
+        "local_peaks": ORACLE_LOCAL_PEAKS,
+        "ratio_metric_ci": ORACLE_RATIO_METRIC,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 30: Markov removal-effect attribution
+
+
+_MARKOV_CHANNELS = ["view", "click", "signup", "error"]
+_MARKOV_ITER = 100
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user journeys (channels
+    = the four non-purchase event types) — corpus collapses to the
+    (k+2)^2 transition cells, absorbing-chain solves run driver-side
+    on that bounded table (``funnels.markov_attribution``)."""
+    from ..operators.funnels import markov_attribution
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return markov_attribution(
+        e,
+        "user_id",
+        "ts",
+        "event_type",
+        "purchase",
+        channels=_MARKOV_CHANNELS,
+        tiebreak_col="event_id",
+        iterations=_MARKOV_ITER,
+    )
+
+
+def _markov_oracle() -> str:
+    """Generate the DuckDB twin of q_markov_attribution: the SAME
+    journey-edge construction, the SAME fixed-iteration value solve as
+    a recursive CTE over ONE wide row per removal scenario — every
+    sum is an explicit left-associative expression in declared channel
+    order, so the doubles match the driver-side Python bit for bit."""
+    chs = _MARKOV_CHANNELS
+    srcs = ["__START__"] + chs
+    tgts = ["__CONV__"] + chs
+
+    def col(s: str, t: str) -> str:
+        s_ = "start" if s == "__START__" else s
+        t_ = "conv" if t == "__CONV__" else t
+        return f"p_{s_}_{t_}"
+
+    pivot_cols = ",\n           ".join(
+        f"coalesce(max(CASE WHEN src = '{s}' AND dst = '{t}' "
+        f"THEN p END), 0.0) AS {col(s, t)}"
+        for s in srcs
+        for t in tgts
+    )
+    v_cols = ["v_start"] + [f"v_{c}" for c in chs]
+    init_vs = ", ".join(f"CAST(0.0 AS DOUBLE) AS {v}" for v in v_cols)
+
+    def update(s: str) -> str:
+        terms = [f"pv.{col(s, '__CONV__')} * 1.0"] + [
+            f"pv.{col(s, c)} * it.v_{c}" for c in chs
+        ]
+        return "round(" + " + ".join(terms) + ", 9)"
+
+    updates = ",\n           ".join(
+        f"{update(s)} AS {v}"
+        for s, v in zip(srcs, v_cols)
+    )
+    scen_union = " UNION ALL ".join(
+        [f"SELECT '__NONE__' AS removed"]
+        + [f"SELECT '{c}'" for c in chs]
+    )
+    wide_wo = ",\n           ".join(
+        f"(SELECT v_start FROM final WHERE removed = '{c}') AS w_{c}"
+        for c in chs
+    )
+    re_cols = ",\n           ".join(
+        f"CASE WHEN v > 0 THEN round(greatest(0.0, 1.0 - w_{c} / v), 6)"
+        f" END AS re_{c}"
+        for c in chs
+    )
+    total_re = " + ".join(f"re_{c}" for c in chs)
+    unpivot = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS channel, round(v, 9) AS base_conv_prob,
+       round(w_{c}, 9) AS conv_prob_without,
+       re_{c} AS removal_effect,
+       CASE WHEN total_re > 0 THEN round(re_{c} / total_re, 6) END
+           AS attribution_share,
+       CASE WHEN total_re > 0
+            THEN round(round(re_{c} / total_re, 6) * n_conv, 4) END
+           AS attributed_conversions
+FROM tot CROSS JOIN nconv"""
+        for c in chs
+    )
+    return f"""
+WITH RECURSIVE conv AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS cts
+    FROM events GROUP BY 1
+),
+touches AS (
+    SELECT e.user_id, e.ts, e.event_id, e.event_type AS ch,
+           (conv.cts IS NOT NULL) AS converted
+    FROM events e JOIN conv USING (user_id)
+    WHERE e.event_type <> 'purchase'
+      AND (conv.cts IS NULL OR e.ts < conv.cts)
+),
+seq AS (
+    SELECT user_id, ch, converted,
+           row_number() OVER w AS rn,
+           lead(ch) OVER w AS nxt,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM touches
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges_raw AS (
+    SELECT '__START__' AS src, ch AS dst FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT ch, CASE WHEN converted THEN '__CONV__' ELSE '__NULL__' END
+    FROM seq WHERE rn = n
+    UNION ALL
+    SELECT '__START__', '__CONV__'
+    FROM conv
+    WHERE cts IS NOT NULL
+      AND user_id NOT IN (SELECT DISTINCT user_id FROM touches)
+),
+counts AS (
+    SELECT src, dst, count(*) AS n_edges FROM edges_raw GROUP BY 1, 2
+),
+probs AS (
+    SELECT src, dst,
+           round(n_edges * 1.0
+                 / sum(n_edges) OVER (PARTITION BY src), 6) AS p
+    FROM counts
+),
+scenarios AS ({scen_union}),
+adj AS (
+    SELECT sc.removed, pr.src, pr.dst, pr.p
+    FROM probs pr CROSS JOIN scenarios sc
+    WHERE pr.src <> sc.removed AND pr.dst <> sc.removed
+),
+pmat AS MATERIALIZED (
+    SELECT removed,
+           {pivot_cols}
+    FROM adj GROUP BY removed
+),
+it AS (
+    SELECT 0 AS step, removed, {init_vs} FROM pmat
+    UNION ALL
+    SELECT it.step + 1, it.removed,
+           {updates}
+    FROM it JOIN pmat pv ON it.removed = pv.removed
+    WHERE it.step < {_MARKOV_ITER}
+),
+final AS (SELECT * FROM it WHERE step = {_MARKOV_ITER}),
+wide AS (
+    SELECT (SELECT v_start FROM final WHERE removed = '__NONE__') AS v,
+           {wide_wo}
+),
+re AS (
+    SELECT v, {', '.join(f'w_{c}' for c in chs)},
+           {re_cols}
+    FROM wide
+),
+tot AS (SELECT *, {total_re} AS total_re FROM re),
+nconv AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_conv
+    FROM events WHERE event_type = 'purchase'
+)
+{unpivot}
+"""
+
+
+AUX_QUERIES["markov_attribution"] = q_markov_attribution
+AUX_ORACLES["markov_attribution"] = _markov_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 31: FD audit, 2-D histogram, QTE
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the (false) contract "an order has one return flag" over
+    lineitem — two stacked collapses, one summary row
+    (``profiling.functional_dependency_audit``)."""
+    from ..operators.profiling import functional_dependency_audit
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return functional_dependency_audit(li, ["l_orderkey"], "l_returnflag")
+
+
+ORACLE_FD_AUDIT = """
+WITH cells AS (
+    SELECT l_orderkey, l_returnflag, count(*) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+per AS (
+    SELECT l_orderkey, sum(c) AS rows_, count(*) AS nrhs
+    FROM cells GROUP BY 1
+),
+m AS (
+    SELECT CAST(sum(rows_) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(sum(CASE WHEN nrhs > 1 THEN rows_ ELSE 0 END)
+               AS BIGINT) AS n_rows_violating
+    FROM per
+)
+SELECT n_rows, n_groups, n_violating,
+       round(CASE WHEN n_groups > 0
+             THEN n_violating * 1.0 / n_groups END, 6)
+           AS violation_share,
+       n_rows_violating,
+       round(CASE WHEN n_rows > 0
+             THEN n_rows_violating * 1.0 / n_rows END, 6)
+           AS row_violation_share
+FROM m
+"""
+
+
+_H2D_XBINS = 10
+_H2D_YBINS = 10
+
+
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity x discount density grid over lineitem — the heatmap
+    backend, cells bounded by bins^2 not rows
+    (``stats.histogram2d``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.histogram2d(
+        li, "l_quantity", "l_discount", _H2D_XBINS, _H2D_YBINS
+    )
+
+
+ORACLE_HISTOGRAM2D = f"""
+WITH bounds AS (
+    SELECT min(l_quantity) AS xlo, max(l_quantity) AS xhi,
+           min(l_discount) AS ylo, max(l_discount) AS yhi
+    FROM lineitem
+),
+cells AS (
+    SELECT CASE WHEN xhi = xlo THEN 0 ELSE
+               least(CAST(floor((l_quantity - xlo)
+                     / ((xhi - xlo) / {_H2D_XBINS})) AS INTEGER),
+                     {_H2D_XBINS} - 1) END AS x_bin,
+           CASE WHEN yhi = ylo THEN 0 ELSE
+               least(CAST(floor((l_discount - ylo)
+                     / ((yhi - ylo) / {_H2D_YBINS})) AS INTEGER),
+                     {_H2D_YBINS} - 1) END AS y_bin,
+           xlo, xhi, ylo, yhi
+    FROM lineitem CROSS JOIN bounds
+)
+SELECT x_bin, y_bin,
+       round(xlo + x_bin * (xhi - xlo) / {_H2D_XBINS}, 6) AS x_lo,
+       round(xlo + (x_bin + 1) * (xhi - xlo) / {_H2D_XBINS}, 6) AS x_hi,
+       round(ylo + y_bin * (yhi - ylo) / {_H2D_YBINS}, 6) AS y_lo,
+       round(ylo + (y_bin + 1) * (yhi - ylo) / {_H2D_YBINS}, 6) AS y_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM cells
+GROUP BY 1, 2, xlo, xhi, ylo, yhi
+"""
+
+
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile treatment effects of urgent-vs-low priority on order
+    totals — exact order statistics per arm, tau spine join
+    (``stats.quantile_treatment_effect``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.quantile_treatment_effect(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+ORACLE_QTE = """
+WITH ranked AS (
+    SELECT o_orderpriority AS g, o_totalprice AS x,
+           row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC) AS r,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+taus AS (
+    SELECT round(0.1 * i, 1) AS tau FROM range(1, 10) t(i)
+),
+hits AS (
+    SELECT taus.tau, ranked.g, ranked.x, ranked.n
+    FROM ranked JOIN taus
+        ON ranked.r = CAST(ceil(ranked.n * taus.tau) AS BIGINT)
+),
+pivoted AS (
+    SELECT tau,
+           max(CASE WHEN g = '1-URGENT' THEN n END) AS n_a,
+           max(CASE WHEN g = '5-LOW' THEN n END) AS n_b,
+           round(max(CASE WHEN g = '1-URGENT' THEN x END), 6) AS q_a,
+           round(max(CASE WHEN g = '5-LOW' THEN x END), 6) AS q_b
+    FROM hits GROUP BY 1
+)
+SELECT tau, n_a, n_b, q_a, q_b, round(q_a - q_b, 6) AS qte
+FROM pivoted
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "fd_audit": q_fd_audit,
+        "histogram2d": q_histogram2d,
+        "quantile_treatment_effect": q_qte,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "fd_audit": ORACLE_FD_AUDIT,
+        "histogram2d": ORACLE_HISTOGRAM2D,
+        "quantile_treatment_effect": ORACLE_QTE,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 32: profit threshold sweep, weighted
+# --- kappa, ABC-XYZ inventory matrix
+
+
+_PC_TP, _PC_FP, _PC_FN = 10.0, 5.0, 2.0
+
+
+def q_profit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-profit sweep of the discount-logit returns classifier
+    (TP +10, FP -5, FN -2) — distinct-score collapse, one descending
+    cumulative window, argmax flagged (``stats.profit_curve``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("l_discount") - 0.05) * 30.0)), 6
+        ).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return stats.profit_curve(
+        li, "score", "y", tp_value=_PC_TP, fp_cost=_PC_FP, fn_cost=_PC_FN
+    )
+
+
+ORACLE_PROFIT_CURVE = f"""
+WITH scored AS (
+    SELECT round(1.0 / (1.0 + exp(-(l_discount - 0.05) * 30.0)), 6)
+               AS threshold,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+per AS (
+    SELECT threshold, count(*) AS n, sum(y) AS p
+    FROM scored GROUP BY 1
+),
+cum AS (
+    SELECT threshold,
+           sum(p) OVER w AS tp,
+           sum(n) OVER w - sum(p) OVER w AS fp,
+           sum(p) OVER () - sum(p) OVER w AS fn,
+           sum(n) OVER () - sum(p) OVER ()
+               - (sum(n) OVER w - sum(p) OVER w) AS tn
+    FROM per
+    WINDOW w AS (ORDER BY threshold DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+profits AS (
+    SELECT threshold, tp, fp, fn, tn,
+           round(CAST(tp * {_PC_TP!r} - fp * {_PC_FP!r}
+                 - fn * {_PC_FN!r} + tn * 0.0 AS DOUBLE), 6) AS profit
+    FROM cum
+)
+SELECT threshold, tp, fp, fn, tn, profit,
+       row_number() OVER (ORDER BY profit DESC, threshold DESC) = 1
+           AS is_best
+FROM profits
+"""
+
+
+_WK_CATS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_WK_PRICE_CUTS = [60000.0, 110000.0, 160000.0, 220000.0]
+
+
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa between the ordinal order priority and
+    a price-derived ordinal tier — contingency collapse + k x k
+    marginal cross join (``stats.weighted_kappa``)."""
+    from ..operators import stats
+
+    c1, c2, c3, c4 = _WK_PRICE_CUTS
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_orderpriority").alias("rater_a"),
+        F.when(F.col("o_totalprice") < c1, _WK_CATS[0])
+        .when(F.col("o_totalprice") < c2, _WK_CATS[1])
+        .when(F.col("o_totalprice") < c3, _WK_CATS[2])
+        .when(F.col("o_totalprice") < c4, _WK_CATS[3])
+        .otherwise(_WK_CATS[4])
+        .alias("rater_b"),
+    )
+    return stats.weighted_kappa(o, "rater_a", "rater_b", _WK_CATS)
+
+
+def _wkappa_oracle() -> str:
+    c1, c2, c3, c4 = _WK_PRICE_CUTS
+    idx_a = " ".join(
+        f"WHEN o_orderpriority = '{c}' THEN {i}"
+        for i, c in enumerate(_WK_CATS)
+    )
+    k = len(_WK_CATS)
+    return f"""
+WITH base AS (
+    SELECT CASE {idx_a} END AS i,
+           CASE WHEN o_totalprice < {c1!r} THEN 0
+                WHEN o_totalprice < {c2!r} THEN 1
+                WHEN o_totalprice < {c3!r} THEN 2
+                WHEN o_totalprice < {c4!r} THEN 3
+                ELSE 4 END AS j
+    FROM orders
+    WHERE o_orderpriority IN ({', '.join(f"'{c}'" for c in _WK_CATS)})
+),
+cells AS (SELECT i, j, count(*) AS c FROM base GROUP BY 1, 2),
+ma AS (SELECT i, sum(c) AS ra FROM cells GROUP BY 1),
+mb AS (SELECT j, sum(c) AS cb FROM cells GROUP BY 1),
+n_row AS (SELECT sum(c) AS n FROM cells),
+obs AS (
+    SELECT sum((abs(i - j) * 1.0 / {k - 1})
+               * (abs(i - j) * 1.0 / {k - 1}) * c) AS obs
+    FROM cells
+),
+ex AS (
+    SELECT sum((abs(ma.i - mb.j) * 1.0 / {k - 1})
+               * (abs(ma.i - mb.j) * 1.0 / {k - 1})
+               * CAST(ma.ra AS DOUBLE) * mb.cb) AS ex
+    FROM ma CROSS JOIN mb
+),
+staged AS (
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n > 0 THEN obs / n END, 6) AS obs_penalty,
+           round(CASE WHEN n > 0
+                 THEN ex / (CAST(n AS DOUBLE) * n) END, 6)
+               AS exp_penalty
+    FROM n_row CROSS JOIN obs CROSS JOIN ex
+)
+SELECT n, obs_penalty, exp_penalty,
+       round(CASE WHEN exp_penalty > 0
+             THEN 1.0 - obs_penalty / exp_penalty END, 4) AS kappa_w
+FROM staged
+"""
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (revenue Pareto) x XYZ (demand variability) inventory
+    policy matrix per part — the composition of two verified
+    classifiers joined on the part key, collapsed to the 9-cell
+    policy table with revenue shares."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    vals = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    abc = stats.abc_classification(
+        vals, "partkey", "rev", a_cut=_ABC_A_CUT, b_cut=_ABC_B_CUT,
+        value_round=4,
+    ).withColumnRenamed("key", "partkey")
+    xyz = stats.xyz_classification(
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month"),
+            "l_quantity",
+        ),
+        "l_partkey",
+        "month",
+        "l_quantity",
+    )
+    joined = abc.join(
+        xyz, abc["partkey"] == xyz["l_partkey"], "inner"
+    )
+    cellgrid = joined.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("value").alias("__rev"),
+    )
+    w_all = Window.partitionBy()
+    return cellgrid.select(
+        "abc_class",
+        "xyz_class",
+        "n_parts",
+        F.round(
+            F.col("__rev") / F.sum("__rev").over(w_all), 6
+        ).alias("revenue_share"),
+    )
+
+
+ORACLE_ABC_XYZ = f"""
+WITH v AS (
+    SELECT l_partkey AS partkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS value
+    FROM lineitem GROUP BY 1
+),
+r AS (
+    SELECT partkey, value,
+           sum(value) OVER (ORDER BY value DESC, partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(value) OVER () AS total
+    FROM v
+),
+abc AS (
+    SELECT partkey, value,
+           CASE WHEN total > 0 AND cum / total <= {_ABC_A_CUT} THEN 'A'
+                WHEN total > 0 AND cum / total <= {_ABC_B_CUT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+),
+per AS (
+    SELECT l_partkey AS item, date_trunc('month', l_shipdate) AS per,
+           sum(CAST(round(l_quantity * 1000000) AS HUGEINT)) AS v
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+    GROUP BY 1, 2
+),
+item AS (
+    SELECT item, count(*) AS n_periods, sum(v) AS s, sum(v * v) AS s2
+    FROM per GROUP BY 1
+),
+xyz AS (
+    SELECT item,
+           CASE WHEN CAST(s AS DOUBLE) / n_periods = 0 THEN NULL
+                WHEN sqrt(greatest(CAST(s2 AS DOUBLE) / n_periods
+                          - (CAST(s AS DOUBLE) / n_periods)
+                            * (CAST(s AS DOUBLE) / n_periods), 0.0))
+                     / abs(CAST(s AS DOUBLE) / n_periods) <= 0.5
+                    THEN 'X'
+                WHEN sqrt(greatest(CAST(s2 AS DOUBLE) / n_periods
+                          - (CAST(s AS DOUBLE) / n_periods)
+                            * (CAST(s AS DOUBLE) / n_periods), 0.0))
+                     / abs(CAST(s AS DOUBLE) / n_periods) <= 1.0
+                    THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM item
+),
+joined AS (
+    SELECT abc.abc_class, xyz.xyz_class, abc.value
+    FROM abc JOIN xyz ON abc.partkey = xyz.item
+),
+cellgrid AS (
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           sum(value) AS rev
+    FROM joined GROUP BY 1, 2
+)
+SELECT abc_class, xyz_class, n_parts,
+       round(rev / sum(rev) OVER (), 6) AS revenue_share
+FROM cellgrid
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "profit_curve": q_profit_curve,
+        "weighted_kappa": q_weighted_kappa,
+        "abc_xyz_matrix": q_abc_xyz_matrix,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "profit_curve": ORACLE_PROFIT_CURVE,
+        "weighted_kappa": _wkappa_oracle(),
+        "abc_xyz_matrix": ORACLE_ABC_XYZ,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 33: winnowing (MOSS) fingerprint overlap
+
+
+_WIN_K, _WIN_W, _WIN_MAXDF, _WIN_MINSH = 3, 4, 10, 1
+_WIN_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-candidate pairs by shared winnowing fingerprints
+    over four crawl sources — rightmost-min window selection, df-cap
+    before the hash-group pairing (``text.winnow_overlap_pairs``)."""
+    from ..operators.text import winnow_overlap_pairs
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source").isin(*_WIN_SOURCES)
+    )
+    return winnow_overlap_pairs(
+        d,
+        "doc_id",
+        "text",
+        k=_WIN_K,
+        w=_WIN_W,
+        min_shared=_WIN_MINSH,
+        max_df=_WIN_MAXDF,
+    )
+
+
+ORACLE_WINNOW_OVERLAP = f"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+           unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+    WHERE source IN ({', '.join(f"'{s}'" for s in _WIN_SOURCES)})
+),
+grams AS (
+    SELECT doc_id, row_number() OVER win AS gpos,
+           w || ' ' || lead(w, 1) OVER win || ' '
+             || lead(w, 2) OVER win AS gram
+    FROM toks WHERE w <> ''
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(w, 2) OVER win IS NOT NULL
+),
+hashed AS (
+    SELECT doc_id, gpos,
+           CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)
+               AS h
+    FROM grams
+),
+member AS (
+    SELECT doc_id, gpos, h, gpos - r.i AS s
+    FROM hashed CROSS JOIN range(0, {_WIN_W}) r(i)
+    WHERE gpos - r.i >= 1
+),
+picked AS (
+    SELECT doc_id, gpos, h
+    FROM (
+        SELECT doc_id, s, gpos, h,
+               row_number() OVER (PARTITION BY doc_id, s
+                   ORDER BY h ASC, gpos DESC) AS rn,
+               count(*) OVER (PARTITION BY doc_id, s) AS wn
+        FROM member
+    )
+    WHERE rn = 1 AND wn = {_WIN_W}
+),
+fps AS (SELECT DISTINCT doc_id, h FROM picked),
+rare AS (
+    SELECT h FROM fps GROUP BY h
+    HAVING count(*) <= {_WIN_MAXDF}
+),
+kept AS (SELECT fps.doc_id, fps.h FROM fps JOIN rare USING (h))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WIN_MINSH}
+"""
+
+
+AUX_QUERIES["winnow_overlap"] = q_winnow_overlap
+AUX_ORACLES["winnow_overlap"] = ORACLE_WINNOW_OVERLAP
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 34: leave-one-source-out data valuation
+
+
+_LOSO_EVAL = "src19"
+
+
+def q_loso_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out unigram-LM valuation of the 19 training
+    crawls against the held-out src19 slice — LOO models by count
+    SUBTRACTION, one (sources x eval-vocab) scoring grid
+    (``text.loso_source_value``)."""
+    from ..operators.text import loso_source_value
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return loso_source_value(d, "source", "text", eval_source=_LOSO_EVAL)
+
+
+ORACLE_LOSO_VALUE = f"""
+WITH words AS (
+    SELECT source AS s, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+),
+clean AS (SELECT s, w FROM words WHERE w <> ''),
+train AS (SELECT * FROM clean WHERE s <> '{_LOSO_EVAL}'),
+eval_tf AS (
+    SELECT w, count(*) AS tf FROM clean
+    WHERE s = '{_LOSO_EVAL}' GROUP BY 1
+),
+per_src AS (SELECT s, w, count(*) AS c FROM train GROUP BY 1, 2),
+totals AS (SELECT w, sum(c) AS cw FROM per_src GROUP BY 1),
+gstats AS (
+    SELECT count(*) AS n, count(DISTINCT w) AS v FROM train
+),
+src_n AS (SELECT s, sum(c) AS ns FROM per_src GROUP BY 1),
+grid AS (
+    SELECT src_n.s, e.w, e.tf,
+           CAST(coalesce(t.cw, 0) AS DOUBLE) AS cw,
+           CAST(coalesce(p.c, 0) AS DOUBLE) AS cs,
+           CAST(src_n.ns AS DOUBLE) AS ns,
+           CAST(gstats.n AS DOUBLE) AS n, CAST(gstats.v AS DOUBLE) AS v
+    FROM src_n CROSS JOIN eval_tf e
+    LEFT JOIN totals t ON e.w = t.w
+    LEFT JOIN per_src p ON p.s = src_n.s AND p.w = e.w
+    CROSS JOIN gstats
+),
+scored AS (
+    SELECT s AS source,
+           CAST(max(ns) AS BIGINT) AS n_train_tokens,
+           CAST(sum(tf) AS BIGINT) AS n_eval_tokens,
+           round(sum(tf * ln((cw - cs + 1.0) / (n - ns + v)))
+                 / sum(tf), 6) AS loo_logprob,
+           round(sum(tf * ln((cw + 1.0) / (n + v)))
+                 / sum(tf), 6) AS full_logprob
+    FROM grid GROUP BY 1
+)
+SELECT source, n_train_tokens, n_eval_tokens, loo_logprob,
+       full_logprob,
+       round(full_logprob - loo_logprob, 6) AS value
+FROM scored
+"""
+
+
+AUX_QUERIES["loso_source_value"] = q_loso_value
+AUX_ORACLES["loso_source_value"] = ORACLE_LOSO_VALUE
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 35: power planning, Holm step-down
+
+
+_PP_MDE = 0.1
+
+
+def q_ab_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power plan for a +10%-relative purchase-rate MDE from the
+    even-user baseline arm — planning quantiles inlined from the
+    driver-side Acklam inverse normal (``stats.ab_power_plan``)."""
+    from ..operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return stats.ab_power_plan(e, "arm", "conv", "even", mde_rel=_PP_MDE)
+
+
+def _power_plan_oracle() -> str:
+    from ..operators.stats import norm_ppf
+
+    z_a = norm_ppf(1 - 0.05 / 2)
+    z_b = norm_ppf(0.8)
+    upper = _sql_upper_tail("abs(znow)")
+    return f"""
+WITH m AS (
+    SELECT CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+               AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END)
+               AS BIGINT) AS n_b,
+           round(avg(CASE WHEN user_id % 2 = 0 THEN
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1.0 ELSE 0.0 END END), 6) AS p_base
+    FROM events
+),
+staged AS (
+    SELECT n_a, n_b, p_base,
+           round(least(p_base * {1.0 + _PP_MDE!r}, 0.999999), 6)
+               AS p_target
+    FROM m
+),
+calc AS (
+    SELECT n_a, n_b, p_base, p_target,
+           p_base * (1 - p_base) + p_target * (1 - p_target)
+               AS var_sum,
+           p_target - p_base AS delta,
+           2.0 * n_a * n_b / (n_a + n_b) AS n_h
+    FROM staged
+),
+znow_t AS (
+    SELECT *,
+           CASE WHEN n_a > 0 AND n_b > 0
+                     AND sqrt(var_sum / n_h) > 0
+                THEN abs(delta) / sqrt(var_sum / n_h) - {z_a!r}
+           END AS znow
+    FROM calc
+)
+SELECT n_a, n_b, p_base, p_target,
+       round({z_a!r}, 6) AS z_alpha,
+       round({z_b!r}, 6) AS z_power,
+       CASE WHEN delta <> 0 AND p_base > 0 AND p_base < 1
+            THEN CAST(ceil({(0.0 + (z_a + z_b) ** 2)!r} * var_sum
+                      / (delta * delta)) AS BIGINT) END
+           AS n_required_per_arm,
+       round(CASE WHEN znow IS NULL THEN NULL
+                  WHEN znow >= 0 THEN 1.0 - {upper}
+                  ELSE {upper} END, 6) AS power_at_current_n
+FROM znow_t
+"""
+
+
+def q_holm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same one-vs-rest z sweep as multiple_testing, adjusted
+    with HOLM step-down (FWER) instead of BH (FDR)
+    (``stats.holm_adjust``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    zs = stats.one_vs_rest_rate_ztest(
+        o, "o_orderpriority", (F.col("o_orderstatus") == "F")
+    )
+    with_p = stats.attach_pvalue(zs, "z", sided=2)
+    return stats.holm_adjust(with_p, "p_value", alpha=0.05)
+
+
+def _holm_oracle() -> str:
+    upper = _sql_upper_tail("abs(z)")
+    return f"""
+WITH per AS (
+    SELECT o_orderpriority, count(*) AS n,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS successes
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt, sum(successes) AS st FROM per),
+zs AS (
+    SELECT o_orderpriority, n,
+           CAST(successes AS BIGINT) AS successes,
+           round(CASE WHEN n > 0
+                      THEN CAST(successes AS DOUBLE) / n END, 6)
+               AS rate,
+           round(CASE WHEN nt - n > 0
+                      THEN CAST(st - successes AS DOUBLE) / (nt - n)
+                 END, 6) AS rest_rate,
+           round(CASE WHEN n > 0 AND nt - n > 0
+                       AND (CAST(st AS DOUBLE) / nt)
+                           * (1.0 - CAST(st AS DOUBLE) / nt)
+                           * (1.0 / n + 1.0 / (nt - n)) > 0
+                      THEN (CAST(successes AS DOUBLE) / n
+                            - CAST(st - successes AS DOUBLE)
+                              / (nt - n))
+                           / sqrt((CAST(st AS DOUBLE) / nt)
+                                  * (1.0 - CAST(st AS DOUBLE) / nt)
+                                  * (1.0 / n + 1.0 / (nt - n)))
+                 END, 6) AS z
+    FROM per CROSS JOIN tot
+),
+withp AS (
+    SELECT *,
+           round(CASE WHEN z IS NOT NULL
+                      THEN 2.0 * {upper} END, 6) AS p_value
+    FROM zs
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               ORDER BY p_value, o_orderpriority, n, successes,
+                        rate, rest_rate, z) AS rank,
+           count(*) OVER () AS m
+    FROM withp
+    WHERE p_value IS NOT NULL
+)
+SELECT o_orderpriority, n, successes, rate, rest_rate, z, p_value,
+       CAST(rank AS INTEGER) AS rank,
+       round(max(least(1.0, p_value * (m - rank + 1))) OVER (
+               ORDER BY rank ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS p_holm,
+       round(max(least(1.0, p_value * (m - rank + 1))) OVER (
+               ORDER BY rank ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) <= 0.05 AS reject
+FROM ranked
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "ab_power_plan": q_ab_power_plan,
+        "holm_sweep": q_holm_sweep,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "ab_power_plan": _power_plan_oracle(),
+        "holm_sweep": _holm_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 36: k-paired tests (Cochran Q, Friedman)
+
+
+_CQ_T = ["disc_gate", "qty_gate", "tax_gate"]
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three deterministic "returned?" gates scored
+    on the SAME lineitem rows — cell collapse + two block aggregates
+    (``stats.cochran_q``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    y = F.col("l_returnflag") == "R"
+    item = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    preds = F.array(
+        F.struct(
+            F.lit(_CQ_T[0]).alias("t"),
+            ((F.col("l_discount") > 0.05) == y).cast("int").alias("ok"),
+        ),
+        F.struct(
+            F.lit(_CQ_T[1]).alias("t"),
+            ((F.col("l_quantity") > 25) == y).cast("int").alias("ok"),
+        ),
+        F.struct(
+            F.lit(_CQ_T[2]).alias("t"),
+            ((F.col("l_tax") > 0.04) == y).cast("int").alias("ok"),
+        ),
+    )
+    scored = li.select(
+        item.alias("item"), F.explode(preds).alias("p")
+    ).select("item", F.col("p.t").alias("t"), F.col("p.ok").alias("ok"))
+    return stats.cochran_q(scored, "item", "t", "ok", _CQ_T)
+
+
+ORACLE_COCHRAN_Q = f"""
+WITH scored AS (
+    SELECT l_orderkey * 10 + l_linenumber AS item, '{_CQ_T[0]}' AS t,
+           CASE WHEN (l_discount > 0.05) = (l_returnflag = 'R')
+                THEN 1 ELSE 0 END AS ok
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey * 10 + l_linenumber, '{_CQ_T[1]}',
+           CASE WHEN (l_quantity > 25) = (l_returnflag = 'R')
+                THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey * 10 + l_linenumber, '{_CQ_T[2]}',
+           CASE WHEN (l_tax > 0.04) = (l_returnflag = 'R')
+                THEN 1 ELSE 0 END
+    FROM lineitem
+),
+cells AS (
+    SELECT item, t, max(ok) AS y FROM scored GROUP BY 1, 2
+),
+per_item AS (
+    SELECT item, count(*) AS kt, sum(y) AS r FROM cells GROUP BY 1
+),
+item_m AS (
+    SELECT CAST(sum(CASE WHEN kt = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_items,
+           CAST(sum(CASE WHEN kt = 3 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_excluded,
+           sum(CASE WHEN kt = 3 THEN r END) AS n_tot,
+           sum(CASE WHEN kt = 3 THEN r * r END) AS r2
+    FROM per_item
+),
+treat_m AS (
+    SELECT sum(cj * cj) AS c2 FROM (
+        SELECT cells.t, sum(cells.y) AS cj
+        FROM cells JOIN per_item USING (item)
+        WHERE per_item.kt = 3 GROUP BY 1
+    )
+)
+SELECT n_items, n_excluded, CAST(3 AS BIGINT) AS k,
+       round(CASE WHEN 3.0 * coalesce(n_tot, 0)
+                       - coalesce(r2, 0) > 0
+             THEN 2.0 * (3.0 * coalesce(c2, 0)
+                         - CAST(coalesce(n_tot, 0) AS DOUBLE)
+                           * coalesce(n_tot, 0))
+                  / (3.0 * coalesce(n_tot, 0) - coalesce(r2, 0))
+             END, 6) AS q_stat,
+       CAST(2 AS BIGINT) AS dof
+FROM item_m CROSS JOIN treat_m
+"""
+
+
+_FR_T = ["price_score", "inv_price_score", "calendar_score"]
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of three deterministic scoring rules over
+    the same orders — per-block rank windows over k rows
+    (``stats.friedman_test``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    scores = F.array(
+        F.struct(
+            F.lit(_FR_T[0]).alias("t"),
+            F.col("o_totalprice").alias("v"),
+        ),
+        F.struct(
+            F.lit(_FR_T[1]).alias("t"),
+            (500000.0 - F.col("o_totalprice")).alias("v"),
+        ),
+        F.struct(
+            F.lit(_FR_T[2]).alias("t"),
+            (F.dayofmonth("o_orderdate") * 10000.0).alias("v"),
+        ),
+    )
+    scored = o.select(
+        F.col("o_orderkey").alias("item"), F.explode(scores).alias("s")
+    ).select("item", F.col("s.t").alias("t"), F.col("s.v").alias("v"))
+    return stats.friedman_test(scored, "item", "t", "v", _FR_T)
+
+
+ORACLE_FRIEDMAN = f"""
+WITH scored AS (
+    SELECT o_orderkey AS item, '{_FR_T[0]}' AS t,
+           CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, '{_FR_T[1]}', 500000.0 - o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, '{_FR_T[2]}', day(o_orderdate) * 10000.0
+    FROM orders
+),
+cells AS (
+    SELECT item, t, round(avg(v), 6) AS v FROM scored GROUP BY 1, 2
+),
+per_item AS (SELECT item, count(*) AS kt FROM cells GROUP BY 1),
+n_row AS (
+    SELECT CAST(sum(CASE WHEN kt = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_items,
+           CAST(sum(CASE WHEN kt = 3 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_excluded
+    FROM per_item
+),
+ranked AS (
+    SELECT cells.item, cells.t,
+           rank() OVER (PARTITION BY cells.item ORDER BY cells.v ASC)
+               * 1.0
+           + (count(*) OVER (PARTITION BY cells.item, cells.v) - 1)
+             / 2.0 AS r
+    FROM cells JOIN per_item USING (item)
+    WHERE per_item.kt = 3
+),
+sums AS (SELECT t, sum(r) AS s FROM ranked GROUP BY 1),
+agg AS (SELECT sum(s * s) AS s2 FROM sums)
+SELECT n_items, n_excluded, CAST(3 AS BIGINT) AS k,
+       round(CASE WHEN n_items > 0
+             THEN 12.0 / (CAST(n_items AS DOUBLE) * 3 * 4) * s2
+                  - 3.0 * n_items * 4 END, 6) AS chi2_f,
+       CAST(2 AS BIGINT) AS dof
+FROM n_row CROSS JOIN agg
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "cochran_q": q_cochran_q,
+        "friedman": q_friedman,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "cochran_q": ORACLE_COCHRAN_Q,
+        "friedman": ORACLE_FRIEDMAN,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-10 widening batch 37: Cliff's delta, EWMA control chart
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta for order totals, urgent vs low priority — the
+    ordinal effect size from the mann-whitney value-bucket collapse
+    (``stats.cliffs_delta``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.cliffs_delta(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+ORACLE_CLIFFS_DELTA = """
+WITH buckets AS (
+    SELECT o_totalprice AS v,
+           sum(CASE WHEN o_orderpriority = '1-URGENT'
+               THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN o_orderpriority = '5-LOW'
+               THEN 1 ELSE 0 END) AS b
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    GROUP BY 1
+),
+ranked AS (
+    SELECT a, b,
+           sum(a + b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (a + b - 1) / 2.0 AS r
+    FROM buckets
+),
+m AS (
+    SELECT CAST(sum(a) AS BIGINT) AS n_a,
+           CAST(sum(b) AS BIGINT) AS n_b,
+           sum(a * r) AS ra
+    FROM ranked
+),
+d AS (
+    SELECT n_a, n_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN 2.0 * (ra - n_a * (n_a + 1) / 2.0)
+                      / (CAST(n_a AS DOUBLE) * n_b) - 1.0 END, 6)
+               AS delta
+    FROM m
+)
+SELECT n_a, n_b, delta,
+       CASE WHEN delta IS NULL THEN NULL
+            WHEN abs(delta) < 0.147 THEN 'negligible'
+            WHEN abs(delta) < 0.33 THEN 'small'
+            WHEN abs(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+_EWCC_L = 3.0
+
+
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event-count series per type
+    (alpha 0.5 — the bit-exact smoother; finite-horizon variance
+    limits) — one cumulative window + broadcast moments
+    (``stats.ewma_control_chart``)."""
+    from ..operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    series = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return stats.ewma_control_chart(
+        series, "event_type", "day", "n_events", alpha=0.5,
+        l_sigma=_EWCC_L,
+    )
+
+
+ORACLE_EWMA_CHART = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS DOUBLE) AS n_events
+    FROM events GROUP BY 1, 2
+),
+ranked0 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY day) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+),
+mom AS (
+    SELECT event_type AS g, round(avg(n_events), 6) AS mu,
+           round(stddev_samp(n_events), 6) AS sd
+    FROM ranked0 WHERE r <= ceil(n * 0.5) GROUP BY 1
+),
+idx AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY day) - 1 AS i
+    FROM daily
+),
+s AS (
+    SELECT *,
+           sum(n_events * power(2.0, i))
+               OVER (PARTITION BY event_type ORDER BY i) AS num,
+           sum(power(2.0, i))
+               OVER (PARTITION BY event_type ORDER BY i) AS den
+    FROM idx
+),
+chart AS (
+    SELECT s.event_type, s.day, s.n_events,
+           round(num / den, 6) AS ewma,
+           round(mom.mu + {_EWCC_L!r} * mom.sd
+                 * sqrt((0.5 / 1.5)
+                        * (1.0 - power(0.5, 2 * (s.i + 1)))), 6)
+               AS ucl,
+           round(mom.mu - {_EWCC_L!r} * mom.sd
+                 * sqrt((0.5 / 1.5)
+                        * (1.0 - power(0.5, 2 * (s.i + 1)))), 6)
+               AS lcl
+    FROM s JOIN mom ON s.event_type = mom.g
+    WHERE mom.sd > 0
+)
+SELECT event_type, day, n_events, ewma, ucl, lcl,
+       (ewma > ucl OR ewma < lcl) AS out_of_control
+FROM chart
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "cliffs_delta": q_cliffs_delta,
+        "ewma_control_chart": q_ewma_control_chart,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "cliffs_delta": ORACLE_CLIFFS_DELTA,
+        "ewma_control_chart": ORACLE_EWMA_CHART,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

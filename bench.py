@@ -322,179 +322,59 @@ BENCH_QUERIES = [
     "ewma_control_chart",
 ]
 
-# Rows timed for attribution/coverage but EXCLUDED from the suite
-# total, which stays on the same 42-query basis as the r2-r4 capture:
-# pack_sequences_native re-times a stage of pack_sequences;
-# curation_pipeline re-runs a composition of stages already timed
-# individually; the round-6 rows (incremental_dedup,
-# trailing_range_agg, cube_agg, and the widening batch) postdate the
-# comparable basis.
-TOTAL_EXCLUDED = {
-    "pack_sequences_native",
-    "curation_pipeline",
-    "incremental_dedup",
-    "trailing_range_agg",
-    "cube_agg",
-    "novelty_score",
-    "cms_heavy_hitters",
-    "triangle_count",
-    "inverted_index",
-    "embedding_covariance",
-    "pagerank",
-    "bm25_score",
-    "tfidf_doc_similarity",
-    "ohlc_bucket",
-    "transition_matrix",
-    "winsorize",
-    "histogram",
-    "corr_matrix",
-    "period_over_period",
-    "rolling_active_users",
-    "hybrid_retrieval",
-    "key_skew_profile",
-    "token_entropy",
-    "pmi_collocations",
-    "source_kl",
-    "chi_square",
-    "weighted_sample",
-    "benford",
-    "gini_tokens",
-    "copurchase_pairs",
-    "twap",
-    "cusum_drift",
-    "events_daily_overview",
-    "duplicate_passages",
-    "url_stats",
-    "fulfillment_latency",
-    "revenue_pareto",
-    "model_quality_filter",
-    "source_overlap",
-    "frequency_spectrum",
-    "hard_negatives",
-    "retrieval_quality",
-    "cdc_apply",
-    "rollup_merge",
-    "ewma",
-    "linear_attribution",
-    "kcore",
-    "shortest_paths",
-    "label_spreading",
-    "streaks",
-    "skyline",
-    "merge_intervals",
-    "weighted_median",
-    "cuped",
-    "k_anonymity",
-    "psi_drift",
-    "entity_resolution",
-    "personalized_pagerank",
-    "common_paths",
-    "sequence_match",
-    "neighbor_jaccard",
-    "adamic_adar",
-    "clustering_coeff",
-    "kaplan_meier",
-    "fk_integrity",
-    "interarrival",
-    "diff_in_diff",
-    "audience_overlap",
-    "zipf_slope",
-    "rolling_corr",
-    "doc_keywords",
-    "price_elasticity",
-    "safety_stock",
-    "term_keyness",
-    "mutual_topk",
-    "log_rank",
-    "seasonal_anomaly",
-    "new_vs_returning",
-    "price_volume_mix",
-    "resample_interpolate",
-    "conversion_ztest",
-    "retention_halflife",
-    "geo_nearest",
-    "lead_lag_corr",
-    "sorted_neighborhood",
-    "spatial_clusters",
-    "entity_resolution_sn",
-    "best_changepoint",
-    "conversion_latency",
-    "weekly_decomposition",
-    "share_of_parent",
-    "stickiness",
-    "supplier_reliability",
-    "also_bought_topk",
-    "theil_inequality",
-    "hhi_concentration",
-    "pareto_abc",
-    "robust_zscore",
-    "acf_daily",
-    "holt_trend",
-    "poisson_bootstrap",
-    "cube_shares",
-    "hits_scores",
-    "item_similarity_cf",
-    "theil_sen",
-    "lorenz_curve",
-    "containment_dedup",
-    "negative_sampling",
-    "rfm_segments_distributed",
-    "sequence_gaps",
-    "hll_distinct",
-    "golden_record",
-    "bloom_semi_join",
-    "max_drawdown",
-    "salted_hot_agg",
-    "hll_audience_algebra",
-    "quantile_normalize",
-    "pca_top_component",
-    "join_size_estimate",
-    "l_diversity",
-    "spearman_corr",
-    "anova_f",
-    "kruskal_wallis",
-    "t_closeness",
-    "vwap",
-    "mutual_information",
-    "feature_info_gain",
-    "kendall_tau",
-    "empirical_bayes_rates",
-    "levene_variance",
-    "jarque_bera",
-    "runs_test",
-    "bollinger_bands",
-    "rsi_indicator",
-    "degree_assortativity",
-    "expectation_audit",
-    "semantic_outlier",
-    "srm_check",
-    "target_encode",
-    "dp_noisy_counts",
-    "rate_ztest_sweep",
-    "multiple_testing",
-    "harmonic_centrality",
-    "rolling_slope",
-    "melt_metrics",
-    "forecast_accuracy",
-    "cumulative_gains",
-    "weighted_mean_ess",
-    "readability",
-    "bom_rollup",
-    "prorate_order_lines",
-    "topk_others",
-    "conformal_interval",
-    "qini_curve",
-    "price_index",
-    "xyz_classification",
-    "ols2_trend",
-    "partial_corr",
-    "rmst_survival",
-    "sentence_chunks",
-    "pseudonymize_keys",
-    "dp_noisy_sum",
-    "time_decay_attribution",
-    "mmr_rerank",
-}
+# The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
+# contract, round 6"): the r2-era 42 rows (41 r2 queries +
+# percentiles_approx, added r3 and folded into the r3 calibration).
+# Every OTHER timed row — attribution re-measures, r6+ additions, the
+# round-10 widening batches — is timed-but-EXCLUDED from the headline
+# by construction: this is an ALLOWLIST, so a newly added query can
+# never silently join the headline and break comparability (the r10
+# mistake: 50 session-2 rows slipped into an exclusion-list scheme
+# and the headline read 84 s vs r9's 34 s on a 42-row basis of 33.4).
+COMPARABLE_BASIS = frozenset([
+    "anti_join",
+    "asof_boundary_join",
+    "bigram_freq",
+    "contamination",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "dedup_components",
+    "exact_dedup",
+    "filter_project",
+    "fingerprint",
+    "flagship_census_count",
+    "hierarchical_fallback",
+    "interval_containment",
+    "join_3way",
+    "json_extract",
+    "language_id",
+    "latest_snapshot",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_fast",
+    "multimodal_meta",
+    "nested_explode",
+    "pack_sequences",
+    "percentiles",
+    "percentiles_approx",
+    "pricing_summary",
+    "quality_quantile_filter",
+    "quality_score",
+    "repetition_ratio",
+    "rollup_agg",
+    "running_sum",
+    "scalar_functions",
+    "sessionize",
+    "simhash",
+    "stable_sample",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "time_reanchor",
+    "token_count",
+    "top1_latest_order",
+    "tumbling_window",
+    "watermark_filter",
+])
 
 
 def main() -> None:
@@ -608,12 +488,19 @@ def main() -> None:
         load1, load5, _ = os.getloadavg()
     except OSError:
         load1 = load5 = None
+    # headline = the frozen 42-row comparable basis; value_full = every
+    # timed row (incl. attribution re-measures) for completeness
     total = round(
-        sum(v for k, v in timings.items() if k not in TOTAL_EXCLUDED), 3
+        sum(v for k, v in timings.items() if k in COMPARABLE_BASIS), 3
     )
+    total_full = round(sum(timings.values()), 3)
     record = {
         "metric": "headline-suite steady-state wall seconds at sf",
         "value": total,
+        "value_comparable": total,
+        "value_full": total_full,
+        "n_comparable": sum(1 for k in timings if k in COMPARABLE_BASIS),
+        "n_timed": len(timings),
         "unit": "sec",
         "queries": timings,
         "reps": reps,
@@ -697,6 +584,8 @@ def main() -> None:
             {
                 "metric": record["metric"],
                 "value": total,
+                "value_comparable": total,
+                "value_full": total_full,
                 "unit": "sec",
                 "sf": sf,
                 "queries": {"full_record": "BENCH_SELF.json"},

@@ -160,6 +160,32 @@ def test_delta_mode_gates_cleanly(spark):
 
 
 
+def test_delta_form_templates_render_documented_sql():
+    """The untested-on-this-container surface is exactly these four
+    templated one-liners (COVERAGE.md round-11 audit); pin the
+    rendered SQL verbatim so an accidental template edit can't ship
+    silently to a Delta deployment."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.maintenance import (
+        DELTA_FORMS,
+    )
+
+    assert DELTA_FORMS["compact"].format(table="t") == "OPTIMIZE t"
+    assert DELTA_FORMS["retention_delete"].format(
+        table="t", ts_col="ts", cutoff="2023-01-01 00:00:00"
+    ) == "DELETE FROM t WHERE ts < TIMESTAMP '2023-01-01 00:00:00'"
+    assert (
+        DELTA_FORMS["vacuum"].format(table="t", retain_hours=168)
+        == "VACUUM t RETAIN 168 HOURS"
+    )
+    assert (
+        DELTA_FORMS["time_travel"].format(table="t", version=3)
+        == "SELECT * FROM t VERSION AS OF 3"
+    )
+    assert set(DELTA_FORMS) == {
+        "compact", "retention_delete", "vacuum", "time_travel",
+    }
+
+
 def test_delta_native_forms_execute():
     """Runs ONLY where delta-spark is installed (not this container):
     builds a Delta session and exercises OPTIMIZE/DELETE/VACUUM/

@@ -583,6 +583,15 @@ DISJOINT_HEAVY = [
     "adamic_adar",
     "clustering_coeff",
     "item_similarity_cf",
+    # round-11 task 5: incremental dedup's x10->x30 exponent read 1.49
+    # on the near-dup fixture — attributed to the fixture densifying
+    # candidate pairs superlinearly (every replica near-dups every
+    # other), not to the plan.  The disjoint fixture's documents are
+    # per-replica Caesar-rotated, so cross-replica shingle overlap is
+    # ZERO and candidate pairs grow ~f x: the exponent then measures
+    # the banding join itself, which is the 100 TB claim.
+    "incremental_dedup",
+    "incremental_dedup_amortized",
 ]
 
 
@@ -810,6 +819,41 @@ def build_disjoint_fixture(base: str, factor: int, root: str) -> str:
         ),
         os.path.join(out_dir, "lineitem.parquet"),
     )
+
+    # documents: per-replica Caesar rotation of [a-z0-9] — every char
+    # shingle containing an alphanumeric differs across replicas, so
+    # cross-replica MinHash/LSH candidate pairs are ~zero and each
+    # replica near-dups only within itself (the "new crawl snapshot"
+    # shape, vs build_fixture's adversarial everyone-near-dups-
+    # everyone perturbation)
+    import pyarrow as pa
+
+    docs = pq.read_table(os.path.join(base, "documents.parquet"))
+    n = docs.num_rows
+    cols = {c: docs.column(c).to_pylist() for c in docs.column_names}
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+    big = {c: [] for c in docs.column_names}
+    for r in range(factor):
+        if r > 0:
+            rot = str.maketrans(
+                alpha + alpha.upper() + digits,
+                alpha[r % 26:] + alpha[: r % 26]
+                + (alpha[r % 26:] + alpha[: r % 26]).upper()
+                + digits[r % 10:] + digits[: r % 10],
+            )
+        for c, vals in cols.items():
+            if c == "doc_id":
+                big[c].extend(v + r * n for v in vals)
+            elif c == "text" and r > 0:
+                big[c].extend(v.translate(rot) for v in vals)
+            else:
+                big[c].extend(vals)
+    pq.write_table(
+        pa.table(big, schema=docs.schema),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
     for t in ALL_TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
