@@ -1579,3 +1579,224 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 38: exact small-count inference, extreme
+# --- values, distribution-free quantile CIs
+
+
+_FE_NATION = 7
+_FE_SEGS = ("BUILDING", "MACHINERY")
+_FE_BAL = 5000.0
+
+
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact 2×2 on a deliberately SMALL slice (one nation,
+    two market segments, high-balance success) — the regime where the
+    z-test's asymptotics are invalid and exact enumeration is the
+    only defensible p-value (``stats.fisher_exact``: cumulative
+    log-factorial table + margin-preserving k enumeration, all
+    in-plan)."""
+    from ..operators import stats
+
+    c = rebalance(load_table(spark, sf_dir, "customer"))
+    sl = c.filter(F.col("c_nationkey") == _FE_NATION).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") > _FE_BAL).cast("int").alias("rich"),
+    )
+    return stats.fisher_exact(sl, "seg", "rich", *_FE_SEGS)
+
+
+ORACLE_FISHER = f"""
+WITH cells AS (
+    SELECT count(CASE WHEN c_mktsegment = '{_FE_SEGS[0]}'
+                       AND c_acctbal > {_FE_BAL!r} THEN 1 END) AS a1,
+           count(CASE WHEN c_mktsegment = '{_FE_SEGS[0]}'
+                       AND c_acctbal <= {_FE_BAL!r} THEN 1 END) AS a0,
+           count(CASE WHEN c_mktsegment = '{_FE_SEGS[1]}'
+                       AND c_acctbal > {_FE_BAL!r} THEN 1 END) AS b1,
+           count(CASE WHEN c_mktsegment = '{_FE_SEGS[1]}'
+                       AND c_acctbal <= {_FE_BAL!r} THEN 1 END) AS b0
+    FROM customer
+    WHERE c_nationkey = {_FE_NATION} AND c_acctbal IS NOT NULL
+          AND c_mktsegment IN ('{_FE_SEGS[0]}', '{_FE_SEGS[1]}')
+),
+m AS (
+    SELECT *, a1 + a0 AS r1, b1 + b0 AS r2, a1 + b1 AS c1,
+           a1 + a0 + b1 + b0 AS n
+    FROM cells
+),
+lf AS (
+    SELECT i,
+           sum(CASE WHEN i > 0 THEN ln(i) ELSE 0.0 END)
+               OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS lf
+    FROM (SELECT unnest(generate_series(0, (SELECT n FROM m))) AS i)
+),
+ks AS (
+    SELECT m.*, unnest(generate_series(
+               greatest(0, c1 - r2), least(r1, c1))) AS k
+    FROM m
+),
+scored AS (
+    SELECT ks.*,
+           round((SELECT lf FROM lf WHERE i = r1)
+               + (SELECT lf FROM lf WHERE i = r2)
+               + (SELECT lf FROM lf WHERE i = c1)
+               + (SELECT lf FROM lf WHERE i = n - c1)
+               - (SELECT lf FROM lf WHERE i = n)
+               - (SELECT lf FROM lf WHERE i = k)
+               - (SELECT lf FROM lf WHERE i = r1 - k)
+               - (SELECT lf FROM lf WHERE i = c1 - k)
+               - (SELECT lf FROM lf WHERE i = r2 - c1 + k), 9)
+               AS logp,
+           round((SELECT lf FROM lf WHERE i = r1)
+               + (SELECT lf FROM lf WHERE i = r2)
+               + (SELECT lf FROM lf WHERE i = c1)
+               + (SELECT lf FROM lf WHERE i = n - c1)
+               - (SELECT lf FROM lf WHERE i = n)
+               - (SELECT lf FROM lf WHERE i = a1)
+               - (SELECT lf FROM lf WHERE i = a0)
+               - (SELECT lf FROM lf WHERE i = b1)
+               - (SELECT lf FROM lf WHERE i = b0), 9)
+               AS logobs
+    FROM ks
+)
+SELECT CAST(a1 AS BIGINT) AS n_a_success,
+       CAST(a0 AS BIGINT) AS n_a_fail,
+       CAST(b1 AS BIGINT) AS n_b_success,
+       CAST(b0 AS BIGINT) AS n_b_fail,
+       round(least(sum(CASE WHEN logp <= logobs THEN exp(logp)
+                            ELSE 0.0 END), 1.0), 6) AS p_value
+FROM scored
+GROUP BY 1, 2, 3, 4
+"""
+
+
+_GUM_PERIODS = (10, 50, 100)
+
+
+def q_gumbel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel return levels for MONTHLY maximum order value — "what
+    order size should the fraud ceiling expect once a decade?"
+    (``stats.gumbel_return_levels``: block maxima + closed-form
+    method-of-moments fit, engine-deterministic)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.gumbel_return_levels(
+        o, "o_orderdate", "o_totalprice", block="month",
+        periods=list(_GUM_PERIODS),
+    )
+
+
+_EULER_G = 0.5772156649015329
+_GUM_C = 6.0**0.5 / 3.141592653589793
+
+ORACLE_GUMBEL = f"""
+WITH maxima AS (
+    SELECT date_trunc('month', o_orderdate) AS blk,
+           max(CAST(o_totalprice AS DOUBLE)) AS mx
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+mom AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+           round(avg(mx), 6) AS m, round(stddev_samp(mx), 6) AS s
+    FROM maxima
+),
+fit AS (
+    SELECT n_blocks,
+           CASE WHEN n_blocks >= 2 AND s > 0
+                THEN round(s * {_GUM_C!r}, 6) END AS beta,
+           m
+    FROM mom
+),
+staged AS (
+    SELECT n_blocks, round(m - {_EULER_G!r} * beta, 6) AS mu, beta
+    FROM fit
+)
+SELECT period, n_blocks, mu, beta,
+       round(mu - beta * ln(-ln(1.0 - 1.0 / period)), 6)
+           AS return_level
+FROM staged, (SELECT unnest([{", ".join(str(p) for p in _GUM_PERIODS)}]) AS period)
+ORDER BY period
+"""
+
+
+_QCI_Q = 0.9
+_QCI_CONF = 0.95
+
+
+def q_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic CI for the p90 of lineitem quantity — the
+    distribution-free rank bracket (``stats.quantile_order_ci``:
+    histogram cumsum over 50 distinct values, binomial-rank bounds,
+    no assumption on the value distribution)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.quantile_order_ci(
+        li, "l_quantity", q=_QCI_Q, conf=_QCI_CONF
+    )
+
+
+def _quantile_ci_oracle() -> str:
+    from ..operators.stats import norm_ppf
+
+    z = norm_ppf(1.0 - (1.0 - _QCI_CONF) / 2.0)
+    return f"""
+WITH hist AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS c
+    FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+cum AS (
+    SELECT v, c,
+           sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+           sum(c) OVER () AS n
+    FROM hist
+),
+staged AS (
+    SELECT v, cum, n,
+           greatest(CAST(ceil(n * {_QCI_Q!r}
+               - {z!r} * sqrt(n * {_QCI_Q!r} * {1.0 - _QCI_Q!r}))
+               AS BIGINT), 1) AS lo_r,
+           least(CAST(ceil(n * {_QCI_Q!r}
+               + {z!r} * sqrt(n * {_QCI_Q!r} * {1.0 - _QCI_Q!r}))
+               AS BIGINT), n) AS hi_r,
+           greatest(CAST(ceil(n * {_QCI_Q!r}) AS BIGINT), 1) AS pt_r
+    FROM cum
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       round({_QCI_Q!r}, 6) AS q,
+       round({_QCI_CONF!r}, 6) AS conf,
+       max(lo_r) AS lo_rank,
+       max(hi_r) AS hi_rank,
+       round(min(CASE WHEN cum >= lo_r THEN v END), 6) AS lo,
+       round(min(CASE WHEN cum >= pt_r THEN v END), 6) AS point,
+       round(min(CASE WHEN cum >= hi_r THEN v END), 6) AS hi
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "fisher_exact": q_fisher_exact,
+        "gumbel_return_levels": q_gumbel_levels,
+        "quantile_order_ci": q_quantile_ci,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "fisher_exact": ORACLE_FISHER,
+        "gumbel_return_levels": ORACLE_GUMBEL,
+        "quantile_order_ci": _quantile_ci_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -592,6 +592,17 @@ DISJOINT_HEAVY = [
     # the banding join itself, which is the 100 TB claim.
     "incremental_dedup",
     "incremental_dedup_amortized",
+    # round-11 task 6 follow-up: on the SHARED-dim fixture the
+    # part-supplier graph never grows (rows_by_factor constant at
+    # 21000 for both rows below — only the lineitem scan scales), so
+    # the iterative-frontier cost had no measured point.  The disjoint
+    # fixture replicates part/supplier with lineitem: nodes, edges AND
+    # seeds all grow ~f x, each seed's BFS stays inside its own
+    # replica, so the expected exponent is ~1 (per-round hash joins on
+    # f x tables) and anything materially above 1 means frontier
+    # state is leaking across rounds.
+    "harmonic_centrality",
+    "shortest_paths",
 ]
 
 
