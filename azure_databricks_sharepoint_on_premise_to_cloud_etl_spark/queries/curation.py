@@ -2415,3 +2415,149 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
 
+
+
+# --- round-11 widening batch 39: dedup savings accounting, LSH
+# --- threshold tuning sweep
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact report — the number a data-acquisition
+    meeting actually asks for ("how much of source X is duplicate
+    tokens?"): exact-digest keepers (min-id canonical per normalized
+    content) flagged back onto the corpus, token totals before/after,
+    savings ratio.  One digest group-by (shuffle = 16-byte digests) +
+    one broadcast-size keeper semi-flag join + one source aggregate."""
+    from ..operators import dedup as dd
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+            lambda x: x != "",
+        )
+    )
+    base = d.select("doc_id", "source", toks.alias("__toks"))
+    keep = dd.exact_dedup_groups(d).select(
+        F.col("canonical_id").alias("doc_id"),
+        F.lit(1).alias("__keep"),
+    )
+    flagged = base.join(keep, "doc_id", "left")
+    kept_toks = F.sum(F.when(F.col("__keep") == 1, F.col("__toks")))
+    total_toks = F.sum("__toks")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("__keep").cast("long").alias("n_kept"),
+            total_toks.cast("long").alias("tokens_total"),
+            kept_toks.cast("long").alias("tokens_kept"),
+            F.round(
+                F.when(
+                    total_toks > 0,
+                    1.0 - kept_toks.cast("double") / total_toks,
+                ),
+                6,
+            ).alias("token_savings"),
+        )
+    )
+
+
+def _dedup_savings_oracle() -> str:
+    from .core import _DUCK_NORM, _duck_hash
+
+    return f"""
+WITH h AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(lower(trim(text)),
+               '\\s+'), x -> x <> '')) AS toks,
+           {_duck_hash(_DUCK_NORM, 0)} AS ch,
+           length({_DUCK_NORM}) AS cl
+    FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch, cl)
+SELECT h.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(sum(h.toks) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN h.toks END)
+            AS BIGINT) AS tokens_kept,
+       round(CASE WHEN sum(h.toks) > 0 THEN
+           1.0 - sum(CASE WHEN k.doc_id IS NOT NULL THEN h.toks
+                          ELSE 0 END) * 1.0 / sum(h.toks) END, 6)
+           AS token_savings
+FROM h LEFT JOIN keep k ON h.doc_id = k.doc_id
+GROUP BY 1
+"""
+
+
+# thresholds chosen as exact multiples of 1/16 (= 1/num_hashes), so
+# est_jaccard comparisons and means are exact binary fractions in
+# BOTH engines — no float-summation-order hash risk
+_LSH_SWEEP_T = (0.25, 0.5, 0.75, 1.0)
+
+
+def q_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD TUNING curve: how many candidate pairs survive
+    each estimated-Jaccard cut — the one-pass readout that picks the
+    near-dup threshold before committing a corpus-sized dedup run.
+    Reuses the MinHash estimate plan (signatures + banded pairs), adds
+    one exploded-literal threshold sweep and a conditional aggregate;
+    thresholds never drop rows (zero-match cuts report 0)."""
+    from .core import q_minhash_jaccard_estimate
+
+    est = q_minhash_jaccard_estimate(spark, sf_dir)
+    sweep = est.select(
+        "est_jaccard",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _LSH_SWEEP_T])
+        ).alias("threshold"),
+    )
+    hit = F.col("est_jaccard") >= F.col("threshold")
+    return (
+        sweep.groupBy("threshold")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.avg(F.when(hit, F.col("est_jaccard"))), 6
+            ).alias("mean_est_jaccard"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _lsh_sweep_oracle() -> str:
+    from .core import _minhash_estimate_oracle
+
+    ts = ", ".join(repr(float(t)) for t in _LSH_SWEEP_T)
+    return f"""
+WITH est AS ({_minhash_estimate_oracle().strip()})
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+       CAST(count(CASE WHEN est.est_jaccard >= t.threshold THEN 1 END)
+            AS BIGINT) AS n_pairs,
+       round(avg(CASE WHEN est.est_jaccard >= t.threshold
+                      THEN est.est_jaccard END), 6)
+           AS mean_est_jaccard
+FROM est CROSS JOIN (SELECT unnest([{ts}]) AS threshold) t
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "dedup_savings": q_dedup_savings,
+        "lsh_threshold_sweep": q_lsh_threshold_sweep,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "dedup_savings": _dedup_savings_oracle(),
+        "lsh_threshold_sweep": _lsh_sweep_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
