@@ -3116,7 +3116,7 @@ def dp_noisy_counts(
     """
     if epsilon <= 0:
         raise ValueError(f"epsilon must be positive, got {epsilon}")
-    from ..functions import portable_hash64
+    from ...functions import portable_hash64
 
     per = (
         df.groupBy(*group_cols)

@@ -926,7 +926,7 @@ def dp_noisy_sum(
         raise ValueError(
             f"clip_lo {clip_lo} must be < clip_hi {clip_hi}"
         )
-    from ..functions import portable_hash64
+    from ...functions import portable_hash64
 
     v = F.col(value_col)
     clipped = F.least(
@@ -3427,14 +3427,17 @@ def fisher_exact(
     whose hypergeometric probability ≤ the observed table's.
 
     In-plan construction (no scipy): ONE conditional aggregate
-    produces the four cells; a cumulative-log-factorial table
-    ``lf[i] = Σ_{j≤i} ln j`` is built from ``explode(sequence(0,n))``
-    with an ordered running-sum window; each candidate k joins its six
-    factorial terms from that table.  All post-aggregate tables are
-    bounded by ``n ≤ max_n`` (documented cap — Fisher is a SMALL-n
-    instrument; above the cap the z-test/chi-square asymptotics are
-    valid and 10⁶× cheaper, so exceeding it raises rather than
-    silently hanging a single-partition window).
+    produces the four cells; a cumulative-log-factorial ARRAY
+    ``lf[i] = Σ_{j≤i} ln j`` is built on a synthetic 1-row frame
+    (``spark.range(1)`` — the base table is never re-scanned) from
+    the driver-read total n, collapsed to one broadcast array row;
+    every factorial term is an ``element_at`` lookup, so the k
+    enumeration is one crossJoin, not thirteen joins.  All
+    post-aggregate tables are bounded by ``n ≤ max_n`` (documented
+    cap — Fisher is a SMALL-n instrument; above the cap the
+    z-test/chi-square asymptotics are valid and 10⁶× cheaper, so
+    exceeding it raises rather than silently hanging a
+    single-partition window).
 
     Cross-engine determinism: both engines sum ``ln j`` in the same
     ascending order (ordered window), log-probabilities are rounded
@@ -3469,10 +3472,17 @@ def fisher_exact(
             f"fisher_exact is capped at n <= {max_n} (got {n_val}); "
             "use two_proportion_ztest at this sample size"
         )
-    # cumulative log-factorial lf[i] = sum_{j<=i} ln(j), lf[0] = 0
+    # cumulative log-factorial lf[i] = sum_{j<=i} ln(j), lf[0] = 0 —
+    # built on a synthetic 1-row frame from the driver-read n (already
+    # in hand for the cap check), so the input is never re-scanned;
+    # collapsed to ONE broadcast array row for element_at lookups
+    spark = df.sparkSession
     lf = (
-        cells.select(
-            F.explode(F.sequence(F.lit(0), F.col("__n"))).alias("__i")
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_val)))
+            ).alias("__i")
         )
         .withColumn(
             "__lnj",
@@ -3488,7 +3498,16 @@ def fisher_exact(
                 )
             ),
         )
-        .select("__i", "__lf")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__i", "__lf"))
+            ).alias("__pairs")
+        )
+        .select(
+            F.transform(
+                F.col("__pairs"), lambda s: s["__lf"]
+            ).alias("__lf_arr")
+        )
     )
 
     r1 = F.col("__a1") + F.col("__a0")
@@ -3506,43 +3525,28 @@ def fisher_exact(
             )
         ).alias("__k"),
     )
-    j = ks
-    for alias_, idx in [
-        ("lr1", F.col("__r1")),
-        ("lr2", F.col("__r2")),
-        ("lc1", F.col("__c1")),
-        ("lc0", F.col("__n") - F.col("__c1")),
-        ("ln_", F.col("__n")),
-        ("lk", F.col("__k")),
-        ("lr1k", F.col("__r1") - F.col("__k")),
-        ("lc1k", F.col("__c1") - F.col("__k")),
-        ("lr2k", F.col("__r2") - F.col("__c1") + F.col("__k")),
-        ("la1", F.col("__a1")),
-        ("la0", F.col("__a0")),
-        ("lb1", F.col("__b1")),
-        ("lb0", F.col("__b0")),
-    ]:
-        lft = lf.select(
-            F.col("__i").alias(f"__i_{alias_}"),
-            F.col("__lf").alias(f"__{alias_}"),
-        )
-        j = j.join(
-            F.broadcast(lft), idx == F.col(f"__i_{alias_}"), "left"
-        ).drop(f"__i_{alias_}")
+    j = ks.crossJoin(F.broadcast(lf))
+
+    def _lf(idx):
+        # lf array is 1-indexed via element_at; lf[i] sits at i+1
+        return F.element_at(F.col("__lf_arr"), (idx + 1).cast("int"))
+
     log_margin = (
-        F.col("__lr1") + F.col("__lr2") + F.col("__lc1")
-        + F.col("__lc0") - F.col("__ln_")
+        _lf(F.col("__r1")) + _lf(F.col("__r2")) + _lf(F.col("__c1"))
+        + _lf(F.col("__n") - F.col("__c1")) - _lf(F.col("__n"))
     )
     logp_k = F.round(
         log_margin
-        - F.col("__lk") - F.col("__lr1k") - F.col("__lc1k")
-        - F.col("__lr2k"),
+        - _lf(F.col("__k"))
+        - _lf(F.col("__r1") - F.col("__k"))
+        - _lf(F.col("__c1") - F.col("__k"))
+        - _lf(F.col("__r2") - F.col("__c1") + F.col("__k")),
         9,
     )
     logp_obs = F.round(
         log_margin
-        - F.col("__la1") - F.col("__la0") - F.col("__lb1")
-        - F.col("__lb0"),
+        - _lf(F.col("__a1")) - _lf(F.col("__a0"))
+        - _lf(F.col("__b1")) - _lf(F.col("__b0")),
         9,
     )
     return (
@@ -3641,3 +3645,175 @@ def gumbel_return_levels(
     return per.select(
         "period", "n_blocks", "mu", "beta", level.alias("return_level")
     ).orderBy("period")
+
+
+def bartlett_variance(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity — the HIGH-POWER
+    complement of :func:`levene_variance` (Brown–Forsythe): Bartlett
+    is exact-χ² under normality and markedly more sensitive, Levene is
+    the robust fallback when normality is doubtful; emitting both is
+    the standard pre-ANOVA audit.
+
+    ``T = [(N−k)·ln S_p² − Σ(n_i−1)·ln S_i²] / C`` with
+    ``C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1))``; T ~ χ²(k−1).
+    Groups with fewer than 2 rows or zero variance are EXCLUDED (their
+    ln S² is undefined) and counted.
+
+    Scale shape: one per-group moments aggregate (map-side combined),
+    one k-sized reduce, scalar arithmetic; statistic emitted with its
+    dof (the family convention — no χ² CDF in-plan).
+
+    Returns one row: (k, n_excluded_groups, n, dof, t_stat).
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    per = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.var_samp(x), 6).alias("__v"),
+        )
+    )
+    ok = (F.col("__n") >= 2) & (F.col("__v") > 0)
+    red = per.agg(
+        F.sum(ok.cast("int")).cast("long").alias("k"),
+        (F.count(F.lit(1)) - F.sum(ok.cast("int")))
+        .cast("long")
+        .alias("n_excluded_groups"),
+        F.sum(F.when(ok, F.col("__n"))).cast("long").alias("n"),
+        F.sum(
+            F.when(ok, (F.col("__n") - 1) * F.col("__v"))
+        ).alias("__ssw"),
+        F.sum(
+            F.when(ok, (F.col("__n") - 1) * F.log(F.col("__v")))
+        ).alias("__sumlog"),
+        F.sum(
+            F.when(ok, 1.0 / (F.col("__n") - 1))
+        ).alias("__suminv"),
+    )
+    nk = (F.col("n") - F.col("k")).cast("double")
+    sp2 = F.col("__ssw") / nk
+    c = 1.0 + (F.col("__suminv") - 1.0 / nk) / (
+        3.0 * (F.col("k") - 1).cast("double")
+    )
+    t = F.when(
+        (F.col("k") >= 2) & (nk > 0),
+        F.round((nk * F.log(sp2) - F.col("__sumlog")) / c, 6),
+    )
+    return red.select(
+        "k",
+        "n_excluded_groups",
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        t.alias("t_stat"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame, item_col: str, value_col: str, n_raters: int
+) -> DataFrame:
+    """Intraclass correlation ICC(1,1) — CONTINUOUS-score multi-rater
+    reliability, the missing member next to :func:`fleiss_kappa`
+    (categorical) and :func:`cohens_kappa` (two raters): one-way
+    random-effects ANOVA decomposition,
+    ``ICC = (MS_B − MS_W) / (MS_B + (k−1)·MS_W)``.
+
+    Input grain: one row per (item, score); items must carry exactly
+    ``n_raters`` scores — others are EXCLUDED and counted (the same
+    constant-panel rule as Fleiss).
+
+    Scale shape: per-item moments (one hash aggregate), one reduce for
+    the grand mean + sums of squares, scalar arithmetic; negative
+    ICC is reported as computed (it is evidence AGAINST reliability,
+    not an error), NULL when denominators degenerate.
+
+    Returns one row: (n_items, n_excluded_items, n_raters, ms_between,
+    ms_within, icc).
+    """
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    k = int(n_raters)
+    it = F.col(item_col)
+    x = F.col(value_col).cast("double")
+    per = (
+        df.filter(it.isNotNull() & x.isNotNull())
+        .groupBy(it.alias("__it"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x).alias("__s"),
+            F.sum(x * x).alias("__ss"),
+        )
+    )
+    ok = F.col("__n") == k
+    red = per.agg(
+        F.sum(ok.cast("int")).cast("long").alias("n_items"),
+        (F.count(F.lit(1)) - F.sum(ok.cast("int")))
+        .cast("long")
+        .alias("n_excluded_items"),
+        F.sum(F.when(ok, F.col("__s"))).alias("__ts"),
+        F.sum(F.when(ok, F.col("__ss"))).alias("__tss"),
+        F.sum(
+            F.when(ok, F.col("__s") * F.col("__s") / F.lit(float(k)))
+        ).alias("__sgrp"),
+    )
+    n_items = F.col("n_items").cast("double")
+    total_n = n_items * k
+    grand = F.col("__ts") * F.col("__ts") / total_n
+    ssb = F.col("__sgrp") - grand
+    ssw = F.col("__tss") - F.col("__sgrp")
+    msb = F.round(ssb / (n_items - 1), 6)
+    msw = F.round(ssw / (n_items * (k - 1)), 6)
+    staged = red.select(
+        "n_items",
+        "n_excluded_items",
+        F.lit(k).cast("long").alias("n_raters"),
+        F.when(F.col("n_items") >= 2, msb).alias("ms_between"),
+        F.when(F.col("n_items") >= 1, msw).alias("ms_within"),
+    )
+    denom = F.col("ms_between") + F.lit(float(k - 1)) * F.col("ms_within")
+    icc = F.when(
+        denom > 0,
+        F.round(
+            (F.col("ms_between") - F.col("ms_within")) / denom, 6
+        ),
+    )
+    return staged.select("*", icc.alias("icc"))
+
+
+def by_adjust(
+    df: DataFrame,
+    p_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR adjustment — :func:`bh_adjust` made
+    valid under ARBITRARY dependence between the tests (BH assumes
+    independence/PRDS; overlapping segments, correlated metrics, and
+    shared denominators violate it): the same step-up rule with every
+    q inflated by the harmonic factor ``c(m) = Σ_{i≤m} 1/i``.
+
+    Implementation: delegate to :func:`bh_adjust`, then multiply
+    q-values by c(m) computed IN-PLAN from the family size (a
+    per-family aggregate — no driver-side m), re-cap at 1 and re-flag.
+
+    Adds: (rank, q_value, reject) with BY semantics.
+    """
+    group_cols = group_cols or []
+    base = bh_adjust(df, p_col, group_cols=group_cols, alpha=alpha)
+    w_all = Window.partitionBy(*group_cols)
+    m = F.max("rank").over(w_all)
+    # c(m) = sum_{i<=m} 1/i via one bounded higher-order aggregate
+    # over sequence(1, m) — m is the family's test count (small)
+    cm = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
+    )
+    q = F.round(F.least(F.col("q_value") * cm, F.lit(1.0)), 6)
+    return (
+        base.withColumn("q_value", q)
+        .withColumn("reject", F.col("q_value") <= F.lit(float(alpha)))
+    )

@@ -2561,3 +2561,98 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 40b: duplicate-vs-quality cross-tab
+
+
+def q_dup_quality_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicates LOWER quality?  The curation sanity check that
+    decides whether dedup doubles as a quality filter: quality
+    quartile (sketch thresholds riding in-plane, rank-exact at
+    fixture scale) × exact-digest dup status, cell counts + mean
+    quality.  One score pass, one digest group-by, one broadcast of
+    the 3-threshold row."""
+    from ..operators import dedup as dd
+    from ..operators import text as tx
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    scored = tx.quality_score(d.select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    thr = scored.agg(
+        F.round(
+            F.expr("approx_percentile(quality, 0.25, 1000000)"), 6
+        ).alias("q25"),
+        F.round(
+            F.expr("approx_percentile(quality, 0.50, 1000000)"), 6
+        ).alias("q50"),
+        F.round(
+            F.expr("approx_percentile(quality, 0.75, 1000000)"), 6
+        ).alias("q75"),
+    )
+    keep = dd.exact_dedup_groups(d).select(
+        F.col("canonical_id").alias("doc_id"), F.lit(1).alias("__keep")
+    )
+    staged = (
+        scored.crossJoin(F.broadcast(thr))
+        .join(keep, "doc_id", "left")
+        .select(
+            F.when(F.col("quality") <= F.col("q25"), "Q1")
+            .when(F.col("quality") <= F.col("q50"), "Q2")
+            .when(F.col("quality") <= F.col("q75"), "Q3")
+            .otherwise("Q4")
+            .alias("quality_quartile"),
+            F.coalesce(F.col("__keep") == 1, F.lit(False)).alias(
+                "is_canonical"
+            ),
+            "quality",
+        )
+    )
+    return staged.groupBy("quality_quartile", "is_canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+
+
+def _dup_quality_oracle() -> str:
+    from .core import _DUCK_NORM, _duck_hash, _quality_oracle
+
+    quality = _quality_oracle().strip()
+    return f"""
+WITH s AS (SELECT doc_id, quality FROM ({quality})),
+thr AS (
+    SELECT round(quantile_disc(quality, 0.25), 6) AS q25,
+           round(quantile_disc(quality, 0.50), 6) AS q50,
+           round(quantile_disc(quality, 0.75), 6) AS q75
+    FROM s
+),
+h AS (
+    SELECT doc_id, {_duck_hash(_DUCK_NORM, 0)} AS ch,
+           length({_DUCK_NORM}) AS cl
+    FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch, cl),
+staged AS (
+    SELECT CASE WHEN s.quality <= thr.q25 THEN 'Q1'
+                WHEN s.quality <= thr.q50 THEN 'Q2'
+                WHEN s.quality <= thr.q75 THEN 'Q3'
+                ELSE 'Q4' END AS quality_quartile,
+           k.doc_id IS NOT NULL AS is_canonical,
+           s.quality
+    FROM s CROSS JOIN thr LEFT JOIN keep k ON s.doc_id = k.doc_id
+)
+SELECT quality_quartile, is_canonical,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality), 6) AS mean_quality
+FROM staged GROUP BY 1, 2
+"""
+
+
+AUX_QUERIES["dup_quality_crosstab"] = q_dup_quality_crosstab
+AUX_ORACLES["dup_quality_crosstab"] = _dup_quality_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -31,6 +31,7 @@ from .stats_agreement import (
     _PH_THRESHOLD,
 )
 from .stats_rank import (
+    _multiple_testing_oracle,
     _sql_upper_tail,
 )
 
@@ -1793,6 +1794,215 @@ AUX_ORACLES.update(
         "fisher_exact": ORACLE_FISHER,
         "gumbel_return_levels": ORACLE_GUMBEL,
         "quantile_order_ci": _quantile_ci_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-11 widening batches 40-41: loso-driven mixture weights,
+# --- variance homogeneity, continuous-rater reliability, BY-FDR
+
+
+_MIX_TAU = 0.05
+
+
+def q_loso_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixture weights FROM the leave-one-source-out values —
+    the DoReMi-flavored step that turns data valuation into an
+    actionable sampling policy: ``w_i = softmax(value_i / τ)`` with
+    max-subtraction for numeric stability (identical arithmetic both
+    engines).  Composes the loso grid with one 19-row window."""
+    base = q_loso_value(spark, sf_dir).select("source", "value")
+    w_all = Window.partitionBy()
+    stab = F.exp(
+        (F.col("value") - F.max("value").over(w_all)) / F.lit(_MIX_TAU)
+    )
+    staged = base.select("source", "value", stab.alias("__e"))
+    return staged.select(
+        "source",
+        "value",
+        F.round(F.col("__e") / F.sum("__e").over(w_all), 6).alias(
+            "weight"
+        ),
+    )
+
+
+def _loso_mixture_oracle() -> str:
+    return f"""
+WITH loso AS ({ORACLE_LOSO_VALUE.strip()}),
+staged AS (
+    SELECT source, value,
+           exp((value - max(value) OVER ()) / {_MIX_TAU!r}) AS e
+    FROM loso
+)
+SELECT source, value,
+       round(e / sum(e) OVER (), 6) AS weight
+FROM staged
+"""
+
+
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett variance homogeneity across return-flag groups of
+    lineitem price — the high-power pre-ANOVA twin of the existing
+    Brown-Forsythe row (``stats.bartlett_variance``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.bartlett_variance(li, "l_returnflag", "l_extendedprice")
+
+
+ORACLE_BARTLETT = """
+WITH per AS (
+    SELECT l_returnflag AS g, count(*) AS n,
+           round(var_samp(CAST(l_extendedprice AS DOUBLE)), 6) AS v
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY 1
+),
+red AS (
+    SELECT CAST(sum(CASE WHEN n >= 2 AND v > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS k,
+           CAST(count(*) - sum(CASE WHEN n >= 2 AND v > 0
+                                    THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_excluded_groups,
+           CAST(sum(CASE WHEN n >= 2 AND v > 0 THEN n END)
+                AS BIGINT) AS n,
+           sum(CASE WHEN n >= 2 AND v > 0 THEN (n - 1) * v END)
+               AS ssw,
+           sum(CASE WHEN n >= 2 AND v > 0 THEN (n - 1) * ln(v) END)
+               AS sumlog,
+           sum(CASE WHEN n >= 2 AND v > 0 THEN 1.0 / (n - 1) END)
+               AS suminv
+    FROM per
+)
+SELECT k, n_excluded_groups, n,
+       CAST(k - 1 AS BIGINT) AS dof,
+       CASE WHEN k >= 2 AND n - k > 0 THEN
+           round(((n - k) * ln(ssw / (n - k)) - sumlog)
+                 / (1.0 + (suminv - 1.0 / (n - k))
+                          / (3.0 * (k - 1))), 6)
+       END AS t_stat
+FROM red
+"""
+
+
+_ICC_K = 4
+
+
+def q_icc_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1,1) over orders with exactly 4 line quotes (item = order,
+    score = extended price) — how much of price variance is
+    BETWEEN-order vs within (``stats.icc_oneway``, the
+    continuous-score member of the agreement family)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.icc_oneway(
+        li, "l_orderkey", "l_extendedprice", n_raters=_ICC_K
+    )
+
+
+ORACLE_ICC = f"""
+WITH per AS (
+    SELECT l_orderkey AS it, count(*) AS n,
+           sum(CAST(l_extendedprice AS DOUBLE)) AS s,
+           sum(CAST(l_extendedprice AS DOUBLE)
+               * CAST(l_extendedprice AS DOUBLE)) AS ss
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY 1
+),
+red AS (
+    SELECT CAST(sum(CASE WHEN n = {_ICC_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_items,
+           CAST(count(*) - sum(CASE WHEN n = {_ICC_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_excluded_items,
+           sum(CASE WHEN n = {_ICC_K} THEN s END) AS ts,
+           sum(CASE WHEN n = {_ICC_K} THEN ss END) AS tss,
+           sum(CASE WHEN n = {_ICC_K} THEN s * s / {float(_ICC_K)!r} END)
+               AS sgrp
+    FROM per
+),
+staged AS (
+    SELECT n_items, n_excluded_items,
+           CAST({_ICC_K} AS BIGINT) AS n_raters,
+           CASE WHEN n_items >= 2 THEN
+               round((sgrp - ts * ts / (n_items * {float(_ICC_K)!r}))
+                     / (n_items - 1), 6) END AS ms_between,
+           CASE WHEN n_items >= 1 THEN
+               round((tss - sgrp)
+                     / (n_items * {float(_ICC_K - 1)!r}), 6)
+           END AS ms_within
+    FROM red
+)
+SELECT *,
+       CASE WHEN ms_between + {float(_ICC_K - 1)!r} * ms_within > 0
+            THEN round((ms_between - ms_within)
+                       / (ms_between
+                          + {float(_ICC_K - 1)!r} * ms_within), 6)
+       END AS icc
+FROM staged
+"""
+
+
+def q_by_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-vs-rest z sweep under BENJAMINI–YEKUTIELI — the
+    arbitrary-dependence-safe FDR control (one-vs-rest tests share
+    the pooled rest, so BH's independence assumption is exactly what
+    this sweep violates; ``stats.by_adjust``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    zs = stats.one_vs_rest_rate_ztest(
+        o, "o_orderpriority", (F.col("o_orderstatus") == "F")
+    )
+    with_p = stats.attach_pvalue(zs, "z", sided=2)
+    return stats.by_adjust(with_p, "p_value", alpha=0.05)
+
+
+def _by_oracle() -> str:
+    base = _multiple_testing_oracle().strip()
+    # rewrite the BH tail into BY: same ranked CTE, q inflated by the
+    # harmonic factor c(m), re-capped and re-flagged
+    head, tail = base.rsplit("SELECT o_orderpriority", 1)
+    return f"""{head}
+, bh AS (
+SELECT o_orderpriority{tail}
+)
+SELECT o_orderpriority, n, successes, rate, rest_rate, z, p_value,
+       rank,
+       round(least(q_value * (SELECT sum(1.0 / i)
+                              FROM (SELECT unnest(range(1,
+                                   (SELECT CAST(max(rank) AS BIGINT)
+                                    FROM bh) + 1)) AS i)), 1.0), 6)
+           AS q_value,
+       round(least(q_value * (SELECT sum(1.0 / i)
+                              FROM (SELECT unnest(range(1,
+                                   (SELECT CAST(max(rank) AS BIGINT)
+                                    FROM bh) + 1)) AS i)), 1.0), 6)
+           <= 0.05 AS reject
+FROM bh
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "loso_mixture_weights": q_loso_mixture_weights,
+        "bartlett_variance": q_bartlett,
+        "icc_reliability": q_icc_reliability,
+        "by_sweep": q_by_sweep,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "loso_mixture_weights": _loso_mixture_oracle(),
+        "bartlett_variance": ORACLE_BARTLETT,
+        "icc_reliability": ORACLE_ICC,
+        "by_sweep": _by_oracle(),
     }
 )
 

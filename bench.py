@@ -320,6 +320,17 @@ BENCH_QUERIES = [
     # round-10 widening batch 37
     "cliffs_delta",
     "ewma_control_chart",
+    # round-11 widening batches 38-41
+    "fisher_exact",
+    "gumbel_return_levels",
+    "quantile_order_ci",
+    "dedup_savings",
+    "lsh_threshold_sweep",
+    "loso_mixture_weights",
+    "dup_quality_crosstab",
+    "bartlett_variance",
+    "icc_reliability",
+    "by_sweep",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
