@@ -3817,3 +3817,239 @@ def by_adjust(
         base.withColumn("q_value", q)
         .withColumn("reject", F.col("q_value") <= F.lit(float(alpha)))
     )
+
+
+def erlang_c_wait(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    service_rate_per_min: float,
+    servers: int,
+) -> DataFrame:
+    """Erlang-C queueing readout per stream — "will c agents hold the
+    queue?": arrival rate λ from the observed event stream (count over
+    the observed span), offered load ``a = λ/μ``, utilization
+    ``ρ = a/c``, the Erlang-C waiting probability
+    ``P_wait = (aᶜ/c!) / ((1−ρ)·Σ_{k<c} aᵏ/k! + aᶜ/c!)`` and the mean
+    queue wait ``W_q = P_wait / (cμ − λ)`` — the capacity-planning
+    formula behind every support-staffing sheet.
+
+    The factorial series is UNROLLED with driver-side ``ln k!``
+    literals (``servers`` is a parameter, so the c terms are plan
+    constants — no in-plan table at all); λ and a are rounded to 6
+    FIRST so both engines exponentiate identical doubles.  Unstable
+    queues (ρ ≥ 1) report NULL wait metrics via lazy CASE — the
+    formula diverges there by construction.
+
+    Returns one row per group: (group, n_arrivals, span_min, lam, a,
+    rho, p_wait, avg_wait_min).
+    """
+    if servers < 1:
+        raise ValueError(f"servers must be >= 1, got {servers}")
+    if service_rate_per_min <= 0:
+        raise ValueError(
+            f"service_rate_per_min must be > 0, got {service_rate_per_min}"
+        )
+    import math as _m
+
+    c = int(servers)
+    mu = float(service_rate_per_min)
+    lfact = [_m.lgamma(k + 1) for k in range(c + 1)]
+    g = F.col(group_col)
+    t = F.col(time_col)
+    # whole-second span (unix_timestamp truncates; the oracle mirrors
+    # with floor(epoch()) — sub-second span precision is noise at
+    # staffing granularity and this keeps both engines integer-exact)
+    agg = (
+        df.filter(g.isNotNull() & t.isNotNull())
+        .groupBy(g)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            F.round(
+                (
+                    F.unix_timestamp(F.max(t))
+                    - F.unix_timestamp(F.min(t))
+                )
+                / 60.0,
+                6,
+            ).alias("span_min"),
+        )
+    )
+    lam = F.round(
+        F.when(F.col("span_min") > 0, F.col("n_arrivals") / F.col("span_min")),
+        6,
+    )
+    staged = agg.select(g.alias(group_col), "n_arrivals", "span_min", lam.alias("lam"))
+    a = F.round(F.col("lam") / F.lit(mu), 6)
+    staged = staged.select("*", a.alias("a"))
+    rho = F.round(F.col("a") / F.lit(float(c)), 6)
+    staged = staged.select("*", rho.alias("rho"))
+    la = F.log(F.col("a"))
+    # sum_{k<c} a^k/k!  +  tail term a^c/c! / (1-rho), unrolled
+    series = None
+    for k in range(c):
+        term = F.exp(F.lit(float(k)) * la - F.lit(lfact[k]))
+        series = term if series is None else series + term
+    tail = F.exp(F.lit(float(c)) * la - F.lit(lfact[c]))
+    stable = (F.col("rho") < 1.0) & (F.col("a") > 0)
+    p_wait = F.when(
+        stable,
+        F.round(
+            tail / ((1.0 - F.col("rho")) * series + tail), 6
+        ),
+    )
+    staged = staged.select("*", p_wait.alias("p_wait"))
+    avg_wait = F.when(
+        stable,
+        F.round(
+            F.col("p_wait")
+            / (F.lit(float(c) * mu) - F.col("lam")),
+            6,
+        ),
+    )
+    return staged.select("*", avg_wait.alias("avg_wait_min"))
+
+
+def mh_odds_ratio(
+    df: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-controlled complement of :func:`odds_ratio`: when the
+    exposure mix differs by stratum (Simpson's-paradox territory), the
+    crude OR misleads and ``OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i)``
+    is the standard fixed-effect pool.
+
+    Scale shape: ONE conditional aggregate to stratum-sized 2×2 rows,
+    one reduce; per-stratum terms rounded to 9 first (the repo's
+    cross-engine float discipline), crude OR emitted alongside so the
+    confounding direction is visible in one row.
+
+    Returns one row: (k_strata, or_crude, or_mh), NULL-guarded when a
+    denominator sum is 0.
+    """
+    st = F.col(stratum_col)
+    g = F.col(group_col)
+    y = F.col(success_col).cast("int")
+    cells = (
+        df.filter(st.isNotNull() & y.isNotNull() & g.isin([group_a, group_b]))
+        .groupBy(st.alias("__s"))
+        .agg(
+            F.count(F.when((g == group_a) & (y == 1), 1)).alias("__a"),
+            F.count(F.when((g == group_a) & (y == 0), 1)).alias("__b"),
+            F.count(F.when((g == group_b) & (y == 1), 1)).alias("__c"),
+            F.count(F.when((g == group_b) & (y == 0), 1)).alias("__d"),
+        )
+    )
+    n = (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")).cast(
+        "double"
+    )
+    num_t = F.round(F.col("__a") * F.col("__d") / n, 9)
+    den_t = F.round(F.col("__b") * F.col("__c") / n, 9)
+    red = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("__a").alias("__sa"),
+        F.sum("__b").alias("__sb"),
+        F.sum("__c").alias("__sc"),
+        F.sum("__d").alias("__sd"),
+        F.sum(num_t).alias("__num"),
+        F.sum(den_t).alias("__den"),
+    )
+    crude = F.when(
+        (F.col("__sb") > 0) & (F.col("__sc") > 0) & (F.col("__sd") > 0),
+        F.round(
+            (F.col("__sa") * F.col("__sd")).cast("double")
+            / (F.col("__sb") * F.col("__sc")),
+            6,
+        ),
+    )
+    pooled = F.when(
+        F.col("__den") > 0, F.round(F.col("__num") / F.col("__den"), 6)
+    )
+    return red.select(
+        "k_strata", crude.alias("or_crude"), pooled.alias("or_mh")
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    n_items: int,
+) -> DataFrame:
+    """Cronbach's α internal-consistency reliability — the
+    CONTINUOUS-item companion of :func:`icc_oneway` for fixed item
+    batteries (k scored rubric dimensions, k probe questions per
+    model): ``α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(total))``.
+
+    Subjects must carry exactly ``n_items`` distinct items — others
+    are EXCLUDED and counted (constant-battery rule, as Fleiss/ICC).
+
+    Scale shape: one qualification aggregate, one per-item variance
+    aggregate over qualified subjects, one subject-total variance
+    aggregate, a 3-way scalar combine — all map-side-combined hash
+    aggregates; denominator-degenerate batteries yield NULL α.
+
+    Returns one row: (n_subjects, n_excluded_subjects, k, sum_item_var,
+    total_var, alpha).
+    """
+    if n_items < 2:
+        raise ValueError(f"n_items must be >= 2, got {n_items}")
+    k = int(n_items)
+    s = F.col(subject_col)
+    it = F.col(item_col)
+    x = F.col(value_col).cast("double")
+    base = df.filter(s.isNotNull() & it.isNotNull() & x.isNotNull())
+    qual = base.groupBy(s.alias("__subj")).agg(
+        F.countDistinct(it).alias("__ki"),
+        F.count(F.lit(1)).alias("__ni"),
+    )
+    ok = qual.filter(
+        (F.col("__ki") == k) & (F.col("__ni") == k)
+    ).select("__subj")
+    # control-plane scalar (same discipline as fisher_exact's cap
+    # read): the qualified/total subject counts gate nothing in-plan,
+    # they only label the output row
+    n_total = qual.count()
+    scored = base.join(ok, s == F.col("__subj"), "inner")
+    item_var = (
+        scored.groupBy(it.alias("__item"))
+        .agg(F.round(F.var_samp(x), 6).alias("__v"))
+        .agg(
+            F.round(F.sum("__v"), 6).alias("sum_item_var"),
+        )
+    )
+    totals = (
+        scored.groupBy("__subj")
+        .agg(F.sum(x).alias("__tot"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subjects"),
+            F.round(F.var_samp("__tot"), 6).alias("total_var"),
+        )
+    )
+    combined = totals.crossJoin(F.broadcast(item_var)).select(
+        "n_subjects", "sum_item_var", "total_var"
+    )
+    alpha = F.when(
+        F.col("total_var") > 0,
+        F.round(
+            F.lit(float(k) / (k - 1))
+            * (1.0 - F.col("sum_item_var") / F.col("total_var")),
+            6,
+        ),
+    )
+    return combined.select(
+        "n_subjects",
+        (F.lit(int(n_total)) - F.col("n_subjects"))
+        .cast("long")
+        .alias("n_excluded_subjects"),
+        F.lit(k).cast("long").alias("k"),
+        "sum_item_var",
+        "total_var",
+        alpha.alias("alpha"),
+    )

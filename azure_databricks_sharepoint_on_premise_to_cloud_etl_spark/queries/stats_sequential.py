@@ -2010,3 +2010,187 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 42: queueing, stratified OR, Cronbach α
+
+
+_EC_MU = 0.2
+_EC_C = 4
+
+
+def q_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing readout per event stream: arrival rate from
+    the observed span, waiting probability and mean queue wait at 4
+    servers of 0.2/min (``stats.erlang_c_wait`` — factorial series
+    unrolled from driver-side ln k! literals)."""
+    from ..operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events"))
+    return stats.erlang_c_wait(e, "event_type", "ts", _EC_MU, _EC_C)
+
+
+def _erlang_oracle() -> str:
+    import math as _m
+
+    c = _EC_C
+    mu = _EC_MU
+    lf = [_m.lgamma(k + 1) for k in range(c + 1)]
+    series = " + ".join(
+        f"exp({float(k)!r} * ln(a) - {lf[k]!r})" for k in range(c)
+    )
+    tail = f"exp({float(c)!r} * ln(a) - {lf[c]!r})"
+    return f"""
+WITH agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_arrivals,
+           round((floor(epoch(max(ts))) - floor(epoch(min(ts))))
+                 / 60.0, 6) AS span_min
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+),
+lamt AS (
+    SELECT *, round(CASE WHEN span_min > 0
+                    THEN n_arrivals / span_min END, 6) AS lam
+    FROM agg
+),
+at AS (SELECT *, round(lam / {mu!r}, 6) AS a FROM lamt),
+rt AS (SELECT *, round(a / {float(c)!r}, 6) AS rho FROM at),
+pw AS (
+    SELECT *,
+           CASE WHEN rho < 1.0 AND a > 0 THEN
+               round(({tail})
+                     / ((1.0 - rho) * ({series}) + ({tail})), 6)
+           END AS p_wait
+    FROM rt
+)
+SELECT event_type, n_arrivals, span_min, lam, a, rho, p_wait,
+       CASE WHEN rho < 1.0 AND a > 0 THEN
+           round(p_wait / ({float(c) * mu!r} - lam), 6)
+       END AS avg_wait_min
+FROM pw
+"""
+
+
+def q_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio of F-status by customer-key
+    parity, stratified on order priority — the Simpson's-paradox-safe
+    pool next to the crude OR (``stats.mh_odds_ratio``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority",
+        F.when(F.pmod(F.col("o_custkey"), 2) == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("f_status"),
+    )
+    return stats.mh_odds_ratio(
+        o, "o_orderpriority", "arm", "f_status", "even", "odd"
+    )
+
+
+ORACLE_MH_ODDS = """
+WITH cells AS (
+    SELECT o_orderpriority AS s,
+           count(CASE WHEN o_custkey % 2 = 0
+                       AND o_orderstatus = 'F' THEN 1 END) AS a,
+           count(CASE WHEN o_custkey % 2 = 0
+                       AND o_orderstatus <> 'F' THEN 1 END) AS b,
+           count(CASE WHEN o_custkey % 2 <> 0
+                       AND o_orderstatus = 'F' THEN 1 END) AS c,
+           count(CASE WHEN o_custkey % 2 <> 0
+                       AND o_orderstatus <> 'F' THEN 1 END) AS d
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1
+),
+red AS (
+    SELECT CAST(count(*) AS BIGINT) AS k_strata,
+           sum(a) AS sa, sum(b) AS sb, sum(c) AS sc, sum(d) AS sd,
+           sum(round(a * d * 1.0 / (a + b + c + d), 9)) AS num,
+           sum(round(b * c * 1.0 / (a + b + c + d), 9)) AS den
+    FROM cells
+)
+SELECT k_strata,
+       CASE WHEN sb > 0 AND sc > 0 AND sd > 0
+            THEN round(sa * sd * 1.0 / (sb * sc), 6) END AS or_crude,
+       CASE WHEN den > 0 THEN round(num / den, 6) END AS or_mh
+FROM red
+"""
+
+
+_CA_K = 4
+
+
+def q_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α over 4-line orders (subject = order, items = line
+    positions 1..4, score = extended price) — internal consistency of
+    the line-price battery (``stats.cronbach_alpha``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.cronbach_alpha(
+        li, "l_orderkey", "l_linenumber", "l_extendedprice",
+        n_items=_CA_K,
+    )
+
+
+ORACLE_CRONBACH = f"""
+WITH base AS (
+    SELECT l_orderkey AS subj, l_linenumber AS item,
+           CAST(l_extendedprice AS DOUBLE) AS x
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+),
+qual AS (
+    SELECT subj, count(DISTINCT item) AS ki, count(*) AS ni
+    FROM base GROUP BY 1
+),
+ok AS (SELECT subj FROM qual WHERE ki = {_CA_K} AND ni = {_CA_K}),
+scored AS (SELECT base.* FROM base JOIN ok USING (subj)),
+iv AS (
+    SELECT round(sum(v), 6) AS sum_item_var FROM (
+        SELECT item, round(var_samp(x), 6) AS v
+        FROM scored GROUP BY 1
+    )
+),
+tv AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+           round(var_samp(tot), 6) AS total_var
+    FROM (SELECT subj, sum(x) AS tot FROM scored GROUP BY 1)
+)
+SELECT tv.n_subjects,
+       CAST((SELECT count(*) FROM qual) - tv.n_subjects AS BIGINT)
+           AS n_excluded_subjects,
+       CAST({_CA_K} AS BIGINT) AS k,
+       iv.sum_item_var, tv.total_var,
+       CASE WHEN tv.total_var > 0 THEN
+           round({float(_CA_K) / (_CA_K - 1)!r}
+                 * (1.0 - iv.sum_item_var / tv.total_var), 6)
+       END AS alpha
+FROM tv CROSS JOIN iv
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "erlang_c": q_erlang_c,
+        "mh_odds_ratio": q_mh_odds,
+        "cronbach_alpha": q_cronbach,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "erlang_c": _erlang_oracle(),
+        "mh_odds_ratio": ORACLE_MH_ODDS,
+        "cronbach_alpha": ORACLE_CRONBACH,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

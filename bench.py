@@ -331,6 +331,10 @@ BENCH_QUERIES = [
     "bartlett_variance",
     "icc_reliability",
     "by_sweep",
+    # round-11 widening batch 42
+    "erlang_c",
+    "mh_odds_ratio",
+    "cronbach_alpha",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
