@@ -4053,3 +4053,151 @@ def cronbach_alpha(
         "total_var",
         alpha.alias("alpha"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, before_col: str, after_col: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED nonparametric
+    counterpart of :func:`mann_whitney_u` (that one compares
+    independent samples; this one compares before/after on the SAME
+    units, the A/A′ and pre/post-deploy readout): rank |d| with
+    midranks, ``W⁺ = Σ ranks of positive d``, normal approximation
+    with the exact tie correction
+    ``σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48``.
+
+    Zero differences are DROPPED and counted (the standard Wilcoxon
+    rule); no continuity correction (documented — both engines then
+    share one exact formula).
+
+    Scale shape: differences collapse to a |d|-valued histogram
+    (shuffle = distinct |d|, not rows), midranks come from one ordered
+    cumsum over that histogram, W⁺ is one reduce — rows never sort
+    globally.  |d| is rounded to 9 first so tie GROUPS are identical
+    cross-engine.
+
+    Returns one row: (n_pairs, n_zeros, w_plus, mean_w, sigma_w, z).
+    """
+    b = F.col(before_col).cast("double")
+    a = F.col(after_col).cast("double")
+    d = F.round(a - b, 9)
+    base = df.filter(b.isNotNull() & a.isNotNull()).select(
+        d.alias("__d")
+    )
+    nz = base.filter(F.col("__d") != 0).select(
+        F.abs(F.col("__d")).alias("__ad"),
+        (F.col("__d") > 0).cast("int").alias("__pos"),
+    )
+    hist = nz.groupBy("__ad").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum("__pos").alias("__tp"),
+    )
+    w = Window.orderBy("__ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__t").over(w))
+    avg_rank = (
+        F.col("__cum") - F.col("__t") + (F.col("__t") + 1) / 2.0
+    )
+    zeros = base.filter(F.col("__d") == 0).count()
+    red = cum.agg(
+        F.sum("__t").cast("long").alias("n_pairs"),
+        F.round(F.sum(avg_rank * F.col("__tp")), 6).alias("w_plus"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__ties"),
+    )
+    n = F.col("n_pairs").cast("double")
+    mean_w = F.round(n * (n + 1) / 4.0, 6)
+    var_w = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("__ties") / 48.0
+    staged = red.select(
+        "n_pairs",
+        F.lit(int(zeros)).cast("long").alias("n_zeros"),
+        "w_plus",
+        mean_w.alias("mean_w"),
+        F.round(F.sqrt(var_w), 6).alias("sigma_w"),
+    )
+    z = F.when(
+        F.col("sigma_w") > 0,
+        F.round(
+            (F.col("w_plus") - F.col("mean_w")) / F.col("sigma_w"), 6
+        ),
+    )
+    return staged.select("*", z.alias("z"))
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion — the WHOLE-distribution
+    complement of the KS statistic (KS sees the single worst gap; CvM
+    integrates the squared gap everywhere, far more sensitive to
+    spread/tail differences that never produce one big deviation):
+    Anderson's rank form ``U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²``,
+    ``T = U/(N·n·m) − (4nm−1)/(6N)``.
+
+    Ties take pooled MIDRANKS; within a tie block the per-sample
+    order indices i are consecutive regardless of row order, so the
+    statistic is deterministic under ties (documented).
+
+    Scale shape: one pooled midrank via the histogram-cumsum trick
+    (shuffle = distinct values), one per-sample ordered index window,
+    two reduces — the value column never sorts as raw rows beyond the
+    per-sample index window over each sample's rows.
+
+    Returns one row: (n_a, n_b, u_stat, t_stat).
+    """
+    g = F.col(group_col)
+    x = F.round(F.col(value_col).cast("double"), 9)
+    base = df.filter(
+        x.isNotNull() & g.isin([group_a, group_b])
+    ).select(
+        (g == group_a).cast("int").alias("__is_a"), x.alias("__x")
+    )
+    hist = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__t"))
+    w = Window.orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranks = hist.withColumn("__cum", F.sum("__t").over(w)).select(
+        "__x",
+        (
+            F.col("__cum") - F.col("__t") + (F.col("__t") + 1) / 2.0
+        ).alias("__r"),
+    )
+    w_samp = Window.partitionBy("__is_a").orderBy("__x")
+    idx = (
+        base.join(ranks, "__x")
+        .withColumn("__i", F.row_number().over(w_samp))
+        .select(
+            "__is_a",
+            ((F.col("__r") - F.col("__i"))
+             * (F.col("__r") - F.col("__i"))).alias("__sq"),
+        )
+    )
+    red = idx.agg(
+        F.sum(F.when(F.col("__is_a") == 1, F.lit(1))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__is_a") == 0, F.lit(1))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__is_a") == 1, F.col("__sq"))).alias("__sa"),
+        F.sum(F.when(F.col("__is_a") == 0, F.col("__sq"))).alias("__sb"),
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    big_n = n + m
+    u = F.round(n * F.col("__sa") + m * F.col("__sb"), 6)
+    staged = red.select("n_a", "n_b", u.alias("u_stat"))
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    big_n = n + m
+    t = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round(
+            F.col("u_stat") / (big_n * n * m)
+            - (4 * n * m - 1) / (6 * big_n),
+            6,
+        ),
+    )
+    return staged.select("*", t.alias("t_stat"))

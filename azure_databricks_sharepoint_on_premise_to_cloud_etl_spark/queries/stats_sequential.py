@@ -2194,3 +2194,155 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 43: paired + whole-distribution
+# --- nonparametrics (Wilcoxon signed-rank, Cramér–von Mises)
+
+
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on paired line quantities (line 1 vs
+    line 2 of the same order) — the paired nonparametric shift test
+    with exact tie correction over the |d| histogram
+    (``stats.wilcoxon_signed_rank``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    pairs = (
+        li.filter(F.col("l_linenumber").isin([1, 2]))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_linenumber") == 1, F.col("l_quantity"))
+            ).alias("q1"),
+            F.max(
+                F.when(F.col("l_linenumber") == 2, F.col("l_quantity"))
+            ).alias("q2"),
+        )
+        .filter(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    )
+    return stats.wilcoxon_signed_rank(pairs, "q1", "q2")
+
+
+ORACLE_WILCOXON = """
+WITH pairs AS (
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS q1,
+           max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS q2
+    FROM lineitem WHERE l_linenumber IN (1, 2)
+    GROUP BY 1
+),
+d AS (
+    SELECT round(CAST(q2 AS DOUBLE) - q1, 9) AS d
+    FROM pairs WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+),
+nz AS (
+    SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+    FROM d WHERE d <> 0
+),
+hist AS (SELECT ad, count(*) AS t, sum(pos) AS tp FROM nz GROUP BY 1),
+cum AS (
+    SELECT *,
+           sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS c
+    FROM hist
+),
+red AS (
+    SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
+           round(sum((c - t + (t + 1) / 2.0) * tp), 6) AS w_plus,
+           sum(t * t * t - t) AS ties
+    FROM cum
+),
+staged AS (
+    SELECT n_pairs,
+           CAST((SELECT count(*) FROM d WHERE d = 0) AS BIGINT)
+               AS n_zeros,
+           w_plus,
+           round(n_pairs * (n_pairs + 1) / 4.0, 6) AS mean_w,
+           round(sqrt(n_pairs * (n_pairs + 1.0) * (2 * n_pairs + 1)
+                      / 24.0 - ties / 48.0), 6) AS sigma_w
+    FROM red
+)
+SELECT *,
+       CASE WHEN sigma_w > 0
+            THEN round((w_plus - mean_w) / sigma_w, 6) END AS z
+FROM staged
+"""
+
+
+_CVM_A = "A"
+_CVM_B = "R"
+
+
+def q_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises on extended price between return
+    flags A and R — the integrated-squared-gap drift test next to the
+    per-source KS rows (``stats.cramer_von_mises``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.cramer_von_mises(
+        li, "l_returnflag", "l_extendedprice", _CVM_A, _CVM_B
+    )
+
+
+ORACLE_CVM = f"""
+WITH base AS (
+    SELECT CASE WHEN l_returnflag = '{_CVM_A}' THEN 1 ELSE 0 END
+               AS is_a,
+           round(CAST(l_extendedprice AS DOUBLE), 9) AS x
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+          AND l_returnflag IN ('{_CVM_A}', '{_CVM_B}')
+),
+hist AS (SELECT x, count(*) AS t FROM base GROUP BY 1),
+ranks AS (
+    SELECT x,
+           sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - t + (t + 1) / 2.0 AS r
+    FROM hist
+),
+idx AS (
+    SELECT base.is_a,
+           pow(ranks.r - row_number() OVER (
+               PARTITION BY base.is_a ORDER BY base.x), 2) AS sq
+    FROM base JOIN ranks USING (x)
+),
+red AS (
+    SELECT CAST(sum(CASE WHEN is_a = 1 THEN 1 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN is_a = 0 THEN 1 END) AS BIGINT) AS n_b,
+           sum(CASE WHEN is_a = 1 THEN sq END) AS sa,
+           sum(CASE WHEN is_a = 0 THEN sq END) AS sb
+    FROM idx
+),
+staged AS (
+    SELECT n_a, n_b,
+           round(n_a * sa + n_b * sb, 6) AS u_stat
+    FROM red
+)
+SELECT *,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+           round(u_stat / ((n_a + n_b) * 1.0 * n_a * n_b)
+                 - (4.0 * n_a * n_b - 1) / (6.0 * (n_a + n_b)), 6)
+       END AS t_stat
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "wilcoxon_signed_rank": q_wilcoxon,
+        "cramer_von_mises": q_cvm,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "wilcoxon_signed_rank": ORACLE_WILCOXON,
+        "cramer_von_mises": ORACLE_CVM,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

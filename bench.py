@@ -335,6 +335,9 @@ BENCH_QUERIES = [
     "erlang_c",
     "mh_odds_ratio",
     "cronbach_alpha",
+    # round-11 widening batch 43
+    "wilcoxon_signed_rank",
+    "cramer_von_mises",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
