@@ -2346,3 +2346,118 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 44: ordered-alternative trend test
+
+
+_JT_ORDER = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ordered-trend test: does order VALUE rise
+    across priority levels?  Pairwise Mann–Whitney counts from ONE
+    pivoted value histogram (never row pairs), Lehmann tie-corrected
+    variance (``stats.jonckheere_terpstra``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.jonckheere_terpstra(
+        o, "o_orderpriority", "o_totalprice", _JT_ORDER
+    )
+
+
+def _jt_oracle() -> str:
+    k = len(_JT_ORDER)
+    cs = ",\n           ".join(
+        f"sum(CASE WHEN o_orderpriority = '{gv}' THEN 1 ELSE 0 END)"
+        f" AS c{i}"
+        for i, gv in enumerate(_JT_ORDER)
+    )
+    lts = ",\n           ".join(
+        f"coalesce(sum(c{i}) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED"
+        f" PRECEDING AND 1 PRECEDING), 0) AS lt{i}"
+        for i in range(k)
+    )
+    jt = " + ".join(
+        f"c{j} * (lt{i} + c{i} / 2.0)"
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    pooled = " + ".join(f"c{i}" for i in range(k))
+    ns = ",\n           ".join(
+        f"sum(c{i}) AS n{i}" for i in range(k)
+    )
+    nn = " + ".join(f"n{i}" for i in range(k))
+    sum_sq = " + ".join(f"n{i} * n{i}" for i in range(k))
+    sum_2535 = " + ".join(
+        f"n{i} * (n{i} - 1) * (2 * n{i} + 5)" for i in range(k)
+    )
+    sum_012 = " + ".join(
+        f"n{i} * (n{i} - 1) * (n{i} - 2)" for i in range(k)
+    )
+    sum_01 = " + ".join(f"n{i} * (n{i} - 1)" for i in range(k))
+    return f"""
+WITH base AS (
+    SELECT o_orderpriority,
+           round(CAST(o_totalprice AS DOUBLE), 9) AS x
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+          AND o_orderpriority IN ({", ".join(f"'{g}'" for g in _JT_ORDER)})
+),
+hist AS (
+    SELECT x,
+           {cs}
+    FROM base GROUP BY 1
+),
+cumt AS (
+    SELECT *,
+           {lts}
+    FROM hist
+),
+red AS (
+    SELECT round(sum({jt}), 6) AS jt_stat,
+           {ns},
+           sum(({pooled}) * (({pooled}) - 1)
+               * (2 * ({pooled}) + 5)) AS t2535,
+           sum(({pooled}) * (({pooled}) - 1)
+               * (({pooled}) - 2)) AS t012,
+           sum(({pooled}) * (({pooled}) - 1)) AS t01
+    FROM cumt
+),
+m AS (
+    SELECT jt_stat,
+           CAST({nn} AS DOUBLE) AS nt,
+           CAST({sum_sq} AS DOUBLE) AS ssq,
+           CAST({sum_2535} AS DOUBLE) AS s2535,
+           CAST({sum_012} AS DOUBLE) AS s012,
+           CAST({sum_01} AS DOUBLE) AS s01,
+           t2535, t012, t01
+    FROM red
+),
+staged AS (
+    SELECT CAST(nt AS BIGINT) AS n,
+           CAST({k} AS BIGINT) AS k,
+           jt_stat,
+           round((nt * nt - ssq) / 4.0, 6) AS mean_jt,
+           round(sqrt(
+               (nt * (nt - 1) * (2 * nt + 5) - s2535 - t2535) / 72.0
+               + (s012 * t012) / (36.0 * nt * (nt - 1) * (nt - 2))
+               + (s01 * t01) / (8.0 * nt * (nt - 1))
+           ), 6) AS sigma_jt
+    FROM m
+)
+SELECT *,
+       CASE WHEN sigma_jt > 0
+            THEN round((jt_stat - mean_jt) / sigma_jt, 6) END AS z
+FROM staged
+"""
+
+
+AUX_QUERIES["jonckheere_terpstra"] = q_jonckheere
+AUX_ORACLES["jonckheere_terpstra"] = _jt_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -338,6 +338,8 @@ BENCH_QUERIES = [
     # round-11 widening batch 43
     "wilcoxon_signed_rank",
     "cramer_von_mises",
+    # round-11 widening batch 44
+    "jonckheere_terpstra",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
