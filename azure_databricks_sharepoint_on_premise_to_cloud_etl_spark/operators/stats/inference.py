@@ -4325,3 +4325,195 @@ def jonckheere_terpstra(
         ),
     )
     return staged.select("*", z.alias("z"))
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_order: list[str],
+    scores: list[float] | None = None,
+) -> DataFrame:
+    """Cochran–Armitage trend test — the BINARY-outcome counterpart of
+    :func:`jonckheere_terpstra` (that one needs a continuous response;
+    this is the dose-response standard for proportions — "does the
+    conversion RATE rise across tiers?"):
+    ``z = Σ sᵢ(aᵢ − nᵢp̄) / √(p̄(1−p̄)·(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N))``
+    with aᵢ the per-level successes and sᵢ the level scores
+    (default 0..k−1; pass real doses when levels are quantitative).
+
+    Scale shape: ONE conditional aggregate to k level rows (the
+    scores are plan literals keyed by level), one reduce, scalar
+    arithmetic — degenerate pools (p̄ ∈ {0,1}) or zero score spread
+    yield NULL z via lazy CASE.
+
+    Returns one row: (n, k, p_pool, t_stat, z) where t_stat is the
+    score-weighted deviation Σ sᵢ(aᵢ − nᵢp̄).
+    """
+    k = len(group_order)
+    if k < 3:
+        raise ValueError(
+            f"group_order needs >= 3 ordered levels, got {k}"
+        )
+    if scores is None:
+        scores = [float(i) for i in range(k)]
+    if len(scores) != k:
+        raise ValueError(
+            f"scores must match group_order length {k}, got {len(scores)}"
+        )
+    g = F.col(group_col)
+    y = F.col(success_col).cast("double")
+    score = F.create_map(
+        *[
+            lit
+            for gv, s in zip(group_order, scores)
+            for lit in (F.lit(gv), F.lit(float(s)))
+        ]
+    )[g]
+    per = (
+        df.filter(y.isNotNull() & g.isin(list(group_order)))
+        .groupBy(g.alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(y).alias("__a"),
+            F.max(score).alias("__s"),
+        )
+    )
+    red = per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__a").alias("__sa"),
+        F.sum(F.col("__s") * F.col("__a")).alias("__ssa"),
+        F.sum(F.col("__s") * F.col("__n")).alias("__ssn"),
+        F.sum(F.col("__s") * F.col("__s") * F.col("__n")).alias(
+            "__ss2n"
+        ),
+    )
+    nn = F.col("n").cast("double")
+    p = F.round(F.col("__sa") / nn, 9)
+    t = F.round(F.col("__ssa") - p * F.col("__ssn"), 6)
+    var = p * (1.0 - p) * (
+        F.col("__ss2n") - F.col("__ssn") * F.col("__ssn") / nn
+    )
+    staged = red.select(
+        "n",
+        "k",
+        F.round(p, 6).alias("p_pool"),
+        t.alias("t_stat"),
+        F.round(F.sqrt(var), 6).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd") > 0,
+        F.round(F.col("t_stat") / F.col("__sd"), 6),
+    )
+    return staged.select("n", "k", "p_pool", "t_stat", z.alias("z"))
+
+
+def ordinal_association(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_order: list[str],
+    col_order: list[str],
+) -> DataFrame:
+    """EXACT ordinal association for two categorical ordinal
+    variables — Goodman–Kruskal gamma and both Somers' D directions —
+    from concordant/discordant pair counts over the contingency grid
+    (the ordinal complement of :func:`~.descriptive.kendall_tau`,
+    which ranks continuous columns):
+    ``γ = (C−D)/(C+D)``; ``D_{Y|X} = (C−D)/(C+D+T_Y)`` with T_Y the
+    pairs tied on Y only (and symmetrically for ``D_{X|Y}``).
+
+    Scale shape: the corpus collapses to the (k_r × k_c) cell grid in
+    ONE hash aggregate; C/D/ties are dimension-bounded sums over
+    grid-cell pairs UNROLLED as plan constants (both orders are
+    parameters) — at most (k_r·k_c)² literal terms, no join and no
+    shuffle beyond the first aggregate.
+
+    Returns one row: (n, n_concordant, n_discordant, ties_row,
+    ties_col, gamma, somers_d_col_given_row, somers_d_row_given_col),
+    each ratio NULL-guarded on a zero denominator.
+    """
+    kr, kc = len(row_order), len(col_order)
+    if kr < 2 or kc < 2:
+        raise ValueError("row_order and col_order each need >= 2 levels")
+    r = F.col(row_col)
+    c = F.col(col_col)
+    per = (
+        df.filter(r.isin(list(row_order)) & c.isin(list(col_order)))
+        .groupBy(r.alias("__r"), c.alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # one row per observed cell -> pivot to a single row of kr*kc
+    # literal cell counts via conditional sums
+    cells = per.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("__r") == rv) & (F.col("__c") == cv),
+                        F.col("__n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"__x_{i}_{j}")
+            for i, rv in enumerate(row_order)
+            for j, cv in enumerate(col_order)
+        ]
+    )
+
+    def cell(i, j):
+        return F.col(f"__x_{i}_{j}")
+
+    conc = None
+    disc = None
+    ties_r = None
+    ties_c = None
+    total = None
+    for i in range(kr):
+        for j in range(kc):
+            total = cell(i, j) if total is None else total + cell(i, j)
+            for i2 in range(kr):
+                for j2 in range(kc):
+                    if i2 > i and j2 > j:
+                        t = cell(i, j) * cell(i2, j2)
+                        conc = t if conc is None else conc + t
+                    elif i2 > i and j2 < j:
+                        t = cell(i, j) * cell(i2, j2)
+                        disc = t if disc is None else disc + t
+            # ties on row (same row, different col), each pair once
+            for j2 in range(j + 1, kc):
+                t = cell(i, j) * cell(i, j2)
+                ties_r = t if ties_r is None else ties_r + t
+            for i2 in range(i + 1, kr):
+                t = cell(i, j) * cell(i2, j)
+                ties_c = t if ties_c is None else ties_c + t
+    staged = cells.select(
+        total.cast("long").alias("n"),
+        conc.cast("long").alias("n_concordant"),
+        disc.cast("long").alias("n_discordant"),
+        ties_r.cast("long").alias("ties_row"),
+        ties_c.cast("long").alias("ties_col"),
+    )
+    cd = (F.col("n_concordant") + F.col("n_discordant")).cast("double")
+    diff = (F.col("n_concordant") - F.col("n_discordant")).cast(
+        "double"
+    )
+    gamma = F.when(cd > 0, F.round(diff / cd, 6))
+    # D_{col|row}: ties on the ROW variable (col differs) stay in the
+    # denominator? No — Somers' D_{Y|X} adds pairs tied on Y ONLY.
+    # Here Y = col: pairs tied on col only = ties_col.
+    d_col = F.when(
+        cd + F.col("ties_col") > 0,
+        F.round(diff / (cd + F.col("ties_col")), 6),
+    )
+    d_row = F.when(
+        cd + F.col("ties_row") > 0,
+        F.round(diff / (cd + F.col("ties_row")), 6),
+    )
+    return staged.select(
+        "*",
+        gamma.alias("gamma"),
+        d_col.alias("somers_d_col_given_row"),
+        d_row.alias("somers_d_row_given_col"),
+    )

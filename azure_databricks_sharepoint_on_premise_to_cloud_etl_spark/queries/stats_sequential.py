@@ -2461,3 +2461,149 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 45: dose-response for proportions,
+# --- exact ordinal association
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend: does the F-status RATE trend across
+    the five priority levels?  (``stats.cochran_armitage`` — one
+    conditional aggregate, default 0..k−1 scores.)"""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("f_status"),
+    )
+    return stats.cochran_armitage(
+        o, "o_orderpriority", "f_status", _JT_ORDER
+    )
+
+
+def _ca_oracle() -> str:
+    score = "CASE " + " ".join(
+        f"WHEN o_orderpriority = '{gv}' THEN {float(i)!r}"
+        for i, gv in enumerate(_JT_ORDER)
+    ) + " END"
+    in_list = ", ".join(f"'{g}'" for g in _JT_ORDER)
+    return f"""
+WITH per AS (
+    SELECT {score} AS s, count(*) AS n,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
+               AS a
+    FROM orders
+    WHERE o_orderpriority IN ({in_list})
+    GROUP BY 1
+),
+red AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS k,
+           sum(a) AS sa, sum(s * a) AS ssa,
+           sum(s * n) AS ssn, sum(s * s * n) AS ss2n
+    FROM per
+),
+staged AS (
+    SELECT n, k,
+           round(round(sa / n, 9), 6) AS p_pool,
+           round(ssa - round(sa / n, 9) * ssn, 6) AS t_stat,
+           round(sqrt(round(sa / n, 9) * (1.0 - round(sa / n, 9))
+                      * (ss2n - ssn * ssn / n)), 6) AS sd
+    FROM red
+)
+SELECT n, k, p_pool, t_stat,
+       CASE WHEN sd > 0 THEN round(t_stat / sd, 6) END AS z
+FROM staged
+"""
+
+
+_OA_ROWS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_OA_COLS = ["F", "O", "P"]
+
+
+def q_ordinal_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal gamma + both Somers' D directions between
+    order priority (ordered) and order status — exact
+    concordant/discordant counts over the 5×3 contingency grid,
+    unrolled as plan constants (``stats.ordinal_association``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.ordinal_association(
+        o, "o_orderpriority", "o_orderstatus", _OA_ROWS, _OA_COLS
+    )
+
+
+def _oa_oracle() -> str:
+    kr, kc = len(_OA_ROWS), len(_OA_COLS)
+    cs = ",\n           ".join(
+        f"sum(CASE WHEN o_orderpriority = '{rv}' AND "
+        f"o_orderstatus = '{cv}' THEN 1 ELSE 0 END) AS x_{i}_{j}"
+        for i, rv in enumerate(_OA_ROWS)
+        for j, cv in enumerate(_OA_COLS)
+    )
+    conc, disc, tr, tc, tot = [], [], [], [], []
+    for i in range(kr):
+        for j in range(kc):
+            tot.append(f"x_{i}_{j}")
+            for i2 in range(kr):
+                for j2 in range(kc):
+                    if i2 > i and j2 > j:
+                        conc.append(f"x_{i}_{j} * x_{i2}_{j2}")
+                    elif i2 > i and j2 < j:
+                        disc.append(f"x_{i}_{j} * x_{i2}_{j2}")
+            for j2 in range(j + 1, kc):
+                tr.append(f"x_{i}_{j} * x_{i}_{j2}")
+            for i2 in range(i + 1, kr):
+                tc.append(f"x_{i}_{j} * x_{i2}_{j}")
+    rows_in = ", ".join(f"'{g}'" for g in _OA_ROWS)
+    cols_in = ", ".join(f"'{g}'" for g in _OA_COLS)
+    return f"""
+WITH cells AS (
+    SELECT {cs}
+    FROM orders
+    WHERE o_orderpriority IN ({rows_in})
+          AND o_orderstatus IN ({cols_in})
+),
+staged AS (
+    SELECT CAST({" + ".join(tot)} AS BIGINT) AS n,
+           CAST({" + ".join(conc)} AS BIGINT) AS n_concordant,
+           CAST({" + ".join(disc)} AS BIGINT) AS n_discordant,
+           CAST({" + ".join(tr)} AS BIGINT) AS ties_row,
+           CAST({" + ".join(tc)} AS BIGINT) AS ties_col
+    FROM cells
+)
+SELECT *,
+       CASE WHEN n_concordant + n_discordant > 0 THEN
+           round((n_concordant - n_discordant) * 1.0
+                 / (n_concordant + n_discordant), 6) END AS gamma,
+       CASE WHEN n_concordant + n_discordant + ties_col > 0 THEN
+           round((n_concordant - n_discordant) * 1.0
+                 / (n_concordant + n_discordant + ties_col), 6)
+       END AS somers_d_col_given_row,
+       CASE WHEN n_concordant + n_discordant + ties_row > 0 THEN
+           round((n_concordant - n_discordant) * 1.0
+                 / (n_concordant + n_discordant + ties_row), 6)
+       END AS somers_d_row_given_col
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "cochran_armitage": q_cochran_armitage,
+        "ordinal_association": q_ordinal_assoc,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "cochran_armitage": _ca_oracle(),
+        "ordinal_association": _oa_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

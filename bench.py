@@ -340,6 +340,9 @@ BENCH_QUERIES = [
     "cramer_von_mises",
     # round-11 widening batch 44
     "jonckheere_terpstra",
+    # round-11 widening batch 45
+    "cochran_armitage",
+    "ordinal_association",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
