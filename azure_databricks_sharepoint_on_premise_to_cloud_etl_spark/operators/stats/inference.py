@@ -4517,3 +4517,130 @@ def ordinal_association(
         d_col.alias("somers_d_col_given_row"),
         d_row.alias("somers_d_row_given_col"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """SEASONAL Mann–Kendall (Hirsch–Slack) — the :func:`mann_kendall`
+    variant that doesn't mistake seasonality for trend: compare only
+    like-with-like months (S and its variance computed per calendar
+    month, then SUMMED), so a sawtooth annual cycle contributes
+    nothing and a genuine multi-year drift accumulates across all 12
+    strata.
+
+    Implementation: one composite-key delegation to
+    :func:`mann_kendall` (group ⊗ month — the within-season pair join
+    shuffles once on that key), then a per-group reduce of the
+    seasonal S and Var(S); z applies the same ±1 continuity
+    correction.
+
+    Returns one row per group: (group, n, n_seasons, s_stat, var_s, z).
+    """
+    sep = "\x1f"
+    staged = df.filter(
+        F.col(group_col).isNotNull() & F.col(time_col).isNotNull()
+    ).withColumn(
+        "__gs",
+        F.concat_ws(
+            sep,
+            F.col(group_col),
+            F.month(F.col(time_col)).cast("string"),
+        ),
+    )
+    per_season = mann_kendall(staged, "__gs", time_col, value_col)
+    parts = F.split(F.col("__gs"), sep)
+    red = (
+        per_season.select(
+            parts.getItem(0).alias("__grp"),
+            "n",
+            "s_stat",
+            "var_s",
+        )
+        .groupBy(F.col("__grp").alias(group_col))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_seasons"),
+            F.sum("s_stat").cast("long").alias("s_stat"),
+            F.round(F.sum("var_s"), 6).alias("var_s"),
+        )
+    )
+    s = F.col("s_stat")
+    sd = F.sqrt(F.col("var_s"))
+    z = F.when(F.col("var_s") <= 0, None).otherwise(
+        F.when(s > 0, F.round((s - 1) / sd, 6))
+        .when(s < 0, F.round((s + 1) / sd, 6))
+        .otherwise(F.lit(0.0))
+    )
+    return red.select(
+        group_col, "n", "n_seasons", "s_stat", "var_s", z.alias("z")
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal sample allocation — "how should a labeling
+    budget split across sources?": stratum i gets
+    ``n_i ∝ N_i·σ_i`` (big AND internally-diverse strata deserve more
+    labels; a huge but homogeneous stratum needs few), integerized by
+    LARGEST REMAINDER so the allocations sum to ``total_n`` exactly,
+    then capped at the stratum's population (a saturated stratum
+    undershoots the total — reallocation is an iterative waterfall,
+    deliberately out of scope and documented).
+
+    Scale shape: one per-stratum moments aggregate, one
+    dimension-bounded window for the remainder ranking — the corpus
+    is scanned once.  Zero-variance / single-row strata carry weight
+    0 (they need one look, not a sample — cap-aware callers add it).
+
+    Returns one row per stratum: (stratum, n_pop, sd, weight, ideal,
+    n_alloc).
+    """
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    st = F.col(stratum_col)
+    x = F.col(value_col).cast("double")
+    per = (
+        df.filter(st.isNotNull() & x.isNotNull())
+        .groupBy(st.alias(stratum_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pop"),
+            F.round(
+                F.coalesce(F.stddev_samp(x), F.lit(0.0)), 6
+            ).alias("sd"),
+        )
+    )
+    w = F.round(F.col("n_pop") * F.col("sd"), 6)
+    staged = per.select("*", w.alias("weight"))
+    w_all = Window.partitionBy()
+    tot_w = F.sum("weight").over(w_all)
+    ideal = F.when(
+        tot_w > 0,
+        F.round(F.lit(float(total_n)) * F.col("weight") / tot_w, 6),
+    ).otherwise(F.lit(0.0))
+    staged = staged.select("*", ideal.alias("ideal"))
+    base = F.floor(F.col("ideal")).cast("long")
+    frac = F.col("ideal") - base
+    staged = staged.select(
+        "*", base.alias("__base"), frac.alias("__frac")
+    )
+    rem = F.lit(int(total_n)) - F.sum("__base").over(w_all)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("__frac").desc(), F.col(stratum_col).asc())
+    )
+    alloc = F.col("__base") + (rank <= rem).cast("long")
+    return staged.select(
+        stratum_col,
+        "n_pop",
+        "sd",
+        "weight",
+        "ideal",
+        F.least(alloc, F.col("n_pop")).alias("n_alloc"),
+    )

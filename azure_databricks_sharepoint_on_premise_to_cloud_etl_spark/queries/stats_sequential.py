@@ -2607,3 +2607,146 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 46: seasonality-safe trend, labeling
+# --- budget allocation
+
+
+def q_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall on the monthly order-count series per
+    priority — like-month-only pairs, so an annual cycle can't fake a
+    trend (``stats.seasonal_mann_kendall``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    series = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    return stats.seasonal_mann_kendall(
+        series, "o_orderpriority", "month", "n_orders"
+    )
+
+
+ORACLE_SEASONAL_MK = """
+WITH s AS (
+    SELECT o_orderpriority AS g, month(o_orderdate) AS season,
+           date_trunc('month', o_orderdate) AS t,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM orders GROUP BY 1, 2, 3
+),
+p AS (
+    SELECT a.g, a.season,
+           CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT)
+               AS s_stat
+    FROM s a JOIN s b ON a.g = b.g AND a.season = b.season
+                      AND a.t < b.t
+    GROUP BY 1, 2
+),
+n AS (
+    SELECT g, season, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+),
+ties AS (
+    SELECT g, season, sum(t * (t - 1) * (2 * t + 5)) AS tie
+    FROM (SELECT g, season, v, count(*) AS t FROM s GROUP BY 1, 2, 3)
+    GROUP BY 1, 2
+),
+per AS (
+    SELECT n.g, n.season, n.n,
+           coalesce(p.s_stat, 0) AS s_stat,
+           round((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                  - CAST(coalesce(ties.tie, 0) AS DOUBLE)) / 18.0, 6)
+               AS var_s
+    FROM n LEFT JOIN p USING (g, season)
+         LEFT JOIN ties USING (g, season)
+),
+red AS (
+    SELECT g AS o_orderpriority,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_seasons,
+           CAST(sum(s_stat) AS BIGINT) AS s_stat,
+           round(sum(var_s), 6) AS var_s
+    FROM per GROUP BY 1
+)
+SELECT o_orderpriority, n, n_seasons, s_stat, var_s,
+       CASE WHEN var_s <= 0 THEN NULL
+            WHEN s_stat > 0 THEN round((s_stat - 1) / sqrt(var_s), 6)
+            WHEN s_stat < 0 THEN round((s_stat + 1) / sqrt(var_s), 6)
+            ELSE 0.0 END AS z
+FROM red
+"""
+
+
+_NEY_N = 1000
+
+
+def q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman labeling-budget allocation: split 1000 annotation slots
+    across document sources by N_i·σ_i of text length — the
+    big-AND-diverse strata get the labels
+    (``stats.neyman_allocation``, largest-remainder integerization)."""
+    from ..operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).select(
+        "source", F.length("text").alias("text_len")
+    )
+    return stats.neyman_allocation(d, "source", "text_len", _NEY_N)
+
+
+ORACLE_NEYMAN = f"""
+WITH per AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pop,
+           round(coalesce(stddev_samp(CAST(length(text) AS DOUBLE)),
+                          0.0), 6) AS sd
+    FROM documents
+    WHERE source IS NOT NULL AND text IS NOT NULL
+    GROUP BY 1
+),
+wt AS (SELECT *, round(n_pop * sd, 6) AS weight FROM per),
+ideal_t AS (
+    SELECT *,
+           CASE WHEN sum(weight) OVER () > 0 THEN
+               round({float(_NEY_N)!r} * weight
+                     / sum(weight) OVER (), 6)
+           ELSE 0.0 END AS ideal
+    FROM wt
+),
+based AS (
+    SELECT *,
+           CAST(floor(ideal) AS BIGINT) AS base,
+           ideal - floor(ideal) AS frac
+    FROM ideal_t
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY frac DESC, source ASC) AS rk,
+           {_NEY_N} - sum(base) OVER () AS rem
+    FROM based
+)
+SELECT source, n_pop, sd, weight, ideal,
+       least(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END, n_pop)
+           AS n_alloc
+FROM ranked
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "seasonal_mann_kendall": q_seasonal_mk,
+        "neyman_allocation": q_neyman,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "seasonal_mann_kendall": ORACLE_SEASONAL_MK,
+        "neyman_allocation": ORACLE_NEYMAN,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

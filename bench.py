@@ -343,6 +343,9 @@ BENCH_QUERIES = [
     # round-11 widening batch 45
     "cochran_armitage",
     "ordinal_association",
+    # round-11 widening batch 46
+    "seasonal_mann_kendall",
+    "neyman_allocation",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
