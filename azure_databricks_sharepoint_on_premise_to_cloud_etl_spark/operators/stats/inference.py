@@ -4644,3 +4644,154 @@ def neyman_allocation(
         "ideal",
         F.least(alloc, F.col("n_pop")).alias("n_alloc"),
     )
+
+
+def kupiec_pof(
+    df: DataFrame,
+    violation_col: str,
+    p_expected: float,
+) -> DataFrame:
+    """Kupiec proportion-of-failures VaR backtest — "is the risk model
+    honest?": given a breach indicator series (loss exceeded the
+    stated VaR) and the model's claimed exceedance probability p, the
+    likelihood ratio
+    ``LR = −2·ln[(1−p)^{n−x} p^x] + 2·ln[(1−x/n)^{n−x} (x/n)^x]``
+    is χ²(1) under a correctly calibrated model — too MANY breaches
+    means understated risk, too FEW means capital wasted.
+
+    The statistic is computed in log space throughout (no underflow at
+    production n); the boundary cases x=0 and x=n use the exact limit
+    (the x·ln(x/n) term vanishes).  Statistic+dof convention — no χ²
+    CDF in-plan.
+
+    Scale shape: ONE aggregate (n, x), scalar arithmetic after.
+
+    Returns one row: (n, n_breaches, rate, p_expected, lr_pof, dof).
+    """
+    if not 0 < p_expected < 1:
+        raise ValueError(
+            f"p_expected must be in (0, 1), got {p_expected}"
+        )
+    p = float(p_expected)
+    import math as _m
+
+    v = F.col(violation_col).cast("int")
+    agg = df.filter(v.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("n_breaches"),
+    )
+    n = F.col("n").cast("double")
+    x = F.col("n_breaches").cast("double")
+    rate = F.round(x / n, 6)
+    # null log-likelihood: (n-x)ln(1-p) + x ln p
+    ll0 = (n - x) * F.lit(_m.log(1.0 - p)) + x * F.lit(_m.log(p))
+    # alternative at the MLE x/n, with 0*ln(0) = 0 at the boundaries
+    ll1 = (
+        F.when(x < n, (n - x) * F.log(1.0 - x / n)).otherwise(F.lit(0.0))
+        + F.when(x > 0, x * F.log(x / n)).otherwise(F.lit(0.0))
+    )
+    lr = F.when(n > 0, F.round(-2.0 * (ll0 - ll1), 6))
+    return agg.select(
+        "n",
+        "n_breaches",
+        rate.alias("rate"),
+        F.round(F.lit(p), 6).alias("p_expected"),
+        lr.alias("lr_pof"),
+        F.lit(1).cast("long").alias("dof"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score —
+    ``Brier = RELIABILITY − RESOLUTION + UNCERTAINTY`` — the readout
+    that says WHY a probabilistic model scores what it scores:
+    reliability (calibration gap, lower better), resolution (how much
+    the forecasts actually separate outcomes, higher better), and
+    uncertainty (the base rate's irreducible floor).  The
+    decomposition view of the same bins :func:`ece_calibration`
+    summarizes.
+
+    Bins are equal-width on [0,1] (``floor(p·k)`` clamped, the
+    standard Murphy binning); the identity holds exactly for BINNED
+    forecasts, and the residual within-bin variance term (the
+    within-bin forecast spread) is emitted so the audit can verify
+    ``brier = rel − res + unc + wb`` to rounding.
+
+    Scale shape: one (bin)-keyed aggregate (k rows), one reduce.
+
+    Returns one row: (n, base_rate, brier, reliability, resolution,
+    uncertainty, within_bin_var).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    k = int(n_bins)
+    pr = F.col(prob_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    base = df.filter(
+        pr.isNotNull() & y.isNotNull() & (pr >= 0) & (pr <= 1)
+    ).select(
+        F.least(F.floor(pr * k).cast("int"), F.lit(k - 1)).alias(
+            "__b"
+        ),
+        pr.alias("__p"),
+        y.alias("__y"),
+    )
+    bins = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__p").alias("__fp"),
+        F.avg("__y").alias("__oy"),
+        F.avg(F.col("__p") * F.col("__p")).alias("__fp2"),
+        F.avg((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y"))).alias(
+            "__bs"
+        ),
+    )
+    red = bins.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("__n") * F.col("__oy")) / F.sum("__n"), 9
+        ).alias("__obar"),
+        F.round(
+            F.sum(F.col("__n") * F.col("__bs")) / F.sum("__n"), 6
+        ).alias("brier"),
+        F.round(
+            F.sum(
+                F.col("__n")
+                * (F.col("__fp") - F.col("__oy"))
+                * (F.col("__fp") - F.col("__oy"))
+            )
+            / F.sum("__n"),
+            6,
+        ).alias("reliability"),
+        F.sum(F.col("__n") * F.col("__oy")).alias("__so"),
+        F.sum(
+            F.col("__n")
+            * (F.col("__fp2") - F.col("__fp") * F.col("__fp"))
+        ).alias("__swb"),
+        F.sum(F.col("__n") * F.col("__oy") * F.col("__oy")).alias(
+            "__so2w"
+        ),
+        F.sum(F.col("__n")).alias("__nn"),
+    )
+    obar = F.col("__obar")
+    res = F.round(
+        F.col("__so2w") / F.col("__nn")
+        - 2 * obar * F.col("__so") / F.col("__nn")
+        + obar * obar,
+        6,
+    )
+    unc = F.round(obar * (1.0 - obar), 6)
+    wb = F.round(F.col("__swb") / F.col("__nn"), 6)
+    return red.select(
+        "n",
+        F.round(obar, 6).alias("base_rate"),
+        "brier",
+        "reliability",
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        wb.alias("within_bin_var"),
+    )

@@ -2750,3 +2750,129 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 47: VaR backtesting, Brier decomposition
+
+
+_KP_THRESH = 400_000.0
+_KP_P = 0.05
+
+
+def q_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec POF backtest of a 5%-exceedance claim against the
+    observed large-order breach series (``stats.kupiec_pof`` — one
+    aggregate, log-space LR, χ²(1) convention)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders")).select(
+        (F.col("o_totalprice") > _KP_THRESH).cast("int").alias("breach")
+    )
+    return stats.kupiec_pof(o, "breach", _KP_P)
+
+
+def _kupiec_oracle() -> str:
+    import math as _m
+
+    p = _KP_P
+    return f"""
+WITH agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_totalprice > {_KP_THRESH!r}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breaches
+    FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT n, n_breaches,
+       round(n_breaches * 1.0 / n, 6) AS rate,
+       round({p!r}, 6) AS p_expected,
+       CASE WHEN n > 0 THEN round(-2.0 * (
+           ((n - n_breaches) * {_m.log(1.0 - p)!r}
+            + n_breaches * {_m.log(p)!r})
+           - (CASE WHEN n_breaches < n
+                   THEN (n - n_breaches)
+                        * ln(1.0 - n_breaches * 1.0 / n)
+                   ELSE 0.0 END
+              + CASE WHEN n_breaches > 0
+                     THEN n_breaches * ln(n_breaches * 1.0 / n)
+                     ELSE 0.0 END)), 6)
+       END AS lr_pof,
+       CAST(1 AS BIGINT) AS dof
+FROM agg
+"""
+
+
+_BD_BINS = 10
+
+
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the
+    discount-as-probability return-flag predictor — why the score is
+    what it is: calibration gap vs discrimination vs base-rate floor
+    (``stats.brier_decomposition``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).select(
+        F.least(F.col("l_discount") * 10.0, F.lit(1.0)).alias("prob"),
+        (F.col("l_returnflag") == "R").cast("int").alias("returned"),
+    )
+    return stats.brier_decomposition(
+        li, "prob", "returned", n_bins=_BD_BINS
+    )
+
+
+ORACLE_BRIER_DECOMP = f"""
+WITH base AS (
+    SELECT least(CAST(floor(least(l_discount * 10.0, 1.0)
+                            * {_BD_BINS}) AS INTEGER),
+                 {_BD_BINS - 1}) AS b,
+           least(l_discount * 10.0, 1.0) AS p,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+    FROM lineitem
+    WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+          AND l_discount * 10.0 >= 0
+),
+bins AS (
+    SELECT b, count(*) AS n, avg(p) AS fp, avg(y) AS oy,
+           avg(p * p) AS fp2, avg((p - y) * (p - y)) AS bs
+    FROM base GROUP BY 1
+),
+red AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           round(sum(n * oy) / sum(n), 9) AS obar,
+           round(sum(n * bs) / sum(n), 6) AS brier,
+           round(sum(n * (fp - oy) * (fp - oy)) / sum(n), 6)
+               AS reliability,
+           sum(n * oy) AS so,
+           sum(n * (fp2 - fp * fp)) AS swb,
+           sum(n * oy * oy) AS so2w,
+           sum(n) AS nn
+    FROM bins
+)
+SELECT n,
+       round(obar, 6) AS base_rate,
+       brier, reliability,
+       round(so2w / nn - 2 * obar * so / nn + obar * obar, 6)
+           AS resolution,
+       round(obar * (1.0 - obar), 6) AS uncertainty,
+       round(swb / nn, 6) AS within_bin_var
+FROM red
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "kupiec_pof": q_kupiec,
+        "brier_decomposition": q_brier_decomp,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "kupiec_pof": _kupiec_oracle(),
+        "brier_decomposition": ORACLE_BRIER_DECOMP,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -346,6 +346,9 @@ BENCH_QUERIES = [
     # round-11 widening batch 46
     "seasonal_mann_kendall",
     "neyman_allocation",
+    # round-11 widening batch 47
+    "kupiec_pof",
+    "brier_decomposition",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
