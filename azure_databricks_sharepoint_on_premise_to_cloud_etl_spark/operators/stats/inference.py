@@ -4795,3 +4795,79 @@ def brier_decomposition(
         unc.alias("uncertainty"),
         wb.alias("within_bin_var"),
     )
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 20,
+    max_items: int = 200,
+) -> DataFrame:
+    """Bradley–Terry preference strengths from pairwise outcomes — the
+    model behind RLHF preference data, ranker A/B duels, and matchup
+    tables: item i beats j with probability ``πᵢ/(πᵢ+πⱼ)``; strengths
+    come from the standard MM update
+    ``πᵢ ← Wᵢ / Σ_j N_ij/(πᵢ+πⱼ)`` (Hunter 2004), normalized to mean 1
+    each round.
+
+    Determinism discipline (the PCA-power-iteration precedent,
+    ``similarity.pca_power_component``): the corpus collapses IN-PLAN
+    to the k×k win-count cell table (one hash aggregate — the only
+    thing that touches data scale); the k²-bounded cell table is a
+    control-plane collect (``max_items`` cap raises rather than
+    pulling an unbounded item set); a FIXED iteration count with every
+    πᵢ re-rounded to 9 decimals per round keeps the unrolled SQL twin
+    walking the identical sequence; final strengths rounded to 6.
+    Items with zero wins converge to strength → 0 (reported, not
+    dropped); win counts are integers so both engines start exact.
+
+    Returns one row per item: (item, n_wins, n_games, strength),
+    strengths mean-1 normalized.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(winner_col).cast("string")
+    l_ = F.col(loser_col).cast("string")
+    cells = (
+        df.filter(w.isNotNull() & l_.isNotNull() & (w != l_))
+        .groupBy(w.alias("__w"), l_.alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rows = cells.collect()
+    items = sorted({r["__w"] for r in rows} | {r["__l"] for r in rows})
+    if len(items) > max_items:
+        raise ValueError(
+            f"bradley_terry is capped at {max_items} items "
+            f"(got {len(items)}); aggregate items first"
+        )
+    idx = {it: i for i, it in enumerate(items)}
+    k = len(items)
+    wins = [[0] * k for _ in range(k)]  # wins[i][j]: i beat j
+    for r in rows:
+        wins[idx[r["__w"]]][idx[r["__l"]]] += int(r["__n"])
+    n_games = [
+        [wins[i][j] + wins[j][i] for j in range(k)] for i in range(k)
+    ]
+    w_tot = [sum(wins[i]) for i in range(k)]
+    g_tot = [sum(n_games[i]) for i in range(k)]
+    pi = [1.0] * k
+    for _ in range(int(iters)):
+        new = []
+        for i in range(k):
+            den = sum(
+                n_games[i][j] / (pi[i] + pi[j])
+                for j in range(k)
+                if j != i and n_games[i][j] > 0
+            )
+            new.append(w_tot[i] / den if den > 0 else 0.0)
+        mean = sum(new) / k if k else 1.0
+        pi = [round(v / mean, 9) if mean > 0 else 0.0 for v in new]
+    spark = df.sparkSession
+    out = [
+        (items[i], w_tot[i], g_tot[i], round(pi[i], 6))
+        for i in range(k)
+    ]
+    return spark.createDataFrame(
+        out, "item string, n_wins long, n_games long, strength double"
+    )

@@ -2876,3 +2876,170 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 48: Bradley–Terry preference strengths
+
+
+_BT_ITERS = 20
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strengths over return-flag 'duels' (within each
+    2-line order the pricier line's flag beats the cheaper line's) —
+    the RLHF preference-data model, MM-iterated on the k²-bounded
+    cell table with the PCA-style rounding discipline
+    (``stats.bradley_terry``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    # (orderkey, linenumber) is NOT unique in the fixture: the struct
+    # max takes the LEXICOGRAPHIC (price, flag) representative per
+    # line slot — deterministic, and mirrored two-step in the oracle
+    two = (
+        li.filter(F.col("l_linenumber").isin([1, 2]))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_linenumber") == 1,
+                    F.struct("l_extendedprice", "l_returnflag"),
+                )
+            ).alias("a"),
+            F.max(
+                F.when(
+                    F.col("l_linenumber") == 2,
+                    F.struct("l_extendedprice", "l_returnflag"),
+                )
+            ).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a.l_extendedprice") != F.col("b.l_extendedprice"))
+            & (F.col("a.l_returnflag") != F.col("b.l_returnflag"))
+        )
+    )
+    duels = two.select(
+        F.when(
+            F.col("a.l_extendedprice") > F.col("b.l_extendedprice"),
+            F.col("a.l_returnflag"),
+        )
+        .otherwise(F.col("b.l_returnflag"))
+        .alias("winner"),
+        F.when(
+            F.col("a.l_extendedprice") > F.col("b.l_extendedprice"),
+            F.col("b.l_returnflag"),
+        )
+        .otherwise(F.col("a.l_returnflag"))
+        .alias("loser"),
+    )
+    return stats.bradley_terry(duels, "winner", "loser", iters=_BT_ITERS)
+
+
+def _bt_oracle() -> str:
+    head = """
+WITH base AS MATERIALIZED (
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_linenumber IN (1, 2)
+          AND l_extendedprice IS NOT NULL
+          AND l_returnflag IS NOT NULL
+),
+rep AS MATERIALIZED (
+    SELECT l_orderkey, l_linenumber,
+           max(l_extendedprice) AS p
+    FROM base GROUP BY 1, 2
+),
+repf AS MATERIALIZED (
+    SELECT r.l_orderkey, r.l_linenumber, r.p,
+           max(b.l_returnflag) AS f
+    FROM rep r
+    JOIN base b
+      ON b.l_orderkey = r.l_orderkey
+     AND b.l_linenumber = r.l_linenumber
+     AND b.l_extendedprice = r.p
+    GROUP BY 1, 2, 3
+),
+two AS MATERIALIZED (
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber = 1 THEN p END) AS p1,
+           max(CASE WHEN l_linenumber = 1 THEN f END) AS f1,
+           max(CASE WHEN l_linenumber = 2 THEN p END) AS p2,
+           max(CASE WHEN l_linenumber = 2 THEN f END) AS f2
+    FROM repf
+    GROUP BY 1
+),
+duels AS MATERIALIZED (
+    SELECT CASE WHEN p1 > p2 THEN f1 ELSE f2 END AS w,
+           CASE WHEN p1 > p2 THEN f2 ELSE f1 END AS l
+    FROM two
+    WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND p1 <> p2
+          AND f1 IS NOT NULL AND f2 IS NOT NULL AND f1 <> f2
+),
+cells AS MATERIALIZED (SELECT w, l, count(*) AS n FROM duels GROUP BY 1, 2),
+items AS (
+    SELECT DISTINCT it FROM (
+        SELECT w AS it FROM cells UNION SELECT l FROM cells
+    )
+),
+games AS MATERIALIZED (
+    SELECT a.it AS i, b.it AS j,
+           coalesce(cw.n, 0) + coalesce(cl.n, 0) AS nij,
+           coalesce(cw.n, 0) AS wij
+    FROM items a JOIN items b ON a.it <> b.it
+    LEFT JOIN cells cw ON cw.w = a.it AND cw.l = b.it
+    LEFT JOIN cells cl ON cl.w = b.it AND cl.l = a.it
+),
+wtot AS (
+    SELECT i, sum(wij) AS w, sum(nij) AS g FROM games GROUP BY 1
+),
+it0 AS (SELECT it, 1.0 AS pi FROM items)"""
+    steps = []
+    for r in range(1, _BT_ITERS + 1):
+        prev = f"it{r - 1}"
+        steps.append(f""",
+raw{r} AS MATERIALIZED (
+    SELECT g.i AS it, max(wt.w) AS w,
+           sum(CASE WHEN g.nij > 0
+                    THEN g.nij / (pi_i.pi + pi_j.pi) END) AS den
+    FROM games g
+    JOIN {prev} pi_i ON pi_i.it = g.i
+    JOIN {prev} pi_j ON pi_j.it = g.j
+    JOIN wtot wt ON wt.i = g.i
+    GROUP BY 1
+),
+val{r} AS MATERIALIZED (
+    SELECT it,
+           CASE WHEN den > 0 THEN w / den ELSE 0.0 END AS v
+    FROM raw{r}
+),
+it{r} AS MATERIALIZED (
+    SELECT it,
+           round(CASE WHEN (SELECT avg(v) FROM val{r}) > 0
+                      THEN v / (SELECT avg(v) FROM val{r})
+                      ELSE 0.0 END, 9) AS pi
+    FROM val{r}
+)""")
+    tail = f"""
+SELECT items.it AS item,
+       CAST(wtot.w AS BIGINT) AS n_wins,
+       CAST(wtot.g AS BIGINT) AS n_games,
+       round(it{_BT_ITERS}.pi, 6) AS strength
+FROM items
+JOIN wtot ON wtot.i = items.it
+JOIN it{_BT_ITERS} ON it{_BT_ITERS}.it = items.it
+"""
+    return head + "".join(steps) + tail
+
+
+AUX_QUERIES["bradley_terry"] = q_bradley_terry
+AUX_ORACLES["bradley_terry"] = _bt_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -349,6 +349,8 @@ BENCH_QUERIES = [
     # round-11 widening batch 47
     "kupiec_pof",
     "brier_decomposition",
+    # round-11 widening batch 48
+    "bradley_terry",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
