@@ -4871,3 +4871,132 @@ def bradley_terry(
     return spark.createDataFrame(
         out, "item string, n_wins long, n_games long, strength double"
     )
+
+
+def weibull_fit_mrr(
+    df: DataFrame, group_col: str, life_col: str
+) -> DataFrame:
+    """Weibull (shape, scale) fit by MEDIAN-RANK REGRESSION — the
+    reliability engineer's standard for complete failure data
+    (component lifetimes, time-to-churn, job-runtime tails): plot
+    ``ln(−ln(1−F̂))`` against ``ln t`` with Benard's median ranks
+    ``F̂ᵢ = (i−0.3)/(n+0.4)`` and read shape k off the slope
+    (k < 1 infant mortality, k ≈ 1 memoryless, k > 1 wear-out) and
+    scale λ = exp(−intercept/k).
+
+    Median-rank regression (not MLE) is deliberate: closed-form OLS,
+    no iterative solver, engine-deterministic — the same reasoning as
+    :func:`gumbel_return_levels`.
+
+    Scale shape: one rank window per group (series grain — lifetimes
+    are per-entity aggregates, thousands per group) + one OLS moments
+    aggregate; groups need ≥ 3 positive lifetimes (else NULL fit).
+
+    Returns one row per group: (group, n, shape, scale, r2).
+    """
+    g = F.col(group_col)
+    t = F.col(life_col).cast("double")
+    base = df.filter(g.isNotNull() & t.isNotNull() & (t > 0)).select(
+        g.alias("__g"), t.alias("__t")
+    )
+    w_rank = Window.partitionBy("__g").orderBy(
+        F.col("__t").asc()
+    )
+    w_grp = Window.partitionBy("__g")
+    staged = (
+        base.withColumn("__i", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+        .select(
+            "__g",
+            F.log("__t").alias("__x"),
+            F.log(
+                -F.log(
+                    1.0
+                    - (F.col("__i") - 0.3) / (F.col("__n") + 0.4)
+                )
+            ).alias("__y"),
+        )
+    )
+    mom = staged.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+        F.avg(F.col("__x") * F.col("__y")).alias("__mxy"),
+        F.avg(F.col("__x") * F.col("__x")).alias("__mx2"),
+        F.avg(F.col("__y") * F.col("__y")).alias("__my2"),
+    )
+    vx = F.col("__mx2") - F.col("__mx") * F.col("__mx")
+    vy = F.col("__my2") - F.col("__my") * F.col("__my")
+    cov = F.col("__mxy") - F.col("__mx") * F.col("__my")
+    shape = F.when((F.col("n") >= 3) & (vx > 0), F.round(cov / vx, 6))
+    staged2 = mom.select(group_col, "n", shape.alias("shape"),
+                         "__mx", "__my", cov.alias("__cov"),
+                         vx.alias("__vx"), vy.alias("__vy"))
+    scale = F.when(
+        F.col("shape").isNotNull() & (F.col("shape") > 0),
+        F.round(
+            F.exp(
+                -(F.col("__my") - F.col("shape") * F.col("__mx"))
+                / F.col("shape")
+            ),
+            6,
+        ),
+    )
+    r2 = F.when(
+        F.col("shape").isNotNull() & (F.col("__vy") > 0),
+        F.round(
+            F.col("__cov") * F.col("__cov")
+            / (F.col("__vx") * F.col("__vy")),
+            6,
+        ),
+    )
+    return staged2.select(
+        group_col, "n", "shape", scale.alias("scale"), r2.alias("r2")
+    )
+
+
+def chao1_richness(
+    df: DataFrame, group_col: str, token_col: str
+) -> DataFrame:
+    """Chao1 richness estimator — "how much vocabulary haven't we
+    crawled yet?": from the observed type count V and the singleton/
+    doubleton counts F1/F2, the asymptotic vocabulary size is
+    ``Chao1 = V + F1²/(2·F2)`` (bias-corrected form
+    ``V + F1(F1−1)/2`` when F2 = 0) — the capture-recapture
+    complement of the Good–Turing ``unseen_mass`` row: unseen mass
+    says what PROBABILITY is missing, Chao1 says how many TYPES.
+
+    Scale shape: one (group, token) count, one frequency-of-frequency
+    collapse, one reduce — the classic two-stack histogram.
+
+    Returns one row per group: (group, n_tokens, v_observed, f1, f2,
+    chao1, coverage) where coverage = V / Chao1.
+    """
+    g = F.col(group_col)
+    t = F.col(token_col)
+    counts = (
+        df.filter(g.isNotNull() & t.isNotNull())
+        .groupBy(g.alias("__g"), t.alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    red = counts.groupBy(F.col("__g").alias(group_col)).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    v = F.col("v_observed").cast("double")
+    chao = F.round(
+        F.when(F.col("f2") > 0, v + f1 * f1 / (2.0 * f2)).otherwise(
+            v + f1 * (f1 - 1.0) / 2.0
+        ),
+        6,
+    )
+    staged = red.select("*", chao.alias("chao1"))
+    cov = F.when(
+        F.col("chao1") > 0,
+        F.round(F.col("v_observed") / F.col("chao1"), 6),
+    )
+    return staged.select("*", cov.alias("coverage"))

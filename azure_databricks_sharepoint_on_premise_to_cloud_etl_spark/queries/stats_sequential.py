@@ -3043,3 +3043,139 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 49: Weibull reliability fit, Chao1
+# --- vocabulary richness
+
+
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull (shape, scale) of fulfillment latency days per return
+    flag via median-rank regression — is the latency tail
+    infant-mortality or wear-out shaped?
+    (``stats.weibull_fit_mrr``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("double")
+        .alias("latency_days"),
+    )
+    return stats.weibull_fit_mrr(lat, "l_returnflag", "latency_days")
+
+
+ORACLE_WEIBULL = """
+WITH lat AS (
+    SELECT l_returnflag AS g,
+           CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)
+               AS t
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+pos AS (SELECT g, t FROM lat WHERE g IS NOT NULL AND t > 0),
+ranked AS (
+    SELECT g, ln(t) AS x,
+           ln(-ln(1.0 - (row_number() OVER (
+               PARTITION BY g ORDER BY t ASC) - 0.3)
+               / (count(*) OVER (PARTITION BY g) + 0.4))) AS y
+    FROM pos
+),
+mom AS (
+    SELECT g AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           avg(x) AS mx, avg(y) AS my, avg(x * y) AS mxy,
+           avg(x * x) AS mx2, avg(y * y) AS my2
+    FROM ranked GROUP BY 1
+),
+fit AS (
+    SELECT l_returnflag, n, mx, my,
+           mxy - mx * my AS cov,
+           mx2 - mx * mx AS vx,
+           my2 - my * my AS vy,
+           CASE WHEN n >= 3 AND mx2 - mx * mx > 0
+                THEN round((mxy - mx * my) / (mx2 - mx * mx), 6)
+           END AS shape
+    FROM mom
+)
+SELECT l_returnflag, n, shape,
+       CASE WHEN shape IS NOT NULL AND shape > 0 THEN
+           round(exp(-(my - shape * mx) / shape), 6) END AS scale,
+       CASE WHEN shape IS NOT NULL AND vy > 0 THEN
+           round(cov * cov / (vx * vy), 6) END AS r2
+FROM fit
+"""
+
+
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 asymptotic vocabulary size per source — how many word
+    types the crawl hasn't seen yet, from singleton/doubleton counts
+    (``stats.chao1_richness``)."""
+    from ..operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    return stats.chao1_richness(words, "source", "w")
+
+
+ORACLE_CHAO1 = """
+WITH words AS (
+    SELECT source, unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS w
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+counts AS (
+    SELECT source, w, count(*) AS c
+    FROM words WHERE w <> '' GROUP BY 1, 2
+),
+red AS (
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS v_observed,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+    FROM counts GROUP BY 1
+),
+staged AS (
+    SELECT *,
+           round(CASE WHEN f2 > 0
+                      THEN v_observed + f1 * f1 * 1.0 / (2.0 * f2)
+                      ELSE v_observed + f1 * (f1 - 1.0) / 2.0 END, 6)
+               AS chao1
+    FROM red
+)
+SELECT *,
+       CASE WHEN chao1 > 0
+            THEN round(v_observed / chao1, 6) END AS coverage
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "weibull_fit": q_weibull_fit,
+        "chao1_richness": q_chao1,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "weibull_fit": ORACLE_WEIBULL,
+        "chao1_richness": ORACLE_CHAO1,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -351,6 +351,9 @@ BENCH_QUERIES = [
     "brier_decomposition",
     # round-11 widening batch 48
     "bradley_terry",
+    # round-11 widening batch 49
+    "weibull_fit",
+    "chao1_richness",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
