@@ -2656,3 +2656,106 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 50a: composed annotation-budget pipeline
+
+
+_ABP_N = 500
+
+
+def q_annotation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END labeling plan — the round-11 composition exhibit:
+    exact-dedup keepers → above-median quality gate → Neyman
+    allocation of 500 annotation slots across sources by N_i·σ_i of
+    text length over the CURATED corpus.  One digest group-by, one
+    score pass with the in-plane sketch threshold, one stratum
+    aggregate + dimension-bounded remainder window — the corpus never
+    shuffles at row grain more than the dedup join requires."""
+    from ..operators import dedup as dd
+    from ..operators import stats
+    from ..operators import text as tx
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    keep = dd.exact_dedup_groups(d).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = d.join(keep, "doc_id", "left_semi")
+    scored = tx.quality_score(kept.select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    thr = scored.agg(
+        F.round(
+            F.expr("approx_percentile(quality, 0.5, 1000000)"), 6
+        ).alias("q50")
+    )
+    curated = (
+        kept.join(scored, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("q50"))
+        .select("source", F.length("text").alias("text_len"))
+    )
+    return stats.neyman_allocation(curated, "source", "text_len", _ABP_N)
+
+
+def _annotation_budget_oracle() -> str:
+    from .core import _DUCK_NORM, _duck_hash, _quality_oracle
+
+    quality = _quality_oracle().strip()
+    return f"""
+WITH h AS (
+    SELECT doc_id, {_duck_hash(_DUCK_NORM, 0)} AS ch,
+           length({_DUCK_NORM}) AS cl
+    FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch, cl),
+q AS (SELECT doc_id, quality FROM ({quality})),
+kq AS (SELECT q.doc_id, q.quality FROM q JOIN keep USING (doc_id)),
+thr AS (SELECT round(quantile_disc(quality, 0.5), 6) AS q50 FROM kq),
+curated AS (
+    SELECT d.source, CAST(length(d.text) AS DOUBLE) AS text_len
+    FROM documents d JOIN kq ON d.doc_id = kq.doc_id
+    CROSS JOIN thr
+    WHERE kq.quality >= thr.q50 AND d.source IS NOT NULL
+),
+per AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pop,
+           round(coalesce(stddev_samp(text_len), 0.0), 6) AS sd
+    FROM curated GROUP BY 1
+),
+wt AS (SELECT *, round(n_pop * sd, 6) AS weight FROM per),
+ideal_t AS (
+    SELECT *,
+           CASE WHEN sum(weight) OVER () > 0 THEN
+               round({float(_ABP_N)!r} * weight
+                     / sum(weight) OVER (), 6)
+           ELSE 0.0 END AS ideal
+    FROM wt
+),
+based AS (
+    SELECT *,
+           CAST(floor(ideal) AS BIGINT) AS base,
+           ideal - floor(ideal) AS frac
+    FROM ideal_t
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY frac DESC, source ASC) AS rk,
+           {_ABP_N} - sum(base) OVER () AS rem
+    FROM based
+)
+SELECT source, n_pop, sd, weight, ideal,
+       least(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END, n_pop)
+           AS n_alloc
+FROM ranked
+"""
+
+
+AUX_QUERIES["annotation_budget"] = q_annotation_budget
+AUX_ORACLES["annotation_budget"] = _annotation_budget_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -3179,3 +3179,50 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 50b: Storey q-values
+
+
+def q_storey_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-vs-rest z sweep under STOREY q-values — BH with the
+    null proportion estimated from the p > λ tail
+    (``stats.storey_qvalue``)."""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    zs = stats.one_vs_rest_rate_ztest(
+        o, "o_orderpriority", (F.col("o_orderstatus") == "F")
+    )
+    with_p = stats.attach_pvalue(zs, "z", sided=2)
+    return stats.storey_qvalue(with_p, "p_value", lambda_=0.5)
+
+
+def _storey_oracle() -> str:
+    base = _multiple_testing_oracle().strip()
+    head, tail = base.rsplit("SELECT o_orderpriority", 1)
+    return f"""{head}
+, bh AS (
+SELECT o_orderpriority{tail}
+),
+pi AS (
+    SELECT round(least(
+        sum(CASE WHEN p_value > 0.5 THEN 1 ELSE 0 END) * 1.0
+        / (0.5 * max(rank)), 1.0), 6) AS pi0
+    FROM bh
+)
+SELECT o_orderpriority, n, successes, rate, rest_rate, z, p_value,
+       rank, pi.pi0,
+       round(least(q_value * pi.pi0, 1.0), 6) AS q_value,
+       round(least(q_value * pi.pi0, 1.0), 6) <= 0.05 AS reject
+FROM bh CROSS JOIN pi
+"""
+
+
+AUX_QUERIES["storey_qvalue"] = q_storey_sweep
+AUX_ORACLES["storey_qvalue"] = _storey_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -354,6 +354,9 @@ BENCH_QUERIES = [
     # round-11 widening batch 49
     "weibull_fit",
     "chao1_richness",
+    # round-11 widening batch 50
+    "annotation_budget",
+    "storey_qvalue",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
