@@ -5045,3 +5045,166 @@ def storey_qvalue(
         staged.withColumn("q_value", q)
         .withColumn("reject", F.col("q_value") <= F.lit(float(alpha)))
     )
+
+
+def moods_median(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mood's median test across k groups — the bluntest, most
+    assumption-free location test (only the ABOVE/BELOW-pooled-median
+    dichotomy is used, so extreme outliers and wild distributional
+    differences can't corrupt it; Kruskal–Wallis is more powerful
+    when its assumptions hold, this is the robustness floor):
+    ``χ² = Σ_i (aᵢ − nᵢ·A/N)² / (nᵢ·A/N·(1−A/N))``-style contingency
+    χ² on the k×2 above/at-or-below table, χ²(k−1).
+
+    The pooled median is the exact lower-median order statistic
+    (``quantile_disc`` semantics) via the histogram cumsum — shuffle
+    = distinct values; values EQUAL to the median count as "below"
+    (documented; the standard grand-median convention).
+
+    Scale shape: one value-histogram cumsum for the median, one
+    conditional group aggregate, one reduce.
+
+    Returns one row: (n, k, grand_median, chi2, dof).
+    """
+    g = F.col(group_col)
+    x = F.round(F.col(value_col).cast("double"), 9)
+    base = df.filter(g.isNotNull() & x.isNotNull()).select(
+        g.alias("__g"), x.alias("__x")
+    )
+    hist = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy())
+    )
+    med = cum.filter(
+        F.col("__cum") >= F.ceil(F.col("__n") / 2.0)
+    ).agg(F.min("__x").alias("__med"))
+    flagged = base.crossJoin(F.broadcast(med)).select(
+        "__g", (F.col("__x") > F.col("__med")).cast("int").alias("__ab"),
+        F.col("__med"),
+    )
+    per = flagged.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__ni"),
+        F.sum("__ab").alias("__ai"),
+        F.max("__med").alias("__med"),
+    )
+    red = per.agg(
+        F.sum("__ni").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ai").alias("__a"),
+        F.max("__med").alias("__medv"),
+        F.sum(
+            F.col("__ai").cast("double") * F.col("__ai")
+            / F.col("__ni")
+        ).alias("__sq"),
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("__a") / nn
+    chi2 = F.when(
+        (p > 0) & (p < 1),
+        F.round(
+            (F.col("__sq") - F.col("__a") * p) / (p * (1.0 - p)),
+            6,
+        ),
+    )
+    return red.select(
+        "n",
+        "k",
+        F.round(F.col("__medv"), 6).alias("grand_median"),
+        chi2.alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    value_col: str,
+    treatment_order: list[str],
+) -> DataFrame:
+    """Page's L trend test — :func:`friedman_test` with a DIRECTION:
+    when the k paired treatments carry a known order (model versions,
+    dose tiers scored on the same blocks), Page's
+    ``L = Σ_j s_j·R_j`` (s_j = 1..k, R_j the Friedman rank sums) is
+    strictly more powerful than Friedman's any-difference χ².
+    Normal approximation:
+    ``μ_L = n·k(k+1)²/4``, ``σ²_L = n·k²(k+1)²(k−1)/144``.
+
+    Blocks rank with AVERAGE ranks for ties (the Friedman
+    convention); only complete blocks count, excluded ones reported.
+
+    Scale shape: identical to Friedman — one cell collapse, one
+    k-sized rank window per block, one reduce.
+
+    Returns one row: (n_items, n_excluded, k, l_stat, mean_l,
+    sigma_l, z).
+    """
+    k = len(treatment_order)
+    if k < 3:
+        raise ValueError(
+            f"treatment_order needs >= 3 ordered treatments, got {k}"
+        )
+    t = F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & t.isin(list(treatment_order))
+            & v.isNotNull()
+        )
+        .groupBy(F.col(item_col).alias("__it"), t.alias("__t"))
+        .agg(F.round(F.avg(v), 6).alias("__v"))
+    )
+    per_item = cells.groupBy("__it").agg(F.count(F.lit(1)).alias("__kt"))
+    ok = per_item.filter(F.col("__kt") == k).select("__it")
+    n_items = ok.count()
+    n_excluded = per_item.count() - n_items
+    w_blk = Window.partitionBy("__it").orderBy(F.col("__v").asc())
+    ranked = (
+        cells.join(ok, "__it")
+        .withColumn("__r", F.rank().over(w_blk))
+        .withColumn(
+            "__ties",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("__it", "__v")
+            ),
+        )
+        # average rank for a tie block starting at rank r with t
+        # members: r + (t-1)/2
+        .withColumn(
+            "__ar", F.col("__r") + (F.col("__ties") - 1) / 2.0
+        )
+    )
+    score = F.create_map(
+        *[
+            lit
+            for i, tv in enumerate(treatment_order)
+            for lit in (F.lit(tv), F.lit(float(i + 1)))
+        ]
+    )[F.col("__t")]
+    red = ranked.agg(
+        F.round(F.sum(score * F.col("__ar")), 6).alias("l_stat")
+    )
+    mean_l = n_items * k * (k + 1) ** 2 / 4.0
+    var_l = n_items * k**2 * (k + 1) ** 2 * (k - 1) / 144.0
+    sigma = var_l**0.5
+    staged = red.select(
+        F.lit(int(n_items)).cast("long").alias("n_items"),
+        F.lit(int(n_excluded)).cast("long").alias("n_excluded"),
+        F.lit(k).cast("long").alias("k"),
+        "l_stat",
+        F.round(F.lit(mean_l), 6).alias("mean_l"),
+        F.round(F.lit(sigma), 6).alias("sigma_l"),
+    )
+    z = F.when(
+        F.col("sigma_l") > 0,
+        F.round(
+            (F.col("l_stat") - F.col("mean_l")) / F.col("sigma_l"), 6
+        ),
+    )
+    return staged.select("*", z.alias("z"))

@@ -3226,3 +3226,142 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 51: Mood's median, Page's L
+
+
+def q_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of extended price across return flags — the
+    robustness-floor location test next to Kruskal–Wallis
+    (``stats.moods_median``)."""
+    from ..operators import stats
+
+    li = rebalance(load_table(spark, sf_dir, "lineitem"))
+    return stats.moods_median(li, "l_returnflag", "l_extendedprice")
+
+
+ORACLE_MOODS = """
+WITH base AS (
+    SELECT l_returnflag AS g,
+           round(CAST(l_extendedprice AS DOUBLE), 9) AS x
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+hist AS (SELECT x, count(*) AS c FROM base GROUP BY 1),
+cum AS (
+    SELECT x,
+           sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cm,
+           sum(c) OVER () AS n
+    FROM hist
+),
+med AS (
+    SELECT min(x) AS medv FROM cum WHERE cm >= ceil(n / 2.0)
+),
+per AS (
+    SELECT g, count(*) AS ni,
+           sum(CASE WHEN x > (SELECT medv FROM med)
+                    THEN 1 ELSE 0 END) AS ai
+    FROM base GROUP BY 1
+),
+red AS (
+    SELECT CAST(sum(ni) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS k,
+           sum(ai) AS a,
+           sum(ai * ai * 1.0 / ni) AS sq
+    FROM per
+)
+SELECT n, k,
+       round((SELECT medv FROM med), 6) AS grand_median,
+       CASE WHEN a > 0 AND a < n THEN
+           round((sq - a * (a * 1.0 / n))
+                 / ((a * 1.0 / n) * (1.0 - a * 1.0 / n)), 6)
+       END AS chi2,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM red
+"""
+
+
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L: does per-customer order value RISE across the five
+    priority levels, blocked by customer (only customers who ordered
+    at every priority count)?  (``stats.page_trend`` — the directed
+    Friedman.)"""
+    from ..operators import stats
+
+    o = rebalance(load_table(spark, sf_dir, "orders"))
+    return stats.page_trend(
+        o, "o_custkey", "o_orderpriority", "o_totalprice", _JT_ORDER
+    )
+
+
+def _page_oracle() -> str:
+    k = len(_JT_ORDER)
+    score = "CASE " + " ".join(
+        f"WHEN t = '{gv}' THEN {float(i + 1)!r}"
+        for i, gv in enumerate(_JT_ORDER)
+    ) + " END"
+    in_list = ", ".join(f"'{g}'" for g in _JT_ORDER)
+    return f"""
+WITH cells AS (
+    SELECT o_custkey AS it, o_orderpriority AS t,
+           round(avg(CAST(o_totalprice AS DOUBLE)), 6) AS v
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+          AND o_orderpriority IN ({in_list})
+    GROUP BY 1, 2
+),
+per_item AS (SELECT it, count(*) AS kt FROM cells GROUP BY 1),
+ok AS (SELECT it FROM per_item WHERE kt = {k}),
+ranked AS (
+    SELECT c.it, c.t, c.v,
+           rank() OVER (PARTITION BY c.it ORDER BY c.v ASC) AS r,
+           count(*) OVER (PARTITION BY c.it, c.v) AS ties
+    FROM cells c JOIN ok USING (it)
+),
+red AS (
+    SELECT round(sum(({score}) * (r + (ties - 1) / 2.0)), 6)
+               AS l_stat
+    FROM ranked
+),
+counts AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_items,
+           (SELECT CAST(count(*) AS BIGINT) FROM per_item)
+               - (SELECT CAST(count(*) AS BIGINT) FROM ok)
+               AS n_excluded
+),
+staged AS (
+    SELECT counts.n_items, counts.n_excluded,
+           CAST({k} AS BIGINT) AS k,
+           red.l_stat,
+           round(counts.n_items * {k} * {(k + 1) ** 2} / 4.0, 6)
+               AS mean_l,
+           round(sqrt(counts.n_items * {k * k} * {(k + 1) ** 2}
+                      * {k - 1} / 144.0), 6) AS sigma_l
+    FROM red CROSS JOIN counts
+)
+SELECT *,
+       CASE WHEN sigma_l > 0
+            THEN round((l_stat - mean_l) / sigma_l, 6) END AS z
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "moods_median": q_moods_median,
+        "page_trend": q_page_trend,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "moods_median": ORACLE_MOODS,
+        "page_trend": _page_oracle(),
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

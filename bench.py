@@ -357,6 +357,9 @@ BENCH_QUERIES = [
     # round-11 widening batch 50
     "annotation_budget",
     "storey_qvalue",
+    # round-11 widening batch 51
+    "moods_median",
+    "page_trend",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
