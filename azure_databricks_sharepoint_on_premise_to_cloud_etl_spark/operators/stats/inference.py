@@ -5208,3 +5208,105 @@ def page_trend(
         ),
     )
     return staged.select("*", z.alias("z"))
+
+
+def g_test(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence — the χ²'s
+    information-theoretic twin: ``G = 2·Σ O·ln(O/E)``; additive
+    across partitions of the table (χ² is not), equal to
+    ``2N·MI(nats)`` — the bridge between the contingency-test family
+    and the `mutual_information` row.  Zero cells contribute 0 (the
+    O·ln O limit).
+
+    Scale shape: identical to ``chi_square_assoc`` — one contingency
+    aggregate, margins derived from the cell table, scalar reduce.
+
+    Returns one row: (n, k_a, k_b, g_stat, dof).
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    w_all = Window.partitionBy()
+    staged = cells.select(
+        "__a",
+        "__b",
+        "__o",
+        F.sum("__o").over(wa).alias("__ra"),
+        F.sum("__o").over(wb).alias("__cb"),
+        F.sum("__o").over(w_all).alias("__n"),
+    )
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__cb")
+        / F.col("__n")
+    )
+    term = F.col("__o") * F.log(F.col("__o") / e)
+    red = staged.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.countDistinct("__a").cast("long").alias("k_a"),
+        F.countDistinct("__b").cast("long").alias("k_b"),
+        F.round(2.0 * F.sum(term), 6).alias("g_stat"),
+    )
+    return red.select(
+        "n",
+        "k_a",
+        "k_b",
+        "g_stat",
+        ((F.col("k_a") - 1) * (F.col("k_b") - 1))
+        .cast("long")
+        .alias("dof"),
+    )
+
+
+def cohens_h(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cohen's h — the EFFECT SIZE for two proportions (the
+    :func:`two_proportion_ztest` says whether rates differ; h says
+    whether anyone should CARE): ``h = 2·arcsin√p₁ − 2·arcsin√p₂``,
+    the variance-stabilized difference, with the conventional
+    small/medium/large bands 0.2/0.5/0.8.
+
+    Scale shape: ONE conditional aggregate, arcsine arithmetic after;
+    empty arms yield NULL via lazy CASE.
+
+    Returns one row: (n_a, n_b, p_a, p_b, h, magnitude).
+    """
+    g = F.col(group_col)
+    y = F.col(success_col).cast("double")
+    agg = df.filter(
+        y.isNotNull() & g.isin([group_a, group_b])
+    ).agg(
+        F.count(F.when(g == group_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(g == group_b, 1)).cast("long").alias("n_b"),
+        F.round(F.avg(F.when(g == group_a, y)), 6).alias("p_a"),
+        F.round(F.avg(F.when(g == group_b, y)), 6).alias("p_b"),
+    )
+    h = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round(
+            2.0 * F.asin(F.sqrt(F.col("p_a")))
+            - 2.0 * F.asin(F.sqrt(F.col("p_b"))),
+            6,
+        ),
+    )
+    staged = agg.select("*", h.alias("h"))
+    mag = F.when(F.col("h").isNull(), None).otherwise(
+        F.when(F.abs(F.col("h")) < 0.2, "negligible")
+        .when(F.abs(F.col("h")) < 0.5, "small")
+        .when(F.abs(F.col("h")) < 0.8, "medium")
+        .otherwise("large")
+    )
+    return staged.select("*", mag.alias("magnitude"))

@@ -3365,3 +3365,110 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-11 widening batch 52: G-test, Cohen's h
+
+
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of language × source independence — the additive
+    log-likelihood twin of the chi_square driver row, over the same
+    contingency table (``stats.g_test``)."""
+    from ..operators import stats
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return stats.g_test(d, "lang", "source")
+
+
+ORACLE_G_TEST = """
+WITH cells AS (
+    SELECT lang AS a, source AS b, count(*) AS o
+    FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY 1, 2
+),
+staged AS (
+    SELECT o,
+           sum(o) OVER (PARTITION BY a) AS ra,
+           sum(o) OVER (PARTITION BY b) AS cb,
+           sum(o) OVER () AS n,
+           a, b
+    FROM cells
+),
+red AS (
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(count(DISTINCT a) AS BIGINT) AS k_a,
+           CAST(count(DISTINCT b) AS BIGINT) AS k_b,
+           round(2.0 * sum(o * ln(o / (ra * 1.0 * cb / n))), 6)
+               AS g_stat
+    FROM staged
+)
+SELECT n, k_a, k_b, g_stat,
+       CAST((k_a - 1) * (k_b - 1) AS BIGINT) AS dof
+FROM red
+"""
+
+
+def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h for the even/odd-customer purchase-rate gap — the
+    should-anyone-care readout next to the conversion z-test
+    (``stats.cohens_h``)."""
+    from ..operators import stats
+
+    e = rebalance(load_table(spark, sf_dir, "events")).select(
+        F.when(F.pmod(F.col("user_id"), 2) == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return stats.cohens_h(e, "arm", "conv", "even", "odd")
+
+
+ORACLE_COHENS_H = """
+WITH agg AS (
+    SELECT CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+               AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END)
+               AS BIGINT) AS n_b,
+           round(avg(CASE WHEN user_id % 2 = 0 THEN
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1.0 ELSE 0.0 END END), 6) AS p_a,
+           round(avg(CASE WHEN user_id % 2 <> 0 THEN
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1.0 ELSE 0.0 END END), 6) AS p_b
+    FROM events
+),
+staged AS (
+    SELECT *,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round(2.0 * asin(sqrt(p_a))
+                     - 2.0 * asin(sqrt(p_b)), 6) END AS h
+    FROM agg
+)
+SELECT *,
+       CASE WHEN h IS NULL THEN NULL
+            WHEN abs(h) < 0.2 THEN 'negligible'
+            WHEN abs(h) < 0.5 THEN 'small'
+            WHEN abs(h) < 0.8 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM staged
+"""
+
+
+AUX_QUERIES.update(
+    {
+        "g_test": q_g_test,
+        "cohens_h": q_cohens_h,
+    }
+)
+AUX_ORACLES.update(
+    {
+        "g_test": ORACLE_G_TEST,
+        "cohens_h": ORACLE_COHENS_H,
+    }
+)
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -360,6 +360,9 @@ BENCH_QUERIES = [
     # round-11 widening batch 51
     "moods_median",
     "page_trend",
+    # round-11 widening batch 52
+    "g_test",
+    "cohens_h",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
