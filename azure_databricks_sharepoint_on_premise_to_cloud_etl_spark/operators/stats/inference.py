@@ -4829,18 +4829,29 @@ def bradley_terry(
         raise ValueError(f"iters must be >= 1, got {iters}")
     w = F.col(winner_col).cast("string")
     l_ = F.col(loser_col).cast("string")
+    valid = df.filter(w.isNotNull() & l_.isNotNull() & (w != l_))
+    # Cap check runs IN-PLAN before anything is collected: a
+    # high-cardinality item column must raise here, never reach the
+    # driver. limit(max_items+1) bounds the distinct shuffle output so
+    # the probe itself is O(max_items), not O(items).
+    probe = (
+        valid.select(w.alias("__it"))
+        .union(valid.select(l_.alias("__it")))
+        .distinct()
+        .limit(max_items + 1)
+        .count()
+    )
+    if probe > max_items:
+        raise ValueError(
+            f"bradley_terry is capped at {max_items} items "
+            f"(got >{max_items}); aggregate items first"
+        )
     cells = (
-        df.filter(w.isNotNull() & l_.isNotNull() & (w != l_))
-        .groupBy(w.alias("__w"), l_.alias("__l"))
+        valid.groupBy(w.alias("__w"), l_.alias("__l"))
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     rows = cells.collect()
     items = sorted({r["__w"] for r in rows} | {r["__l"] for r in rows})
-    if len(items) > max_items:
-        raise ValueError(
-            f"bradley_terry is capped at {max_items} items "
-            f"(got {len(items)}); aggregate items first"
-        )
     idx = {it: i for i, it in enumerate(items)}
     k = len(items)
     wins = [[0] * k for _ in range(k)]  # wins[i][j]: i beat j

@@ -3415,11 +3415,21 @@ def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``stats.cohens_h``)."""
     from ..operators import stats
 
-    e = rebalance(load_table(spark, sf_dir, "events")).select(
-        F.when(F.pmod(F.col("user_id"), 2) == 0, "even")
-        .otherwise("odd")
-        .alias("arm"),
-        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    e = (
+        rebalance(load_table(spark, sf_dir, "events"))
+        # NULL discipline, mirrored verbatim in ORACLE_COHENS_H: rows
+        # with NULL user_id or NULL event_type are excluded on BOTH
+        # sides, so neither engine silently maps NULL into an arm or
+        # a non-conversion.
+        .filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            F.when(F.pmod(F.col("user_id"), 2) == 0, "even")
+            .otherwise("odd")
+            .alias("arm"),
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
     )
     return stats.cohens_h(e, "arm", "conv", "even", "odd")
 
@@ -3437,6 +3447,7 @@ WITH agg AS (
                      CASE WHEN event_type = 'purchase'
                           THEN 1.0 ELSE 0.0 END END), 6) AS p_b
     FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 ),
 staged AS (
     SELECT *,

@@ -126,10 +126,17 @@ class GraphClient:
             raise GraphError(f"GET {url} failed", status, payload)
         return payload
 
-    def _get_bytes(self, url: str) -> bytes:
-        status, body = self.transport(
-            "GET", url, {"Authorization": f"Bearer {self.token()}"}, None
+    def _get_bytes(self, url: str, *, authenticated: bool = True) -> bytes:
+        """Raw byte fetch.  ``authenticated=False`` for pre-signed URLs
+        (@microsoft.graph.downloadUrl): those need no auth and live on
+        a different host, so sending the Bearer token there would
+        disclose it to another origin."""
+        headers = (
+            {"Authorization": f"Bearer {self.token()}"}
+            if authenticated
+            else {}
         )
+        status, body = self.transport("GET", url, headers, None)
         if status >= 400:
             raise GraphError(f"GET {url} failed", status, body[:200])
         return body
@@ -147,15 +154,23 @@ class GraphClient:
 
     def child_id(self, parent_item_id: str, name: str) -> str:
         """Named child of a drive item (reference :62-67 walks
-        root → doc folder → file with two children listings)."""
-        payload = self._get(
+        root → doc folder → file with two children listings).
+
+        Follows ``@odata.nextLink`` pagination: Graph pages /children
+        at ~200 items, so a single-page read (the reference's flaw)
+        would raise a spurious FileNotFoundError for files past the
+        first page."""
+        names = []
+        next_url: str | None = (
             f"/sites/{self.site_id}/drive/items/{parent_item_id}/children"
         )
-        names = []
-        for child in payload["value"]:
-            if child["name"] == name:
-                return child["id"]
-            names.append(child["name"])
+        while next_url is not None:
+            payload = self._get(next_url)
+            for child in payload["value"]:
+                if child["name"] == name:
+                    return child["id"]
+                names.append(child["name"])
+            next_url = payload.get("@odata.nextLink")
         raise FileNotFoundError(
             f"{name!r} not under item {parent_item_id}; children: {names}"
         )
@@ -191,7 +206,8 @@ class GraphClient:
         return payload["@microsoft.graph.downloadUrl"]
 
     def download(self, item_id: str) -> bytes:
-        return self._get_bytes(self.download_url(item_id))
+        # pre-signed URL: fetched WITHOUT the Authorization header
+        return self._get_bytes(self.download_url(item_id), authenticated=False)
 
     # ---------------------------------------- change-gate integration
 

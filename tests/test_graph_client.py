@@ -234,3 +234,60 @@ def test_change_gate_probe_skips_download(spark, tmp_path):
     urls = [u for _, u in tr.calls]
     assert "https://dl.example/abc" not in urls  # no payload transfer
     assert not any("downloadUrl" in u for u in urls)
+
+
+def test_children_pagination_follows_next_link():
+    """Graph pages /children at ~200 items; child_id must walk
+    @odata.nextLink instead of raising a spurious FileNotFoundError
+    for files past the first page (ADVICE r11 — the reference shares
+    the single-page flaw, download_from_sharepoint.py:62-67)."""
+    tr = FakeTransport()
+    page2 = f"{G}/sites/{SITE}/drive/items/doc-id/children?$skiptoken=p2"
+    tr.fixtures[("GET", f"{G}/sites/{SITE}/drive/items/doc-id/children")] = (
+        200,
+        {
+            "value": [{"id": f"f{i}", "name": f"file{i}.txt"} for i in range(3)],
+            "@odata.nextLink": page2,
+        },
+    )
+    tr.fixtures[("GET", page2)] = (
+        200,
+        {
+            "value": [
+                {"id": "deep-id", "name": "census.xlsx", "file": {}},
+            ]
+        },
+    )
+    c = _client(tr)
+    assert c.child_id("doc-id", "census.xlsx") == "deep-id"
+    # the miss path must also exhaust every page before raising, and
+    # report children from ALL pages
+    with pytest.raises(FileNotFoundError, match="file2.txt"):
+        c.child_id("doc-id", "nope.xlsx")
+
+
+def test_download_omits_bearer_token_on_presigned_url():
+    """@microsoft.graph.downloadUrl is pre-authenticated and on a
+    different host; the OAuth token must NOT be disclosed to that
+    origin (ADVICE r11)."""
+    tr = FakeTransport()
+    c = _client(tr)
+    item = c.item_id("Weekly Census", "census.xlsx")
+    assert c.download(item) == b"EXCEL-BYTES"
+    dl_headers = [
+        h
+        for (m, u), h in zip(tr.calls, tr.headers)
+        if u == "https://dl.example/abc"
+    ]
+    assert dl_headers and all("Authorization" not in h for h in dl_headers)
+    # ...while every Graph-host GET stays authenticated
+    graph_headers = [
+        h
+        for (m, u), h in zip(tr.calls, tr.headers)
+        if u.startswith(G) and m == "GET"
+    ]
+    assert graph_headers
+    assert all(
+        h.get("Authorization", "").startswith("Bearer ")
+        for h in graph_headers
+    )
