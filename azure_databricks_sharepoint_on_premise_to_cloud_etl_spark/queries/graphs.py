@@ -317,8 +317,13 @@ AUX_QUERIES["ewma"] = q_ewma
 AUX_ORACLES["ewma"] = ORACLE_EWMA
 AUX_QUERIES["linear_attribution"] = q_linear_attribution
 AUX_ORACLES["linear_attribution"] = ORACLE_LINEAR_ATTRIBUTION
-AUX_QUERIES["dedup_keep_best"] = q_dedup_canonical_by_size
-AUX_ORACLES["dedup_keep_best"] = _canonical_by_size_oracle()
+# key matches the function it maps to — the driver registry owns the
+# key "dedup_keep_best" (queries/core.py q_dedup_keep_best); reusing it
+# here would make the AUX artifact row read as verifying the wrong
+# query (r10 shadowing class, enforced disjoint by
+# tests/test_aux_queries.py::test_registry_integrity)
+AUX_QUERIES["dedup_canonical_by_size"] = q_dedup_canonical_by_size
+AUX_ORACLES["dedup_canonical_by_size"] = _canonical_by_size_oracle()
 
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "

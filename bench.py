@@ -485,7 +485,26 @@ def main() -> None:
         "weighted_median": max(reps, 5),
         "inverted_index": max(reps, 5),
         "tfidf_doc_similarity": max(reps, 5),
+        # r11 verdict task 1: every row whose driver-run/committed-run
+        # same-code ratio exceeded 1.3x that round (stable_sample 5.8x,
+        # scalar_functions 4.7x, time_reanchor 3.2x, ...) — episodic
+        # sub-second rows where one bad rep owned a 3-rep median
+        "stable_sample": max(reps, 5),
+        "scalar_functions": max(reps, 5),
+        "time_reanchor": max(reps, 5),
+        "containment_dedup": max(reps, 5),
+        "token_count": max(reps, 5),
+        "fk_integrity": max(reps, 5),
+        "cms_heavy_hitters": max(reps, 5),
+        "trailing_range_agg": max(reps, 5),
+        "pack_sequences_native": max(reps, 5),
     }
+    # r11 verdict task 1 (systematic half): ANY row with a sub-1.5s
+    # median gets its reps floored at 5 — episodic co-tenant stalls
+    # dominate a 3-rep median exactly when the query itself is cheap,
+    # so cheap rows are the ones that read as phantom 3-6x regressions
+    fast_row_floor_s = 1.5
+    fast_row_reps = 5
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -501,12 +520,21 @@ def main() -> None:
             release_components(df)  # free CC final generation (no-op otherwise)
             runs: list[float] = []
             n = 0
-            for _ in range(volatile_reps.get(name, reps)):
+            target = volatile_reps.get(name, reps)
+            while len(runs) < target:
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 n = materialize(df)
                 runs.append(time.time() - t0)
                 release_components(df)
+                # adaptive floor: once the row is known-cheap, widen
+                # the rep budget so the median can absorb 2 bad reps
+                if (
+                    len(runs) == target
+                    and target < fast_row_reps
+                    and sorted(runs)[len(runs) // 2] < fast_row_floor_s
+                ):
+                    target = fast_row_reps
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
             spread[name] = round(runs[-1] - runs[0], 3)

@@ -164,3 +164,65 @@ def test_xxh64_twin_matches_spark(spark):
     for t in cases:
         assert got[t] == spark_xxhash64(t), f"mismatch on {t!r}"
     assert spark_xxhash64(None) is None
+
+
+def test_registry_integrity():
+    """r11 verdict task 4 — cheap insurance after the r11 module split,
+    designed to catch the r10 shadowing class before an artifact ships:
+
+    1. the driver registry and AUX never share a key (a shared key
+       makes one artifact row silently verify the wrong query);
+    2. every query has an oracle twin and vice versa, in BOTH
+       registries (driver-facing pairing comes from __spark_entry__);
+    3. no top-level ``q_*`` function or ``ORACLE_*`` constant is
+       DEFINED twice across the 8 family modules — a second definition
+       silently wins at import time (exactly how q_dedup_keep_best
+       shadowed its twin in r10).
+    """
+    import ast
+    import pathlib
+
+    import __spark_entry__ as entry
+
+    # 1. key-set disjointness
+    shared = set(q.QUERIES) & set(q.AUX_QUERIES)
+    assert not shared, f"keys in BOTH driver registry and AUX: {shared}"
+
+    # 2. query<->oracle pairing, both registries
+    assert set(q.AUX_ORACLES) == set(q.AUX_QUERIES), (
+        f"AUX pairing broken: {set(q.AUX_ORACLES) ^ set(q.AUX_QUERIES)}"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs), (
+        f"oracle without a query: {set(oracles) - set(qs)}"
+    )
+    # oracle-less driver entries must be a deliberate, pinned decision
+    # (the driver records only a weaker rows-only check for them)
+    assert set(qs) - set(oracles) == set(), (
+        f"driver queries without an oracle: {set(qs) - set(oracles)}"
+    )
+
+    # 3. duplicate top-level definitions across family modules
+    pkg = pathlib.Path(q.__file__).parent
+    seen: dict[str, str] = {}
+    dupes: list[str] = []
+    for mod in sorted(pkg.glob("*.py")):
+        if mod.name == "__init__.py":
+            continue
+        names: list[str] = []
+        for node in ast.parse(mod.read_text()).body:
+            if isinstance(node, ast.FunctionDef) and node.name.startswith("q_"):
+                names.append(node.name)
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name) and t.id.startswith("ORACLE_"):
+                        names.append(t.id)
+        for n in names:
+            if n in seen:
+                dupes.append(f"{n} in {seen[n]} AND {mod.name}")
+            seen[n] = mod.name
+        # within-module redefinition also lands here: names collects
+        # every definition, so a double-def produces a self-dupe
+        local_dupes = {n for n in names if names.count(n) > 1}
+        dupes.extend(f"{n} twice in {mod.name}" for n in local_dupes)
+    assert not dupes, f"shadowing definitions: {dupes}"
