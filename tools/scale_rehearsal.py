@@ -135,6 +135,12 @@ HEAVY = [
     "model_quality_filter",
     "source_overlap",
     "frequency_spectrum",
+    # r11 verdict watch item (r12 task 3): the round-11 stats rows
+    # with multi-scan plans — loso re-scans documents per aggregate
+    # table, cronbach/seasonal-MK re-scan per item/season
+    "loso_mixture_weights",
+    "cronbach_alpha",
+    "seasonal_mann_kendall",
     # round-7 widening: mixing schedule, calibration metrics, drift —
     # all bucket-collapsed shapes whose windows run over value
     # cardinality, so alphas should be flat-to-sublinear
