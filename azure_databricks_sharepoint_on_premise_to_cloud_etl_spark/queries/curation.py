@@ -2759,3 +2759,241 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-12 composition exhibit: incremental-ingest training-shard
+# pipeline (VERDICT r11 task 6 — compose existing operators end-to-end
+# instead of widening; the batch-50 annotation-budget pipeline is the
+# model)
+
+_TSP_QUALITY_Q = 0.4  # survivors must clear the batch 40th percentile
+_TSP_TEMP = 2.0  # temperature for share^(1/T) domain flattening
+_TSP_BUDGET = 0.6  # mixed corpus targets 60% of the curated batch
+
+
+def q_training_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-shard build — the production journey a new
+    crawl batch takes from landing to packed shards, composed entirely
+    from existing verified operators and checked by ONE fused-plan
+    DuckDB oracle:
+
+    1. **ingest split**: ``doc_id % 4 == 0`` is the incoming batch,
+       the rest is the already-ingested reference corpus (the
+       q_incremental_dedup fixture convention);
+    2. **incremental exact dedup** (``dedup.exact_dedup`` within the
+       batch + digest anti-join against the reference): the reference
+       corpus collapses to a 16-byte digest set — never rewritten,
+       never re-deduped;
+    3. **quality gate** (``text.quality_score``): survivors must clear
+       the batch's own 40th quality percentile, threshold from the
+       in-plane approx_percentile sketch (1e6 accuracy = exact order
+       statistic, the annotation_budget precedent);
+    4. **temperature mix** (``sampling.temperature_mix``): per-source
+       share^(1/2) flattening toward 60% of the curated batch via the
+       stable xxhash-free portable gate — head sources down-sampled,
+       tail kept;
+    5. **pack** (``sampling.pack_sequences``): selected docs laid
+       end-to-end per shard (doc_id mod 8, doc_id order), 2048-token
+       concat-and-chunk boundaries.
+
+    Output is the shard MANIFEST (one row per (shard, pack) with doc /
+    token / source counts and the doc-id span) — what a loader
+    actually reads.
+
+    Scale shape: every stage is a hash aggregate, a broadcast of a
+    dimension-bounded table (digest set excepted — that join is
+    digest-keyed and shuffle-partitioned), or a narrow projection; the
+    corpus shuffles at row grain exactly twice (dedup digest group-by,
+    per-shard packing window).  Stages recompute rather than persist
+    at this size — a 100 TB deployment would checkpoint survivors
+    between 2 and 3 (the curation_pipeline note applies)."""
+    from ..functions import portable_hash64, word_tokens
+    from .core import _PACK_BUDGET, _PACK_SHARDS, _SAMPLE_SALT
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    new_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD == 0)
+    ref_df = d.filter(F.col("doc_id") % _INC_SPLIT_MOD != 0)
+
+    # 2. canonical-per-digest within the batch, then drop anything the
+    # reference corpus already has (digest-keyed anti-join).  The
+    # survivor ID LIST is persisted (8 bytes/doc — the curation_pipeline
+    # discipline: persist ids/scores, never text): downstream stages
+    # branch off it 3 ways, and without the persist each branch re-runs
+    # the dedup digest group-by + the reference digest scan.
+    canon = dedup.exact_dedup(new_df)
+    ref_digests = ref_df.select(
+        portable_hash64(dedup.normalized_text("text")).alias("content_hash"),
+        F.length(dedup.normalized_text("text")).alias("content_len"),
+    ).distinct()
+    fresh_ids = (
+        canon.withColumn(
+            "content_hash", portable_hash64(dedup.normalized_text("text"))
+        )
+        .withColumn("content_len", F.length(dedup.normalized_text("text")))
+        .join(ref_digests, ["content_hash", "content_len"], "left_anti")
+        .select("doc_id")
+        .persist()
+    )
+    fresh = d.join(fresh_ids, "doc_id", "left_semi")
+
+    # 3. quality gate at the batch 40th percentile; (doc_id, quality)
+    # persisted at the branch point — the threshold aggregate and the
+    # gate filter both read it
+    scored = (
+        text.quality_score(fresh.select("doc_id", "text"))
+        .select("doc_id", "quality")
+        .persist()
+    )
+    thr = scored.agg(
+        F.round(
+            F.expr(
+                f"approx_percentile(quality, {_TSP_QUALITY_Q}, 1000000)"
+            ),
+            6,
+        ).alias("qthr")
+    )
+    # The curated batch collapses to (doc_id, source, tokens) —
+    # ~20 bytes/doc, the text is DONE after tokenization — and is
+    # CHECKPOINTED here (eager localCheckpoint): mixing branches off
+    # it 3 ways and packing once more, and a real 100 TB shard build
+    # writes survivors between curation and packing anyway, so the
+    # stage boundary is materialized rather than recomputed 4×.  The
+    # shard key divides the ingest-split modulus out of doc_id first:
+    # the batch is doc_id % 4 == 0, so sharding on raw doc_id % 8
+    # would populate only shards {0, 4}.
+    curated = (
+        fresh.join(scored, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("qthr"))
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(
+                F.floor(F.col("doc_id") / _INC_SPLIT_MOD),
+                F.lit(_PACK_SHARDS),
+            )
+            .cast("int")
+            .alias("shard"),
+            F.size(word_tokens("text")).alias("tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # upstream intermediates are fully consumed by the checkpoint
+    fresh_ids.unpersist()
+    scored.unpersist()
+
+    # 4. temperature-scaled domain mixing over the checkpointed frame
+    mixed = sampling.temperature_mix(
+        curated,
+        "source",
+        temperature=_TSP_TEMP,
+        budget_fraction=_TSP_BUDGET,
+        key_col="doc_id",
+        salt=_SAMPLE_SALT,
+    )
+
+    # 5. pack per shard, then roll up the manifest
+    packed = sampling.pack_sequences(
+        mixed.select("doc_id", "source", "shard", "tokens"),
+        token_col="tokens",
+        budget=_PACK_BUDGET,
+        shard_col="shard",
+    )
+    out = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("pack_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+    out._persisted_intermediates = [curated]
+    return out
+
+
+def _training_shard_oracle() -> str:
+    from .core import _PACK_BUDGET, _PACK_SHARDS, _SAMPLE_SALT
+
+    quality = _quality_oracle().strip()
+    return f"""
+WITH newb AS (
+    SELECT doc_id, source, text FROM documents
+    WHERE doc_id % {_INC_SPLIT_MOD} = 0
+),
+nh AS (
+    SELECT doc_id, source, text,
+           {_duck_hash(_DUCK_NORM, 0)} AS ch, length({_DUCK_NORM}) AS cl
+    FROM newb
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM nh GROUP BY ch, cl),
+rh AS (
+    SELECT DISTINCT {_duck_hash(_DUCK_NORM, 0)} AS ch,
+           length({_DUCK_NORM}) AS cl
+    FROM documents WHERE doc_id % {_INC_SPLIT_MOD} <> 0
+),
+fresh AS (
+    SELECT nh.doc_id, nh.source, nh.text
+    FROM nh JOIN canon USING (doc_id)
+    ANTI JOIN rh ON nh.ch = rh.ch AND nh.cl = rh.cl
+),
+q AS (SELECT doc_id, quality FROM ({quality})),
+thr AS (
+    SELECT round(quantile_disc(q.quality, {_TSP_QUALITY_Q}), 6) AS qthr
+    FROM q JOIN fresh USING (doc_id)
+),
+curated AS (
+    SELECT f.doc_id, f.source, f.text
+    FROM fresh f JOIN q USING (doc_id) CROSS JOIN thr
+    WHERE q.quality >= thr.qthr AND f.source IS NOT NULL
+),
+counts AS (SELECT source, count(*) AS n_g FROM curated GROUP BY 1),
+p AS (SELECT source, n_g,
+             pow(CAST(n_g AS DOUBLE), {1.0 / _TSP_TEMP!r}) AS w
+      FROM counts),
+norms AS (SELECT sum(w) AS wsum, sum(n_g) AS n FROM p),
+rates AS (SELECT source,
+                 least(1.0, {_TSP_BUDGET!r} * norms.n * (w / wsum) / n_g)
+                 AS rate
+          FROM p, norms),
+mixed AS (
+    SELECT c.doc_id, c.source, c.text
+    FROM curated c JOIN rates r USING (source)
+    WHERE {_duck_hash("CAST(doc_id AS VARCHAR)", _SAMPLE_SALT)} % 1000000
+          < CAST(floor(r.rate * 1000000) AS BIGINT)
+),
+t AS (
+    SELECT doc_id, source,
+           CAST((doc_id // {_INC_SPLIT_MOD}) % {_PACK_SHARDS} AS INT)
+               AS shard,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS tokens
+    FROM mixed
+),
+o AS (
+    SELECT doc_id, source, shard, tokens,
+           CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tokens
+                AS BIGINT) AS pack_offset
+    FROM t
+),
+packed AS (
+    SELECT *,
+           CAST(floor(pack_offset / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM o
+)
+SELECT shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
+AUX_QUERIES["training_shard_pipeline"] = q_training_shard_pipeline
+AUX_ORACLES["training_shard_pipeline"] = _training_shard_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -1,0 +1,109 @@
+"""Round-12 composition exhibit: the incremental-ingest →
+exact-dedup → quality-gate → temperature-mix → pack training-shard
+pipeline (queries/curation.py::q_training_shard_pipeline).
+
+Oracle parity (row/column/hash vs the fused DuckDB plan) is covered by
+the parametrized AUX gate in test_aux_queries.py; these tests pin the
+COMPOSITION semantics on a hand-built fixture where each stage's
+effect is individually observable.
+"""
+
+from __future__ import annotations
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.queries.curation import (
+    _INC_SPLIT_MOD,
+    q_training_shard_pipeline,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING, lang STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_manifest_shape_and_token_accounting(spark, tmp_path):
+    rows = []
+    # 40 batch docs (doc_id % 4 == 0), distinct texts, two sources
+    for i in range(40):
+        rows.append(
+            (
+                i * _INC_SPLIT_MOD,
+                "src_a" if i % 3 else "src_b",
+                f"unique doc {i} " + "tok " * (20 + i),
+                "en",
+            )
+        )
+    # reference corpus rows (non-multiples of 4) never reach a shard
+    rows.append((1, "src_a", "reference-only text", "en"))
+    rows.append((2, "src_b", "another reference text", "en"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = q_training_shard_pipeline(spark, sf).collect()
+    assert out, "pipeline produced an empty manifest"
+    assert {r["shard"] for r in out} <= set(range(8))
+    for r in out:
+        assert r["pack_id"] >= 0
+        assert r["n_docs"] >= 1
+        assert r["pack_tokens"] >= 1
+        assert 1 <= r["n_sources"] <= 2
+        assert r["first_doc"] <= r["last_doc"]
+        # only batch docs (multiples of the split modulus) get packed
+        assert r["first_doc"] % _INC_SPLIT_MOD == 0
+    # pack ids are contiguous from 0 within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for shard, pids in by_shard.items():
+        assert sorted(pids) == list(range(len(pids))), (
+            f"shard {shard} pack ids not contiguous: {sorted(pids)}"
+        )
+
+
+def test_cross_corpus_dedup_drops_known_content(spark, tmp_path):
+    """A batch doc whose (normalized) text already exists in the
+    reference corpus must not reach any shard; a batch-internal dup
+    keeps only the canonical (min-id) copy."""
+    filler = [
+        (
+            i * _INC_SPLIT_MOD,
+            "src_a",
+            f"filler document {i} " + "pad " * 30,
+            "en",
+        )
+        for i in range(2, 12)
+    ]
+    rows = filler + [
+        # doc 0: exact text of reference doc 1 (normalized equal)
+        (0, "src_a", "  SHARED   Reference Text " + "pad " * 30, "en"),
+        (1, "src_a", "shared reference text " + "pad " * 30, "en"),
+        # docs 48/52: batch-internal dups — only 48 survives
+        (48, "src_a", "batch dup text " + "pad " * 30, "en"),
+        (52, "src_a", "batch dup text " + "pad " * 30, "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = q_training_shard_pipeline(spark, sf).collect()
+    packed_span = [(r["first_doc"], r["last_doc"]) for r in out]
+    packed_ids = set()
+    for lo, hi in packed_span:
+        packed_ids.add(lo)
+        packed_ids.add(hi)
+    # doc 0 (known to the reference) and doc 52 (non-canonical dup)
+    # are never a span endpoint of any pack that could contain them:
+    # verify via total doc count instead — count docs that survived
+    total_docs = sum(r["n_docs"] for r in out)
+    # 10 filler + doc 48; doc 0 and doc 52 dropped.  The quality and
+    # mix gates may drop more, never add.
+    assert total_docs <= 11
+    assert 0 not in packed_ids or all(lo != 0 for lo, _ in packed_span)
+
+
+def test_empty_batch_yields_empty_manifest(spark, tmp_path):
+    # only reference-corpus docs (no doc_id % 4 == 0)
+    rows = [
+        (1, "src_a", "ref one " + "pad " * 20, "en"),
+        (2, "src_a", "ref two " + "pad " * 20, "en"),
+        (3, "src_b", "ref three " + "pad " * 20, "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    assert q_training_shard_pipeline(spark, sf).count() == 0
