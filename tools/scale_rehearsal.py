@@ -141,6 +141,10 @@ HEAVY = [
     "loso_mixture_weights",
     "cronbach_alpha",
     "seasonal_mann_kendall",
+    # r12: the composed training-shard pipeline (headline end-to-end
+    # journey — dedup digest shuffle + checkpoint + pack window)
+    "training_shard_pipeline",
+    "eval_safe_split_plan",
     # round-7 widening: mixing schedule, calibration metrics, drift —
     # all bucket-collapsed shapes whose windows run over value
     # cardinality, so alphas should be flat-to-sublinear
