@@ -1,0 +1,154 @@
+"""Composed multi-operator exhibits (round 12+).
+
+The round-11 verdict's direction: SURVEY §2 has been 100% green since
+round 9, so the marginal value now lives in END-TO-END journeys that
+exercise verified operators TOGETHER under one fused oracle, not in
+more leaf operators.  The batch exhibits (training-shard pipeline,
+eval-safe split plan) live in queries/curation.py next to their
+operator family; this module holds the cross-family compositions —
+starting with the streaming ingest feed, the first plan in the suite
+that chains TWO stateful streaming operators.
+
+Imported LAST by queries/__init__.py: it registers into the AUX
+registries (defined in .curation) and the streaming-plan-builder
+registry (defined in .retrieval), so every earlier module's
+registration asserts have already run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import _stream_events
+from .curation import AUX_ORACLES, AUX_QUERIES
+from .retrieval import STREAMING_PLAN_BUILDERS
+
+
+# --- round-12 exhibit 3: streaming shard feed (chained stateful ops)
+
+
+def _stream_plan_shard_feed(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_shard_feed: the first
+    CHAINED-STATEFUL plan in the suite — watermarked state-bounded
+    dedup feeding a watermarked tumbling aggregate in ONE streaming
+    query (Spark's multiple-stateful-operator support; the watermark
+    must propagate through the dedup operator for the window state to
+    evict).  Duplicate-injected input (every file linked twice), a
+    stateless completeness gate between the two stateful stages."""
+    events, ts_was_ntz = _stream_events(
+        spark,
+        sf_dir,
+        copies=2,
+        stream_dir=stream_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    if ts_was_ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        events.withWatermark("ts", "2 hours")
+        .select("event_id", "event_type", "user_id", "value", "ts")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    gated = deduped.filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return (
+        gated.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            (
+                F.col("w.start").cast("timestamp_ntz")
+                if ts_was_ntz
+                else F.col("w.start")
+            ).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_streaming_shard_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming ingest feed — the streaming twin of the
+    batch training-shard journey, composed as ONE streaming query with
+    TWO chained stateful operators:
+
+    1. **exactly-once ingest** (``dropDuplicatesWithinWatermark`` on
+       event_id): the fixture is linked twice into the stream dir, so
+       every row arrives duplicated and the state-bounded dedup must
+       remove exactly the injected copies;
+    2. **completeness gate** (stateless filter between the stateful
+       stages): rows missing type/user/value never reach the window
+       state;
+    3. **finalized-window manifest** (watermarked 1-hour tumbling
+       aggregate, APPEND output): a window is emitted only once the
+       2-hour watermark passes its end — the at-most-once-per-window
+       contract a downstream shard builder needs (it must never see a
+       window twice with different counts).
+
+    The DuckDB oracle mirrors ALL of it batch-side: single-copy
+    events, the same completeness predicate, hour buckets, and the
+    append-mode finalization rule ``window_end <= max(ts) - 2h``
+    (max over the UNFILTERED stream — the watermark is assigned
+    before the gate).  Green requires the dedup to have removed
+    exactly the duplicates AND the final non-finalized windows to be
+    withheld — both streaming semantics, checked by value."""
+    import tempfile
+
+    from ..streaming import incremental
+
+    agg = _stream_plan_shard_feed(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="stream_shard_feed_ckpt_")
+    incremental.run_to_memory_sink(
+        agg, "stream_shard_feed_out", ckpt, output_mode="append"
+    )
+    return spark.table("stream_shard_feed_out")
+
+
+# The finalization rule: Spark emits an append-mode window once the
+# event-time watermark (max observed ts - delay, computed over the
+# un-gated stream) passes the window END.  Window ends are whole hours
+# and max(ts) carries microseconds on this fixture, so the <=/< edge
+# cannot bind.
+ORACLE_STREAMING_SHARD_FEED = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+ev AS (
+    SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           value
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      AND value IS NOT NULL
+)
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM ev, wm
+GROUP BY event_type, window_start, wm.w
+HAVING window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+AUX_QUERIES["streaming_shard_feed"] = q_streaming_shard_feed
+AUX_ORACLES["streaming_shard_feed"] = ORACLE_STREAMING_SHARD_FEED
+STREAMING_PLAN_BUILDERS["streaming_shard_feed"] = _stream_plan_shard_feed
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+assert set(STREAMING_PLAN_BUILDERS) == {
+    n for n in AUX_QUERIES if n.startswith("streaming_")
+}, "every streaming AUX query needs a pre-sink plan builder for the audit"
