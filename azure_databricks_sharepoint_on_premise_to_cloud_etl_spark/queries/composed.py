@@ -152,3 +152,126 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
 assert set(STREAMING_PLAN_BUILDERS) == {
     n for n in AUX_QUERIES if n.startswith("streaming_")
 }, "every streaming AUX query needs a pre-sink plan builder for the audit"
+
+
+# --- round-12 exhibit 4: CDC diff -> apply round-trip
+
+
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-MAINTENANCE ROUND-TRIP — the producing and consuming
+    CDC twins composed into one verified journey: ``snapshot_diff``
+    derives the I/U/D change feed between two customer-dimension
+    snapshots (the q_snapshot_diff fixture: keys %5 change segment,
+    %11 are deleted, %13 spawn fresh keys), the feed is mapped to a
+    Debezium-style changelog, and ``cdc_apply`` replays it onto the
+    OLD snapshot.  The output manifest aggregates the REBUILT
+    snapshot per segment (key and nation counts) alongside the feed's
+    op mix; the DuckDB oracle aggregates the NEW snapshot directly —
+    hash-green therefore proves ``cdc_apply(old, snapshot_diff(old,
+    new)) == new`` on real data, the identity that makes snapshot
+    diffing a safe substitute for a source that cannot emit deltas.
+
+    Scale shape: one full-outer key join per twin (diff and apply),
+    both delta-collapsed before anything wide; the manifest is one
+    hash aggregate plus a broadcast one-row op-mix table."""
+    from ..operators import scd
+    from ..sources.registry import load_table, rebalance
+
+    c = rebalance(load_table(spark, sf_dir, "customer"))
+    old = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    new = (
+        c.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.concat(F.col("c_mktsegment"), F.lit("-X")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 2_000_000).alias("key"),
+                F.lit("FRESH").alias("seg"),
+                F.col("c_nationkey").alias("nk"),
+            )
+        )
+    )
+    feed = scd.snapshot_diff(old, new, "key", ["seg", "nk"])
+    log = feed.select(
+        "key",
+        F.when(F.col("change_type") == "delete", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "seg",
+        "nk",
+        F.lit(1).alias("seq"),
+    )
+    rebuilt = scd.cdc_apply(old, log, "key", ["seg", "nk"])
+    ops = feed.agg(
+        F.sum((F.col("change_type") == "insert").cast("long")).alias(
+            "n_inserts"
+        ),
+        F.sum((F.col("change_type") == "update").cast("long")).alias(
+            "n_updates"
+        ),
+        F.sum((F.col("change_type") == "delete").cast("long")).alias(
+            "n_deletes"
+        ),
+    )
+    return (
+        rebuilt.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.countDistinct("nk").cast("long").alias("n_nations"),
+        )
+        .crossJoin(F.broadcast(ops))
+    )
+
+
+def _cdc_roundtrip_oracle() -> str:
+    from .curation import ORACLE_SNAPSHOT_DIFF
+
+    diff = ORACLE_SNAPSHOT_DIFF.strip()
+    return f"""
+WITH new AS (
+    SELECT c_custkey AS key,
+           CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '-X'
+                ELSE c_mktsegment END AS seg,
+           c_nationkey AS nk
+    FROM customer WHERE c_custkey % 11 <> 0
+    UNION ALL
+    SELECT c_custkey + 2000000, 'FRESH', c_nationkey
+    FROM customer WHERE c_custkey % 13 = 0
+),
+d AS ({diff}),
+ops AS (
+    SELECT CAST(sum(CASE WHEN change_type = 'insert' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inserts,
+           CAST(sum(CASE WHEN change_type = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updates,
+           CAST(sum(CASE WHEN change_type = 'delete' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deletes
+    FROM d
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(DISTINCT nk) AS BIGINT) AS n_nations,
+       ops.n_inserts, ops.n_updates, ops.n_deletes
+FROM new, ops
+GROUP BY seg, ops.n_inserts, ops.n_updates, ops.n_deletes
+"""
+
+
+AUX_QUERIES["cdc_roundtrip"] = q_cdc_roundtrip
+AUX_ORACLES["cdc_roundtrip"] = _cdc_roundtrip_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

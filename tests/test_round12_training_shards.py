@@ -170,3 +170,50 @@ def test_eval_safe_split_quarantines_whole_cluster(spark, tmp_path):
         s for (s, src) in split_of if src == "web"
     }
     assert books_splits and books_splits <= web_200_splits
+
+
+# --- exhibit 4: CDC diff -> apply round-trip --------------------------
+
+from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import scd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_cdc_diff_apply_identity_planted(spark):
+    """The property the cdc_roundtrip oracle verifies on fixture data,
+    pinned on a planted frame: apply(old, diff(old, new)) == new for
+    every op kind at once (update, delete, insert, attr-to-NULL
+    update, untouched pass-through)."""
+    old = spark.createDataFrame(
+        [
+            (1, "A", 10),
+            (2, "B", 20),
+            (3, "C", 30),
+            (4, "D", 40),
+        ],
+        "key LONG, seg STRING, nk INT",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "A", 10),      # untouched
+            (2, "B2", 20),     # update
+            (4, None, 40),     # update nulling an attribute
+            (5, "E", 50),      # insert;  key 3 deleted
+        ],
+        "key LONG, seg STRING, nk INT",
+    )
+    feed = scd.snapshot_diff(old, new, "key", ["seg", "nk"])
+    kinds = {r["key"]: r["change_type"] for r in feed.collect()}
+    assert kinds == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+    log = feed.select(
+        "key",
+        F.when(F.col("change_type") == "delete", "D")
+        .otherwise("U")
+        .alias("op"),
+        "seg",
+        "nk",
+        F.lit(1).alias("seq"),
+    )
+    rebuilt = scd.cdc_apply(old, log, "key", ["seg", "nk"])
+    got = sorted(tuple(r) for r in rebuilt.collect())
+    want = sorted(tuple(r) for r in new.collect())
+    assert got == want
