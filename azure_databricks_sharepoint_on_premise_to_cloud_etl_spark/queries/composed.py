@@ -275,3 +275,148 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-12 exhibit 5: source health report (drift panel)
+
+
+def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE HEALTH PANEL — the "which crawl looks wrong this
+    week" report, composing four verified drift/quality operators into
+    one row per source under one fused oracle:
+
+    - **volume**: doc and whitespace-token counts;
+    - **unigram KL** (``text.source_kl_divergence``): how unlike the
+      corpus mix this source's language is;
+    - **length KS** (``stats.per_group_ks``): distribution shift of
+      doc length vs the rest of the corpus;
+    - **mean novelty** (``text.novelty_score``): averaged over the
+      source's docs with >= 3 tokens — low means templated/derivative;
+    - **exact-dup rate** (``dedup.exact_dedup_groups``): fraction of
+      the source's docs that are NOT the canonical copy of their
+      content (cross-source duplication attributed honestly: the
+      canonical is the global min doc_id).
+
+    Scale shape: each panel column is an independent aggregate that
+    collapses the corpus before joining — vocabulary-sized (KL),
+    value-sized (KS), digest-sized (dup), gram-digest-sized (novelty) —
+    then five source-keyed dimension tables join broadcast-small."""
+    from ..operators import dedup, stats, text
+    from ..sources.registry import load_table, rebalance
+    from .retrieval import _KL_ALPHA, _NOVELTY_N
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source").isNotNull()
+    )
+    from ..functions import word_tokens
+
+    vol = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(word_tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    kl = text.source_kl_divergence(d, alpha=_KL_ALPHA).select(
+        "source", "kl_nats"
+    )
+    ks = stats.per_group_ks(d, "source", "n_chars").select(
+        F.col("source"), F.col("ks_stat")
+    )
+    nov = (
+        text.novelty_score(d, n=_NOVELTY_N)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.round(F.avg("novelty"), 6).alias("mean_novelty"))
+    )
+    keepers = dedup.exact_dedup_groups(d).select(
+        F.col("canonical_id").alias("doc_id"), F.lit(1).alias("__canon")
+    )
+    dup = (
+        d.select("doc_id", "source")
+        .join(keepers, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("__canon").isNull(), 1.0).otherwise(0.0)),
+                6,
+            ).alias("dup_rate")
+        )
+    )
+    # each panel is a source-cardinality table (tens of rows); eager
+    # localCheckpoints materialize every panel exactly once — without
+    # them the five-way join re-derives the corpus per reference and
+    # the plan audit reads 26 parquet-scan references (the
+    # training_shard_pipeline stage-boundary discipline)
+    panels = [
+        f.localCheckpoint(eager=True) for f in (vol, kl, ks, nov, dup)
+    ]
+    out = panels[0]
+    for f in panels[1:]:
+        out = out.join(f, "source")
+    out._persisted_intermediates = panels
+    return out
+
+
+def _source_health_oracle() -> str:
+    from .core import _DUCK_NORM, _duck_hash
+    from .retrieval import (
+        ORACLE_PER_SOURCE_KS,
+        ORACLE_SOURCE_KL,
+        _novelty_oracle,
+    )
+
+    # NULL-source rows are excluded on BOTH sides before any corpus
+    # total (the cohens_h NULL-parity lesson): the embedded KL oracle
+    # reads the filtered base, not raw documents, so NULL-source text
+    # can never shift the corpus distribution on one side only
+    kl_base = ORACLE_SOURCE_KL.strip().replace(
+        "FROM documents", "FROM base"
+    )
+    ks = ORACLE_PER_SOURCE_KS.strip()
+    nov = _novelty_oracle().strip()
+    ws = (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+WITH base AS (SELECT * FROM documents WHERE source IS NOT NULL),
+vol AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({ws}) AS BIGINT) AS n_tokens
+    FROM base GROUP BY 1
+),
+kl AS (SELECT source, kl_nats FROM ({kl_base})),
+ks AS (SELECT source, ks_stat FROM ({ks})),
+novdoc AS (
+    SELECT doc_id, novelty
+    FROM ({nov.replace("FROM documents", "FROM base")})
+),
+nov AS (
+    SELECT b.source, round(avg(n.novelty), 6) AS mean_novelty
+    FROM novdoc n JOIN base b USING (doc_id) GROUP BY 1
+),
+h AS (
+    SELECT doc_id, source, {_duck_hash(_DUCK_NORM, 0)} AS ch,
+           length({_DUCK_NORM}) AS cl
+    FROM base
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch, cl),
+dup AS (
+    SELECT h.source,
+           round(avg(CASE WHEN k.doc_id IS NULL THEN 1.0 ELSE 0.0 END), 6)
+               AS dup_rate
+    FROM h LEFT JOIN keep k ON h.doc_id = k.doc_id
+    GROUP BY 1
+)
+SELECT vol.source, vol.n_docs, vol.n_tokens, kl.kl_nats, ks.ks_stat,
+       nov.mean_novelty, dup.dup_rate
+FROM vol JOIN kl USING (source) JOIN ks USING (source)
+JOIN nov USING (source) JOIN dup USING (source)
+"""
+
+
+AUX_QUERIES["source_health"] = q_source_health
+AUX_ORACLES["source_health"] = _source_health_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
