@@ -3,11 +3,13 @@
 The round-11 verdict's direction: SURVEY §2 has been 100% green since
 round 9, so the marginal value now lives in END-TO-END journeys that
 exercise verified operators TOGETHER under one fused oracle, not in
-more leaf operators.  The batch exhibits (training-shard pipeline,
-eval-safe split plan) live in queries/curation.py next to their
-operator family; this module holds the cross-family compositions —
-starting with the streaming ingest feed, the first plan in the suite
-that chains TWO stateful streaming operators.
+more leaf operators.  The curation-family exhibits (training-shard
+pipeline, eval-safe split plan) live in queries/curation.py next to
+their operator family; this module holds the cross-family
+compositions: the streaming shard feed (the suite's first plan
+chaining TWO stateful streaming operators), the CDC diff→apply
+round-trip (hash-green proves the composition is an identity), and
+the per-source drift health panel.
 
 Imported LAST by queries/__init__.py: it registers into the AUX
 registries (defined in .curation) and the streaming-plan-builder
@@ -415,6 +417,105 @@ JOIN nov USING (source) JOIN dup USING (source)
 
 AUX_QUERIES["source_health"] = q_source_health
 AUX_ORACLES["source_health"] = _source_health_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-12 exhibit 6: multimodal encode->decode round-trip
+
+
+def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL INGEST ROUND-TRIP — the real-codec twin of the
+    multimodal_meta driver row: every document synthesizes a 24-bit
+    BMP image AND a PCM WAV clip with dimensions derived
+    deterministically from doc_id (Arrow-batched mapInPandas), then
+    the REAL pure-Python decoders (``multimodal.extract_meta`` with
+    ``decoder="bmp"`` / ``decoder="wav"``) parse the bytes back.  The
+    DuckDB oracle computes the EXPECTED metadata arithmetically from
+    doc_id — hash-green therefore proves ``decode(encode(x)) == x``
+    header truth across the whole corpus through the distributed
+    Arrow batch path, not just on pytest fixtures.
+
+    Geometry: width = 1 + doc_id%8, height = 1 + (doc_id//8)%8 (BMP
+    byte size follows the 4-byte row-stride rule); audio is 16-bit
+    PCM at 2 kHz with 2*(25 + doc_id%50) frames, so duration_ms is an
+    exact integer on both engines (no round() semantics in play).
+
+    Scale shape: one narrow mapInPandas synth per modality consumer
+    (payloads never shuffle — meta extraction is map-side), one
+    doc_id equi-join of the two per-doc metadata tables."""
+    import struct as _struct
+
+    from ..operators import multimodal
+    from ..sources.registry import load_table, rebalance
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            imgs, wavs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 1 + did % 8
+                h = 1 + (did // 8) % 8
+                imgs.append(
+                    multimodal.encode_bmp([[(0, 0, 0)] * w for _ in range(h)])
+                )
+                n = 2 * (25 + did % 50)
+                ch = 1 + did % 2
+                wavs.append(
+                    multimodal.encode_wav(
+                        [(0,) * ch] * n, sample_rate=2000, bits=16
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "img": imgs, "wav": wavs}
+            )
+
+    d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id")
+    blobs = d.mapInPandas(synth, "doc_id long, img binary, wav binary")
+    imeta = multimodal.extract_meta(
+        blobs, "img", id_col="doc_id", decoder="bmp", on_error="raise"
+    ).select(
+        "doc_id",
+        F.col("n_bytes").alias("img_bytes"),
+        "width",
+        "height",
+        F.col("channels").alias("img_channels"),
+    )
+    wmeta = multimodal.extract_meta(
+        blobs, "wav", id_col="doc_id", decoder="wav", on_error="raise"
+    ).select(
+        "doc_id",
+        "sample_rate",
+        F.col("channels").alias("audio_channels"),
+        "n_samples",
+        "duration_ms",
+    )
+    return imeta.join(wmeta, "doc_id")
+
+
+ORACLE_MULTIMODAL_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(54 + (1 + (doc_id // 8) % 8)
+                * ((((1 + doc_id % 8) * 3 + 3) // 4) * 4)
+            AS BIGINT) AS img_bytes,
+       CAST(1 + doc_id % 8 AS BIGINT) AS width,
+       CAST(1 + (doc_id // 8) % 8 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS img_channels,
+       CAST(2000 AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels,
+       CAST(2 * (25 + doc_id % 50) AS BIGINT) AS n_samples,
+       CAST(25 + doc_id % 50 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+AUX_QUERIES["multimodal_roundtrip"] = q_multimodal_roundtrip
+AUX_ORACLES["multimodal_roundtrip"] = ORACLE_MULTIMODAL_ROUNDTRIP
 
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "

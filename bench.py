@@ -366,6 +366,9 @@ BENCH_QUERIES = [
     # round-12 composition exhibits
     "training_shard_pipeline",
     "eval_safe_split_plan",
+    "cdc_roundtrip",
+    "source_health",
+    "multimodal_roundtrip",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact

@@ -145,6 +145,9 @@ HEAVY = [
     # journey — dedup digest shuffle + checkpoint + pack window)
     "training_shard_pipeline",
     "eval_safe_split_plan",
+    "cdc_roundtrip",
+    "source_health",
+    "multimodal_roundtrip",
     # round-7 widening: mixing schedule, calibration metrics, drift —
     # all bucket-collapsed shapes whose windows run over value
     # cardinality, so alphas should be flat-to-sublinear
