@@ -521,3 +521,155 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-12 exhibit 7: diverse retrieval (hybrid RRF -> MMR)
+
+
+_DIV_TOPN = 20  # fused candidates handed to the diversifier
+_DIV_K = 5  # final diversified result size
+
+
+def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE RETRIEVAL JOURNEY, end to end — lexical + semantic
+    candidate generation fused by reciprocal-rank fusion, then MMR
+    diversification, composed from three verified operators under one
+    fused oracle:
+
+    1. **lexical leg** (``text.bm25_score``): BM25 over the corpus for
+       the fixed query terms, top-25 by score;
+    2. **semantic leg** (``similarity.brute_force_topk``): cosine
+       against probe vector 0, top-25;
+    3. **RRF fusion**: ``sum(1/(60 + rank))`` over both lists (the
+       q_hybrid_retrieval combiner), top-20 fused candidates;
+    4. **MMR diversification** (``similarity.mmr_rerank``): greedy
+       ``0.7·relevance − 0.3·max-sim-to-selected`` over the fused
+       candidates' embeddings, k=5 — the stage that stops the result
+       list from being five paraphrases of the same passage.
+
+    The oracle reuses the hybrid CTE chain and the shared MMR unroll
+    builder (``stats_rank._mmr_unroll``) with the fused top-20 as the
+    candidate CTE — every stage's arithmetic is verified, not just
+    the final ordering.
+
+    Scale shape: both candidate legs collapse the corpus to rank-
+    bounded lists before anything joins; fusion and MMR run on
+    N=20 candidates (pair sims are N² = 400 rows, localCheckpointed
+    inside the operator — release via ``release_components``)."""
+    from ..operators import similarity, text
+    from ..operators.similarity import cosine_sim, mmr_rerank
+    from ..sources.registry import load_table, rebalance
+    from pyspark.sql import Window
+    from .retrieval import _BM25_B, _BM25_K1, _BM25_QUERY, _RRF_K, _RRF_TOPN
+    from .stats_rank import _MMR_LAM
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    lex = (
+        text.bm25_score(d, _BM25_QUERY, k1=_BM25_K1, b=_BM25_B)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("lex_rank") <= _RRF_TOPN)
+        .select("doc_id", "lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    sem = (
+        similarity.brute_force_topk(e, probe, k=_RRF_TOPN)
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    cands = (
+        fused.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= _DIV_TOPN)
+        .drop("__rn")
+        .join(
+            e.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select(
+            F.lit(0).alias("query_id"),
+            F.col("doc_id").alias("cand_id"),
+            "embedding",
+            F.col("rrf").alias("rel"),
+        )
+    )
+    return mmr_rerank(
+        cands, "query_id", "cand_id", "embedding", "rel",
+        k=_DIV_K, lam=_MMR_LAM,
+    )
+
+
+def _diverse_retrieval_oracle() -> str:
+    from .core import _DUCK_COSINE
+    from .retrieval import _RRF_K, _RRF_TOPN, _bm25_oracle
+    from .stats_rank import _MMR_LAM, _mmr_unroll
+
+    bm25 = _bm25_oracle().strip()
+    parts = [
+        """corpus AS (
+    SELECT vec_id AS c, embedding AS ec FROM embeddings)""",
+        f"""bm AS ({bm25})""",
+        f"""lex AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+               AS lex_rank
+    FROM bm
+    QUALIFY lex_rank <= {_RRF_TOPN})""",
+        """probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)""",
+        f"""semscored AS (
+    SELECT e.vec_id AS doc_id,
+           round({_DUCK_COSINE.format(a="e.embedding", b="p.pv")}, 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN probe p)""",
+        f"""sem AS (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+               AS sem_rank
+    FROM semscored
+    QUALIFY sem_rank <= {_RRF_TOPN})""",
+        f"""fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + sem.sem_rank), 0.0), 6)
+               AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)""",
+        f"""cands AS (
+    SELECT 0 AS q, doc_id AS c, rrf AS r FROM (
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused) WHERE rn <= {_DIV_TOPN})""",
+    ]
+    return _mmr_unroll(parts, _DIV_K, _MMR_LAM)
+
+
+AUX_QUERIES["diverse_retrieval"] = q_diverse_retrieval
+AUX_ORACLES["diverse_retrieval"] = _diverse_retrieval_oracle()
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -2926,36 +2926,21 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle() -> str:
-    lam = repr(float(_MMR_LAM))
-    one_m = repr(1.0 - float(_MMR_LAM))
-    parts = [
-        """probes AS (
-    SELECT vec_id AS q, embedding AS eq FROM embeddings
-    WHERE vec_id < 3)""",
-        """corpus AS (
-    SELECT vec_id AS c, embedding AS ec FROM embeddings)""",
-        """relterms AS (
-    SELECT q, c, sum(av * bv) AS dot,
-           sum(av * av) AS na, sum(bv * bv) AS nb
-    FROM (SELECT q, c,
-                 CAST(unnest(eq) AS DOUBLE) AS av,
-                 CAST(unnest(ec) AS DOUBLE) AS bv
-          FROM probes, corpus)
-    GROUP BY 1, 2)""",
-        """rel0 AS (
-    SELECT q, c,
-           round(CASE WHEN na > 0 AND nb > 0
-                      THEN dot / sqrt(na * nb) END, 6) AS r
-    FROM relterms)""",
-        f"""cands AS (
-    SELECT q, c, r FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY q ORDER BY r DESC, c ASC) AS rn
-        FROM rel0) WHERE rn <= {_MMR_TOPN})""",
+def _mmr_unroll(parts: list[str], k: int, lam_f: float) -> str:
+    """Shared MMR greedy-selection oracle builder (r12: reused by the
+    composed diverse-retrieval exhibit): ``parts`` must define CTEs
+    ending with ``corpus(c, ec)`` and ``cands(q, c, r)``; this appends
+    the candidate-embedding join, the per-query pairwise sims, and the
+    k unrolled selection rounds, returning the full statement."""
+    lam = repr(float(lam_f))
+    one_m = repr(1.0 - float(lam_f))
+    parts = list(parts)
+    parts.append(
         """cands_emb AS (
     SELECT cands.q, cands.c, cands.r, corpus.ec
-    FROM cands JOIN corpus ON cands.c = corpus.c)""",
+    FROM cands JOIN corpus ON cands.c = corpus.c)"""
+    )
+    parts.append(
         """sims AS (
     SELECT q, a, b,
            round(CASE WHEN na > 0 AND nb > 0
@@ -2967,15 +2952,17 @@ def _mmr_oracle() -> str:
                        CAST(unnest(y.ec) AS DOUBLE) AS bv
                 FROM cands_emb x JOIN cands_emb y
                   ON x.q = y.q AND x.c <> y.c)
-          GROUP BY 1, 2, 3))""",
+          GROUP BY 1, 2, 3))"""
+    )
+    parts.append(
         """sel1 AS (
     SELECT q, 1 AS rank, c, r AS score FROM (
         SELECT *, row_number() OVER (
             PARTITION BY q ORDER BY r DESC, c ASC) AS rn
-        FROM cands) WHERE rn = 1)""",
-        """selected1 AS (SELECT q, c FROM sel1)""",
-    ]
-    for i in range(2, _MMR_K + 1):
+        FROM cands) WHERE rn = 1)"""
+    )
+    parts.append("""selected1 AS (SELECT q, c FROM sel1)""")
+    for i in range(2, k + 1):
         parts.append(
             f"""pen{i} AS (
     SELECT s.q, s.a AS c, max(s.s) AS p
@@ -3007,7 +2994,7 @@ def _mmr_oracle() -> str:
         )
     union = "\nUNION ALL\n".join(
         f"SELECT q, rank, c, score FROM sel{i}"
-        for i in range(1, _MMR_K + 1)
+        for i in range(1, k + 1)
     )
     return (
         "WITH "
@@ -3017,6 +3004,35 @@ SELECT q AS query_id, CAST(rank AS INTEGER) AS rank,
        c AS cand_id, score AS mmr_score
 FROM ({union})"""
     )
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        """probes AS (
+    SELECT vec_id AS q, embedding AS eq FROM embeddings
+    WHERE vec_id < 3)""",
+        """corpus AS (
+    SELECT vec_id AS c, embedding AS ec FROM embeddings)""",
+        """relterms AS (
+    SELECT q, c, sum(av * bv) AS dot,
+           sum(av * av) AS na, sum(bv * bv) AS nb
+    FROM (SELECT q, c,
+                 CAST(unnest(eq) AS DOUBLE) AS av,
+                 CAST(unnest(ec) AS DOUBLE) AS bv
+          FROM probes, corpus)
+    GROUP BY 1, 2)""",
+        """rel0 AS (
+    SELECT q, c,
+           round(CASE WHEN na > 0 AND nb > 0
+                      THEN dot / sqrt(na * nb) END, 6) AS r
+    FROM relterms)""",
+        f"""cands AS (
+    SELECT q, c, r FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q ORDER BY r DESC, c ASC) AS rn
+        FROM rel0) WHERE rn <= {_MMR_TOPN})""",
+    ]
+    return _mmr_unroll(parts, _MMR_K, _MMR_LAM)
 
 
 AUX_QUERIES.update(

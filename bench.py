@@ -369,6 +369,7 @@ BENCH_QUERIES = [
     "cdc_roundtrip",
     "source_health",
     "multimodal_roundtrip",
+    "diverse_retrieval",
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact

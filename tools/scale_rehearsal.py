@@ -148,6 +148,7 @@ HEAVY = [
     "cdc_roundtrip",
     "source_health",
     "multimodal_roundtrip",
+    "diverse_retrieval",
     # round-7 widening: mixing schedule, calibration metrics, drift —
     # all bucket-collapsed shapes whose windows run over value
     # cardinality, so alphas should be flat-to-sublinear
