@@ -5,11 +5,12 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The registry is capped at the driver's 50-row capture; 91 further
+The registry is capped at the driver's 50-row capture; 334 further
 oracle-verified queries (streaming forms, the corpus-curation family,
-and the round-6 widening batches — retrieval, sketches, graph
-analytics, robust/association statistics, behavioral analytics,
-warehouse reports) live in ``queries.AUX_QUERIES``/``AUX_ORACLES``
+the widening batches — retrieval, sketches, graph analytics,
+robust/association/inferential statistics, behavioral analytics,
+warehouse reports — and the round-12 composed end-to-end exhibits)
+live in ``queries.AUX_QUERIES``/``AUX_ORACLES``
 and are gated to the same digest discipline by
 ``tools/aux_correctness.py`` (per-round AUX_CORRECTNESS.json) and the
 parameterized pytest in ``tests/test_aux_queries.py``.
