@@ -639,7 +639,7 @@ def main() -> None:
                     os.path.dirname(os.path.abspath(__file__)),
                     "tools", "aux_correctness.py",
                 ), os.environ.get("SPARK_GRAFT_AUX_SF_DIR", "/root/testdata/sf0.01")],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True, timeout=2400,
             )
             tail = (aux.stdout or "").strip().splitlines()
             record["aux_correctness"] = tail[-1] if tail else f"rc={aux.returncode}"
