@@ -149,6 +149,11 @@ HEAVY = [
     "source_health",
     "multimodal_roundtrip",
     "diverse_retrieval",
+    # r12: first streaming scale row — the chained-stateful plan
+    # (dedup state grows with distinct event_ids, window state stays
+    # hour-bounded; the drain is AvailableNow so the rehearsal times
+    # a complete stream replay per factor)
+    "streaming_shard_feed",
     # round-7 widening: mixing schedule, calibration metrics, drift —
     # all bucket-collapsed shapes whose windows run over value
     # cardinality, so alphas should be flat-to-sublinear
