@@ -673,3 +673,130 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-12 exhibit 8: bronze CSV ingest replay (sources + sinks
+# --- under the hash gate)
+
+
+def q_bronze_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRONZE INGEST REPLAY — the reference's landing path (S1/S2
+    explicit-schema CSV + filename capture, T2 processed-file ledger,
+    ANSI-safe try_casts, K1 versioned append), previously pytest-only,
+    now under the DuckDB hash gate end to end:
+
+    two census CSV files are synthesized from the ``orders`` fixture
+    (every value an arithmetic function of ``o_orderkey``, including
+    DELIBERATE malkeys — ids prefixed ``X`` for ``k%3==0``, an
+    unparseable discharge timestamp for ``k%5==0`` — so the try_cast
+    NULL semantics are value-checked, not assumed); file 1 is already
+    in the processed-file ledger, so ``plans.census.ingest_census``
+    must anti-join it away, cast + audit file 2, and
+    ``append_versioned`` it into a bronze path; the output is the
+    per-file manifest read BACK from the written bronze parquet —
+    the round trip covers the CSV reader options, the ledger, every
+    try_cast, the filename-embedded batch timestamp, AND the K1
+    writer's output.
+
+    The oracle recomputes the manifest arithmetically from ``orders``
+    (file-2 subset: ``k%101==0 AND k%2==1``).
+
+    Scale note: the CSV fixture synthesis is driver-side test
+    scaffolding (bounded: |orders|/101 tiny rows); the MEASURED path —
+    CSV scan, anti-join, casts, parquet write — is fully distributed.
+    Reference spec: code/ukg_open_census.py:247-273, 366-371."""
+    import csv as _csv
+    import datetime as _dt
+    import os
+    import tempfile
+
+    from ..functions import filename_embedded_ts
+    from ..plans.census import ingest_census
+    from ..sources.registry import load_table
+
+    FILE1 = "census__202401010800.csv"
+    FILE2 = "census__202401020800.csv"
+    header = [
+        "pat_enc_csn_id", "pat_mrn_id", "encntr_dept_id",
+        "arrival_dttm", "admsn_dttm", "dschrg_dttm",
+        "bed_reqst_to_bed_asgnd",
+    ]
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        # o_orderdate is a timestamp in the fixture: format the DATE
+        # part only, so the synthesized "<date> 08:00:00" strings parse
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        )
+        .collect()
+    )
+    csv_dir = tempfile.mkdtemp(prefix="bronze_csv_")
+    bronze = tempfile.mkdtemp(prefix="bronze_out_") + "/t"
+    files = {FILE1: [], FILE2: []}
+    for r in rows:
+        k = int(r["o_orderkey"])
+        files[FILE2 if k % 2 else FILE1].append(
+            [
+                f"X{k}" if k % 3 == 0 else str(k),
+                f"MRN{k % 1000}",
+                str(k % 50),
+                f"{r['d']} 08:00:00",
+                "",
+                "bad-ts" if k % 5 == 0 else f"{r['d']} 17:30:00",
+                str(k % 97),
+            ]
+        )
+    for name, content in files.items():
+        with open(os.path.join(csv_dir, name), "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(header)
+            w.writerows(content)
+    ledger = spark.createDataFrame([(FILE1,)], "file_nm STRING")
+    ingest_census(
+        spark,
+        csv_dir,
+        bronze,
+        run_id=7,
+        now=_dt.datetime(2024, 1, 2, 9, 0, tzinfo=_dt.timezone.utc),
+        ledger=ledger,
+    )
+    written = spark.read.parquet(bronze)
+    return written.groupBy("file_nm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("pat_enc_csn_id").cast("long").alias("n_valid_ids"),
+        F.count("arrival_dttm").cast("long").alias("n_arrivals"),
+        F.count("dschrg_dttm").cast("long").alias("n_valid_dschrg"),
+        F.sum("bed_reqst_to_bed_asgnd").cast("long").alias("sum_bed"),
+        F.max(filename_embedded_ts("file_nm")).alias("batch_ts"),
+        F.countDistinct("run_id").cast("long").alias("n_run_ids"),
+    )
+
+
+ORACLE_BRONZE_INGEST = """
+WITH f2 AS (
+    SELECT o_orderkey AS k FROM orders
+    WHERE o_orderkey % 101 = 0 AND o_orderkey % 2 = 1
+)
+SELECT 'census__202401020800.csv' AS file_nm,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN k % 3 <> 0 THEN 1 END) AS BIGINT)
+           AS n_valid_ids,
+       CAST(count(*) AS BIGINT) AS n_arrivals,
+       CAST(count(CASE WHEN k % 5 <> 0 THEN 1 END) AS BIGINT)
+           AS n_valid_dschrg,
+       CAST(sum(k % 97) AS BIGINT) AS sum_bed,
+       CAST(202401020800 AS BIGINT) AS batch_ts,
+       CAST(1 AS BIGINT) AS n_run_ids
+FROM f2
+"""
+
+
+AUX_QUERIES["bronze_ingest_replay"] = q_bronze_ingest_replay
+AUX_ORACLES["bronze_ingest_replay"] = ORACLE_BRONZE_INGEST
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
