@@ -370,6 +370,10 @@ BENCH_QUERIES = [
     "source_health",
     "multimodal_roundtrip",
     "diverse_retrieval",
+    # bronze_ingest_replay is deliberately NOT benched: its CSV
+    # fixture synthesis (driver-side test scaffolding) would dominate
+    # the timing; the measured-path operators (CSV scan, anti-join,
+    # versioned write) are benched via their own rows
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact

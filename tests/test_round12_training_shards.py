@@ -217,3 +217,63 @@ def test_cdc_diff_apply_identity_planted(spark):
     got = sorted(tuple(r) for r in rebuilt.collect())
     want = sorted(tuple(r) for r in new.collect())
     assert got == want
+
+
+# --- exhibits 3 & 7: streaming shard feed, diverse retrieval ---------
+
+import tempfile  # noqa: E402
+
+
+def test_streaming_shard_feed_multibatch_equals_single_drain(spark):
+    """Chained-stateful semantics across MICRO-BATCH boundaries: with
+    maxFilesPerTrigger=1 the duplicate copy arrives in a SECOND
+    micro-batch, after the watermark advanced past most of its rows —
+    every duplicate is then removed either by the dedup state or by
+    late-arrival drop, and the finalized-window manifest must equal
+    the single-batch drain exactly."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.queries.composed import (
+        _stream_plan_shard_feed,
+    )
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.streaming import incremental
+
+    sf = "/root/testdata/sf0.001"
+
+    def drain(name, mfpt):
+        plan = _stream_plan_shard_feed(spark, sf, max_files_per_trigger=mfpt)
+        ckpt = tempfile.mkdtemp(prefix=f"ssf_{name}_")
+        incremental.run_to_memory_sink(plan, name, ckpt, output_mode="append")
+        return {
+            (r["event_type"], r["window_start"]): (r["n_events"], r["sum_value"])
+            for r in spark.table(name).collect()
+        }
+
+    single = drain("ssf_single", None)
+    multi = drain("ssf_multi", 1)
+    assert single and single == multi
+
+
+def test_diverse_retrieval_diversifies(spark):
+    """MMR output sanity on the fixture: 5 distinct candidates, rank 1
+    is the highest-relevance candidate (MMR round 1 is pure
+    relevance), scores weakly decrease is NOT required (MMR scores
+    can rise when penalties shrink) — but every selected id must come
+    from the fused candidate pool."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators.graph import (
+        release_components,
+    )
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.queries.composed import (
+        q_diverse_retrieval,
+    )
+
+    out = q_diverse_retrieval(spark, "/root/testdata/sf0.001")
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    release_components(out)
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["cand_id"] for r in rows]
+    assert len(set(ids)) == 5
+    assert all(r["mmr_score"] is not None for r in rows)
+    # note: later-round scores may EXCEED rank 1's (round 1 is raw
+    # relevance; later rounds are 0.7*rel - 0.3*max_sim, and cosine
+    # penalties can be negative), so no cross-rank ordering is pinned
+    # here — the full greedy sequence is value-verified by the fused
+    # DuckDB oracle in the AUX gate.
