@@ -8,8 +8,10 @@ pipeline, eval-safe split plan) live in queries/curation.py next to
 their operator family; this module holds the cross-family
 compositions: the streaming shard feed (the suite's first plan
 chaining TWO stateful streaming operators), the CDC diff→apply
-round-trip (hash-green proves the composition is an identity), and
-the per-source drift health panel.
+round-trip (hash-green proves the composition is an identity), the
+per-source drift health panel, the real-codec multimodal
+encode→decode round-trip, hybrid-RRF→MMR diverse retrieval, and the
+bronze CSV ingest replay (sources + sinks under the hash gate).
 
 Imported LAST by queries/__init__.py: it registers into the AUX
 registries (defined in .curation) and the streaming-plan-builder
