@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The registry is capped at the driver's 50-row capture; 334 further
+The registry is capped at the driver's 50-row capture; 335 further
 oracle-verified queries (streaming forms, the corpus-curation family,
 the widening batches — retrieval, sketches, graph analytics,
 robust/association/inferential statistics, behavioral analytics,

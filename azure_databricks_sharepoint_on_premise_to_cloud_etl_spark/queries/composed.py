@@ -355,7 +355,10 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = panels[0]
     for f in panels[1:]:
         out = out.join(f, "source")
-    out._persisted_intermediates = panels
+    # localCheckpoint blocks are freed via _release_local_checkpoint,
+    # not DataFrame.unpersist — hence _extra_ckpts, not
+    # _persisted_intermediates
+    out._extra_ckpts = panels
     return out
 
 
@@ -449,16 +452,19 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow mapInPandas synth per modality consumer
     (payloads never shuffle — meta extraction is map-side), one
     doc_id equi-join of the two per-doc metadata tables."""
-    import struct as _struct
 
     from ..operators import multimodal
     from ..sources.registry import load_table, rebalance
 
-    def synth(batches):
+    # One synth generator PER MODALITY: each extract_meta pass
+    # recomputes its input subtree, so a fused generator would encode
+    # both payloads twice and throw half the work away each pass
+    # (r12 review finding) — split, each pass pays only its own codec.
+    def synth_img(batches):
         import pandas as pd
 
         for pdf in batches:
-            imgs, wavs = [], []
+            imgs = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w = 1 + did % 8
@@ -466,6 +472,15 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 imgs.append(
                     multimodal.encode_bmp([[(0, 0, 0)] * w for _ in range(h)])
                 )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": imgs})
+
+    def synth_wav(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            wavs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
                 n = 2 * (25 + did % 50)
                 ch = 1 + did % 2
                 wavs.append(
@@ -473,14 +488,13 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [(0,) * ch] * n, sample_rate=2000, bits=16
                     )
                 )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "img": imgs, "wav": wavs}
-            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": wavs})
 
     d = rebalance(load_table(spark, sf_dir, "documents")).select("doc_id")
-    blobs = d.mapInPandas(synth, "doc_id long, img binary, wav binary")
+    img_blobs = d.mapInPandas(synth_img, "doc_id long, img binary")
+    wav_blobs = d.mapInPandas(synth_wav, "doc_id long, wav binary")
     imeta = multimodal.extract_meta(
-        blobs, "img", id_col="doc_id", decoder="bmp", on_error="raise"
+        img_blobs, "img", id_col="doc_id", decoder="bmp", on_error="raise"
     ).select(
         "doc_id",
         F.col("n_bytes").alias("img_bytes"),
@@ -489,7 +503,7 @@ def q_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channels").alias("img_channels"),
     )
     wmeta = multimodal.extract_meta(
-        blobs, "wav", id_col="doc_id", decoder="wav", on_error="raise"
+        wav_blobs, "wav", id_col="doc_id", decoder="wav", on_error="raise"
     ).select(
         "doc_id",
         "sample_rate",
@@ -559,7 +573,7 @@ def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     N=20 candidates (pair sims are N² = 400 rows, localCheckpointed
     inside the operator — release via ``release_components``)."""
     from ..operators import similarity, text
-    from ..operators.similarity import cosine_sim, mmr_rerank
+    from ..operators.similarity import mmr_rerank
     from ..sources.registry import load_table, rebalance
     from pyspark.sql import Window
     from .retrieval import _BM25_B, _BM25_K1, _BM25_QUERY, _RRF_K, _RRF_TOPN
@@ -792,6 +806,7 @@ SELECT 'census__202401020800.csv' AS file_nm,
        CAST(202401020800 AS BIGINT) AS batch_ts,
        CAST(1 AS BIGINT) AS n_run_ids
 FROM f2
+HAVING count(*) > 0
 """
 
 

@@ -2906,7 +2906,10 @@ def q_training_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
-    out._persisted_intermediates = [curated]
+    # localCheckpoints are NOT freed by DataFrame.unpersist() — they
+    # ride _extra_ckpts so release_components goes through
+    # _release_local_checkpoint (the graph-operator convention)
+    out._extra_ckpts = [curated]
     return out
 
 

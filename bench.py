@@ -540,10 +540,14 @@ def main() -> None:
                 release_components(df)
                 # adaptive floor: once the row is known-cheap, widen
                 # the rep budget so the median can absorb 2 bad reps
+                # trigger on the MIN, not the median: a cheap row
+                # that caught 2 episodic stalls in 3 reps has a slow
+                # median but still shows at least one fast rep — the
+                # exact case the widening exists for (r12 review)
                 if (
                     len(runs) == target
                     and target < fast_row_reps
-                    and sorted(runs)[len(runs) // 2] < fast_row_floor_s
+                    and min(runs) < fast_row_floor_s
                 ):
                     target = fast_row_reps
             runs.sort()
