@@ -4830,27 +4830,39 @@ def bradley_terry(
     w = F.col(winner_col).cast("string")
     l_ = F.col(loser_col).cast("string")
     valid = df.filter(w.isNotNull() & l_.isNotNull() & (w != l_))
-    # Cap check runs IN-PLAN before anything is collected: a
-    # high-cardinality item column must raise here, never reach the
-    # driver. limit(max_items+1) bounds the distinct shuffle output so
-    # the probe itself is O(max_items), not O(items).
-    probe = (
-        valid.select(w.alias("__it"))
-        .union(valid.select(l_.alias("__it")))
-        .distinct()
-        .limit(max_items + 1)
-        .count()
-    )
-    if probe > max_items:
-        raise ValueError(
-            f"bradley_terry is capped at {max_items} items "
-            f"(got >{max_items}); aggregate items first"
-        )
     cells = (
         valid.groupBy(w.alias("__w"), l_.alias("__l"))
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    rows = cells.collect()
+    # Cap check runs IN-PLAN before anything is collected: a
+    # high-cardinality item column must raise here, never reach the
+    # driver.  The probe derives from the already-aggregated cell
+    # table (persisted, so the corpus is scanned exactly once —
+    # previously the probe re-executed the raw `valid` plan, doubling
+    # the upstream cost per call); limit(max_items+1) bounds the
+    # distinct output so the probe adds O(max_items) work on top of
+    # the one materialization.  MEMORY_AND_DISK: on a cap violation
+    # the cell table can approach the pair cardinality, which must
+    # spill rather than OOM before the raise fires.
+    from pyspark import StorageLevel
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        probe = (
+            cells.select(F.col("__w").alias("__it"))
+            .union(cells.select(F.col("__l").alias("__it")))
+            .distinct()
+            .limit(max_items + 1)
+            .count()
+        )
+        if probe > max_items:
+            raise ValueError(
+                f"bradley_terry is capped at {max_items} items "
+                f"(got >{max_items}); aggregate items first"
+            )
+        rows = cells.collect()
+    finally:
+        cells.unpersist()
     items = sorted({r["__w"] for r in rows} | {r["__l"] for r in rows})
     idx = {it: i for i, it in enumerate(items)}
     k = len(items)

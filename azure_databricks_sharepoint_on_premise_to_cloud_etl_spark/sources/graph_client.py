@@ -37,6 +37,7 @@ import time
 import urllib.parse
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from typing import ClassVar
 
 from .sharepoint import MtimeProbe, RemoteFile
 
@@ -77,6 +78,9 @@ class GraphClient:
     clock: Callable[[], float] = time.monotonic
     _token: str | None = field(default=None, init=False, repr=False)
     _token_expiry: float = field(default=0.0, init=False, repr=False)
+    # pagination backstop: a misbehaving server must not hold the
+    # client in an infinite @odata.nextLink chase (see child_id)
+    _MAX_CHILD_PAGES: ClassVar[int] = 100
 
     # ----------------------------------------------------------- auth
 
@@ -159,12 +163,34 @@ class GraphClient:
         Follows ``@odata.nextLink`` pagination: Graph pages /children
         at ~200 items, so a single-page read (the reference's flaw)
         would raise a spurious FileNotFoundError for files past the
-        first page."""
+        first page.
+
+        Termination guard: the transport is untrusted network input, so
+        a server replaying the same ``@odata.nextLink`` (or an endless
+        chain of fresh ones) must fail fast instead of looping forever
+        — repeated links raise immediately, and the chain is capped at
+        ``_MAX_CHILD_PAGES`` (~20k items at Graph's ~200/page)."""
         names = []
         next_url: str | None = (
             f"/sites/{self.site_id}/drive/items/{parent_item_id}/children"
         )
+        seen_urls: set[str] = set()
+        pages = 0
         while next_url is not None:
+            if next_url in seen_urls:
+                raise GraphError(
+                    f"@odata.nextLink loop detected at {next_url!r}", 0, ""
+                )
+            seen_urls.add(next_url)
+            pages += 1
+            if pages > self._MAX_CHILD_PAGES:
+                raise GraphError(
+                    f"children listing of {parent_item_id} exceeded "
+                    f"{self._MAX_CHILD_PAGES} pages; refusing to follow "
+                    "further @odata.nextLink",
+                    0,
+                    "",
+                )
             payload = self._get(next_url)
             for child in payload["value"]:
                 if child["name"] == name:

@@ -509,16 +509,55 @@ def main() -> None:
         "cms_heavy_hitters": max(reps, 5),
         "trailing_range_agg": max(reps, 5),
         "pack_sequences_native": max(reps, 5),
+        # r12 verdict tasks 1-2: the seven residual same-code
+        # driver-vs-committed movers beyond 1.25x+spread (medians
+        # 0.4-3.1s, most above the old 1.5s floor so they ran 3 reps)
+        # are pinned at 5; hybrid_retrieval gets 7 — it is the only
+        # RECURRING unattributed mover (r11 1.50s -> r12 driver 2.51s,
+        # code untouched) and the isolated A/B protocol wants the
+        # extra reps to bound its in-suite median
+        "hybrid_retrieval": max(reps, 7),
+        "log_rank": max(reps, 5),
+        "seasonal_anomaly": max(reps, 5),
+        "fulfillment_latency": max(reps, 5),
+        "mutual_topk": max(reps, 5),
+        "lorenz_curve": max(reps, 5),
+        "spatial_clusters": max(reps, 5),
+        # r12 task 6: bradley_terry's 1.41x move rivalled its 0.40s
+        # spread; pin while the isolated rep set adjudicates
+        "bradley_terry": max(reps, 5),
     }
-    # r11 verdict task 1 (systematic half): ANY row with a sub-1.5s
-    # median gets its reps floored at 5 — episodic co-tenant stalls
-    # dominate a 3-rep median exactly when the query itself is cheap,
-    # so cheap rows are the ones that read as phantom 3-6x regressions
-    fast_row_floor_s = 1.5
+    # r11 verdict task 1 (systematic half), widened by r12 task 2: ANY
+    # row whose fastest rep lands under 2.5s gets its reps floored at
+    # 5 — episodic co-tenant stalls dominate a 3-rep median exactly
+    # when the query itself is cheap, so cheap rows are the ones that
+    # read as phantom regressions.  r12 showed a <=1.5x residue of
+    # 0.4-3.1s-median rows above the old 1.5s trigger; 2.5s covers
+    # all seven residual movers' honest cost.
+    fast_row_floor_s = 2.5
     fast_row_reps = 5
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Prior-round committed medians (BENCH_SELF.json at the repo
+    # root): the second widening trigger below compares against these,
+    # closing the failure mode the min-trigger cannot see — ALL
+    # initial reps of a cheap row stalling above the floor (r12
+    # advice).  Best-effort: a missing/changed-format file just
+    # disables the trigger.
+    prior_medians: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SELF.json")
+        ) as fh:
+            prior_medians = {
+                k: float(v)
+                for k, v in json.load(fh).get("queries", {}).items()
+                if isinstance(v, (int, float))
+            }
+    except Exception:
+        pass
     for name in BENCH_QUERIES:
         # bench-only / folded variants (fast hash, solo LSH/IVF,
         # running_sum, time_reanchor, simhash) live in AUX_QUERIES
@@ -544,12 +583,21 @@ def main() -> None:
                 # that caught 2 episodic stalls in 3 reps has a slow
                 # median but still shows at least one fast rep — the
                 # exact case the widening exists for (r12 review)
-                if (
-                    len(runs) == target
-                    and target < fast_row_reps
-                    and min(runs) < fast_row_floor_s
-                ):
-                    target = fast_row_reps
+                if len(runs) == target and target < fast_row_reps:
+                    srt = sorted(runs)
+                    med = srt[len(srt) // 2]
+                    prior = prior_medians.get(name)
+                    if min(runs) < fast_row_floor_s or (
+                        # second trigger (r12 advice): even when ALL
+                        # reps stalled above the floor, a median 3x
+                        # past the prior committed round's same-code
+                        # median is an episodic-stall signature, not a
+                        # regression — widen so the median can recover
+                        prior is not None
+                        and prior > 0
+                        and med > 3.0 * prior
+                    ):
+                        target = fast_row_reps
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
             spread[name] = round(runs[-1] - runs[0], 3)

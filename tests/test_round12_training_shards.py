@@ -252,6 +252,30 @@ def test_streaming_shard_feed_multibatch_equals_single_drain(spark):
     assert single and single == multi
 
 
+def test_streaming_shard_feed_fixture_assumption_pinned(spark):
+    """The shard-feed oracle parity silently assumes the base events
+    fixture carries UNIQUE, NON-NULL event_ids:
+    dropDuplicatesWithinWatermark(["event_id"]) would also collapse
+    genuine same-id (or NULL-id) rows that the batch oracle counts
+    individually (round-12 advice).  Pin the assumption at both the
+    pytest scale (sf0.001) and the driver oracle scale (sf0.01) so a
+    fixture regeneration that breaks it fails HERE with a message,
+    not as an inscrutable hash mismatch."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        stats = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("event_id").alias("n_nonnull"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        ).collect()[0]
+        assert stats["n"] == stats["n_nonnull"], (
+            f"{sf}: NULL event_ids break streaming_shard_feed parity"
+        )
+        assert stats["n"] == stats["n_distinct"], (
+            f"{sf}: duplicate event_ids break streaming_shard_feed parity"
+        )
+
+
 def test_diverse_retrieval_diversifies(spark):
     """MMR output sanity on the fixture: 5 distinct candidates, rank 1
     is the highest-relevance candidate (MMR round 1 is pure
