@@ -43,6 +43,28 @@ CENSUS_SCHEMA = (
 )
 
 
+def cast_census(raw: DataFrame, now: _dt.datetime | None = None) -> DataFrame:
+    """The bronze typed-cast block, shared by the batch ingest and its
+    streaming twin (queries/composed.py q_streaming_bronze_ingest) so
+    the two landings stay cast-for-cast identical.
+
+    try_cast / try_to_timestamp: malformed source values become NULL
+    instead of failing the job under ANSI mode — bronze ingest must
+    survive dirty rows (the reference ran pre-ANSI Spark where plain
+    cast already behaved this way)."""
+    return (
+        raw.withColumn("pat_enc_csn_id", F.col("pat_enc_csn_id").try_cast("decimal(18,0)"))
+        .withColumn("arrival_dttm", F.try_to_timestamp("arrival_dttm"))
+        .withColumn("admsn_dttm", F.try_to_timestamp("admsn_dttm"))
+        .withColumn("dschrg_dttm", F.try_to_timestamp("dschrg_dttm"))
+        .withColumn(
+            "bed_reqst_to_bed_asgnd",
+            F.col("bed_reqst_to_bed_asgnd").try_cast("decimal(10,0)"),
+        )
+        .withColumn("run_tsp", F.lit((now or _dt.datetime.now(_dt.timezone.utc)).replace(tzinfo=None)).cast("timestamp"))
+    )
+
+
 def ingest_census(
     spark: SparkSession,
     csv_dir: str,
@@ -58,21 +80,7 @@ def ingest_census(
     raw = read_csv_dir_with_filename(spark, csv_dir, CENSUS_SCHEMA)
     if ledger is not None:
         raw = unprocessed_only(raw, ledger, "file_nm")
-    # try_cast / try_to_timestamp: malformed source values become NULL
-    # instead of failing the job under ANSI mode — bronze ingest must
-    # survive dirty rows (the reference ran pre-ANSI Spark where plain
-    # cast already behaved this way).
-    typed = (
-        raw.withColumn("pat_enc_csn_id", F.col("pat_enc_csn_id").try_cast("decimal(18,0)"))
-        .withColumn("arrival_dttm", F.try_to_timestamp("arrival_dttm"))
-        .withColumn("admsn_dttm", F.try_to_timestamp("admsn_dttm"))
-        .withColumn("dschrg_dttm", F.try_to_timestamp("dschrg_dttm"))
-        .withColumn(
-            "bed_reqst_to_bed_asgnd",
-            F.col("bed_reqst_to_bed_asgnd").try_cast("decimal(10,0)"),
-        )
-        .withColumn("run_tsp", F.lit((now or _dt.datetime.now(_dt.timezone.utc)).replace(tzinfo=None)).cast("timestamp"))
-    )
+    typed = cast_census(raw, now)
     append_versioned(typed, bronze_path, run_id=run_id, now=now)
     return typed
 

@@ -695,43 +695,26 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
 # --- under the hash gate)
 
 
-def q_bronze_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BRONZE INGEST REPLAY — the reference's landing path (S1/S2
-    explicit-schema CSV + filename capture, T2 processed-file ledger,
-    ANSI-safe try_casts, K1 versioned append), previously pytest-only,
-    now under the DuckDB hash gate end to end:
+_BRONZE_FILE1 = "census__202401010800.csv"
+_BRONZE_FILE2 = "census__202401020800.csv"
+_BRONZE_NOW_ARGS = (2024, 1, 2, 9, 0)
 
-    two census CSV files are synthesized from the ``orders`` fixture
-    (every value an arithmetic function of ``o_orderkey``, including
-    DELIBERATE malkeys — ids prefixed ``X`` for ``k%3==0``, an
-    unparseable discharge timestamp for ``k%5==0`` — so the try_cast
-    NULL semantics are value-checked, not assumed); file 1 is already
-    in the processed-file ledger, so ``plans.census.ingest_census``
-    must anti-join it away, cast + audit file 2, and
-    ``append_versioned`` it into a bronze path; the output is the
-    per-file manifest read BACK from the written bronze parquet —
-    the round trip covers the CSV reader options, the ledger, every
-    try_cast, the filename-embedded batch timestamp, AND the K1
-    writer's output.
 
-    The oracle recomputes the manifest arithmetically from ``orders``
-    (file-2 subset: ``k%101==0 AND k%2==1``).
-
-    Scale note: the CSV fixture synthesis is driver-side test
-    scaffolding (bounded: |orders|/101 tiny rows); the MEASURED path —
-    CSV scan, anti-join, casts, parquet write — is fully distributed.
-    Reference spec: code/ukg_open_census.py:247-273, 366-371."""
+def _synth_census_csvs(spark: SparkSession, sf_dir: str) -> str:
+    """Synthesize the two-file census CSV landing fixture from the
+    ``orders`` table (every value an arithmetic function of
+    ``o_orderkey``, including DELIBERATE malkeys — ids prefixed ``X``
+    for ``k%3==0``, an unparseable discharge timestamp for ``k%5==0``
+    — so try_cast NULL semantics are value-checked, not assumed).
+    Driver-side test scaffolding, bounded: |orders|/101 tiny rows.
+    Shared by the batch replay and its streaming twin so both land the
+    byte-identical files."""
     import csv as _csv
-    import datetime as _dt
     import os
     import tempfile
 
-    from ..functions import filename_embedded_ts
-    from ..plans.census import ingest_census
     from ..sources.registry import load_table
 
-    FILE1 = "census__202401010800.csv"
-    FILE2 = "census__202401020800.csv"
     header = [
         "pat_enc_csn_id", "pat_mrn_id", "encntr_dept_id",
         "arrival_dttm", "admsn_dttm", "dschrg_dttm",
@@ -749,11 +732,10 @@ def q_bronze_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     csv_dir = tempfile.mkdtemp(prefix="bronze_csv_")
-    bronze = tempfile.mkdtemp(prefix="bronze_out_") + "/t"
-    files = {FILE1: [], FILE2: []}
+    files: dict[str, list[list[str]]] = {_BRONZE_FILE1: [], _BRONZE_FILE2: []}
     for r in rows:
         k = int(r["o_orderkey"])
-        files[FILE2 if k % 2 else FILE1].append(
+        files[_BRONZE_FILE2 if k % 2 else _BRONZE_FILE1].append(
             [
                 f"X{k}" if k % 3 == 0 else str(k),
                 f"MRN{k % 1000}",
@@ -769,16 +751,14 @@ def q_bronze_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = _csv.writer(fh)
             w.writerow(header)
             w.writerows(content)
-    ledger = spark.createDataFrame([(FILE1,)], "file_nm STRING")
-    ingest_census(
-        spark,
-        csv_dir,
-        bronze,
-        run_id=7,
-        now=_dt.datetime(2024, 1, 2, 9, 0, tzinfo=_dt.timezone.utc),
-        ledger=ledger,
-    )
-    written = spark.read.parquet(bronze)
+    return csv_dir
+
+
+def _census_manifest(written: DataFrame) -> DataFrame:
+    """The per-file bronze manifest both ingest forms are graded on —
+    read BACK from the written parquet, so it covers the writer too."""
+    from ..functions import filename_embedded_ts
+
     return written.groupBy("file_nm").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count("pat_enc_csn_id").cast("long").alias("n_valid_ids"),
@@ -788,6 +768,47 @@ def q_bronze_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(filename_embedded_ts("file_nm")).alias("batch_ts"),
         F.countDistinct("run_id").cast("long").alias("n_run_ids"),
     )
+
+
+def q_bronze_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRONZE INGEST REPLAY — the reference's landing path (S1/S2
+    explicit-schema CSV + filename capture, T2 processed-file ledger,
+    ANSI-safe try_casts, K1 versioned append), previously pytest-only,
+    now under the DuckDB hash gate end to end:
+
+    two census CSV files are synthesized from the ``orders`` fixture
+    (see _synth_census_csvs); file 1 is already in the processed-file
+    ledger, so ``plans.census.ingest_census`` must anti-join it away,
+    cast + audit file 2, and ``append_versioned`` it into a bronze
+    path; the output is the per-file manifest read BACK from the
+    written bronze parquet — the round trip covers the CSV reader
+    options, the ledger, every try_cast, the filename-embedded batch
+    timestamp, AND the K1 writer's output.
+
+    The oracle recomputes the manifest arithmetically from ``orders``
+    (file-2 subset: ``k%101==0 AND k%2==1``).
+
+    Scale note: the CSV fixture synthesis is driver-side test
+    scaffolding (bounded); the MEASURED path — CSV scan, anti-join,
+    casts, parquet write — is fully distributed.
+    Reference spec: code/ukg_open_census.py:247-273, 366-371."""
+    import datetime as _dt
+    import tempfile
+
+    from ..plans.census import ingest_census
+
+    csv_dir = _synth_census_csvs(spark, sf_dir)
+    bronze = tempfile.mkdtemp(prefix="bronze_out_") + "/t"
+    ledger = spark.createDataFrame([(_BRONZE_FILE1,)], "file_nm STRING")
+    ingest_census(
+        spark,
+        csv_dir,
+        bronze,
+        run_id=7,
+        now=_dt.datetime(*_BRONZE_NOW_ARGS, tzinfo=_dt.timezone.utc),
+        ledger=ledger,
+    )
+    return _census_manifest(spark.read.parquet(bronze))
 
 
 ORACLE_BRONZE_INGEST = """
@@ -812,6 +833,135 @@ HAVING count(*) > 0
 
 AUX_QUERIES["bronze_ingest_replay"] = q_bronze_ingest_replay
 AUX_ORACLES["bronze_ingest_replay"] = ORACLE_BRONZE_INGEST
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-13 exhibit: STREAMING bronze ingest (the Auto-Loader-shaped
+# --- twin of the landing path — SURVEY T2's readStream form, r12
+# --- verdict task 4)
+
+
+def _stream_plan_bronze_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    csv_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Pre-sink streaming plan for q_streaming_bronze_ingest: CSV
+    file-source stream with filename capture, a state-bounded
+    row-dedup ledger, and the SAME typed-cast block as the batch
+    ingest (plans.census.cast_census — shared code, not a copy).
+
+    State bounding: the dedup keys on (file_nm, raw csn string) —
+    raw, BEFORE the cast, so malkeys that try_cast to NULL stay
+    distinct — under a watermark on the filename-embedded batch
+    timestamp with a 72-hour delay (covers any arrival order of a
+    multi-day landing window; files older than the horizon evict
+    from state, which IS the production contract: a re-delivered
+    file more than 3 days stale is a backfill, not a dup).
+    Reference spec: code/ukg_open_census.py:357-375 +
+    download_from_sharepoint.py:104-124 (the hand-rolled ledger this
+    replaces)."""
+    import datetime as _dt
+
+    from ..functions import last_path_segment
+    from ..plans.census import CENSUS_SCHEMA, cast_census
+
+    if csv_dir is None:
+        csv_dir = _synth_census_csvs(spark, sf_dir)
+    reader = (
+        spark.readStream.schema(CENSUS_SCHEMA)
+        .option("header", "true")
+        .option("inferSchema", "false")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.csv(csv_dir).withColumn(
+        "file_nm", last_path_segment(F.input_file_name())
+    )
+    deduped = (
+        raw.withColumn(
+            "batch_tsp",
+            F.try_to_timestamp(
+                F.substring("file_nm", 9, 12), F.lit("yyyyMMddHHmm")
+            ),
+        )
+        .withWatermark("batch_tsp", "72 hours")
+        .dropDuplicatesWithinWatermark(["file_nm", "pat_enc_csn_id"])
+        .drop("batch_tsp")
+    )
+    return cast_census(
+        deduped, now=_dt.datetime(*_BRONZE_NOW_ARGS, tzinfo=_dt.timezone.utc)
+    )
+
+
+def drain_bronze_stream(
+    spark: SparkSession,
+    typed: DataFrame,
+    ledger: DataFrame,
+    bronze_path: str,
+    checkpoint_dir: str,
+    run_id: int = 7,
+) -> None:
+    """foreachBatch landing: per micro-batch, anti-join the
+    processed-file ledger (T2) then ``append_versioned`` (K1/K3) —
+    the exact batch landing, driven by the stream.  AvailableNow
+    drains everything then stops; the file-source checkpoint carries
+    exactly-once across restarts (a second drain from the same
+    checkpoint lands nothing twice)."""
+    import datetime as _dt
+
+    from ..operators.snapshots import unprocessed_only
+    from ..sinks.writers import append_versioned
+
+    now = _dt.datetime(*_BRONZE_NOW_ARGS, tzinfo=_dt.timezone.utc)
+
+    def _land(batch_df: DataFrame, _batch_id: int) -> None:
+        append_versioned(
+            unprocessed_only(batch_df, ledger, "file_nm"),
+            bronze_path,
+            run_id=run_id,
+            now=now,
+        )
+
+    q = (
+        typed.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_land)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def q_streaming_bronze_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BRONZE INGEST — the one reference journey whose
+    streaming form was pytest-only until round 13: the Auto-Loader
+    analog of the landing path.  File-source CSV stream (the
+    checkpoint is the new-file ledger) → watermark-bounded row-dedup
+    → the shared typed-cast block → foreachBatch anti-join against
+    the ALREADY-PROCESSED ledger + ``append_versioned`` into bronze —
+    then the SAME per-file manifest as ``bronze_ingest_replay``, read
+    back from the written parquet, under the SAME DuckDB oracle
+    (ORACLE_BRONZE_INGEST): identical files, streamed landing,
+    value-identical bronze required."""
+    import tempfile
+
+    csv_dir = _synth_census_csvs(spark, sf_dir)
+    bronze = tempfile.mkdtemp(prefix="stream_bronze_out_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="stream_bronze_ckpt_")
+    typed = _stream_plan_bronze_ingest(spark, sf_dir, csv_dir=csv_dir)
+    ledger = spark.createDataFrame([(_BRONZE_FILE1,)], "file_nm STRING")
+    drain_bronze_stream(spark, typed, ledger, bronze, ckpt)
+    return _census_manifest(spark.read.parquet(bronze))
+
+
+AUX_QUERIES["streaming_bronze_ingest"] = q_streaming_bronze_ingest
+AUX_ORACLES["streaming_bronze_ingest"] = ORACLE_BRONZE_INGEST
+STREAMING_PLAN_BUILDERS["streaming_bronze_ingest"] = _stream_plan_bronze_ingest
 
 assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
