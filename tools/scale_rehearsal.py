@@ -622,6 +622,20 @@ DISJOINT_HEAVY = [
     # state is leaking across rounds.
     "harmonic_centrality",
     "shortest_paths",
+    # round-13 (r12 verdict task 3): the two composed exhibits whose
+    # only x10/x30 evidence was the densifying shared fixture
+    # (eval_safe_split_plan alpha=0.81, source_health alpha=0.675 —
+    # both bounded above, not measured).  On the disjoint fixture
+    # cross-replica shingle overlap is zero, so near-dup clusters /
+    # dup panels replicate instead of densifying and the exponent
+    # measures the plans (the incremental_dedup closure precedent,
+    # r11: 1.49 -> 0.612).
+    "eval_safe_split_plan",
+    "source_health",
+    # round-13 exhibit (r12 verdict task 5): the crawl-refresh loop's
+    # scale row — its near-dup stage is increment-vs-standing, which
+    # the shared fixture would densify exactly like incremental_dedup
+    "crawl_refresh_loop",
 ]
 
 
