@@ -370,10 +370,15 @@ BENCH_QUERIES = [
     "source_health",
     "multimodal_roundtrip",
     "diverse_retrieval",
+    # round-13 composition exhibit: the crawl-refresh operational loop
+    "crawl_refresh_loop",
     # bronze_ingest_replay is deliberately NOT benched: its CSV
     # fixture synthesis (driver-side test scaffolding) would dominate
     # the timing; the measured-path operators (CSV scan, anti-join,
-    # versioned write) are benched via their own rows
+    # versioned write) are benched via their own rows.  Its r13
+    # streaming twin (streaming_bronze_ingest) is unbenched for the
+    # same reason (same synthesized fixture) plus the streaming-row
+    # policy: streaming_shard_feed is the one timed streaming row.
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact
