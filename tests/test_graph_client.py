@@ -291,3 +291,51 @@ def test_download_omits_bearer_token_on_presigned_url():
         h.get("Authorization", "").startswith("Bearer ")
         for h in graph_headers
     )
+
+
+def test_next_link_loop_detected(monkeypatch):
+    """A server replaying the same @odata.nextLink must raise, not
+    loop forever (ADVICE r12 — the transport is untrusted network
+    input)."""
+    tr = FakeTransport()
+    first = f"{G}/sites/{SITE}/drive/items/doc-id/children"
+    loop = f"{first}?$skiptoken=again"
+    tr.fixtures[("GET", first)] = (
+        200,
+        {"value": [{"id": "x", "name": "a.txt"}], "@odata.nextLink": loop},
+    )
+    tr.fixtures[("GET", loop)] = (
+        200,
+        {"value": [{"id": "y", "name": "b.txt"}], "@odata.nextLink": loop},
+    )
+    c = _client(tr)
+    with pytest.raises(GraphError, match="nextLink loop"):
+        c.child_id("doc-id", "nope.xlsx")
+    # the loop was cut on its first repeat: 1 token POST + 2 GETs
+    assert len([u for m, u in tr.calls if m == "GET"]) == 2
+
+
+def test_next_link_page_cap(monkeypatch):
+    """An endless chain of FRESH nextLinks (no repeats) is cut by the
+    page cap instead of chasing forever."""
+
+    class EndlessTransport(FakeTransport):
+        def __call__(self, method, url, headers, data):
+            self.calls.append((method, url))
+            if url.endswith("/token"):
+                return super().__call__(method, url, headers, data)
+            n = len(self.calls)
+            return 200, json.dumps(
+                {
+                    "value": [{"id": f"i{n}", "name": f"f{n}.txt"}],
+                    "@odata.nextLink": f"{G}/page/{n}",
+                }
+            ).encode()
+
+    tr = EndlessTransport()
+    c = _client(tr)
+    monkeypatch.setattr(type(c), "_MAX_CHILD_PAGES", 5)
+    with pytest.raises(GraphError, match="exceeded 5 pages"):
+        c.child_id("doc-id", "nope.xlsx")
+    # exactly cap-many child pages were fetched (plus the token POST)
+    assert len([u for m, u in tr.calls if m == "GET"]) == 5
