@@ -1424,3 +1424,133 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-13 exhibit 3: maintenance cycle (M1-M4 under the hash
+# --- gate — the r12 bronze_ingest_replay move applied to the
+# --- reference's table-optimization notebook)
+
+
+def q_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTENANCE CYCLE — the reference's table-optimization journey
+    (code/ukg_tbl_optmztn.py:14-85: OPTIMIZE + retention DELETE +
+    VACUUM over the versioned tables), previously pytest-only, now
+    under the DuckDB hash gate end to end:
+
+    five versioned run batches (run r = the ``o_orderkey % 5 == r-1``
+    slice of orders, landed at ``base + r days`` with the K3 audit
+    quintet, 8 small files each — the small-file problem OPTIMIZE
+    exists for) are appended into a scratch table; then the cycle
+    runs: **M2 retention** (2-day window anchored at base+5d — the
+    cutoff lands exactly between run 2 and run 3, so runs 1-2 must
+    vanish and 3-5 survive byte-exactly), **M1 compaction** (40 tiny
+    files collapse to 1 — the return value rides the manifest and the
+    oracle asserts it), **M3 vacuum** (every Hadoop ``.crc`` shadow
+    file removed — the on-disk survivor count rides the manifest),
+    **M4 DDL** (drop-and-create an external table over the compacted
+    path; the manifest READS THROUGH the registered table name, so a
+    broken LOCATION fails the hash).
+
+    The oracle recomputes the surviving runs arithmetically from
+    ``orders``; hash-green therefore proves retention dropped exactly
+    the expired runs, compaction preserved every surviving row and
+    value, the audit columns landed, and the DDL resolves.
+
+    Scale shape: the appends, the retention rewrite, and the
+    compaction coalesce are all distributed jobs over the scratch
+    table; only the file-count probes (os.walk over a bounded dir)
+    and the DDL are driver-side control plane."""
+    import datetime as _dt
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators import maintenance
+    from ..sinks.writers import append_versioned
+    from ..sources.registry import load_table
+
+    base = _dt.datetime(2024, 3, 1, 12, 0, tzinfo=_dt.timezone.utc)
+    table = tempfile.mkdtemp(prefix="maint_cycle_") + "/t"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for r in range(1, 6):
+        batch = orders.filter(F.col("o_orderkey") % 5 == r - 1).repartition(8)
+        append_versioned(
+            batch, table, run_id=r, now=base + _dt.timedelta(days=r)
+        )
+    kept_rows = maintenance.retention_delete(
+        spark,
+        table,
+        ts_col="row_insert_tsp",
+        retention_days=2,
+        now=base + _dt.timedelta(days=5),
+    )
+    n_files = maintenance.compact(spark, table, target_file_mb=128)
+    maintenance.vacuum(table)
+    crc_after = sum(
+        1
+        for dp, _, fs in os.walk(table)
+        for f in fs
+        if f.startswith(".") and f.endswith(".crc")
+    )
+    name = f"maint_cycle_{uuid.uuid4().hex[:8]}"
+    maintenance.create_table_ddl(
+        spark,
+        name,
+        "o_orderkey BIGINT, o_totalprice DOUBLE, run_id BIGINT, "
+        "row_insert_tsp TIMESTAMP, row_updt_tsp TIMESTAMP, "
+        "insert_user_id STRING, updt_user_id STRING",
+        table,
+    )
+    out = (
+        spark.table(name)
+        .groupBy("run_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.countDistinct("insert_user_id").cast("long").alias("n_users"),
+            F.max(F.to_date("row_insert_tsp")).cast("string").alias(
+                "insert_day"
+            ),
+        )
+        .withColumn("kept_rows", F.lit(int(kept_rows)).cast("long"))
+        .withColumn("n_files_after", F.lit(int(n_files)).cast("long"))
+        .withColumn("crc_after", F.lit(int(crc_after)).cast("long"))
+    )
+    # the scratch registration must not leak into later queries
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return out
+
+
+ORACLE_MAINTENANCE_CYCLE = """
+WITH runs AS (
+    SELECT r.r AS run_id, o.o_orderkey, o.o_totalprice
+    FROM orders o
+    JOIN (SELECT unnest([3, 4, 5]) AS r) r
+      ON o.o_orderkey % 5 = r.r - 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS kept FROM runs)
+SELECT run_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(1 AS BIGINT) AS n_users,
+       strftime(DATE '2024-03-01' + to_days(CAST(run_id AS INT)),
+                '%Y-%m-%d') AS insert_day,
+       tot.kept AS kept_rows,
+       CAST(1 AS BIGINT) AS n_files_after,
+       CAST(0 AS BIGINT) AS crc_after
+FROM runs, tot
+GROUP BY run_id, tot.kept
+"""
+
+
+AUX_QUERIES["maintenance_cycle"] = q_maintenance_cycle
+AUX_ORACLES["maintenance_cycle"] = ORACLE_MAINTENANCE_CYCLE
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -379,6 +379,8 @@ BENCH_QUERIES = [
     # streaming twin (streaming_bronze_ingest) is unbenched for the
     # same reason (same synthesized fixture) plus the streaming-row
     # policy: streaming_shard_feed is the one timed streaming row.
+    # maintenance_cycle (r13) is likewise unbenched: its cost is the
+    # scratch-table append/rewrite scaffolding, not a query plan.
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact

@@ -631,6 +631,12 @@ DISJOINT_HEAVY = [
     # measures the plans (the incremental_dedup closure precedent,
     # r11: 1.49 -> 0.612).
     "eval_safe_split_plan",
+    # ...and its three stage rows on the SAME fixture, so the
+    # composed exponent decomposes into named stages (banding join /
+    # CC rounds / contamination grams) instead of being argued
+    "minhash_lsh_pairs",
+    "dedup_components",
+    "contamination",
     "source_health",
     # round-13 exhibit (r12 verdict task 5): the crawl-refresh loop's
     # scale row — its near-dup stage is increment-vs-standing, which
