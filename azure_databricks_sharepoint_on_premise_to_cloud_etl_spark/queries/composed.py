@@ -1554,3 +1554,192 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-13 exhibit 4: REST workload round-trip (S5 + S4 + K5 +
+# --- R1-R3 + R6 under the hash gate — the last transport-backed
+# --- family that was pytest-only)
+
+
+def q_rest_workload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST WORKLOAD ROUND-TRIP — the reference's API-ingest journey
+    (entry point B: token → qualifier batches → QBE POST → JSON
+    normalize → versioned persist → status-gated POST-back), run end
+    to end against CANNED DETERMINISTIC transports and checked by one
+    fused DuckDB oracle over ``nation``:
+
+    1. **qualifiers** = the 25 nation names keyed by ``n_nationkey``
+       (control-plane sized, the reference's get_valid_qualifiers
+       shape);
+    2. **S5 fetch with the full reliability ladder**
+       (``plans.workload.ingest_workload`` → ``fetch_documents``):
+       the fetch transport 500s ANY request containing a dud
+       qualifier (``n_nationkey % 14 == 3`` → nations 3 and 17), so
+       batch 1 and batch 2 (size 10) must shrink-to-1 (R2), the two
+       duds must land in the skip-and-log ledger (R3), and batch 3
+       must succeed WHOLE (R1 happy path) — 19 documents total, each
+       synthesizing workload children per (qualifier, day, zone) as
+       arithmetic functions of the nation key;
+    3. **S4 normalize + K1 persist**: the explode-based
+       ``normalize_workload`` master lands via ``append_versioned``;
+       the aggregate below reads it BACK from parquet;
+    4. **K5/R6 status-gated POST-back**: the per-(day, zone) rollup
+       posts through a transport whose FIRST call 500s (forcing the
+       sink's own shrink-to-1 — 5 transport calls exactly), and only
+       after every row ultimately succeeds does the audit append run;
+       the manifest reads the AUDIT table back, so a broken R6
+       ordering (audit-before-success) or a silent partial POST
+       fails the hash.
+
+    Output: one row per (day, zone) from the audit read-back, each
+    carrying the journey's ledger counters (fetch successes/failures,
+    POST attempts, gate outcome).  The oracle recomputes everything
+    arithmetically from ``nation`` minus the two planted duds."""
+    import datetime as _dt
+    import json as _json
+    import tempfile
+
+    from ..plans.workload import ingest_workload
+    from ..sinks.rest_sink import post_then_audit
+    from ..sinks.writers import append_versioned
+    from ..sources.registry import load_table
+
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    key_of = {r["n_name"]: int(r["n_nationkey"]) for r in nations}
+    qualifiers = [r["n_name"] for r in nations]
+
+    def fetch_transport(url: str, body: str) -> tuple[int, str]:
+        req = _json.loads(body)
+        ks = [key_of[q] for q in req["from"]["locations"]["qualifiers"]]
+        if any(k % 14 == 3 for k in ks):
+            return 500, "planted dud qualifier"
+        children = []
+        for k in ks:
+            q = qualifiers[k]
+            for d in (1, 2):
+                for z in (1, 2):
+                    children.append(
+                        {
+                            "key": {
+                                "SCHEDULE_COVERAGE_SCHEDULED_COUNT": str(
+                                    k * z + d
+                                ),
+                                "SCHEDULE_WORKLOAD_PLANNED_COUNT": str(
+                                    k + 3 * z + d
+                                ),
+                            },
+                            "coreEntityKey": {
+                                "ORG": {"id": str(k), "qualifier": q},
+                                "DAY": {"id": f"2024-05-0{d}"},
+                                "SCH_ZONE": {
+                                    "id": str(z),
+                                    "qualifier": f"Z{z}",
+                                },
+                            },
+                            "attributes": [],
+                        }
+                    )
+        return 200, _json.dumps({"data": {"children": children}})
+
+    scratch = tempfile.mkdtemp(prefix="rest_wl_")
+    now = _dt.datetime(2024, 5, 3, 6, 0, tzinfo=_dt.timezone.utc)
+    _m, _c, fetch_report = ingest_workload(
+        spark,
+        "https://fake.example/workload",
+        fetch_transport,
+        qualifiers,
+        "2024-05-01",
+        "2024-05-02",
+        f"{scratch}/master",
+        f"{scratch}/child",
+        run_id=9,
+        now=now,
+        batch_size=10,
+    )
+    agg = (
+        spark.read.parquet(f"{scratch}/master")
+        .groupBy("day_id", "schdl_zn_id")
+        .agg(
+            F.countDistinct("org_qlfr").cast("long").alias("n_orgs"),
+            F.sum(F.col("schdl_covge_schdld_cnt").cast("long"))
+            .cast("long")
+            .alias("sum_sched"),
+            F.sum(F.col("schdl_wrkload_plnd_cnt").cast("long"))
+            .cast("long")
+            .alias("sum_plan"),
+        )
+    )
+
+    post_calls = {"n": 0}
+
+    def post_transport(url: str, body: str) -> tuple[int, str]:
+        post_calls["n"] += 1
+        if post_calls["n"] == 1:
+            return 503, "transient"
+        return 200, "ok"
+
+    result = post_then_audit(
+        agg,
+        "https://fake.example/postback",
+        post_transport,
+        lambda df: append_versioned(
+            df, f"{scratch}/audit", run_id=9, now=now
+        ),
+        batch_size=3,
+    )
+    audit = spark.read.parquet(f"{scratch}/audit")
+    return audit.select(
+        F.col("day_id").cast("string").alias("day_id"),
+        F.col("schdl_zn_id").cast("int").alias("zone_id"),
+        "n_orgs",
+        "sum_sched",
+        "sum_plan",
+    ).withColumns(
+        {
+            "n_fetch_ok": F.lit(len(fetch_report.succeeded)).cast("long"),
+            "n_fetch_failed": F.lit(len(fetch_report.failed)).cast("long"),
+            "n_post_calls": F.lit(len(result.responses)).cast("long"),
+            "post_gate_ok": F.lit(int(result.report.ok)).cast("long"),
+        }
+    )
+
+
+# Ledger arithmetic, mirrored: batches of 10 over keys 0..24 →
+# [0-9] and [10-19] each contain one dud (3, 17) so they shrink to
+# singles (9 fetch successes each), [20-24] passes whole; POST-back is
+# 4 rows in batches of 3 → first call 503s, 3 single retries, then the
+# final 1-row batch: 5 calls, gate open.
+ORACLE_REST_WORKLOAD = """
+WITH q AS (
+    SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 14 <> 3
+),
+grid AS (
+    SELECT k, z.z AS z, d.d AS d
+    FROM q, (SELECT unnest([1, 2]) AS z) z, (SELECT unnest([1, 2]) AS d) d
+)
+SELECT '2024-05-0' || CAST(d AS VARCHAR) AS day_id,
+       CAST(z AS INT) AS zone_id,
+       CAST(count(*) AS BIGINT) AS n_orgs,
+       CAST(sum(k * z + d) AS BIGINT) AS sum_sched,
+       CAST(sum(k + 3 * z + d) AS BIGINT) AS sum_plan,
+       CAST(23 AS BIGINT) AS n_fetch_ok,
+       CAST(2 AS BIGINT) AS n_fetch_failed,
+       CAST(5 AS BIGINT) AS n_post_calls,
+       CAST(1 AS BIGINT) AS post_gate_ok
+FROM grid
+GROUP BY d, z
+"""
+
+
+AUX_QUERIES["rest_workload_roundtrip"] = q_rest_workload_roundtrip
+AUX_ORACLES["rest_workload_roundtrip"] = ORACLE_REST_WORKLOAD
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
