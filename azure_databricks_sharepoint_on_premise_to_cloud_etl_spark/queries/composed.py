@@ -1743,3 +1743,269 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
     "every AUX entry needs an oracle twin: "
     f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
 )
+
+
+# --- round-13 exhibit 5: SharePoint mapping-refresh gate (S6 + S7 +
+# --- T4 + K4 under the hash gate — entry point C with the REAL Graph
+# --- client walk against a canned transport)
+
+
+def q_mapping_refresh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAPPING-REFRESH GATE — the reference's SharePoint journey
+    (entry point C: Graph OAuth → drive walk → last-modified gate →
+    workbook download → clean/cast → versioned append → watermark
+    commit), run THREE times against a canned deterministic Graph
+    transport and checked by one fused oracle over ``region``:
+
+    - **run 1** (no watermark): the real ``GraphClient`` walks
+      token → root → folder → item, probes lastModifiedDateTime,
+      downloads via the pre-signed URL (S6), and
+      ``plans.mapping.refresh_mapping`` ingests — the malformed
+      ``X9`` id must try_cast to NULL and be dropped (P5), the
+      watermark commits only AFTER the append (the R6 ordering);
+    - **run 2** (same mtime): the metadata-only probe must skip the
+      ENTIRE pipeline — the download counter proves the payload was
+      never fetched (T4/S7, the reference's early exit);
+    - **run 3** (newer mtime, one extra row): re-ingest under a new
+      RUN_ID.
+
+    The manifest reads the table back through ``latest_snapshot``
+    (K4) — so stale-snapshot leakage, a skipped run that should have
+    ingested, a double download, or a watermark committed at the
+    wrong time each break the hash via the per-group counts or the
+    ledger counters (n_runs / n_downloads / n_skips)."""
+    import datetime as _dt
+    import json as _json
+    import tempfile
+
+    from ..operators.snapshots import latest_snapshot
+    from ..plans.mapping import refresh_mapping
+    from ..sources.graph_client import GraphClient
+    from ..sources.registry import load_table
+
+    SITE = "contoso.example,site-a,site-b"
+    G = "https://graph.microsoft.com/v1.0"
+    regions = (
+        load_table(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .collect()
+    )
+    rows_v1 = [
+        f"{100 + int(r['r_regionkey'])},DEPT_{r['r_name']},"
+        f"{'YES' if int(r['r_regionkey']) % 2 == 0 else 'NO'}"
+        for r in regions
+    ] + ["X9,DEPT_BAD,NO"]
+    csv_v1 = ("EPIC_DEPT_ID,DEPT_BUS_STRCTR,FRCST_YN\n"
+              + "\n".join(rows_v1) + "\n").encode()
+    csv_v2 = csv_v1 + b"105,DEPT_NEW,YES\n"
+    state = {
+        "mtime": "2024-06-01T08:00:00Z",
+        "payload": csv_v1,
+        "downloads": 0,
+    }
+
+    def transport(method, url, headers=None, data=None):
+        if method == "POST":
+            return 200, _json.dumps(
+                {"token_type": "Bearer", "expires_in": 3599,
+                 "access_token": "tok"}
+            ).encode()
+        fixtures = {
+            f"{G}/sites/{SITE}/drive/root": {"id": "root-id"},
+            f"{G}/sites/{SITE}/drive/items/root-id/children": {
+                "value": [{"id": "map-dir", "name": "Mapping"}]
+            },
+            f"{G}/sites/{SITE}/drive/items/map-dir/children": {
+                "value": [{"id": "item-id", "name": "mapping.xlsx"}]
+            },
+            f"{G}/sites/{SITE}/drive/items/item-id"
+            "?select=lastModifiedDateTime": {
+                "lastModifiedDateTime": state["mtime"]
+            },
+            f"{G}/sites/{SITE}/drive/items/item-id/"
+            "?select=id,@microsoft.graph.downloadUrl": {
+                "id": "item-id",
+                "@microsoft.graph.downloadUrl": "https://dl.example/map",
+            },
+        }
+        if url == "https://dl.example/map":
+            state["downloads"] += 1
+            return 200, state["payload"]
+        return 200, _json.dumps(fixtures[url]).encode()
+
+    client = GraphClient(
+        tenant_id="tid", client_id="cid", client_secret="s",
+        site_id=SITE, transport=transport,
+    )
+    fetcher = client.fetcher("Mapping", "mapping.xlsx")
+
+    def probe():
+        return client.last_modified(client.item_id("Mapping", "mapping.xlsx"))
+
+    scratch = tempfile.mkdtemp(prefix="map_gate_")
+    control, table = f"{scratch}/control", f"{scratch}/table"
+    r1 = refresh_mapping(
+        spark, fetcher, control, table,
+        now=_dt.datetime(2024, 6, 1, 9, 0, tzinfo=_dt.timezone.utc),
+        probe=probe,
+    )
+    r2 = refresh_mapping(
+        spark, fetcher, control, table,
+        now=_dt.datetime(2024, 6, 1, 15, 0, tzinfo=_dt.timezone.utc),
+        probe=probe,
+    )
+    state["mtime"] = "2024-06-02T08:00:00Z"
+    state["payload"] = csv_v2
+    r3 = refresh_mapping(
+        spark, fetcher, control, table,
+        now=_dt.datetime(2024, 6, 2, 9, 0, tzinfo=_dt.timezone.utc),
+        probe=probe,
+    )
+    assert r1 is not None and r2 is None and r3 is not None
+    full = spark.read.parquet(table)
+    n_runs = full.select("run_id").distinct().count()
+    latest = latest_snapshot(full, "run_id")
+    return (
+        latest.groupBy("frcst_yn")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_depts"),
+            F.min("epic_dept_id").cast("long").alias("min_id"),
+            F.max("epic_dept_id").cast("long").alias("max_id"),
+        )
+        .withColumns(
+            {
+                "n_runs": F.lit(int(n_runs)).cast("long"),
+                "n_downloads": F.lit(int(state["downloads"])).cast("long"),
+                "n_skips": F.lit(int(r2 is None)).cast("long"),
+            }
+        )
+    )
+
+
+ORACLE_MAPPING_REFRESH_GATE = """
+WITH rows AS (
+    SELECT 100 + r_regionkey AS id,
+           CASE WHEN r_regionkey % 2 = 0 THEN 'YES' ELSE 'NO' END AS f
+    FROM region
+    UNION ALL SELECT 105, 'YES'
+)
+SELECT f AS frcst_yn,
+       CAST(count(*) AS BIGINT) AS n_depts,
+       CAST(min(id) AS BIGINT) AS min_id,
+       CAST(max(id) AS BIGINT) AS max_id,
+       CAST(2 AS BIGINT) AS n_runs,
+       CAST(2 AS BIGINT) AS n_downloads,
+       CAST(1 AS BIGINT) AS n_skips
+FROM rows
+GROUP BY f
+"""
+
+
+AUX_QUERIES["mapping_refresh_gate"] = q_mapping_refresh_gate
+AUX_ORACLES["mapping_refresh_gate"] = ORACLE_MAPPING_REFRESH_GATE
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)
+
+
+# --- round-13 exhibit 6: alerting round-trip (K6 + R4 under the hash
+# --- gate — the notification edge that was pytest-only)
+
+
+def q_alerting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERTING ROUND-TRIP — the notification edge (K6 expiration
+    alert + R4 failure alert, the reference's SMTP side-channel) under
+    the hash gate via the injectable mailer:
+
+    a qualifier fetch over the 25 nation names runs against a
+    transport that 500s the planted duds (``n_nationkey % 14 == 3``),
+    and the resulting skip-and-log ledger feeds ``failure_alert``;
+    ``expiration_alert`` fires for the nations whose key ``% 5 == 0``
+    (the expiring-zones shape).  The manifest is built FROM THE
+    CAPTURED MESSAGES — one row per mail with its kind, recipient
+    count, and the number of ``<li>`` items in the HTML body — so a
+    silent alert, a dropped failure row, or a malformed body breaks
+    the hash.  The oracle recomputes both item counts from ``nation``
+    arithmetic."""
+    import json as _json
+
+    from ..sinks.notify import (
+        CapturingMailer,
+        expiration_alert,
+        failure_alert,
+    )
+    from ..sources.registry import load_table
+    from ..sources.rest_source import fetch_documents
+
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    key_of = {r["n_name"]: int(r["n_nationkey"]) for r in nations}
+    qualifiers = [r["n_name"] for r in nations]
+
+    def transport(url: str, body: str) -> tuple[int, str]:
+        req = _json.loads(body)
+        ks = [key_of[q] for q in req["from"]["locations"]["qualifiers"]]
+        if any(k % 14 == 3 for k in ks):
+            return 500, "planted dud"
+        return 200, _json.dumps({"data": {"children": []}})
+
+    _docs, report = fetch_documents(
+        "https://fake.example/workload",
+        transport,
+        ("A", "B"),
+        qualifiers,
+        "2024-05-01",
+        "2024-05-02",
+        batch_size=5,
+    )
+    mailer = CapturingMailer()
+    failure_alert(
+        mailer,
+        "noreply@engine",
+        ["ops@example", "lead@example"],
+        report.failed,
+        context="workload fetch",
+    )
+    expiration_alert(
+        mailer,
+        "noreply@engine",
+        ["ops@example"],
+        [q for q in qualifiers if key_of[q] % 5 == 0],
+    )
+    rows = [
+        (
+            "failure" if "failure(s)" in m.subject else "expiration",
+            len(m.recipients),
+            m.html_body.count("<li>"),
+        )
+        for m in mailer.sent
+    ]
+    return spark.createDataFrame(
+        rows, "kind STRING, n_recipients INT, n_items INT"
+    )
+
+
+ORACLE_ALERTING = """
+SELECT 'failure' AS kind, CAST(2 AS INT) AS n_recipients,
+       CAST(count(*) AS INT) AS n_items
+FROM nation WHERE n_nationkey % 14 = 3
+UNION ALL
+SELECT 'expiration', CAST(1 AS INT), CAST(count(*) AS INT)
+FROM nation WHERE n_nationkey % 5 = 0
+"""
+
+
+AUX_QUERIES["alerting_roundtrip"] = q_alerting_roundtrip
+AUX_ORACLES["alerting_roundtrip"] = ORACLE_ALERTING
+
+assert set(AUX_ORACLES) == set(AUX_QUERIES), (
+    "every AUX entry needs an oracle twin: "
+    f"{set(AUX_ORACLES) ^ set(AUX_QUERIES)}"
+)

@@ -381,8 +381,9 @@ BENCH_QUERIES = [
     # policy: streaming_shard_feed is the one timed streaming row.
     # maintenance_cycle (r13) is likewise unbenched: its cost is the
     # scratch-table append/rewrite scaffolding, not a query plan.
-    # rest_workload_roundtrip (r13): same policy — canned-transport +
-    # scratch-append scaffolding dominates its wall-clock.
+    # rest_workload_roundtrip / mapping_refresh_gate /
+    # alerting_roundtrip (r13): same policy — canned-transport +
+    # scratch-append scaffolding dominates their wall-clock.
 ]
 
 # The cross-round COMPARABLE basis (BASELINE.md "Bench artifact

@@ -82,3 +82,36 @@ def test_change_gate_tz_aware_mtime_and_probe(spark, tmp_path):
         is None
     )
     assert len(downloads) == n_before  # fetcher never called
+
+
+def test_failed_ingest_does_not_advance_watermark(spark, tmp_path, monkeypatch):
+    """The commit-after-append ordering (refresh_mapping's R6-style
+    discipline): when the versioned append raises, the change-gate
+    watermark must NOT advance — the next run with the SAME remote
+    mtime must retry the ingest instead of skipping it forever."""
+    import pytest
+
+    control = str(tmp_path / "control")
+    table = str(tmp_path / "mapping")
+    t1 = dt.datetime(2023, 4, 12, 14, 30)
+    remote = RemoteFile(content=CSV_V1, last_modified=t1)
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(mapping, "append_versioned", boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        mapping.refresh_mapping(
+            spark, lambda: remote, control, table, now=t1
+        )
+    monkeypatch.undo()
+    # same mtime, healthy writer: the gate must let the retry through
+    out = mapping.refresh_mapping(
+        spark, lambda: remote, control, table, now=t1
+    )
+    assert out is not None and out.count() == 2  # NULL-key rows dropped
+    # and only now is the watermark committed: a third run skips
+    assert (
+        mapping.refresh_mapping(spark, lambda: remote, control, table, now=t1)
+        is None
+    )
