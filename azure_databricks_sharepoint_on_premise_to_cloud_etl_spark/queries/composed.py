@@ -900,7 +900,6 @@ def _stream_plan_bronze_ingest(
 
 
 def drain_bronze_stream(
-    spark: SparkSession,
     typed: DataFrame,
     ledger: DataFrame,
     bronze_path: str,
@@ -910,9 +909,19 @@ def drain_bronze_stream(
     """foreachBatch landing: per micro-batch, anti-join the
     processed-file ledger (T2) then ``append_versioned`` (K1/K3) —
     the exact batch landing, driven by the stream.  AvailableNow
-    drains everything then stops; the file-source checkpoint carries
-    exactly-once across restarts (a second drain from the same
-    checkpoint lands nothing twice)."""
+    drains everything then stops; on a CLEAN restart the file-source
+    checkpoint ensures a second drain lands nothing twice (the pytest
+    pins this).
+
+    Delivery contract, stated honestly: foreachBatch with a
+    non-idempotent parquet append is AT-LEAST-ONCE under mid-batch
+    failure — a crash after the append but before the checkpoint
+    commits re-runs that micro-batch on restart and appends its rows
+    again.  A production landing makes ``_land`` idempotent by keying
+    on the batch id (write to ``{bronze}/batch_id={id}`` with
+    overwrite, or a committed-batch marker checked before writing);
+    on Delta the reference's own ``txnAppId``/``txnVersion`` options
+    do this natively (r13 review)."""
     import datetime as _dt
 
     from ..operators.snapshots import unprocessed_only
@@ -955,7 +964,7 @@ def q_streaming_bronze_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_bronze_ckpt_")
     typed = _stream_plan_bronze_ingest(spark, sf_dir, csv_dir=csv_dir)
     ledger = spark.createDataFrame([(_BRONZE_FILE1,)], "file_nm STRING")
-    drain_bronze_stream(spark, typed, ledger, bronze, ckpt)
+    drain_bronze_stream(typed, ledger, bronze, ckpt)
     return _census_manifest(spark.read.parquet(bronze))
 
 
@@ -1155,14 +1164,22 @@ def q_crawl_refresh_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes the whole sig/band/verify pipeline ONCE — without
     # it both branches re-derive the corpus-side artifacts (the plan
     # audit reads the dedup's 12 scan references twice)
-    statuses = dedup.incremental_dedup(
+    raw_statuses = dedup.incremental_dedup(
         increment,
         old,
         k=_MINHASH_K,
         num_hashes=_MINHASH_N,
         bands=_MINHASH_BANDS,
         threshold=_INC_THRESHOLD,
-    ).localCheckpoint(eager=True)
+    )
+    statuses = raw_statuses.localCheckpoint(eager=True)
+    # the eager checkpoint has fully consumed the dedup result, so the
+    # operator's internally persisted increment artifact frame can be
+    # freed NOW — localCheckpoint returns a new DataFrame without the
+    # _persisted_intermediates release hook, so without this the
+    # MEMORY_AND_DISK shingle frame would leak per call (r13 review)
+    for _df in getattr(raw_statuses, "_persisted_intermediates", []):
+        _df.unpersist()
     dd = statuses.agg(
         F.sum((F.col("status") == "exact_dup").cast("long")).alias(
             "n_exact_dup"
@@ -1560,6 +1577,43 @@ assert set(AUX_ORACLES) == set(AUX_QUERIES), (
 # --- R1-R3 + R6 under the hash gate — the last transport-backed
 # --- family that was pytest-only)
 
+# The planted-dud rule for the canned fetch transports: a request is
+# 500'd when it contains a qualifier whose nation key % 14 == 3
+# (nations 3 and 17).  ONE definition — the rest_workload and
+# alerting exhibits AND both their oracles reference this modulus, so
+# changing the plant cannot desynchronize them (r13 review).
+_REST_DUD_MOD = 14
+
+
+def _nation_qualifiers(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[str], dict[str, int]]:
+    """The 25 nation names ordered by key (control-plane sized — the
+    reference's get_valid_qualifiers shape), plus the name→key map the
+    canned transports close over."""
+    from ..sources.registry import load_table
+
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    key_of = {r["n_name"]: int(r["n_nationkey"]) for r in nations}
+    return [r["n_name"] for r in nations], key_of
+
+
+def _requested_keys(body: str, key_of: dict[str, int]) -> list[int]:
+    """Nation keys named by a QBE request body."""
+    import json as _json
+
+    req = _json.loads(body)
+    return [key_of[q] for q in req["from"]["locations"]["qualifiers"]]
+
+
+def _has_dud(ks: list[int]) -> bool:
+    return any(k % _REST_DUD_MOD == 3 for k in ks)
+
 
 def q_rest_workload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REST WORKLOAD ROUND-TRIP — the reference's API-ingest journey
@@ -1602,21 +1656,12 @@ def q_rest_workload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.workload import ingest_workload
     from ..sinks.rest_sink import post_then_audit
     from ..sinks.writers import append_versioned
-    from ..sources.registry import load_table
 
-    nations = (
-        load_table(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_name")
-        .orderBy("n_nationkey")
-        .collect()
-    )
-    key_of = {r["n_name"]: int(r["n_nationkey"]) for r in nations}
-    qualifiers = [r["n_name"] for r in nations]
+    qualifiers, key_of = _nation_qualifiers(spark, sf_dir)
 
     def fetch_transport(url: str, body: str) -> tuple[int, str]:
-        req = _json.loads(body)
-        ks = [key_of[q] for q in req["from"]["locations"]["qualifiers"]]
-        if any(k % 14 == 3 for k in ks):
+        ks = _requested_keys(body, key_of)
+        if _has_dud(ks):
             return 500, "planted dud qualifier"
         children = []
         for k in ks:
@@ -1937,22 +1982,12 @@ def q_alerting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         expiration_alert,
         failure_alert,
     )
-    from ..sources.registry import load_table
     from ..sources.rest_source import fetch_documents
 
-    nations = (
-        load_table(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_name")
-        .orderBy("n_nationkey")
-        .collect()
-    )
-    key_of = {r["n_name"]: int(r["n_nationkey"]) for r in nations}
-    qualifiers = [r["n_name"] for r in nations]
+    qualifiers, key_of = _nation_qualifiers(spark, sf_dir)
 
     def transport(url: str, body: str) -> tuple[int, str]:
-        req = _json.loads(body)
-        ks = [key_of[q] for q in req["from"]["locations"]["qualifiers"]]
-        if any(k % 14 == 3 for k in ks):
+        if _has_dud(_requested_keys(body, key_of)):
             return 500, "planted dud"
         return 200, _json.dumps({"data": {"children": []}})
 

@@ -70,7 +70,7 @@ def _drain(spark, csv_dir, bronze, ckpt, ledger, mfpt=1):
     typed = _stream_plan_bronze_ingest(
         spark, sf_dir="unused", csv_dir=csv_dir, max_files_per_trigger=mfpt
     )
-    drain_bronze_stream(spark, typed, ledger, bronze, ckpt)
+    drain_bronze_stream(typed, ledger, bronze, ckpt)
 
 
 def test_multibatch_ledger_exactly_once(spark, bronze_env):
