@@ -905,37 +905,49 @@ def drain_bronze_stream(
     bronze_path: str,
     checkpoint_dir: str,
     run_id: int = 7,
+    idempotent: bool = False,
+    fault: "Callable[[int], None] | None" = None,
 ) -> None:
     """foreachBatch landing: per micro-batch, anti-join the
-    processed-file ledger (T2) then ``append_versioned`` (K1/K3) —
-    the exact batch landing, driven by the stream.  AvailableNow
+    processed-file ledger (T2) then land with the K1/K3 audit quintet
+    — the exact batch landing, driven by the stream.  AvailableNow
     drains everything then stops; on a CLEAN restart the file-source
     checkpoint ensures a second drain lands nothing twice (the pytest
     pins this).
 
-    Delivery contract, stated honestly: foreachBatch with a
-    non-idempotent parquet append is AT-LEAST-ONCE under mid-batch
-    failure — a crash after the append but before the checkpoint
-    commits re-runs that micro-batch on restart and appends its rows
-    again.  A production landing makes ``_land`` idempotent by keying
-    on the batch id (write to ``{bronze}/batch_id={id}`` with
-    overwrite, or a committed-batch marker checked before writing);
-    on Delta the reference's own ``txnAppId``/``txnVersion`` options
-    do this natively (r13 review)."""
+    Delivery contract: with ``idempotent=False`` (plain parquet
+    append) the landing is AT-LEAST-ONCE under mid-batch failure — a
+    crash after the append but before the checkpoint commits re-runs
+    that micro-batch on restart and appends its rows again.  With
+    ``idempotent=True`` each micro-batch OVERWRITES its own
+    batch-id-keyed partition directory
+    (``{bronze}/ingest_batch={id}``), so a replayed batch lands on
+    top of its previous attempt and the contract upgrades to
+    EXACTLY-ONCE — the parquet analog of Delta's
+    ``txnAppId``/``txnVersion`` idempotent writes, which a Databricks
+    deployment would use instead.  Both contracts are pinned by
+    fault-injection tests (tests/test_streaming_bronze_ingest.py).
+
+    ``fault`` is a test seam: called with the batch id AFTER the
+    write, INSIDE the foreachBatch body — raising there simulates the
+    crash-after-write-before-commit window."""
     import datetime as _dt
 
     from ..operators.snapshots import unprocessed_only
-    from ..sinks.writers import append_versioned
+    from ..sinks.writers import append_versioned, with_audit_columns
 
     now = _dt.datetime(*_BRONZE_NOW_ARGS, tzinfo=_dt.timezone.utc)
 
-    def _land(batch_df: DataFrame, _batch_id: int) -> None:
-        append_versioned(
-            unprocessed_only(batch_df, ledger, "file_nm"),
-            bronze_path,
-            run_id=run_id,
-            now=now,
-        )
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        gated = unprocessed_only(batch_df, ledger, "file_nm")
+        if idempotent:
+            with_audit_columns(gated, run_id=run_id, now=now).write.mode(
+                "overwrite"
+            ).parquet(f"{bronze_path}/ingest_batch={batch_id}")
+        else:
+            append_versioned(gated, bronze_path, run_id=run_id, now=now)
+        if fault is not None:
+            fault(batch_id)
 
     q = (
         typed.writeStream.trigger(availableNow=True)
@@ -964,7 +976,10 @@ def q_streaming_bronze_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_bronze_ckpt_")
     typed = _stream_plan_bronze_ingest(spark, sf_dir, csv_dir=csv_dir)
     ledger = spark.createDataFrame([(_BRONZE_FILE1,)], "file_nm STRING")
-    drain_bronze_stream(typed, ledger, bronze, ckpt)
+    # production-grade landing: batch-id-keyed overwrite, so the AUX
+    # row exercises the exactly-once form (the at-least-once append
+    # form is pinned separately by the fault-injection pytest)
+    drain_bronze_stream(typed, ledger, bronze, ckpt, idempotent=True)
     return _census_manifest(spark.read.parquet(bronze))
 
 

@@ -140,3 +140,89 @@ def test_streaming_equals_batch_manifest(spark):
         for r in q.AUX_QUERIES["streaming_bronze_ingest"](spark, sf).collect()
     }
     assert batch and batch == stream
+
+
+def _crash_then_redrain(spark, csv_dir, bronze, ckpt, ledger, idempotent):
+    """Drive the crash-after-write-before-commit window: the fault
+    seam raises INSIDE foreachBatch after the write of micro-batch 1
+    — the first batch that actually lands rows (batch 0 is the
+    pre-ledgered file, whose write is empty, so crashing there would
+    make the scenario vacuous) — failing the streaming query after
+    the data landed but before the checkpoint committed; the second
+    drain (no fault) replays that batch."""
+    state = {"fired": False}
+
+    def fault(batch_id):
+        if batch_id == 1 and not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash after write")
+
+    typed = _stream_plan_bronze_ingest(
+        spark, sf_dir="unused", csv_dir=csv_dir, max_files_per_trigger=1
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        drain_bronze_stream(
+            typed, ledger, bronze, ckpt, idempotent=idempotent, fault=fault
+        )
+    typed2 = _stream_plan_bronze_ingest(
+        spark, sf_dir="unused", csv_dir=csv_dir, max_files_per_trigger=1
+    )
+    drain_bronze_stream(typed2, ledger, bronze, ckpt, idempotent=idempotent)
+    return spark.read.parquet(bronze)
+
+
+def test_append_landing_is_at_least_once_under_midbatch_crash(
+    spark, bronze_env
+):
+    """The documented contract of the plain-append landing: a crash
+    between the write and the checkpoint commit replays the batch and
+    DUPLICATES its rows — the honest statement the docstring makes,
+    proven rather than assumed."""
+    csv_dir, bronze, ckpt, ledger = bronze_env
+    written = _crash_then_redrain(
+        spark, csv_dir, bronze, ckpt, ledger, idempotent=False
+    )
+    dupes = (
+        written.groupBy(
+            "file_nm", "pat_mrn_id", "bed_reqst_to_bed_asgnd", "pat_enc_csn_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dupes > 0, (
+        "expected the replayed micro-batch to duplicate rows under the "
+        "non-idempotent append landing"
+    )
+
+
+def test_idempotent_landing_is_exactly_once_under_midbatch_crash(
+    spark, bronze_env
+):
+    """The batch-id-keyed overwrite landing upgrades the contract to
+    exactly-once: the replayed batch lands on top of its previous
+    attempt, so the same crash leaves NO duplicates and the final
+    content equals a clean drain's."""
+    csv_dir, bronze, ckpt, ledger = bronze_env
+    written = _crash_then_redrain(
+        spark, csv_dir, bronze, ckpt, ledger, idempotent=True
+    )
+    dupes = (
+        written.groupBy(
+            "file_nm", "pat_mrn_id", "bed_reqst_to_bed_asgnd", "pat_enc_csn_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dupes == 0
+    by_file = {
+        r["file_nm"]: r["n"]
+        for r in written.groupBy("file_nm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_file == {
+        "census__202401011000.csv": 2,
+        "census__202401011200.csv": 2,
+    }
