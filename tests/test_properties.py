@@ -264,3 +264,131 @@ def test_weighted_priority_sample_k_bounds(spark, k, n):
     got = {r["doc_id"] for r in weighted_priority_sample(df, k, "w", "doc_id").collect()}
     assert len(got) == min(k, n)
     assert got <= set(range(n))
+
+
+# ---- round-13 journey-operator algebra (few examples, vectorized) ----
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),          # key
+            st.one_of(st.none(), st.integers(0, 3)),        # old attr
+        ),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+def test_cdc_diff_apply_identity_property(spark, old_rows, new_rows):
+    """cdc_apply(old, snapshot_diff(old, new)) == new for ARBITRARY
+    keyed snapshots — overlapping/disjoint key sets and NULL attribute
+    values included (the struct-packing presence-vs-NULL case the
+    operator's comment calls out).  The r12 exhibit proves this on one
+    fixture; this pins the algebra over randomized shapes."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import scd
+
+    old = spark.createDataFrame(old_rows, "key INT, v INT") if old_rows else (
+        spark.createDataFrame([], "key INT, v INT")
+    )
+    new = spark.createDataFrame(new_rows, "key INT, v INT") if new_rows else (
+        spark.createDataFrame([], "key INT, v INT")
+    )
+    feed = scd.snapshot_diff(old, new, "key", ["v"])
+    log = feed.select(
+        "key",
+        F.when(F.col("change_type") == "delete", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "v",
+        F.lit(1).alias("seq"),
+    )
+    rebuilt = scd.cdc_apply(old, log, "key", ["v"])
+    got = {(r["key"], r["v"]) for r in rebuilt.collect()}
+    want = set(new_rows)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40),  # token counts
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=5, max_value=60),      # pack budget
+)
+def test_pack_sequences_offset_algebra(spark, token_counts, budget):
+    """pack_sequences invariants on arbitrary corpora: every doc packs
+    exactly once, and each doc's pack_id equals
+    floor(prefix_offset / budget) under doc_id order within its shard
+    (the concat-and-chunk definition, restated independently)."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import sampling
+
+    rows = [
+        (i, i % 3, t) for i, t in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, shard INT, tokens INT")
+    out = sampling.pack_sequences(
+        df, token_col="tokens", budget=budget, shard_col="shard"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [r[0] for r in rows]
+    # independent prefix-sum recomputation
+    by_shard: dict[int, list] = {}
+    for i, shard, t in rows:
+        by_shard.setdefault(shard, []).append((i, t))
+    expect = {}
+    for shard, docs in by_shard.items():
+        off = 0
+        for i, t in sorted(docs):
+            expect[i] = off // budget
+            off += t
+    for r in out:
+        assert r["pack_id"] == expect[r["doc_id"]], (
+            f"doc {r['doc_id']}: pack {r['pack_id']} != {expect[r['doc_id']]}"
+        )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=20),
+        min_size=1, max_size=8,
+    )
+)
+def test_incremental_dedup_statuses_partition_the_increment(spark, texts):
+    """incremental_dedup invariants on arbitrary text: the output is
+    exactly one row per NEW doc; status is a partition into
+    exact_dup / near_dup / novel; match_id is NULL iff novel; and an
+    exact_dup's normalized text equals its match's normalized text."""
+    from azure_databricks_sharepoint_on_premise_to_cloud_etl_spark.operators import dedup
+
+    # new = odd ids, ref = even ids; texts assigned round-robin so
+    # cross-frame exact matches occur whenever hypothesis repeats text
+    rows = [(i, texts[i % len(texts)]) for i in range(2 * len(texts))]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    new_df = df.filter(F.col("doc_id") % 2 == 1)
+    ref_df = df.filter(F.col("doc_id") % 2 == 0)
+    out = dedup.incremental_dedup(new_df, ref_df, k=3, num_hashes=8, bands=4)
+    got = out.collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r[0] for r in rows if r[0] % 2 == 1
+    )
+    norm = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", dedup.normalize_text("text").alias("t")
+        ).collect()
+    }
+    for r in got:
+        assert r["status"] in ("exact_dup", "near_dup", "novel")
+        assert (r["match_id"] is None) == (r["status"] == "novel")
+        if r["status"] == "exact_dup":
+            assert norm[r["doc_id"]] == norm[r["match_id"]]
