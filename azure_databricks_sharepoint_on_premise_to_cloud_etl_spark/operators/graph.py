@@ -95,6 +95,57 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _ckpt_keyed(df: DataFrame, *keys: str, sort: bool = True) -> DataFrame:
+    """Eagerly localCheckpoint ``df`` hash-partitioned (and, by
+    default, sorted) by ``keys``, temporarily disabling AQE around the
+    checkpoint so the resulting ``LogicalRDD`` RETAINS its
+    outputPartitioning/outputOrdering — under AQE the captured final
+    plan reports ``UnknownPartitioning`` and the partitioning
+    knowledge is lost (measured: every downstream join re-shuffles
+    the checkpointed side).
+
+    This is the optimization-guide §2.4 "share one exchange" shape
+    for iterative operators: a static edge table referenced by k
+    per-round joins on the same key pays ONE shuffle+sort at build
+    instead of k shuffles+sorts at iteration time — a sort-merge join
+    then consumes this side with no Exchange and no Sort (partition
+    count is pinned to the session's shuffle partitions so the other
+    side's exchange lands on the same layout).
+
+    AQE is only off for the checkpoint job itself (a repartition —
+    nothing AQE would improve); every downstream query still plans
+    adaptively.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = df.repartition(n, *[F.col(k) for k in keys])
+        if sort:
+            plan = plan.sortWithinPartitions(*keys)
+        return plan.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def _ckpt_preserve(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint ``df`` WITHOUT an extra repartition,
+    with AQE disabled around the checkpoint so whatever partitioning/
+    ordering the plan naturally ends with (e.g. the grouping key of a
+    final aggregate, the join key of a final join) is retained by the
+    ``LogicalRDD`` instead of decaying to ``UnknownPartitioning``.
+    Use when the plan already ends in the layout the next round needs;
+    use :func:`_ckpt_keyed` to force one."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _strip_inherited_stats(df: DataFrame) -> DataFrame:
     """Rewrap a checkpointed DataFrame so it stops inheriting the
     pre-checkpoint plan's size-in-bytes ESTIMATE.
@@ -731,6 +782,11 @@ def pagerank(
     mass.  Returns (node, rank) with rank rounded to 6.
     """
     a, b = F.col(src), F.col(dst)
+    # NOTE (r13 optimization round): pre-partitioning sym by u (the
+    # _ckpt_keyed shape) was measured ~1.6x SLOWER for this unrolled
+    # LAZY recurrence — one adaptive query where AQE runtime-converts
+    # the per-iteration joins to broadcast-hash and coalesces the
+    # small exchanges; static 32-partition SMJs disabled both.
     sym = (
         edges.select(a.alias("u"), b.alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -909,16 +965,20 @@ def bfs_distances(
     e0 = edges.select(a.alias("u"), b.alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    sym = (
+    # pre-partitioned by u (guide §2.4): each hop's frontier join
+    # consumes the static symmetrized table with no Exchange/Sort
+    sym = _ckpt_keyed(
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "u",
     )
-    dist = (
+    # distance generations keyed by node: the next hop's anti-join
+    # then consumes dist with no Exchange and no Sort on this side
+    dist = _ckpt_keyed(
         sources.select(F.col(node_col).alias("node"))
         .distinct()
-        .withColumn("hops", F.lit(0))
-        .localCheckpoint(eager=True)
+        .withColumn("hops", F.lit(0)),
+        "node",
     )
     frontier = dist.select("node")
     from pyspark.sql import Observation
@@ -936,12 +996,12 @@ def bfs_distances(
         # (the connected_components snapshot trick): one job per hop,
         # not two — job barriers are the floor for iterative ops
         obs = Observation()
-        nxt = (
+        nxt = _ckpt_keyed(
             dist.unionAll(fresh)
             .observe(
                 obs, F.sum((F.col("hops") == h).cast("long")).alias("__nf")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "node",
         )
         settled = int(obs.get["__nf"] or 0) == 0
         _release_local_checkpoint(dist)
@@ -991,14 +1051,23 @@ def shortest_path_costs(
     engine-independent; float weights share the usual last-ulp
     caveat.
     """
-    e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight_col).alias("w")
-    ).localCheckpoint(eager=True)
-    dist = (
+    # pre-partitioned (guide §2.4): e by the relax-join key u, the
+    # distance generations by node (same attribute the rename maps to
+    # u) — the per-round relax join is then exchange-free on BOTH
+    # sides and only the candidate-min aggregate shuffles
+    e = _ckpt_keyed(
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight_col).alias("w"),
+        ),
+        "u",
+    )
+    dist = _ckpt_keyed(
         sources.select(F.col(node_col).alias("node"))
         .distinct()
-        .withColumn("cost", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .withColumn("cost", F.lit(0).cast("long")),
+        "node",
     )
     from pyspark.sql import Observation
 
@@ -1016,7 +1085,11 @@ def shortest_path_costs(
             .agg(F.min("__new").alias("__new"))
         )
         obs = Observation()
-        nxt = (
+        # full-outer join output reports UnknownPartitioning, so the
+        # generation is re-keyed by node explicitly: one repartition
+        # here replaces BOTH of next round's dist shuffles (relax join
+        # + full-outer) and their sorts
+        nxt = _ckpt_keyed(
             dist.withColumnRenamed("cost", "__old")
             .join(candmin, "node", "full_outer")
             .select(
@@ -1029,8 +1102,8 @@ def shortest_path_costs(
                 .cast("long")
                 .alias("__chg"),
             )
-            .observe(obs, F.sum("__chg").alias("__n_improved"))
-            .localCheckpoint(eager=True)
+            .observe(obs, F.sum("__chg").alias("__n_improved")),
+            "node",
         )
         improved = int(obs.get["__n_improved"] or 0) > 0
         # dist is a .select() wrapper from the previous round — release
@@ -1081,8 +1154,10 @@ def label_spreading(
     storage stays bounded at two generations.  Release with
     ``release_components``.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+    # pre-partitioned by u (guide §2.4): each round's label join
+    # consumes the static edge table with no Exchange and no Sort
+    e = _ckpt_keyed(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u"
     )
     sd = (
         seeds.select(F.col(node_col).alias("node"), F.col(label_col).alias("label"))
@@ -1151,6 +1226,8 @@ def personalized_pagerank(
     Release with ``release_components``.
     """
     a, b = F.col(src), F.col(dst)
+    # unrolled lazy recurrence — same reasoning as pagerank: AQE's
+    # runtime broadcast conversion beats static co-partitioning here
     sym = (
         edges.select(a.alias("u"), b.alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -1242,21 +1319,24 @@ def neighbor_jaccard(
     decimals.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = (
+    # pre-partitioned by v — the wedge key (guide §2.4): the center-
+    # keyed self-join below then consumes BOTH copies with no Exchange
+    # and no Sort; the degree aggregate still map-side-combines
+    sym = _ckpt_keyed(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "v",
     )
     ckpts = [sym]
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         keep = deg.filter(F.col("deg") <= max_degree).select("u")
-        sym = (
+        sym = _ckpt_keyed(
             sym.join(F.broadcast(keep), "u")
             .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+            .select("u", "v"),
+            "v",
         )
         # the pre-prune table is only needed to build the pruned one —
         # free it NOW rather than carrying it to release time
@@ -1321,21 +1401,24 @@ def adamic_adar(
     6 decimals.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = (
+    # pre-partitioned by v — the wedge/center key (guide §2.4): the
+    # weight attach and the wedge self-join below consume sym with no
+    # Exchange and no Sort on the edge sides
+    sym = _ckpt_keyed(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "v",
     )
     ckpts = [sym]
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         keep = deg.filter(F.col("deg") <= max_degree).select("u")
-        sym = (
+        sym = _ckpt_keyed(
             sym.join(F.broadcast(keep), "u")
             .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+            .select("u", "v"),
+            "v",
         )
         _release_local_checkpoint(ckpts.pop())
         ckpts.append(sym)
@@ -1540,6 +1623,14 @@ def hits(
     side ∈ {'hub','auth'} and score rounded to 6; nodes with no
     out-edges (resp. in-edges) carry no hub (resp. auth) row.
     """
+    # NOTE (r13 optimization round): a pre-partitioned two-copy edge
+    # checkpoint (u-keyed + v-keyed, exchange-free SMJs) was measured
+    # at 2.5x SLOWER here — this unrolled LAZY recurrence runs as one
+    # adaptive query, where AQE runtime-converts every half-step join
+    # to broadcast-hash (score sides are node-sized) and reuses the
+    # edge exchanges, beating static co-partitioning; forcing 32-
+    # static-partition SMJs disabled both.  Keep the single
+    # unpartitioned checkpoint and let AQE plan the joins.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
@@ -1698,16 +1789,20 @@ def harmonic_centrality(
     e0 = edges.select(a.alias("u"), b.alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    sym = (
+    # pre-partitioned: sym by the per-hop join key u, the distance
+    # generations by the anti-join key (s, node) — each hop then
+    # shuffles only the frontier and the fresh discoveries, never the
+    # static edge table or the standing-side sort (guide §2.4)
+    sym = _ckpt_keyed(
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "u",
     )
-    dist = (
+    dist = _ckpt_keyed(
         sources.select(F.col(node_col).alias("s"))
         .distinct()
-        .select("s", F.col("s").alias("node"), F.lit(0).alias("hops"))
-        .localCheckpoint(eager=True)
+        .select("s", F.col("s").alias("node"), F.lit(0).alias("hops")),
+        "s", "node",
     )
     frontier = dist.select("s", "node")
     from pyspark.sql import Observation
@@ -1722,12 +1817,12 @@ def harmonic_centrality(
             dist.select("s", "node"), ["s", "node"], "left_anti"
         ).withColumn("hops", F.lit(h))
         obs = Observation()
-        nxt = (
+        nxt = _ckpt_keyed(
             dist.unionAll(fresh)
             .observe(
                 obs, F.sum((F.col("hops") == h).cast("long")).alias("__nf")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "s", "node",
         )
         settled = int(obs.get["__nf"] or 0) == 0
         _release_local_checkpoint(dist)

@@ -2199,6 +2199,13 @@ def spearman_corr(
     Returns one row per group: (group, n, rho).
     """
     g = F.col(group_col)
+    # The filtered 3-column base feeds THREE consumers (both rank-
+    # bucket aggregates and the rank-attach join): materialize it once
+    # (eager localCheckpoint) instead of re-scanning + re-repartition-
+    # ing the source per consumer — the r13 before-plan showed 3 full
+    # parquet scans each behind its own round-robin Exchange (guide
+    # §1.2: don't compute things twice).  Narrow projection first so
+    # the checkpoint holds 3 columns, not the row.
     base = (
         df.filter(
             g.isNotNull()
@@ -2210,6 +2217,7 @@ def spearman_corr(
             F.col(x_col).alias("__x"),
             F.col(y_col).alias("__y"),
         )
+        .localCheckpoint(eager=True)
     )
 
     def _ranks(col: str, out: str) -> DataFrame:
@@ -2250,11 +2258,15 @@ def spearman_corr(
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
     rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
-    return moments.select(
+    result = moments.select(
         F.col("__g").alias(group_col),
         "n",
         F.round(rho, 6).alias("rho"),
     )
+    # the checkpointed base backs the whole plan; bench/batch callers
+    # free it via release_components after consuming
+    result._extra_ckpts = [base]
+    return result
 
 
 def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:

@@ -1192,14 +1192,24 @@ def mann_kendall(
     Returns one row per group: (group, n, s_stat, var_s, z).
     """
     g = F.col(group_col)
-    pts = df.filter(
-        g.isNotNull()
-        & F.col(time_col).isNotNull()
-        & F.col(value_col).isNotNull()
-    ).select(
-        g.alias("__g"),
-        F.col(time_col).alias("__t"),
-        F.col(value_col).cast("double").alias("__v"),
+    # r13 optimization round: pts (the bounded, pre-aggregated series)
+    # is referenced FOUR times (both pair-join sides, n, ties) — each
+    # reference re-ran the caller's corpus-collapsing aggregate.  One
+    # eager checkpoint of the series-grain table replaces four corpus
+    # passes (guide §1.2: don't compute things twice); callers release
+    # via release_components.
+    pts = (
+        df.filter(
+            g.isNotNull()
+            & F.col(time_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            g.alias("__g"),
+            F.col(time_col).alias("__t"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .localCheckpoint(eager=True)
     )
     lhs = pts.select(
         F.col("__g"), F.col("__t").alias("__t1"), F.col("__v").alias("__v1")
@@ -1255,13 +1265,15 @@ def mann_kendall(
         (F.col("var_s") > 0) & (s < 0),
         (s + 1) / F.sqrt(F.col("var_s")),
     ).when(F.col("var_s") > 0, F.lit(0.0))
-    return m.select(
+    result = m.select(
         F.col("grp").alias(group_col),
         "n",
         "s_stat",
         "var_s",
         F.round(z, 4).alias("z"),
     )
+    result._extra_ckpts = [pts]
+    return result
 
 
 def page_hinkley(
@@ -3099,10 +3111,18 @@ def cochran_q(
     should instead invalidate the block, pre-filter
     ``groupBy(item, treatment).count() > 1`` before calling.
 
-    Scale shape: one (item, treatment) cell collapse, one per-item
-    aggregate (qualify blocks + R_i moments), one per-treatment
-    aggregate over qualified blocks — all map-side-combined hash
-    aggregates, scalar arithmetic after; degenerate denominators
+    Scale shape (r13 optimization round): ONE wide per-item pivot
+    aggregate — ``max(success) FILTER (treatment = t_j)`` per declared
+    arm (k is a small declared list) — collapses cells and blocks in
+    a single map-side-combined pass; every moment the test needs
+    (block completeness, R_i, R_i², and all k column sums C_j) then
+    reduces in ONE scalar aggregate.  The previous form collapsed
+    (item, treatment) cells, re-aggregated them per item, and joined
+    the qualified-item set back onto the cell table — two extra
+    corpus-grain passes and an item-keyed join that this pivot makes
+    unnecessary (guide §2.3 "aggregate before you shuffle", §2.4
+    "remove shuffles outright"); all arithmetic is exact integers, so
+    the rewritten plan is bit-identical.  Degenerate denominators
     (all-success / all-failure) yield NULL Q via lazy CASE.
 
     Returns one row: (n_items, n_excluded, k, q_stat, dof).
@@ -3112,21 +3132,29 @@ def cochran_q(
     k = len(treatments)
     t = F.col(treatment_col)
     y = F.col(success_col).cast("int")
-    cells = (
+    wide = (
         df.filter(
             F.col(item_col).isNotNull()
             & t.isin(treatments)
             & y.isNotNull()
         )
-        .groupBy(F.col(item_col).alias("__it"), t.alias("__t"))
-        .agg(F.max(y).alias("__y"))
+        .groupBy(F.col(item_col).alias("__it"))
+        .agg(
+            *[
+                F.max(F.when(t == F.lit(tj), y)).alias(f"__y{j}")
+                for j, tj in enumerate(treatments)
+            ]
+        )
     )
-    per_item = cells.groupBy("__it").agg(
-        F.count(F.lit(1)).alias("__kt"),
-        F.sum("__y").alias("__r"),
+    # per-block derived terms: cells present, R_i (successes in block)
+    kt = sum(
+        F.col(f"__y{j}").isNotNull().cast("int") for j in range(k)
     )
-    qual = per_item.withColumn("__ok", (F.col("__kt") == k).cast("int"))
-    item_m = qual.agg(
+    r = sum(F.coalesce(F.col(f"__y{j}"), F.lit(0)) for j in range(k))
+    qual = wide.select(
+        (kt == k).cast("int").alias("__ok"), r.alias("__r"), *wide.columns[1:]
+    )
+    m = qual.agg(
         F.sum("__ok").cast("long").alias("n_items"),
         (F.count(F.lit(1)) - F.sum("__ok")).cast("long").alias(
             "n_excluded"
@@ -3135,17 +3163,20 @@ def cochran_q(
         F.sum(
             F.when(F.col("__ok") == 1, F.col("__r") * F.col("__r"))
         ).alias("__r2"),
+        *[
+            F.sum(F.when(F.col("__ok") == 1, F.col(f"__y{j}"))).alias(
+                f"__cj{j}"
+            )
+            for j in range(k)
+        ],
+    ).withColumn(
+        "__c2",
+        sum(
+            F.coalesce(F.col(f"__cj{j}"), F.lit(0))
+            * F.coalesce(F.col(f"__cj{j}"), F.lit(0))
+            for j in range(k)
+        ),
     )
-    ok_items = qual.filter(F.col("__ok") == 1).select("__it")
-    treat_m = (
-        cells.join(ok_items, "__it")
-        .groupBy("__t")
-        .agg(F.sum("__y").alias("__cj"))
-        .agg(
-            F.sum(F.col("__cj") * F.col("__cj")).alias("__c2")
-        )
-    )
-    m = item_m.crossJoin(F.broadcast(treat_m))
     n_tot = F.coalesce(F.col("__N"), F.lit(0)).cast("double")
     denom = F.lit(float(k)) * n_tot - F.coalesce(
         F.col("__r2"), F.lit(0)
@@ -3185,9 +3216,18 @@ def friedman_test(
 
     Only complete blocks count; incomplete items excluded/reported.
 
-    Scale shape: one (item, treatment) cell collapse, one rank window
-    PER BLOCK (k rows each — the window runs over block size k, never
-    the corpus), per-treatment rank sums, scalar arithmetic after.
+    Scale shape (r13 optimization round): ONE wide per-item pivot
+    aggregate — ``round(avg(value), 6) FILTER (treatment = t_j)`` per
+    declared arm — collapses the cells in a single map-side-combined
+    pass, and because a block holds exactly the k pivoted columns,
+    the within-block AVERAGE ranks are plain expressions over those
+    columns (``1 + #{l: y_l < y_j} + (#{l: y_l = y_j} − 1)/2`` —
+    identical to rank() + tie-average over the same rounded values),
+    so the per-block rank window, the completeness re-aggregate and
+    the qualified-block join of the previous form all collapse into
+    the pivot + ONE scalar aggregate (guide §2.3/§2.4).  Ranks are
+    multiples of 0.5 carried exactly in doubles — bit-identical to
+    the window form.
 
     Returns one row: (n_items, n_excluded, k, chi2_f, dof).
     """
@@ -3196,39 +3236,55 @@ def friedman_test(
     k = len(treatments)
     t = F.col(treatment_col)
     v = F.col(value_col).cast("double")
-    cells = (
+    wide = (
         df.filter(
             F.col(item_col).isNotNull()
             & t.isin(treatments)
             & v.isNotNull()
         )
-        .groupBy(F.col(item_col).alias("__it"), t.alias("__t"))
-        .agg(F.round(F.avg(v), 6).alias("__v"))
+        .groupBy(F.col(item_col).alias("__it"))
+        .agg(
+            *[
+                F.round(F.avg(F.when(t == F.lit(tj), v)), 6).alias(
+                    f"__v{j}"
+                )
+                for j, tj in enumerate(treatments)
+            ]
+        )
     )
-    per_item = cells.groupBy("__it").agg(
-        F.count(F.lit(1)).alias("__kt")
+    cols = [F.col(f"__v{j}") for j in range(k)]
+    ok = sum(c.isNotNull().cast("int") for c in cols) == k
+
+    def block_rank(j: int) -> F.Column:
+        below = sum(
+            (cols[l] < cols[j]).cast("int") for l in range(k) if l != j
+        )
+        ties = sum((cols[l] == cols[j]).cast("int") for l in range(k))
+        return (
+            F.lit(1.0) + below.cast("double") + (ties - 1) / 2.0
+        )
+
+    qual = wide.select(
+        ok.cast("int").alias("__ok"),
+        *[
+            F.when(ok, block_rank(j)).alias(f"__r{j}")
+            for j in range(k)
+        ],
     )
-    qual = per_item.withColumn("__ok", (F.col("__kt") == k).cast("int"))
-    n_row = qual.agg(
+    m = qual.agg(
         F.sum("__ok").cast("long").alias("n_items"),
         (F.count(F.lit(1)) - F.sum("__ok")).cast("long").alias(
             "n_excluded"
         ),
+        *[F.sum(F.col(f"__r{j}")).alias(f"__s{j}") for j in range(k)],
+    ).withColumn(
+        "__s2",
+        sum(
+            F.coalesce(F.col(f"__s{j}"), F.lit(0.0))
+            * F.coalesce(F.col(f"__s{j}"), F.lit(0.0))
+            for j in range(k)
+        ),
     )
-    ok = qual.filter(F.col("__ok") == 1).select("__it")
-    blocks = cells.join(ok, "__it")
-    w_rank = Window.partitionBy("__it").orderBy(F.col("__v").asc())
-    w_tie = Window.partitionBy("__it", "__v")
-    ranked = blocks.withColumn(
-        "__rank",
-        F.rank().over(w_rank).cast("double")
-        + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0,
-    )
-    sums = ranked.groupBy("__t").agg(F.sum("__rank").alias("__s"))
-    agg = sums.agg(
-        F.sum(F.col("__s") * F.col("__s")).alias("__s2")
-    )
-    m = n_row.crossJoin(F.broadcast(agg))
     n = F.col("n_items").cast("double")
     chi2 = F.when(
         F.col("n_items") > 0,
@@ -4009,14 +4065,24 @@ def cronbach_alpha(
         F.countDistinct(it).alias("__ki"),
         F.count(F.lit(1)).alias("__ni"),
     )
-    ok = qual.filter(
-        (F.col("__ki") == k) & (F.col("__ni") == k)
-    ).select("__subj")
-    # control-plane scalar (same discipline as fisher_exact's cap
-    # read): the qualified/total subject counts gate nothing in-plan,
-    # they only label the output row
-    n_total = qual.count()
-    scored = base.join(ok, s == F.col("__subj"), "inner")
+    # r13 optimization round: the qualified-rows join feeds TWO
+    # aggregates (per-item variances, per-subject totals) — eagerly
+    # checkpoint it ONCE instead of re-running scan+qualify+join per
+    # aggregate, and let the total-subject count ride the same job as
+    # an Observation on the qualification aggregate (was a separate
+    # qual.count() job re-deriving the corpus).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ok = (
+        qual.observe(obs, F.count(F.lit(1)).alias("__n_total"))
+        .filter((F.col("__ki") == k) & (F.col("__ni") == k))
+        .select("__subj")
+    )
+    scored = base.join(ok, s == F.col("__subj"), "inner").localCheckpoint(
+        eager=True
+    )
+    n_total = int(obs.get["__n_total"] or 0)
     item_var = (
         scored.groupBy(it.alias("__item"))
         .agg(F.round(F.var_samp(x), 6).alias("__v"))
@@ -4043,7 +4109,7 @@ def cronbach_alpha(
             6,
         ),
     )
-    return combined.select(
+    result = combined.select(
         "n_subjects",
         (F.lit(int(n_total)) - F.col("n_subjects"))
         .cast("long")
@@ -4053,6 +4119,8 @@ def cronbach_alpha(
         "total_var",
         alpha.alias("alpha"),
     )
+    result._extra_ckpts = [scored]
+    return result
 
 
 def wilcoxon_signed_rank(
@@ -4575,9 +4643,12 @@ def seasonal_mann_kendall(
         .when(s < 0, F.round((s + 1) / sd, 6))
         .otherwise(F.lit(0.0))
     )
-    return red.select(
+    result = red.select(
         group_col, "n", "n_seasons", "s_stat", "var_s", z.alias("z")
     )
+    # propagate the delegate's checkpoint handle so callers can free it
+    result._extra_ckpts = getattr(per_season, "_extra_ckpts", [])
+    return result
 
 
 def neyman_allocation(
@@ -5161,8 +5232,16 @@ def page_trend(
     Blocks rank with AVERAGE ranks for ties (the Friedman
     convention); only complete blocks count, excluded ones reported.
 
-    Scale shape: identical to Friedman — one cell collapse, one
-    k-sized rank window per block, one reduce.
+    Scale shape (r13 optimization round): identical pivot shape to
+    :func:`friedman_test` — ONE wide per-item aggregate
+    (``round(avg(value), 6)`` per ordered arm), average ranks as
+    plain expressions over the k pivoted columns, and ONE scalar
+    reduce producing n_items / n_excluded / L together.  The previous
+    form ran the cell collapse plus TWO driver-side count() jobs plus
+    a qualified-block join plus two rank windows; the pivot removes
+    all of them (guide §2.3/§2.4) with bit-identical arithmetic
+    (ranks are exact half-integers; μ_L/σ_L move in-plan unchanged —
+    same IEEE ops on the same integers).
 
     Returns one row: (n_items, n_excluded, k, l_stat, mean_l,
     sigma_l, z).
@@ -5174,55 +5253,56 @@ def page_trend(
         )
     t = F.col(treatment_col)
     v = F.col(value_col).cast("double")
-    cells = (
+    wide = (
         df.filter(
             F.col(item_col).isNotNull()
             & t.isin(list(treatment_order))
             & v.isNotNull()
         )
-        .groupBy(F.col(item_col).alias("__it"), t.alias("__t"))
-        .agg(F.round(F.avg(v), 6).alias("__v"))
-    )
-    per_item = cells.groupBy("__it").agg(F.count(F.lit(1)).alias("__kt"))
-    ok = per_item.filter(F.col("__kt") == k).select("__it")
-    n_items = ok.count()
-    n_excluded = per_item.count() - n_items
-    w_blk = Window.partitionBy("__it").orderBy(F.col("__v").asc())
-    ranked = (
-        cells.join(ok, "__it")
-        .withColumn("__r", F.rank().over(w_blk))
-        .withColumn(
-            "__ties",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("__it", "__v")
-            ),
-        )
-        # average rank for a tie block starting at rank r with t
-        # members: r + (t-1)/2
-        .withColumn(
-            "__ar", F.col("__r") + (F.col("__ties") - 1) / 2.0
+        .groupBy(F.col(item_col).alias("__it"))
+        .agg(
+            *[
+                F.round(F.avg(F.when(t == F.lit(tv), v)), 6).alias(
+                    f"__v{j}"
+                )
+                for j, tv in enumerate(treatment_order)
+            ]
         )
     )
-    score = F.create_map(
-        *[
-            lit
-            for i, tv in enumerate(treatment_order)
-            for lit in (F.lit(tv), F.lit(float(i + 1)))
-        ]
-    )[F.col("__t")]
-    red = ranked.agg(
-        F.round(F.sum(score * F.col("__ar")), 6).alias("l_stat")
+    cols = [F.col(f"__v{j}") for j in range(k)]
+    ok = sum(c.isNotNull().cast("int") for c in cols) == k
+
+    def block_rank(j: int) -> F.Column:
+        below = sum(
+            (cols[l] < cols[j]).cast("int") for l in range(k) if l != j
+        )
+        ties = sum((cols[l] == cols[j]).cast("int") for l in range(k))
+        return F.lit(1.0) + below.cast("double") + (ties - 1) / 2.0
+
+    # L contribution of one complete block: Σ_j s_j · avg_rank_j
+    l_term = sum(
+        F.lit(float(j + 1)) * block_rank(j) for j in range(k)
     )
-    mean_l = n_items * k * (k + 1) ** 2 / 4.0
-    var_l = n_items * k**2 * (k + 1) ** 2 * (k - 1) / 144.0
-    sigma = var_l**0.5
+    red = wide.select(
+        ok.cast("int").alias("__ok"),
+        F.when(ok, l_term).alias("__l"),
+    ).agg(
+        F.sum("__ok").cast("long").alias("n_items"),
+        (F.count(F.lit(1)) - F.sum("__ok")).cast("long").alias(
+            "n_excluded"
+        ),
+        F.round(F.sum("__l"), 6).alias("l_stat"),
+    )
+    n_d = F.col("n_items").cast("double")
+    mean_l = n_d * k * (k + 1) ** 2 / 4.0
+    var_l = n_d * k**2 * (k + 1) ** 2 * (k - 1) / 144.0
     staged = red.select(
-        F.lit(int(n_items)).cast("long").alias("n_items"),
-        F.lit(int(n_excluded)).cast("long").alias("n_excluded"),
+        "n_items",
+        "n_excluded",
         F.lit(k).cast("long").alias("k"),
         "l_stat",
-        F.round(F.lit(mean_l), 6).alias("mean_l"),
-        F.round(F.lit(sigma), 6).alias("sigma_l"),
+        F.round(mean_l, 6).alias("mean_l"),
+        F.round(F.sqrt(var_l), 6).alias("sigma_l"),
     )
     z = F.when(
         F.col("sigma_l") > 0,

@@ -837,12 +837,18 @@ def tfidf_doc_similarity(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    # r13 optimization round: td feeds BOTH the df band and the
+    # weighted posting build — without materialization the tokenize/
+    # gram/count pipeline executes twice per w materialization (the
+    # costliest string work in the operator).  Eager localCheckpoint
+    # runs it once; released with the result's intermediates.
     td = (
         docs.select(F.col(id_col), word_tokens(text_col).alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select(id_col, F.explode(grams).alias("__t"))
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=True)
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("__nd"),
@@ -911,6 +917,7 @@ def tfidf_doc_similarity(
             .filter(F.col("cosine") >= threshold)
         )
         result._persisted_intermediates = [w]
+        result._extra_ckpts = [td]
         return result
 
     # Prefix-filtered form (AllPairs-style, the published sparse-join
@@ -975,6 +982,7 @@ def tfidf_doc_similarity(
         .filter(F.col("cosine") >= threshold)
     )
     result._persisted_intermediates = [w]
+    result._extra_ckpts = [td]
     return result
 
 
@@ -1039,6 +1047,12 @@ def source_kl_divergence(
     derived from it; everything after the collapse is vocabulary-sized.
     Returns (group_col, n_terms, kl_nats).
     """
+    # r13 optimization round: st is referenced THREE times (vocab,
+    # per-source totals, the grid join) — each reference re-ran the
+    # corpus tokenize+explode, the only corpus-grain work in the
+    # operator.  One eager checkpoint of the (source × vocab)-sized
+    # count table runs it once (guide §1.2); released via
+    # release_components on the result.
     st = (
         docs.select(
             F.col(group_col).alias("grp"),
@@ -1046,6 +1060,7 @@ def source_kl_divergence(
         )
         .groupBy("grp", "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
     )
     # dense (source x vocab) grid so absent terms get smoothed mass
     vocab = st.groupBy("__t").agg(F.sum("__c").alias("__ct"))
@@ -1068,13 +1083,15 @@ def source_kl_divergence(
     )
     p = (F.col("__c") + alpha) / (F.col("__ng") + F.lit(alpha) * F.col("__v"))
     q = (F.col("__ct") + alpha) / (F.col("__nc") + F.lit(alpha) * F.col("__v"))
-    return (
+    result = (
         grid.groupBy(F.col("grp").alias(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
         )
     )
+    result._extra_ckpts = [st]
+    return result
 
 
 def pmi_collocations(

@@ -318,9 +318,8 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(word_tokens("text"))).cast("long").alias("n_tokens"),
     )
-    kl = text.source_kl_divergence(d, alpha=_KL_ALPHA).select(
-        "source", "kl_nats"
-    )
+    kl_raw = text.source_kl_divergence(d, alpha=_KL_ALPHA)
+    kl = kl_raw.select("source", "kl_nats")
     ks = stats.per_group_ks(d, "source", "n_chars").select(
         F.col("source"), F.col("ks_stat")
     )
@@ -348,10 +347,29 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoints materialize every panel exactly once — without
     # them the five-way join re-derives the corpus per reference and
     # the plan audit reads 26 parquet-scan references (the
-    # training_shard_pipeline stage-boundary discipline)
-    panels = [
-        f.localCheckpoint(eager=True) for f in (vol, kl, ks, nov, dup)
-    ]
+    # training_shard_pipeline stage-boundary discipline).
+    # r13 optimization round: the five corpus-collapsing panels are
+    # INDEPENDENT, so they materialize from a small thread pool
+    # instead of serially — Spark happily runs concurrent jobs inside
+    # one application, and each panel's tail stragglers back-fill the
+    # idle cores the next panel's scan wants (guide §2.6 "overlap
+    # independent jobs"); results are unchanged, only the job overlap
+    # is new.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        panels = list(
+            pool.map(
+                lambda f: f.localCheckpoint(eager=True),
+                (vol, kl, ks, nov, dup),
+            )
+        )
+    # the KL operator checkpoints its internal (source × vocab) count
+    # table; the kl panel has fully consumed it — free it now
+    from ..operators.graph import _release_local_checkpoint
+
+    for _h in getattr(kl_raw, "_extra_ckpts", None) or []:
+        _release_local_checkpoint(_h)
     out = panels[0]
     for f in panels[1:]:
         out = out.join(f, "source")
@@ -607,6 +625,18 @@ def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("vec_id").alias("doc_id"), "sem_rank")
     )
+    # r13 optimization round: the lexical and semantic legs are
+    # independent corpus passes that only meet at the RRF fusion —
+    # materialize both rank-bounded lists (≤ _RRF_TOPN rows each)
+    # concurrently from a 2-thread pool (guide §2.6) so the BM25 scan
+    # and the brute-force cosine scan overlap instead of running
+    # serially; the fusion then joins two checkpointed 25-row tables.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex, sem = pool.map(
+            lambda f: f.localCheckpoint(eager=True), (lex, sem)
+        )
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",
         F.round(
@@ -635,10 +665,16 @@ def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rrf").alias("rel"),
         )
     )
-    return mmr_rerank(
+    result = mmr_rerank(
         cands, "query_id", "cand_id", "embedding", "rel",
         k=_DIV_K, lam=_MMR_LAM,
     )
+    # chain the leg checkpoints onto the MMR result's release hook so
+    # release_components frees them with the operator's own blocks
+    result._extra_ckpts = (
+        getattr(result, "_extra_ckpts", None) or []
+    ) + [lex, sem]
+    return result
 
 
 def _diverse_retrieval_oracle() -> str:
