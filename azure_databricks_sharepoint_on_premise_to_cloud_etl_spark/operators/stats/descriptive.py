@@ -2602,9 +2602,34 @@ def feature_info_gain(
         F.col(label_col).alias("__y"),
         F.stack(F.lit(len(feature_cols)), *pairs).alias("__f", "__v"),
     ).filter(F.col("__y").isNotNull() & F.col("__v").isNotNull())
-    ranges = melted.groupBy("__f").agg(
-        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    # r13 optimization round: per-feature [min, max] no longer re-runs
+    # the k× melt — ONE narrow column-pruned aggregate over the
+    # original frame computes all k ranges in a single row (same
+    # NULL accounting: a row counts for a feature iff label and that
+    # feature are non-NULL), which the same stack() reshapes to the
+    # k-row table the binning join expects (guide §2.3 "project
+    # before the exchange" / §1.2 "don't compute things twice").
+    ylit = F.col(label_col).isNotNull()
+    range_row = df.agg(
+        *[
+            agg.alias(f"__{kind}{i}")
+            for i, c in enumerate(feature_cols)
+            for kind, agg in (
+                ("lo", F.min(F.when(ylit, F.col(c).cast("double")))),
+                ("hi", F.max(F.when(ylit, F.col(c).cast("double")))),
+            )
+        ]
     )
+    rpairs: list = []
+    for i, c in enumerate(feature_cols):
+        rpairs.extend(
+            [F.lit(c), F.col(f"__lo{i}"), F.col(f"__hi{i}")]
+        )
+    ranges = range_row.select(
+        F.stack(F.lit(len(feature_cols)), *rpairs).alias(
+            "__f", "__lo", "__hi"
+        )
+    ).filter(F.col("__lo").isNotNull())
     binned = melted.join(F.broadcast(ranges), "__f").select(
         "__f",
         "__y",
