@@ -1122,21 +1122,28 @@ def pmi_collocations(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # r13 optimization round: the bigram counts, unigram counts and
+    # bigram total each re-tokenized the corpus (three regex-split
+    # passes over the text); one eager checkpoint of the token arrays
+    # feeds all three (guide §1.2).  Released via release_components
+    # on the result.
+    base = docs.select(word_tokens(text_col).alias("__toks")).localCheckpoint(
+        eager=True
+    )
     bg = (
-        docs.select(word_tokens(text_col).alias("__toks"))
-        .select(F.explode(pairs).alias("__p"))
+        base.select(F.explode(pairs).alias("__p"))
         .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
     uni = (
-        docs.select(F.explode(word_tokens(text_col)).alias("__t"))
+        base.select(F.explode("__toks").alias("__t"))
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    tot_b = docs.select(
-        F.greatest(F.size(word_tokens(text_col)) - 1, F.lit(0)).alias("__nb")
+    tot_b = base.select(
+        F.greatest(F.size("__toks") - 1, F.lit(0)).alias("__nb")
     ).agg(F.sum("__nb").alias("__tb"))
     tot_u = uni.agg(F.sum("__c").alias("__tu"))
     u1 = uni.select(F.col("__t").alias("w1"), F.col("__c").alias("__c1"))
@@ -1145,13 +1152,15 @@ def pmi_collocations(
         (F.col("pair_count") / F.col("__tb"))
         / ((F.col("__c1") / F.col("__tu")) * (F.col("__c2") / F.col("__tu")))
     )
-    return (
+    result = (
         bg.join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
         .crossJoin(F.broadcast(tot_b))
         .crossJoin(F.broadcast(tot_u))
         .select("w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi"))
     )
+    result._extra_ckpts = [base]
+    return result
 
 
 def score_linear_model(
