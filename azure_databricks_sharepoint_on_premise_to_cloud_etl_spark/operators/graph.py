@@ -1037,10 +1037,12 @@ def shortest_path_costs(
     weighted generalization of ``bfs_distances``: supply-chain cost
     radius, cheapest-route reachability, influence decay.
 
-    Scale shape: each round is ONE equi-join of the current distance
-    table against the static checkpointed edge table plus a map-side-
-    combinable min aggregate — no frontier blowup beyond the reached
-    set, and the hop cap bounds the rounds.  A round that improves
+    Scale shape: each round is ONE equi-join of the previous round's
+    IMPROVED-node frontier (delta Bellman–Ford — an unimproved node's
+    offers already lost to the standing minimum, so skipping them is
+    result-identical) against the static checkpointed edge table plus
+    a map-side-combinable min aggregate — no frontier blowup beyond
+    the reached set, and the hop cap bounds the rounds.  A round that improves
     nothing ends the iteration early (the remaining rounds would be
     identities, which is what makes a fixed-depth SQL unroll an exact
     oracle).  Distance generations are localCheckpoint-ed and
@@ -1069,13 +1071,24 @@ def shortest_path_costs(
     )
     from pyspark.sql import Observation
 
+    # r13 optimization round — DELTA relaxation (the queue form of
+    # Bellman–Ford): a node's cost can only improve through a
+    # neighbor whose cost improved LAST round (an unimproved
+    # neighbor's offers were already on the table the round they
+    # first appeared and lost to the standing minimum), so each round
+    # relaxes only from the previous round's improved set instead of
+    # the whole distance table.  Round 1's "improved set" is the seed
+    # table itself — identical to the non-delta round 1 — and the
+    # frontier shrinks geometrically as regions settle; results are
+    # bit-identical, the early-exit condition is unchanged.
+    frontier = dist
     for _ in range(max_hops):
         # relax as a full-outer join against the candidate minima —
         # equivalent to min over (dist ∪ cand) per node, but the form
         # exposes a per-node `improved` flag that rides the checkpoint
         # job as an Observation: one job per round, no separate probe
         candmin = (
-            e.join(dist.withColumnRenamed("node", "u"), "u")
+            e.join(frontier.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("__new")
             )
@@ -1107,6 +1120,7 @@ def shortest_path_costs(
         _release_local_checkpoint(getattr(dist, "_ckpt_handle", dist))
         dist = nxt.select("node", "cost")
         dist._ckpt_handle = nxt
+        frontier = nxt.filter(F.col("__chg") == 1).select("node", "cost")
         if not improved:
             break
     result = dist
