@@ -5164,15 +5164,14 @@ def moods_median(
     """
     g = F.col(group_col)
     x = F.round(F.col(value_col).cast("double"), 9)
-    # r13 optimization round: base feeds BOTH the median histogram and
-    # the above/below flagging pass (the broadcast median's subtree
-    # re-derived it) — one eager checkpoint of the narrow 2-column
-    # projection replaces the second corpus pass (guide §1.2);
-    # released via release_components on the result.
-    base = (
-        df.filter(g.isNotNull() & x.isNotNull())
-        .select(g.alias("__g"), x.alias("__x"))
-        .localCheckpoint(eager=True)
+    # NOTE (r13 optimization round): an eager checkpoint of base was
+    # tried here (it feeds both the histogram and the flagging pass)
+    # and measured 1.3x SLOWER in two independent full-bench samples —
+    # the "second pass" is a cheap column-pruned parquet re-scan,
+    # while materializing the row-grain projection is real work.
+    # Keep the lazy double reference.
+    base = df.filter(g.isNotNull() & x.isNotNull()).select(
+        g.alias("__g"), x.alias("__x")
     )
     hist = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
     w = Window.orderBy("__x").rowsBetween(
@@ -5212,15 +5211,13 @@ def moods_median(
             6,
         ),
     )
-    result = red.select(
+    return red.select(
         "n",
         "k",
         F.round(F.col("__medv"), 6).alias("grand_median"),
         chi2.alias("chi2"),
         (F.col("k") - 1).cast("long").alias("dof"),
     )
-    result._extra_ckpts = [base]
-    return result
 
 
 def page_trend(
