@@ -837,18 +837,22 @@ def tfidf_doc_similarity(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    # r13 optimization round: td feeds BOTH the df band and the
-    # weighted posting build — without materialization the tokenize/
-    # gram/count pipeline executes twice per w materialization (the
-    # costliest string work in the operator).  Eager localCheckpoint
-    # runs it once; released with the result's intermediates.
+    # td feeds BOTH the df band and the weighted posting build, but it
+    # ends in a (id, term) groupBy exchange whose two references are
+    # byte-identical subtrees — runtime exchange reuse already collapses
+    # them to ONE tokenize/gram/count pass, so the r13 eager
+    # localCheckpoint bought nothing and serialized the build (r14
+    # adjudication, alternating in-session A/B at sf0.1/32c: ckpt
+    # [3.07, 2.50, 2.51, 2.89] vs lazy [2.54, 2.56, 2.40, 2.23]; the
+    # driver's 8-core r13 capture read the ckpt form 1.65x slower).
+    # REVERTED to the lazy pre-r13 form — the moods_median lesson again:
+    # materializing a row-grain projection is real work.
     td = (
         docs.select(F.col(id_col), word_tokens(text_col).alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select(id_col, F.explode(grams).alias("__t"))
         .groupBy(id_col, "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
-        .localCheckpoint(eager=True)
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("__nd"),
@@ -917,7 +921,6 @@ def tfidf_doc_similarity(
             .filter(F.col("cosine") >= threshold)
         )
         result._persisted_intermediates = [w]
-        result._extra_ckpts = [td]
         return result
 
     # Prefix-filtered form (AllPairs-style, the published sparse-join
@@ -982,7 +985,6 @@ def tfidf_doc_similarity(
         .filter(F.col("cosine") >= threshold)
     )
     result._persisted_intermediates = [w]
-    result._extra_ckpts = [td]
     return result
 
 
