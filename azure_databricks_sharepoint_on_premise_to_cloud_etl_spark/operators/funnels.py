@@ -1155,9 +1155,29 @@ def markov_journey_edges(
     order = [F.col(time_col).asc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
-    conv_ts = df.filter(F.col(channel_col) == conversion).groupBy(
-        e.alias("__e")
-    ).agg(F.min(time_col).alias("__cts"))
+    from pyspark.sql import Observation
+
+    # Converter-cardinality table referenced TWICE (the touches join
+    # and the bare-converter anti-join — each re-derivation a corpus
+    # filter+aggregate); one eager checkpoint runs it once.  The
+    # NULL-entity filter matches the oracle's semantics on BOTH
+    # consumers: count(DISTINCT user) ignores NULLs and `NOT IN`
+    # excludes a NULL probe, while the touches equi-join never matched
+    # a NULL key anyway.  The row count rides the checkpoint job as an
+    # Observation: it IS the oracle's distinct-converter count
+    # (r13 derived n_conv from summed CONV edges instead, which
+    # silently dropped converters whose conversion events all carry
+    # NULL timestamps — the r13 advice item; this restores the
+    # distinct-entity semantics for free).
+    conv_obs = Observation()
+    conv_ts = (
+        df.filter((F.col(channel_col) == conversion) & e.isNotNull())
+        .groupBy(e.alias("__e"))
+        .agg(F.min(time_col).alias("__cts"))
+        .observe(conv_obs, F.count(F.lit(1)).alias("__n_conv"))
+        .localCheckpoint(eager=True)
+    )
+    n_converters = int(conv_obs.get["__n_conv"] or 0)
     base = df.filter(
         e.isNotNull()
         & F.col(channel_col).isNotNull()
@@ -1232,7 +1252,8 @@ def markov_journey_edges(
             6,
         ),
     )
-    result._extra_ckpts = [seq]
+    result._extra_ckpts = [seq, conv_ts]
+    result._n_converters = n_converters
     return result
 
 
@@ -1320,15 +1341,13 @@ def markov_attribution(
 
     for _h in getattr(cells, "_extra_ckpts", None) or []:
         _release_local_checkpoint(_h)
-    # r13 optimization round: every converting entity contributes
-    # EXACTLY one edge into __CONV__ (last pre-conversion touch →
-    # CONV, or the bare START → CONV when its first event converts),
-    # so the converter count is the summed CONV-edge count already in
-    # the collected cells — the separate corpus-grain
-    # distinct-entities pass this used to run is redundant.
-    n_conv = sum(
-        int(r["n_edges"]) for r in rows_c if r["dst"] == MARKOV_CONV
-    )
+    # Distinct-converter count (the oracle's count(DISTINCT entity)
+    # over conversion events): rides the edge builder's conv_ts
+    # checkpoint job as an Observation, so it costs no extra pass.
+    # r13 summed CONV-edge counts instead, which misclassified
+    # converters whose conversion events all carry NULL timestamps
+    # (they end in __NULL__, not __CONV__) — the r13 advice item.
+    n_conv = cells._n_converters
     base_v = _markov_value_iteration(probs, channels, None, iterations)
     rows = []
     res = []

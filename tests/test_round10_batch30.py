@@ -140,3 +140,54 @@ def test_attribution_bad_params_raise(spark):
         markov_attribution(df, "u", "ts", "ch", "buy", channels=[])
     with pytest.raises(ValueError, match="conversion"):
         markov_attribution(df, "u", "ts", "ch", "buy", channels=["buy"])
+
+
+def test_attribution_null_ts_converter_counts_in_n_conv(spark):
+    """A converter whose conversion events ALL carry NULL timestamps is
+    a non-converter to the edge builder (its touches end in __NULL__)
+    but IS a converter to the oracle's count(DISTINCT entity) over
+    conversion events — the r13 advice item: n_conv must use the
+    distinct-entity count, not the summed __CONV__ edge count."""
+    rows = [
+        # u=1: a normal converter through A
+        (1, _ts(0), "A", 1),
+        (1, _ts(1), "buy", 2),
+        # u=2: touches A, converts with a NULL timestamp — excluded
+        # from the journey's __CONV__ edges but counted by the oracle
+        (2, _ts(0), "A", 3),
+        (2, None, "buy", 4),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    cells = markov_journey_edges(df, "u", "ts", "ch", "buy", "eid")
+    by = {(r["src"], r["dst"]): r["n_edges"] for r in cells.collect()}
+    # edge classification unchanged: u=2 ends in __NULL__
+    assert by[("A", "__CONV__")] == 1
+    assert by[("A", "__NULL__")] == 1
+    # but the distinct-converter count sees both
+    assert cells._n_converters == 2
+    att = {
+        r["channel"]: r
+        for r in markov_attribution(
+            df, "u", "ts", "ch", "buy", channels=["A"], tiebreak_col="eid"
+        ).collect()
+    }
+    # share 1.0 x n_conv 2 (the CONV-edge sum would have said 1)
+    assert att["A"]["attributed_conversions"] == pytest.approx(2.0)
+
+
+def test_attribution_null_entity_conversions_ignored(spark):
+    """NULL-entity conversion events match the oracle everywhere: not
+    counted by count(DISTINCT entity), and never a bare __START__ →
+    __CONV__ edge (SQL NOT IN excludes a NULL probe)."""
+    rows = [
+        (1, _ts(0), "A", 1),
+        (1, _ts(1), "buy", 2),
+        (None, _ts(0), "buy", 3),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    cells = markov_journey_edges(df, "u", "ts", "ch", "buy", "eid")
+    by = {(r["src"], r["dst"]): r["n_edges"] for r in cells.collect()}
+    assert by[("__START__", "A")] == 1
+    assert by[("A", "__CONV__")] == 1
+    assert ("__START__", "__CONV__") not in by
+    assert cells._n_converters == 1
