@@ -620,8 +620,10 @@ def incremental_dedup(
       but cross-frame, so candidate count scales with the increment,
       not the corpus;
     - exact-Jaccard verification runs per candidate pair
-      (``jaccard_verify_pairs`` geometry) and only text for candidate
-      ids is fetched.
+      (``jaccard_verify_pairs`` geometry); in THIS ad-hoc form the
+      reference shingle side is derived lazily over the whole
+      reference (see the trade note below) — the parquet-artifact
+      production path is where a 100 TB corpus amortizes that.
     """
     # ad-hoc form: the reference artifacts stay LAZY — Catalyst prunes
     # each branch's projection down to what it needs (the digest branch
@@ -632,6 +634,25 @@ def incremental_dedup(
     # artifacts (write_corpus_artifacts / incremental_dedup_against);
     # only the O(increment) side persists, inside
     # incremental_dedup_against.
+    #
+    # r14 negative result (alternating in-session A/Bs at sf0.1/32c,
+    # identical output hashes): two restructures both measured SLOWER
+    # than this fused-lazy form and were reverted —
+    #   (a) one narrow ref pass (digests+sigs, no shingle arrays)
+    #       eagerly checkpointed + candidate-pruned verify shingles:
+    #       old [2.89, 3.39, 2.43, 2.38] vs new [3.65, 3.70, 2.77,
+    #       2.79] (split workload); [3.35, 3.16, 2.60, 2.59] vs
+    #       [3.98, 3.34, 3.13, 3.07] (crawl workload);
+    #   (b) lazy dict + eager candidate checkpoint + pruned shingles
+    #       only: old [3.60, 3.01, 2.84, 2.85] vs new [3.72, 3.34,
+    #       3.60, 3.51].
+    # Cause: the three "passes" are column-pruned scans fused into ONE
+    # wide job here, and the added checkpoint barriers cost more than
+    # the recomputation they remove (the moods_median lesson).  The
+    # candidate-pruned shingle fetch is still the right shape where
+    # the reference is genuinely huge relative to the increment — that
+    # regime enters through precomputed parquet artifacts, whose band
+    # table read makes the candidate list cheap to materialize.
     return incremental_dedup_against(
         new_df,
         corpus_artifacts(

@@ -95,6 +95,14 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+# serializes the session-global AQE toggle inside _ckpt_keyed /
+# _ckpt_preserve (r13 advice: composed queries submit jobs from driver
+# thread pools)
+import threading as _threading
+
+_AQE_TOGGLE_LOCK = _threading.Lock()
+
+
 def _ckpt_keyed(df: DataFrame, *keys: str, sort: bool = True) -> DataFrame:
     """Eagerly localCheckpoint ``df`` hash-partitioned (and, by
     default, sorted) by ``keys``, temporarily disabling AQE around the
@@ -115,18 +123,28 @@ def _ckpt_keyed(df: DataFrame, *keys: str, sort: bool = True) -> DataFrame:
     AQE is only off for the checkpoint job itself (a repartition —
     nothing AQE would improve); every downstream query still plans
     adaptively.
+
+    Thread safety (r13 advice): the AQE toggle mutates SESSION-global
+    conf, so concurrent driver threads (the composed-query thread
+    pools) planning a query while it is off would silently get a
+    non-adaptive plan.  ``_AQE_TOGGLE_LOCK`` serializes the toggle
+    window; callers submitting jobs from several threads remain
+    responsible for not planning OTHER queries concurrently with a
+    keyed checkpoint (the lock protects the helpers against each
+    other, not against arbitrary concurrent planning).
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        plan = df.repartition(n, *[F.col(k) for k in keys])
-        if sort:
-            plan = plan.sortWithinPartitions(*keys)
-        return plan.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = df.repartition(n, *[F.col(k) for k in keys])
+            if sort:
+                plan = plan.sortWithinPartitions(*keys)
+            return plan.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _ckpt_preserve(df: DataFrame) -> DataFrame:
@@ -136,14 +154,16 @@ def _ckpt_preserve(df: DataFrame) -> DataFrame:
     final aggregate, the join key of a final join) is retained by the
     ``LogicalRDD`` instead of decaying to ``UnknownPartitioning``.
     Use when the plan already ends in the layout the next round needs;
-    use :func:`_ckpt_keyed` to force one."""
+    use :func:`_ckpt_keyed` to force one.  Shares
+    ``_AQE_TOGGLE_LOCK`` — see the thread-safety note there."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def _strip_inherited_stats(df: DataFrame) -> DataFrame:
@@ -1817,7 +1837,8 @@ def harmonic_centrality(
     e0 = edges.select(a.alias("u"), b.alias("v")).filter(
         F.col("u") != F.col("v")
     )
-    # pre-partitioned by the per-hop join key (guide §2.4)
+    # plain eager checkpoint — the keyed partition-preserving form was
+    # measured ~1.3x slower here and reverted (see docstring)
     sym = (
         e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

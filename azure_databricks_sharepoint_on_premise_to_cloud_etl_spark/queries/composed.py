@@ -357,17 +357,34 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is new.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        panels = list(
-            pool.map(
-                lambda f: f.localCheckpoint(eager=True),
-                (vol, kl, ks, nov, dup),
-            )
-        )
-    # the KL operator checkpoints its internal (source × vocab) count
-    # table; the kl panel has fully consumed it — free it now
     from ..operators.graph import _release_local_checkpoint
 
+    # r13 advice: if one panel's checkpoint job fails, release every
+    # sibling checkpoint that DID materialize (and the KL operator's
+    # internal corpus-grain checkpoint) before re-raising — otherwise
+    # the executor storage leaks for the session.  Explicit futures,
+    # not pool.map: map's iterator drops completed results once any
+    # task raises, making them unreleasable.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(lambda f=f: f.localCheckpoint(eager=True))
+            for f in (vol, kl, ks, nov, dup)
+        ]
+        panels = []
+        first_err = None
+        for fu in futs:
+            try:
+                panels.append(fu.result())
+            except BaseException as e:  # noqa: BLE001 — release-then-reraise
+                first_err = first_err or e
+        if first_err is not None:
+            for p in panels:
+                _release_local_checkpoint(p)
+            for _h in getattr(kl_raw, "_extra_ckpts", None) or []:
+                _release_local_checkpoint(_h)
+            raise first_err
+    # the KL operator checkpoints its internal (source × vocab) count
+    # table; the kl panel has fully consumed it — free it now
     for _h in getattr(kl_raw, "_extra_ckpts", None) or []:
         _release_local_checkpoint(_h)
     out = panels[0]
@@ -633,10 +650,27 @@ def q_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serially; the fusion then joins two checkpointed 25-row tables.
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..operators.graph import _release_local_checkpoint
+
+    # explicit futures + release-on-failure (r13 advice): a failed leg
+    # must not leak its sibling's materialized checkpoint
     with ThreadPoolExecutor(max_workers=2) as pool:
-        lex, sem = pool.map(
-            lambda f: f.localCheckpoint(eager=True), (lex, sem)
-        )
+        futs = [
+            pool.submit(lambda f=f: f.localCheckpoint(eager=True))
+            for f in (lex, sem)
+        ]
+        done = []
+        first_err = None
+        for fu in futs:
+            try:
+                done.append(fu.result())
+            except BaseException as e:  # noqa: BLE001 — release-then-reraise
+                first_err = first_err or e
+        if first_err is not None:
+            for p in done:
+                _release_local_checkpoint(p)
+            raise first_err
+        lex, sem = done
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",
         F.round(
@@ -1225,12 +1259,14 @@ def q_crawl_refresh_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     statuses = raw_statuses.localCheckpoint(eager=True)
     # the eager checkpoint has fully consumed the dedup result, so the
-    # operator's internally persisted increment artifact frame can be
-    # freed NOW — localCheckpoint returns a new DataFrame without the
-    # _persisted_intermediates release hook, so without this the
-    # MEMORY_AND_DISK shingle frame would leak per call (r13 review)
-    for _df in getattr(raw_statuses, "_persisted_intermediates", []):
-        _df.unpersist()
+    # operator's internal state — the persisted increment artifact
+    # frame AND (r14) the reference-artifact + candidate checkpoints —
+    # can be freed NOW: localCheckpoint returns a new DataFrame
+    # without the release hooks, so without this they would leak per
+    # call (r13 review)
+    from ..operators.graph import release_components as _release_comps
+
+    _release_comps(raw_statuses)
     dd = statuses.agg(
         F.sum((F.col("status") == "exact_dup").cast("long")).alias(
             "n_exact_dup"
