@@ -892,13 +892,18 @@ def k_core(
     is equivalent whenever the fixpoint is reached within the unroll
     depth — which this function guarantees by raising otherwise.
     """
+    from pyspark.sql import Observation
+
     a, b = F.col(src), F.col(dst)
+    e_obs = Observation()
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .observe(e_obs, F.count(F.lit(1)).alias("__n_e"))
         .localCheckpoint(eager=True)
     )
+    n_e = int(e_obs.get["__n_e"] or 0)
     spark = edges.sparkSession
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -909,31 +914,18 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
 
-    from pyspark.sql import Observation
-
+    # ONE driver job per peel round (r14; was two): the peel set stays
+    # a lazy subtree inside the next-generation checkpoint — its two
+    # broadcast builds share the degree aggregate's exchange (runtime
+    # exchange reuse pays the edge scan + shuffle once) — and the
+    # fixpoint probe is the observed next-generation ROW COUNT (no
+    # peel ⟺ the anti-joins dropped nothing).  Job-launch barriers are
+    # exactly what bounds iterative ops in the flat-alpha regime
+    # SCALE.md records for kcore.
     for _ in range(max_iterations):
         deg = degrees(e)
-        # the peel set is referenced three times per round (emptiness
-        # probe + both anti-joins) — materialize it once so the degree
-        # aggregate runs ONE pass over the edge generation, not three.
-        # The emptiness probe rides the SAME checkpoint job as an
-        # Observation (the connected_components snapshot trick): two
-        # jobs per peel round instead of three, and job-launch barriers
-        # are exactly what bounds iterative ops in the flat-alpha
-        # regime SCALE.md records for kcore.
+        low = deg.filter(F.col("core_deg") < k).select("node")
         obs = Observation()
-        low = (
-            deg.filter(F.col("core_deg") < k)
-            .select("node")
-            .observe(obs, F.count(F.lit(1)).alias("__n_low"))
-            .localCheckpoint(eager=True)
-        )
-        if int(obs.get["__n_low"] or 0) == 0:
-            _release_local_checkpoint(low)
-            result = deg
-            result._cc_final_generation = e
-            result._cc_checkpoint_dir = None
-            return result
         nxt = (
             e.join(
                 F.broadcast(low.withColumnRenamed("node", "a")), "a", "left_anti"
@@ -942,11 +934,21 @@ def k_core(
                 F.broadcast(low.withColumnRenamed("node", "b")), "b", "left_anti"
             )
             .select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("__n_nxt"))
             .localCheckpoint(eager=True)
         )
-        _release_local_checkpoint(low)
+        n_nxt = int(obs.get["__n_nxt"] or 0)
         _release_local_checkpoint(e)
         e = nxt
+        if n_nxt == n_e:
+            # nothing peeled — e is the k-core edge set (identical row
+            # set to the previous generation, so returning its degree
+            # table is the same result the two-job form returned)
+            result = degrees(e)
+            result._cc_final_generation = e
+            result._cc_checkpoint_dir = None
+            return result
+        n_e = n_nxt
     raise RuntimeError(
         f"k_core did not reach its fixpoint in {max_iterations} peels — "
         "raise max_iterations (and the oracle unroll depth with it)"

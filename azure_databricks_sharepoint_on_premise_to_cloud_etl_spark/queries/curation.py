@@ -3034,24 +3034,53 @@ def q_eval_safe_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``release_components``); eval grams broadcast; the split is a pure
     expression on the component id; the manifest is one hash
     aggregate.  The corpus text never shuffles."""
-    from ..operators.graph import connected_components
+    from ..operators.graph import connected_components, release_components
 
     d = rebalance(load_table(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(d, k=_MINHASH_K, num_hashes=_MINHASH_N)
     pairs = dedup.lsh_candidate_pairs(
         sigs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS
     )
-    comps = connected_components(pairs, d.select("doc_id"))
     # 24-char grams (the q_curation_pipeline calibration): 8-char
     # grams flag essentially every doc at fixture scale, and a
     # cluster-level quarantine amplifies that to an empty corpus
     contam = text.contamination_flags(
         d, d.filter(F.col("doc_id") < _CONTAM_EVAL_IDS), k=_PIPE_CONTAM_K
     )
-    bad = (
-        comps.join(
-            contam.filter(F.col("contaminated")), "doc_id", "left_semi"
+    # r14 (guide §2.6): the contamination gram pass (~1 s warm at
+    # sf0.1) is independent of the LSH→CC chain (~2 s of sequential
+    # driver-blocked rounds) and they only meet at the quarantine
+    # join — materialize the contaminated-doc id list from a
+    # background thread so its one job back-fills cores the CC
+    # rounds leave idle.  Submitted BEFORE the CC loop starts so it
+    # plans while AQE is still on (the CC fast-round bypass briefly
+    # toggles the session conf).  Release-on-failure mirrors the
+    # source_health pool discipline.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.graph import _release_local_checkpoint
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            lambda: contam.filter(F.col("contaminated"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
         )
+        try:
+            comps = connected_components(pairs, d.select("doc_id"))
+        except BaseException:
+            try:
+                _release_local_checkpoint(fut.result())
+            except BaseException:
+                pass
+            raise
+        try:
+            contam_ids = fut.result()
+        except BaseException:
+            release_components(comps)
+            raise
+    bad = (
+        comps.join(contam_ids, "doc_id", "left_semi")
         .select("component")
         .distinct()
     )
@@ -3072,8 +3101,10 @@ def q_eval_safe_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # propagate the CC release hook (the q_dedup_keep_best convention)
+    # plus the overlapped contamination checkpoint
     out._cc_final_generation = comps._cc_final_generation
     out._cc_checkpoint_dir = comps._cc_checkpoint_dir
+    out._extra_ckpts = [contam_ids]
     return out
 
 

@@ -566,6 +566,11 @@ def main() -> None:
         "seasonal_mann_kendall": max(reps, 5),
         "neyman_allocation": max(reps, 5),
         "feature_info_gain": max(reps, 5),
+        # r13 verdict item 8: kcore's spread (2.37 s on a 2.98 s
+        # median) rivalled its cost and the min-trigger below only
+        # fires when a rep lands under the floor — pin it so its peel
+        # loop is measurable
+        "kcore": max(reps, 5),
     }
     # r11 verdict task 1 (systematic half), widened by r12 task 2: ANY
     # row whose fastest rep lands under 2.5s gets its reps floored at
