@@ -20,3 +20,27 @@ def spark():
 
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- driver-window test tiers (r13 verdict item 2) -------------------
+# Modules whose end-to-end coverage is duplicated by per-round
+# committed artifacts: AUX oracle parity (test_aux_queries,
+# test_widening_ops rows all live in queries.AUX_QUERIES and are
+# regenerated into AUX_CORRECTNESS.json by every bench run) and the
+# plan audit (tools/plan_audit.py).  They are marked `slow` so the
+# driver's time-boxed `pytest tests/ -x -q` finishes inside its verify
+# window (pytest.ini deselects them by default); the full suite —
+# `-m "slow or not slow"` — remains the repo's bar and is run before
+# every round closes.
+SLOW_MODULES = {
+    "test_aux_queries",
+    "test_plan_audit",
+    "test_widening_ops",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        if mod is not None and mod.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
