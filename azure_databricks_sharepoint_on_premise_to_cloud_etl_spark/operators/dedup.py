@@ -378,6 +378,18 @@ def simhash_candidate_pairs(
     ).select(id_col, sim_col, "b.block_id", "b.block_val")
     a = banded.alias("a")
     b = banded.alias("b")
+    # r14 negative result: the SHUFFLE_HASH hint that won
+    # lsh_candidate_pairs in r13 (collapsing the broadcast plan's
+    # duplicated upstream pipeline into one pass via exchange reuse)
+    # was tried here and measured SLOWER in an alternating in-session
+    # A/B at sf0.1 (hint [8.48, 7.86, 8.59, 9.35] s vs default
+    # broadcast [7.32, 6.83, 8.07, 6.60] s, identical 1.13 M-pair
+    # output) — this operator's cost is dominated by the candidate
+    # pair volume (10-bit blocks collide freely), not by the
+    # fingerprint pipeline the hint would deduplicate, so the planner's
+    # default stays.  At corpus scale the banded table outgrows the
+    # broadcast threshold and Catalyst falls back to a shuffled join on
+    # its own size estimates — no hint needed for scale safety.
     pairs = (
         a.join(
             b,
